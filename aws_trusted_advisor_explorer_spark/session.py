@@ -47,7 +47,19 @@ def tune_session(spark: SparkSession) -> SparkSession:
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict:
-    """Register the driver's parquet tables as temp views; return {name: df}."""
+    """Register the driver's parquet tables as temp views; return {name: df}.
+
+    Spark rejects parquet TIMESTAMP(NANOS) columns (``events.ts``), so we
+    read them as long via ``spark.sql.legacy.parquet.nanosAsLong`` and
+    rebuild a TIMESTAMP_NTZ (values are micro-precision, the ns→us
+    truncation is lossless; verified against the driver data). Session
+    timezone is pinned to UTC so the LTZ→NTZ hop is exact and timestamp
+    semantics match the DuckDB oracle.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if names is None:
         names = (
             "region", "nation", "customer", "supplier", "part",
@@ -55,7 +67,18 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         )
     out = {}
     for name in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        ns_cols = _nanos_timestamp_cols(path)
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(c, F.expr(f"CAST(timestamp_micros({c} DIV 1000) AS TIMESTAMP_NTZ)"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only inspection)."""
+    import pyarrow.parquet as pq
+
+    return [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
