@@ -433,7 +433,13 @@ def _tags() -> str:
         seg("n_nationkey * 10", "'orphan-' || cast(n_nationkey as string)",
             "ec2:instance", "ec2:", "FROM nation"),
     ]
-    return "\nUNION ALL\n".join(segs)
+    union = "\nUNION ALL\n".join(segs)
+    # the driver's lineitem is TPC-H-ish: (l_orderkey, l_linenumber) is NOT
+    # unique, so dedup the dimension — duplicate uids derive identical full
+    # rows, making DISTINCT exact. Mirrors the reference's per-ARN dict
+    # accumulation (extract-tag-data-lambda.py:74-88, last-write-wins): one
+    # tag row per (resource, run).
+    return f"SELECT DISTINCT * FROM (\n{union}\n) AS u"
 
 
 # ARN separator before the resource id: tests both extraction paths of
