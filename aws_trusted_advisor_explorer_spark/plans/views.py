@@ -268,12 +268,20 @@ def view_oracle_sql(name: str, with_tags: bool | None = None) -> str:
             f'SELECT "{spec.fact}".*,\n  {computed}{tag_cols}\n{frm}')
 
 
-def register_views(spark: SparkSession, with_tags: bool | None = None) -> None:
+def register_views(spark: SparkSession, with_tags: bool | None = None,
+                   skip_missing: bool = True) -> list[str]:
     """Publish every view into the session catalog (the reference's K4
-    Athena-DDL sink becomes createOrReplaceTempView)."""
-    for name in VIEWS:
+    Athena-DDL sink becomes createOrReplaceTempView). Views whose fact
+    table was never ingested are skipped (the reference's crawler would
+    not have created the table either)."""
+    published = []
+    for name, spec in VIEWS.items():
+        if skip_missing and not _table_exists(spark, f"`{spec.fact}`"):
+            continue
         view_df(spark, name, with_tags=with_tags, boundary_double=False) \
             .createOrReplaceTempView(name)
+        published.append(name)
+    return published
 
 
 def _table_exists(spark: SparkSession, name: str) -> bool:

@@ -1,0 +1,87 @@
+"""Partitioned table writers (SURVEY.md §2.2 K1-K5).
+
+The reference writes CSV to ``<layer>/<table>/<yyyy>/<m>/<d>/``
+(extract-ta-data-lambda.py:110-114, extract-tag-data-lambda.py:141) and
+lets a Glue crawler discover partitions. Here the writer IS the catalog
+step: explicit ``year/month/day`` partition columns + ``partitionBy`` so
+date predicates prune at the source — the reference's views filter the
+``datetime`` STRING column and get no pruning (SURVEY.md §4 row 1);
+adding real partition columns is the scale fix.
+
+Parquet is the default at 100 TB (columnar, pushdown, stats); CSV stays
+as the reference-compatible interchange format. Raw column names carry
+spaces/'-'/'/', which parquet field names reject — ``parquet_safe`` holds
+a reversible rename policy applied on write and undone on read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_SAFE = [(" ", "_sp_"), ("/", "_sl_"), ("-", "_dash_")]
+
+
+def parquet_safe(name: str) -> str:
+    for ch, tok in _SAFE:
+        name = name.replace(ch, tok)
+    return name
+
+
+def parquet_unsafe(name: str) -> str:
+    for ch, tok in _SAFE:
+        name = name.replace(tok, ch)
+    return name
+
+
+def with_run_partitions(df: DataFrame, date_col: str = "datetime") -> DataFrame:
+    """Derive year/month/day partition columns from the run datetime string."""
+    return (df
+            .withColumn("year", F.substring(date_col, 1, 4))
+            .withColumn("month", F.substring(date_col, 6, 2))
+            .withColumn("day", F.substring(date_col, 9, 2)))
+
+
+def write_raw_table(df: DataFrame, path: str, fmt: str = "parquet",
+                    partitioned: bool = True) -> None:
+    """K1+K3: land a raw table date-partitioned. Empty input writes no data
+    files (the reference's len(rows)>1 guard is native here)."""
+    out = with_run_partitions(df) if partitioned else df
+    if fmt == "parquet":
+        out = out.toDF(*[parquet_safe(c) for c in out.columns])
+        w = out.write.mode("overwrite")
+        if partitioned:
+            w = w.partitionBy("year", "month", "day")
+        w.parquet(path)
+    elif fmt == "csv":
+        w = out.write.mode("overwrite").option("header", True)
+        if partitioned:
+            w = w.partitionBy("year", "month", "day")
+        w.csv(path)
+    else:
+        raise ValueError(f"unsupported format {fmt}")
+
+
+def read_raw_table(spark: SparkSession, path: str, fmt: str = "parquet",
+                   keep_partitions: bool = False) -> DataFrame:
+    """Read back a raw table, undoing the parquet-safe rename.
+
+    The year/month/day layout columns are dropped by default so the
+    schema stays reference-faithful; pass ``keep_partitions=True`` (and
+    filter on them before anything else) to get partition pruning.
+    """
+    df = spark.read.parquet(path) if fmt == "parquet" else (
+        spark.read.option("header", True).csv(path))
+    if not keep_partitions:
+        df = df.drop("year", "month", "day")
+    return df.toDF(*[parquet_unsafe(c) for c in df.columns])
+
+
+def quarantine_errors(spark: SparkSession, errors: list[tuple[str, str]],
+                      path: str) -> None:
+    """K5: error-log side channel (refresh-ta-check-lambda.py:54-63 writes
+    AssumeRole failures to Logs/AssumeRoleFailure/<y>/<m>/<d>/). Modeled as
+    a quarantine DataFrame write."""
+    if not errors:
+        return
+    df = spark.createDataFrame(errors, ["key", "error"])
+    df.write.mode("overwrite").json(path)

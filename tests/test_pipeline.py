@@ -1,0 +1,111 @@
+"""End-to-end pipeline test (SURVEY.md §5.2 item 2): API-shaped docs →
+raw layer on disk → views registered → view over freshly-ingested data
+matches DuckDB over the same written files."""
+
+from __future__ import annotations
+
+from aws_trusted_advisor_explorer_spark import pipeline, registry
+from aws_trusted_advisor_explorer_spark.operators import tags as TG
+from tests.conftest import assert_matches_oracle
+
+
+def _eip_doc(i: int, run: str):
+    return {
+        "AccountId": f"6100000000{i:02d}", "AccountName": f"Account {i}",
+        "AccountEmail": f"acct{i}@example.com",
+        "Date": "08-01-2025", "DateTime": run,
+        "CheckName": "Unassociated Elastic IP Addresses",
+        "result": {
+            "checkId": "Z4AUBRNSmz", "status": "warning",
+            "resourcesSummary": {"resourcesProcessed": 10 * i, "resourcesFlagged": i,
+                                 "resourcesIgnored": 0, "resourcesSuppressed": 0},
+            "categorySpecificSummary": {"costOptimizing": {
+                "estimatedMonthlySavings": 1.5 * i,
+                "estimatedPercentMonthlySavings": 0.01 * i}},
+            "flaggedResources": [
+                {"status": "warning", "region": "us-east-1",
+                 "metadata": ["us-east-1", f"52.0.{i}.{j}"]} for j in range(3)
+            ],
+        },
+    }
+
+
+def test_ingest_to_views(spark, ddb, tmp_path):
+    docs = [_eip_doc(i, "2025-08-01 09:00:00") for i in range(1, 4)]
+    docs.append(_eip_doc(9, "2025-07-01 09:00:00"))
+    # a check with zero flagged resources writes no detail file
+    empty = _eip_doc(5, "2025-08-01 09:00:00")
+    empty["result"]["flaggedResources"] = []
+    empty["result"]["checkId"] = "hjLMh88uM8"
+    docs.append(empty)
+
+    out = pipeline.run_ingest(spark, docs, str(tmp_path / "lake"))
+    assert "check_z4aubrnsmz" in out
+    assert "check_hjlmh88um8" not in out          # empty → not written
+    assert out["check_z4aubrnsmz"].count() == 12  # 4 docs × 3 resources
+    assert out["summary"].count() == 5
+
+    # partition layout on disk: year/month/day directories
+    base = tmp_path / "lake" / "check_z4aubrnsmz"
+    assert (base / "year=2025" / "month=08" / "day=01").exists()
+    assert (base / "year=2025" / "month=07" / "day=01").exists()
+
+    # view over the freshly ingested raw table matches DuckDB on the same files
+    pipeline.publish_views(spark, with_tags=False)
+    vdf = spark.table("UnassociatedElasticIPAddresses_view")
+    ddb.sql(f"CREATE OR REPLACE VIEW _ingested AS SELECT * FROM read_parquet('{base}/**/*.parquet', hive_partitioning=false)")
+    oracle = """
+        SELECT "date", "datetime", checkname, status, region,
+               "ip_sp_address" AS "ip address", accountid, accountname,
+               accountemail,
+               strptime(substr("datetime", 1, 19), '%Y-%m-%d %H:%M:%S') AS date_time
+        FROM _ingested
+    """
+    assert_matches_oracle(vdf, ddb, oracle)
+
+
+def test_tag_pivot_pipeline(spark, tmp_path):
+    rows = [
+        ("08-01-2025", "2025-08-01 09:00:00", "610000000001", "Account 1",
+         "a1@example.com", "us-east-1", "ec2:instance",
+         "arn:aws:ec2:us-east-1:610000000001:instance/i-0001", "env", "prod"),
+        ("08-01-2025", "2025-08-01 09:00:00", "610000000001", "Account 1",
+         "a1@example.com", "us-east-1", "ec2:instance",
+         "arn:aws:ec2:us-east-1:610000000001:instance/i-0001", "env", "dev"),  # last wins
+        ("08-01-2025", "2025-08-01 09:00:00", "610000000001", "Account 1",
+         "a1@example.com", "us-east-1", "ec2:instance",
+         "arn:aws:ec2:us-east-1:610000000001:instance/i-0001", "costcenter", "cc-1"),
+        ("08-01-2025", "2025-08-01 09:00:00", "610000000001", "Account 1",
+         "a1@example.com", "us-east-1", "rds:db",
+         "arn:aws:rds:us-east-1:610000000001:db:mydb", "env", "staging"),
+    ]
+    cols = ["Date", "DateTime", "AccountId", "AccountName", "AccountEmail",
+            "RegionName", "ResourceType", "ResourceArn", "key", "value"]
+    long_tags = spark.createDataFrame(rows, cols)
+    long_tags = long_tags.withColumn(
+        "ResourceId", TG.arn_to_resource_id(long_tags["ResourceArn"]))
+
+    wide = pipeline.run_tag_ingest(spark, long_tags, ["env", "costcenter"],
+                                   str(tmp_path / "lake"))
+    got = {r["resourceid"]: r for r in wide.collect()}
+    assert got["i-0001"]["costcenter"] == "cc-1"
+    assert got["i-0001"]["env"] in ("prod", "dev")  # last-write-wins (input order
+    # is non-deterministic post-shuffle, as in the reference's pagination order)
+    assert got["mydb"]["env"] == "staging"          # ':'-path ARN extraction
+    assert got["mydb"]["costcenter"] is None
+
+
+def test_arn_extraction_p7(spark):
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("arn:aws:ec2:us-east-1:1:instance/i-abc", "i-abc"),
+        ("arn:aws:rds:us-east-1:1:db:mydb", "mydb"),
+        ("no-separators-at-all", ""),
+        ("trailing/slash/", ""),
+        ("a:b/c:d", "c:d"),  # '/' pattern wins even if ':' comes later
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], ["arn"])
+    got = [r["rid"] for r in
+           df.select(TG.arn_to_resource_id(F.col("arn")).alias("rid")).collect()]
+    assert got == [e for _, e in cases]
