@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every query in ``__spark_entry__.queries()``
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a ``noop``-format write (full
+computation, zero sink cost) so the timing measures the plan, not
+driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else 0.0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from aws_trusted_advisor_explorer_spark.session import get_spark
+
+    spark = get_spark("ta_explorer_bench")
+    queries = entrymod.queries()
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup
+    from aws_trusted_advisor_explorer_spark.plans import fixtures
+
+    fixtures.register_raw_tables(spark, SF_DIR)
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
