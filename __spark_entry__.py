@@ -36,12 +36,59 @@ _VIEW_KEYS = {
 }
 
 
+# session id -> (sf_dir, level); catalog views are global per session, so
+# registration is skipped only when the SAME sf_dir is already in place
+_PREPARED: dict[int, tuple[str, str]] = {}
+
+
 def _prepare(spark: SparkSession, sf_dir: str) -> None:
     from aws_trusted_advisor_explorer_spark.plans import fixtures
     from aws_trusted_advisor_explorer_spark.session import tune_session
 
+    if _PREPARED.get(id(spark)) == (sf_dir, "raw"):
+        return
     tune_session(spark)
     fixtures.register_raw_tables(spark, sf_dir)
+    _PREPARED[id(spark)] = (sf_dir, "raw")  # includes load_tables
+
+
+def _prepare_ext(spark: SparkSession, sf_dir: str) -> None:
+    from aws_trusted_advisor_explorer_spark.session import load_tables, tune_session
+
+    state = _PREPARED.get(id(spark))
+    if state is not None and state[0] == sf_dir:  # raw implies ext tables
+        return
+    tune_session(spark)
+    load_tables(spark, sf_dir)
+    _PREPARED[id(spark)] = (sf_dir, "ext")
+
+
+def _ext_builders() -> dict:
+    from aws_trusted_advisor_explorer_spark.operators import (
+        dedup, eventops, multimodal, similarity, textops,
+    )
+
+    out = {}
+    for mod in (textops, dedup, similarity, eventops, multimodal):
+        out.update(mod.BUILDERS)
+    return out
+
+
+def _ext_query(build):
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prepare_ext(spark, sf_dir)
+        return spark.sql(build(SPARK))
+
+    return run
+
+
+def _media_byte_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    _prepare_ext(spark, sf_dir)
+    return multimodal.media_byte_stats_df(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -71,15 +118,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[key] = _view_query(name, with_tags=None)
         if views.VIEWS[name].join_key is not None:
             q[f"{key}_no_tags"] = _view_query(name, with_tags=False)
+    for key, build in _ext_builders().items():
+        q[key] = _ext_query(build)
+    q["media_byte_stats"] = _media_byte_stats_query
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     from aws_trusted_advisor_explorer_spark.plans import views
 
+    from aws_trusted_advisor_explorer_spark.functions.dual import DUCK
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
     o: dict[str, str] = {}
     for name, key in _VIEW_KEYS.items():
         o[key] = views.view_oracle_sql(name)
         if views.VIEWS[name].join_key is not None:
             o[f"{key}_no_tags"] = views.view_oracle_sql(name, with_tags=False)
+    for key, build in _ext_builders().items():
+        o[key] = build(DUCK)
+    o["media_byte_stats"] = multimodal.media_byte_stats_oracle(DUCK)
     return o

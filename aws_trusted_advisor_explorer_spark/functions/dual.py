@@ -1,0 +1,168 @@
+"""Dual-dialect SQL expression kit for the training-data extension plane.
+
+The extension operators (dedup, similarity search, text analysis,
+multimodal stats — BASELINE.json "north_star" scope, beyond the
+reference surface at /root/reference) are each defined ONCE as a SQL
+builder parameterized by a :class:`Dialect`, emitting the Spark SQL
+query and the DuckDB oracle query from the same template. Every
+primitive below is pinned to arithmetic that is bit-identical across
+the two engines:
+
+- integer polynomial hashing (mod 1e9+7) instead of engine-native
+  ``hash()`` (Spark murmur3 != DuckDB's hash);
+- array folds with an explicit init and fixed left-to-right order, so
+  double summation (dot products) is IEEE-identical;
+- no double->decimal rounding on computed values; doubles flow through
+  raw because both engines produce the same bits for the same op order.
+
+Scale posture: everything here is declarative SQL -> Catalyst
+whole-stage codegen; the only Python in the hot path is the
+explicitly-marked Pandas-UDF multimodal ops (operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+P_MOD = 1_000_000_007  # hash modulus (fits all intermediates in int64)
+HASH_INIT = 7
+HASH_MULT = 31
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+
+    # --- array primitives -------------------------------------------------
+    def arr_len(self, a: str) -> str:
+        return f"size({a})" if self.name == "spark" else f"len({a})"
+
+    def arr_distinct(self, a: str) -> str:
+        return f"array_distinct({a})" if self.name == "spark" else f"list_distinct({a})"
+
+    def arr_min(self, a: str) -> str:
+        return f"array_min({a})" if self.name == "spark" else f"list_min({a})"
+
+    def arr_max(self, a: str) -> str:
+        return f"array_max({a})" if self.name == "spark" else f"list_max({a})"
+
+    def explode(self, a: str) -> str:
+        """Generator in the SELECT list: one output row per element."""
+        return f"explode({a})" if self.name == "spark" else f"unnest({a})"
+
+    def transform(self, a: str, var: str, body: str) -> str:
+        if self.name == "spark":
+            return f"transform({a}, {var} -> {body})"
+        return f"list_transform({a}, {var} -> {body})"
+
+    def filter_(self, a: str, var: str, body: str) -> str:
+        if self.name == "spark":
+            return f"filter({a}, {var} -> {body})"
+        return f"list_filter({a}, {var} -> {body})"
+
+    def fold(self, a: str, init: str, acc: str, var: str, body: str) -> str:
+        """Left fold with explicit init — fixed evaluation order in both
+        engines, which is what makes double sums cross-engine exact."""
+        if self.name == "spark":
+            return f"aggregate({a}, {init}, ({acc}, {var}) -> {body})"
+        return f"list_reduce([{init}] || {a}, ({acc}, {var}) -> {body})"
+
+    # --- text primitives --------------------------------------------------
+    def tokens(self, c: str) -> str:
+        """Lowercased alnum tokens (the BPE-ish regex token set)."""
+        if self.name == "spark":
+            return f"regexp_extract_all(lower({c}), '[a-z0-9]+', 0)"
+        return f"regexp_extract_all(lower({c}), '[a-z0-9]+')"
+
+    def chars(self, c: str) -> str:
+        return f"split({c}, '')" if self.name == "spark" else f"string_split({c}, '')"
+
+    def arr_join(self, a: str, sep: str = " ") -> str:
+        if self.name == "spark":
+            return f"concat_ws('{sep}', {a})"
+        return f"array_to_string({a}, '{sep}')"
+
+    def poly_hash(self, s: str) -> str:
+        """Deterministic string hash: fold (acc*31 + ascii(ch)) % P over chars."""
+        codes = self.transform(self.chars(s), "ch", "cast(ascii(ch) as bigint)")
+        return self.fold(
+            codes, f"cast({HASH_INIT} as bigint)", "a", "b",
+            f"(a * {HASH_MULT} + b) % {P_MOD}")
+
+    def shingles(self, toks: str, n: int) -> str:
+        """Word n-gram shingle strings from a token array.
+
+        Spark's ``sequence(1, 0)`` DESCENDS instead of returning empty,
+        so the short-document case needs an explicit guard there.
+        """
+        if self.name == "spark":
+            body = (f"transform(sequence(1, size({toks}) - {n} + 1), "
+                    f"i -> concat_ws(' ', slice({toks}, i, {n})))")
+            return (f"CASE WHEN size({toks}) < {n} "
+                    f"THEN cast(array() as array<string>) ELSE {body} END")
+        return (f"list_transform(range(1, greatest(len({toks}) - {n} + 2, 1)), "
+                f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' '))")
+
+    # --- vector primitives ------------------------------------------------
+    def dot(self, a: str, b: str) -> str:
+        """Σ a[i]*b[i] as double, fixed fold order (cross-engine exact)."""
+        if self.name == "spark":
+            prods = f"zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double))"
+        else:
+            prods = (f"list_transform(range(1, len({a}) + 1), "
+                     f"i -> cast({a}[i] as double) * cast({b}[i] as double))")
+        return self.fold(prods, "cast(0 as double)", "s", "v", "s + v")
+
+    def elem(self, a: str, idx1: str) -> str:
+        """1-based element access."""
+        if self.name == "spark":
+            return f"element_at({a}, {idx1})"
+        return f"{a}[{idx1}]"
+
+    # --- bit primitives ---------------------------------------------------
+    def bit(self, h: str, i: int) -> str:
+        if self.name == "spark":
+            return f"(shiftright({h}, {i}) & 1)"
+        return f"(({h} >> {i}) & 1)"
+
+    def byte(self, h: str, k: int) -> str:
+        if self.name == "spark":
+            return f"(shiftright({h}, {8 * k}) & 255)"
+        return f"(({h} >> {8 * k}) & 255)"
+
+    def bitslice(self, h: str, shift: int, mask: int) -> str:
+        if self.name == "spark":
+            return f"(shiftright({h}, {shift}) & {mask})"
+        return f"(({h} >> {shift}) & {mask})"
+
+    def xor(self, a: str, b: str) -> str:
+        # DuckDB's ^ is exponentiation — its bitwise xor is the function form
+        return f"({a} ^ {b})" if self.name == "spark" else f"xor({a}, {b})"
+
+    # --- time primitives --------------------------------------------------
+    def epoch_us(self, ts: str) -> str:
+        if self.name == "spark":
+            return f"unix_micros(cast({ts} as timestamp))"
+        return f"epoch_us({ts})"
+
+    # --- binary primitives ------------------------------------------------
+    def to_blob(self, s: str) -> str:
+        return f"cast({s} as binary)" if self.name == "spark" else f"encode({s})"
+
+
+SPARK = Dialect("spark")
+DUCK = Dialect("duck")
+
+
+def minhash_params(n_perm: int) -> list[tuple[int, int]]:
+    """Fixed (a, b) parameters for the permutation hashes
+    h_j(x) = (a_j * x + b_j) % P — odd multipliers, deterministic."""
+    return [(2 * j + 3, 1009 * j + 7) for j in range(n_perm)]
+
+
+def hyperplane_weight(j: str | int, d: str | int) -> str:
+    """Pseudo-random-but-deterministic hyperplane component w(j, d) for
+    sign-LSH, as pure int arithmetic expressible in both dialects.
+    Range ≈ [-501001, 501001], mean ~0."""
+    return (f"cast((((({j}) * 131 + 7) * 2654435761 + ({d}) * 97) % 1000003) "
+            f"- 501001 as double)")

@@ -1,0 +1,98 @@
+"""Event-stream analytics over the ``events`` table: tumbling-window
+aggregation, gap-based sessionization, and per-user top-k — the batch
+forms; streaming/structured.py runs the same windowed aggregate as a
+Structured Streaming job and is tested equal to the batch plan.
+
+Dual-dialect SQL (functions/dual.py). Determinism notes:
+- ``sum(double)`` is order-dependent under parallel aggregation, so
+  money-style sums go through decimal(18,2) (exact, associative) and
+  only the query boundary casts back to double. The driver data's
+  ``value`` column is 2-dp, so the decimal cast is lossless.
+- session gaps use integer epoch-microseconds, never float seconds.
+
+Scale posture: both windowing queries shuffle once on their natural
+key (window/user); the sessionization window function requires a sort
+within user partitions — at 100 TB that is a range-partitioned sort,
+which Spark's window exec already does; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from aws_trusted_advisor_explorer_spark.functions.dual import Dialect
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+TOP_K = 3
+
+
+def events_hourly_by_type(d: Dialect) -> str:
+    """Tumbling 1-hour window counts + exact value sums per event type."""
+    return """SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events,
+  cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type"""
+
+
+def events_sessionize(d: Dialect) -> str:
+    """Gap-based sessionization (30-min inactivity): per-user session
+    count, event count, and mean session length."""
+    ep = d.epoch_us("ts")
+    return f"""WITH e AS (
+  SELECT user_id, event_id, {ep} AS us FROM events
+),
+g AS (
+  SELECT user_id, us,
+    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              > {SESSION_GAP_US}
+         OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+    THEN 1 ELSE 0 END AS is_new_session
+  FROM e
+)
+SELECT user_id,
+  cast(sum(is_new_session) as bigint) AS n_sessions,
+  count(*) AS n_events,
+  cast(count(*) as double) / sum(is_new_session) AS events_per_session
+FROM g
+GROUP BY user_id"""
+
+
+def events_user_topk(d: Dialect) -> str:
+    """Per-user top-k events by value (row_number, deterministic
+    (value DESC, event_id) tiebreak)."""
+    return f"""WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+SELECT user_id, rank, event_id, event_type, value
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def events_value_quantiles(d: Dialect) -> str:
+    """Per-event-type exact p50/p95 of ``value`` plus distinct users,
+    computed by rank selection (row_number over a value sort) so both
+    engines pick the identical element — no interpolation, no approx
+    drift. At 100 TB swap in ``approx_percentile``/HLL
+    (``approx_count_distinct``): one pass, mergeable sketches, no
+    per-key sort — the exact form stays as the small-scale oracle."""
+    return """WITH r AS (
+  SELECT event_type, value, user_id,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+  max(n) AS n_events,
+  cast(count(DISTINCT user_id) as bigint) AS n_users,
+  max(CASE WHEN rn = cast(floor((n - 1) * 0.5) as bigint) + 1 THEN value END) AS p50_value,
+  max(CASE WHEN rn = cast(floor((n - 1) * 0.95) as bigint) + 1 THEN value END) AS p95_value
+FROM r
+GROUP BY event_type"""
+
+
+BUILDERS = {
+    "events_hourly_by_type": events_hourly_by_type,
+    "events_sessionize": events_sessionize,
+    "events_user_topk": events_user_topk,
+    "events_value_quantiles": events_value_quantiles,
+}

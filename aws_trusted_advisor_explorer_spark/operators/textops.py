@@ -1,0 +1,159 @@
+"""Text-analysis operators over the ``documents`` table (extension
+scope per BASELINE.json: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Each operator is a dual-dialect SQL builder (functions/dual.py): the
+same template emits the Spark query and the DuckDB oracle, so the
+correctness gate compares two renderings of one computation.
+
+Scale posture: all pure projections — no shuffle at all except the
+final aggregate-free scan; Catalyst fuses tokenization + scoring into
+one whole-stage-codegen pass over the parquet scan, and the operators
+compose (quality gate -> dedup -> ...) without materialization.
+"""
+
+from __future__ import annotations
+
+from aws_trusted_advisor_explorer_spark.functions.dual import Dialect, P_MOD
+
+# Per-language discriminator token profiles for the n-gram/stopword
+# language-ID heuristic. Fixed vocabulary, fixed priority order for
+# argmax ties (en > de > es > fr > zh).
+LANG_PROFILES: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "a", "table", "row", "order")),
+    ("de", ("hash", "join", "key", "group", "window")),
+    ("es", ("data", "query", "stream", "filter", "slow")),
+    ("fr", ("scan", "batch", "line", "merge", "small")),
+    ("zh", ("spark", "value", "column", "big", "customer")),
+]
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _toks_cte(d: Dialect) -> str:
+    return f"WITH t AS (SELECT doc_id, text, {d.tokens('text')} AS toks FROM documents)"
+
+
+def text_token_stats(d: Dialect) -> str:
+    """Token counting: whitespace tokens, alnum (BPE-ish regex) tokens,
+    distinct tokens, type-token ratio, mean token length."""
+    n_ws = ("size(split(text, ' '))" if d.name == "spark"
+            else "len(string_split(text, ' '))")
+    n_tok = d.arr_len("toks")
+    n_dist = d.arr_len(d.arr_distinct("toks"))
+    sum_len = d.fold(d.transform("toks", "x", "cast(length(x) as bigint)"),
+                     "cast(0 as bigint)", "a", "b", "a + b")
+    return f"""{_toks_cte(d)}
+SELECT
+  doc_id,
+  cast(length(text) as bigint) AS n_chars,
+  cast({n_ws} as bigint) AS n_ws_tokens,
+  cast({n_tok} as bigint) AS n_tokens,
+  cast({n_dist} as bigint) AS n_distinct_tokens,
+  cast({n_dist} as double) / {n_tok} AS type_token_ratio,
+  cast({sum_len} as double) / {n_tok} AS avg_token_len
+FROM t"""
+
+
+def text_lang_id(d: Dialect) -> str:
+    """Language-ID: token-profile scoring with a fixed-priority argmax.
+    The synthetic corpus shares one vocabulary across its ``lang``
+    labels, so the heuristic's output is a deterministic function of
+    the text, oracle-checked — not a ground-truth recovery claim."""
+    scores = {
+        lang: d.arr_len(d.filter_("toks", "x", f"x IN {_in_list(words)}"))
+        for lang, words in LANG_PROFILES
+    }
+    score_cols = ",\n  ".join(
+        f"cast({expr} as bigint) AS score_{lang}" for lang, expr in scores.items())
+    # fixed-priority argmax: first profile with score == greatest(...)
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l, _ in LANG_PROFILES) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'"
+        for lang, _ in LANG_PROFILES) + " END"
+    return f"""{_toks_cte(d)},
+s AS (
+  SELECT doc_id, lang AS lang_actual,
+  {score_cols}
+  FROM (SELECT t.doc_id, t.toks, dd.lang FROM t
+        JOIN documents dd ON dd.doc_id = t.doc_id) j
+)
+SELECT doc_id, lang_actual, score_en, score_de, score_es, score_fr, score_zh,
+  {argmax} AS lang_pred
+FROM s"""
+
+
+def text_quality(d: Dialect) -> str:
+    """Quality scoring: length, stopword ratio, mean word length,
+    type-token ratio -> weighted composite score in [0, ~1]."""
+    n_tok = d.arr_len("toks")
+    n_dist = d.arr_len(d.arr_distinct("toks"))
+    n_stop = d.arr_len(d.filter_("toks", "x", f"x IN {_in_list(STOPWORDS)}"))
+    sum_len = d.fold(d.transform("toks", "x", "cast(length(x) as bigint)"),
+                     "cast(0 as bigint)", "a", "b", "a + b")
+    return f"""{_toks_cte(d)},
+m AS (
+  SELECT doc_id,
+    cast({n_tok} as bigint) AS n_tokens,
+    cast({n_stop} as double) / {n_tok} AS stopword_ratio,
+    cast({sum_len} as double) / {n_tok} AS avg_word_len,
+    cast({n_dist} as double) / {n_tok} AS type_token_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, stopword_ratio, avg_word_len, type_token_ratio,
+  ((cast(least(n_tokens, 200) as double) / 200) * 0.3
+   + stopword_ratio * 0.2
+   + (least(avg_word_len, 8.0) / 8.0) * 0.2
+   + type_token_ratio * 0.3) AS quality_score
+FROM m"""
+
+
+def text_fingerprint(d: Dialect) -> str:
+    """Document fingerprinting: rolling polynomial hash of the
+    normalized text plus the min 3-gram shingle hash (the winnowing
+    anchor used by the near-dup operators)."""
+    norm = d.arr_join("toks")
+    fp = d.poly_hash("norm_text")
+    sh = d.shingles("toks", 3)
+    min_sh = d.arr_min(d.transform(sh, "s", d.poly_hash("s")))
+    return f"""{_toks_cte(d)},
+n AS (SELECT doc_id, toks, {norm} AS norm_text FROM t)
+SELECT doc_id,
+  {fp} AS fingerprint,
+  coalesce({min_sh}, cast({P_MOD} as bigint)) AS min_shingle_hash
+FROM n"""
+
+
+def docs_quality_gate(d: Dialect) -> str:
+    """Composed curation pipeline: quality-score filter + exact-dedup
+    keep-first — the shape of a pretraining data cleaning pass."""
+    n_tok = d.arr_len("toks")
+    n_dist = d.arr_len(d.arr_distinct("toks"))
+    return f"""{_toks_cte(d)},
+m AS (
+  SELECT doc_id, text,
+    cast({n_tok} as bigint) AS n_tokens,
+    cast({n_dist} as double) / {n_tok} AS type_token_ratio
+  FROM t
+),
+kept AS (
+  SELECT doc_id, text, n_tokens, type_token_ratio,
+    min(doc_id) OVER (PARTITION BY text) AS keeper_id
+  FROM m
+  WHERE n_tokens >= 10 AND type_token_ratio >= 0.15
+)
+SELECT doc_id, n_tokens, type_token_ratio
+FROM kept WHERE doc_id = keeper_id"""
+
+
+BUILDERS = {
+    "text_token_stats": text_token_stats,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+    "docs_quality_gate": docs_quality_gate,
+}

@@ -490,19 +490,53 @@ def to_spark_sql(sql: str) -> str:
     return converted.replace("\x00Q\x00", "'\"'")
 
 
-def register_raw_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def register_raw_tables(spark: SparkSession, sf_dir: str,
+                        materialize: bool = True) -> dict[str, DataFrame]:
     """Register the fixture raw layer as temp views over the driver parquet.
 
-    The derivation is narrow (scan + project, no shuffle), so at scale
-    each raw table inherits the parquet scan's partitioning; Catalyst
-    collapses fixture + view into a single whole-stage-codegen scan.
+    ``materialize=True`` (default) lands each raw table as parquet once
+    per (fixture-SQL, sf_dir) under a content-keyed scratch dir and
+    registers scans over it — mirroring the reference, where the raw
+    layer is *landed* CSV, not recomputed per query, and giving every
+    downstream view a real columnar scan (pushdown + pruning) instead
+    of re-running the string-building derivation. The derivation cost
+    is paid once per scale factor; the cache key hashes the fixture SQL
+    so edits invalidate it.
+
+    ``materialize=False`` keeps the derivation lazy (narrow scan +
+    project fused into the view by Catalyst) — used by the dialect
+    parity checks.
     """
+    import hashlib
+    import os
+    import tempfile
+
     from aws_trusted_advisor_explorer_spark.session import load_tables
 
     load_tables(spark, sf_dir)
+    sqls = raw_table_sql()
     out = {}
-    for name, sql in raw_table_sql().items():
-        df = spark.sql(to_spark_sql(sql))
+    if not materialize:
+        for name, sql in sqls.items():
+            df = spark.sql(to_spark_sql(sql))
+            df.createOrReplaceTempView(name)
+            out[name] = df
+        return out
+
+    key_src = "|".join(f"{n}={s}" for n, s in sorted(sqls.items())) + sf_dir
+    key = hashlib.md5(key_src.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), "spark_fixture_cache", key)
+    for name, sql in sqls.items():
+        path = os.path.join(base, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            spark.sql(to_spark_sql(sql)).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:  # lost a concurrent race — theirs is equivalent
+                import shutil
+                shutil.rmtree(tmp, ignore_errors=True)
+        df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

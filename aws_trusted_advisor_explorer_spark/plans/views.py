@@ -203,17 +203,18 @@ def _boundary(col: Column, dtype) -> Column:
 
 
 def view_df(spark: SparkSession, name: str, with_tags: bool | None = None,
-            boundary_double: bool = True, broadcast_tags: bool = True) -> DataFrame:
+            boundary_double: bool = True, broadcast_tags: bool = False) -> DataFrame:
     """Build the view as a DataFrame plan over the registered raw tables.
 
     ``with_tags=None`` resolves like the reference: join iff the view has
     a join key and the ``tags`` table exists in the catalog
     (create-athena-views-lambda.py:57-72,91-93).
 
-    Scale posture: ``tags`` is a dimension — ``broadcast()`` makes the
-    join a broadcast hash join with no shuffle of the fact side; set
-    ``broadcast_tags=False`` to let AQE decide (sort-merge w/ skew
-    handling) if the dimension outgrows the broadcast threshold.
+    Scale posture: by default AQE picks the physical join — broadcast
+    hash when the tags dimension fits the threshold, sort-merge with
+    skew handling when it doesn't (measured faster already at sf0.1,
+    where tags is ~460k wide rows). ``broadcast_tags=True`` forces the
+    broadcast hint for deployments that know the dimension is small.
     """
     spec = VIEWS[name]
     fact = spark.table(f"`{spec.fact}`")

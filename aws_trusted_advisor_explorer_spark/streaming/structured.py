@@ -1,0 +1,145 @@
+"""Structured Streaming forms of the event analytics.
+
+The reference pipeline is schedule-driven batch with no streaming
+surface (SURVEY.md §2.7); this module is extension scope: the same
+tumbling-window aggregate as operators/eventops.events_hourly_by_type,
+expressed as an incremental streaming job, plus a stateful per-user
+session counter via ``applyInPandasWithState``.
+
+Correctness strategy: a stream over a *finite* parquet directory run
+with ``trigger(availableNow=True)`` must produce exactly the batch
+answer — tests/test_streaming.py asserts stream == batch, which chains
+to the DuckDB oracle through the batch operator's own parity test.
+
+Scale posture: watermark + append output keeps state bounded (late
+data beyond 2h is dropped); the window aggregate shuffles once on
+(window, event_type); ``applyInPandasWithState`` partitions by user —
+the same key the batch sessionization shuffles on. maxFilesPerTrigger
+bounds per-micro-batch input at scale.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+SESSION_GAP_US = 1_800_000_000  # mirrors operators/eventops.SESSION_GAP_US
+
+EVENTS_STREAM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # parquet TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """``readStream`` over the events parquet with the nanos->timestamp
+    normalization the batch loader applies (session.load_tables)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory; the driver testdata is a
+        # single parquet file -> stage a symlink dir (no data copy)
+        stage = os.path.join("/tmp", "spark_stream_stage",
+                             path.strip("/").replace("/", "_"))
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "part-0.parquet")
+        if not os.path.islink(link):
+            os.symlink(path, link)
+        path = stage
+    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(path))
+    return raw.withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+
+
+def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_hourly_by_type: 1-hour tumbling window,
+    2-hour watermark, exact decimal value sums."""
+    ev = events_stream(spark, sf_dir)
+    ev = ev.withColumn("ts_ltz", F.col("ts").cast(TimestampType()))
+    agg = (ev.withWatermark("ts_ltz", "2 hours")
+           .groupBy(F.window("ts_ltz", "1 hour"), F.col("event_type"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv")))
+    return agg.select(
+        F.col("window.start").cast("timestamp_ntz").alias("hour"),
+        "event_type", "n_events",
+        F.col("_tv").cast("double").alias("total_value"))
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         output_mode: str = "complete",
+                         timeout_s: int = 300) -> None:
+    """Drain a finite stream with availableNow into an in-memory table."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
+
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("n_sessions", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n_events", LongType()),
+])
+
+SESSION_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_sessions", LongType()),
+    StructField("n_events", LongType()),
+])
+
+
+def _session_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user gap sessionization. Within a
+    micro-batch events are sorted by (us, event_id); state carries
+    (session count, last event time, event count) across batches."""
+    (user_id,) = key
+    if state.exists:
+        n_sessions, last_us, n_events = state.get
+    else:
+        n_sessions, last_us, n_events = 0, None, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for us in pdf["us"]:
+            us = int(us)
+            if last_us is None or us - last_us > SESSION_GAP_US:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+    state.update((n_sessions, last_us, n_events))
+    yield pd.DataFrame({"user_id": [user_id], "n_sessions": [n_sessions],
+                        "n_events": [n_events]})
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization (streaming twin of
+    events_sessionize's n_sessions/n_events columns)."""
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _session_update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the Presto-compat scalar shims
+and the cross-engine hash primitives: arbitrary generated inputs must
+produce identical results in Spark and DuckDB, not just the fixture
+corpus (SURVEY.md §5.2 strategy; the §2.5 function matrix incl. the F8
+zero-guard quirk)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from aws_trusted_advisor_explorer_spark.functions import presto_compat as pc
+from aws_trusted_advisor_explorer_spark.functions.dual import DUCK, SPARK
+
+SETTINGS = dict(max_examples=20, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+money_st = st.builds(
+    lambda dollars, cents, trail: f"${dollars}.{cents:02d}" + " " * trail,
+    st.integers(0, 10**6), st.integers(0, 99), st.integers(0, 2))
+
+texts_st = st.text(
+    alphabet=st.sampled_from("abcdefghij 0123456789"), min_size=0, max_size=60)
+
+
+_CON = duckdb.connect()
+
+
+def _duck(sql: str):
+    return _CON.sql(sql).fetchone()[0]
+
+
+@given(money_st)
+@settings(**SETTINGS)
+def test_money_parse_matches_duckdb(spark, s):
+    spark_val = (spark.range(1)
+                 .select(pc.money_to_decimal(F.lit(s)).cast("double").alias("v"))
+                 .collect()[0].v)
+    duck_val = _duck(
+        "SELECT CAST(CAST(rtrim(replace(substr(?, 2), '$', '')) AS decimal(18,2)) AS double)"
+        .replace("?", f"'{s}'"))
+    assert spark_val == duck_val
+
+
+@given(st.integers(0, 10**8))
+@settings(**SETTINGS)
+def test_zero_guard_quirk_matches_duckdb(spark, n):
+    """F8: every '0' digit becomes '1' BEFORE the decimal cast —
+    10 -> 11, 200 -> 211 (create-athena-views-lambda.py:147-148)."""
+    spark_val = (spark.range(1)
+                 .select(pc.zero_guard_decimal(F.lit(str(n))).cast("double").alias("v"))
+                 .collect()[0].v)
+    duck_val = _duck(
+        f"SELECT CAST(CAST(replace(CAST('{n}' AS string), '0', '1') "
+        f"AS decimal(10,2)) AS double)")
+    assert spark_val == duck_val
+    assert spark_val == float(str(n).replace("0", "1"))
+
+
+@given(texts_st)
+@settings(**SETTINGS)
+def test_poly_hash_matches_duckdb(spark, s):
+    lit = "'" + s.replace("'", "''") + "'"
+    spark_val = spark.sql(f"SELECT {SPARK.poly_hash(lit)} AS h").collect()[0].h
+    duck_val = _duck(f"SELECT {DUCK.poly_hash(lit)} AS h")
+    assert spark_val == duck_val
+
+
+@given(texts_st, st.integers(2, 4))
+@settings(**SETTINGS)
+def test_shingles_match_duckdb(spark, s, n):
+    lit = "'" + s.replace("'", "''") + "'"
+    sp = spark.sql(
+        f"SELECT {SPARK.shingles(SPARK.tokens(lit), n)} AS sh").collect()[0].sh
+    du = _duck(f"SELECT {DUCK.shingles(DUCK.tokens(lit), n)} AS sh")
+    assert list(sp) == list(du)
+
+
+@given(st.lists(st.floats(-1e3, 1e3, allow_nan=False, width=32),
+                min_size=1, max_size=16))
+@settings(**SETTINGS)
+def test_dot_fold_bit_identical(spark, xs):
+    # go through an explicit double cast: both engines type bare decimal
+    # literals as DECIMAL (different precisions) before narrowing, which
+    # diverges — the data path reads identical float32 bits from parquet
+    elems = [f"cast(cast({x!r} as double) as float)" for x in xs]
+    arr_s = "array(" + ", ".join(elems) + ")"
+    arr_d = "[" + ", ".join(elems) + "]"
+    sp = spark.sql(f"SELECT {SPARK.dot(arr_s, arr_s)} AS v").collect()[0].v
+    du = _duck(f"SELECT {DUCK.dot(arr_d, arr_d)} AS v")
+    assert sp == du  # exact equality, not approx
+
+
+def test_presto_two_arg_replace_deletes(spark):
+    row = (spark.range(1)
+           .select(pc.presto_replace(F.lit("$1,234$"), "$").alias("v"))
+           .collect()[0])
+    assert row.v == "1,234"

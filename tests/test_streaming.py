@@ -1,0 +1,38 @@
+"""Streaming twins must equal their batch operators on a finite input:
+availableNow drains the whole events directory, so stream == batch,
+and the batch side is already DuckDB-oracled (test_extensions)."""
+
+from __future__ import annotations
+
+from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+from aws_trusted_advisor_explorer_spark.operators import eventops
+from aws_trusted_advisor_explorer_spark.streaming import structured
+from tests.conftest import SF_DIR, canonicalize
+
+
+def test_hourly_counts_stream_equals_batch(spark):
+    structured.run_stream_to_memory(
+        structured.hourly_counts_stream(spark, SF_DIR), "hourly_stream")
+    got = canonicalize(spark.table("hourly_stream").toPandas())
+    want = canonicalize(spark.sql(eventops.events_hourly_by_type(SPARK)).toPandas())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want), "stream result != batch result"
+
+
+def test_sessionize_stream_equals_batch(spark):
+    structured.run_stream_to_memory(
+        structured.sessionize_stream(spark, SF_DIR), "sessions_stream",
+        output_mode="update")
+    # update mode emits one row per (user, micro-batch); final state per
+    # user = last emission; with maxFilesPerTrigger=1 over a single
+    # parquet dir there may be several batches — take the max counters.
+    got = (spark.table("sessions_stream")
+           .groupBy("user_id")
+           .agg({"n_sessions": "max", "n_events": "max"})
+           .withColumnRenamed("max(n_sessions)", "n_sessions")
+           .withColumnRenamed("max(n_events)", "n_events"))
+    got_pd = canonicalize(got.toPandas())
+    want = canonicalize(
+        spark.sql(eventops.events_sessionize(SPARK))
+        .select("user_id", "n_sessions", "n_events").toPandas())
+    assert got_pd.equals(want), "stateful sessionization != batch"
