@@ -139,6 +139,13 @@ class Dialect:
         # DuckDB's ^ is exponentiation — its bitwise xor is the function form
         return f"({a} ^ {b})" if self.name == "spark" else f"xor({a}, {b})"
 
+    def last_ignore_nulls(self, expr: str, over: str) -> str:
+        """last_value(...) IGNORE NULLS OVER (...) — the engines place
+        the IGNORE NULLS clause differently."""
+        if self.name == "spark":
+            return f"last_value({expr}) IGNORE NULLS OVER ({over})"
+        return f"last_value({expr} IGNORE NULLS) OVER ({over})"
+
     # --- time primitives --------------------------------------------------
     def epoch_us(self, ts: str) -> str:
         if self.name == "spark":

@@ -76,6 +76,25 @@ def read_raw_table(spark: SparkSession, path: str, fmt: str = "parquet",
     return df.toDF(*[parquet_unsafe(c) for c in df.columns])
 
 
+def write_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
+                         n_buckets: int = 32, sort_cols: list[str] | None = None,
+                         path: str | None = None) -> None:
+    """Bucketed + sorted table write (scale pattern, SCALE.md): two
+    tables bucketed on the same join key with the same bucket count
+    join WITHOUT a shuffle — at 100 TB that removes the dominant
+    exchange from every fact-to-fact equi-join that repeats a key
+    (sort-merge runs directly on co-located, pre-sorted buckets).
+    ``path`` makes it an external table (tests point this at a tmpdir).
+    """
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
 def quarantine_errors(spark: SparkSession, errors: list[tuple[str, str]],
                       path: str) -> None:
     """K5: error-log side channel (refresh-ta-check-lambda.py:54-63 writes
