@@ -65,11 +65,11 @@ def _prepare_ext(spark: SparkSession, sf_dir: str) -> None:
 
 def _ext_builders() -> dict:
     from aws_trusted_advisor_explorer_spark.operators import (
-        dedup, eventops, multimodal, similarity, textops,
+        dedup, eventops, masking, multimodal, similarity, textops,
     )
 
     out = {}
-    for mod in (textops, dedup, similarity, eventops, multimodal):
+    for mod in (textops, dedup, similarity, eventops, multimodal, masking):
         out.update(mod.BUILDERS)
     return out
 
@@ -89,6 +89,13 @@ def _media_byte_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prepare_ext(spark, sf_dir)
     return multimodal.media_byte_stats_df(spark)
+
+
+def _knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_trusted_advisor_explorer_spark.operators import similarity
+
+    _prepare_ext(spark, sf_dir)
+    return similarity.knn_ivf_df(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -121,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key, build in _ext_builders().items():
         q[key] = _ext_query(build)
     q["media_byte_stats"] = _media_byte_stats_query
+    q["knn_ivf"] = _knn_ivf_query
     return q
 
 
@@ -128,7 +136,7 @@ def oracle_sql() -> dict[str, str]:
     from aws_trusted_advisor_explorer_spark.plans import views
 
     from aws_trusted_advisor_explorer_spark.functions.dual import DUCK
-    from aws_trusted_advisor_explorer_spark.operators import multimodal
+    from aws_trusted_advisor_explorer_spark.operators import multimodal, similarity
 
     o: dict[str, str] = {}
     for name, key in _VIEW_KEYS.items():
@@ -138,4 +146,6 @@ def oracle_sql() -> dict[str, str]:
     for key, build in _ext_builders().items():
         o[key] = build(DUCK)
     o["media_byte_stats"] = multimodal.media_byte_stats_oracle(DUCK)
+    # IVF uses the same planes/buckets as sign-LSH -> identical results
+    o["knn_ivf"] = similarity.knn_lsh(DUCK)
     return o

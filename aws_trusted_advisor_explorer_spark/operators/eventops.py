@@ -114,6 +114,22 @@ FROM u
 WHERE event_type = 'click'"""
 
 
+def events_value_quantiles_approx_df(spark):
+    """The 100 TB form of events_value_quantiles: mergeable sketches
+    (approx_percentile / HLL approx_count_distinct) — one pass, no
+    per-key sort, constant memory. Not oracle-gated (sketch internals
+    are engine-specific); tests bound its error against the exact
+    rank-selection query instead."""
+    from pyspark.sql import functions as F
+
+    return (spark.table("events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.approx_count_distinct("user_id").alias("n_users_approx"),
+                 F.percentile_approx("value", 0.5).alias("p50_value"),
+                 F.percentile_approx("value", 0.95).alias("p95_value")))
+
+
 BUILDERS = {
     "events_hourly_by_type": events_hourly_by_type,
     "events_sessionize": events_sessionize,

@@ -1,0 +1,51 @@
+"""P9 PII masking as an oracle-gated query (SURVEY.md §2.3 P9 —
+reference applies it log-plane only: extract-ta-data-lambda.py:29-54,
+get-accounts-info-lambda.py:78-95; here it is also a first-class column
+transform for landing masked datasets).
+
+Mask semantics reproduced exactly:
+- 12-digit account id -> 2nd digit + 'XXXXXXX' + last 4
+- names/emails -> first 3 chars + '-MASKED-' + last 3
+
+The dual query derives deterministic account identities from
+``customer`` so both engines mask identical inputs. Backreference
+syntax differs (Spark ``$1`` vs DuckDB ``\\1``) — dialect-split."""
+
+from __future__ import annotations
+
+from aws_trusted_advisor_explorer_spark.functions.dual import Dialect
+
+_ID_PATTERN = r"\d(\d)\d{6}(\d{4})"
+
+
+def _mask_id(d: Dialect, col: str) -> str:
+    if d.name == "spark":
+        # Spark SQL string literals consume single backslashes — the
+        # regex needs them doubled inside the SQL text
+        pat = _ID_PATTERN.replace("\\", "\\\\")
+        return f"regexp_replace({col}, '{pat}', '$1XXXXXXX$2')"
+    return f"regexp_replace({col}, '{_ID_PATTERN}', '\\1XXXXXXX\\2')"
+
+
+def _mask_text(col: str) -> str:
+    return f"substr({col}, 1, 3) || '-MASKED-' || substr({col}, -3, 3)"
+
+
+def pii_mask_accounts(d: Dialect) -> str:
+    return f"""WITH a AS (
+  SELECT c_custkey,
+    '6100000000' || lpad(cast(c_custkey % 100 as string), 2, '0') AS accountid,
+    'Account ' || cast(c_custkey % 5 as string) AS accountname,
+    'acct' || cast(c_custkey % 5 as string) || '@example.com' AS accountemail
+  FROM customer
+)
+SELECT c_custkey,
+  {_mask_id(d, 'accountid')} AS accountid_masked,
+  {_mask_text('accountname')} AS accountname_masked,
+  {_mask_text('accountemail')} AS accountemail_masked
+FROM a"""
+
+
+BUILDERS = {
+    "pii_mask_accounts": pii_mask_accounts,
+}

@@ -94,6 +94,74 @@ SELECT query_id, rank, neighbor_id, cosine
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def ivf_index_path(sf_dir: str) -> str:
+    """Content-keyed scratch location for the IVF layout of ``sf_dir``'s
+    embeddings (bucket id as a physical partition column)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}|planes={N_PLANES}|v1".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "spark_ivf_cache", key)
+
+
+def build_ivf_index(spark, sf_dir: str) -> str:
+    """Write the embeddings with their sign-LSH bucket as a PARTITION
+    column — IVF in data-lake form: a probe of bucket b touches only
+    bucket=b files (partition pruning), which is how the ANN path
+    scales past what a bucket equi-join over one big file can do.
+    Idempotent per (sf_dir, plane count)."""
+    import os
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    path = ivf_index_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    bucket = _bucket_expr(SPARK, "embedding")
+    df = spark.sql(f"SELECT vec_id, embedding, {_norm(SPARK)} AS nrm, "
+                   f"{bucket} AS bucket FROM embeddings")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def knn_ivf_df(spark, sf_dir: str):
+    """ANN top-k over the IVF layout. Candidate generation is the
+    bucket equi-join against partition-pruned files; results are
+    IDENTICAL to knn_lsh (same planes, same buckets), so its DuckDB
+    oracle is knn_lsh's oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    v = spark.read.parquet(build_ivf_index(spark, sf_dir))
+    q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket")
+    c = v.filter(F.col("vec_id") % QUERY_MOD != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "bucket")
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * "
+        "cast(y as double)), cast(0 as double), (s, v) -> s + v)")
+    scored = (q.join(c, "bucket")
+              .withColumn("cosine", dot / (F.col("q_nrm") * F.col("c_nrm"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
 BUILDERS = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,

@@ -9,12 +9,12 @@ import pytest
 
 from aws_trusted_advisor_explorer_spark.functions.dual import DUCK, SPARK
 from aws_trusted_advisor_explorer_spark.operators import (
-    dedup, eventops, multimodal, similarity, textops,
+    dedup, eventops, masking, multimodal, similarity, textops,
 )
 from tests.conftest import assert_matches_oracle
 
 ALL_BUILDERS = {}
-for _mod in (textops, dedup, similarity, eventops, multimodal):
+for _mod in (textops, dedup, similarity, eventops, multimodal, masking):
     ALL_BUILDERS.update(_mod.BUILDERS)
 
 
@@ -61,6 +61,33 @@ def test_knn_lsh_neighbors_share_bucket_semantics(spark):
         pairs.sort()
         cosines = [c for _, c in pairs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_ivf_equals_lsh(spark, ddb):
+    """The IVF (bucket-partitioned parquet) path must reproduce the
+    sign-LSH SQL results exactly — same planes, same buckets — and
+    therefore also match knn_lsh's DuckDB oracle."""
+    from tests.conftest import SF_DIR
+
+    assert_matches_oracle(
+        similarity.knn_ivf_df(spark, SF_DIR), ddb, similarity.knn_lsh(DUCK))
+
+
+def test_approx_quantiles_near_exact(spark):
+    """Sketch-based quantiles/distincts (the 100 TB path) must land
+    within tolerance of the exact rank-selection query."""
+    exact = {r.event_type: r for r in
+             spark.sql(eventops.events_value_quantiles(SPARK)).collect()}
+    approx = {r.event_type: r for r in
+              eventops.events_value_quantiles_approx_df(spark).collect()}
+    assert set(exact) == set(approx)
+    for et, e in exact.items():
+        a = approx[et]
+        assert a.n_events == e.n_events
+        assert abs(a.n_users_approx - e.n_users) / e.n_users < 0.1
+        spread = e.p95_value - e.p50_value
+        assert abs(a.p50_value - e.p50_value) <= 0.1 * spread + 1e-9
+        assert abs(a.p95_value - e.p95_value) <= 0.1 * spread + 1e-9
 
 
 def test_decode_stubs_raise(spark):

@@ -46,11 +46,16 @@ def test_money_parse_matches_duckdb(spark, s):
     assert spark_val == duck_val
 
 
-@given(st.integers(0, 10**8))
+@given(st.integers(0, 10**7))
 @settings(**SETTINGS)
 def test_zero_guard_quirk_matches_duckdb(spark, n):
     """F8: every '0' digit becomes '1' BEFORE the decimal cast —
-    10 -> 11, 200 -> 211 (create-athena-views-lambda.py:147-148)."""
+    10 -> 11, 200 -> 211 (create-athena-views-lambda.py:147-148).
+
+    Domain capped at 8 digits: a 9-digit count maps to an all-ones
+    value that overflows decimal(10,2), which BOTH engines reject
+    (Spark ANSI and DuckDB error alike) — faithful to the reference's
+    quirk, but outside the value-comparable domain."""
     spark_val = (spark.range(1)
                  .select(pc.zero_guard_decimal(F.lit(str(n))).cast("double").alias("v"))
                  .collect()[0].v)
