@@ -98,6 +98,13 @@ def _knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf_df(spark, sf_dir)
 
 
+def _dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    _prepare_ext(spark, sf_dir)
+    return dedup.dedup_clusters_df(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: LowUtilizationAmazonEC2Instances_view (typed casts + the
     as-of-run snapshot broadcast join to tags) at sf0.001."""
@@ -129,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[key] = _ext_query(build)
     q["media_byte_stats"] = _media_byte_stats_query
     q["knn_ivf"] = _knn_ivf_query
+    q["dedup_clusters"] = _dedup_clusters_query
     return q
 
 
@@ -136,7 +144,9 @@ def oracle_sql() -> dict[str, str]:
     from aws_trusted_advisor_explorer_spark.plans import views
 
     from aws_trusted_advisor_explorer_spark.functions.dual import DUCK
-    from aws_trusted_advisor_explorer_spark.operators import multimodal, similarity
+    from aws_trusted_advisor_explorer_spark.operators import (
+        dedup, multimodal, similarity,
+    )
 
     o: dict[str, str] = {}
     for name, key in _VIEW_KEYS.items():
@@ -148,4 +158,6 @@ def oracle_sql() -> dict[str, str]:
     o["media_byte_stats"] = multimodal.media_byte_stats_oracle(DUCK)
     # IVF uses the same planes/buckets as sign-LSH -> identical results
     o["knn_ivf"] = similarity.knn_lsh(DUCK)
+    # iterative label propagation vs recursive-CTE transitive closure
+    o["dedup_clusters"] = dedup.dedup_clusters_oracle(DUCK)
     return o

@@ -114,6 +114,21 @@ FROM u
 WHERE event_type = 'click'"""
 
 
+def events_rollup(d: Dialect) -> str:
+    """Hierarchical rollup (the hypertable-rollup shape): daily counts
+    and exact decimal value sums per event type, plus per-type and
+    grand totals from GROUP BY ROLLUP — subtotal rows carry NULL
+    grouping columns identically in both engines."""
+    return """WITH e AS (
+  SELECT event_type, date_trunc('day', ts) AS day, value FROM events
+)
+SELECT event_type, day,
+  count(*) AS n_events,
+  cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+FROM e
+GROUP BY ROLLUP(event_type, day)"""
+
+
 def events_value_quantiles_approx_df(spark):
     """The 100 TB form of events_value_quantiles: mergeable sketches
     (approx_percentile / HLL approx_count_distinct) — one pass, no
@@ -136,4 +151,5 @@ BUILDERS = {
     "events_user_topk": events_user_topk,
     "events_value_quantiles": events_value_quantiles,
     "events_asof_join": events_asof_join,
+    "events_rollup": events_rollup,
 }

@@ -144,10 +144,36 @@ kept AS (
   SELECT doc_id, text, n_tokens, type_token_ratio,
     min(doc_id) OVER (PARTITION BY text) AS keeper_id
   FROM m
-  WHERE n_tokens >= 10 AND type_token_ratio >= 0.15
+  WHERE n_tokens >= 10 AND type_token_ratio >= 0.31
 )
 SELECT doc_id, n_tokens, type_token_ratio
 FROM kept WHERE doc_id = keeper_id"""
+
+
+def docs_top_quality(d: Dialect) -> str:
+    """Sort + limit shape: top 20 documents by quality score with a
+    deterministic (score DESC, doc_id) tiebreak. Scores are
+    cross-engine bit-identical doubles, so the ordering agrees."""
+    base = text_quality(d)
+    return f"""WITH q AS (
+{base}
+)
+SELECT doc_id, n_tokens, quality_score
+FROM q
+ORDER BY quality_score DESC, doc_id
+LIMIT 20"""
+
+
+def docs_rejected(d: Dialect) -> str:
+    """Set-operation shape: documents EXCEPT the quality-gate
+    survivors = the rejected set (low quality or duplicate)."""
+    gate = docs_quality_gate(d)
+    return f"""WITH g AS (
+{gate}
+)
+SELECT doc_id FROM documents
+EXCEPT
+SELECT doc_id FROM g"""
 
 
 BUILDERS = {
@@ -156,4 +182,6 @@ BUILDERS = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "docs_quality_gate": docs_quality_gate,
+    "docs_top_quality": docs_top_quality,
+    "docs_rejected": docs_rejected,
 }

@@ -63,6 +63,20 @@ def test_knn_lsh_neighbors_share_bucket_semantics(spark):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_dedup_clusters_match_recursive_closure(spark, ddb):
+    """Iterative min-label propagation (Spark) == recursive-CTE
+    transitive closure (DuckDB), plus structural invariants."""
+    assert_matches_oracle(
+        dedup.dedup_clusters_df(spark), ddb, dedup.dedup_clusters_oracle(DUCK))
+    rows = dedup.dedup_clusters_df(spark).collect()
+    label = {r.doc_id: r.cluster_id for r in rows}
+    assert all(c == min(d for d, c2 in label.items() if c2 == c)
+               for c in set(label.values()))
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SP
+    for p in spark.sql(dedup.dedup_minhash_lsh(SP)).collect():
+        assert label[p.doc_a] == label[p.doc_b]
+
+
 def test_knn_ivf_equals_lsh(spark, ddb):
     """The IVF (bucket-partitioned parquet) path must reproduce the
     sign-LSH SQL results exactly — same planes, same buckets — and
