@@ -50,10 +50,12 @@ def flagged_resources_table(results: DataFrame, check_id: str,
                 F.replace(cell, F.lit(","), F.lit("")))
         else:
             cell = F.col(f"fr.{entry}")
-        cols.append(cell.alias(registry.glue_normalize(header) if glue_names else header))
+        cols.append(cell.alias(header))
     cols += [F.col("AccountId"), F.col("AccountName"), F.col("AccountEmail")]
     out = r.select(*cols)
     if glue_names:
+        # one normalization pass over every column (incl. the identity
+        # prefix/suffix), mirroring the crawler's header handling
         out = out.toDF(*[registry.glue_normalize(c) for c in out.columns])
     return out
 
@@ -84,11 +86,15 @@ def summary_table(results: DataFrame, glue_names: bool = True) -> DataFrame:
     return out
 
 
+# P9 mask pattern — shared with operators/masking.py's SQL-dialect path
+ACCOUNT_ID_MASK_PATTERN = r"\d(\d)\d{6}(\d{4})"
+
+
 def mask_account_id(col: Column) -> Column:
     """P9: 12-digit account-id masking — keep the 2nd digit + 'XXXXXXX' +
     last 4 (extract-ta-data-lambda.py:29-54: ``match.group()[1] +
     'XXXXXXX' + match.group()[-4:]``; log-plane only in the reference)."""
-    return F.regexp_replace(col, r"\d(\d)\d{6}(\d{4})", r"$1XXXXXXX$2")
+    return F.regexp_replace(col, ACCOUNT_ID_MASK_PATTERN, r"$1XXXXXXX$2")
 
 
 def mask_name_email(col: Column) -> Column:

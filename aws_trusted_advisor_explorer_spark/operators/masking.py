@@ -14,8 +14,9 @@ syntax differs (Spark ``$1`` vs DuckDB ``\\1``) — dialect-split."""
 from __future__ import annotations
 
 from aws_trusted_advisor_explorer_spark.functions.dual import Dialect
-
-_ID_PATTERN = r"\d(\d)\d{6}(\d{4})"
+from aws_trusted_advisor_explorer_spark.operators.extract import (
+    ACCOUNT_ID_MASK_PATTERN as _ID_PATTERN,
+)
 
 
 def _mask_id(d: Dialect, col: str) -> str:

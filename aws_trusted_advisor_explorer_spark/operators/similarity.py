@@ -96,12 +96,21 @@ FROM ranked WHERE rank <= {TOP_K}"""
 
 def ivf_index_path(sf_dir: str) -> str:
     """Content-keyed scratch location for the IVF layout of ``sf_dir``'s
-    embeddings (bucket id as a physical partition column)."""
+    embeddings (bucket id as a physical partition column). The key
+    includes the source parquet's size+mtime so a regenerated dataset
+    at the same path invalidates the cache."""
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(f"{sf_dir}|planes={N_PLANES}|v1".encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        stamp = "missing"
+    key = hashlib.md5(
+        f"{sf_dir}|{stamp}|planes={N_PLANES}|v1".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "spark_ivf_cache", key)
 
 
@@ -128,6 +137,10 @@ def build_ivf_index(spark, sf_dir: str) -> str:
     except OSError:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
+        # benign only if a concurrent builder won the race — otherwise
+        # surface the failure instead of returning an empty path
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
     return path
 
 

@@ -29,10 +29,18 @@ def arn_to_resource_id_sql(arn: str) -> str:
             f"ELSE '' END")
 
 
-def pivot_tags(long_tags: DataFrame, customer_keys: list[str]) -> DataFrame:
+def pivot_tags(long_tags: DataFrame, customer_keys: list[str],
+               order_col: str | None = None) -> DataFrame:
     """P8: long (ARN, key, value) rows → one row per resource with one
     column per requested tag key; last-write-wins per (ARN, key) like the
     reference's dict accumulation (extract-tag-data-lambda.py:74-88).
+
+    ``order_col`` defines "last": pass the ingest-order column to get
+    the reference's semantics deterministically (``max_by(value,
+    order)``). Without one there is no order to be last in — Spark's
+    ``last()`` after a shuffle would pick an arbitrary row per run —
+    so the fallback is ``max(value)``: deterministic, and identical to
+    last-write-wins whenever a (resource, key) has one value.
 
     Expects columns: the IDENTITY_COLS context + ``key`` + ``value``.
     The explicit ``customer_keys`` list keeps the output schema
@@ -41,7 +49,9 @@ def pivot_tags(long_tags: DataFrame, customer_keys: list[str]) -> DataFrame:
     One shuffle on the group keys; map-side combine applies.
     """
     present = [c for c in IDENTITY_COLS if c in long_tags.columns]
+    agg = (F.expr(f"max_by(value, {order_col})") if order_col
+           else F.max("value"))
     return (long_tags
             .groupBy(*present)
             .pivot("key", customer_keys)
-            .agg(F.last("value")))
+            .agg(agg))

@@ -75,12 +75,14 @@ def text_lang_id(d: Dialect) -> str:
     argmax = "CASE " + " ".join(
         f"WHEN score_{lang} = {greatest} THEN '{lang}'"
         for lang, _ in LANG_PROFILES) + " END"
-    return f"""{_toks_cte(d)},
+    toks = d.tokens("text")
+    return f"""WITH t AS (
+  SELECT doc_id, lang, {toks} AS toks FROM documents
+),
 s AS (
   SELECT doc_id, lang AS lang_actual,
   {score_cols}
-  FROM (SELECT t.doc_id, t.toks, dd.lang FROM t
-        JOIN documents dd ON dd.doc_id = t.doc_id) j
+  FROM t
 )
 SELECT doc_id, lang_actual, score_en, score_de, score_es, score_fr, score_zh,
   {argmax} AS lang_pred

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from aws_trusted_advisor_explorer_spark import registry
 from aws_trusted_advisor_explorer_spark.operators import extract as X
@@ -62,8 +62,11 @@ def run_tag_ingest(spark: SparkSession, long_tags: DataFrame,
                    customer_keys: list[str], out_dir: str,
                    fmt: str = "parquet") -> DataFrame:
     """Entry point B (tag ingestion): long (resource, key, value) rows →
-    pivoted tags dimension, written + registered."""
-    wide = TG.pivot_tags(long_tags, customer_keys)
+    pivoted tags dimension, written + registered. Ingest order is
+    stamped before the shuffle so the pivot's last-write-wins matches
+    the reference's dict accumulation deterministically."""
+    ordered = long_tags.withColumn("_ingest_ord", F.monotonically_increasing_id())
+    wide = TG.pivot_tags(ordered, customer_keys, order_col="_ingest_ord")
     path = os.path.join(out_dir, "tags")
     writers.write_raw_table(wide, path, fmt=fmt)
     df = writers.read_raw_table(spark, path, fmt=fmt)

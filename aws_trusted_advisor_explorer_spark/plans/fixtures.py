@@ -533,9 +533,12 @@ def register_raw_tables(spark: SparkSession, sf_dir: str,
             spark.sql(to_spark_sql(sql)).write.mode("overwrite").parquet(tmp)
             try:
                 os.rename(tmp, path)
-            except OSError:  # lost a concurrent race — theirs is equivalent
+            except OSError:
                 import shutil
                 shutil.rmtree(tmp, ignore_errors=True)
+                # benign only if a concurrent builder won the race
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    raise
         df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)
         out[name] = df

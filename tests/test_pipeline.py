@@ -89,8 +89,9 @@ def test_tag_pivot_pipeline(spark, tmp_path):
                                    str(tmp_path / "lake"))
     got = {r["resourceid"]: r for r in wide.collect()}
     assert got["i-0001"]["costcenter"] == "cc-1"
-    assert got["i-0001"]["env"] in ("prod", "dev")  # last-write-wins (input order
-    # is non-deterministic post-shuffle, as in the reference's pagination order)
+    # last-write-wins deterministically: ingest order is stamped before
+    # the shuffle (max_by on _ingest_ord), so the later 'dev' row wins
+    assert got["i-0001"]["env"] == "dev"
     assert got["mydb"]["env"] == "staging"          # ':'-path ARN extraction
     assert got["mydb"]["costcenter"] is None
 
