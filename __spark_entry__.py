@@ -98,11 +98,35 @@ def _knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf_df(spark, sf_dir)
 
 
+def _dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    _prepare_ext(spark, sf_dir)
+    return dedup.dedup_embedding_cosine_df(spark)
+
+
 def _dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_trusted_advisor_explorer_spark.operators import dedup
 
     _prepare_ext(spark, sf_dir)
-    return dedup.dedup_clusters_df(spark)
+    return dedup.dedup_clusters_df(
+        spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
+
+
+def _shingle_backed_query(builder_name: str):
+    """Shingle-based dedup queries read the per-session materialized
+    shingle-hash view instead of re-running the explode+hash pipeline
+    per CTE reference (see dedup.ensure_shingle_view)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+        from aws_trusted_advisor_explorer_spark.operators import dedup
+
+        _prepare_ext(spark, sf_dir)
+        base = dedup.ensure_shingle_view(spark, key=sf_dir)
+        return spark.sql(getattr(dedup, builder_name)(SPARK, base=base))
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -137,6 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_byte_stats"] = _media_byte_stats_query
     q["knn_ivf"] = _knn_ivf_query
     q["dedup_clusters"] = _dedup_clusters_query
+    for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash"):
+        q[key] = _shingle_backed_query(key)
+    q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query
     return q
 
 

@@ -42,6 +42,28 @@ def test_minhash_candidates_subset_of_exact_jaccard(spark):
     assert mh == exact  # at J>=0.5 the 4x4 band recall is ~1 on this corpus
 
 
+def test_embedding_cosine_pandas_udf_bit_matches_sql_fold(spark):
+    """The Arrow-vectorized cosine twin must reproduce the SQL fold's
+    doubles EXACTLY (same IEEE op order), not just approximately —
+    that's what keeps it oracle-hash-compatible."""
+    sql_rows = {(r.vec_a, r.vec_b): r.cosine
+                for r in spark.sql(dedup.dedup_embedding_cosine(SPARK)).collect()}
+    udf_rows = {(r.vec_a, r.vec_b): r.cosine
+                for r in dedup.dedup_embedding_cosine_df(spark).collect()}
+    assert sql_rows == udf_rows  # exact float equality, on purpose
+
+
+def test_shingle_view_backed_dedup_matches_inline(spark):
+    """View-backed (materialized shingle hashes) and self-contained SQL
+    forms of each shingle dedup query produce identical pair sets."""
+    base = dedup.ensure_shingle_view(spark)
+    for builder in (dedup.dedup_minhash_lsh, dedup.dedup_ngram_jaccard,
+                    dedup.dedup_simhash):
+        inline = {tuple(r) for r in spark.sql(builder(SPARK)).collect()}
+        backed = {tuple(r) for r in spark.sql(builder(SPARK, base=base)).collect()}
+        assert inline == backed, builder.__name__
+
+
 def test_exact_dedup_flags_consistent_with_groups(spark):
     flags = spark.sql(dedup.dedup_exact_flags(SPARK)).collect()
     groups = spark.sql(dedup.dedup_exact_groups(SPARK)).collect()
