@@ -113,18 +113,35 @@ def _dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
 
 
-def _shingle_backed_query(builder_name: str):
-    """Shingle-based dedup queries read the per-session materialized
+def _shingle_backed_query(builder_name: str, module: str = "dedup"):
+    """Shingle-based queries read the per-session materialized
     shingle-hash view instead of re-running the explode+hash pipeline
     per CTE reference (see dedup.ensure_shingle_view)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import importlib
+
         from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
         from aws_trusted_advisor_explorer_spark.operators import dedup
 
         _prepare_ext(spark, sf_dir)
         base = dedup.ensure_shingle_view(spark, key=sf_dir)
-        return spark.sql(getattr(dedup, builder_name)(SPARK, base=base))
+        mod = importlib.import_module(
+            f"aws_trusted_advisor_explorer_spark.operators.{module}")
+        return spark.sql(getattr(mod, builder_name)(SPARK, base=base))
+
+    return run
+
+
+def _similarity_df_query(fn_name: str):
+    """knn queries run the Arrow-vectorized DataFrame twins (same
+    doubles as the SQL fold — functions/vectorized.py)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.operators import similarity
+
+        _prepare_ext(spark, sf_dir)
+        return getattr(similarity, fn_name)(spark)
 
     return run
 
@@ -163,7 +180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = _dedup_clusters_query
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash"):
         q[key] = _shingle_backed_query(key)
+    q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query
+    q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")
+    q["knn_lsh"] = _similarity_df_query("knn_lsh_df")
     return q
 
 

@@ -173,3 +173,9 @@ def hyperplane_weight(j: str | int, d: str | int) -> str:
     Range ≈ [-501001, 501001], mean ~0."""
     return (f"cast((((({j}) * 131 + 7) * 2654435761 + ({d}) * 97) % 1000003) "
             f"- 501001 as double)")
+
+
+def hyperplane_weight_value(j: int, d: int) -> float:
+    """Numeric twin of :func:`hyperplane_weight` for the vectorized
+    kernels (functions/vectorized.py) — same integers, exact float64."""
+    return float((((j * 131 + 7) * 2654435761 + d * 97) % 1000003) - 501001)

@@ -22,9 +22,6 @@ Scale posture (100 TB): the only quadratic danger is pair generation.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
 from aws_trusted_advisor_explorer_spark.functions.dual import (
     Dialect, P_MOD, minhash_params,
 )
@@ -263,28 +260,12 @@ def dedup_embedding_cosine_df(spark):
     fold (``aggregate(zip_with(...))`` — no whole-stage codegen, ~µs
     per pair) to ONE batched Pandas UDF.
 
-    Bit-exactness with the SQL/DuckDB fold is preserved by replaying
-    the same IEEE operation order, vectorized across pairs instead of
-    across dims: accumulate dimension-by-dimension (``acc += a_i*b_i``
-    — exactly the left fold ``((0+p0)+p1)+...``), float32→float64
-    widening first (exact), then ``dot / (sqrt(na) * sqrt(nb))`` in
-    the same multiply-then-divide order."""
+    Bit-exactness with the SQL/DuckDB fold comes from the shared
+    kernel (functions/vectorized.py), which replays the same IEEE
+    operation order vectorized across pairs instead of across dims."""
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-        va = np.stack(a.to_numpy()).astype(np.float64)
-        vb = np.stack(b.to_numpy()).astype(np.float64)
-        n = len(va)
-        dot = np.zeros(n)
-        na = np.zeros(n)
-        nb = np.zeros(n)
-        for i in range(va.shape[1]):
-            dot += va[:, i] * vb[:, i]
-            na += va[:, i] * va[:, i]
-            nb += vb[:, i] * vb[:, i]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+    from aws_trusted_advisor_explorer_spark.functions import vectorized as V
 
     v = spark.table("embeddings").select("vec_id", "label", "embedding")
     a, b = v.alias("a"), v.alias("b")
@@ -292,8 +273,8 @@ def dedup_embedding_cosine_df(spark):
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
-                    pair_cosine(F.col("a.embedding"),
-                                F.col("b.embedding")).alias("cosine"))
+                    V.pair_cosine(F.col("a.embedding"),
+                                  F.col("b.embedding")).alias("cosine"))
             .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD))
 
 

@@ -94,6 +94,66 @@ SELECT query_id, rank, neighbor_id, cosine
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def _rank_topk(scored):
+    """row_number rank (cosine DESC, neighbor_id ASC) + top-k filter —
+    shared tail of every knn plan; ranks are deterministic because the
+    cosines are bit-identical to the SQL fold's."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
+def knn_bruteforce_df(spark):
+    """Arrow-vectorized twin of :func:`knn_bruteforce`: the ~1% query
+    set is broadcast against a single scan of the corpus (no shuffle of
+    the big side — BroadcastNestedLoopJoin), and the per-pair cosine
+    runs in the batched Pandas kernel instead of the interpreted fold.
+    Bit-identical doubles -> identical rankings (tested)."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions import vectorized as V
+
+    v = spark.table("embeddings").select("vec_id", "embedding")
+    q = (v.filter(F.col("vec_id") % QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    c = (v.filter(F.col("vec_id") % QUERY_MOD != 0)
+         .select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("c_emb")))
+    scored = (F.broadcast(q).crossJoin(c)
+              .select("query_id", "neighbor_id",
+                      V.pair_cosine("q_emb", "c_emb").alias("cosine")))
+    return _rank_topk(scored)
+
+
+def knn_lsh_df(spark):
+    """Arrow-vectorized twin of :func:`knn_lsh`: sign-LSH bucket and
+    cosine via the batched Pandas kernels, candidates restricted to the
+    query's bucket by an equi-join."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions import vectorized as V
+
+    bucket = V.make_lsh_bucket(N_PLANES)
+    h = (spark.table("embeddings")
+         .select("vec_id", "embedding", bucket("embedding").alias("bucket")))
+    q = (h.filter(F.col("vec_id") % QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"), "bucket"))
+    c = (h.filter(F.col("vec_id") % QUERY_MOD != 0)
+         .select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("c_emb"), "bucket"))
+    scored = (q.join(c, "bucket")
+              .select("query_id", "neighbor_id",
+                      V.pair_cosine("q_emb", "c_emb").alias("cosine")))
+    return _rank_topk(scored)
+
+
 def ivf_index_path(sf_dir: str) -> str:
     """Content-keyed scratch location for the IVF layout of ``sf_dir``'s
     embeddings (bucket id as a physical partition column). The key
@@ -150,29 +210,22 @@ def knn_ivf_df(spark, sf_dir: str):
     IDENTICAL to knn_lsh (same planes, same buckets), so its DuckDB
     oracle is knn_lsh's oracle."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+
+    from aws_trusted_advisor_explorer_spark.functions import vectorized as V
 
     v = spark.read.parquet(build_ivf_index(spark, sf_dir))
     q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
         "bucket")
     c = v.filter(F.col("vec_id") % QUERY_MOD != 0).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
         "bucket")
-    dot = F.expr(
-        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * "
-        "cast(y as double)), cast(0 as double), (s, v) -> s + v)")
     scored = (q.join(c, "bucket")
-              .withColumn("cosine", dot / (F.col("q_nrm") * F.col("c_nrm"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
-            .select("query_id", "rank", "neighbor_id", "cosine"))
+              .select("query_id", "neighbor_id",
+                      V.pair_cosine("q_emb", "c_emb").alias("cosine")))
+    return _rank_topk(scored)
 
 
 BUILDERS = {

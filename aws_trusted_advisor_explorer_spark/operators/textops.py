@@ -114,12 +114,26 @@ SELECT doc_id, n_tokens, stopword_ratio, avg_word_len, type_token_ratio,
 FROM m"""
 
 
-def text_fingerprint(d: Dialect) -> str:
+def text_fingerprint(d: Dialect, base: str | None = None) -> str:
     """Document fingerprinting: rolling polynomial hash of the
     normalized text plus the min 3-gram shingle hash (the winnowing
-    anchor used by the near-dup operators)."""
+    anchor used by the near-dup operators).
+
+    With ``base`` (the materialized shingle-hash view, Spark side —
+    dedup.ensure_shingle_view) the min-shingle anchor is a groupBy over
+    the cached relation instead of re-hashing every shingle; the values
+    are identical because the view holds exactly the per-shingle
+    poly_hash values this query would compute."""
     norm = d.arr_join("toks")
     fp = d.poly_hash("norm_text")
+    if base is not None:
+        return f"""{_toks_cte(d)},
+n AS (SELECT doc_id, toks, {norm} AS norm_text FROM t),
+m AS (SELECT doc_id, min(hv) AS mn FROM {base} GROUP BY doc_id)
+SELECT n.doc_id,
+  {fp} AS fingerprint,
+  coalesce(m.mn, cast({P_MOD} as bigint)) AS min_shingle_hash
+FROM n LEFT JOIN m ON m.doc_id = n.doc_id"""
     sh = d.shingles("toks", 3)
     min_sh = d.arr_min(d.transform(sh, "s", d.poly_hash("s")))
     return f"""{_toks_cte(d)},

@@ -53,6 +53,27 @@ def test_embedding_cosine_pandas_udf_bit_matches_sql_fold(spark):
     assert sql_rows == udf_rows  # exact float equality, on purpose
 
 
+def test_knn_vectorized_twins_bit_match_sql(spark):
+    """The Pandas-kernel knn plans must reproduce the SQL fold's
+    cosines and therefore the exact ranking."""
+    for sql_builder, df_fn in ((similarity.knn_bruteforce,
+                                similarity.knn_bruteforce_df),
+                               (similarity.knn_lsh, similarity.knn_lsh_df)):
+        sql_rows = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+                    for r in spark.sql(sql_builder(SPARK)).collect()}
+        df_rows = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+                   for r in df_fn(spark).collect()}
+        assert sql_rows == df_rows, sql_builder.__name__
+
+
+def test_fingerprint_view_backed_matches_inline(spark):
+    base = dedup.ensure_shingle_view(spark)
+    inline = {tuple(r) for r in spark.sql(textops.text_fingerprint(SPARK)).collect()}
+    backed = {tuple(r)
+              for r in spark.sql(textops.text_fingerprint(SPARK, base=base)).collect()}
+    assert inline == backed
+
+
 def test_shingle_view_backed_dedup_matches_inline(spark):
     """View-backed (materialized shingle hashes) and self-contained SQL
     forms of each shingle dedup query produce identical pair sets."""
