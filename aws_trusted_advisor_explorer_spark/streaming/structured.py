@@ -94,6 +94,49 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
         raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
 
 
+DOCS_STREAM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("lang", StringType()),
+    StructField("text", StringType()),
+])
+
+
+def documents_stream(spark: SparkSession, sf_dir: str,
+                     max_files_per_trigger: int = 1) -> DataFrame:
+    """``readStream`` over the documents parquet (same single-file
+    staging trick as events_stream)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        stage = os.path.join("/tmp", "spark_stream_stage",
+                             path.strip("/").replace("/", "_"))
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "part-0.parquet")
+        if not os.path.islink(link):
+            os.symlink(path, link)
+        path = stage
+    return (spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first-seen-wins ``dropDuplicates`` on a
+    content hash — the incremental twin of dedup_exact_flags' keeper
+    semantics (which doc survives depends on arrival order; the
+    SURVIVING TEXT SET is deterministic and equals the batch answer).
+
+    Scale posture: state is one ~40-byte row per distinct content hash
+    (sha2-256 of the text), not per document — exact dedup of an
+    unbounded corpus with state linear in the number of DISTINCT
+    documents. For time-bounded corpora add ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` so state expires with the
+    watermark instead of growing forever."""
+    docs = documents_stream(spark, sf_dir)
+    return (docs.withColumn("text_hash", F.sha2(F.col("text"), 256))
+            .dropDuplicates(["text_hash"])
+            .select("doc_id", "lang", "text", "text_hash"))
+
+
 SESSION_STATE_SCHEMA = StructType([
     StructField("n_sessions", LongType()),
     StructField("last_us", LongType()),

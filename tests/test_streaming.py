@@ -19,6 +19,24 @@ def test_hourly_counts_stream_equals_batch(spark):
     assert got.equals(want), "stream result != batch result"
 
 
+def test_dedup_stream_equals_batch_distinct(spark):
+    """Streaming first-seen-wins dedup: the surviving TEXT set equals
+    the batch distinct set (which doc_id survives per text depends on
+    arrival order, so compare the content sets, not keeper ids)."""
+    structured.run_stream_to_memory(
+        structured.dedup_stream(spark, SF_DIR), "dedup_stream",
+        output_mode="append")
+    got = spark.table("dedup_stream")
+    n_rows = got.count()
+    assert n_rows == got.select("text_hash").distinct().count()
+    want = spark.sql("SELECT count(DISTINCT text) AS n FROM documents").first().n
+    assert n_rows == want
+    got_texts = {r.text for r in got.select("text").collect()}
+    want_texts = {r.text for r in
+                  spark.sql("SELECT DISTINCT text FROM documents").collect()}
+    assert got_texts == want_texts
+
+
 def test_sessionize_stream_equals_batch(spark):
     structured.run_stream_to_memory(
         structured.sessionize_stream(spark, SF_DIR), "sessions_stream",
