@@ -52,8 +52,9 @@ SELECT doc_id, {d.poly_hash('shingle')} AS hv FROM e"""
 
 
 SHINGLE_VIEW = "__doc_shingle_hv"
-# id(spark) -> (cache key, checkpointed DataFrame backing the view)
-_SHINGLE_STATE: dict[int, tuple[object, object]] = {}
+SHINGLE_DISTINCT_VIEW = "__doc_shingle_hv_distinct"
+# id(spark) -> (cache key, checkpointed DataFrames backing the views)
+_SHINGLE_STATE: dict[int, tuple[object, list]] = {}
 
 
 def ensure_shingle_view(spark, key: object = None) -> str:
@@ -74,12 +75,21 @@ def ensure_shingle_view(spark, key: object = None) -> str:
         return SHINGLE_VIEW
     df = spark.sql(shingle_hash_sql(SPARK)).localCheckpoint(eager=True)
     df.createOrReplaceTempView(SHINGLE_VIEW)
+    # the deduplicated per-doc shingle set with its count rides along —
+    # MinHash / exact-Jaccard would otherwise re-run the DISTINCT +
+    # window once per CTE reference (2-3x per query)
+    ddf = spark.sql(
+        f"SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n "
+        f"FROM (SELECT DISTINCT doc_id, hv FROM {SHINGLE_VIEW})"
+    ).localCheckpoint(eager=True)
+    ddf.createOrReplaceTempView(SHINGLE_DISTINCT_VIEW)
     if state is not None:  # release the previous dataset's blocks
-        try:
-            state[1].unpersist()
-        except Exception:
-            pass
-    _SHINGLE_STATE[id(spark)] = (key, df)
+        for old in state[1]:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+    _SHINGLE_STATE[id(spark)] = (key, [df, ddf])
     return SHINGLE_VIEW
 
 
@@ -91,8 +101,8 @@ def _shingle_cte(d: Dialect, base: str | None = None) -> str:
     read from cache; without it the CTE is self-contained (DuckDB
     oracle, standalone tests)."""
     if base is not None:
-        return f"""WITH sh AS (SELECT DISTINCT doc_id, hv FROM {base}),
-sh2 AS (SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n FROM sh)"""
+        return f"""WITH sh AS (SELECT doc_id, hv FROM {SHINGLE_DISTINCT_VIEW}),
+sh2 AS (SELECT doc_id, hv, n FROM {SHINGLE_DISTINCT_VIEW})"""
     toks = d.tokens("text")
     shingles = d.shingles("toks", 3)
     return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
