@@ -98,6 +98,13 @@ def _knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf_df(spark, sf_dir)
 
 
+def _knn_ivf_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_trusted_advisor_explorer_spark.operators import similarity
+
+    _prepare_ext(spark, sf_dir)
+    return similarity.knn_ivf_multiprobe_df(spark, sf_dir)
+
+
 def _dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_trusted_advisor_explorer_spark.operators import dedup
 
@@ -177,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[key] = _ext_query(build)
     q["media_byte_stats"] = _media_byte_stats_query
     q["knn_ivf"] = _knn_ivf_query
+    q["knn_ivf_multiprobe"] = _knn_ivf_multiprobe_query
     q["dedup_clusters"] = _dedup_clusters_query
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash"):
         q[key] = _shingle_backed_query(key)
@@ -205,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
     o["media_byte_stats"] = multimodal.media_byte_stats_oracle(DUCK)
     # IVF uses the same planes/buckets as sign-LSH -> identical results
     o["knn_ivf"] = similarity.knn_lsh(DUCK)
+    o["knn_ivf_multiprobe"] = similarity.knn_multiprobe(DUCK)
     # iterative label propagation vs recursive-CTE transitive closure
     o["dedup_clusters"] = dedup.dedup_clusters_oracle(DUCK)
     return o

@@ -94,6 +94,70 @@ SELECT query_id, rank, neighbor_id, cosine
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def knn_multiprobe(d: Dialect) -> str:
+    """Multi-probe ANN top-k: each query probes its own sign-LSH bucket
+    PLUS every bucket at hamming distance 1 (one flipped plane bit) —
+    the standard recall lever for IVF/LSH indexes: neighbors whose
+    plane dot hovered near zero land one bit away, and probing those
+    buckets recovers them without touching the rest of the corpus
+    (probe cost: 1 + n_planes buckets of ~N/2^n_planes vectors each).
+    A corpus vector lives in exactly one bucket, so the probe fan-out
+    introduces no duplicate candidates."""
+    cos = f"{d.dot('p.embedding', 'c.embedding')} / (p.nrm * c.nrm)"
+    bucket = _bucket_expr(d, "embedding")
+    flips = ", ".join(d.xor("bucket", str(1 << j)) for j in range(N_PLANES))
+    if d.name == "spark":
+        probe_arr = f"array(bucket, {flips})"
+    else:
+        probe_arr = f"[bucket, {flips}]"
+    return f"""WITH h AS (SELECT vec_id, embedding, {_norm(d)} AS nrm,
+  {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id, embedding, nrm, bucket FROM h WHERE vec_id % {QUERY_MOD} = 0),
+p AS (SELECT vec_id, embedding, nrm, {d.explode(probe_arr)} AS probe FROM q),
+c AS (SELECT vec_id, embedding, nrm, bucket FROM h WHERE vec_id % {QUERY_MOD} <> 0),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {cos} AS cosine
+  FROM p JOIN c ON c.bucket = p.probe
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def knn_ivf_multiprobe_df(spark, sf_dir: str):
+    """Multi-probe ANN over the IVF layout: the probe list becomes a
+    partition filter (each probed bucket is one partition directory),
+    so the scan touches 1 + n_planes of the 2^n_planes partitions.
+    Cosines via the vectorized kernel — results bit-match
+    :func:`knn_multiprobe`'s fold (its DuckDB rendering is the
+    oracle)."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions import vectorized as V
+
+    v = spark.read.parquet(build_ivf_index(spark, sf_dir))
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(1 << j) for j in range(N_PLANES)])
+    q = (v.filter(F.col("vec_id") % QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.explode(probe_arr).alias("bucket")))
+    c = (v.filter(F.col("vec_id") % QUERY_MOD != 0)
+         .select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("c_emb"),
+                 "bucket"))
+    scored = (q.join(c, "bucket")
+              .select("query_id", "neighbor_id",
+                      V.pair_cosine("q_emb", "c_emb").alias("cosine")))
+    return _rank_topk(scored)
+
+
 def _rank_topk(scored):
     """row_number rank (cosine DESC, neighbor_id ASC) + top-k filter —
     shared tail of every knn plan; ranks are deterministic because the

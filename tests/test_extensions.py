@@ -53,6 +53,24 @@ def test_embedding_cosine_pandas_udf_bit_matches_sql_fold(spark):
     assert sql_rows == udf_rows  # exact float equality, on purpose
 
 
+def test_knn_multiprobe_matches_oracle_and_beats_single_probe(spark, ddb):
+    """Multi-probe IVF == its recursive SQL oracle, and its recall vs
+    brute force is >= single-probe recall (probing hamming-1 buckets
+    only ADDS candidates)."""
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    mp = similarity.knn_ivf_multiprobe_df(spark, SF_DIR)
+    assert_matches_oracle(mp, ddb, similarity.knn_multiprobe(DUCK))
+
+    def hits(rows):
+        return {(r.query_id, r.neighbor_id) for r in rows}
+
+    brute = hits(spark.sql(similarity.knn_bruteforce(SPARK)).collect())
+    single = hits(spark.sql(similarity.knn_lsh(SPARK)).collect())
+    multi = hits(mp.collect())
+    assert len(multi & brute) >= len(single & brute)
+
+
 def test_knn_vectorized_twins_bit_match_sql(spark):
     """The Pandas-kernel knn plans must reproduce the SQL fold's
     cosines and therefore the exact ranking."""
