@@ -65,11 +65,12 @@ def _prepare_ext(spark: SparkSession, sf_dir: str) -> None:
 
 def _ext_builders() -> dict:
     from aws_trusted_advisor_explorer_spark.operators import (
-        dedup, eventops, masking, multimodal, similarity, textops,
+        corpusops, dedup, eventops, masking, multimodal, similarity, textops,
     )
 
     out = {}
-    for mod in (textops, dedup, similarity, eventops, multimodal, masking):
+    for mod in (textops, dedup, similarity, eventops, multimodal, masking,
+                corpusops):
         out.update(mod.BUILDERS)
     return out
 
@@ -103,6 +104,15 @@ def _knn_ivf_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prepare_ext(spark, sf_dir)
     return similarity.knn_ivf_multiprobe_df(spark, sf_dir)
+
+
+def _pack_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token packing runs the distributed two-phase cumsum twin (no
+    global single-partition window); its oracle is the SQL window form."""
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+
+    _prepare_ext(spark, sf_dir)
+    return corpusops.docs_pack_bins_df(spark)
 
 
 def _dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query
     q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")
+    q["docs_pack_bins"] = _pack_bins_query
     return q
 
 

@@ -156,6 +156,9 @@ class Dialect:
     def to_blob(self, s: str) -> str:
         return f"cast({s} as binary)" if self.name == "spark" else f"encode({s})"
 
+    def str_cast(self, c: str) -> str:
+        return f"cast({c} as string)" if self.name == "spark" else f"CAST({c} AS varchar)"
+
 
 SPARK = Dialect("spark")
 DUCK = Dialect("duck")

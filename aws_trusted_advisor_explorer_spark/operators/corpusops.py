@@ -1,0 +1,130 @@
+"""Corpus curation operators over ``documents`` (extension scope per
+BASELINE.json): deterministic dataset splitting, token-budget sequence
+packing, and global vocabulary statistics — the shard/split/pack plane
+of a training-data pipeline.
+
+Dual-dialect SQL (functions/dual.py) where SQL expresses the
+semantics; the packing operator additionally has a Spark DataFrame
+twin that computes the cumulative sum DISTRIBUTED (two-phase:
+per-range partial sums + broadcast prefix offsets) instead of the
+single-partition global window the naive SQL implies — that twin is
+the 100 TB path and is tested bit-equal to the SQL form.
+
+No reference citation — the reference (awslabs/aws-trusted-advisor-
+explorer) has no corpus plane; scope directed by BASELINE.json
+"north_star".
+"""
+
+from __future__ import annotations
+
+from aws_trusted_advisor_explorer_spark.functions.dual import Dialect
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test = remainder
+PACK_BUDGET = 512  # tokens per packed shard
+
+
+def _id_hash_pct(d: Dialect) -> str:
+    """Deterministic 0-99 bucket from the polynomial hash of the doc id
+    STRING — stable across engines, runs, and partitioning (never use
+    engine-native hash() or rand() for split assignment: resuming a
+    pipeline must not reshuffle the split)."""
+    return f"({d.poly_hash(d.str_cast('doc_id'))} % 100)"
+
+
+def docs_split_assign(d: Dialect) -> str:
+    """Deterministic train/val/test assignment: hash-mod buckets, 80/10/10.
+    Content-independent (id-keyed) so near-dup handling stays a separate
+    concern; at 100 TB this is a pure projection — zero shuffles."""
+    pct = _id_hash_pct(d)
+    return f"""SELECT doc_id, {pct} AS bucket_pct,
+  CASE WHEN {pct} < {TRAIN_PCT} THEN 'train'
+       WHEN {pct} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents"""
+
+
+def docs_pack_bins(d: Dialect) -> str:
+    """Token-budget packing: contiguous doc_id-ordered sharding where a
+    new shard starts whenever the running token total crosses the
+    budget — the deterministic approximation of sequence packing used
+    to build fixed-token training shards. ``bin_id = floor(exclusive
+    running sum / budget)``.
+
+    The SQL form is a single global-order window (fine as an oracle;
+    single-partition at scale). The Spark twin (docs_pack_bins_df)
+    computes the same running sum distributed."""
+    toks = f"{d.arr_len(d.tokens('text'))}"
+    return f"""WITH t AS (SELECT doc_id, cast({toks} as bigint) AS n_toks FROM documents),
+c AS (
+  SELECT doc_id, n_toks,
+    sum(n_toks) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+  FROM t
+)
+SELECT doc_id, n_toks,
+  cast(floor(coalesce(prior, 0) / {PACK_BUDGET}) as bigint) AS bin_id
+FROM c"""
+
+
+def docs_pack_bins_df(spark):
+    """Distributed twin of :func:`docs_pack_bins`: two-phase cumulative
+    sum. Phase 1 range-partitions by doc_id and takes per-partition
+    token totals (a handful of rows -> driver); phase 2 turns them into
+    prefix offsets and adds the within-partition running sum. No global
+    single-partition sort — the shuffle is a range repartition, and the
+    offsets table is tiny. Identical integers to the SQL window (long
+    addition is associative), verified by test."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t = spark.sql(
+        "SELECT doc_id, cast(size(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+', 0)) as bigint) AS n_toks FROM documents")
+    ranged = (t.repartitionByRange(32, "doc_id")
+              .withColumn("pid", F.spark_partition_id()))
+    # phase 1: per-partition totals (rows = #partitions, driver-safe)
+    totals = ranged.groupBy("pid").agg(F.sum("n_toks").alias("part_sum"))
+    w_off = (Window.orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("part_sum").over(w_off), F.lit(0))) \
+        .select("pid", "offset")
+    # phase 2: within-partition exclusive running sum + broadcast offset
+    w_in = (Window.partitionBy("pid").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (ranged.join(F.broadcast(offsets), "pid")
+              .withColumn("prior",
+                          F.col("offset")
+                          + F.coalesce(F.sum("n_toks").over(w_in), F.lit(0)))
+              .select("doc_id", "n_toks",
+                      F.floor(F.col("prior") / PACK_BUDGET)
+                      .cast("bigint").alias("bin_id")))
+    return packed
+
+
+def text_vocab_topk(d: Dialect) -> str:
+    """Global vocabulary heavy hitters: token -> corpus frequency +
+    document frequency, top 100 by (count DESC, token ASC). One
+    explode + one groupBy shuffle; at 100 TB swap the exact count for
+    a count-min/approx-heavy-hitter sketch and keep this as the
+    sample-scale oracle."""
+    toks = d.tokens("text")
+    return f"""WITH e AS (SELECT doc_id, {d.explode(toks)} AS tok FROM documents),
+g AS (
+  SELECT tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM e GROUP BY tok
+),
+r AS (
+  SELECT tok, n_occurrences, n_docs,
+    row_number() OVER (ORDER BY n_occurrences DESC, tok) AS rnk
+  FROM g
+)
+SELECT tok, n_occurrences, n_docs, rnk FROM r WHERE rnk <= 100"""
+
+
+BUILDERS = {
+    "docs_split_assign": docs_split_assign,
+    "docs_pack_bins": docs_pack_bins,
+    "text_vocab_topk": text_vocab_topk,
+}

@@ -9,12 +9,13 @@ import pytest
 
 from aws_trusted_advisor_explorer_spark.functions.dual import DUCK, SPARK
 from aws_trusted_advisor_explorer_spark.operators import (
-    dedup, eventops, masking, multimodal, similarity, textops,
+    corpusops, dedup, eventops, masking, multimodal, similarity, textops,
 )
 from tests.conftest import assert_matches_oracle
 
 ALL_BUILDERS = {}
-for _mod in (textops, dedup, similarity, eventops, multimodal, masking):
+for _mod in (textops, dedup, similarity, eventops, multimodal, masking,
+             corpusops):
     ALL_BUILDERS.update(_mod.BUILDERS)
 
 
@@ -51,6 +52,25 @@ def test_embedding_cosine_pandas_udf_bit_matches_sql_fold(spark):
     udf_rows = {(r.vec_a, r.vec_b): r.cosine
                 for r in dedup.dedup_embedding_cosine_df(spark).collect()}
     assert sql_rows == udf_rows  # exact float equality, on purpose
+
+
+def test_pack_bins_distributed_cumsum_matches_sql_window(spark):
+    """Two-phase distributed running sum == the single global window
+    (exact long arithmetic, bit-equal bins)."""
+    sql_rows = {r.doc_id: (r.n_toks, r.bin_id)
+                for r in spark.sql(corpusops.docs_pack_bins(SPARK)).collect()}
+    df_rows = {r.doc_id: (r.n_toks, r.bin_id)
+               for r in corpusops.docs_pack_bins_df(spark).collect()}
+    assert sql_rows == df_rows
+
+
+def test_split_assign_proportions_and_determinism(spark):
+    rows = spark.sql(corpusops.docs_split_assign(SPARK)).collect()
+    again = spark.sql(corpusops.docs_split_assign(SPARK)).collect()
+    assert {r.doc_id: r.split for r in rows} == {r.doc_id: r.split for r in again}
+    n = len(rows)
+    train = sum(r.split == "train" for r in rows)
+    assert 0.6 * n < train < 0.95 * n  # loose at 500 docs; exact by hash at scale
 
 
 def test_knn_multiprobe_matches_oracle_and_beats_single_probe(spark, ddb):
