@@ -123,8 +123,55 @@ r AS (
 SELECT tok, n_occurrences, n_docs, rnk FROM r WHERE rnk <= 100"""
 
 
+CONTAM_NGRAM = 5  # contamination shingle width (tokens)
+BENCH_MOD = 50    # doc_id % 50 == 0 -> stand-in benchmark/eval set
+
+
+def docs_contamination(d: Dialect) -> str:
+    """Benchmark contamination check: training docs sharing at least
+    one {CONTAM_NGRAM}-token shingle with any eval-set document (the
+    eval stand-in here is ``doc_id % {BENCH_MOD} == 0``; in production
+    it is the benchmark corpus). Output: one row per contaminated
+    training doc with the overlap count and one witness eval doc.
+
+    Plan shape at 100 TB: shingle-hash both sides, equi-join on the
+    hash — the eval side is tiny, so it broadcasts and the training
+    corpus is never shuffled; this is the de-facto standard n-gram
+    decontamination join (GPT-3 appendix C / PaLM style)."""
+    toks = d.tokens("text")
+    shingles = d.shingles("toks", CONTAM_NGRAM)
+    base = f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+e AS (SELECT doc_id, {d.explode(shingles)} AS shingle FROM t),
+sh AS (SELECT DISTINCT doc_id, {d.poly_hash('shingle')} AS hv FROM e),
+ev AS (SELECT doc_id, hv FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+tr AS (SELECT doc_id, hv FROM sh WHERE doc_id % {BENCH_MOD} <> 0)"""
+    return f"""{base}
+SELECT tr.doc_id AS train_doc_id,
+  count(*) AS n_shared_shingles,
+  min(ev.doc_id) AS witness_eval_doc_id
+FROM tr JOIN ev ON ev.hv = tr.hv
+GROUP BY tr.doc_id"""
+
+
+SAMPLE_PCT = 20  # per-stratum keep rate
+
+
+def docs_stratified_sample(d: Dialect) -> str:
+    """Deterministic stratified sample: keep {SAMPLE_PCT}% of each
+    ``lang`` stratum by id-hash bucket — reproducible across engines,
+    runs and partitioning (the same reason docs_split_assign avoids
+    rand()), and stratum-balanced where a global hash sample would
+    under-represent small languages. Zero-shuffle projection."""
+    pct = _id_hash_pct(d)
+    return f"""SELECT doc_id, lang, {pct} AS bucket_pct
+FROM documents
+WHERE {pct} < {SAMPLE_PCT}"""
+
+
 BUILDERS = {
     "docs_split_assign": docs_split_assign,
     "docs_pack_bins": docs_pack_bins,
     "text_vocab_topk": text_vocab_topk,
+    "docs_contamination": docs_contamination,
+    "docs_stratified_sample": docs_stratified_sample,
 }
