@@ -106,9 +106,13 @@ def docs_pack_bins_df(spark):
 def text_vocab_topk(d: Dialect) -> str:
     """Global vocabulary heavy hitters: token -> corpus frequency +
     document frequency, top 100 by (count DESC, token ASC). One
-    explode + one groupBy shuffle; at 100 TB swap the exact count for
-    a count-min/approx-heavy-hitter sketch and keep this as the
-    sample-scale oracle."""
+    explode + one groupBy shuffle; the top-k is ORDER BY + LIMIT (not a
+    global row_number window), which Spark executes as a distributed
+    TakeOrderedAndProject — per-partition heaps merged on the driver —
+    so the full vocabulary is never sorted on one partition. The rank
+    column is then a window over only the 100 survivors. At 100 TB swap
+    the exact count for a count-min/approx-heavy-hitter sketch and keep
+    this as the sample-scale oracle."""
     toks = d.tokens("text")
     return f"""WITH e AS (SELECT doc_id, {d.explode(toks)} AS tok FROM documents),
 g AS (
@@ -116,11 +120,12 @@ g AS (
   FROM e GROUP BY tok
 ),
 r AS (
-  SELECT tok, n_occurrences, n_docs,
-    row_number() OVER (ORDER BY n_occurrences DESC, tok) AS rnk
-  FROM g
+  SELECT tok, n_occurrences, n_docs FROM g
+  ORDER BY n_occurrences DESC, tok LIMIT 100
 )
-SELECT tok, n_occurrences, n_docs, rnk FROM r WHERE rnk <= 100"""
+SELECT tok, n_occurrences, n_docs,
+  row_number() OVER (ORDER BY n_occurrences DESC, tok) AS rnk
+FROM r"""
 
 
 CONTAM_NGRAM = 5  # contamination shingle width (tokens)
