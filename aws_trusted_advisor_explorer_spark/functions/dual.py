@@ -27,6 +27,7 @@ from dataclasses import dataclass
 P_MOD = 1_000_000_007  # hash modulus (fits all intermediates in int64)
 HASH_INIT = 7
 HASH_MULT = 31
+SHINGLE_MULT = 1_000_003  # combines per-token hashes into shingle hashes
 
 
 @dataclass(frozen=True)
@@ -102,6 +103,33 @@ class Dialect:
                     f"THEN cast(array() as array<string>) ELSE {body} END")
         return (f"list_transform(range(1, greatest(len({toks}) - {n} + 2, 1)), "
                 f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' '))")
+
+    def shingle_hvs(self, toks: str, n: int) -> str:
+        """Word n-gram shingle HASHES (array<bigint>) without building
+        shingle strings: each token is char-folded once, then the n
+        per-token hashes of a window combine arithmetically
+        (``(acc * {SHINGLE_MULT} + h) % {P_MOD}``). Equivalent discrimination
+        to ``poly_hash(shingles(...))`` at ~1/n the char-fold work and
+        zero string concat/alloc — this is the hot-path form for wide
+        shingles (contamination's 5-grams); values differ from the
+        string form, so a query must use one or the other on BOTH
+        sides."""
+        th = self.transform(toks, "t", self.poly_hash("t"))
+        if self.name == "spark":
+            window = f"slice(th, i, {n})"
+        else:
+            window = f"list_slice(th, i, i + {n} - 1)"
+        comb = self.fold(window, f"cast({HASH_INIT} as bigint)", "a", "h",
+                         f"(a * {SHINGLE_MULT} + h) % {P_MOD}")
+        if self.name == "spark":
+            body = f"transform(sequence(1, size(th) - {n} + 1), i -> {comb})"
+            guarded = (f"CASE WHEN size(th) < {n} "
+                       f"THEN cast(array() as array<bigint>) ELSE {body} END")
+            # bind th once via a single-element transform (no LATERAL needed)
+            return f"transform(array({th}), th -> {guarded})[0]"
+        body = (f"list_transform(range(1, greatest(len(th) - {n} + 2, 1)), "
+                f"i -> {comb})")
+        return f"list_transform([{th}], th -> {body})[1]"
 
     # --- vector primitives ------------------------------------------------
     def dot(self, a: str, b: str) -> str:

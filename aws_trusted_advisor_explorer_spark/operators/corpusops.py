@@ -137,23 +137,36 @@ def docs_contamination(d: Dialect) -> str:
     one {CONTAM_NGRAM}-token shingle with any eval-set document (the
     eval stand-in here is ``doc_id % {BENCH_MOD} == 0``; in production
     it is the benchmark corpus). Output: one row per contaminated
-    training doc with the overlap count and one witness eval doc.
+    training doc with the count of distinct contaminated shingle types
+    and the lowest-id eval doc witnessing any of them — the de-facto
+    standard n-gram decontamination join (GPT-3 appendix C / PaLM
+    style).
 
-    Plan shape at 100 TB: shingle-hash both sides, equi-join on the
-    hash — the eval side is tiny, so it broadcasts and the training
-    corpus is never shuffled; this is the de-facto standard n-gram
-    decontamination join (GPT-3 appendix C / PaLM style)."""
+    Plan shape at 100 TB: only the EVAL side (a fixed benchmark corpus,
+    ~MBs) is shingled-then-grouped into a (hv -> witness) dimension;
+    the training corpus's raw shingle occurrences stream map-side
+    through a broadcast hash join against it, and the groupBy runs on
+    the matched rows only. The 100 TB side is never globally shuffled
+    or DISTINCT'd — the one wide shuffle this query ever does is over
+    contaminated hits, which are rare by construction. Shingle hashes
+    come from the token-hash combinator (Dialect.shingle_hvs): each
+    token char-folds once and the 5 window hashes combine
+    arithmetically, so no shingle strings are ever built."""
     toks = d.tokens("text")
-    shingles = d.shingles("toks", CONTAM_NGRAM)
+    hvs = d.shingle_hvs("toks", CONTAM_NGRAM)
     base = f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-e AS (SELECT doc_id, {d.explode(shingles)} AS shingle FROM t),
-sh AS (SELECT DISTINCT doc_id, {d.poly_hash('shingle')} AS hv FROM e),
-ev AS (SELECT doc_id, hv FROM sh WHERE doc_id % {BENCH_MOD} = 0),
-tr AS (SELECT doc_id, hv FROM sh WHERE doc_id % {BENCH_MOD} <> 0)"""
+ev AS (
+  SELECT hv, min(doc_id) AS witness FROM (
+    SELECT doc_id, {d.explode(hvs)} AS hv
+    FROM t WHERE doc_id % {BENCH_MOD} = 0
+  ) GROUP BY hv
+),
+tr AS (SELECT doc_id, {d.explode(hvs)} AS hv
+       FROM t WHERE doc_id % {BENCH_MOD} <> 0)"""
     return f"""{base}
 SELECT tr.doc_id AS train_doc_id,
-  count(*) AS n_shared_shingles,
-  min(ev.doc_id) AS witness_eval_doc_id
+  count(DISTINCT tr.hv) AS n_shared_shingles,
+  min(ev.witness) AS witness_eval_doc_id
 FROM tr JOIN ev ON ev.hv = tr.hv
 GROUP BY tr.doc_id"""
 
