@@ -523,14 +523,21 @@ def register_raw_tables(spark: SparkSession, sf_dir: str,
             out[name] = df
         return out
 
-    key_src = "|".join(f"{n}={s}" for n, s in sorted(sqls.items())) + sf_dir
+    # layout v2: land as many files as the session has cores — a scan's
+    # parallelism is bounded by file count (maxPartitionBytes never
+    # splits a 5 MB file), so a 4-file landing caps a 32-core scan at 4
+    # tasks; same rule as sizing landed objects on a real cluster
+    n_files = spark.sparkContext.defaultParallelism
+    key_src = ("|".join(f"{n}={s}" for n, s in sorted(sqls.items()))
+               + sf_dir + f"|layout=v2:{n_files}")
     key = hashlib.md5(key_src.encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), "spark_fixture_cache", key)
     for name, sql in sqls.items():
         path = os.path.join(base, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             tmp = f"{path}.tmp-{os.getpid()}"
-            spark.sql(to_spark_sql(sql)).write.mode("overwrite").parquet(tmp)
+            spark.sql(to_spark_sql(sql)).repartition(n_files) \
+                .write.mode("overwrite").parquet(tmp)
             try:
                 os.rename(tmp, path)
             except OSError:
