@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash"):
         q[key] = _shingle_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
+    q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query
     q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")

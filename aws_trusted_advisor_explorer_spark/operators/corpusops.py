@@ -171,6 +171,20 @@ FROM tr JOIN ev ON ev.hv = tr.hv
 GROUP BY tr.doc_id"""
 
 
+def docs_decontaminated(d: Dialect) -> str:
+    """The decontaminated training set: training docs minus the
+    contaminated ones — the anti-join that actually ships the corpus.
+    Spark plans the NOT IN over the (rare-by-construction) contaminated
+    id set as a broadcast left-anti join, so the pass over the training
+    corpus stays map-side."""
+    inner = docs_contamination(d)
+    return f"""SELECT doc_id FROM documents
+WHERE doc_id % {BENCH_MOD} <> 0
+  AND doc_id NOT IN (SELECT train_doc_id FROM (
+{inner}
+) c)"""
+
+
 SAMPLE_PCT = 20  # per-stratum keep rate
 
 
@@ -191,5 +205,6 @@ BUILDERS = {
     "docs_pack_bins": docs_pack_bins,
     "text_vocab_topk": text_vocab_topk,
     "docs_contamination": docs_contamination,
+    "docs_decontaminated": docs_decontaminated,
     "docs_stratified_sample": docs_stratified_sample,
 }

@@ -144,6 +144,51 @@ SELECT doc_id,
 FROM n"""
 
 
+REP_DUP_RATIO = 0.30   # duplicate 3-gram fraction gate (Gopher-style)
+REP_TOP_RATIO = 0.18   # most-frequent 3-gram fraction gate
+REP_MIN_SHINGLES = 10  # below this the ratios are too noisy to flag
+
+
+def text_repetition(d: Dialect, base: str | None = None) -> str:
+    """Within-document repetition stats (the Gopher/MassiveText-style
+    repeated-n-gram filter): per doc, the total / distinct 3-gram
+    shingle counts, the duplicate-shingle fraction, the share of the
+    single most frequent shingle, and a repetitiveness verdict
+    (``dup_ngram_ratio > {REP_DUP_RATIO}`` or ``top_ngram_ratio >
+    {REP_TOP_RATIO}``, gated to docs with >= {REP_MIN_SHINGLES}
+    shingles). Docs shorter than 3 tokens have no shingles and are
+    absent (they belong to the length gate, not this one).
+
+    Two per-doc aggregations, both map-side-combining; with ``base``
+    (dedup.ensure_shingle_view) the shingle explode+hash prefix is read
+    from the session-materialized view. Integer aggregates only —
+    ratios derive from exact counts, so cross-engine parity is exact."""
+    if base is not None:
+        head = f"WITH s AS (SELECT doc_id, hv FROM {base})"
+    else:
+        sh = d.shingles("toks", 3)
+        head = f"""{_toks_cte(d)},
+e AS (SELECT doc_id, {d.explode(sh)} AS shingle FROM t),
+s AS (SELECT doc_id, {d.poly_hash('shingle')} AS hv FROM e)"""
+    return f"""{head},
+c AS (SELECT doc_id, hv, count(*) AS cnt FROM s GROUP BY doc_id, hv),
+a AS (
+  SELECT doc_id, sum(cnt) AS n_shingles, count(*) AS n_distinct,
+    max(cnt) AS max_cnt
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+  cast(n_shingles as bigint) AS n_shingles,
+  cast(n_distinct as bigint) AS n_distinct,
+  1.0 - cast(n_distinct as double) / n_shingles AS dup_ngram_ratio,
+  cast(max_cnt as double) / n_shingles AS top_ngram_ratio,
+  CASE WHEN n_shingles >= {REP_MIN_SHINGLES}
+        AND (1.0 - cast(n_distinct as double) / n_shingles > {REP_DUP_RATIO}
+             OR cast(max_cnt as double) / n_shingles > {REP_TOP_RATIO})
+       THEN 1 ELSE 0 END AS is_repetitive
+FROM a"""
+
+
 def docs_quality_gate(d: Dialect) -> str:
     """Composed curation pipeline: quality-score filter + exact-dedup
     keep-first — the shape of a pretraining data cleaning pass."""
@@ -197,6 +242,7 @@ BUILDERS = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_repetition": text_repetition,
     "docs_quality_gate": docs_quality_gate,
     "docs_top_quality": docs_top_quality,
     "docs_rejected": docs_rejected,
