@@ -27,6 +27,9 @@ def get_spark(app_name: str = "ta_explorer_spark", cpus: int | None = None) -> S
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # progress bars land on the Python process's stdout and would
+        # corrupt bench.py's one-JSON-line stdout contract
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

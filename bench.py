@@ -29,6 +29,13 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def main() -> None:
+    # the JVM inherits fd 1 at launch — park it on stderr for the whole
+    # run so stray JVM output (progress bars, GC logs) can never break
+    # the one-JSON-line stdout contract; restored for the final print
+    real_stdout = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     import __spark_entry__ as entrymod
     from aws_trusted_advisor_explorer_spark.session import get_spark
 
@@ -55,6 +62,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    sys.stdout.flush()
+    os.dup2(real_stdout, 1)
+    os.close(real_stdout)
     print(json.dumps({
         "metric": "total_query_wall_seconds",
         "value": total,
