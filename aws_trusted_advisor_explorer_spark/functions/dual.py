@@ -131,6 +131,13 @@ class Dialect:
                 f"i -> {comb})")
         return f"list_transform([{th}], th -> {body})[1]"
 
+    def json_str(self, c: str, path: str) -> str:
+        """Extract a JSON field as string (NULL on missing/invalid).
+        ``path`` is a ``$.key`` JSONPath, identical in both engines."""
+        if self.name == "spark":
+            return f"get_json_object({c}, '{path}')"
+        return f"json_extract_string({c}, '{path}')"
+
     # --- vector primitives ------------------------------------------------
     def dot(self, a: str, b: str) -> str:
         """Σ a[i]*b[i] as double, fixed fold order (cross-engine exact)."""

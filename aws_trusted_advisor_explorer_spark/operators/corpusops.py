@@ -185,6 +185,29 @@ WHERE doc_id % {BENCH_MOD} <> 0
 ) c)"""
 
 
+def docs_source_mix(d: Dialect) -> str:
+    """Corpus composition report: per (source, lang) document count,
+    token total, and share of all corpus tokens — the mixture-weight
+    table a pretraining data pipeline reports before sampling. One
+    groupBy shuffle over (source, lang); the corpus-total divisor is a
+    scalar subquery over the tiny aggregate, not a global window over
+    rows. Token totals are exact bigints, so the shares are
+    cross-engine-identical doubles."""
+    n_toks = d.arr_len(d.tokens("text"))
+    return f"""WITH t AS (
+  SELECT source, lang, cast({n_toks} as bigint) AS n_toks FROM documents
+),
+g AS (
+  SELECT source, lang, count(*) AS n_docs,
+    cast(sum(n_toks) as bigint) AS total_tokens
+  FROM t GROUP BY source, lang
+)
+SELECT source, lang, n_docs, total_tokens,
+  cast(total_tokens as double) / (SELECT cast(sum(total_tokens) as bigint) FROM g)
+    AS token_share
+FROM g"""
+
+
 SAMPLE_PCT = 20  # per-stratum keep rate
 
 
@@ -206,5 +229,6 @@ BUILDERS = {
     "text_vocab_topk": text_vocab_topk,
     "docs_contamination": docs_contamination,
     "docs_decontaminated": docs_decontaminated,
+    "docs_source_mix": docs_source_mix,
     "docs_stratified_sample": docs_stratified_sample,
 }

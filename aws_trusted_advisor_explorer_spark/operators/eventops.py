@@ -145,8 +145,27 @@ def events_value_quantiles_approx_df(spark):
                  F.percentile_approx("value", 0.95).alias("p95_value")))
 
 
+def events_props_json(d: Dialect) -> str:
+    """Semi-structured extraction: parse the ``props`` JSON payload
+    (``{{"k": N}}``), type the field, aggregate per event_type — the
+    standard lakehouse pattern for late-typed event properties. JSON
+    parsing is a per-row projection fused into the scan (zero extra
+    shuffles beyond the groupBy); at 100 TB prefer landing hot JSON
+    fields as real columns, with this as the long-tail fallback."""
+    k = f"cast({d.json_str('props', '$.k')} as bigint)"
+    return f"""WITH e AS (SELECT event_type, {k} AS k FROM events)
+SELECT event_type,
+  count(*) AS n_events,
+  count(k) AS n_with_k,
+  cast(sum(k) as bigint) AS sum_k,
+  min(k) AS min_k,
+  max(k) AS max_k
+FROM e GROUP BY event_type"""
+
+
 BUILDERS = {
     "events_hourly_by_type": events_hourly_by_type,
+    "events_props_json": events_props_json,
     "events_sessionize": events_sessionize,
     "events_user_topk": events_user_topk,
     "events_value_quantiles": events_value_quantiles,
