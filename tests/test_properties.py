@@ -105,3 +105,23 @@ def test_presto_two_arg_replace_deletes(spark):
            .select(pc.presto_replace(F.lit("$1,234$"), "$").alias("v"))
            .collect()[0])
     assert row.v == "1,234"
+
+
+@given(texts_st, st.integers(2, 5))
+@settings(**SETTINGS)
+def test_shingle_hvs_match_duckdb(spark, s, n):
+    """The token-hash shingle combinator (contamination's hot path):
+    identical arrays in both engines, every value in [0, P_MOD), and
+    exactly max(0, n_tokens - n + 1) window hashes."""
+    import re
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import P_MOD
+
+    lit = "'" + s.replace("'", "''") + "'"
+    sp = spark.sql(
+        f"SELECT {SPARK.shingle_hvs(SPARK.tokens(lit), n)} AS hv").collect()[0].hv
+    du = _duck(f"SELECT {DUCK.shingle_hvs(DUCK.tokens(lit), n)} AS hv")
+    assert list(sp) == list(du)
+    n_tok = len(re.findall("[a-z0-9]+", s.lower()))
+    assert len(sp) == max(0, n_tok - n + 1)
+    assert all(0 <= h < P_MOD for h in sp)
