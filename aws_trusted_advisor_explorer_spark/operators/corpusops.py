@@ -208,6 +208,31 @@ SELECT source, lang, n_docs, total_tokens,
 FROM g"""
 
 
+LEN_BANDS = (16, 64, 256, 1024)  # token-count histogram edges
+
+
+def docs_length_histogram(d: Dialect) -> str:
+    """Token-length histogram: documents banded by integer token-count
+    thresholds {LEN_BANDS} — the length-distribution diagnostic run
+    before choosing packing budgets and length gates. Integer CASE
+    banding (never float log-bucketing: edge values must band
+    identically in both engines); one tiny groupBy."""
+    n_toks = d.arr_len(d.tokens("text"))
+    edges = list(LEN_BANDS)
+    cases = " ".join(
+        f"WHEN n_toks < {e} THEN '[{lo}, {e})'"
+        for lo, e in zip([0, *edges[:-1]], edges))
+    return f"""WITH t AS (
+  SELECT cast({n_toks} as bigint) AS n_toks FROM documents
+)
+SELECT CASE {cases} ELSE '[{edges[-1]}, inf)' END AS band,
+  count(*) AS n_docs,
+  cast(sum(n_toks) as bigint) AS total_tokens,
+  min(n_toks) AS min_tokens,
+  max(n_toks) AS max_tokens
+FROM t GROUP BY 1"""
+
+
 SAMPLE_PCT = 20  # per-stratum keep rate
 
 
@@ -229,6 +254,7 @@ BUILDERS = {
     "text_vocab_topk": text_vocab_topk,
     "docs_contamination": docs_contamination,
     "docs_decontaminated": docs_decontaminated,
+    "docs_length_histogram": docs_length_histogram,
     "docs_source_mix": docs_source_mix,
     "docs_stratified_sample": docs_stratified_sample,
 }
