@@ -7,7 +7,8 @@ DuckDB oracle are the same template, and every hash is the
 cross-engine polynomial hash, so candidate sets match bit-for-bit.
 
 Scale posture (100 TB): the only quadratic danger is pair generation.
-- exact dedup: hash-shuffle on the text key — linear.
+- exact dedup: hash-shuffle on md5(text) — linear, and the exchange
+  never carries the document text (key and payload are both small).
 - MinHash: explode shingles (shuffle by doc), 16-perm signature in ONE
   groupBy (map-side partial agg), then the band equi-join — the LSH
   trick that replaces the O(n^2) all-pairs join; Jaccard is verified
@@ -112,20 +113,28 @@ sh2 AS (SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n FROM sh)"""
 
 
 def dedup_exact_groups(d: Dialect) -> str:
-    """Exact duplicate groups (hash-groupBy on the raw text): one row
-    per duplicated text, keeper = min doc_id. Dialect-invariant SQL."""
+    """Exact duplicate groups, keyed on the 128-bit content hash so the
+    exchange carries a 32-char key instead of full document text (at
+    100 TB the shuffle key IS the cost; md5 collision risk at 128 bits
+    is nil). One row per duplicated text, keeper = min doc_id.
+    Dialect-invariant SQL — md5 is hex-string-identical in Spark and
+    DuckDB. Matches the streaming twin's content-hash key
+    (streaming/structured.py)."""
     return """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents
-GROUP BY text
+GROUP BY md5(text)
 HAVING count(*) > 1"""
 
 
 def dedup_exact_flags(d: Dialect) -> str:
     """Per-document exact-dup verdict via a window min — the streaming-
-    friendly form (no second join back). Dialect-invariant SQL."""
-    return """SELECT doc_id,
-  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text) THEN 0 ELSE 1 END AS is_dup
-FROM documents"""
+    friendly form (no second join back). The window partitions on the
+    content hash, projected BEFORE the exchange so the raw text never
+    enters the shuffle. Dialect-invariant SQL."""
+    return """WITH k AS (SELECT doc_id, md5(text) AS content_key FROM documents)
+SELECT doc_id,
+  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY content_key) THEN 0 ELSE 1 END AS is_dup
+FROM k"""
 
 
 def dedup_minhash_lsh(d: Dialect, base: str | None = None) -> str:

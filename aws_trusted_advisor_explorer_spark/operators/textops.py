@@ -191,19 +191,22 @@ FROM a"""
 
 def docs_quality_gate(d: Dialect) -> str:
     """Composed curation pipeline: quality-score filter + exact-dedup
-    keep-first — the shape of a pretraining data cleaning pass."""
+    keep-first — the shape of a pretraining data cleaning pass. The
+    dedup window partitions on md5(text), projected before the
+    exchange, so the shuffle moves (doc_id, key, 2 metrics) and never
+    the document text (the 100 TB cost)."""
     n_tok = d.arr_len("toks")
     n_dist = d.arr_len(d.arr_distinct("toks"))
     return f"""{_toks_cte(d)},
 m AS (
-  SELECT doc_id, text,
+  SELECT doc_id, md5(text) AS content_key,
     cast({n_tok} as bigint) AS n_tokens,
     cast({n_dist} as double) / {n_tok} AS type_token_ratio
   FROM t
 ),
 kept AS (
-  SELECT doc_id, text, n_tokens, type_token_ratio,
-    min(doc_id) OVER (PARTITION BY text) AS keeper_id
+  SELECT doc_id, n_tokens, type_token_ratio,
+    min(doc_id) OVER (PARTITION BY content_key) AS keeper_id
   FROM m
   WHERE n_tokens >= 10 AND type_token_ratio >= 0.31
 )
