@@ -36,6 +36,13 @@ SIMHASH_BAND_BITS = 7
 SIMHASH_MAX_HAMMING = 3
 JACCARD_THRESHOLD = 0.5
 COSINE_DUP_THRESHOLD = 0.4
+# stop-shingle guard for the exact shared-shingle self-join: a shingle
+# present in k docs emits O(k^2) candidate rows, so boilerplate shared
+# by ~every doc is a job-killer. Shingles with document frequency above
+# this cap carry no dedup signal and are dropped BEFORE the self-join;
+# Jaccard is defined over the surviving (informative) shingles. Part of
+# the operator's semantics — the DuckDB oracle applies the same cap.
+NGRAM_DF_CAP = 64
 
 
 def shingle_hash_sql(d: Dialect) -> str:
@@ -189,12 +196,21 @@ WHERE cast(n_common as double) / (na + nb - n_common) >= {JACCARD_THRESHOLD}"""
 def dedup_ngram_jaccard(d: Dialect, base: str | None = None) -> str:
     """Exact n-gram Jaccard near-dup pairs via the shared-shingle join
     (ground truth for the MinHash variant; shuffle-heavy at 100 TB —
-    see module doc)."""
+    see module doc). Guarded against hot-shingle candidate explosion:
+    shingles with document frequency > NGRAM_DF_CAP (corpus
+    boilerplate) are dropped before the self-join, bounding per-shingle
+    fan-out at CAP^2; set sizes and Jaccard are computed over the
+    surviving shingles in BOTH dialects."""
     return f"""{_shingle_cte(d, base)},
+keep AS (
+  SELECT hv FROM sh GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}
+),
+fs AS (SELECT s.doc_id, s.hv FROM sh s JOIN keep k ON k.hv = s.hv),
+fs2 AS (SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n FROM fs),
 common AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_common,
     max(a.n) AS na, max(b.n) AS nb
-  FROM sh2 a JOIN sh2 b ON a.hv = b.hv AND a.doc_id < b.doc_id
+  FROM fs2 a JOIN fs2 b ON a.hv = b.hv AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT ia AS doc_a, ib AS doc_b,

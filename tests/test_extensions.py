@@ -200,3 +200,42 @@ def test_media_df_schema(spark):
     assert kinds["payload"] == "binary"
     assert kinds["media_type"] == "string"
     assert df.count() > 0
+
+
+def test_ngram_jaccard_stop_shingle_guard(spark):
+    """Hot-shingle fixture: 82 docs share a boilerplate preamble whose
+    shingles (doc frequency 82 > NGRAM_DF_CAP) would alone emit
+    ~3*C(82,2) candidate rows in an unguarded self-join. The guard must
+    (a) keep the candidate volume bounded to the informative shingles,
+    (b) still find the planted exact near-dup pair, and (c) agree with
+    the DuckDB oracle rendering of the same guarded semantics."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    boiler = "terms of service apply to all users"
+    rows = [(i, f"{boiler} uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e")
+            for i in range(80)]
+    body = "same body words repeated here for the match"
+    rows += [(900, f"{boiler} {body}"), (901, f"{boiler} {body}")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(dedup.dedup_ngram_jaccard(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.dedup_ngram_jaccard(DUCK)).df())
+    assert sdf.equals(ddf)
+    pairs = set(zip(ddf["doc_a"].astype(str), ddf["doc_b"].astype(str)))
+    assert pairs == {("900", "901")}
+
+    guarded, unguarded = con.sql(f"""{dedup._shingle_cte(DUCK)}
+SELECT
+  cast(sum(CASE WHEN c <= {dedup.NGRAM_DF_CAP} THEN c*(c-1)/2 ELSE 0 END) as bigint),
+  cast(sum(c*(c-1)/2) as bigint)
+FROM (SELECT hv, count(*) AS c FROM sh GROUP BY hv)""").fetchone()
+    assert unguarded > 3 * (82 * 81 // 2)  # boilerplate alone is quadratic
+    assert guarded < 200                   # guard keeps candidates bounded
