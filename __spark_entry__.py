@@ -47,31 +47,50 @@ _VIEW_KEYS = {
 }
 
 
-# session id -> (sf_dir, level); catalog views are global per session, so
-# registration is skipped only when the SAME sf_dir is already in place
-_PREPARED: dict[int, tuple[str, str]] = {}
+# session id -> (weakref to session, sf_dir, level); catalog views are
+# global per session, so registration is skipped only when the SAME
+# sf_dir is already in place. The weakref guards against CPython id
+# reuse after a stopped session is GC'd (a recycled id must not skip
+# registration for a brand-new session).
+_PREPARED: dict[int, tuple[object, str, str]] = {}
+
+
+def _prepared_state(spark: SparkSession):
+    state = _PREPARED.get(id(spark))
+    if state is not None and state[0]() is not spark:
+        return None
+    return state
+
+
+def _set_prepared(spark: SparkSession, sf_dir: str, level: str) -> None:
+    import weakref
+
+    for sid in [sid for sid, st in _PREPARED.items() if st[0]() is None]:
+        del _PREPARED[sid]
+    _PREPARED[id(spark)] = (weakref.ref(spark), sf_dir, level)
 
 
 def _prepare(spark: SparkSession, sf_dir: str) -> None:
     from aws_trusted_advisor_explorer_spark.plans import fixtures
     from aws_trusted_advisor_explorer_spark.session import tune_session
 
-    if _PREPARED.get(id(spark)) == (sf_dir, "raw"):
+    state = _prepared_state(spark)
+    if state is not None and state[1:] == (sf_dir, "raw"):
         return
     tune_session(spark)
     fixtures.register_raw_tables(spark, sf_dir)
-    _PREPARED[id(spark)] = (sf_dir, "raw")  # includes load_tables
+    _set_prepared(spark, sf_dir, "raw")  # includes load_tables
 
 
 def _prepare_ext(spark: SparkSession, sf_dir: str) -> None:
     from aws_trusted_advisor_explorer_spark.session import load_tables, tune_session
 
-    state = _PREPARED.get(id(spark))
-    if state is not None and state[0] == sf_dir:  # raw implies ext tables
+    state = _prepared_state(spark)
+    if state is not None and state[1] == sf_dir:  # raw implies ext tables
         return
     tune_session(spark)
     load_tables(spark, sf_dir)
-    _PREPARED[id(spark)] = (sf_dir, "ext")
+    _set_prepared(spark, sf_dir, "ext")
 
 
 def _ext_builders() -> dict:

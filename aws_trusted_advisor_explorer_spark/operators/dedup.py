@@ -61,8 +61,12 @@ SELECT doc_id, {d.poly_hash('shingle')} AS hv FROM e"""
 
 SHINGLE_VIEW = "__doc_shingle_hv"
 SHINGLE_DISTINCT_VIEW = "__doc_shingle_hv_distinct"
-# id(spark) -> (cache key, checkpointed DataFrames backing the views)
-_SHINGLE_STATE: dict[int, tuple[object, list]] = {}
+# id(spark) -> (weakref to the session, cache key, checkpointed
+# DataFrames backing the views). The weakref guards against CPython id
+# reuse: an entry only counts if its session is still the LIVE object,
+# so a new session allocated at a recycled id re-registers instead of
+# resolving a dead session's stale views.
+_SHINGLE_STATE: dict[int, tuple[object, object, list]] = {}
 
 
 def ensure_shingle_view(spark, key: object = None) -> str:
@@ -76,10 +80,14 @@ def ensure_shingle_view(spark, key: object = None) -> str:
     join against it instead of re-running the explode+hash pipeline
     (which Spark would otherwise re-evaluate per CTE reference, since
     CTEs are inlined)."""
+    import weakref
+
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
 
     state = _SHINGLE_STATE.get(id(spark))
-    if state is not None and (key is None or state[0] == key):
+    if state is not None and state[0]() is not spark:
+        state = None  # dead session's id was recycled — never trust it
+    if state is not None and (key is None or state[1] == key):
         return SHINGLE_VIEW
     df = spark.sql(shingle_hash_sql(SPARK)).localCheckpoint(eager=True)
     df.createOrReplaceTempView(SHINGLE_VIEW)
@@ -92,12 +100,16 @@ def ensure_shingle_view(spark, key: object = None) -> str:
     ).localCheckpoint(eager=True)
     ddf.createOrReplaceTempView(SHINGLE_DISTINCT_VIEW)
     if state is not None:  # release the previous dataset's blocks
-        for old in state[1]:
+        for old in state[2]:
             try:
                 old.unpersist()
             except Exception:
                 pass
-    _SHINGLE_STATE[id(spark)] = (key, [df, ddf])
+    # prune entries whose sessions are gone (their blocks died with the
+    # session; the dict must not grow with session churn)
+    for sid in [sid for sid, st in _SHINGLE_STATE.items() if st[0]() is None]:
+        del _SHINGLE_STATE[sid]
+    _SHINGLE_STATE[id(spark)] = (weakref.ref(spark), key, [df, ddf])
     return SHINGLE_VIEW
 
 
@@ -369,6 +381,12 @@ def dedup_clusters_df(spark, base: str | None = None):
         labels = new_persisted.select("id", "label")
         if changed == 0:
             break
+    else:
+        persisted.unpersist()
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge in 50 "
+            "rounds (component diameter exceeds the bound); partial labels "
+            "would silently diverge from the transitive-closure oracle")
     # break the multi-iteration lineage (so downstream actions replay a
     # flat scan, not the whole loop) and release the loop's cached state
     result = labels.select(F.col("id").alias("doc_id"),

@@ -29,7 +29,14 @@ def _mask_id(d: Dialect, col: str) -> str:
 
 
 def _mask_text(col: str) -> str:
-    return f"substr({col}, 1, 3) || '-MASKED-' || substr({col}, -3, 3)"
+    """Reference semantics are Python slicing ``v[:3]+'-MASKED-'+v[-3:]``.
+    ``substr(col, -3, 3)`` diverges across Spark/DuckDB/Python for
+    strings shorter than 3 chars, so the suffix start is computed as
+    ``greatest(length-2, 1)`` — identical in both dialects and equal to
+    Python's ``v[-3:]`` for every length (for len<3 both yield the
+    whole string)."""
+    return (f"substr({col}, 1, 3) || '-MASKED-' || "
+            f"substr({col}, greatest(length({col}) - 2, 1), 3)")
 
 
 def pii_mask_accounts(d: Dialect) -> str:

@@ -49,6 +49,13 @@ def pivot_tags(long_tags: DataFrame, customer_keys: list[str],
     One shuffle on the group keys; map-side combine applies.
     """
     present = [c for c in IDENTITY_COLS if c in long_tags.columns]
+    if order_col is None:
+        import warnings
+        warnings.warn(
+            "pivot_tags without order_col uses max(value), which differs "
+            "from the reference's last-write-wins whenever a (resource, "
+            "key) has conflicting values; pass the ingest-order column "
+            "for reference semantics", stacklevel=2)
     agg = (F.expr(f"max_by(value, {order_col})") if order_col
            else F.max("value"))
     return (long_tags

@@ -43,6 +43,31 @@ EVENTS_STREAM_SCHEMA = StructType([
 ])
 
 
+def _stage_single_file(path: str) -> str:
+    """FileStreamSource requires a directory; the driver testdata is a
+    single parquet file -> stage a symlink dir (no data copy).
+    Tolerates concurrent stagers (two processes racing to symlink) and
+    stale links to deleted/regenerated dataset files: the link is
+    re-pointed unless it already resolves to this path."""
+    stage = os.path.join("/tmp", "spark_stream_stage",
+                         path.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "part-0.parquet")
+    for _ in range(2):
+        try:
+            os.symlink(path, link)
+            break
+        except FileExistsError:
+            if (os.path.exists(link)
+                    and os.path.realpath(link) == os.path.realpath(path)):
+                break
+            try:
+                os.remove(link)
+            except FileNotFoundError:
+                pass
+    return stage
+
+
 def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int = 1) -> DataFrame:
     """``readStream`` over the events parquet with the nanos->timestamp
@@ -51,15 +76,7 @@ def events_stream(spark: SparkSession, sf_dir: str,
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isfile(path):
-        # FileStreamSource requires a directory; the driver testdata is a
-        # single parquet file -> stage a symlink dir (no data copy)
-        stage = os.path.join("/tmp", "spark_stream_stage",
-                             path.strip("/").replace("/", "_"))
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, "part-0.parquet")
-        if not os.path.islink(link):
-            os.symlink(path, link)
-        path = stage
+        path = _stage_single_file(path)
     raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(path))
@@ -107,13 +124,7 @@ def documents_stream(spark: SparkSession, sf_dir: str,
     staging trick as events_stream)."""
     path = os.path.join(sf_dir, "documents.parquet")
     if os.path.isfile(path):
-        stage = os.path.join("/tmp", "spark_stream_stage",
-                             path.strip("/").replace("/", "_"))
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, "part-0.parquet")
-        if not os.path.islink(link):
-            os.symlink(path, link)
-        path = stage
+        path = _stage_single_file(path)
     return (spark.readStream.schema(DOCS_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(path))
