@@ -85,6 +85,11 @@ def docs_pack_bins_df(spark):
               .withColumn("pid", F.spark_partition_id()))
     # phase 1: per-partition totals (rows = #partitions, driver-safe)
     totals = ranged.groupBy("pid").agg(F.sum("n_toks").alias("part_sum"))
+    # unpartitioned window is BOUNDED: `totals` has one row per range
+    # partition (<= 32 here, O(partitions) on a cluster), so Spark's
+    # "No Partition Defined" WindowExec warning is accepted — moving a
+    # partition-count-sized relation to one task is the point of the
+    # two-phase cumsum
     w_off = (Window.orderBy("pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.withColumn(
@@ -123,6 +128,8 @@ r AS (
   SELECT tok, n_occurrences, n_docs FROM g
   ORDER BY n_occurrences DESC, tok LIMIT 100
 )
+-- unpartitioned row_number is BOUNDED: it ranks only the <=100 LIMIT
+-- survivors, so the single-partition WindowExec warning is accepted
 SELECT tok, n_occurrences, n_docs,
   row_number() OVER (ORDER BY n_occurrences DESC, tok) AS rnk
 FROM r"""

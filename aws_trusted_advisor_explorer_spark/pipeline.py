@@ -35,12 +35,25 @@ def run_ingest(spark: SparkSession, check_result_docs, out_dir: str,
     results.cache()  # reused once per check + once for summary
     out: dict[str, DataFrame] = {}
 
+    # ONE batched probe for "which checks have any flagged resource"
+    # (extract-ta-data:187-189 writes no file for empty checks) instead
+    # of a limit(1).count() job per check id. The collect is per-check
+    # METADATA (a few counter rows), not data.
+    nonempty = {
+        r["check_id"]
+        for r in (results
+                  .select(F.col("result.checkId").alias("check_id"),
+                          F.explode("result.flaggedResources").alias("fr"))
+                  .filter(F.col("fr.status").isin("warning", "error"))
+                  .groupBy("check_id").count().collect())
+    }
+
     for check_id in registry.SUPPORTED_CHECKS + ["cX3c2R1chu"]:
         try:
             detail = X.flagged_resources_table(results, check_id)
         except KeyError:
             continue  # missing Header_/Schema_ config → skip check
-        if detail.limit(1).count() == 0:
+        if check_id not in nonempty:
             continue  # no flagged resources → no file (extract-ta-data:187-189)
         path = os.path.join(out_dir, f"check_{check_id.lower()}")
         writers.write_raw_table(detail, path, fmt=fmt)

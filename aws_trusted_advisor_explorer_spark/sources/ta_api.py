@@ -123,3 +123,19 @@ def regions_df(spark: SparkSession, regions: list[str] | None = None) -> DataFra
         regions = ["us-east-1", "us-east-2", "us-west-1", "us-west-2",
                    "eu-west-1", "eu-central-1", "ap-southeast-1", "ap-northeast-1"]
     return spark.createDataFrame([(r,) for r in regions], ["RegionName"])
+
+
+def refresh_wait_seconds(millis_until_refreshable) -> F.Column:
+    """P12 refresh wait clamp (verify-ta-check-status-lambda.py:78-84):
+    ``wait = round(millis/1000)`` with Python's banker's rounding
+    (Spark ``bround`` = HALF_EVEN, matching ``round()`` on the .5
+    boundary), and any wait LONGER than 3600s means "skip this
+    refresh" -> 0, exactly as the reference branches (it does not clamp
+    to 3600). Control-plane in the reference; exposed here as a column
+    expression so a polling scheduler built on this engine reproduces
+    the semantics bit-for-bit."""
+    col = (millis_until_refreshable
+           if isinstance(millis_until_refreshable, F.Column)
+           else F.col(millis_until_refreshable))
+    wait = F.bround(col / F.lit(1000)).cast("bigint")
+    return F.when(wait <= 3600, wait).otherwise(F.lit(0)).cast("bigint")

@@ -135,3 +135,28 @@ def test_work_list_p11(spark):
                                   ["ResourceType"])
     regions = ta_api.regions_df(spark)
     assert work_list(types, regions).count() == 6 * 8
+
+
+def test_refresh_wait_clamp_matches_reference(spark):
+    """P12 (verify-ta-check-status-lambda.py:78-84): wait =
+    round(millis/1000) with Python banker's rounding; waits > 3600s
+    mean skip-refresh -> 0 (the reference branches, it does not clamp).
+    Oracle = the reference's Python expression itself."""
+    from aws_trusted_advisor_explorer_spark.sources.ta_api import (
+        refresh_wait_seconds,
+    )
+
+    millis = [0, 499, 500, 1499, 1500, 2500, 3500,
+              3_599_499, 3_599_500, 3_600_000, 3_600_499, 3_600_500,
+              3_601_000, 7_200_000]
+    df = spark.createDataFrame([(m,) for m in millis], ["millis"])
+    got = {r.millis: r.wait
+           for r in df.select("millis",
+                              refresh_wait_seconds("millis").alias("wait"))
+           .collect()}
+
+    def ref(m):  # the reference's branch, verbatim semantics
+        w = round(m / 1000)
+        return w if w <= 3600 else 0
+
+    assert got == {m: ref(m) for m in millis}
