@@ -217,11 +217,13 @@ def _view_query(name: str, with_tags: bool | None):
 # with-tags parent row is green (same plan minus the broadcast join).
 # All remain fully verified in CORRECTNESS_FULL.json / pytest.
 _PARKED_TAIL = (
+    "view_low_util_ec2_no_tags",
+    "dedup_exact_groups",  # keeper semantics stay in-cap via dedup_exact_flags
+    "view_underutil_ebs_no_tags",
     "view_idle_elb_no_tags",
     "view_rds_idle_no_tags",
     "view_underutil_redshift_no_tags",
     "view_route53_latency_no_tags",
-    "view_underutil_ebs_no_tags",
 )
 
 
@@ -241,7 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key, build in _ext_builders().items():
         q[key] = _ext_query(build)
     q["media_byte_stats"] = _media_byte_stats_query
-    for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash"):
+    for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+                "docs_dedup_rate_by_source"):
         q[key] = _shingle_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")

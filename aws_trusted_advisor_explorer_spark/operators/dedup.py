@@ -419,6 +419,34 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id
 FROM cc_reach GROUP BY a"""
 
 
+def docs_dedup_rate_by_source(d: Dialect, base: str | None = None) -> str:
+    """Per-source near-dup rate report: for each ``source``, the doc
+    count, how many docs appear in at least one MinHash near-dup pair,
+    and the dup rate — the standard curation dashboard for deciding
+    which ingest feeds are dirtiest before reweighting or re-crawling.
+
+    Composes the MinHash pair graph (with the session-materialized
+    shingle view on the Spark side); the per-source rollup adds one
+    small aggregation over documents keyed by doc_id — the pair set is
+    tiny relative to the corpus, so the extra join is dimension-sized.
+    """
+    pairs = dedup_minhash_lsh(d, base)
+    return f"""WITH mh_pairs AS (
+{pairs}
+),
+dup_docs AS (
+  SELECT doc_a AS doc_id FROM mh_pairs
+  UNION
+  SELECT doc_b FROM mh_pairs
+)
+SELECT s.source,
+  cast(count(*) as bigint) AS n_docs,
+  cast(count(dd.doc_id) as bigint) AS n_dup_docs,
+  cast(count(dd.doc_id) as double) / count(*) AS dup_rate
+FROM documents s LEFT JOIN dup_docs dd ON dd.doc_id = s.doc_id
+GROUP BY s.source"""
+
+
 BUILDERS = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_exact_flags": dedup_exact_flags,
@@ -426,4 +454,5 @@ BUILDERS = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "docs_dedup_rate_by_source": docs_dedup_rate_by_source,
 }

@@ -54,6 +54,54 @@ SELECT c_custkey,
 FROM a"""
 
 
+# PII scrub patterns for free text (training-data redaction pass).
+# RE2 (DuckDB) and Java regex (Spark) agree on this subset.
+PHONE_PATTERN = r"\d{2}-\d{3}-\d{3}-\d{4}"
+EMAIL_PATTERN = r"[a-z0-9.]+@[a-z0-9.-]+"
+
+
+def _scrub(d: Dialect, col: str, pat: str, repl: str) -> str:
+    """Replace-ALL semantics in both dialects: Spark's regexp_replace
+    is global; DuckDB needs the explicit 'g' flag."""
+    if d.name == "spark":
+        return f"regexp_replace({col}, '{pat.replace(chr(92), chr(92) * 2)}', '{repl}')"
+    return f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
+
+
+def _count_matches(d: Dialect, col: str, pat: str) -> str:
+    if d.name == "spark":
+        return f"size(regexp_extract_all({col}, '{pat.replace(chr(92), chr(92) * 2)}', 0))"
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
+def pii_scrub_text(d: Dialect) -> str:
+    """PII scrub over free text (the training-data redaction pass the
+    log-plane P9 masking generalizes to): phone numbers and email
+    addresses are replaced with typed placeholders and counted per
+    document. Input text is derived deterministically from ``customer``
+    (name + a synthetic phone/email) so both engines scrub identical
+    strings; every third row gets no phone, so per-row counts vary.
+    Pure projection — whole-stage codegen, zero shuffle."""
+    phone = ("CASE WHEN c_custkey % 3 = 0 THEN 'no phone on file' ELSE "
+             "lpad(" + d.str_cast("c_custkey % 90 + 10") + ", 2, '0') || '-' || "
+             "lpad(" + d.str_cast("c_custkey % 900 + 100") + ", 3, '0') || '-' || "
+             "lpad(" + d.str_cast("(c_custkey * 7) % 900 + 100") + ", 3, '0') || '-' || "
+             "lpad(" + d.str_cast("(c_custkey * 13) % 9000 + 1000") + ", 4, '0') END")
+    text = ("'contact ' || c_name || ' at ' || (" + phone + ") || ' or acct' || "
+            + d.str_cast("c_custkey % 50") + " || '@example.com'")
+    scrubbed = _scrub(d, _scrub(d, "text", PHONE_PATTERN, "[PHONE]"),
+                      EMAIL_PATTERN, "[EMAIL]")
+    return f"""WITH t AS (
+  SELECT c_custkey, {text} AS text FROM customer
+)
+SELECT c_custkey,
+  {scrubbed} AS text_scrubbed,
+  cast({_count_matches(d, 'text', PHONE_PATTERN)} as bigint) AS n_phones,
+  cast({_count_matches(d, 'text', EMAIL_PATTERN)} as bigint) AS n_emails
+FROM t"""
+
+
 BUILDERS = {
     "pii_mask_accounts": pii_mask_accounts,
+    "pii_scrub_text": pii_scrub_text,
 }

@@ -292,7 +292,34 @@ def knn_ivf_df(spark, sf_dir: str):
     return _rank_topk(scored)
 
 
+def knn_recall_at_k(d: Dialect) -> str:
+    """ANN quality evaluation: recall@k of the sign-LSH path against
+    the exact brute-force top-k, per query. The standard acceptance
+    metric for any approximate index — recall drops are how you detect
+    an over-coarse bucket layout before shipping it. Joins the two
+    rankings on (query, neighbor); |intersection| / k.
+
+    Scale posture: both inputs are top-k relations (k rows per query),
+    so the join and aggregate are query-set-sized — negligible next to
+    the searches themselves."""
+    bf = knn_bruteforce(d)
+    ls = knn_lsh(d)
+    return f"""WITH bf AS (
+{bf}
+),
+ls AS (
+{ls}
+)
+SELECT bf.query_id,
+  cast(count(ls.neighbor_id) as bigint) AS n_hits,
+  cast(count(ls.neighbor_id) as double) / {TOP_K} AS recall_at_k
+FROM bf LEFT JOIN ls
+  ON ls.query_id = bf.query_id AND ls.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id"""
+
+
 BUILDERS = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
+    "knn_recall_at_k": knn_recall_at_k,
 }

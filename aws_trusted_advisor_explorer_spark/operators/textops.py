@@ -240,6 +240,30 @@ EXCEPT
 SELECT doc_id FROM g"""
 
 
+def text_commonness_score(d: Dialect) -> str:
+    """Unigram-frequency quality proxy (the word-frequency filter used
+    before LM-based scoring exists): per document, the mean corpus
+    frequency of its tokens — prose made of common words scores high,
+    gibberish/IDs score low. Integer-exact across engines (counts sum;
+    one final division).
+
+    Scale posture: the vocabulary relation is heavy-hitter-sized, so
+    at 100 TB the doc-side join is a broadcast of the (capped) vocab —
+    AQE already picks broadcast here; swap exact counts for count-min
+    estimates to cap vocab memory, keeping this as the sample-scale
+    oracle."""
+    toks = d.tokens("text")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+e AS (SELECT doc_id, {d.explode('toks')} AS tok FROM t),
+vf AS (SELECT tok, count(*) AS freq FROM e GROUP BY tok)
+SELECT e.doc_id,
+  cast(count(*) as bigint) AS n_tokens,
+  cast(sum(vf.freq) as bigint) AS sum_token_freq,
+  cast(sum(vf.freq) as double) / count(*) AS mean_token_freq
+FROM e JOIN vf ON vf.tok = e.tok
+GROUP BY e.doc_id"""
+
+
 BUILDERS = {
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
@@ -249,4 +273,5 @@ BUILDERS = {
     "docs_quality_gate": docs_quality_gate,
     "docs_top_quality": docs_top_quality,
     "docs_rejected": docs_rejected,
+    "text_commonness_score": text_commonness_score,
 }
