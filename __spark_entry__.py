@@ -219,6 +219,8 @@ def _view_query(name: str, with_tags: bool | None):
 _PARKED_TAIL = (
     "view_low_util_ec2_no_tags",
     "dedup_exact_groups",  # keeper semantics stay in-cap via dedup_exact_flags
+    "knn_bruteforce",      # its SQL is embedded verbatim in knn_recall_at_k's
+                           # green row; DF twin bit-matched by pytest
     "view_underutil_ebs_no_tags",
     "view_idle_elb_no_tags",
     "view_rds_idle_no_tags",

@@ -148,6 +148,50 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "text", "text_hash"))
 
 
+def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the docs_quality_gate curation pass: the same
+    length + type-token-ratio filter as the batch gate
+    (operators/textops.docs_quality_gate), then first-seen-wins dedup
+    on the content hash. Which doc_id survives a duplicate text
+    depends on arrival order; the surviving TEXT set is deterministic
+    and equals the batch gate's (tested).
+
+    Scale posture: the filter is stateless per-row codegen; dedup
+    state is one ~40-byte row per distinct SURVIVING content hash —
+    strictly smaller than dedup_stream's state because the quality
+    filter runs first."""
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    docs = documents_stream(spark, sf_dir)
+    return (docs
+            .withColumn("n_tokens", F.expr(f"cast(size({toks}) as bigint)"))
+            .withColumn("type_token_ratio",
+                        F.expr(f"cast(size(array_distinct({toks})) as double)"
+                               f" / size({toks})"))
+            .filter("n_tokens >= 10 AND type_token_ratio >= 0.31")
+            .withColumn("text_hash", F.sha2(F.col("text"), 256))
+            .dropDuplicates(["text_hash"])
+            .select("doc_id", "text", "n_tokens", "type_token_ratio",
+                    "text_hash"))
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_sliding_window: 1-hour windows hopping
+    every 30 minutes via ``F.window(ts, windowDuration, slideDuration)``
+    with a 2-hour watermark; exact decimal value sums. Window starts
+    are emitted as epoch seconds to match the batch/oracle output."""
+    ev = events_stream(spark, sf_dir)
+    ev = ev.withColumn("ts_ltz", F.col("ts").cast(TimestampType()))
+    agg = (ev.withWatermark("ts_ltz", "2 hours")
+           .groupBy(F.window("ts_ltz", "1 hour", "30 minutes"),
+                    F.col("event_type"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv")))
+    return agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("win_start_sec"),
+        "event_type", "n_events",
+        F.col("_tv").cast("double").alias("total_value"))
+
+
 SESSION_STATE_SCHEMA = StructType([
     StructField("n_sessions", LongType()),
     StructField("last_us", LongType()),

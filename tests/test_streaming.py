@@ -54,3 +54,41 @@ def test_sessionize_stream_equals_batch(spark):
         spark.sql(eventops.events_sessionize(SPARK))
         .select("user_id", "n_sessions", "n_events").toPandas())
     assert got_pd.equals(want), "stateful sessionization != batch"
+
+
+def test_quality_gate_stream_equals_batch(spark):
+    """Streaming quality gate: identical filter semantics to the batch
+    gate; surviving TEXT set equals the batch gate's survivor texts
+    (keeper doc_id is arrival-order-dependent, content set is not)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    structured.run_stream_to_memory(
+        structured.quality_gate_stream(spark, SF_DIR), "qgate_stream",
+        output_mode="append")
+    got = spark.table("qgate_stream")
+    assert got.count() == got.select("text_hash").distinct().count()
+    got_texts = {r.text for r in got.select("text").collect()}
+    batch = spark.sql(textops.docs_quality_gate(SPARK))
+    want_texts = {
+        r.text for r in
+        batch.join(spark.table("documents"), "doc_id")
+        .select("text").collect()}
+    assert got_texts == want_texts
+
+
+def test_sliding_counts_stream_equals_batch(spark):
+    """Streaming hopping-window aggregate == the batch/oracle
+    events_sliding_window rows (exact decimal sums)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+    from tests.conftest import canonicalize
+
+    structured.run_stream_to_memory(
+        structured.sliding_counts_stream(spark, SF_DIR), "sliding_stream",
+        output_mode="complete")
+    got = canonicalize(spark.table("sliding_stream").toPandas())
+    want = canonicalize(spark.sql(eventops.events_sliding_window(SPARK))
+                        .toPandas())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want)
