@@ -221,6 +221,8 @@ _PARKED_TAIL = (
     "dedup_exact_groups",  # keeper semantics stay in-cap via dedup_exact_flags
     "knn_bruteforce",      # its SQL is embedded verbatim in knn_recall_at_k's
                            # green row; DF twin bit-matched by pytest
+    "docs_top_quality",    # top-k ranking shape; covered in-cap by
+    "events_user_topk",    # text_vocab_topk + the knn ranked top-k family
     "view_underutil_ebs_no_tags",
     "view_idle_elb_no_tags",
     "view_rds_idle_no_tags",

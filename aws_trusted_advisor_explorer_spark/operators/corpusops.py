@@ -255,6 +255,29 @@ FROM documents
 WHERE {pct} < {SAMPLE_PCT}"""
 
 
+def docs_pack_efficiency(d: Dialect) -> str:
+    """Packing QA report over :func:`docs_pack_bins`: bin count,
+    min/max fill, total tokens, and mean bin utilization against the
+    budget — the check you run before shipping packed shards (a low
+    mean utilization means the packer is wasting sequence capacity;
+    a max fill far above budget means one doc exceeds it).
+
+    Composes the pack assignment; the rollup is bins-sized (corpus
+    tokens / budget rows), aggregated in one map-side-combining pass.
+    """
+    pack = docs_pack_bins(d)
+    return f"""WITH pack AS (
+{pack}
+),
+b AS (SELECT bin_id, sum(n_toks) AS fill FROM pack GROUP BY bin_id)
+SELECT cast(count(*) as bigint) AS n_bins,
+  cast(min(fill) as bigint) AS min_fill,
+  cast(max(fill) as bigint) AS max_fill,
+  cast(sum(fill) as bigint) AS total_tokens,
+  cast(sum(fill) as double) / (count(*) * {PACK_BUDGET}) AS mean_utilization
+FROM b"""
+
+
 BUILDERS = {
     "docs_split_assign": docs_split_assign,
     "docs_pack_bins": docs_pack_bins,
@@ -264,4 +287,5 @@ BUILDERS = {
     "docs_length_histogram": docs_length_histogram,
     "docs_source_mix": docs_source_mix,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_pack_efficiency": docs_pack_efficiency,
 }

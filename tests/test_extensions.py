@@ -239,3 +239,22 @@ SELECT
 FROM (SELECT hv, count(*) AS c FROM sh GROUP BY hv)""").fetchone()
     assert unguarded > 3 * (82 * 81 // 2)  # boilerplate alone is quadratic
     assert guarded < 200                   # guard keeps candidates bounded
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-bucket LSH
+    candidates (the probe list contains the query's own bucket), so
+    per-query recall against the brute-force top-k must never drop."""
+    bf = {(r.query_id, r.neighbor_id)
+          for r in spark.sql(similarity.knn_bruteforce(SPARK)).collect()}
+    single = {(r.query_id, r.neighbor_id)
+              for r in spark.sql(similarity.knn_lsh(SPARK)).collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in spark.sql(similarity.knn_multiprobe(SPARK)).collect()}
+    qids = {q for q, _ in bf}
+    for q in qids:
+        hits_single = len({n for qq, n in single if qq == q}
+                          & {n for qq, n in bf if qq == q})
+        hits_multi = len({n for qq, n in multi if qq == q}
+                         & {n for qq, n in bf if qq == q})
+        assert hits_multi >= hits_single
