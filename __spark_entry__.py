@@ -223,6 +223,8 @@ _PARKED_TAIL = (
                            # green row; DF twin bit-matched by pytest
     "docs_top_quality",    # top-k ranking shape; covered in-cap by
     "events_user_topk",    # text_vocab_topk + the knn ranked top-k family
+    "text_lang_confusion", # new in r2; all 50 slots were allocated —
+                           # verified in CORRECTNESS_FULL.json + pytest
     "view_underutil_ebs_no_tags",
     "view_idle_elb_no_tags",
     "view_rds_idle_no_tags",

@@ -264,6 +264,19 @@ FROM e JOIN vf ON vf.tok = e.tok
 GROUP BY e.doc_id"""
 
 
+def text_lang_confusion(d: Dialect) -> str:
+    """Language-ID evaluation: the (actual x predicted) confusion
+    matrix over :func:`text_lang_id` — the acceptance report for any
+    classifier heuristic before it gates a corpus. Languages-sized
+    output; one map-side-combining aggregate over the scored docs."""
+    base = text_lang_id(d)
+    return f"""WITH p AS (
+{base}
+)
+SELECT lang_actual, lang_pred, cast(count(*) as bigint) AS n_docs
+FROM p GROUP BY lang_actual, lang_pred"""
+
+
 BUILDERS = {
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
@@ -274,4 +287,5 @@ BUILDERS = {
     "docs_top_quality": docs_top_quality,
     "docs_rejected": docs_rejected,
     "text_commonness_score": text_commonness_score,
+    "text_lang_confusion": text_lang_confusion,
 }
