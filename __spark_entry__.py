@@ -217,6 +217,8 @@ def _view_query(name: str, with_tags: bool | None):
 # with-tags parent row is green (same plan minus the broadcast join).
 # All remain fully verified in CORRECTNESS_FULL.json / pytest.
 _PARKED_TAIL = (
+    "docs_rejected",         # complement row of in-cap docs_quality_gate
+    "docs_pack_efficiency",  # bins-rollup of in-cap docs_pack_bins
     "view_low_util_ec2_no_tags",
     "dedup_exact_groups",  # keeper semantics stay in-cap via dedup_exact_flags
     "knn_bruteforce",      # its SQL is embedded verbatim in knn_recall_at_k's

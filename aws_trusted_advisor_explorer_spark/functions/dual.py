@@ -131,6 +131,28 @@ class Dialect:
                 f"i -> {comb})")
         return f"list_transform([{th}], th -> {body})[1]"
 
+    def struct_(self, *pairs: tuple[str, str]) -> str:
+        """Inline struct literal from (field_name, expr) pairs."""
+        if self.name == "spark":
+            return ("named_struct(" +
+                    ", ".join(f"'{n}', {e}" for n, e in pairs) + ")")
+        return ("struct_pack(" +
+                ", ".join(f"{n} := {e}" for n, e in pairs) + ")")
+
+    def ordered_concat(self, val: str, order: str, sep: str = " ") -> str:
+        """Order-deterministic string aggregation (GROUP BY context):
+        concatenate ``val`` in ascending ``order``. DuckDB has ordered
+        string_agg; Spark's collect_list is order-nondeterministic, so
+        the Spark form sorts (order, val) structs first — array_sort on
+        structs compares fields left-to-right, and ``order`` is unique
+        per group wherever this is used, so both engines emit identical
+        strings."""
+        if self.name == "spark":
+            pair = self.struct_(("o", order), ("v", val))
+            return (f"array_join(transform(array_sort(collect_list({pair})), "
+                    f"s -> s.v), '{sep}')")
+        return f"string_agg({val}, '{sep}' ORDER BY {order})"
+
     def json_str(self, c: str, path: str) -> str:
         """Extract a JSON field as string (NULL on missing/invalid).
         ``path`` is a ``$.key`` JSONPath, identical in both engines."""

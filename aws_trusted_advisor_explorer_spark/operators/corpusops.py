@@ -278,6 +278,70 @@ SELECT cast(count(*) as bigint) AS n_bins,
 FROM b"""
 
 
+BLOCK_N = 4       # tokens per non-overlapping block
+BLOCK_MAX_DF = 4  # keep blocks seen in <= this many distinct docs
+
+
+def docs_block_dedup(d: Dialect) -> str:
+    """Sub-document boilerplate removal (CCNet/C4-style line dedup):
+    segment each document into non-overlapping {BLOCK_N}-token blocks,
+    compute each block's corpus-wide document frequency, drop blocks
+    appearing in more than {BLOCK_MAX_DF} distinct documents (shared
+    boilerplate), and reassemble the surviving blocks in original
+    order. On a real corpus the segmenter is a newline/sentence split;
+    the synthetic ``documents`` fixture has no line structure, so the
+    fixed-width token block stands in — the dedup machinery (global DF
+    over segment hashes, filter, ordered reassembly) is identical.
+
+    Scale posture: segments join on a 64-bit polynomial hash of the
+    block — the DF dimension and both shuffles are keyed on bigints,
+    never on text (same rule as the exact-dedup operators). Reassembly
+    is a per-doc groupBy whose Spark-side ordering is explicit
+    (array_sort over (block_no, text) structs — Dialect.ordered_concat),
+    not collect_list order. The segment CTE is evaluated twice (DF pass
+    + join pass); at 100 TB you land it once (localCheckpoint /
+    parquet) exactly like the shingle view the MinHash family shares.
+    """
+    toks = d.tokens("text")
+    n = BLOCK_N
+    if d.name == "spark":
+        nb = f"cast(ceil(size(toks) / {n}.0) as int)"
+        # sequence(1, 0) DESCENDS in Spark — build >=1 slot, slice to nb
+        idx = f"slice(sequence(1, greatest({nb}, 1)), 1, {nb})"
+        blk = f"concat_ws(' ', slice(toks, (i - 1) * {n} + 1, {n}))"
+    else:
+        nb = f"cast(ceil(len(toks) / {n}.0) as int)"
+        idx = f"range(1, {nb} + 1)"
+        blk = (f"array_to_string(list_slice(toks, (i - 1) * {n} + 1, "
+               f"(i - 1) * {n} + {n}), ' ')")
+    return f"""WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, block_no, blk, {d.poly_hash('blk')} AS hv FROM (
+    SELECT doc_id, i AS block_no, {blk} AS blk FROM (
+      SELECT doc_id, toks, {d.explode(idx)} AS i FROM t
+    ) x
+  ) y
+),
+f AS (SELECT hv, count(DISTINCT doc_id) AS df FROM b GROUP BY hv),
+k AS (
+  SELECT b.doc_id, b.block_no, b.blk
+  FROM b JOIN f ON f.hv = b.hv
+  WHERE f.df <= {BLOCK_MAX_DF}
+),
+agg AS (
+  SELECT doc_id AS agg_doc_id, count(*) AS n_kept,
+    {d.ordered_concat('blk', 'block_no')} AS clean_text
+  FROM k GROUP BY doc_id
+)
+SELECT t.doc_id,
+  cast({nb.replace('toks', 't.toks')} as bigint) AS n_blocks,
+  cast(coalesce(agg.n_kept, 0) as bigint) AS n_kept_blocks,
+  coalesce(agg.clean_text, '') AS clean_text
+FROM t LEFT JOIN agg ON agg.agg_doc_id = t.doc_id"""
+
+
 BUILDERS = {
     "docs_split_assign": docs_split_assign,
     "docs_pack_bins": docs_pack_bins,
@@ -288,4 +352,5 @@ BUILDERS = {
     "docs_source_mix": docs_source_mix,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_pack_efficiency": docs_pack_efficiency,
+    "docs_block_dedup": docs_block_dedup,
 }

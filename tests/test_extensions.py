@@ -258,3 +258,21 @@ def test_multiprobe_recall_dominates_single_probe(spark):
         hits_multi = len({n for qq, n in multi if qq == q}
                          & {n for qq, n in bf if qq == q})
         assert hits_multi >= hits_single
+
+
+def test_block_dedup_reassembly_and_df_threshold(spark):
+    """docs_block_dedup invariants the oracle hash can't state on its
+    own: (a) a document that lost no blocks reassembles to its exact
+    original text (the fixture text is already single-space-joined
+    lowercase tokens, so lossless reassembly is observable); (b) some
+    documents DO lose blocks at sf0.001 (the op is not the identity);
+    (c) kept counts never exceed block counts."""
+    rows = spark.sql(corpusops.docs_block_dedup(SPARK)).collect()
+    docs = {r.doc_id: r for r in spark.table("documents").collect()}
+    assert rows
+    dropped = [r for r in rows if r.n_kept_blocks < r.n_blocks]
+    assert dropped, "threshold never fired — fixture/parameter drift"
+    for r in rows:
+        assert r.n_kept_blocks <= r.n_blocks
+        if r.n_kept_blocks == r.n_blocks:
+            assert r.clean_text == docs[r.doc_id].text
