@@ -219,6 +219,8 @@ def _view_query(name: str, with_tags: bool | None):
 _PARKED_TAIL = (
     "docs_rejected",         # complement row of in-cap docs_quality_gate
     "docs_pack_efficiency",  # bins-rollup of in-cap docs_pack_bins
+    "docs_length_histogram", # same banding-aggregate shape as in-cap
+                             # docs_source_mix
     "view_low_util_ec2_no_tags",
     "dedup_exact_groups",  # keeper semantics stay in-cap via dedup_exact_flags
     "knn_bruteforce",      # its SQL is embedded verbatim in knn_recall_at_k's
@@ -251,7 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key, build in _ext_builders().items():
         q[key] = _ext_query(build)
     q["media_byte_stats"] = _media_byte_stats_query
-    for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
+                "dedup_containment", "dedup_simhash",
                 "docs_dedup_rate_by_source"):
         q[key] = _shingle_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")

@@ -131,6 +131,11 @@ class Dialect:
                 f"i -> {comb})")
         return f"list_transform([{th}], th -> {body})[1]"
 
+    def idiv(self, a: str, b: str) -> str:
+        """Integer division on bigints (both engines' ``/`` on integers
+        yields double)."""
+        return f"({a} div {b})" if self.name == "spark" else f"({a} // {b})"
+
     def struct_(self, *pairs: tuple[str, str]) -> str:
         """Inline struct literal from (field_name, expr) pairs."""
         if self.name == "spark":

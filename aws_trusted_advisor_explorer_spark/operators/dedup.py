@@ -231,6 +231,43 @@ FROM common
 WHERE cast(n_common as double) / (na + nb - n_common) >= {JACCARD_THRESHOLD}"""
 
 
+CONTAIN_THRESHOLD = 0.8  # min |A∩B| / min(|A|,|B|) to report a pair
+
+
+def dedup_containment(d: Dialect, base: str | None = None) -> str:
+    """Asymmetric shingle containment: pairs where the SMALLER document's
+    shingle set is mostly inside the larger one's —
+    ``containment = |S_A ∩ S_B| / min(|S_A|, |S_B|)``. Catches
+    quote/excerpt/subset duplication that symmetric Jaccard misses when
+    sizes differ (a doc fully embedded in one 10x its size has Jaccard
+    ~0.1 but containment 1.0). Both directional ratios are emitted so
+    the consumer can tell which side is the fragment.
+
+    Same candidate machinery and hot-shingle guard as
+    :func:`dedup_ngram_jaccard` (shared-shingle equi-join over
+    DF-capped shingle hashes); only the verify arithmetic differs, so
+    the two queries share the materialized shingle view at scale."""
+    return f"""{_shingle_cte(d, base)},
+keep AS (
+  SELECT hv FROM sh GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}
+),
+fs AS (SELECT s.doc_id, s.hv FROM sh s JOIN keep k ON k.hv = s.hv),
+fs2 AS (SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n FROM fs),
+common AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_common,
+    max(a.n) AS na, max(b.n) AS nb
+  FROM fs2 a JOIN fs2 b ON a.hv = b.hv AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT ia AS doc_a, ib AS doc_b,
+  cast(n_common as bigint) AS n_common,
+  cast(n_common as double) / na AS contain_a_in_b,
+  cast(n_common as double) / nb AS contain_b_in_a
+FROM common
+WHERE cast(n_common as double) /
+      (CASE WHEN na < nb THEN na ELSE nb END) >= {CONTAIN_THRESHOLD}"""
+
+
 def dedup_simhash(d: Dialect, base: str | None = None) -> str:
     """28-bit frequency-weighted SimHash (Charikar) over 3-gram shingle
     hashes — shingle weighting keeps the bits decorrelated where a
@@ -452,6 +489,7 @@ BUILDERS = {
     "dedup_exact_flags": dedup_exact_flags,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "docs_dedup_rate_by_source": docs_dedup_rate_by_source,

@@ -264,6 +264,49 @@ FROM e JOIN vf ON vf.tok = e.tok
 GROUP BY e.doc_id"""
 
 
+TFIDF_TOP_K = 5
+
+
+def text_tfidf_topk(d: Dialect) -> str:
+    """Per-document top-{TFIDF_TOP_K} keywords by TF-IDF. The idf is
+    integer-scaled — ``idf_milli = (n_docs * 1000) div df`` — instead
+    of ``ln(N/df)``: transcendental libm results are not guaranteed
+    bit-identical across engines, and the integer form preserves the
+    ranking property that matters (monotone in tf, antitone in df)
+    while making every score an exact bigint (same rule as the
+    histogram's integer banding). Ties break on term ascending, so the
+    top-k set is fully deterministic.
+
+    Scale posture: tf is one (doc_id, term) map-side-combining
+    aggregate; df aggregates the tf relation (already one row per
+    (doc, term)) — never the raw token stream twice; the df join is a
+    vocab-sized dimension (broadcast at heavy-hitter scale, AQE-picked
+    here); the top-k is a row_number window partitioned by doc_id —
+    distributed per-doc, no global sort."""
+    toks = d.tokens("text")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+e AS (SELECT doc_id, {d.explode('toks')} AS term FROM t),
+tf AS (
+  SELECT doc_id, term, cast(count(*) as bigint) AS tf
+  FROM e GROUP BY doc_id, term
+),
+df AS (SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY term),
+n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    tf.tf * {d.idiv('(SELECT n_docs FROM n) * 1000', 'df.df')} AS score
+  FROM tf JOIN df ON df.term = tf.term
+),
+r AS (
+  SELECT doc_id, term, tf, df, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM s
+)
+SELECT doc_id, term, tf, df, cast(score as bigint) AS score,
+  cast(rk as bigint) AS rk
+FROM r WHERE rk <= {TFIDF_TOP_K}"""
+
+
 def text_lang_confusion(d: Dialect) -> str:
     """Language-ID evaluation: the (actual x predicted) confusion
     matrix over :func:`text_lang_id` — the acceptance report for any
@@ -288,4 +331,5 @@ BUILDERS = {
     "docs_rejected": docs_rejected,
     "text_commonness_score": text_commonness_score,
     "text_lang_confusion": text_lang_confusion,
+    "text_tfidf_topk": text_tfidf_topk,
 }

@@ -276,3 +276,53 @@ def test_block_dedup_reassembly_and_df_threshold(spark):
         assert r.n_kept_blocks <= r.n_blocks
         if r.n_kept_blocks == r.n_blocks:
             assert r.clean_text == docs[r.doc_id].text
+
+
+def test_tfidf_topk_ranks_are_dense_and_monotone(spark):
+    """Per doc: ranks are exactly 1..k, scores non-increasing in rank,
+    and every score equals tf * ((N*1000) div df) recomputed from the
+    row's own tf/df — the ranking is auditable from its inputs."""
+    rows = spark.sql(textops.text_tfidf_topk(SPARK)).collect()
+    n_docs = spark.table("documents").count()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.score == r.tf * ((n_docs * 1000) // r.df)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.score >= b.score for a, b in zip(rs, rs[1:]))
+
+
+def test_containment_catches_fragment_jaccard_misses(spark):
+    """Planted asymmetry: doc 1 is a 10-shingle fragment fully embedded
+    in doc 2 (10x longer). Jaccard ~0.1 stays under its 0.5 threshold
+    — the pair must be ABSENT from dedup_ngram_jaccard — while
+    containment is 1.0 and must be reported with the fragment side
+    identified. Spark and DuckDB must agree on the rows."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    frag = " ".join(f"frag{i}" for i in range(12))  # 10 distinct 3-shingles
+    filler = " ".join(f"pad{i}" for i in range(110))
+    rows = [(1, frag), (2, f"{frag} {filler}"), (3, "unrelated words only here")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(dedup.dedup_containment(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.dedup_containment(DUCK)).df())
+    assert sdf.equals(ddf)
+    assert len(ddf) == 1
+    row = ddf.iloc[0]
+    assert (row["doc_a"], row["doc_b"]) == ("1", "2") or \
+           (int(row["doc_a"]), int(row["doc_b"])) == (1, 2)
+    assert float(row["contain_a_in_b"]) == 1.0  # the fragment is doc_a
+    assert float(row["contain_b_in_a"]) < 0.5
+    jac = canonicalize(con.sql(dedup.dedup_ngram_jaccard(DUCK)).df())
+    assert len(jac) == 0                      # Jaccard misses the pair
