@@ -43,6 +43,18 @@ COSINE_DUP_THRESHOLD = 0.4
 # Jaccard is defined over the surviving (informative) shingles. Part of
 # the operator's semantics — the DuckDB oracle applies the same cap.
 NGRAM_DF_CAP = 64
+# hot-band guard for the LSH candidate self-join: a band bucket holding
+# k docs emits k*(k-1)/2 pairwise candidates, so one boilerplate bucket
+# with 1M members is a job-killer (the skew AQE can split but not
+# shrink). Buckets larger than this cap switch to STAR candidates —
+# every member paired with the bucket's min doc_id — which is O(k) and
+# preserves the connected components dedup_clusters builds from these
+# pairs (all members stay reachable through the hub; hub pairs of a
+# genuinely-near-dup bucket pass the Jaccard verify). Individual
+# non-hub pairs inside an over-cap bucket are reported only if another
+# (small) band also catches them — documented recall trade, mirrored in
+# the DuckDB oracle (same template).
+BAND_CAP = 32
 
 
 def shingle_hash_sql(d: Dialect) -> str:
@@ -163,6 +175,8 @@ def dedup_minhash_lsh(d: Dialect, base: str | None = None) -> str:
     Plan shape: the band index is EMBEDDED in the signature string and
     generated by one explode — a UNION-per-band would make Spark
     re-evaluate the whole minhash pipeline once per band (CTEs inline).
+    Band buckets larger than BAND_CAP emit STAR candidates (hub =
+    bucket min doc_id) instead of all pairs — see the BAND_CAP note.
     """
     params = minhash_params(N_PERM)
     mins = ",\n    ".join(
@@ -187,10 +201,22 @@ mh AS (
 bands AS (
   SELECT doc_id, {d.explode(band_arr)} AS band_sig FROM mh
 ),
+bs AS (
+  SELECT band_sig, count(*) AS bn, min(doc_id) AS hub
+  FROM bands GROUP BY band_sig
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-  FROM bands a JOIN bands b
-    ON a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  SELECT DISTINCT ia, ib FROM (
+    SELECT a.doc_id AS ia, b.doc_id AS ib
+    FROM bands a
+    JOIN bs ON bs.band_sig = a.band_sig AND bs.bn <= {BAND_CAP}
+    JOIN bands b ON b.band_sig = a.band_sig AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT bs.hub AS ia, x.doc_id AS ib
+    FROM bands x
+    JOIN bs ON bs.band_sig = x.band_sig AND bs.bn > {BAND_CAP}
+    WHERE x.doc_id <> bs.hub
+  ) u
 ),
 common AS (
   SELECT c.ia, c.ib, count(*) AS n_common, max(a.n) AS na, max(b.n) AS nb

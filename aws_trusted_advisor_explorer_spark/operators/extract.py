@@ -109,3 +109,4 @@ def work_list(types_df: DataFrame, regions_df: DataFrame) -> DataFrame:
     (get-tags-lambda.py:66-87). In Spark the Step Functions Map state
     becomes plain task parallelism over this DataFrame."""
     return types_df.crossJoin(regions_df)
+

@@ -326,3 +326,40 @@ def test_containment_catches_fragment_jaccard_misses(spark):
     assert float(row["contain_b_in_a"]) < 0.5
     jac = canonicalize(con.sql(dedup.dedup_ngram_jaccard(DUCK)).df())
     assert len(jac) == 0                      # Jaccard misses the pair
+
+
+def test_lsh_hot_band_cap_star_candidates(spark):
+    """Planted hot bucket: 40 copies of one boilerplate doc share all 4
+    band signatures, so every band bucket holds 40 > BAND_CAP members.
+    Without the guard the candidate join emits 40*39/2 = 780 pairs; the
+    star guard must emit exactly the 39 hub pairs (hub = min doc_id),
+    Spark and DuckDB must agree row-for-row, and the component the
+    pairs induce must keep all 40 docs in ONE cluster (the property the
+    star shape is designed to preserve)."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    boiler = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, boiler) for i in range(1, 41)]
+    rows += [(100, "completely different words live here"),
+             (101, "another unrelated document body")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(dedup.dedup_minhash_lsh(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.dedup_minhash_lsh(DUCK)).df())
+    assert sdf.equals(ddf)
+    assert len(ddf) == 39  # star, not the 780 all-pairs explosion
+    assert set(ddf["doc_a"].astype(int)) == {1}  # hub = min doc_id
+    assert set(ddf["doc_b"].astype(int)) == set(range(2, 41))
+
+    clusters = {int(r.doc_id): int(r.cluster_id)
+                for r in dedup.dedup_clusters_df(ns).collect()}
+    assert {clusters[i] for i in range(1, 41)} == {1}  # one component
+
