@@ -95,12 +95,13 @@ def _prepare_ext(spark: SparkSession, sf_dir: str) -> None:
 
 def _ext_builders() -> dict:
     from aws_trusted_advisor_explorer_spark.operators import (
-        corpusops, dedup, eventops, masking, multimodal, similarity, textops,
+        clusterops, corpusops, dedup, eventops, masking, multimodal,
+        similarity, textops,
     )
 
     out = {}
     for mod in (textops, dedup, similarity, eventops, multimodal, masking,
-                corpusops):
+                corpusops, clusterops):
         out.update(mod.BUILDERS)
     return out
 
@@ -218,7 +219,19 @@ def _view_query(name: str, with_tags: bool | None):
 # All remain fully verified in CORRECTNESS_FULL.json / pytest.
 _PARKED_TAIL = (
     "docs_rejected",         # complement row of in-cap docs_quality_gate
+    "docs_decontaminated",   # anti-join complement of in-cap
+                             # docs_contamination (same shingle probe)
     "docs_pack_efficiency",  # bins-rollup of in-cap docs_pack_bins
+    "kmeans_report",         # per-cluster rollup of in-cap kmeans_assign
+    "knn_lsh",               # its SQL is embedded verbatim in in-cap
+                             # knn_recall_at_k; DF twin pytest-bit-matched
+    "text_vocab_topk",       # top-k ranking shape stays in-cap via
+                             # text_tfidf_topk + the knn ranked family
+    "events_sliding_window", # hopping twin of in-cap events_hourly_by_type;
+                             # stream==batch pytest-verified
+    "dedup_exact_normalized", # 0 rows at driver SF (no planted variants);
+                              # planted-fixture pytest is the evidence
+    "media_dedup_exact",      # same: 0 rows at driver SF, planted pytest
     "docs_length_histogram", # same banding-aggregate shape as in-cap
                              # docs_source_mix
     "view_low_util_ec2_no_tags",
@@ -255,7 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_byte_stats"] = _media_byte_stats_query
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                 "dedup_containment", "dedup_simhash",
-                "docs_dedup_rate_by_source"):
+                "dedup_incremental", "docs_dedup_rate_by_source"):
         q[key] = _shingle_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")

@@ -131,6 +131,20 @@ class Dialect:
                 f"i -> {comb})")
         return f"list_transform([{th}], th -> {body})[1]"
 
+    def re_replace(self, c: str, pat: str, rep: str) -> str:
+        """Replace ALL matches of ``pat`` — Spark's 3-arg form is
+        global already; DuckDB needs the explicit 'g' flag."""
+        if self.name == "spark":
+            return f"regexp_replace({c}, '{pat}', '{rep}')"
+        return f"regexp_replace({c}, '{pat}', '{rep}', 'g')"
+
+    def split(self, c: str, sep: str) -> str:
+        """Split on a literal separator (Spark's split takes a regex —
+        callers must pass regex-safe separators)."""
+        if self.name == "spark":
+            return f"split({c}, '{sep}')"
+        return f"string_split({c}, '{sep}')"
+
     def idiv(self, a: str, b: str) -> str:
         """Integer division on bigints (both engines' ``/`` on integers
         yields double)."""

@@ -294,6 +294,87 @@ WHERE cast(n_common as double) /
       (CASE WHEN na < nb THEN na ELSE nb END) >= {CONTAIN_THRESHOLD}"""
 
 
+def dedup_exact_normalized(d: Dialect) -> str:
+    """Exact dedup AFTER text normalization (lowercase, non-alnum →
+    single space, trim): catches the case/punctuation/whitespace
+    variants that byte-exact dedup misses — the standard first rung of
+    the near-dup ladder (cheaper than MinHash, linear like exact).
+    Same scale shape as :func:`dedup_exact_groups`: the exchange key is
+    the 128-bit hash of the NORMALIZED text, never the text itself.
+    One row per normalized-duplicate group; ``n_raw_variants`` counts
+    distinct raw texts inside the group (1 means plain exact dup,
+    >1 means normalization did real work)."""
+    norm = f"trim({d.re_replace('lower(text)', '[^a-z0-9]+', ' ')})"
+    return f"""WITH k AS (
+  SELECT doc_id, md5({norm}) AS norm_key, md5(text) AS raw_key
+  FROM documents
+)
+SELECT norm_key, min(doc_id) AS keeper_id,
+  cast(count(*) as bigint) AS n_copies,
+  cast(count(DISTINCT raw_key) as bigint) AS n_raw_variants
+FROM k GROUP BY norm_key HAVING count(*) > 1"""
+
+
+INCREMENTAL_BATCH_SOURCE = "src0"  # the "incoming crawl" slice in tests
+
+
+def dedup_incremental(d: Dialect, base: str | None = None) -> str:
+    """Incremental (batch-vs-corpus) dedup: each document of the
+    incoming batch (``source = '{INCREMENTAL_BATCH_SOURCE}'``) gets a
+    verdict against the EXISTING corpus (every other source) —
+    ``exact_dup`` (content hash already present), ``near_dup``
+    (a Jaccard-verified MinHash pair links it to a corpus doc), or
+    ``new`` — plus the smallest matching corpus doc_id. This is the
+    operation a continuously-ingesting pipeline actually runs: dedup
+    the day's crawl against 100 TB WITHOUT re-deduping the 100 TB.
+
+    Scale posture: the corpus side's md5 keys and MinHash band
+    signatures are a precomputed, persisted index in a real deployment
+    — only the (small) batch computes signatures fresh, and both
+    probe joins broadcast the batch side, so the corpus is never
+    reshuffled. This template recomputes both sides (test scale); the
+    join/verdict shape is identical. Near-dup candidates reuse
+    :func:`dedup_minhash_lsh` (band join + Jaccard verify + hot-band
+    star guard) so the two operators share one signature pipeline."""
+    pairs = dedup_minhash_lsh(d, base)
+    return f"""WITH mh_pairs AS (
+{pairs}
+),
+batch AS (
+  SELECT doc_id, md5(text) AS ck FROM documents
+  WHERE source = '{INCREMENTAL_BATCH_SOURCE}'
+),
+corpus AS (
+  SELECT doc_id, md5(text) AS ck FROM documents
+  WHERE source <> '{INCREMENTAL_BATCH_SOURCE}'
+),
+exact AS (
+  SELECT b.doc_id, min(c.doc_id) AS match_id
+  FROM batch b JOIN corpus c ON c.ck = b.ck
+  GROUP BY b.doc_id
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+near AS (
+  SELECT s.a AS doc_id, min(s.b) AS match_id
+  FROM sym s
+  JOIN batch bb ON bb.doc_id = s.a
+  JOIN corpus cc ON cc.doc_id = s.b
+  GROUP BY s.a
+)
+SELECT b.doc_id,
+  CASE WHEN e.match_id IS NOT NULL THEN 'exact_dup'
+       WHEN n.match_id IS NOT NULL THEN 'near_dup'
+       ELSE 'new' END AS verdict,
+  coalesce(e.match_id, n.match_id) AS matched_doc
+FROM batch b
+LEFT JOIN exact e ON e.doc_id = b.doc_id
+LEFT JOIN near n ON n.doc_id = b.doc_id"""
+
+
 def dedup_simhash(d: Dialect, base: str | None = None) -> str:
     """28-bit frequency-weighted SimHash (Charikar) over 3-gram shingle
     hashes — shingle weighting keeps the bits decorrelated where a
@@ -513,6 +594,8 @@ GROUP BY s.source"""
 BUILDERS = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_exact_flags": dedup_exact_flags,
+    "dedup_exact_normalized": dedup_exact_normalized,
+    "dedup_incremental": dedup_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,

@@ -146,6 +146,25 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list:
         "this environment; wire a Pandas-UDF like _byte_stats_batches")
 
 
+def media_dedup_exact(d: Dialect) -> str:
+    """Exact media dedup by payload checksum: one row per duplicated
+    binary payload, with keeper = min doc_id and the count of DISTINCT
+    media_type labels sharing those bytes (``n_types > 1`` flags "same
+    bytes ingested under different modalities" — a real corpus-hygiene
+    signal). The shuffle key is the 128-bit checksum, never the
+    payload; at 100 TB the checksum is computed once at ingest and
+    stored as asset metadata, making this a metadata-only groupBy."""
+    return f"""WITH m AS (
+  SELECT doc_id, md5(text) AS checksum, {MEDIA_TYPE_CASE} AS media_type
+  FROM documents
+)
+SELECT checksum, min(doc_id) AS keeper_id,
+  cast(count(*) as bigint) AS n_copies,
+  cast(count(DISTINCT media_type) as bigint) AS n_types
+FROM m GROUP BY checksum HAVING count(*) > 1"""
+
+
 BUILDERS = {
     "media_inventory": media_inventory,
+    "media_dedup_exact": media_dedup_exact,
 }

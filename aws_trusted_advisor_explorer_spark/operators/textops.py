@@ -307,6 +307,43 @@ SELECT doc_id, term, tf, df, cast(score as bigint) AS score,
 FROM r WHERE rk <= {TFIDF_TOP_K}"""
 
 
+def text_bigram_surprise(d: Dialect) -> str:
+    """Bigram language-model surprise score — the cheap statistical
+    stand-in for perplexity-based quality filtering (the next rung
+    above :func:`text_commonness_score`'s unigram model). For each
+    bigram occurrence (w1, w2), surprise is the inverse conditional
+    probability, integer-scaled for cross-engine exactness:
+    ``surprise_milli = (n(w1·) * 1000) div n(w1 w2)`` where ``n(w1·)``
+    counts all bigrams starting with w1 in the corpus. Per doc:
+    bigram count, total, and mean (bigint / bigint — one double
+    division, deterministic). High mean = text the corpus model finds
+    unpredictable (gibberish or out-of-domain); low = formulaic.
+
+    Scale posture: the occurrence relation is linear in corpus tokens;
+    both count tables aggregate it with map-side combine; the two
+    probe joins are vocab-sized dimensions (broadcast at scale); no
+    windows, no self-join on data."""
+    toks = d.tokens("text")
+    w1 = d.elem(d.split("bigram", " "), "1")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+bg AS (SELECT doc_id, {d.explode(d.shingles('toks', 2))} AS bigram FROM t),
+occ AS (SELECT doc_id, bigram, {w1} AS w1 FROM bg),
+c12 AS (SELECT bigram, cast(count(*) as bigint) AS n12 FROM occ GROUP BY bigram),
+c1 AS (SELECT w1, cast(count(*) as bigint) AS n1 FROM occ GROUP BY w1),
+s AS (
+  SELECT o.doc_id, {d.idiv('(c1.n1 * 1000)', 'c12.n12')} AS surprise_milli
+  FROM occ o
+  JOIN c12 ON c12.bigram = o.bigram
+  JOIN c1 ON c1.w1 = o.w1
+)
+SELECT doc_id,
+  cast(count(*) as bigint) AS n_bigrams,
+  cast(sum(surprise_milli) as bigint) AS total_surprise_milli,
+  cast(sum(surprise_milli) as bigint) / cast(count(*) as bigint)
+    AS mean_surprise_milli
+FROM s GROUP BY doc_id"""
+
+
 def text_lang_confusion(d: Dialect) -> str:
     """Language-ID evaluation: the (actual x predicted) confusion
     matrix over :func:`text_lang_id` — the acceptance report for any
@@ -332,4 +369,5 @@ BUILDERS = {
     "text_commonness_score": text_commonness_score,
     "text_lang_confusion": text_lang_confusion,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_bigram_surprise": text_bigram_surprise,
 }

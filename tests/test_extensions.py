@@ -9,13 +9,14 @@ import pytest
 
 from aws_trusted_advisor_explorer_spark.functions.dual import DUCK, SPARK
 from aws_trusted_advisor_explorer_spark.operators import (
-    corpusops, dedup, eventops, masking, multimodal, similarity, textops,
+    clusterops, corpusops, dedup, eventops, masking, multimodal, similarity,
+    textops,
 )
 from tests.conftest import assert_matches_oracle
 
 ALL_BUILDERS = {}
 for _mod in (textops, dedup, similarity, eventops, multimodal, masking,
-             corpusops):
+             corpusops, clusterops):
     ALL_BUILDERS.update(_mod.BUILDERS)
 
 
@@ -363,3 +364,104 @@ def test_lsh_hot_band_cap_star_candidates(spark):
                 for r in dedup.dedup_clusters_df(ns).collect()}
     assert {clusters[i] for i in range(1, 41)} == {1}  # one component
 
+
+
+def test_kmeans_matches_independent_numpy(spark):
+    """The SQL KMeans must equal a from-scratch numpy replay of the
+    same algorithm (scaled-integer sums, away-from-zero rounding,
+    tie-break on centroid id) — an oracle independent of BOTH SQL
+    engines. Also sanity: every cluster_id is one of the K seeds."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import clusterops as C
+    from tests.conftest import SF_DIR
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+
+    def rnd(x):  # round half away from zero, matching SQL round()
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    cents = V[ids < C.KMEANS_K]
+    for it in range(C.KMEANS_ITERS):
+        terms = rnd((V[:, None, :] - cents[None, :, :]) ** 2 * 1e12)
+        dist = terms.astype(np.int64).sum(axis=2)
+        labels = dist.argmin(axis=1)  # first min = lowest cid on ties
+        chosen = dist[np.arange(len(V)), labels]
+        if it < C.KMEANS_ITERS - 1:
+            new = []
+            for k in range(C.KMEANS_K):
+                members = V[labels == k]
+                sv = rnd(members * 1e9).astype(np.int64).sum(axis=0)
+                new.append(sv.astype(np.float64) / (len(members) * 1e9))
+            cents = np.stack(new)
+
+    got = {r.vec_id: (r.cluster_id, r.dist_scaled)
+           for r in spark.sql(C.kmeans_assign(SPARK)).collect()}
+    exp = {int(i): (int(l), int(c)) for i, l, c in zip(ids, labels, chosen)}
+    assert got == exp
+
+
+def test_normalized_dedup_catches_case_punct_variants(spark):
+    """Planted variants: same words, different case/punctuation/
+    whitespace. Byte-exact dedup must MISS them; normalized dedup must
+    group all three, report n_raw_variants=3, and Spark==DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    rows = [(1, "Hello, World! This is FINE."),
+            (2, "hello world this is fine"),
+            (3, "  HELLO   world — this is fine?? "),
+            (4, "a different document entirely")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(dedup.dedup_exact_normalized(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.dedup_exact_normalized(DUCK)).df())
+    assert sdf.equals(ddf)
+    assert len(ddf) == 1
+    assert int(ddf.iloc[0]["keeper_id"]) == 1
+    assert int(ddf.iloc[0]["n_copies"]) == 3
+    assert int(ddf.iloc[0]["n_raw_variants"]) == 3
+    exact = con.sql(dedup.dedup_exact_groups(DUCK)).df()
+    assert len(exact) == 0  # byte-exact dedup misses all of it
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Planted batch: one byte-copy of a corpus doc (exact_dup — and
+    exact wins over near), one shingle-near-copy (near_dup), one
+    novel doc (new). Spark==DuckDB row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    corpus_text = " ".join(f"word{i}" for i in range(40))
+    near_text = " ".join(f"word{i}" for i in range(38)) + " tail tweak"
+    rows = [(10, corpus_text, "src5"), (11, "other corpus doc here", "src6"),
+            (20, corpus_text, "src0"),          # exact dup of 10
+            (21, near_text, "src0"),            # near dup of 10
+            (22, "totally novel content words", "src0")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(dedup.dedup_incremental(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.dedup_incremental(DUCK)).df())
+    assert sdf.equals(ddf)
+    got = {int(r.doc_id): (r.verdict,
+                           None if r.matched_doc == "NULL"
+                           else int(float(r.matched_doc)))
+           for r in ddf.itertuples()}
+    assert got == {20: ("exact_dup", 10), 21: ("near_dup", 10),
+                   22: ("new", None)}
