@@ -218,7 +218,13 @@ def _view_query(name: str, with_tags: bool | None):
 # with-tags parent row is green (same plan minus the broadcast join).
 # All remain fully verified in CORRECTNESS_FULL.json / pytest.
 _PARKED_TAIL = (
-    "docs_rejected",         # complement row of in-cap docs_quality_gate
+    "semdedup_prune_report", # per-cluster rollup of in-cap semdedup_pairs
+    "docs_dedup_rate_by_source",  # per-source rollup of in-cap
+                                  # dedup_minhash_lsh pairs
+    "docs_stratified_sample", # same deterministic hash-mod sampler shape
+                              # as in-cap docs_split_assign
+    "docs_quality_gate",     # threshold filter over in-cap text_quality
+    "docs_rejected",         # complement row of the quality gate
     "docs_decontaminated",   # anti-join complement of in-cap
                              # docs_contamination (same shingle probe)
     "docs_pack_efficiency",  # bins-rollup of in-cap docs_pack_bins

@@ -133,7 +133,116 @@ SELECT cluster_id,
 FROM asg GROUP BY cluster_id"""
 
 
+COSINE_SEM_THRESHOLD = 0.4   # == dedup.COSINE_DUP_THRESHOLD (same corpus)
+IVF_TOP_K = 3
+IVF_QUERY_MOD = 100          # == similarity.QUERY_MOD
+
+
+def _member_cte(d: Dialect) -> str:
+    """CTE suffix joining the final KMeans assignment back to the raw
+    vectors with a precomputed L2 norm: ``mv(vec_id, cluster_id,
+    embedding, nrm)``. Reuses :func:`kmeans_assign` verbatim as the
+    assignment subquery so every consumer sees the identical
+    deterministic labeling."""
+    base = kmeans_assign(d)
+    norm = f"sqrt({d.dot('embedding', 'embedding')})"
+    return f"""asg AS (
+{base}
+),
+mv AS (
+  SELECT a.vec_id, a.cluster_id, e.embedding, {norm} AS nrm
+  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+)"""
+
+
+def semdedup_pairs(d: Dialect) -> str:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pairs found by clustering first and comparing
+    cosines ONLY within a cluster — the published fix for embedding
+    dedup's quadratic blow-up. Pairs with cosine >=
+    COSINE_SEM_THRESHOLD, deterministic (cluster, vec_a < vec_b) order.
+
+    vs operators/dedup.dedup_embedding_cosine (label-blocked): the
+    block key here is LEARNED (the KMeans codebook), so it needs no
+    metadata column and the blocks track the actual embedding
+    geometry — this is the shape you run when labels don't exist.
+
+    Scale posture (100 TB): the pair join is an equi-join on
+    cluster_id, so candidate count is Σ|c|² over clusters, never N².
+    In production K grows with N (K ≈ N/5k keeps clusters ~constant
+    size), the codebook is trained on a sample, and assignment is one
+    broadcast-join pass — exactly the kmeans_assign plan. Hot/lopsided
+    clusters (the skew risk) are visible in kmeans_report before the
+    pair join runs; AQE skew-split handles the residue."""
+    cos = f"{d.dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return f"""WITH {_member_cte(d)}
+SELECT a.cluster_id,
+  a.vec_id AS vec_a, b.vec_id AS vec_b,
+  {cos} AS cosine
+FROM mv a JOIN mv b
+  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+WHERE {cos} >= {COSINE_SEM_THRESHOLD}"""
+
+
+def semdedup_prune_report(d: Dialect) -> str:
+    """SemDeDup pruning outcome per cluster: keep the LOWEST vec_id of
+    every above-threshold pair (a vector is dropped iff some
+    lower-id cluster-mate sits within the cosine threshold — the
+    deterministic one-pass rule; transitive chains collapse to their
+    minimum). Output (cluster_id, n_vecs, n_dropped, n_kept) — the
+    acceptance report before shipping the pruned corpus."""
+    pairs = semdedup_pairs(d)
+    return f"""WITH pr AS (
+{pairs}
+),
+drops AS (SELECT DISTINCT vec_b AS vec_id FROM pr),
+base AS (
+  SELECT a.cluster_id, a.vec_id,
+    CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+  FROM ({kmeans_assign(d)}) a
+  LEFT JOIN drops dr ON dr.vec_id = a.vec_id
+)
+SELECT cluster_id,
+  cast(count(*) as bigint) AS n_vecs,
+  cast(sum(dropped) as bigint) AS n_dropped,
+  cast(count(*) - sum(dropped) as bigint) AS n_kept
+FROM base GROUP BY cluster_id"""
+
+
+def knn_ivf_kmeans(d: Dialect) -> str:
+    """IVF top-k with a LEARNED coarse quantizer: the KMeans codebook
+    (kmeans_assign) replaces similarity.knn_ivf's sign-LSH planes as
+    the partitioner — the FAISS IVFFlat shape. Queries (vec_id %
+    IVF_QUERY_MOD = 0) probe exactly their own cell; candidates are
+    the co-assigned corpus vectors; exact cosine rank within the cell.
+
+    Scale posture (100 TB): identical to similarity.knn_ivf_df's
+    partition-pruned layout — write the corpus partitioned BY
+    cluster_id and a probe touches 1/K of the data; the codebook
+    (K×DIM doubles) broadcasts everywhere. Learned cells track data
+    density, so cell populations are far more even than hash buckets
+    on clustered data — better tail latency than LSH at equal K."""
+    cos = f"{d.dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    return f"""WITH {_member_cte(d)},
+q AS (SELECT * FROM mv WHERE vec_id % {IVF_QUERY_MOD} = 0),
+c AS (SELECT * FROM mv WHERE vec_id % {IVF_QUERY_MOD} <> 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM q JOIN c ON q.cluster_id = c.cluster_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {IVF_TOP_K}"""
+
+
 BUILDERS = {
     "kmeans_assign": kmeans_assign,
     "kmeans_report": kmeans_report,
+    "semdedup_pairs": semdedup_pairs,
+    "semdedup_prune_report": semdedup_prune_report,
+    "knn_ivf_kmeans": knn_ivf_kmeans,
 }

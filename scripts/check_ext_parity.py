@@ -17,7 +17,8 @@ sys.path.insert(0, "/root/repo")
 
 from aws_trusted_advisor_explorer_spark.functions.dual import SPARK, DUCK
 from aws_trusted_advisor_explorer_spark.operators import (
-    dedup, eventops, masking, multimodal, similarity, textops,
+    clusterops, corpusops, dedup, eventops, masking, multimodal,
+    similarity, textops,
 )
 from aws_trusted_advisor_explorer_spark.session import get_spark, load_tables
 
@@ -41,7 +42,8 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     builders = {}
-    for mod in (textops, dedup, similarity, eventops, multimodal, masking):
+    for mod in (textops, dedup, similarity, eventops, multimodal, masking,
+                corpusops, clusterops):
         builders.update(mod.BUILDERS)
 
     failures = []

@@ -465,3 +465,97 @@ def test_incremental_dedup_verdicts(spark):
            for r in ddf.itertuples()}
     assert got == {20: ("exact_dup", 10), 21: ("near_dup", 10),
                    22: ("new", None)}
+
+
+def test_semdedup_pairs_cluster_blocked_and_report_consistent(spark):
+    """Every SemDeDup pair must be co-assigned by kmeans_assign (the
+    blocker really is the learned codebook), every reported drop must
+    be the HIGHER id of some flagged pair, and the per-cluster report
+    must reconcile exactly with the pair list and the assignment."""
+    from collections import Counter
+
+    from aws_trusted_advisor_explorer_spark.operators import clusterops as C
+
+    asg = {r.vec_id: r.cluster_id
+           for r in spark.sql(C.kmeans_assign(SPARK)).collect()}
+    pairs = spark.sql(C.semdedup_pairs(SPARK)).collect()
+    assert pairs, "fixture SF should plant at least one semantic pair"
+    for p in pairs:
+        assert p.vec_a < p.vec_b
+        assert asg[p.vec_a] == asg[p.vec_b] == p.cluster_id
+        assert p.cosine >= C.COSINE_SEM_THRESHOLD
+
+    drops = {p.vec_b for p in pairs}
+    report = spark.sql(C.semdedup_prune_report(SPARK)).collect()
+    pop = Counter(asg.values())
+    dropped_by_cluster = Counter(asg[v] for v in drops)
+    assert {r.cluster_id: r.n_vecs for r in report} == dict(pop)
+    for r in report:
+        assert r.n_dropped == dropped_by_cluster.get(r.cluster_id, 0)
+        assert r.n_kept == r.n_vecs - r.n_dropped
+
+
+def test_knn_ivf_kmeans_cell_semantics(spark):
+    """IVFFlat invariants: every neighbor shares the query's learned
+    cell; ranks are dense 1..k'; within a query cosines are
+    non-increasing; and any brute-force top-k neighbor that happens to
+    share the query's cell MUST be found (the cell is searched
+    exactly)."""
+    from collections import defaultdict
+
+    from aws_trusted_advisor_explorer_spark.operators import clusterops as C
+    from aws_trusted_advisor_explorer_spark.operators import similarity as S
+
+    asg = {r.vec_id: r.cluster_id
+           for r in spark.sql(C.kmeans_assign(SPARK)).collect()}
+    got = defaultdict(list)
+    for r in spark.sql(C.knn_ivf_kmeans(SPARK)).collect():
+        got[r.query_id].append(r)
+    assert got
+    for qid, rows in got.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a.cosine >= b.cosine
+        for r in rows:
+            assert asg[r.neighbor_id] == asg[qid]
+
+    brute = defaultdict(list)
+    for r in spark.sql(S.knn_bruteforce(SPARK)).collect():
+        brute[r.query_id].append(r.neighbor_id)
+    for qid, nbrs in brute.items():
+        in_cell = [n for n in nbrs if asg[n] == asg[qid]]
+        found = {r.neighbor_id for r in got.get(qid, ())}
+        for n in in_cell[:C.IVF_TOP_K]:
+            assert n in found
+
+
+def test_hourly_anomaly_matches_independent_numpy(spark):
+    """The integer z² rational must equal a from-scratch pandas/numpy
+    replay (exact integer arithmetic, floor division) — an oracle
+    independent of both SQL engines."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops as E
+    from tests.conftest import SF_DIR
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    hourly = (ev.assign(hour=ev["ts"].dt.floor("h"))
+                .groupby(["event_type", "hour"]).size()
+                .rename("n").reset_index())
+    exp = {}
+    for et, g in hourly.groupby("event_type"):
+        h, s, q = len(g), int(g["n"].sum()), int((g["n"] ** 2).sum())
+        den = h * q - s * s
+        if h < E.ANOM_MIN_HOURS or den <= 0:
+            continue
+        for _, row in g.iterrows():
+            num = (int(row["n"]) * h - s) ** 2
+            z2 = (num * E.ANOM_Z2_SCALE) // den
+            if z2 >= E.ANOM_Z2_MIN:
+                exp[(et, row["hour"].to_pydatetime())] = (int(row["n"]), z2)
+
+    got = {(r.event_type, r.hour): (r.n_events, r.z2_scaled_1e4)
+           for r in spark.sql(E.events_hourly_anomaly(SPARK)).collect()}
+    assert got == exp
+    assert exp, "fixture SF should surface at least one anomaly"
