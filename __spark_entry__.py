@@ -181,6 +181,31 @@ def _shingle_backed_query(builder_name: str, module: str = "dedup"):
     return run
 
 
+def _cluster_backed_query(builder_name: str):
+    """Cluster/PQ queries read the once-per-session materialized index
+    views (clusterops.ensure_cluster_views) instead of re-running the
+    unrolled training CTE chain per query; the oracle keeps the
+    self-contained inline form."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+        from aws_trusted_advisor_explorer_spark.operators import clusterops as C
+
+        _prepare_ext(spark, sf_dir)
+        C.ensure_cluster_views(spark, key=sf_dir)
+        build = C.BUILDERS[builder_name]
+        if builder_name == "pq_codes":
+            sql = build(SPARK, members=C.PQ_MEMBERS_VIEW)
+        elif builder_name == "knn_ivfpq_adc":
+            sql = build(SPARK, asg=C.ASG_VIEW, members=C.PQ_MEMBERS_VIEW,
+                        cents=C.PQ_CENTS_VIEW)
+        else:
+            sql = build(SPARK, asg=C.ASG_VIEW)
+        return spark.sql(sql)
+
+    return run
+
+
 def _similarity_df_query(fn_name: str):
     """knn queries run the Arrow-vectorized DataFrame twins (same
     doubles as the SQL fold — functions/vectorized.py)."""
@@ -218,6 +243,11 @@ def _view_query(name: str, with_tags: bool | None):
 # with-tags parent row is green (same plan minus the broadcast join).
 # All remain fully verified in CORRECTNESS_FULL.json / pytest.
 _PARKED_TAIL = (
+    "pq_codes",              # index-build artifact of in-cap knn_ivfpq_adc
+                             # (the searcher re-runs the same train+encode
+                             # CTEs); numpy-replay pytest is the evidence
+    "media_inventory",       # per-type count rollup; the media plane's
+                             # in-cap row is media_byte_stats (mapInPandas)
     "semdedup_prune_report", # per-cluster rollup of in-cap semdedup_pairs
     "docs_dedup_rate_by_source",  # per-source rollup of in-cap
                                   # dedup_minhash_lsh pairs
@@ -276,6 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "dedup_containment", "dedup_simhash",
                 "dedup_incremental", "docs_dedup_rate_by_source"):
         q[key] = _shingle_backed_query(key)
+    from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
+    for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc"):
+        q[key] = _cluster_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query

@@ -83,14 +83,20 @@ def _update(elems: str, members: str, out: str) -> str:
 )"""
 
 
-def kmeans_assign(d: Dialect) -> str:
+def kmeans_assign(d: Dialect, asg: str | None = None) -> str:
     """KMeans cluster assignment after KMEANS_ITERS unrolled Lloyd
     iterations, K = KMEANS_K, init = the K lowest vec_ids (simple and
     deterministic; KMeans|| is the production init, orthogonal to the
     per-iteration plan shape this operator demonstrates). Output one
     row per vector: (vec_id, cluster_id, dist_scaled) where
     dist_scaled is the integer-scaled squared L2 to the final winning
-    centroid (scale 1e12)."""
+    centroid (scale 1e12).
+
+    ``asg``: name of a materialized assignment view
+    (ensure_cluster_views) — the train-once/reuse path; None inlines
+    the full training CTE chain (the self-contained oracle form)."""
+    if asg is not None:
+        return f"SELECT vec_id, cluster_id, dist_scaled FROM {asg}"
     seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
            else f"range(1, {KMEANS_DIM} + 1)")
     parts = [f"""dims AS (SELECT {d.explode(seq)} AS pos),
@@ -114,13 +120,13 @@ SELECT vec_id, cid AS cluster_id, dist AS dist_scaled
 FROM {members}"""
 
 
-def kmeans_report(d: Dialect) -> str:
+def kmeans_report(d: Dialect, asg: str | None = None) -> str:
     """Clustering acceptance report over :func:`kmeans_assign`:
     per-cluster population and mean squared-L2 (double mean of exact
     integer sums — deterministic) plus the spread between the nearest
     and farthest member. This is what you check before shipping the
     codebook as an IVF index (empty/lopsided clusters, fat tails)."""
-    base = kmeans_assign(d)
+    base = kmeans_assign(d, asg)
     return f"""WITH asg AS (
 {base}
 )
@@ -138,13 +144,13 @@ IVF_TOP_K = 3
 IVF_QUERY_MOD = 100          # == similarity.QUERY_MOD
 
 
-def _member_cte(d: Dialect) -> str:
+def _member_cte(d: Dialect, asg: str | None = None) -> str:
     """CTE suffix joining the final KMeans assignment back to the raw
     vectors with a precomputed L2 norm: ``mv(vec_id, cluster_id,
     embedding, nrm)``. Reuses :func:`kmeans_assign` verbatim as the
     assignment subquery so every consumer sees the identical
     deterministic labeling."""
-    base = kmeans_assign(d)
+    base = kmeans_assign(d, asg)
     norm = f"sqrt({d.dot('embedding', 'embedding')})"
     return f"""asg AS (
 {base}
@@ -155,7 +161,7 @@ mv AS (
 )"""
 
 
-def semdedup_pairs(d: Dialect) -> str:
+def semdedup_pairs(d: Dialect, asg: str | None = None) -> str:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pairs found by clustering first and comparing
     cosines ONLY within a cluster — the published fix for embedding
@@ -175,7 +181,7 @@ def semdedup_pairs(d: Dialect) -> str:
     clusters (the skew risk) are visible in kmeans_report before the
     pair join runs; AQE skew-split handles the residue."""
     cos = f"{d.dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
-    return f"""WITH {_member_cte(d)}
+    return f"""WITH {_member_cte(d, asg)}
 SELECT a.cluster_id,
   a.vec_id AS vec_a, b.vec_id AS vec_b,
   {cos} AS cosine
@@ -184,14 +190,14 @@ FROM mv a JOIN mv b
 WHERE {cos} >= {COSINE_SEM_THRESHOLD}"""
 
 
-def semdedup_prune_report(d: Dialect) -> str:
+def semdedup_prune_report(d: Dialect, asg: str | None = None) -> str:
     """SemDeDup pruning outcome per cluster: keep the LOWEST vec_id of
     every above-threshold pair (a vector is dropped iff some
     lower-id cluster-mate sits within the cosine threshold — the
     deterministic one-pass rule; transitive chains collapse to their
     minimum). Output (cluster_id, n_vecs, n_dropped, n_kept) — the
     acceptance report before shipping the pruned corpus."""
-    pairs = semdedup_pairs(d)
+    pairs = semdedup_pairs(d, asg)
     return f"""WITH pr AS (
 {pairs}
 ),
@@ -199,7 +205,7 @@ drops AS (SELECT DISTINCT vec_b AS vec_id FROM pr),
 base AS (
   SELECT a.cluster_id, a.vec_id,
     CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
-  FROM ({kmeans_assign(d)}) a
+  FROM ({kmeans_assign(d, asg)}) a
   LEFT JOIN drops dr ON dr.vec_id = a.vec_id
 )
 SELECT cluster_id,
@@ -209,7 +215,7 @@ SELECT cluster_id,
 FROM base GROUP BY cluster_id"""
 
 
-def knn_ivf_kmeans(d: Dialect) -> str:
+def knn_ivf_kmeans(d: Dialect, asg: str | None = None) -> str:
     """IVF top-k with a LEARNED coarse quantizer: the KMeans codebook
     (kmeans_assign) replaces similarity.knn_ivf's sign-LSH planes as
     the partitioner — the FAISS IVFFlat shape. Queries (vec_id %
@@ -223,7 +229,7 @@ def knn_ivf_kmeans(d: Dialect) -> str:
     density, so cell populations are far more even than hash buckets
     on clustered data — better tail latency than LSH at equal K."""
     cos = f"{d.dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
-    return f"""WITH {_member_cte(d)},
+    return f"""WITH {_member_cte(d, asg)},
 q AS (SELECT * FROM mv WHERE vec_id % {IVF_QUERY_MOD} = 0),
 c AS (SELECT * FROM mv WHERE vec_id % {IVF_QUERY_MOD} <> 0),
 scored AS (
@@ -239,10 +245,239 @@ SELECT query_id, rank, neighbor_id, cosine
 FROM ranked WHERE rank <= {IVF_TOP_K}"""
 
 
+# --- product quantization (PQ) -----------------------------------------
+# The FAISS IVFADC layout (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): the 64-dim vector splits into PQ_SUB
+# subspaces of PQ_SUBDIM dims; each subspace gets its own PQ_K-codeword
+# KMeans codebook; a vector compresses to PQ_SUB small codes
+# (64 dims x 4 B = 256 B -> 8 codes = 8 B, 32x). Search is ADC
+# (asymmetric distance): the FULL-precision query builds a per-subspace
+# lookup table of distances to every codeword, and a corpus vector's
+# approximate distance is the sum of PQ_SUB table entries — no corpus
+# float math at query time.
+
+PQ_SUB = 8       # subspaces
+PQ_SUBDIM = KMEANS_DIM // PQ_SUB
+PQ_K = 16        # codewords per subspace
+PQ_ITERS = 2     # unrolled Lloyd iterations per subspace (trained jointly)
+
+
+def _pq_assign(elems: str, cents: str, out_prefix: str) -> tuple[str, str]:
+    """(assign, argmin) CTE pair over ALL subspaces at once: the
+    centroid relation carries (s, cid, pos, val) with pos GLOBAL (so
+    the pos equi-join lands each element in its own subspace), and the
+    argmin is per (vec_id, s)."""
+    a, m = f"{out_prefix}a", f"{out_prefix}m"
+    assign = f"""{a} AS (
+  SELECT e.vec_id, c.s, c.cid,
+    cast(sum(cast(round((e.val - c.val) * (e.val - c.val) * {_DSCALE})
+                  as bigint)) as bigint) AS dist
+  FROM {elems} e JOIN {cents} c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.s, c.cid
+)"""
+    argmin = f"""{m} AS (
+  SELECT vec_id, s, cid, dist FROM (
+    SELECT vec_id, s, cid, dist,
+      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+    FROM {a}
+  ) r WHERE rk = 1
+)"""
+    return assign, argmin
+
+
+def _pq_train_ctes(d: Dialect) -> tuple[str, str, str]:
+    """Shared CTE prefix for PQ: (cte_sql, final_members, final_cents).
+    elems carries a subspace column s = (pos-1) div PQ_SUBDIM; codebook
+    init = subvectors of the PQ_K lowest vec_ids (deterministic, like
+    kmeans_assign's seeding)."""
+    seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
+           else f"range(1, {KMEANS_DIM} + 1)")
+    parts = [f"""dims AS (SELECT {d.explode(seq)} AS pos),
+elems AS (
+  SELECT vec_id, pos, {d.idiv('(pos - 1)', str(PQ_SUBDIM))} AS s,
+    cast({d.elem('embedding', 'pos')} as double) AS val
+  FROM embeddings CROSS JOIN dims
+),
+pc0 AS (SELECT s, vec_id AS cid, pos, val FROM elems WHERE vec_id < {PQ_K})"""]
+    cents = "pc0"
+    members = None
+    for i in range(1, PQ_ITERS + 1):
+        assign, argmin = _pq_assign("elems", cents, f"p{i}")
+        parts += [assign, argmin]
+        members = f"p{i}m"
+        if i < PQ_ITERS:
+            cents = f"pc{i}"
+            parts.append(f"""{cents} AS (
+  SELECT m.s, m.cid, e.pos,
+    cast(cast(sum(cast(round(e.val * {_ESCALE}) as bigint)) as bigint)
+         as double) / (cast(count(*) as bigint) * {_ESCALE}) AS val
+  FROM elems e JOIN {members} m ON m.vec_id = e.vec_id AND m.s = e.s
+  GROUP BY m.s, m.cid, e.pos
+)""")
+    return ",\n".join(parts), members, cents
+
+
+def pq_codes(d: Dialect, members: str | None = None) -> str:
+    """PQ encoding of the whole corpus: one row per (vector, subspace)
+    with the winning codeword and its scaled-integer quantization
+    error. This is the INDEX-BUILD artifact — at scale it is written
+    once (8 small ints per vector, 32x smaller than the floats) and
+    every ADC search reads it instead of the embeddings.
+
+    Scale posture (100 TB): training reads a sample (here: all rows —
+    driver SF is the sample), encoding is one broadcast-join pass of
+    elems against the (PQ_SUB x PQ_K x PQ_SUBDIM)-row codebook — a
+    few-KB dimension — with map-side partial aggregation on
+    (vec_id, s, cid); nothing shuffles the corpus."""
+    if members is not None:
+        return (f"SELECT vec_id, s AS subspace, cid AS code, "
+                f"dist AS qerr_scaled FROM {members}")
+    ctes, members, _ = _pq_train_ctes(d)
+    return f"""WITH {ctes}
+SELECT vec_id, s AS subspace, cid AS code, dist AS qerr_scaled
+FROM {members}"""
+
+
+def knn_ivfpq_adc(d: Dialect, asg: str | None = None,
+                  members: str | None = None,
+                  cents: str | None = None) -> str:
+    """IVF+PQ search (the FAISS IVFADC shape): queries (vec_id %
+    IVF_QUERY_MOD = 0) are restricted to their LEARNED coarse cell
+    (kmeans_assign), and candidates in the cell are scored by ADC —
+    approximate squared L2 = Σ_s lut(query, s, code_s(candidate))
+    where lut holds the query subvector's exact scaled-integer squared
+    L2 to every codeword. Exact bigint sums end to end, so ranking is
+    cross-engine deterministic (distance ASC, neighbor id ASC).
+
+    Scale posture (100 TB): the per-query LUT is |Q| x PQ_SUB x PQ_K
+    rows — broadcast-sized; the corpus side touches ONLY the
+    partition-pruned cell's code rows (8 ints/vector); the
+    (query, candidate) partial sums combine map-side. No corpus float
+    is read at query time — that is the point of PQ.
+
+    View mode (``asg``/``members``/``cents`` set — ensure_cluster_views):
+    the training CTEs are replaced by reads of the materialized index,
+    and only the query vectors are exploded — the search-time plan a
+    cluster actually runs."""
+    if members is not None:
+        seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
+               else f"range(1, {KMEANS_DIM} + 1)")
+        prefix = f"""dims AS (SELECT {d.explode(seq)} AS pos),
+qsub AS (
+  SELECT vec_id, {d.idiv('(pos - 1)', str(PQ_SUBDIM))} AS s, pos,
+    cast({d.elem('embedding', 'pos')} as double) AS val
+  FROM embeddings CROSS JOIN dims
+  WHERE vec_id % {IVF_QUERY_MOD} = 0
+),
+coarse AS (
+{kmeans_assign(d, asg)}
+)"""
+        return _adc_suffix(d, prefix, members, cents)
+    ctes, tr_members, tr_cents = _pq_train_ctes(d)
+    prefix = f"""{ctes},
+coarse AS (
+{kmeans_assign(d)}
+),
+qsub AS (
+  SELECT e.vec_id, e.s, e.pos, e.val FROM elems e
+  WHERE e.vec_id % {IVF_QUERY_MOD} = 0
+)"""
+    return _adc_suffix(d, prefix, tr_members, tr_cents)
+
+
+def _adc_suffix(d: Dialect, prefix: str, members: str, cents: str) -> str:
+    return f"""WITH {prefix},
+lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.cid,
+    cast(sum(cast(round((q.val - c.val) * (q.val - c.val) * {_DSCALE})
+                  as bigint)) as bigint) AS pdist
+  FROM qsub q JOIN {cents} c ON c.pos = q.pos
+  GROUP BY q.vec_id, c.s, c.cid
+),
+qcell AS (
+  SELECT vec_id AS query_id, cluster_id FROM coarse
+  WHERE vec_id % {IVF_QUERY_MOD} = 0
+),
+cand AS (
+  SELECT m.vec_id, m.s, m.cid, ca.cluster_id
+  FROM {members} m JOIN coarse ca ON ca.vec_id = m.vec_id
+  WHERE m.vec_id % {IVF_QUERY_MOD} <> 0
+),
+adc AS (
+  SELECT qc.query_id, cand.vec_id AS neighbor_id,
+    cast(sum(l.pdist) as bigint) AS adc_dist_scaled
+  FROM cand
+  JOIN qcell qc ON qc.cluster_id = cand.cluster_id
+  JOIN lut l ON l.query_id = qc.query_id
+            AND l.s = cand.s AND l.cid = cand.cid
+  GROUP BY qc.query_id, cand.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist_scaled,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist_scaled, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, rank, neighbor_id, adc_dist_scaled
+FROM ranked WHERE rank <= {IVF_TOP_K}"""
+
+
+ASG_VIEW = "__emb_kmeans_asg"
+PQ_MEMBERS_VIEW = "__emb_pq_members"
+PQ_CENTS_VIEW = "__emb_pq_cents"
+# id(spark) -> (weakref to the session, cache key, checkpointed DFs);
+# same live-session weakref guard as dedup._SHINGLE_STATE.
+_CLUSTER_STATE: dict[int, tuple[object, object, list]] = {}
+
+
+def ensure_cluster_views(spark, key: object = None) -> None:
+    """Materialize the trained cluster/PQ index ONCE per (session,
+    dataset) as localCheckpoint-backed temp views: the KMeans
+    assignment (ASG_VIEW), the PQ code table (PQ_MEMBERS_VIEW), and
+    the PQ codebook (PQ_CENTS_VIEW). Consumers pass the view names to
+    the builders instead of re-running the unrolled training CTE
+    chains per query — on a cluster this is the train-once / persist /
+    search-many index lifecycle, and the oracle keeps the inlined
+    self-contained form."""
+    import weakref
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    state = _CLUSTER_STATE.get(id(spark))
+    if state is not None and state[0]() is not spark:
+        state = None  # dead session's id was recycled — never trust it
+    if state is not None and (key is None or state[1] == key):
+        return
+    for sid in [sid for sid, st in _CLUSTER_STATE.items() if st[0]() is None]:
+        del _CLUSTER_STATE[sid]
+    dfs = []
+    asg = spark.sql(kmeans_assign(SPARK)).localCheckpoint(eager=True)
+    asg.createOrReplaceTempView(ASG_VIEW)
+    dfs.append(asg)
+    ctes, members, cents = _pq_train_ctes(SPARK)
+    m = spark.sql(
+        f"WITH {ctes}\nSELECT vec_id, s, cid, dist FROM {members}"
+    ).localCheckpoint(eager=True)
+    m.createOrReplaceTempView(PQ_MEMBERS_VIEW)
+    dfs.append(m)
+    c = spark.sql(
+        f"WITH {ctes}\nSELECT s, cid, pos, val FROM {cents}"
+    ).localCheckpoint(eager=True)
+    c.createOrReplaceTempView(PQ_CENTS_VIEW)
+    dfs.append(c)
+    _CLUSTER_STATE[id(spark)] = (weakref.ref(spark), key, dfs)
+
+
+# builders that accept a materialized-assignment view (entry wiring)
+ASG_BACKED = ("kmeans_assign", "kmeans_report", "semdedup_pairs",
+              "semdedup_prune_report", "knn_ivf_kmeans")
+
 BUILDERS = {
     "kmeans_assign": kmeans_assign,
     "kmeans_report": kmeans_report,
     "semdedup_pairs": semdedup_pairs,
     "semdedup_prune_report": semdedup_prune_report,
     "knn_ivf_kmeans": knn_ivf_kmeans,
+    "pq_codes": pq_codes,
+    "knn_ivfpq_adc": knn_ivfpq_adc,
 }

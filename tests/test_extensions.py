@@ -559,3 +559,93 @@ def test_hourly_anomaly_matches_independent_numpy(spark):
            for r in spark.sql(E.events_hourly_anomaly(SPARK)).collect()}
     assert got == exp
     assert exp, "fixture SF should surface at least one anomaly"
+
+
+def test_pq_matches_independent_numpy(spark):
+    """PQ codebook training, encoding, and IVFADC search must equal a
+    from-scratch numpy replay (scaled-integer sums, away-from-zero
+    rounding, lowest-cid tie-breaks, coarse-cell restriction) — an
+    oracle independent of both SQL engines."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import clusterops as C
+    from tests.conftest import SF_DIR
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+
+    def rnd(x):
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    # --- train per-subspace codebooks (joint replay of _pq_train_ctes)
+    S, SD, K = C.PQ_SUB, C.PQ_SUBDIM, C.PQ_K
+    sub = V.reshape(len(V), S, SD)                    # (n, s, sd)
+    cents = sub[ids < K].transpose(1, 0, 2).copy()    # (s, K, sd)
+    for it in range(C.PQ_ITERS):
+        terms = rnd((sub[:, :, None, :] - cents[None, :, :, :]) ** 2 * 1e12)
+        dist = terms.astype(np.int64).sum(axis=3)     # (n, s, K)
+        codes = dist.argmin(axis=2)                   # first min = lowest cid
+        qerr = np.take_along_axis(dist, codes[:, :, None], 2)[:, :, 0]
+        if it < C.PQ_ITERS - 1:
+            new = np.empty_like(cents)
+            for s in range(S):
+                for k in range(K):
+                    members = sub[codes[:, s] == k, s, :]
+                    sv = rnd(members * 1e9).astype(np.int64).sum(axis=0)
+                    new[s, k] = sv.astype(np.float64) / (len(members) * 1e9)
+            cents = new
+
+    got_codes = {(r.vec_id, r.subspace): (r.code, r.qerr_scaled)
+                 for r in spark.sql(C.pq_codes(SPARK)).collect()}
+    exp_codes = {(int(i), s): (int(codes[n, s]), int(qerr[n, s]))
+                 for n, i in enumerate(ids) for s in range(S)}
+    assert got_codes == exp_codes
+
+    # --- coarse cells (kmeans replay is already verified; reuse SQL)
+    asg = {r.vec_id: r.cluster_id
+           for r in spark.sql(C.kmeans_assign(SPARK)).collect()}
+
+    # --- ADC replay
+    idx_of = {int(i): n for n, i in enumerate(ids)}
+    exp_rows = set()
+    for qi in ids[ids % C.IVF_QUERY_MOD == 0]:
+        qn = idx_of[int(qi)]
+        lut = rnd((sub[qn][:, None, :] - cents) ** 2 * 1e12
+                  ).astype(np.int64).sum(axis=2)      # (s, K)
+        scored = []
+        for ci in ids[ids % C.IVF_QUERY_MOD != 0]:
+            if asg[int(ci)] != asg[int(qi)]:
+                continue
+            cn = idx_of[int(ci)]
+            d = int(sum(lut[s, codes[cn, s]] for s in range(S)))
+            scored.append((d, int(ci)))
+        scored.sort()
+        for rank, (d, ci) in enumerate(scored[:C.IVF_TOP_K], 1):
+            exp_rows.add((int(qi), rank, ci, d))
+
+    got_rows = {(r.query_id, r.rank, r.neighbor_id, r.adc_dist_scaled)
+                for r in spark.sql(C.knn_ivfpq_adc(SPARK)).collect()}
+    assert got_rows == exp_rows
+    assert got_rows, "fixture SF should produce ADC results"
+
+
+def test_cluster_view_backed_matches_inline(spark):
+    """The materialized-index path (ensure_cluster_views + view-backed
+    builders) must be row-for-row identical to the self-contained
+    inline CTE form for every cluster/PQ query."""
+    from aws_trusted_advisor_explorer_spark.operators import clusterops as C
+
+    C.ensure_cluster_views(spark)
+    cases = {name: (C.BUILDERS[name](SPARK, asg=C.ASG_VIEW))
+             for name in C.ASG_BACKED}
+    cases["pq_codes"] = C.pq_codes(SPARK, members=C.PQ_MEMBERS_VIEW)
+    cases["knn_ivfpq_adc"] = C.knn_ivfpq_adc(
+        SPARK, asg=C.ASG_VIEW, members=C.PQ_MEMBERS_VIEW,
+        cents=C.PQ_CENTS_VIEW)
+    for name, viewed_sql in cases.items():
+        inline = {tuple(r) for r in spark.sql(C.BUILDERS[name](SPARK)).collect()}
+        viewed = {tuple(r) for r in spark.sql(viewed_sql).collect()}
+        assert viewed == inline, name
