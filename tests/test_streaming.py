@@ -4,6 +4,8 @@ and the batch side is already DuckDB-oracled (test_extensions)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
 from aws_trusted_advisor_explorer_spark.operators import eventops
 from aws_trusted_advisor_explorer_spark.streaming import structured
@@ -92,3 +94,22 @@ def test_sliding_counts_stream_equals_batch(spark):
                         .toPandas())
     assert list(got.columns) == list(want.columns)
     assert got.equals(want)
+
+
+def test_latest_state_stream_equals_batch(spark):
+    structured.run_stream_to_memory(
+        structured.latest_state_stream(spark, SF_DIR), "latest_stream",
+        output_mode="update")
+    # update mode: one snapshot per (user, micro-batch); n_events is
+    # monotone, so the final snapshot is the max-n_events row.
+    got = spark.sql("""
+        SELECT user_id, last_us, last_event_type, last_value, n_events
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY n_events DESC) rk FROM latest_stream) WHERE rk = 1""")
+    got_pd = canonicalize(got.toPandas())
+    want = canonicalize(
+        spark.sql(eventops.events_latest_state(SPARK))
+        .select("user_id",
+                F.expr("unix_micros(cast(last_ts as timestamp))").alias("last_us"),
+                "last_event_type", "last_value", "n_events").toPandas())
+    assert got_pd.equals(want), "stateful latest-state != batch"
