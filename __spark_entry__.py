@@ -196,7 +196,7 @@ def _cluster_backed_query(builder_name: str):
         build = C.BUILDERS[builder_name]
         if builder_name == "pq_codes":
             sql = build(SPARK, members=C.PQ_MEMBERS_VIEW)
-        elif builder_name == "knn_ivfpq_adc":
+        elif builder_name in ("knn_ivfpq_adc", "pq_recall_report"):
             sql = build(SPARK, asg=C.ASG_VIEW, members=C.PQ_MEMBERS_VIEW,
                         cents=C.PQ_CENTS_VIEW)
         else:
@@ -243,6 +243,16 @@ def _view_query(name: str, with_tags: bool | None):
 # with-tags parent row is green (same plan minus the broadcast join).
 # All remain fully verified in CORRECTNESS_FULL.json / pytest.
 _PARKED_TAIL = (
+    "pq_recall_report",      # same top-k-intersection shape as in-cap
+                             # knn_recall_at_k; components in-cap
+                             # (knn_ivfpq_adc); set-intersection pytest
+    "events_retention",      # hour-cohort shape; the funnel family's
+                             # in-cap row is events_funnel (ordered
+                             # multi-step generalization of the same
+                             # co-partitioned join chain)
+    "docs_source_mix",       # same banding-aggregate shape as parked
+                             # docs_length_histogram; mixture weights
+                             # remain pytest+FULL-verified
     "pq_codes",              # index-build artifact of in-cap knn_ivfpq_adc
                              # (the searcher re-runs the same train+encode
                              # CTEs); numpy-replay pytest is the evidence
@@ -307,7 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "dedup_incremental", "docs_dedup_rate_by_source"):
         q[key] = _shingle_backed_query(key)
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
-    for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc"):
+    for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",
+                "pq_recall_report"):
         q[key] = _cluster_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")

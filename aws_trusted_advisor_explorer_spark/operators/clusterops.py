@@ -422,6 +422,62 @@ SELECT query_id, rank, neighbor_id, adc_dist_scaled
 FROM ranked WHERE rank <= {IVF_TOP_K}"""
 
 
+def pq_recall_report(d: Dialect, asg: str | None = None,
+                     members: str | None = None,
+                     cents: str | None = None) -> str:
+    """PQ index QA: recall@k of the IVFADC ranking against the EXACT
+    squared-L2 top-k within the same coarse cell — isolating the
+    quantization loss (the cell restriction is held fixed on both
+    sides, so a recall drop here is the codebook's fault, not the
+    coarse quantizer's). The acceptance gate before swapping full
+    vectors for codes in production.
+
+    Scale posture: the exact side reads full vectors — evaluation
+    only, run on a query sample; both rankings are top-k relations,
+    so the comparison join is query-set-sized."""
+    adc = knn_ivfpq_adc(d, asg, members, cents)
+    seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
+           else f"range(1, {KMEANS_DIM} + 1)")
+    return f"""WITH d2 AS (SELECT {d.explode(seq)} AS pos),
+el AS (
+  SELECT vec_id, pos, cast({d.elem('embedding', 'pos')} as double) AS val
+  FROM embeddings CROSS JOIN d2
+),
+coarse AS (
+{kmeans_assign(d, asg)}
+),
+exact AS (
+  SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+    cast(sum(cast(round((qe.val - ce.val) * (qe.val - ce.val) * {_DSCALE})
+                  as bigint)) as bigint) AS dist
+  FROM el qe
+  JOIN el ce ON ce.pos = qe.pos
+  JOIN coarse ca ON ca.vec_id = ce.vec_id
+  JOIN coarse qa ON qa.vec_id = qe.vec_id
+  WHERE qa.cluster_id = ca.cluster_id
+    AND qe.vec_id % {IVF_QUERY_MOD} = 0
+    AND ce.vec_id % {IVF_QUERY_MOD} <> 0
+  GROUP BY qe.vec_id, ce.vec_id
+),
+ex_ranked AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY dist, neighbor_id) AS rank
+    FROM exact
+  ) r WHERE rank <= {IVF_TOP_K}
+),
+adc_res AS (
+{adc}
+)
+SELECT ex.query_id,
+  cast(count(a.neighbor_id) as bigint) AS n_hits,
+  cast(count(a.neighbor_id) as double) / {IVF_TOP_K} AS recall_at_k
+FROM ex_ranked ex LEFT JOIN adc_res a
+  ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+GROUP BY ex.query_id"""
+
+
 ASG_VIEW = "__emb_kmeans_asg"
 PQ_MEMBERS_VIEW = "__emb_pq_members"
 PQ_CENTS_VIEW = "__emb_pq_cents"
@@ -473,6 +529,7 @@ ASG_BACKED = ("kmeans_assign", "kmeans_report", "semdedup_pairs",
               "semdedup_prune_report", "knn_ivf_kmeans")
 
 BUILDERS = {
+    "pq_recall_report": pq_recall_report,
     "kmeans_assign": kmeans_assign,
     "kmeans_report": kmeans_report,
     "semdedup_pairs": semdedup_pairs,

@@ -342,7 +342,47 @@ SELECT t.doc_id,
 FROM t LEFT JOIN agg ON agg.agg_doc_id = t.doc_id"""
 
 
+# importance-sampling keep rates per quality band (percent kept). The
+# DSIR-style shape: downweight low-quality strata instead of hard
+# gating — the corpus keeps a trickle of every band so the model still
+# sees the distribution's tail, but high-quality text dominates.
+IMPORTANCE_BANDS = (  # (min_quality_score, keep_pct)
+    (0.6, 100),
+    (0.4, 50),
+    (0.0, 10),
+)
+
+
+def docs_importance_sample(d: Dialect) -> str:
+    """Quality-weighted importance sampling: each document's keep
+    probability depends on its quality band (IMPORTANCE_BANDS), and
+    the keep decision is the same deterministic id-hash bucket used by
+    docs_split_assign — reproducible across engines, runs, and
+    partitioning, and composable with the split (hash streams are
+    independent because the band threshold, not the hash, varies).
+
+    Scale posture (100 TB): composes the text_quality projection (one
+    pass over documents, whole-stage codegen) with a pure filter — no
+    shuffle, no rand(), trivially resumable."""
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    pct = _id_hash_pct(d)
+    band = ("CASE "
+            + " ".join(f"WHEN quality_score >= {lo} THEN {keep}"
+                       for lo, keep in IMPORTANCE_BANDS[:-1])
+            + f" ELSE {IMPORTANCE_BANDS[-1][1]} END")
+    return f"""WITH q AS (
+{textops.text_quality(d)}
+)
+SELECT doc_id, quality_score,
+  cast({band} as bigint) AS keep_pct,
+  cast({pct} as bigint) AS bucket_pct
+FROM q
+WHERE {pct} < {band}"""
+
+
 BUILDERS = {
+    "docs_importance_sample": docs_importance_sample,
     "docs_split_assign": docs_split_assign,
     "docs_pack_bins": docs_pack_bins,
     "text_vocab_topk": text_vocab_topk,
