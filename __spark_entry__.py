@@ -246,6 +246,11 @@ _PARKED_TAIL = (
     "pq_recall_report",      # same top-k-intersection shape as in-cap
                              # knn_recall_at_k; components in-cap
                              # (knn_ivfpq_adc); set-intersection pytest
+    "events_daily_active",   # exact-distinct family stays in-cap via
+                             # events_value_quantiles' n_users column;
+                             # HLL twin is error-bound pytested
+    "events_rollup",         # GROUP BY ROLLUP subtotal shape; the
+                             # events agg family keeps 4 in-cap rows
     "events_retention",      # hour-cohort shape; the funnel family's
                              # in-cap row is events_funnel (ordered
                              # multi-step generalization of the same

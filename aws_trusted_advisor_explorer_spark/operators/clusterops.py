@@ -181,13 +181,15 @@ def semdedup_pairs(d: Dialect, asg: str | None = None) -> str:
     clusters (the skew risk) are visible in kmeans_report before the
     pair join runs; AQE skew-split handles the residue."""
     cos = f"{d.dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
-    return f"""WITH {_member_cte(d, asg)}
-SELECT a.cluster_id,
-  a.vec_id AS vec_a, b.vec_id AS vec_b,
-  {cos} AS cosine
-FROM mv a JOIN mv b
-  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-WHERE {cos} >= {COSINE_SEM_THRESHOLD}"""
+    return f"""WITH {_member_cte(d, asg)},
+p AS (
+  SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+    {cos} AS cosine
+  FROM mv a JOIN mv b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+)
+SELECT cluster_id, vec_a, vec_b, cosine
+FROM p WHERE cosine >= {COSINE_SEM_THRESHOLD}"""
 
 
 def semdedup_prune_report(d: Dialect, asg: str | None = None) -> str:

@@ -725,3 +725,61 @@ def test_pq_recall_report_matches_set_intersection(spark):
     # cheaply here; ADC side bounds: hits can never exceed the ADC set
     for r in rep:
         assert r.n_hits <= len(adc.get(r.query_id, set()))
+
+
+def test_session_attribution_matches_pandas_replay(spark):
+    """Every purchase appears exactly once; attributed purchases fall
+    inside their session's gap-extended window; unattributed ones are
+    outside every window — verified against an independent pandas
+    replay of the interval construction."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops as E
+    from tests.conftest import SF_DIR
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["us"] = ev["ts"].astype("int64") // 1000
+    act = (ev[ev["event_type"].isin(["view", "click"])]
+           .sort_values(["user_id", "us", "event_id"]))
+    gap = E.SESSION_GAP_US
+    windows = {}
+    for uid, g in act.groupby("user_id"):
+        sess, start, last = [], None, None
+        for us in g["us"]:
+            if last is None or us - last > gap:
+                if start is not None:
+                    sess.append((start, last))
+                start = us
+            last = us
+        sess.append((start, last))
+        windows[uid] = sess
+
+    pur = ev[ev["event_type"] == "purchase"]
+    got = spark.sql(E.events_session_attribution(SPARK)).collect()
+    assert len(got) == len(pur)
+    assert len({r.purchase_id for r in got}) == len(pur)
+    for r in got:
+        wins = windows.get(r.user_id, [])
+        containing = [i for i, (s, e) in enumerate(wins, 1)
+                      if s <= (pur.set_index("event_id").loc[r.purchase_id, "us"]) <= e + gap]
+        if r.session_id is None:
+            assert not containing
+        else:
+            assert containing == [r.session_id]
+
+
+def test_daily_active_approx_within_error_bound(spark):
+    """The HLL sketch twin must track the exact DAU within
+    approx_count_distinct's default 5% relative error (with slack for
+    small-cardinality days) and agree exactly on event volume."""
+    from aws_trusted_advisor_explorer_spark.operators import eventops as E
+
+    exact = {r.day: (r.dau, r.n_events)
+             for r in spark.sql(E.events_daily_active(SPARK)).collect()}
+    approx = {r.day: (r.dau_approx, r.n_events)
+              for r in E.events_daily_active_approx_df(spark).collect()}
+    assert set(exact) == set(approx)
+    for day, (dau, n) in exact.items():
+        got_dau, got_n = approx[day]
+        assert got_n == n
+        assert abs(got_dau - dau) <= max(3, 0.1 * dau), (day, dau, got_dau)
