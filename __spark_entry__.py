@@ -116,11 +116,18 @@ def _ext_query(build):
     return run
 
 
-def _media_byte_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_trusted_advisor_explorer_spark.operators import multimodal
+def _media_udf_query(fn_name: str):
+    """mapInPandas media paths (byte stats / feature extract / frame
+    sample): Spark runs the Arrow-batched UDF, the oracle recomputes
+    the same values from SQL char codes."""
 
-    _prepare_ext(spark, sf_dir)
-    return multimodal.media_byte_stats_df(spark)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+        _prepare_ext(spark, sf_dir)
+        return getattr(multimodal, fn_name)(spark)
+
+    return run
 
 
 def _knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,6 +265,11 @@ _PARKED_TAIL = (
     "docs_source_mix",       # same banding-aggregate shape as parked
                              # docs_length_histogram; mixture weights
                              # remain pytest+FULL-verified
+    "media_frame_sample",    # same mapInPandas plumbing family as the
+                             # in-cap media_feature_extract (1-to-many
+                             # shape); SQL-oracle pytest is the evidence
+    "text_commonness_score", # shingle-DF-derived signal; family stays
+                             # in-cap via text_repetition
     "pq_codes",              # index-build artifact of in-cap knn_ivfpq_adc
                              # (the searcher re-runs the same train+encode
                              # CTEs); numpy-replay pytest is the evidence
@@ -316,7 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = _dedup_clusters_query
     for key, build in _ext_builders().items():
         q[key] = _ext_query(build)
-    q["media_byte_stats"] = _media_byte_stats_query
+    q["media_byte_stats"] = _media_udf_query("media_byte_stats_df")
+    q["media_feature_extract"] = _media_udf_query("media_feature_extract_df")
+    q["media_frame_sample"] = _media_udf_query("media_frame_sample_df")
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                 "dedup_containment", "dedup_simhash",
                 "dedup_incremental", "docs_dedup_rate_by_source"):
@@ -353,6 +367,8 @@ def oracle_sql() -> dict[str, str]:
     for key, build in _ext_builders().items():
         o[key] = build(DUCK)
     o["media_byte_stats"] = multimodal.media_byte_stats_oracle(DUCK)
+    o["media_feature_extract"] = multimodal.media_feature_extract_oracle(DUCK)
+    o["media_frame_sample"] = multimodal.media_frame_sample_oracle(DUCK)
     # IVF uses the same planes/buckets as sign-LSH -> identical results
     o["knn_ivf"] = similarity.knn_lsh(DUCK)
     o["knn_ivf_multiprobe"] = similarity.knn_multiprobe(DUCK)

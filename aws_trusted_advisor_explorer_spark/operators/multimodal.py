@@ -164,6 +164,113 @@ SELECT checksum, min(doc_id) AS keeper_id,
 FROM m GROUP BY checksum HAVING count(*) > 1"""
 
 
+N_HIST_BINS = 16      # byte-histogram feature dimension (256 / 16)
+FRAME_STRIDE = 32     # sample one "frame" byte every 32 payload bytes
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("bin", LongType()),
+    StructField("n", LongType()),
+    StructField("frac", DoubleType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_no", LongType()),
+    StructField("frame_val", LongType()),
+])
+
+
+def _feature_batches(batches: "Iterator") -> "Iterator":
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        ids, bins, ns, fracs = [], [], [], []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(p, dtype=np.uint8)
+            if not len(a):
+                continue
+            hist = np.bincount(a // N_HIST_BINS,
+                               minlength=256 // N_HIST_BINS)
+            for b in np.nonzero(hist)[0]:
+                ids.append(int(doc_id))
+                bins.append(int(b))
+                ns.append(int(hist[b]))
+                fracs.append(float(hist[b]) / len(a))
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "bin": pd.Series(bins, dtype="int64"),
+                            "n": pd.Series(ns, dtype="int64"),
+                            "frac": pd.Series(fracs, dtype="float64")})
+
+
+def media_feature_extract_df(spark: SparkSession) -> DataFrame:
+    """The decode→featurize stage with a DETERMINISTIC fake decoder:
+    a 16-bin byte histogram per payload (one row per non-empty bin) in
+    place of a CNN/CLIP feature — the real extractor swaps only the
+    numpy body; the Spark plumbing (Arrow batches in, long-format
+    feature rows out, no payload shuffle) is exactly what a production
+    embedder runs. Oracle: the same histogram from SQL char codes."""
+    media = media_df(spark).select("doc_id", "payload")
+    return media.mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+def media_feature_extract_oracle(d: Dialect) -> str:
+    codes = d.transform(d.chars("text"), "ch", "cast(ascii(ch) as bigint)")
+    return f"""WITH c AS (
+  SELECT doc_id, length(text) AS n_bytes, {d.explode(codes)} AS code
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, {d.idiv('code', str(N_HIST_BINS))} AS bin,
+  cast(count(*) as bigint) AS n,
+  cast(count(*) as double) / max(n_bytes) AS frac
+FROM c GROUP BY doc_id, {d.idiv('code', str(N_HIST_BINS))}"""
+
+
+def _frame_batches(batches: "Iterator") -> "Iterator":
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        ids, fnos, vals = [], [], []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(p, dtype=np.uint8)[::FRAME_STRIDE]
+            ids.extend([int(doc_id)] * len(a))
+            fnos.extend(range(len(a)))
+            vals.extend(int(v) for v in a)
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "frame_no": pd.Series(fnos, dtype="int64"),
+                            "frame_val": pd.Series(vals, dtype="int64")})
+
+
+def media_frame_sample_df(spark: SparkSession) -> DataFrame:
+    """The 1-to-many frame-sampling stage (video shape) with a
+    deterministic fake: every FRAME_STRIDE-th payload byte is a
+    "frame". A real sampler swaps the numpy body for a container
+    demuxer; the contract — one Arrow batch in, a row-multiplying
+    frame relation out, payload never shuffled — is the production
+    one. At 100 TB the output is written partitioned by doc_id range
+    so per-asset frame scans stay local."""
+    media = media_df(spark).select("doc_id", "payload")
+    return media.mapInPandas(_frame_batches, FRAME_SCHEMA)
+
+
+def media_frame_sample_oracle(d: Dialect) -> str:
+    codes = d.transform(d.chars("text"), "ch", "cast(ascii(ch) as bigint)")
+    n_frames = f"(1 + {d.idiv('(length(text) - 1)', str(FRAME_STRIDE))})"
+    if d.name == "spark":
+        fno = f"explode(sequence(0, {n_frames} - 1))"
+    else:
+        fno = f"unnest(range(0, {n_frames}))"
+    return f"""WITH c AS (
+  SELECT doc_id, {codes} AS codes, {fno} AS frame_no
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, frame_no,
+  {d.elem('codes', f'frame_no * {FRAME_STRIDE} + 1')} AS frame_val
+FROM c"""
+
+
 BUILDERS = {
     "media_inventory": media_inventory,
     "media_dedup_exact": media_dedup_exact,

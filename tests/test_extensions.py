@@ -783,3 +783,16 @@ def test_daily_active_approx_within_error_bound(spark):
         got_dau, got_n = approx[day]
         assert got_n == n
         assert abs(got_dau - dau) <= max(3, 0.1 * dau), (day, dau, got_dau)
+
+
+@pytest.mark.parametrize("pair", [
+    ("media_feature_extract_df", "media_feature_extract_oracle"),
+    ("media_frame_sample_df", "media_frame_sample_oracle"),
+])
+def test_media_udf_paths_match_sql_oracle(spark, ddb, pair):
+    """The Arrow/mapInPandas featurize and frame-sample stages must
+    hash-match the SQL recomputation from character codes (payload ==
+    UTF-8 text bytes by construction)."""
+    df_fn, oracle_fn = pair
+    assert_matches_oracle(getattr(multimodal, df_fn)(spark),
+                          ddb, getattr(multimodal, oracle_fn)(DUCK))
