@@ -306,3 +306,43 @@ def latest_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateStructType=LATEST_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of corpusops.docs_decontaminated: filter the
+    incoming document stream against the benchmark/eval shingle set at
+    ingest time — the shape that keeps a continuously-crawled corpus
+    clean instead of re-sweeping it.
+
+    The eval dimension is computed ONCE batch-side (the benchmark
+    corpus is small by construction) and shipped to executors inside
+    the plan as an array literal — the degenerate broadcast; at real
+    benchmark sizes the same filter is a broadcast set or Bloom
+    filter. The stream-side test is a stateless whole-stage-codegen
+    ``arrays_overlap`` over the document's 5-token shingle hashes — no
+    Python in the stream, no state, no shuffle. Shingle hashes use the
+    identical token-hash combinator (Dialect.shingle_hvs), so stream
+    and batch agree exactly."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        BENCH_MOD, CONTAM_NGRAM,
+    )
+
+    toks = SD.tokens("text")
+    hvs = SD.shingle_hvs(toks, CONTAM_NGRAM)
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_docs.createOrReplaceTempView("__decon_batch_docs")
+    ev_rows = spark.sql(f"""
+        SELECT DISTINCT hv FROM (
+          SELECT explode({hvs}) AS hv FROM __decon_batch_docs
+          WHERE doc_id % {BENCH_MOD} = 0
+        )""").collect()
+    ev_lit = ", ".join(str(r.hv) for r in ev_rows) or "null"
+
+    docs = documents_stream(spark, sf_dir)
+    return (docs
+            .filter(f"doc_id % {BENCH_MOD} <> 0")
+            .withColumn("hvs", F.expr(hvs))
+            .filter(F.expr(
+                f"NOT arrays_overlap(hvs, array({ev_lit}))"))
+            .select("doc_id", "text", "lang"))

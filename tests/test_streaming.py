@@ -113,3 +113,15 @@ def test_latest_state_stream_equals_batch(spark):
                 F.expr("unix_micros(cast(last_ts as timestamp))").alias("last_us"),
                 "last_event_type", "last_value", "n_events").toPandas())
     assert got_pd.equals(want), "stateful latest-state != batch"
+
+
+def test_decontaminate_stream_equals_batch(spark):
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+
+    structured.run_stream_to_memory(
+        structured.decontaminate_stream(spark, SF_DIR), "decon_stream",
+        output_mode="append")
+    got = {r.doc_id for r in spark.table("decon_stream").collect()}
+    want = {r.doc_id
+            for r in spark.sql(corpusops.docs_decontaminated(SPARK)).collect()}
+    assert got == want, (len(got), len(want))
