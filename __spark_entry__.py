@@ -265,6 +265,8 @@ _PARKED_TAIL = (
     "docs_source_mix",       # same banding-aggregate shape as parked
                              # docs_length_histogram; mixture weights
                              # remain pytest+FULL-verified
+    "pii_scrub_text",        # regex-scrub projection; PII family's
+                             # in-cap row is pii_mask_accounts (P9)
     "media_frame_sample",    # same mapInPandas plumbing family as the
                              # in-cap media_feature_extract (1-to-many
                              # shape); SQL-oracle pytest is the evidence
@@ -333,7 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_frame_sample"] = _media_udf_query("media_frame_sample_df")
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                 "dedup_containment", "dedup_simhash",
-                "dedup_incremental", "docs_dedup_rate_by_source"):
+                "dedup_incremental", "docs_dedup_rate_by_source",
+                "dedup_graph_pagerank"):
         q[key] = _shingle_backed_query(key)
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",

