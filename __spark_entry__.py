@@ -265,6 +265,15 @@ _PARKED_TAIL = (
     "docs_source_mix",       # same banding-aggregate shape as parked
                              # docs_length_histogram; mixture weights
                              # remain pytest+FULL-verified
+    "docs_embedding_integrity", # reconciliation audit (full-outer-join
+                                # counts); algorithmically thin, FULL-
+                                # verified
+    "events_key_skew_audit",    # pre-shuffle diagnostics rollup; the
+                                # skew HANDLING itself is pytest-proven
+                                # (functions/skew.py, hot-band fixture)
+    "text_fingerprint",         # min-shingle anchor; its machinery
+                                # (shingle view, poly-hash) backs many
+                                # in-cap dedup rows
     "pii_scrub_text",        # regex-scrub projection; PII family's
                              # in-cap row is pii_mask_accounts (P9)
     "media_frame_sample",    # same mapInPandas plumbing family as the

@@ -381,7 +381,35 @@ FROM q
 WHERE {pct} < {band}"""
 
 
+def docs_embedding_integrity(d: Dialect) -> str:
+    """Cross-table integrity audit between the text corpus and its
+    embedding index: matched count and the two orphan counts (docs
+    with no vector — unembedded backlog; vectors with no doc —
+    stale index entries). The pre-flight check before any query that
+    joins the two (semdedup, knn over doc metadata).
+
+    Scale posture: two FULL-relation counts plus one equi-join count —
+    at 100 TB this is the same two-sided audit as a reconciliation
+    query; the join shuffles on the shared id once (or is co-located
+    if both tables are bucketed on id — sinks/writers.py)."""
+    return """WITH m AS (
+  SELECT d.doc_id AS did, e.vec_id AS vid
+  FROM documents d FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id
+)
+SELECT
+  cast(count(did) as bigint) AS n_docs,
+  cast(count(vid) as bigint) AS n_vecs,
+  cast(sum(CASE WHEN did IS NOT NULL AND vid IS NOT NULL
+           THEN 1 ELSE 0 END) as bigint) AS n_matched,
+  cast(sum(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) as bigint)
+    AS n_docs_without_vec,
+  cast(sum(CASE WHEN did IS NULL THEN 1 ELSE 0 END) as bigint)
+    AS n_vecs_without_doc
+FROM m"""
+
+
 BUILDERS = {
+    "docs_embedding_integrity": docs_embedding_integrity,
     "docs_importance_sample": docs_importance_sample,
     "docs_split_assign": docs_split_assign,
     "docs_pack_bins": docs_pack_bins,

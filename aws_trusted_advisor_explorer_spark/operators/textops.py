@@ -357,7 +357,40 @@ SELECT lang_actual, lang_pred, cast(count(*) as bigint) AS n_docs
 FROM p GROUP BY lang_actual, lang_pred"""
 
 
+BPE_TOP_PAIRS = 20
+
+
+def text_bpe_pair_counts(d: Dialect) -> str:
+    """The BPE-training inner loop as a corpus query: global counts of
+    adjacent character pairs WITHIN tokens, top-{BPE_TOP_PAIRS} by
+    frequency (deterministic (count DESC, pair) tiebreak). Iterating
+    this count → merge → re-count is exactly how a BPE tokenizer
+    vocabulary is trained; one round over the corpus is the expensive
+    distributed step (the merge table is driver-side and tiny).
+
+    Scale posture (100 TB): explode to (pair) rows feeds ONE hash
+    aggregate with map-side combine — pair cardinality is alphabet²
+    (tiny), so the reduce side is trivial regardless of corpus size;
+    top-k is a TakeOrdered over the aggregate, no global sort."""
+    pair_arr = (f"transform(sequence(1, length(tok) - 1), "
+                f"i -> substring(tok, i, 2))" if d.name == "spark"
+                else f"list_transform(range(1, greatest(length(tok), 1)), "
+                     f"i -> substring(tok, i, 2))")
+    guard = ("CASE WHEN length(tok) < 2 THEN "
+             "cast(array() as array<string>) ELSE " + pair_arr + " END"
+             if d.name == "spark" else pair_arr)
+    return f"""{_toks_cte(d)},
+w AS (SELECT {d.explode('toks')} AS tok FROM t),
+p AS (SELECT {d.explode(f'({guard})')} AS pair FROM w)
+SELECT pair, cast(count(*) as bigint) AS n
+FROM p WHERE length(pair) = 2
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_PAIRS}"""
+
+
 BUILDERS = {
+    "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
