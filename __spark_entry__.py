@@ -160,6 +160,14 @@ def _dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.dedup_embedding_cosine_df(spark)
 
 
+def _pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    _prepare_ext(spark, sf_dir)
+    return dedup.dedup_graph_pagerank_df(
+        spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
+
+
 def _dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_trusted_advisor_explorer_spark.operators import dedup
 
@@ -344,13 +352,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_frame_sample"] = _media_udf_query("media_frame_sample_df")
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                 "dedup_containment", "dedup_simhash",
-                "dedup_incremental", "docs_dedup_rate_by_source",
-                "dedup_graph_pagerank"):
+                "dedup_incremental", "docs_dedup_rate_by_source"):
         q[key] = _shingle_backed_query(key)
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",
                 "pq_recall_report"):
         q[key] = _cluster_backed_query(key)
+    q["dedup_graph_pagerank"] = _pagerank_query
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query

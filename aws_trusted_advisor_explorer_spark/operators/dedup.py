@@ -596,7 +596,8 @@ PR_SCALE = 1_000_000_000       # rank fixed-point scale
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85 as an exact rational
 
 
-def dedup_graph_pagerank(d: Dialect, base: str | None = None) -> str:
+def dedup_graph_pagerank(d: Dialect, base: str | None = None,
+                         pairs_view: str | None = None) -> str:
     """PageRank over the near-dup graph (MinHash pairs as undirected
     edges): high-rank nodes are the HUBS of duplication — boilerplate
     templates and mirror centers that pairwise lists bury. The corpus-
@@ -617,7 +618,8 @@ def dedup_graph_pagerank(d: Dialect, base: str | None = None) -> str:
     same loop with a convergence test is dedup_clusters_df's pattern;
     the unrolled form keeps the whole plan one Catalyst job and gives
     the DuckDB oracle the identical template."""
-    pairs = dedup_minhash_lsh(d, base)
+    pairs = (f"SELECT doc_a, doc_b FROM {pairs_view}" if pairs_view
+             else dedup_minhash_lsh(d, base))
     base_rank = d.idiv(
         f"cast({PR_SCALE} as bigint) * ({PR_DAMP_DEN} - {PR_DAMP_NUM})",
         str(PR_DAMP_DEN))
@@ -646,6 +648,21 @@ r0 AS (SELECT src AS node, cast({PR_SCALE} as bigint) AS rank FROM deg)"""]
     return f"""WITH {body}
 SELECT r.node AS doc_id, r.rank AS rank_scaled, g.d AS degree
 FROM r{PAGERANK_ITERS} r JOIN deg g ON g.src = r.node"""
+
+
+def dedup_graph_pagerank_df(spark, base: str | None = None):
+    """Spark-side PageRank entry: materialize the MinHash pair
+    relation ONCE (localCheckpoint) before the unrolled iterations —
+    Spark inlines CTEs, so the SQL form would re-run the whole minhash
+    pipeline for every reference to the edge list (2 directions x
+    {PAGERANK_ITERS} iterations). The persisted-edge-list-then-iterate
+    split is exactly how a cluster runs it; the self-contained SQL
+    stays as the DuckDB oracle (values identical — pytest)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+
+    pairs = spark.sql(dedup_minhash_lsh(SD, base)).localCheckpoint(eager=True)
+    pairs.createOrReplaceTempView("__pagerank_pairs")
+    return spark.sql(dedup_graph_pagerank(SD, pairs_view="__pagerank_pairs"))
 
 
 BUILDERS = {

@@ -104,3 +104,44 @@ def quarantine_errors(spark: SparkSession, errors: list[tuple[str, str]],
         return
     df = spark.createDataFrame(errors, ["key", "error"])
     df.write.mode("overwrite").json(path)
+
+
+def compact_table(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024,
+                  fmt: str = "parquet") -> int:
+    """Small-file compaction (the data-lake maintenance pass): rewrite
+    a table directory into files of ~``target_file_bytes``. Landed
+    layers accumulate per-task files (streaming micro-batches, fanned-
+    out ingests); scans then pay per-file open/footer costs and lose
+    row-group-sized reads. Compaction restores scan efficiency without
+    touching semantics.
+
+    File count is sized from the ACTUAL on-disk bytes (not row counts),
+    the same rule a table service (OPTIMIZE/rewriteDataFiles) applies;
+    the rewrite is one shuffle-free coalesce when shrinking file count,
+    or a round-robin repartition when growing it. Returns the new file
+    count. At 100 TB this runs per partition directory, parallelized
+    over partitions — this helper is the single-directory kernel."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // target_file_bytes))  # ceil, >= 1
+    df = spark.read.format(fmt).load(path)
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files < cur else df.repartition(n_files)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").format(fmt).save(tmp)
+    # atomic-ish swap: the window with no live directory is one rename
+    import shutil
+
+    bak = path.rstrip("/") + "._compact_old"
+    shutil.move(path, bak)
+    shutil.move(tmp, path)
+    shutil.rmtree(bak)
+    written = [f for f in os.listdir(path)
+               if f.endswith(f".{fmt}") or f.startswith("part-")]
+    return len([f for f in written if not f.startswith(("_", "."))])

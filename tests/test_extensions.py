@@ -826,3 +826,12 @@ def test_pagerank_matches_integer_replay_and_conserves_order(spark):
            for r in spark.sql(dedup.dedup_graph_pagerank(SPARK)).collect()}
     exp = {n: (rank[n], deg[n]) for n in rank}
     assert got == exp
+
+
+def test_pagerank_df_path_equals_inline_sql(spark):
+    """The materialized-pairs PageRank (driver path) must equal the
+    self-contained SQL form row-for-row."""
+    inline = {tuple(r) for r in
+              spark.sql(dedup.dedup_graph_pagerank(SPARK)).collect()}
+    df = {tuple(r) for r in dedup.dedup_graph_pagerank_df(spark).collect()}
+    assert df == inline

@@ -62,3 +62,24 @@ def test_webdataset_empty_partitions_ok(spark, tmp_path):
                                    samples_per_shard=10)
     back = shards.read_webdataset_shards(spark, out)
     assert back.count() == 3
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    from aws_trusted_advisor_explorer_spark.sinks import writers
+
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "fragmented")
+    # land deliberately fragmented: one file per row-ish
+    src.repartition(64).write.parquet(path)
+    n_rows = src.count()
+    before = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert before >= 32
+
+    n_after = writers.compact_table(spark, path)
+    after = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert after == n_after
+    assert after < before
+    back = spark.read.parquet(path)
+    assert back.count() == n_rows
+    assert {r.doc_id for r in back.select("doc_id").collect()} == \
+        {r.doc_id for r in src.select("doc_id").collect()}
