@@ -835,3 +835,81 @@ def test_pagerank_df_path_equals_inline_sql(spark):
               spark.sql(dedup.dedup_graph_pagerank(SPARK)).collect()}
     df = {tuple(r) for r in dedup.dedup_graph_pagerank_df(spark).collect()}
     assert df == inline
+
+
+def test_anomaly_guards_planted_fixture(spark):
+    """Planted events: a type with < ANOM_MIN_HOURS hours of history
+    must never alarm (cold start); a zero-variance type must never
+    alarm (den=0); a type with one 10x spike hour must alarm exactly
+    there. Spark == DuckDB row-for-row on the same frame."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops as E
+    from tests.conftest import canonicalize
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(et, hour_i, n):
+        nonlocal eid
+        for k in range(n):
+            rows.append((eid, base + dt.timedelta(hours=hour_i, minutes=k % 60),
+                         1000 + eid % 7, et, 1.0, "{}"))
+            eid += 1
+
+    for h in range(30):            # steady: constant 5/hour -> var 0
+        add("steady", h, 5)
+    for h in range(30):            # spiky: 5/hour, one 50-event hour
+        add("spiky", h, 50 if h == 17 else 5)
+    for h in range(5):             # young: big swings but < 24 hours
+        add("young", h, 40 if h == 2 else 2)
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    sdf = canonicalize(ns.sql(E.events_hourly_anomaly(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(E.events_hourly_anomaly(DUCK)).df())
+    assert sdf.equals(ddf)
+    assert set(ddf["event_type"]) == {"spiky"}
+    assert len(ddf) == 1
+    assert int(ddf.iloc[0]["n_events"]) == 50
+
+
+def test_funnel_strictly_after_planted_fixture(spark):
+    """A user whose click precedes every view must NOT count as a
+    step-2 conversion (strictly-after semantics), and a user with the
+    full ordered path counts in all three steps."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops as E
+
+    t0 = dt.datetime(2026, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: view -> click -> purchase (full path)
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + m, 1, "click", 1.0, "{}"),
+        (3, t0 + 2 * m, 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE any view -> stops at step 1
+        (4, t0, 2, "click", 1.0, "{}"),
+        (5, t0 + m, 2, "view", 1.0, "{}"),
+        # user 3: view only
+        (6, t0, 3, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("events")
+    got = {r.step: r.n_users
+           for r in ns.sql(E.events_funnel(SPARK)).collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
