@@ -346,3 +346,75 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.expr(
                 f"NOT arrays_overlap(hvs, array({ev_lit}))"))
             .select("doc_id", "text", "lang"))
+
+
+FUNNEL_STATE_SCHEMA = StructType([
+    StructField("step_reached", LongType()),
+    StructField("entry_us", LongType()),
+])
+
+FUNNEL_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("step_reached", LongType()),
+])
+
+
+def _funnel_update(key, pdfs, state: GroupState):
+    """Stateful funnel progression (streaming twin of
+    eventops.events_funnel): per user, advance through FUNNEL_STEPS on
+    the first event of the next step STRICTLY AFTER the current step's
+    entry time. State is two scalars; events are replayed in (us,
+    event_id) order inside each batch, matching the batch query's
+    total order. ASSUMPTION: per-user arrival order respects event
+    time ACROSS micro-batches (true for time-ordered log ingestion and
+    for the staged test input) — the state machine never rewinds, so a
+    step-k event arriving in an earlier batch than its step-(k-1)
+    predecessor would be missed; a fully out-of-order stream needs a
+    watermark-buffered variant that sorts within the allowed lateness
+    before feeding the same state machine."""
+    from aws_trusted_advisor_explorer_spark.operators.eventops import (
+        FUNNEL_STEPS,
+    )
+
+    (user_id,) = key
+    if state.exists:
+        step, entry_us = state.get
+    else:
+        step, entry_us = 0, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for r in pdf.itertuples():
+            if step >= len(FUNNEL_STEPS):
+                break
+            want = FUNNEL_STEPS[step]
+            if r.event_type != want:
+                continue
+            us = int(r.us)
+            if step == 0:
+                if entry_us is None or us < entry_us:
+                    entry_us = us
+                step = 1
+            elif us > entry_us:
+                entry_us = us
+                step += 1
+    state.update((step, entry_us))
+    yield pd.DataFrame({"user_id": [user_id], "step_reached": [step]})
+
+
+def funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState conversion funnel — O(1) state per user
+    (current step + entry time), the live-funnel dashboard operator."""
+    from aws_trusted_advisor_explorer_spark.operators.eventops import (
+        FUNNEL_STEPS,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    keyed = (ev.filter(F.col("event_type").isin(*FUNNEL_STEPS))
+             .select("user_id", "event_id", "event_type",
+                     F.expr("unix_micros(cast(ts as timestamp))").alias("us")))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

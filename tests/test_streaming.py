@@ -125,3 +125,21 @@ def test_decontaminate_stream_equals_batch(spark):
     want = {r.doc_id
             for r in spark.sql(corpusops.docs_decontaminated(SPARK)).collect()}
     assert got == want, (len(got), len(want))
+
+
+def test_funnel_stream_equals_batch(spark):
+    """Final per-step user counts from the stateful streaming funnel
+    must equal the batch events_funnel."""
+    structured.run_stream_to_memory(
+        structured.funnel_stream(spark, SF_DIR), "funnel_stream",
+        output_mode="update")
+    final = spark.sql("""
+        SELECT user_id, max(step_reached) AS step_reached
+        FROM funnel_stream GROUP BY user_id""")
+    got = {s: 0 for s in (1, 2, 3)}
+    for r in final.collect():
+        for s in range(1, int(r.step_reached) + 1):
+            got[s] += 1
+    want = {r.step: r.n_users
+            for r in spark.sql(eventops.events_funnel(SPARK)).collect()}
+    assert got == want
