@@ -913,3 +913,19 @@ def test_funnel_strictly_after_planted_fixture(spark):
     got = {r.step: r.n_users
            for r in ns.sql(E.events_funnel(SPARK)).collect()}
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_heavy_hitters_sketch_no_false_negatives(spark):
+    """freqItems guarantee: every key above the support threshold must
+    appear in the sketch result (false positives allowed)."""
+    from aws_trusted_advisor_explorer_spark.operators import eventops as E
+
+    support = 0.01
+    total = spark.table("events").count()
+    exact = {r.user_id: r.n for r in spark.sql(
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id"
+    ).collect()}
+    above = {u for u, n in exact.items() if n / total > support}
+    got = set(E.events_heavy_hitters_df(spark, support)
+              .collect()[0]["user_id_freqItems"])
+    assert above <= got
