@@ -145,3 +145,19 @@ def compact_table(spark: SparkSession, path: str,
     written = [f for f in os.listdir(path)
                if f.endswith(f".{fmt}") or f.startswith("part-")]
     return len([f for f in written if not f.startswith(("_", "."))])
+
+
+def write_range_sorted(df: DataFrame, path: str, col: str,
+                       n_files: int = 32) -> None:
+    """Range-partitioned, sorted layout (the time-series scan layout):
+    ``repartitionByRange`` gives each output file a DISJOINT value
+    range of ``col`` and ``sortWithinPartitions`` orders rows inside,
+    so parquet footer min/max stats let a range predicate skip every
+    non-overlapping file (and row-groups within the one it hits) —
+    the same effect as Delta/Iceberg OPTIMIZE ZORDER on one column.
+    At 100 TB this is the difference between scanning a day and
+    scanning the archive; the write costs one range-exchange (sampled
+    boundaries) which the first filtered read pays back."""
+    (df.repartitionByRange(n_files, col)
+       .sortWithinPartitions(col)
+       .write.mode("overwrite").parquet(path))

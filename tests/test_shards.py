@@ -83,3 +83,41 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     assert back.count() == n_rows
     assert {r.doc_id for r in back.select("doc_id").collect()} == \
         {r.doc_id for r in src.select("doc_id").collect()}
+
+
+def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
+    """The written files must cover pairwise-disjoint ts ranges (the
+    property parquet min/max skipping needs), and a narrow ts filter
+    must reach the scan as a pushed filter."""
+    import pyarrow.parquet as pq
+
+    from aws_trusted_advisor_explorer_spark.session import load_tables
+    from aws_trusted_advisor_explorer_spark.sinks import writers
+
+    load_tables(spark, SF_DIR)
+    path = str(tmp_path / "events_ranged")
+    writers.write_range_sorted(spark.table("events"), path, "ts", n_files=8)
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.startswith("part-"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        schema_idx = md.schema.names.index("ts")
+        lo = min(md.row_group(i).column(schema_idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(schema_idx).statistics.max
+                 for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file ranges overlap — skipping impossible"
+
+    back = spark.read.parquet(path)
+    mid = ranges[len(ranges) // 2]
+    plan = (back.filter(back.ts >= mid[0])._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan
+    # row counts preserved
+    assert back.count() == spark.table("events").count()
