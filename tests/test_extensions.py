@@ -738,7 +738,10 @@ def test_session_attribution_matches_pandas_replay(spark):
     from tests.conftest import SF_DIR
 
     ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
-    ev["us"] = ev["ts"].astype("int64") // 1000
+    # normalize to datetime64[us] first: pandas may materialize parquet
+    # timestamps at us or ns resolution depending on version, and a bare
+    # astype(int64) silently yields whichever unit was loaded
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
     act = (ev[ev["event_type"].isin(["view", "click"])]
            .sort_values(["user_id", "us", "event_id"]))
     gap = E.SESSION_GAP_US
