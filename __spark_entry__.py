@@ -324,6 +324,9 @@ _PARKED_TAIL = (
     "events_user_topk",    # text_vocab_topk + the knn ranked top-k family
     "text_lang_confusion", # new in r2; all 50 slots were allocated —
                            # verified in CORRECTNESS_FULL.json + pytest
+    "dedup_span_exact",    # new in r2 (substring-span dedup); the exact/
+                           # shingle dedup family already holds 6 in-cap
+                           # rows — FULL-verified + planted-fixture pytest
     "view_underutil_ebs_no_tags",
     "view_idle_elb_no_tags",
     "view_rds_idle_no_tags",

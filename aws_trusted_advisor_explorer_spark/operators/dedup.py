@@ -315,6 +315,60 @@ SELECT norm_key, min(doc_id) AS keeper_id,
 FROM k GROUP BY norm_key HAVING count(*) > 1"""
 
 
+SPAN_GRAM = 8          # token width of the positional gram window
+SPAN_DF_CAP = 1000     # drop grams duplicated across more docs than this
+
+
+def dedup_span_exact(d: Dialect) -> str:
+    """Exact duplicated-SPAN detection: maximal runs of >= {SPAN_GRAM}
+    consecutive tokens that appear verbatim in more than one document —
+    the substring-level dedup of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed
+    relationally instead of via suffix arrays. Whole-doc dedup misses
+    a boilerplate paragraph pasted into otherwise-distinct pages; this
+    operator localizes it to token coordinates so a curation pass can
+    cut the span, not the document.
+
+    Plan: positional {SPAN_GRAM}-gram hashes (token-hash combinator,
+    no gram strings materialized) -> grams whose distinct-doc count is
+    in [2, {SPAN_DF_CAP}] -> per doc, consecutive duplicated gram
+    starts merge into maximal spans by the gaps-and-islands transform
+    (pos - row_number is constant within a run).
+
+    Scale posture (100 TB): the exchanged relation is (doc_id, pos,
+    hv) — ~24 bytes per token, NEVER the text; the duplicated-gram
+    aggregate is map-side-combining on hv; the islands window
+    partitions by doc_id (co-partitioned with the join's output). The
+    DF cap bounds the join fan-out exactly like NGRAM_DF_CAP does for
+    shingle pairs: a boilerplate gram shared by 1M docs is reported by
+    the first {SPAN_DF_CAP} and dropped as a join key, not exploded.
+    Hash collisions (64-bit poly mod 1e9+7) can merge unrelated grams;
+    at curation scale a verify pass re-checks span bytes before
+    cutting (same verify-after-candidates shape as MinHash->Jaccard).
+    """
+    hvs = d.shingle_hvs("toks", SPAN_GRAM)
+    idxs = ("sequence(1, size(hvs))" if d.name == "spark"
+            else "range(1, len(hvs) + 1)")
+    st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
+    arr = d.transform(idxs, "i", st)
+    return f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
+h AS (SELECT doc_id, {hvs} AS hvs FROM t),
+ps AS (SELECT doc_id, {d.explode(arr)} AS s FROM h
+       WHERE {d.arr_len('hvs')} >= 1),
+g AS (SELECT doc_id, s.pos AS pos, s.hv AS hv FROM ps),
+dup AS (SELECT hv FROM g GROUP BY hv
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
+dpos AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON g.hv = dup.hv),
+isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dpos)
+SELECT doc_id, min(pos) AS span_start,
+  max(pos) + {SPAN_GRAM} - 1 AS span_end,
+  cast(max(pos) - min(pos) + {SPAN_GRAM} as bigint) AS span_tokens,
+  cast(count(*) as bigint) AS n_dup_grams
+FROM isl GROUP BY doc_id, grp"""
+
+
 INCREMENTAL_BATCH_SOURCE = "src0"  # the "incoming crawl" slice in tests
 
 
@@ -670,6 +724,7 @@ BUILDERS = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_exact_flags": dedup_exact_flags,
     "dedup_exact_normalized": dedup_exact_normalized,
+    "dedup_span_exact": dedup_span_exact,
     "dedup_incremental": dedup_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

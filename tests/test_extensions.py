@@ -932,3 +932,50 @@ def test_heavy_hitters_sketch_no_false_negatives(spark):
     got = set(E.events_heavy_hitters_df(spark, support)
               .collect()[0]["user_id_freqItems"])
     assert above <= got
+
+
+def test_span_dedup_planted_fixture(spark):
+    """Planted shared span: docs 1 and 2 embed the same 10-token run at
+    DIFFERENT offsets inside otherwise-unique text; doc 3 shares
+    nothing. The operator must report one maximal span per sharing doc
+    with exact token coordinates (10 tokens = 3 duplicated 8-gram
+    starts), nothing for doc 3, and Spark==DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # span starts at token 4 (1-based) in doc 1
+        (1, "one two three " + shared + " uniqA uniqB uniqC"),
+        # span starts at token 1 in doc 2
+        (2, shared + " completely different tail words here now"),
+        (3, "nothing in common with the others at all whatsoever today"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(dedup.dedup_span_exact(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.dedup_span_exact(DUCK)).df())
+    assert sdf.equals(ddf)
+    got = {int(r.doc_id): (int(r.span_start), int(r.span_end),
+                           int(r.span_tokens), int(r.n_dup_grams))
+           for r in ns.sql(dedup.dedup_span_exact(SPARK)).collect()}
+    # 10 shared tokens -> 10 - 8 + 1 = 3 consecutive duplicated starts
+    assert got == {1: (4, 13, 10, 3), 2: (1, 10, 10, 3)}
+
+
+def test_span_dedup_matches_oracle_on_testdata(spark, ddb):
+    """Driver-table parity: the full island-merge pipeline agrees with
+    DuckDB bit-for-bit, and every span is at least the gram width."""
+    from tests.conftest import assert_matches_oracle
+
+    sdf = spark.sql(dedup.dedup_span_exact(SPARK))
+    assert_matches_oracle(sdf, ddb, dedup.dedup_span_exact(DUCK))
+    for r in sdf.collect():
+        assert r.span_tokens >= dedup.SPAN_GRAM
+        assert r.n_dup_grams == r.span_end - r.span_start - dedup.SPAN_GRAM + 2
