@@ -221,6 +221,20 @@ def _cluster_backed_query(builder_name: str):
     return run
 
 
+def _cluster_df_query(fn_name: str):
+    """Cluster-backed Arrow-kernel twins (semdedup pair join): same
+    materialized assignment views, vectorized cosine kernel."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.operators import clusterops as C
+
+        _prepare_ext(spark, sf_dir)
+        C.ensure_cluster_views(spark, key=sf_dir)
+        return getattr(C, fn_name)(spark)
+
+    return run
+
+
 def _similarity_df_query(fn_name: str):
     """knn queries run the Arrow-vectorized DataFrame twins (same
     doubles as the SQL fold — functions/vectorized.py)."""
@@ -327,6 +341,9 @@ _PARKED_TAIL = (
     "dedup_span_exact",    # new in r2 (substring-span dedup); the exact/
                            # shingle dedup family already holds 6 in-cap
                            # rows — FULL-verified + planted-fixture pytest
+    "dedup_bloom_prefilter",  # new in r2 (mergeable membership sketch);
+                              # no-false-negative property pytest-pinned,
+                              # FULL-verified
     "view_underutil_ebs_no_tags",
     "view_idle_elb_no_tags",
     "view_rds_idle_no_tags",
@@ -361,6 +378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",
                 "pq_recall_report"):
         q[key] = _cluster_backed_query(key)
+    # the semdedup pair join runs the Arrow kernel twin (bit-matched to
+    # the SQL fold; ~5x at sf0.1's 250k candidate pairs)
+    q["semdedup_pairs"] = _cluster_df_query("semdedup_pairs_df")
+    q["semdedup_prune_report"] = _cluster_df_query("semdedup_prune_report_df")
     q["dedup_graph_pagerank"] = _pagerank_query
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")

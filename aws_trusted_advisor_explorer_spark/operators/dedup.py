@@ -369,6 +369,80 @@ SELECT doc_id, min(pos) AS span_start,
 FROM isl GROUP BY doc_id, grp"""
 
 
+BLOOM_BITS = 1 << 14   # filter width m (16384 bits, 63 usable bits per word so the shift never hits the int64 sign bit)
+BLOOM_K = 4            # hash functions
+# independent affine hashes over the content poly-hash: (hv*A + B) % P % m.
+# A*hv stays under 2^63 (hv < P ~ 1e9, A ~ 1e9).
+BLOOM_SALTS = ((1_000_003, 17), (999_983, 291), (1_000_033, 7919),
+               (999_979, 104729))
+
+
+def dedup_bloom_prefilter(d: Dialect) -> str:
+    """Bloom-filter membership prefilter for incremental dedup: build a
+    {BLOOM_BITS}-bit filter over the EXISTING corpus' content hashes
+    (every source except '{INCREMENTAL_BATCH_SOURCE}'), probe each doc
+    of the incoming batch, and report the bloom verdict next to exact
+    membership. Completes the mergeable-sketch family (HLL distinct,
+    approx quantiles, heavy hitters -> membership): ``bit_or`` word
+    aggregation is associative, so per-partition partial filters merge
+    map-side, and re-building tomorrow's filter is a merge of
+    yesterday's words with the delta's. Spark's native BloomFilter
+    aggregate is not SQL-exposed (verified: no ``bloom_filter_agg`` /
+    ``might_contain`` in the 4.x registry), so the filter is a plain
+    relation (word_idx, bits) built with {BLOOM_K} affine hashes over
+    the 64-bit content poly-hash.
+
+    Scale posture (100 TB): the filter relation is {BLOOM_BITS}/64 rows
+    regardless of corpus size — broadcast to every probe task; the
+    batch side probes with a {BLOOM_K}-row-per-doc broadcast join and
+    NEVER shuffles the corpus. The guarantee that makes a prefilter
+    sound: no false negatives — ``exact_in_corpus`` implies
+    ``bloom_maybe`` (pytest-pinned); false positives only cost a
+    wasted exact check downstream. At real scale, size m ~ 10 bits per
+    corpus key for ~1% FP and keep the same plan shape."""
+    probes = ", ".join(
+        f"(hv * {a} + {b}) % {P_MOD} % {BLOOM_BITS} AS p{i}"
+        for i, (a, b) in enumerate(BLOOM_SALTS))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT doc_id, p{i} AS pos FROM bprobe" for i in range(BLOOM_K))
+    one = "cast(1 as bigint)"
+    return f"""WITH k AS (
+  SELECT doc_id, source, {d.poly_hash('text')} AS hv FROM documents
+),
+corpus AS (SELECT * FROM k WHERE source <> '{INCREMENTAL_BATCH_SOURCE}'),
+batch  AS (SELECT * FROM k WHERE source =  '{INCREMENTAL_BATCH_SOURCE}'),
+cpos AS (
+  SELECT {probes} FROM corpus
+),
+cbits AS (
+  SELECT pos FROM ({" UNION ALL ".join(f"SELECT p{i} AS pos FROM cpos" for i in range(BLOOM_K))})
+),
+words AS (
+  SELECT {d.idiv('pos', '63')} AS word_idx,
+         bit_or({d.shl(one, 'pos % 63')}) AS bits
+  FROM cbits GROUP BY {d.idiv('pos', '63')}
+),
+bprobe AS (
+  SELECT doc_id, {probes} FROM batch
+),
+hits AS (
+  SELECT pr.doc_id,
+    CASE WHEN (coalesce(w.bits, 0) & {d.shl(one, 'pr.pos % 63')}) <> 0
+         THEN 1 ELSE 0 END AS hit
+  FROM ({probe_rows}) pr
+  LEFT JOIN words w ON w.word_idx = {d.idiv('pr.pos', '63')}
+),
+verdict AS (
+  SELECT doc_id, cast(min(hit) = 1 as boolean) AS bloom_maybe
+  FROM hits GROUP BY doc_id
+)
+SELECT v.doc_id, v.bloom_maybe,
+  cast(c.hv IS NOT NULL as boolean) AS exact_in_corpus
+FROM verdict v
+JOIN batch b ON b.doc_id = v.doc_id
+LEFT JOIN (SELECT DISTINCT hv FROM corpus) c ON c.hv = b.hv"""
+
+
 INCREMENTAL_BATCH_SOURCE = "src0"  # the "incoming crawl" slice in tests
 
 
@@ -725,6 +799,7 @@ BUILDERS = {
     "dedup_exact_flags": dedup_exact_flags,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_span_exact": dedup_span_exact,
+    "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_incremental": dedup_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

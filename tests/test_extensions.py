@@ -979,3 +979,68 @@ def test_span_dedup_matches_oracle_on_testdata(spark, ddb):
     for r in sdf.collect():
         assert r.span_tokens >= dedup.SPAN_GRAM
         assert r.n_dup_grams == r.span_end - r.span_start - dedup.SPAN_GRAM + 2
+
+
+def test_bloom_prefilter_planted_fixture(spark):
+    """Planted batch: one byte-copy of a corpus doc and one genuinely
+    new doc. The copy MUST be bloom_maybe (no false negatives — the
+    property that makes a prefilter sound); the new doc's verdict is
+    reported honestly (False unless an FP collision, impossible at
+    this load factor: 8 set bits in 16384). Spark==DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "web"),
+        (2, "pack my box with five dozen liquor jugs", "web"),
+        (3, "the quick brown fox jumps over the lazy dog", "src0"),
+        (4, "sphinx of black quartz judge my vow", "src0"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(dedup.dedup_bloom_prefilter(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.dedup_bloom_prefilter(DUCK)).df())
+    assert sdf.equals(ddf)
+    got = {int(r.doc_id): (r.bloom_maybe, r.exact_in_corpus)
+           for r in ns.sql(dedup.dedup_bloom_prefilter(SPARK)).collect()}
+    assert got[3] == (True, True)
+    assert got[4] == (False, False)
+
+
+def test_bloom_prefilter_no_false_negatives_on_testdata(spark):
+    """Across the driver corpus: exact_in_corpus implies bloom_maybe
+    for every batch doc, and every batch doc gets exactly one row."""
+    rows = spark.sql(dedup.dedup_bloom_prefilter(SPARK)).collect()
+    n_batch = spark.sql(
+        "SELECT count(*) AS n FROM documents WHERE source = 'src0'"
+    ).collect()[0].n
+    assert len(rows) == n_batch
+    for r in rows:
+        assert not (r.exact_in_corpus and not r.bloom_maybe)
+
+
+def test_semdedup_df_twin_bit_matches_sql(spark):
+    """The Arrow-kernel semdedup twin must reproduce the SQL fold's
+    doubles EXACTLY (same IEEE op order) and the same pair set; the
+    report twin must equal the SQL report row-for-row."""
+    clusterops.ensure_cluster_views(spark)
+    sql_pairs = {(r.cluster_id, r.vec_a, r.vec_b): r.cosine
+                 for r in spark.sql(
+                     clusterops.semdedup_pairs(SPARK, asg=clusterops.ASG_VIEW)
+                 ).collect()}
+    df_pairs = {(r.cluster_id, r.vec_a, r.vec_b): r.cosine
+                for r in clusterops.semdedup_pairs_df(spark).collect()}
+    assert sql_pairs == df_pairs  # exact float equality, on purpose
+    sql_rep = {r.cluster_id: (r.n_vecs, r.n_dropped, r.n_kept)
+               for r in spark.sql(
+                   clusterops.semdedup_prune_report(
+                       SPARK, asg=clusterops.ASG_VIEW)).collect()}
+    df_rep = {r.cluster_id: (r.n_vecs, r.n_dropped, r.n_kept)
+              for r in clusterops.semdedup_prune_report_df(spark).collect()}
+    assert sql_rep == df_rep
