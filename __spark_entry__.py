@@ -344,6 +344,9 @@ _PARKED_TAIL = (
     "dedup_bloom_prefilter",  # new in r2 (mergeable membership sketch);
                               # no-false-negative property pytest-pinned,
                               # FULL-verified
+    "docs_span_scrub",     # new in r2: the keep-one-copy span CUT action
+                           # (report twin dedup_span_exact also parked);
+                           # planted-fixture pytest + FULL-verified
     "view_underutil_ebs_no_tags",
     "view_idle_elb_no_tags",
     "view_rds_idle_no_tags",

@@ -215,6 +215,13 @@ class Dialect:
         # DuckDB's ^ is exponentiation — its bitwise xor is the function form
         return f"({a} ^ {b})" if self.name == "spark" else f"xor({a}, {b})"
 
+    def seq(self, a: str, b: str) -> str:
+        """Inclusive integer sequence [a..b] (caller guarantees a <= b;
+        Spark's sequence DESCENDS on a > b instead of returning empty)."""
+        if self.name == "spark":
+            return f"sequence({a}, {b})"
+        return f"range({a}, ({b}) + 1)"
+
     def shl(self, a: str, n: str) -> str:
         """Bigint left shift (Spark's << is not SQL-exposed pre-4.0 and
         DuckDB has no shiftleft function)."""

@@ -369,6 +369,66 @@ SELECT doc_id, min(pos) AS span_start,
 FROM isl GROUP BY doc_id, grp"""
 
 
+def docs_span_scrub(d: Dialect) -> str:
+    """The curation ACTION for duplicated spans: rebuild each affected
+    document's text with cross-doc duplicated token runs cut, keeping
+    the one copy in the lowest doc_id that contains the gram (Lee et
+    al. 2021 keep-one-occurrence rule). Output one row per doc that
+    lost tokens: the scrubbed text plus before/after token counts —
+    the pre-ship transform a dedup pass actually applies, where
+    dedup_span_exact is the report.
+
+    Same positional-gram plane as dedup_span_exact; the scrub set is
+    every token position covered by a duplicated gram occurrence
+    OUTSIDE the gram's keeper doc. Text rebuild is an order-
+    deterministic concat over kept positions (ordered_concat), so the
+    output string is engine-exact.
+
+    Scale posture (100 TB): relations exchanged are token-positional
+    (24-byte rows) until the final per-doc concat, which groups by
+    doc_id (one shuffle, combinable count aggregates ride along). The
+    cover explode adds x{SPAN_GRAM} rows on duplicated grams only —
+    bounded by the same DF cap as the report."""
+    hvs = d.shingle_hvs("toks", SPAN_GRAM)
+    idxs = ("sequence(1, size(hvs))" if d.name == "spark"
+            else "range(1, len(hvs) + 1)")
+    st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
+    arr = d.transform(idxs, "i", st)
+    tidx = ("sequence(1, size(toks))" if d.name == "spark"
+            else "range(1, len(toks) + 1)")
+    tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
+    tarr = d.transform(tidx, "i", tst)
+    return f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
+h AS (SELECT doc_id, {hvs} AS hvs FROM t),
+ps AS (SELECT doc_id, {d.explode(arr)} AS s FROM h
+       WHERE {d.arr_len('hvs')} >= 1),
+g AS (SELECT doc_id, s.pos AS pos, s.hv AS hv FROM ps),
+dup AS (SELECT hv, min(doc_id) AS keeper_doc FROM g GROUP BY hv
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
+cov0 AS (
+  SELECT g.doc_id, {d.explode(d.seq('g.pos', f'g.pos + {SPAN_GRAM} - 1'))} AS pos
+  FROM g JOIN dup ON g.hv = dup.hv
+  WHERE g.doc_id <> dup.keeper_doc
+),
+cover AS (SELECT DISTINCT doc_id, pos FROM cov0),
+tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t
+       WHERE {d.arr_len('toks')} >= 1),
+tpos AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp),
+marked AS (
+  SELECT tpos.doc_id, tpos.pos, tpos.tok,
+    CASE WHEN cover.pos IS NULL THEN 0 ELSE 1 END AS cut
+  FROM tpos LEFT JOIN cover
+    ON cover.doc_id = tpos.doc_id AND cover.pos = tpos.pos
+)
+SELECT doc_id,
+  cast(count(*) as bigint) AS n_tokens,
+  cast(sum(cut) as bigint) AS n_removed,
+  coalesce({d.ordered_concat("CASE WHEN cut = 0 THEN tok END", "pos")}, '')
+    AS clean_text
+FROM marked GROUP BY doc_id
+HAVING sum(cut) > 0"""
+
+
 BLOOM_BITS = 1 << 14   # filter width m (16384 bits, 63 usable bits per word so the shift never hits the int64 sign bit)
 BLOOM_K = 4            # hash functions
 # independent affine hashes over the content poly-hash: (hv*A + B) % P % m.
@@ -800,6 +860,7 @@ BUILDERS = {
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_span_exact": dedup_span_exact,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
+    "docs_span_scrub": docs_span_scrub,
     "dedup_incremental": dedup_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -1044,3 +1044,33 @@ def test_semdedup_df_twin_bit_matches_sql(spark):
     df_rep = {r.cluster_id: (r.n_vecs, r.n_dropped, r.n_kept)
               for r in clusterops.semdedup_prune_report_df(spark).collect()}
     assert sql_rep == df_rep
+
+
+def test_span_scrub_planted_fixture(spark):
+    """Keep-one-copy rule: the shared 10-token span survives in the
+    LOWEST doc that contains it and is cut from the other; untouched
+    docs don't appear; token accounting is exact; Spark==DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "one two three " + shared + " uniqA uniqB uniqC"),
+        (2, shared + " completely different tail words here now"),
+        (3, "nothing in common with the others at all whatsoever today"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(dedup.docs_span_scrub(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.docs_span_scrub(DUCK)).df())
+    assert sdf.equals(ddf)
+    got = {int(r.doc_id): (int(r.n_tokens), int(r.n_removed), r.clean_text)
+           for r in ns.sql(dedup.docs_span_scrub(SPARK)).collect()}
+    assert set(got) == {2}  # doc 1 is the keeper, doc 3 untouched
+    assert got[2] == (16, 10, "completely different tail words here now")
