@@ -33,14 +33,22 @@ from pyspark.sql.types import (
 
 SESSION_GAP_US = 1_800_000_000  # mirrors operators/eventops.SESSION_GAP_US
 
-EVENTS_STREAM_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # parquet TIMESTAMP(NANOS) read as long
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+def _events_stream_schema(ts_is_nanos: bool) -> StructType:
+    """The driver has shipped events.parquet with ``ts`` as both
+    TIMESTAMP(NANOS) and timestamp[us] across regenerations, so the
+    stream mirrors the batch loader (session.load_tables): inspect the
+    footer and branch, instead of hardcoding a unit that silently
+    shifts every timestamp 1000x when the layout changes."""
+    from pyspark.sql.types import TimestampNTZType
+
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType() if ts_is_nanos else TimestampNTZType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
 
 
 def _stage_single_file(path: str) -> str:
@@ -72,16 +80,23 @@ def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int = 1) -> DataFrame:
     """``readStream`` over the events parquet with the nanos->timestamp
     normalization the batch loader applies (session.load_tables)."""
+    from aws_trusted_advisor_explorer_spark.session import (
+        _nanos_timestamp_cols,
+    )
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
+    ts_is_nanos = "ts" in _nanos_timestamp_cols(path)
     if os.path.isfile(path):
         path = _stage_single_file(path)
-    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    raw = (spark.readStream.schema(_events_stream_schema(ts_is_nanos))
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(path))
-    return raw.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    if ts_is_nanos:
+        raw = raw.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    return raw
 
 
 def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,6 +130,7 @@ DOCS_STREAM_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("lang", StringType()),
     StructField("text", StringType()),
+    StructField("source", StringType()),
 ])
 
 
@@ -346,6 +362,61 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.expr(
                 f"NOT arrays_overlap(hvs, array({ev_lit}))"))
             .select("doc_id", "text", "lang"))
+
+
+def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup.dedup_bloom_prefilter: stateless Bloom
+    membership verdict per incoming batch-source document against the
+    EXISTING corpus' filter — the ingest-time shape of incremental
+    dedup (cheap prefilter on the stream; only bloom_maybe docs pay an
+    exact lookup downstream).
+
+    The filter words are built ONCE batch-side with the operator's own
+    SQL aggregate, densified into a {n_words}-slot array literal, and
+    shipped inside the plan (the degenerate broadcast; a real cluster
+    broadcasts the same array). The stream-side test is {k} codegen'd
+    bit probes over the document's content poly-hash — no Python, no
+    state, no shuffle. Same hashes as the batch operator, so verdicts
+    agree exactly (pinned by tests/test_streaming.py)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+    from aws_trusted_advisor_explorer_spark.operators.dedup import (
+        BLOOM_BITS, BLOOM_SALTS, INCREMENTAL_BATCH_SOURCE, P_MOD,
+    )
+
+    n_words = BLOOM_BITS // 63 + 1
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_docs.createOrReplaceTempView("__bloom_corpus_docs")
+    hv = SD.poly_hash("text")
+    probes = ", ".join(
+        f"(hv * {a} + {b}) % {P_MOD} % {BLOOM_BITS} AS p{i}"
+        for i, (a, b) in enumerate(BLOOM_SALTS))
+    pos_union = " UNION ALL ".join(
+        f"SELECT p{i} AS pos FROM cpos" for i in range(len(BLOOM_SALTS)))
+    words = {int(r.word_idx): int(r.bits) for r in spark.sql(f"""
+        WITH k AS (SELECT {hv} AS hv FROM __bloom_corpus_docs
+                   WHERE source <> '{INCREMENTAL_BATCH_SOURCE}'),
+        cpos AS (SELECT {probes} FROM k)
+        SELECT pos div 63 AS word_idx,
+               bit_or(shiftleft(cast(1 as bigint), cast(pos % 63 as int))) AS bits
+        FROM ({pos_union}) GROUP BY pos div 63""").collect()}
+    arr_lit = ", ".join(
+        f"{words.get(i, 0)}L" for i in range(n_words))
+    checks = " AND ".join(
+        f"(element_at(__bloom_words, cast(p{i} div 63 as int) + 1)"
+        f" & shiftleft(cast(1 as bigint), cast(p{i} % 63 as int))) <> 0"
+        for i in range(len(BLOOM_SALTS)))
+
+    docs = documents_stream(spark, sf_dir)
+    out = (docs
+           .filter(F.col("source") == INCREMENTAL_BATCH_SOURCE)
+           .withColumn("hv", F.expr(hv))
+           .withColumn("__bloom_words", F.expr(f"array({arr_lit})")))
+    for i, (a, b) in enumerate(BLOOM_SALTS):
+        out = out.withColumn(
+            f"p{i}", F.expr(f"(hv * {a} + {b}) % {P_MOD} % {BLOOM_BITS}"))
+    return (out
+            .withColumn("bloom_maybe", F.expr(f"({checks})"))
+            .select("doc_id", "bloom_maybe"))
 
 
 FUNNEL_STATE_SCHEMA = StructType([

@@ -143,3 +143,18 @@ def test_funnel_stream_equals_batch(spark):
     want = {r.step: r.n_users
             for r in spark.sql(eventops.events_funnel(SPARK)).collect()}
     assert got == want
+
+
+def test_bloom_prefilter_stream_equals_batch(spark):
+    """Stream-side bloom verdicts (stateless in-plan filter words) must
+    equal the batch operator's bloom_maybe column doc-for-doc."""
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    structured.run_stream_to_memory(
+        structured.bloom_prefilter_stream(spark, SF_DIR), "bloom_stream",
+        output_mode="append")
+    got = {r.doc_id: r.bloom_maybe
+           for r in spark.table("bloom_stream").collect()}
+    want = {r.doc_id: r.bloom_maybe
+            for r in spark.sql(dedup.dedup_bloom_prefilter(SPARK)).collect()}
+    assert got == want, (len(got), len(want))
