@@ -221,6 +221,22 @@ def _cluster_backed_query(builder_name: str):
     return run
 
 
+def _span_backed_query(builder_name: str):
+    """Span queries read the per-session materialized positional
+    token/gram plane (dedup.ensure_span_views) instead of re-running
+    the tokenize+char-fold prefix per query."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+        from aws_trusted_advisor_explorer_spark.operators import dedup
+
+        _prepare_ext(spark, sf_dir)
+        base = dedup.ensure_span_views(spark, key=sf_dir)
+        return spark.sql(getattr(dedup, builder_name)(SPARK, base=base))
+
+    return run
+
+
 def _cluster_df_query(fn_name: str):
     """Cluster-backed Arrow-kernel twins (semdedup pair join): same
     materialized assignment views, vectorized cosine kernel."""
@@ -386,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semdedup_pairs"] = _cluster_df_query("semdedup_pairs_df")
     q["semdedup_prune_report"] = _cluster_df_query("semdedup_prune_report_df")
     q["dedup_graph_pagerank"] = _pagerank_query
+    q["dedup_span_exact"] = _span_backed_query("dedup_span_exact")
+    q["docs_span_scrub"] = _span_backed_query("docs_span_scrub")
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query

@@ -319,7 +319,27 @@ SPAN_GRAM = 8          # token width of the positional gram window
 SPAN_DF_CAP = 1000     # drop grams duplicated across more docs than this
 
 
-def dedup_span_exact(d: Dialect) -> str:
+def _span_gram_cte(d: Dialect, base: str | None = None) -> str:
+    """Positional {SPAN_GRAM}-gram hash relation ``g(doc_id, pos, hv)``.
+    With ``base`` (the materialized SPAN_GRAM_VIEW, Spark side) the
+    expensive tokenize+char-fold prefix is read from cache; without it
+    the CTE chain is self-contained (DuckDB oracle, standalone
+    tests)."""
+    if base is not None:
+        return f"g AS (SELECT doc_id, pos, hv FROM {base})"
+    hvs = d.shingle_hvs("toks", SPAN_GRAM)
+    idxs = ("sequence(1, size(hvs))" if d.name == "spark"
+            else "range(1, len(hvs) + 1)")
+    st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
+    arr = d.transform(idxs, "i", st)
+    return f"""t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
+h AS (SELECT doc_id, {hvs} AS hvs FROM t),
+ps AS (SELECT doc_id, {d.explode(arr)} AS s FROM h
+       WHERE {d.arr_len('hvs')} >= 1),
+g AS (SELECT doc_id, s.pos AS pos, s.hv AS hv FROM ps)"""
+
+
+def dedup_span_exact(d: Dialect, base: str | None = None) -> str:
     """Exact duplicated-SPAN detection: maximal runs of >= {SPAN_GRAM}
     consecutive tokens that appear verbatim in more than one document —
     the substring-level dedup of Lee et al. 2021 ("Deduplicating
@@ -346,16 +366,7 @@ def dedup_span_exact(d: Dialect) -> str:
     at curation scale a verify pass re-checks span bytes before
     cutting (same verify-after-candidates shape as MinHash->Jaccard).
     """
-    hvs = d.shingle_hvs("toks", SPAN_GRAM)
-    idxs = ("sequence(1, size(hvs))" if d.name == "spark"
-            else "range(1, len(hvs) + 1)")
-    st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
-    arr = d.transform(idxs, "i", st)
-    return f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
-h AS (SELECT doc_id, {hvs} AS hvs FROM t),
-ps AS (SELECT doc_id, {d.explode(arr)} AS s FROM h
-       WHERE {d.arr_len('hvs')} >= 1),
-g AS (SELECT doc_id, s.pos AS pos, s.hv AS hv FROM ps),
+    return f"""WITH {_span_gram_cte(d, base)},
 dup AS (SELECT hv FROM g GROUP BY hv
         HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
 dpos AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON g.hv = dup.hv),
@@ -369,7 +380,58 @@ SELECT doc_id, min(pos) AS span_start,
 FROM isl GROUP BY doc_id, grp"""
 
 
-def docs_span_scrub(d: Dialect) -> str:
+SPAN_GRAM_VIEW = "__doc_span_gram"
+TOKEN_POS_VIEW = "__doc_token_pos"
+# same live-session weakref guard as _SHINGLE_STATE
+_SPAN_STATE: dict[int, tuple[object, object, list]] = {}
+
+
+def ensure_span_views(spark, key: object = None) -> str:
+    """Materialize the POSITIONAL token plane once per (session,
+    dataset): ``__doc_token_pos`` (doc_id, pos, tok) and
+    ``__doc_span_gram`` (doc_id, pos, hv — the {SPAN_GRAM}-gram
+    combinator over per-token hashes). The char-fold token hashing is
+    the expensive interpreted prefix shared by dedup_span_exact and
+    docs_span_scrub; building it once is the same build-once-index
+    step as ensure_shingle_view (localCheckpoint locally; a persisted
+    table on a cluster)."""
+    import weakref
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    state = _SPAN_STATE.get(id(spark))
+    if state is not None and state[0]() is not spark:
+        state = None
+    if state is not None and (key is None or state[1] == key):
+        return SPAN_GRAM_VIEW
+    d = SPARK
+    hvs = d.shingle_hvs("toks", SPAN_GRAM)
+    st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
+    arr = d.transform("sequence(1, size(hvs))", "i", st)
+    tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
+    tarr = d.transform("sequence(1, size(toks))", "i", tst)
+    g = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
+h AS (SELECT doc_id, {hvs} AS hvs FROM t),
+ps AS (SELECT doc_id, {d.explode(arr)} AS s FROM h WHERE size(hvs) >= 1)
+SELECT doc_id, s.pos AS pos, s.hv AS hv FROM ps""").localCheckpoint(eager=True)
+    g.createOrReplaceTempView(SPAN_GRAM_VIEW)
+    tp = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
+tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t WHERE size(toks) >= 1)
+SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp""").localCheckpoint(eager=True)
+    tp.createOrReplaceTempView(TOKEN_POS_VIEW)
+    if state is not None:
+        for old in state[2]:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+    for sid in [sid for sid, st_ in _SPAN_STATE.items() if st_[0]() is None]:
+        del _SPAN_STATE[sid]
+    _SPAN_STATE[id(spark)] = (weakref.ref(spark), key, [g, tp])
+    return SPAN_GRAM_VIEW
+
+
+def docs_span_scrub(d: Dialect, base: str | None = None) -> str:
     """The curation ACTION for duplicated spans: rebuild each affected
     document's text with cross-doc duplicated token runs cut, keeping
     the one copy in the lowest doc_id that contains the gram (Lee et
@@ -389,20 +451,17 @@ def docs_span_scrub(d: Dialect) -> str:
     doc_id (one shuffle, combinable count aggregates ride along). The
     cover explode adds x{SPAN_GRAM} rows on duplicated grams only —
     bounded by the same DF cap as the report."""
-    hvs = d.shingle_hvs("toks", SPAN_GRAM)
-    idxs = ("sequence(1, size(hvs))" if d.name == "spark"
-            else "range(1, len(hvs) + 1)")
-    st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
-    arr = d.transform(idxs, "i", st)
-    tidx = ("sequence(1, size(toks))" if d.name == "spark"
-            else "range(1, len(toks) + 1)")
-    tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
-    tarr = d.transform(tidx, "i", tst)
-    return f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
-h AS (SELECT doc_id, {hvs} AS hvs FROM t),
-ps AS (SELECT doc_id, {d.explode(arr)} AS s FROM h
-       WHERE {d.arr_len('hvs')} >= 1),
-g AS (SELECT doc_id, s.pos AS pos, s.hv AS hv FROM ps),
+    if base is not None:
+        tpos_cte = f"tpos AS (SELECT doc_id, pos, tok FROM {TOKEN_POS_VIEW})"
+    else:
+        tidx = ("sequence(1, size(toks))" if d.name == "spark"
+                else "range(1, len(toks) + 1)")
+        tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
+        tarr = d.transform(tidx, "i", tst)
+        tpos_cte = f"""tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t
+       WHERE {d.arr_len('toks')} >= 1),
+tpos AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp)"""
+    return f"""WITH {_span_gram_cte(d, base)},
 dup AS (SELECT hv, min(doc_id) AS keeper_doc FROM g GROUP BY hv
         HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
 cov0 AS (
@@ -411,9 +470,7 @@ cov0 AS (
   WHERE g.doc_id <> dup.keeper_doc
 ),
 cover AS (SELECT DISTINCT doc_id, pos FROM cov0),
-tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t
-       WHERE {d.arr_len('toks')} >= 1),
-tpos AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp),
+{tpos_cte},
 marked AS (
   SELECT tpos.doc_id, tpos.pos, tpos.tok,
     CASE WHEN cover.pos IS NULL THEN 0 ELSE 1 END AS cut

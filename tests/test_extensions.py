@@ -1074,3 +1074,15 @@ def test_span_scrub_planted_fixture(spark):
            for r in ns.sql(dedup.docs_span_scrub(SPARK)).collect()}
     assert set(got) == {2}  # doc 1 is the keeper, doc 3 untouched
     assert got[2] == (16, 10, "completely different tail words here now")
+
+
+def test_span_view_backed_matches_inline(spark):
+    """View-backed (materialized positional gram plane) and
+    self-contained forms of the span report and scrub produce
+    identical rows."""
+    base = dedup.ensure_span_views(spark)
+    for builder in (dedup.dedup_span_exact, dedup.docs_span_scrub):
+        inline = {tuple(r) for r in spark.sql(builder(SPARK)).collect()}
+        backed = {tuple(r)
+                  for r in spark.sql(builder(SPARK, base=base)).collect()}
+        assert inline == backed, builder.__name__
