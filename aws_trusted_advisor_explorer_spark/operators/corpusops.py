@@ -298,9 +298,12 @@ def docs_block_dedup(d: Dialect) -> str:
     never on text (same rule as the exact-dedup operators). Reassembly
     is a per-doc groupBy whose Spark-side ordering is explicit
     (array_sort over (block_no, text) structs — Dialect.ordered_concat),
-    not collect_list order. The segment CTE is evaluated twice (DF pass
-    + join pass); at 100 TB you land it once (localCheckpoint /
-    parquet) exactly like the shingle view the MinHash family shares.
+    not collect_list order. The block DF is computed by WINDOWS over
+    one hv exchange (a row_number first-in-doc marker summed per hv —
+    count(DISTINCT) isn't a window aggregate in either engine), so the
+    segment relation is evaluated ONCE: no DF-dimension join, and both
+    window passes ride the same hash partitioning (rn partitions by
+    (hv, doc_id), a refinement of the df window's hv key).
     """
     toks = d.tokens("text")
     n = BLOCK_N
@@ -324,11 +327,17 @@ b AS (
     ) x
   ) y
 ),
-f AS (SELECT hv, count(DISTINCT doc_id) AS df FROM b GROUP BY hv),
+w AS (
+  SELECT doc_id, block_no, blk,
+    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (PARTITION BY hv) AS df
+  FROM (
+    SELECT doc_id, block_no, blk, hv,
+      row_number() OVER (PARTITION BY hv, doc_id ORDER BY block_no) AS rn
+    FROM b
+  ) m
+),
 k AS (
-  SELECT b.doc_id, b.block_no, b.blk
-  FROM b JOIN f ON f.hv = b.hv
-  WHERE f.df <= {BLOCK_MAX_DF}
+  SELECT doc_id, block_no, blk FROM w WHERE df <= {BLOCK_MAX_DF}
 ),
 agg AS (
   SELECT doc_id AS agg_doc_id, count(*) AS n_kept,
