@@ -363,6 +363,10 @@ _PARKED_TAIL = (
     "docs_span_scrub",     # new in r2: the keep-one-copy span CUT action
                            # (report twin dedup_span_exact also parked);
                            # planted-fixture pytest + FULL-verified
+    "events_purchase_click_pairs",  # new in r2: batch twin of the
+                                    # stream-stream join (pair set tested
+                                    # equal); range-join family's in-cap
+                                    # row is events_session_attribution
     "view_underutil_ebs_no_tags",
     "view_idle_elb_no_tags",
     "view_rds_idle_no_tags",

@@ -419,6 +419,47 @@ def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bloom_maybe"))
 
 
+def purchase_click_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN twin of eventops.events_purchase_click_pairs:
+    the click and purchase streams (two filtered readers of the events
+    stream) inner-join on user_id with the 6-hour event-time range
+    condition — the canonical Structured Streaming two-stream join.
+
+    Scale posture: both sides carry a watermark and the join condition
+    bounds event time in BOTH directions, so Spark can evict join
+    state: a buffered click is droppable once the watermark passes its
+    time + the window; an unmatched purchase once the watermark passes
+    its time. State is bounded by (watermark + window) x arrival rate
+    — this is why attribution runs at ingest instead of re-joining
+    100 TB of history nightly. Pair set is tested equal to the batch
+    join (tests/test_streaming.py)."""
+    from aws_trusted_advisor_explorer_spark.operators.eventops import (
+        CLICK_ATTR_WINDOW_US,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    secs = CLICK_ATTR_WINDOW_US // 1_000_000
+    clicks = (ev.filter("event_type = 'click'")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").cast(TimestampType()).alias("c_ts"))
+              .withWatermark("c_ts", "12 hours"))
+    purchases = (ev.filter("event_type = 'purchase'")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").cast(TimestampType()).alias("p_ts"))
+                 .withWatermark("p_ts", "12 hours"))
+    j = purchases.join(
+        clicks,
+        F.expr(f"""c_user = p_user
+            AND c_ts >= p_ts - interval {secs} seconds
+            AND c_ts <= p_ts"""))
+    return j.select(
+        "purchase_id", F.col("p_user").alias("user_id"), "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+        .alias("us_before_purchase"))
+
+
 FUNNEL_STATE_SCHEMA = StructType([
     StructField("step_reached", LongType()),
     StructField("entry_us", LongType()),

@@ -158,3 +158,19 @@ def test_bloom_prefilter_stream_equals_batch(spark):
     want = {r.doc_id: r.bloom_maybe
             for r in spark.sql(dedup.dedup_bloom_prefilter(SPARK)).collect()}
     assert got == want, (len(got), len(want))
+
+
+def test_purchase_click_stream_stream_join_equals_batch(spark):
+    """The watermarked stream-stream join must emit exactly the batch
+    pair relation (ids and microsecond deltas)."""
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+
+    structured.run_stream_to_memory(
+        structured.purchase_click_join_stream(spark, SF_DIR), "pc_join",
+        output_mode="append")
+    got = {(r.purchase_id, r.click_id, r.us_before_purchase)
+           for r in spark.table("pc_join").collect()}
+    want = {(r.purchase_id, r.click_id, r.us_before_purchase)
+            for r in spark.sql(
+                eventops.events_purchase_click_pairs(SPARK)).collect()}
+    assert got == want and got
