@@ -1,0 +1,56 @@
+"""Automated scale-anti-pattern audit over EVERY driver-contract query.
+
+The scale rules the operators claim (SCALE.md) are enforceable from the
+executed plan, so this gate turns the manual `.explain` audit into a
+regression test: a future edit that sneaks a cartesian product or a
+row-at-a-time Python UDF into any query fails CI, not a code review.
+
+What is checked per plan:
+- ``CartesianProduct``: never allowed — an unconstrained cross join is
+  quadratic at any scale.
+- ``BatchEvalPython`` (row-at-a-time Python UDF): never allowed — the
+  only Python permitted in the data plane is Arrow-batched
+  (``ArrowEvalPython`` / ``MapInPandas``/``FlatMapGroupsInPandas``).
+- ``BroadcastNestedLoopJoin``: allowed ONLY for the allowlisted queries
+  whose broadcast side is tiny by construction (a handful of probe
+  queries, per-step user sets, or a single-row total); anywhere else it
+  signals a non-equi join that lost its equi-rail.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tests.conftest import SF_DIR
+
+# BroadcastNestedLoopJoin with a small-by-construction broadcast side:
+#   knn_bruteforce      — exact baseline: the PROBE SET (vec_id % mod)
+#                         broadcasts; the corpus side never shuffles
+#   knn_recall_at_k     — embeds knn_bruteforce verbatim as its exact arm
+#   knn_ivfpq_adc       — per-query LUT relation broadcast to code rows
+#   pq_recall_report    — embeds the ADC searcher + exact in-cell arm
+#   events_funnel       — step N joins the previous step's user-sized
+#                         relation on a strictly-after condition
+#   events_key_skew_audit — single-row global total joined to top-N keys
+BNLJ_ALLOWED = {
+    "knn_bruteforce", "knn_recall_at_k", "knn_ivfpq_adc",
+    "pq_recall_report", "events_funnel", "events_key_skew_audit",
+}
+
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+
+def test_no_scale_antipatterns_in_any_query_plan(spark):
+    import __spark_entry__ as entrymod
+
+    failures = []
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        for node in FORBIDDEN:
+            if node in plan:
+                failures.append(f"{name}: {node}")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not failures, "\n".join(failures)
