@@ -42,18 +42,23 @@ def with_run_partitions(df: DataFrame, date_col: str = "datetime") -> DataFrame:
 
 
 def write_raw_table(df: DataFrame, path: str, fmt: str = "parquet",
-                    partitioned: bool = True) -> None:
+                    partitioned: bool = True, mode: str = "overwrite") -> None:
     """K1+K3: land a raw table date-partitioned. Empty input writes no data
-    files (the reference's len(rows)>1 guard is native here)."""
+    files (the reference's len(rows)>1 guard is native here).
+
+    ``mode="append"`` is the month-over-month accumulation path (the
+    reference's monthly cron lands a NEW date prefix each run and never
+    rewrites old ones); each run's partition values are distinct, so
+    append adds partitions without touching history."""
     out = with_run_partitions(df) if partitioned else df
     if fmt == "parquet":
         out = out.toDF(*[parquet_safe(c) for c in out.columns])
-        w = out.write.mode("overwrite")
+        w = out.write.mode(mode)
         if partitioned:
             w = w.partitionBy("year", "month", "day")
         w.parquet(path)
     elif fmt == "csv":
-        w = out.write.mode("overwrite").option("header", True)
+        w = out.write.mode(mode).option("header", True)
         if partitioned:
             w = w.partitionBy("year", "month", "day")
         w.csv(path)
@@ -62,15 +67,26 @@ def write_raw_table(df: DataFrame, path: str, fmt: str = "parquet",
 
 
 def read_raw_table(spark: SparkSession, path: str, fmt: str = "parquet",
-                   keep_partitions: bool = False) -> DataFrame:
+                   keep_partitions: bool = False,
+                   merge_schema: bool = False) -> DataFrame:
     """Read back a raw table, undoing the parquet-safe rename.
 
     The year/month/day layout columns are dropped by default so the
     schema stays reference-faithful; pass ``keep_partitions=True`` (and
     filter on them before anything else) to get partition pruning.
-    """
-    df = spark.read.parquet(path) if fmt == "parquet" else (
-        spark.read.option("header", True).csv(path))
+
+    ``merge_schema=True`` models the Glue crawler's UPDATE_IN_DATABASE
+    schema-change policy (SURVEY.md §1.3/S7): when a later month lands
+    MORE columns (a newly interesting tag key pivots into the tags
+    table), the union schema is reconstructed across partitions and
+    earlier months read NULL for the new column — exactly what the
+    crawler's re-crawl does to the catalog table. Off by default: the
+    footer merge touches every file's metadata, so steady-state reads
+    (stable schema) skip it and evolving tables pay it explicitly."""
+    if fmt == "parquet":
+        df = spark.read.option("mergeSchema", merge_schema).parquet(path)
+    else:
+        df = spark.read.option("header", True).csv(path)
     if not keep_partitions:
         df = df.drop("year", "month", "day")
     return df.toDF(*[parquet_unsafe(c) for c in df.columns])

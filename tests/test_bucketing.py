@@ -52,3 +52,34 @@ def test_partitioned_write_round_trip(spark, tmp_path):
     back = writers.read_raw_table(spark, str(tmp_path / "t"))
     assert set(back.columns) == {"doc_id", "datetime", "doc text"}
     assert back.count() == 50
+
+
+def test_schema_evolution_across_months(spark, tmp_path):
+    """S7 crawler schema-change policy (UPDATE_IN_DATABASE), modeled:
+    month 2 lands an ADDITIONAL pivoted tag column; merge_schema read
+    reconstructs the union schema with NULL backfill for month 1, and
+    partition pruning on month still works on the evolved table."""
+    path = str(tmp_path / "tags")
+    m1 = spark.createDataFrame(
+        [("r1", "2025-05-01 09:00:00", "prod"),
+         ("r2", "2025-05-01 09:00:00", "dev")],
+        ["resourceid", "datetime", "env"])
+    m2 = spark.createDataFrame(
+        [("r1", "2025-06-01 09:00:00", "prod", "core"),
+         ("r3", "2025-06-01 09:00:00", "dev", "data")],
+        ["resourceid", "datetime", "env", "team"])
+    writers.write_raw_table(m1, path)
+    writers.write_raw_table(m2, path, mode="append")
+
+    merged = writers.read_raw_table(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"resourceid", "datetime", "env", "team"}
+    rows = {r.resourceid + r.datetime[5:7]: r.team for r in merged.collect()}
+    assert rows == {"r105": None, "r205": None, "r106": "core", "r306": "data"}
+
+    pruned = writers.read_raw_table(spark, path, keep_partitions=True,
+                                    merge_schema=True)
+    one_month = pruned.filter("month = '06'")
+    assert one_month.count() == 2
+    scan = one_month._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in scan and "month" in scan.split(
+        "PartitionFilters")[1][:120]
