@@ -299,11 +299,13 @@ def docs_block_dedup(d: Dialect) -> str:
     is a per-doc groupBy whose Spark-side ordering is explicit
     (array_sort over (block_no, text) structs — Dialect.ordered_concat),
     not collect_list order. The block DF is computed by WINDOWS over
-    one hv exchange (a row_number first-in-doc marker summed per hv —
+    one hv exchange (a lag-based first-in-doc marker summed per hv —
     count(DISTINCT) isn't a window aggregate in either engine), so the
-    segment relation is evaluated ONCE: no DF-dimension join, and both
-    window passes ride the same hash partitioning (rn partitions by
-    (hv, doc_id), a refinement of the df window's hv key).
+    segment relation is evaluated ONCE with ONE shuffle: both windows
+    PARTITION BY hv exactly (the marker orders by doc_id within hv;
+    partitioning by (hv, doc_id) instead would NOT satisfy the df
+    window's hv distribution and would force a second exchange —
+    verified in the executed plan).
     """
     toks = d.tokens("text")
     n = BLOCK_N
@@ -329,10 +331,12 @@ b AS (
 ),
 w AS (
   SELECT doc_id, block_no, blk,
-    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (PARTITION BY hv) AS df
+    sum(first_in_doc) OVER (PARTITION BY hv) AS df
   FROM (
     SELECT doc_id, block_no, blk, hv,
-      row_number() OVER (PARTITION BY hv, doc_id ORDER BY block_no) AS rn
+      CASE WHEN lag(doc_id) OVER (PARTITION BY hv ORDER BY doc_id, block_no)
+                IS DISTINCT FROM doc_id
+           THEN 1 ELSE 0 END AS first_in_doc
     FROM b
   ) m
 ),

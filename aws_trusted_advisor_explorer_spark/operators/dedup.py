@@ -328,10 +328,10 @@ def _span_gram_cte(d: Dialect, base: str | None = None) -> str:
     if base is not None:
         return f"g AS (SELECT doc_id, pos, hv FROM {base})"
     hvs = d.shingle_hvs("toks", SPAN_GRAM)
-    idxs = ("sequence(1, size(hvs))" if d.name == "spark"
-            else "range(1, len(hvs) + 1)")
+    # the WHERE arr_len >= 1 guard keeps seq's a<=b contract (Spark's
+    # sequence DESCENDS on a > b instead of returning empty)
     st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
-    arr = d.transform(idxs, "i", st)
+    arr = d.transform(d.seq("1", d.arr_len("hvs")), "i", st)
     return f"""t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
 h AS (SELECT doc_id, {hvs} AS hvs FROM t),
 ps AS (SELECT doc_id, {d.explode(arr)} AS s FROM h
@@ -351,32 +351,49 @@ def dedup_span_exact(d: Dialect, base: str | None = None) -> str:
 
     Plan: positional {SPAN_GRAM}-gram hashes (token-hash combinator,
     no gram strings materialized) -> grams whose distinct-doc count is
-    in [2, {SPAN_DF_CAP}] -> per doc, consecutive duplicated gram
-    starts merge into maximal spans by the gaps-and-islands transform
-    (pos - row_number is constant within a run).
+    in [2, {SPAN_DF_CAP}] -> expand each duplicated gram start to its
+    covered token positions -> per doc, the maximal CONTIGUOUS covered
+    regions via the gaps-and-islands transform (pos - row_number is
+    constant within a run). Islanding over covered POSITIONS (not gram
+    starts) means overlapping duplicated grams merge into one region —
+    no token is double-counted across report rows, and a region may
+    stitch together grams duplicated against different partner docs
+    (it is "every token here also exists verbatim elsewhere", not "this
+    exact span appears verbatim in one other doc").
 
     Scale posture (100 TB): the exchanged relation is (doc_id, pos,
     hv) — ~24 bytes per token, NEVER the text; the duplicated-gram
-    aggregate is map-side-combining on hv; the islands window
+    aggregate is map-side-combining on hv; the x{SPAN_GRAM} coverage
+    explode applies to duplicated grams only; the islands window
     partitions by doc_id (co-partitioned with the join's output). The
-    DF cap bounds the join fan-out exactly like NGRAM_DF_CAP does for
-    shingle pairs: a boilerplate gram shared by 1M docs is reported by
-    the first {SPAN_DF_CAP} and dropped as a join key, not exploded.
-    Hash collisions (64-bit poly mod 1e9+7) can merge unrelated grams;
-    at curation scale a verify pass re-checks span bytes before
+    DF cap is a stop-gram guard exactly like NGRAM_DF_CAP: grams in
+    more than {SPAN_DF_CAP} docs are EXCLUDED from the join (and from
+    this report) — at that frequency they are boilerplate with no
+    per-pair signal, and joining them explodes candidate rows; that
+    exclusion is part of the operator's semantics, mirrored in the
+    oracle. Hash collisions (poly mod 1e9+7) can merge unrelated
+    grams; at curation scale a verify pass re-checks span bytes before
     cutting (same verify-after-candidates shape as MinHash->Jaccard).
     """
     return f"""WITH {_span_gram_cte(d, base)},
 dup AS (SELECT hv FROM g GROUP BY hv
         HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
-dpos AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON g.hv = dup.hv),
-isl AS (SELECT doc_id, pos,
+cov0 AS (
+  SELECT g.doc_id, g.pos AS start,
+    {d.explode(d.seq('g.pos', f'g.pos + {SPAN_GRAM} - 1'))} AS pos
+  FROM g JOIN dup ON g.hv = dup.hv
+),
+cover AS (
+  SELECT doc_id, pos,
+    max(CASE WHEN pos = start THEN 1 ELSE 0 END) AS is_start
+  FROM cov0 GROUP BY doc_id, pos
+),
+isl AS (SELECT doc_id, pos, is_start,
           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        FROM dpos)
-SELECT doc_id, min(pos) AS span_start,
-  max(pos) + {SPAN_GRAM} - 1 AS span_end,
-  cast(max(pos) - min(pos) + {SPAN_GRAM} as bigint) AS span_tokens,
-  cast(count(*) as bigint) AS n_dup_grams
+        FROM cover)
+SELECT doc_id, min(pos) AS span_start, max(pos) AS span_end,
+  cast(count(*) as bigint) AS span_tokens,
+  cast(sum(is_start) as bigint) AS n_dup_grams
 FROM isl GROUP BY doc_id, grp"""
 
 
@@ -440,9 +457,16 @@ def docs_span_scrub(d: Dialect, base: str | None = None) -> str:
     the pre-ship transform a dedup pass actually applies, where
     dedup_span_exact is the report.
 
-    Same positional-gram plane as dedup_span_exact; the scrub set is
+    Same positional-gram plane as dedup_span_exact; the cut set is
     every token position covered by a duplicated gram occurrence
-    OUTSIDE the gram's keeper doc. Text rebuild is an order-
+    OUTSIDE that gram's keeper doc, MINUS positions covered by any
+    gram this doc IS keeper for. The protection clause is what makes
+    the keep-one-copy guarantee hold under overlap: when doc A's cut
+    region (it lost gram G to a lower doc) overlaps a gram H that A
+    keeps, the overlapping tokens survive in A — without it, two
+    overlapping grams with different keepers could erase a duplicated
+    run from EVERY document. Every duplicated gram's tokens therefore
+    survive intact in its keeper doc. Text rebuild is an order-
     deterministic concat over kept positions (ordered_concat), so the
     output string is engine-exact.
 
@@ -454,10 +478,8 @@ def docs_span_scrub(d: Dialect, base: str | None = None) -> str:
     if base is not None:
         tpos_cte = f"tpos AS (SELECT doc_id, pos, tok FROM {TOKEN_POS_VIEW})"
     else:
-        tidx = ("sequence(1, size(toks))" if d.name == "spark"
-                else "range(1, len(toks) + 1)")
         tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
-        tarr = d.transform(tidx, "i", tst)
+        tarr = d.transform(d.seq("1", d.arr_len("toks")), "i", tst)
         tpos_cte = f"""tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t
        WHERE {d.arr_len('toks')} >= 1),
 tpos AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp)"""
@@ -465,11 +487,15 @@ tpos AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp)"""
 dup AS (SELECT hv, min(doc_id) AS keeper_doc FROM g GROUP BY hv
         HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
 cov0 AS (
-  SELECT g.doc_id, {d.explode(d.seq('g.pos', f'g.pos + {SPAN_GRAM} - 1'))} AS pos
+  SELECT g.doc_id,
+    CASE WHEN g.doc_id = dup.keeper_doc THEN 1 ELSE 0 END AS kept,
+    {d.explode(d.seq('g.pos', f'g.pos + {SPAN_GRAM} - 1'))} AS pos
   FROM g JOIN dup ON g.hv = dup.hv
-  WHERE g.doc_id <> dup.keeper_doc
 ),
-cover AS (SELECT DISTINCT doc_id, pos FROM cov0),
+cover AS (
+  SELECT doc_id, pos FROM cov0
+  GROUP BY doc_id, pos HAVING max(kept) = 0
+),
 {tpos_cte},
 marked AS (
   SELECT tpos.doc_id, tpos.pos, tpos.tok,

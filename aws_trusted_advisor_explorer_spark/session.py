@@ -83,7 +83,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only inspection)."""
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only
+    inspection). ``path`` may be a single file or a Spark-written
+    dataset DIRECTORY — pyarrow's read_schema only accepts a file, so
+    for directories the first part file's footer speaks for the
+    dataset (a dataset with mixed ts physical types would be a writer
+    bug upstream of us)."""
+    import glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        path = parts[0]
     return [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]

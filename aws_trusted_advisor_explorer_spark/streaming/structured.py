@@ -414,8 +414,11 @@ def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (a, b) in enumerate(BLOOM_SALTS):
         out = out.withColumn(
             f"p{i}", F.expr(f"(hv * {a} + {b}) % {P_MOD} % {BLOOM_BITS}"))
+    # NULL text -> NULL probes -> the AND is NULL; the batch operator's
+    # CASE maps the same row to false, so coalesce to keep verdicts equal
     return (out
-            .withColumn("bloom_maybe", F.expr(f"({checks})"))
+            .withColumn("bloom_maybe",
+                        F.coalesce(F.expr(f"({checks})"), F.lit(False)))
             .select("doc_id", "bloom_maybe"))
 
 

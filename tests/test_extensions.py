@@ -978,7 +978,71 @@ def test_span_dedup_matches_oracle_on_testdata(spark, ddb):
     assert_matches_oracle(sdf, ddb, dedup.dedup_span_exact(DUCK))
     for r in sdf.collect():
         assert r.span_tokens >= dedup.SPAN_GRAM
-        assert r.n_dup_grams == r.span_end - r.span_start - dedup.SPAN_GRAM + 2
+        assert r.span_tokens == r.span_end - r.span_start + 1
+        # regions are contiguous covered runs; gram starts fit inside
+        assert 1 <= r.n_dup_grams <= r.span_tokens - dedup.SPAN_GRAM + 1
+
+
+def _overlap_fixture(spark):
+    """Docs engineered so overlapping duplicated grams have DIFFERENT
+    keepers: doc 2 holds w1..w10; doc 1 shares w1..w8 (gram G, keeper
+    doc 1); doc 3 shares w3..w10 (gram H, keeper doc 2). The
+    intermediate gram w2..w9 exists only in doc 2."""
+    import duckdb
+    import pandas as pd
+
+    w = [f"w{i}" for i in range(1, 11)]
+    rows = [
+        (1, " ".join(w[:8]) + " tailB1 tailB2 tailB3"),
+        (2, " ".join(w)),
+        (3, "headC1 headC2 " + " ".join(w[2:])),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return ns, con
+
+
+def test_span_report_merges_overlapping_regions(spark):
+    """Overlapping duplicated grams (starts {1,3}, gap at 2 in doc 2)
+    must merge into ONE contiguous covered region — no overlapping
+    rows, no double-counted tokens; Spark==DuckDB."""
+    from tests.conftest import canonicalize
+
+    ns, con = _overlap_fixture(spark)
+    sdf = canonicalize(ns.sql(dedup.dedup_span_exact(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.dedup_span_exact(DUCK)).df())
+    assert sdf.equals(ddf)
+    got = {int(r.doc_id): (int(r.span_start), int(r.span_end),
+                           int(r.span_tokens), int(r.n_dup_grams))
+           for r in ns.sql(dedup.dedup_span_exact(SPARK)).collect()}
+    assert got[2] == (1, 10, 10, 2)  # one region covering both grams
+    assert got[1][:2] == (1, 8) and got[3][1] - got[3][0] + 1 == 8
+
+
+def test_span_scrub_keeper_protection_under_overlap(spark):
+    """The keep-one-copy guarantee under overlapping keepers: doc 2
+    loses only the G-covered tokens NOT protected by H (it keeps H),
+    so H's full run survives in doc 2; doc 1 keeps G untouched; doc 3
+    loses its H copy. Without keeper-position protection doc 2 would
+    cut w1..w8 and the intact H run would survive nowhere."""
+    from tests.conftest import canonicalize
+
+    ns, con = _overlap_fixture(spark)
+    sdf = canonicalize(ns.sql(dedup.docs_span_scrub(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.docs_span_scrub(DUCK)).df())
+    assert sdf.equals(ddf)
+    got = {int(r.doc_id): (int(r.n_tokens), int(r.n_removed), r.clean_text)
+           for r in ns.sql(dedup.docs_span_scrub(SPARK)).collect()}
+    # doc 1 (keeper of G) and its tail are untouched -> absent
+    assert set(got) == {2, 3}
+    # doc 2: G covers 1..8, H (kept by doc 2) protects 3..10 -> cut {1,2}
+    assert got[2] == (10, 2, " ".join(f"w{i}" for i in range(3, 11)))
+    # doc 3: its H copy (positions 3..10) goes entirely (tokens are
+    # lowercased by the tokenizer)
+    assert got[3] == (10, 8, "headc1 headc2")
 
 
 def test_bloom_prefilter_planted_fixture(spark):
