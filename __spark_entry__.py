@@ -246,7 +246,10 @@ def _cluster_df_query(fn_name: str):
 
         _prepare_ext(spark, sf_dir)
         C.ensure_cluster_views(spark, key=sf_dir)
-        return getattr(C, fn_name)(spark)
+        pairs = C.ensure_semdedup_pairs(spark, key=sf_dir)
+        if fn_name == "semdedup_pairs_df":
+            return pairs
+        return C.semdedup_prune_report_df(spark, pairs=pairs)
 
     return run
 

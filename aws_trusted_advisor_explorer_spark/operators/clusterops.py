@@ -557,13 +557,47 @@ def semdedup_pairs_df(spark):
         .filter(F.col("cosine") >= COSINE_SEM_THRESHOLD))
 
 
-def semdedup_prune_report_df(spark):
+SEM_PAIRS_VIEW = "__semdedup_pairs"
+# same live-session weakref guard as _CLUSTER_STATE
+_PAIRS_STATE: dict[int, tuple[object, object, list]] = {}
+
+
+def ensure_semdedup_pairs(spark, key: object = None):
+    """Materialize the semdedup pair relation once per (session,
+    dataset): both the pair query and the prune report consume it, so
+    the within-cluster pair join (the expensive stage) runs once —
+    same build-once pattern as the cluster/PQ index views. Requires
+    ensure_cluster_views to have registered the assignment first."""
+    import weakref
+
+    state = _PAIRS_STATE.get(id(spark))
+    if state is not None and state[0]() is not spark:
+        state = None
+    if state is not None and (key is None or state[1] == key):
+        return spark.table(SEM_PAIRS_VIEW)
+    df = semdedup_pairs_df(spark).localCheckpoint(eager=True)
+    df.createOrReplaceTempView(SEM_PAIRS_VIEW)
+    if state is not None:
+        for old in state[2]:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+    for sid in [sid for sid, st in _PAIRS_STATE.items() if st[0]() is None]:
+        del _PAIRS_STATE[sid]
+    _PAIRS_STATE[id(spark)] = (weakref.ref(spark), key, [df])
+    return df
+
+
+def semdedup_prune_report_df(spark, pairs=None):
     """DF twin of :func:`semdedup_prune_report` built on
     :func:`semdedup_pairs_df` (same drop rule: a vector is dropped iff
-    it is the HIGHER id of any above-threshold pair)."""
+    it is the HIGHER id of any above-threshold pair). Pass ``pairs``
+    (e.g. the materialized SEM_PAIRS_VIEW) to reuse an already-built
+    pair relation."""
     from pyspark.sql import functions as F
 
-    pr = semdedup_pairs_df(spark)
+    pr = pairs if pairs is not None else semdedup_pairs_df(spark)
     drops = (pr.select(F.col("vec_b").alias("vec_id")).distinct()
              .withColumn("dropped", F.lit(1)))
     asg = spark.table(ASG_VIEW).select("vec_id", "cluster_id")
