@@ -319,22 +319,25 @@ def text_bigram_surprise(d: Dialect) -> str:
     division, deterministic). High mean = text the corpus model finds
     unpredictable (gibberish or out-of-domain); low = formulaic.
 
-    Scale posture: the occurrence relation is linear in corpus tokens;
-    both count tables aggregate it with map-side combine; the two
-    probe joins are vocab-sized dimensions (broadcast at scale); no
-    windows, no self-join on data."""
+    Scale posture: the occurrence relation is linear in corpus tokens
+    and is evaluated ONCE — both counts are windows over it (count per
+    bigram, count per leading word) instead of groupBy dimensions
+    joined back, which Spark would re-evaluate per CTE reference
+    (measured 3x the tokenize+shingle work in the join form). Two
+    exchanges of the occurrence relation, no self-join on data."""
     toks = d.tokens("text")
     w1 = d.elem(d.split("bigram", " "), "1")
     return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 bg AS (SELECT doc_id, {d.explode(d.shingles('toks', 2))} AS bigram FROM t),
 occ AS (SELECT doc_id, bigram, {w1} AS w1 FROM bg),
-c12 AS (SELECT bigram, cast(count(*) as bigint) AS n12 FROM occ GROUP BY bigram),
-c1 AS (SELECT w1, cast(count(*) as bigint) AS n1 FROM occ GROUP BY w1),
+w AS (
+  SELECT doc_id,
+    cast(count(*) OVER (PARTITION BY bigram) as bigint) AS n12,
+    cast(count(*) OVER (PARTITION BY w1) as bigint) AS n1
+  FROM occ
+),
 s AS (
-  SELECT o.doc_id, {d.idiv('(c1.n1 * 1000)', 'c12.n12')} AS surprise_milli
-  FROM occ o
-  JOIN c12 ON c12.bigram = o.bigram
-  JOIN c1 ON c1.w1 = o.w1
+  SELECT doc_id, {d.idiv('(n1 * 1000)', 'n12')} AS surprise_milli FROM w
 )
 SELECT doc_id,
   cast(count(*) as bigint) AS n_bigrams,
