@@ -247,21 +247,24 @@ def text_commonness_score(d: Dialect) -> str:
     gibberish/IDs score low. Integer-exact across engines (counts sum;
     one final division).
 
-    Scale posture: the vocabulary relation is heavy-hitter-sized, so
-    at 100 TB the doc-side join is a broadcast of the (capped) vocab —
-    AQE already picks broadcast here; swap exact counts for count-min
-    estimates to cap vocab memory, keeping this as the sample-scale
-    oracle."""
+    Scale posture: the token relation is evaluated ONCE — the corpus
+    frequency is a count window over it (a vocab groupBy joined back
+    would re-evaluate the tokenize+explode per CTE reference). One
+    exchange on tok for the window, one on doc_id for the final
+    aggregate; for a capped/count-min vocab at extreme scale the join
+    form returns as the estimate path, with this as the exact oracle."""
     toks = d.tokens("text")
     return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 e AS (SELECT doc_id, {d.explode('toks')} AS tok FROM t),
-vf AS (SELECT tok, count(*) AS freq FROM e GROUP BY tok)
-SELECT e.doc_id,
+w AS (
+  SELECT doc_id, cast(count(*) OVER (PARTITION BY tok) as bigint) AS freq
+  FROM e
+)
+SELECT doc_id,
   cast(count(*) as bigint) AS n_tokens,
-  cast(sum(vf.freq) as bigint) AS sum_token_freq,
-  cast(sum(vf.freq) as double) / count(*) AS mean_token_freq
-FROM e JOIN vf ON vf.tok = e.tok
-GROUP BY e.doc_id"""
+  cast(sum(freq) as bigint) AS sum_token_freq,
+  cast(sum(freq) as double) / count(*) AS mean_token_freq
+FROM w GROUP BY doc_id"""
 
 
 TFIDF_TOP_K = 5
