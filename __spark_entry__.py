@@ -249,7 +249,9 @@ def _cluster_df_query(fn_name: str):
         pairs = C.ensure_semdedup_pairs(spark, key=sf_dir)
         if fn_name == "semdedup_pairs_df":
             return pairs
-        return C.semdedup_prune_report_df(spark, pairs=pairs)
+        if fn_name == "semdedup_prune_report_df":
+            return C.semdedup_prune_report_df(spark, pairs=pairs)
+        raise ValueError(f"unknown cluster DF query: {fn_name!r}")
 
     return run
 

@@ -577,12 +577,10 @@ def ensure_semdedup_pairs(spark, key: object = None):
         return spark.table(SEM_PAIRS_VIEW)
     df = semdedup_pairs_df(spark).localCheckpoint(eager=True)
     df.createOrReplaceTempView(SEM_PAIRS_VIEW)
-    if state is not None:
-        for old in state[2]:
-            try:
-                old.unpersist()
-            except Exception:
-                pass
+    # On key change the old checkpoint DF is simply dropped from the
+    # state dict (unpersist() is a cache-manager call and a no-op for
+    # localCheckpoint blocks; they are freed when the RDD is GC'd) —
+    # same reference-drop policy as _CLUSTER_STATE/_SHINGLE_STATE.
     for sid in [sid for sid, st in _PAIRS_STATE.items() if st[0]() is None]:
         del _PAIRS_STATE[sid]
     _PAIRS_STATE[id(spark)] = (weakref.ref(spark), key, [df])

@@ -247,24 +247,27 @@ def text_commonness_score(d: Dialect) -> str:
     gibberish/IDs score low. Integer-exact across engines (counts sum;
     one final division).
 
-    Scale posture: the token relation is evaluated ONCE — the corpus
-    frequency is a count window over it (a vocab groupBy joined back
-    would re-evaluate the tokenize+explode per CTE reference). One
-    exchange on tok for the window, one on doc_id for the final
-    aggregate; for a capped/count-min vocab at extreme scale the join
-    form returns as the estimate path, with this as the exact oracle."""
+    Scale posture: the vocabulary relation is heavy-hitter-sized, so
+    at 100 TB the doc-side join is a broadcast of the (capped) vocab —
+    AQE already picks broadcast here; swap exact counts for count-min
+    estimates to cap vocab memory, keeping this as the sample-scale
+    oracle. The token CTE is referenced twice (vocab build + probe)
+    and Spark re-evaluates it per reference — that double scan is
+    DELIBERATE: both evaluations are skew-free codegen scans, whereas
+    the single-evaluation alternative (count(*) OVER (PARTITION BY
+    tok)) has no map-side combine and lands every occurrence of a
+    Zipfian head token in ONE window partition — a straggler/OOM at
+    corpus scale. Same trade in text_bigram_surprise."""
     toks = d.tokens("text")
     return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 e AS (SELECT doc_id, {d.explode('toks')} AS tok FROM t),
-w AS (
-  SELECT doc_id, cast(count(*) OVER (PARTITION BY tok) as bigint) AS freq
-  FROM e
-)
-SELECT doc_id,
+vf AS (SELECT tok, count(*) AS freq FROM e GROUP BY tok)
+SELECT e.doc_id,
   cast(count(*) as bigint) AS n_tokens,
-  cast(sum(freq) as bigint) AS sum_token_freq,
-  cast(sum(freq) as double) / count(*) AS mean_token_freq
-FROM w GROUP BY doc_id"""
+  cast(sum(vf.freq) as bigint) AS sum_token_freq,
+  cast(sum(vf.freq) as double) / count(*) AS mean_token_freq
+FROM e JOIN vf ON vf.tok = e.tok
+GROUP BY e.doc_id"""
 
 
 TFIDF_TOP_K = 5
@@ -322,25 +325,28 @@ def text_bigram_surprise(d: Dialect) -> str:
     division, deterministic). High mean = text the corpus model finds
     unpredictable (gibberish or out-of-domain); low = formulaic.
 
-    Scale posture: the occurrence relation is linear in corpus tokens
-    and is evaluated ONCE — both counts are windows over it (count per
-    bigram, count per leading word) instead of groupBy dimensions
-    joined back, which Spark would re-evaluate per CTE reference
-    (measured 3x the tokenize+shingle work in the join form). Two
-    exchanges of the occurrence relation, no self-join on data."""
+    Scale posture: the occurrence relation is linear in corpus tokens;
+    both count tables aggregate it with map-side combine; the two
+    probe joins are vocab-sized dimensions (broadcast at scale). The
+    occurrence CTE is referenced three times and Spark re-evaluates it
+    per reference — that repeated scan is DELIBERATE: each evaluation
+    is a skew-free codegen scan, whereas the single-evaluation window
+    form (count(*) OVER (PARTITION BY bigram/w1)) has no partial
+    aggregation and serializes every occurrence of a Zipfian head
+    word into one window partition — the straggler that kills the job
+    at corpus scale. Same trade in text_commonness_score."""
     toks = d.tokens("text")
     w1 = d.elem(d.split("bigram", " "), "1")
     return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 bg AS (SELECT doc_id, {d.explode(d.shingles('toks', 2))} AS bigram FROM t),
 occ AS (SELECT doc_id, bigram, {w1} AS w1 FROM bg),
-w AS (
-  SELECT doc_id,
-    cast(count(*) OVER (PARTITION BY bigram) as bigint) AS n12,
-    cast(count(*) OVER (PARTITION BY w1) as bigint) AS n1
-  FROM occ
-),
+c12 AS (SELECT bigram, cast(count(*) as bigint) AS n12 FROM occ GROUP BY bigram),
+c1 AS (SELECT w1, cast(count(*) as bigint) AS n1 FROM occ GROUP BY w1),
 s AS (
-  SELECT doc_id, {d.idiv('(n1 * 1000)', 'n12')} AS surprise_milli FROM w
+  SELECT o.doc_id, {d.idiv('(c1.n1 * 1000)', 'c12.n12')} AS surprise_milli
+  FROM occ o
+  JOIN c12 ON c12.bigram = o.bigram
+  JOIN c1 ON c1.w1 = o.w1
 )
 SELECT doc_id,
   cast(count(*) as bigint) AS n_bigrams,
