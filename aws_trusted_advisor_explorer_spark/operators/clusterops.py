@@ -483,8 +483,7 @@ GROUP BY ex.query_id"""
 ASG_VIEW = "__emb_kmeans_asg"
 PQ_MEMBERS_VIEW = "__emb_pq_members"
 PQ_CENTS_VIEW = "__emb_pq_cents"
-# id(spark) -> (weakref to the session, cache key, checkpointed DFs);
-# same live-session weakref guard as dedup._SHINGLE_STATE.
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
 _CLUSTER_STATE: dict[int, tuple[object, object, list]] = {}
 
 
@@ -497,33 +496,28 @@ def ensure_cluster_views(spark, key: object = None) -> None:
     chains per query — on a cluster this is the train-once / persist /
     search-many index lifecycle, and the oracle keeps the inlined
     self-contained form."""
-    import weakref
-
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
 
-    state = _CLUSTER_STATE.get(id(spark))
-    if state is not None and state[0]() is not spark:
-        state = None  # dead session's id was recycled — never trust it
-    if state is not None and (key is None or state[1] == key):
-        return
-    for sid in [sid for sid, st in _CLUSTER_STATE.items() if st[0]() is None]:
-        del _CLUSTER_STATE[sid]
-    dfs = []
-    asg = spark.sql(kmeans_assign(SPARK)).localCheckpoint(eager=True)
-    asg.createOrReplaceTempView(ASG_VIEW)
-    dfs.append(asg)
-    ctes, members, cents = _pq_train_ctes(SPARK)
-    m = spark.sql(
-        f"WITH {ctes}\nSELECT vec_id, s, cid, dist FROM {members}"
-    ).localCheckpoint(eager=True)
-    m.createOrReplaceTempView(PQ_MEMBERS_VIEW)
-    dfs.append(m)
-    c = spark.sql(
-        f"WITH {ctes}\nSELECT s, cid, pos, val FROM {cents}"
-    ).localCheckpoint(eager=True)
-    c.createOrReplaceTempView(PQ_CENTS_VIEW)
-    dfs.append(c)
-    _CLUSTER_STATE[id(spark)] = (weakref.ref(spark), key, dfs)
+    def build(spark):
+        dfs = []
+        asg = spark.sql(kmeans_assign(SPARK)).localCheckpoint(eager=True)
+        asg.createOrReplaceTempView(ASG_VIEW)
+        dfs.append(asg)
+        ctes, members, cents = _pq_train_ctes(SPARK)
+        m = spark.sql(
+            f"WITH {ctes}\nSELECT vec_id, s, cid, dist FROM {members}"
+        ).localCheckpoint(eager=True)
+        m.createOrReplaceTempView(PQ_MEMBERS_VIEW)
+        dfs.append(m)
+        c = spark.sql(
+            f"WITH {ctes}\nSELECT s, cid, pos, val FROM {cents}"
+        ).localCheckpoint(eager=True)
+        c.createOrReplaceTempView(PQ_CENTS_VIEW)
+        dfs.append(c)
+        return dfs
+
+    ensure_session_plane(_CLUSTER_STATE, spark, key, build)
 
 
 def semdedup_pairs_df(spark):
@@ -558,7 +552,7 @@ def semdedup_pairs_df(spark):
 
 
 SEM_PAIRS_VIEW = "__semdedup_pairs"
-# same live-session weakref guard as _CLUSTER_STATE
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
 _PAIRS_STATE: dict[int, tuple[object, object, list]] = {}
 
 
@@ -568,23 +562,15 @@ def ensure_semdedup_pairs(spark, key: object = None):
     the within-cluster pair join (the expensive stage) runs once —
     same build-once pattern as the cluster/PQ index views. Requires
     ensure_cluster_views to have registered the assignment first."""
-    import weakref
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
 
-    state = _PAIRS_STATE.get(id(spark))
-    if state is not None and state[0]() is not spark:
-        state = None
-    if state is not None and (key is None or state[1] == key):
-        return spark.table(SEM_PAIRS_VIEW)
-    df = semdedup_pairs_df(spark).localCheckpoint(eager=True)
-    df.createOrReplaceTempView(SEM_PAIRS_VIEW)
-    # On key change the old checkpoint DF is simply dropped from the
-    # state dict (unpersist() is a cache-manager call and a no-op for
-    # localCheckpoint blocks; they are freed when the RDD is GC'd) —
-    # same reference-drop policy as _CLUSTER_STATE/_SHINGLE_STATE.
-    for sid in [sid for sid, st in _PAIRS_STATE.items() if st[0]() is None]:
-        del _PAIRS_STATE[sid]
-    _PAIRS_STATE[id(spark)] = (weakref.ref(spark), key, [df])
-    return df
+    def build(spark):
+        df = semdedup_pairs_df(spark).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(SEM_PAIRS_VIEW)
+        return [df]
+
+    ensure_session_plane(_PAIRS_STATE, spark, key, build)
+    return spark.table(SEM_PAIRS_VIEW)
 
 
 def semdedup_prune_report_df(spark, pairs=None):

@@ -73,11 +73,7 @@ SELECT doc_id, {d.poly_hash('shingle')} AS hv FROM e"""
 
 SHINGLE_VIEW = "__doc_shingle_hv"
 SHINGLE_DISTINCT_VIEW = "__doc_shingle_hv_distinct"
-# id(spark) -> (weakref to the session, cache key, checkpointed
-# DataFrames backing the views). The weakref guards against CPython id
-# reuse: an entry only counts if its session is still the LIVE object,
-# so a new session allocated at a recycled id re-registers instead of
-# resolving a dead session's stale views.
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
 _SHINGLE_STATE: dict[int, tuple[object, object, list]] = {}
 
 
@@ -92,36 +88,23 @@ def ensure_shingle_view(spark, key: object = None) -> str:
     join against it instead of re-running the explode+hash pipeline
     (which Spark would otherwise re-evaluate per CTE reference, since
     CTEs are inlined)."""
-    import weakref
-
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
 
-    state = _SHINGLE_STATE.get(id(spark))
-    if state is not None and state[0]() is not spark:
-        state = None  # dead session's id was recycled — never trust it
-    if state is not None and (key is None or state[1] == key):
-        return SHINGLE_VIEW
-    df = spark.sql(shingle_hash_sql(SPARK)).localCheckpoint(eager=True)
-    df.createOrReplaceTempView(SHINGLE_VIEW)
-    # the deduplicated per-doc shingle set with its count rides along —
-    # MinHash / exact-Jaccard would otherwise re-run the DISTINCT +
-    # window once per CTE reference (2-3x per query)
-    ddf = spark.sql(
-        f"SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n "
-        f"FROM (SELECT DISTINCT doc_id, hv FROM {SHINGLE_VIEW})"
-    ).localCheckpoint(eager=True)
-    ddf.createOrReplaceTempView(SHINGLE_DISTINCT_VIEW)
-    if state is not None:  # release the previous dataset's blocks
-        for old in state[2]:
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-    # prune entries whose sessions are gone (their blocks died with the
-    # session; the dict must not grow with session churn)
-    for sid in [sid for sid, st in _SHINGLE_STATE.items() if st[0]() is None]:
-        del _SHINGLE_STATE[sid]
-    _SHINGLE_STATE[id(spark)] = (weakref.ref(spark), key, [df, ddf])
+    def build(spark):
+        df = spark.sql(shingle_hash_sql(SPARK)).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(SHINGLE_VIEW)
+        # the deduplicated per-doc shingle set with its count rides along —
+        # MinHash / exact-Jaccard would otherwise re-run the DISTINCT +
+        # window once per CTE reference (2-3x per query)
+        ddf = spark.sql(
+            f"SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n "
+            f"FROM (SELECT DISTINCT doc_id, hv FROM {SHINGLE_VIEW})"
+        ).localCheckpoint(eager=True)
+        ddf.createOrReplaceTempView(SHINGLE_DISTINCT_VIEW)
+        return [df, ddf]
+
+    ensure_session_plane(_SHINGLE_STATE, spark, key, build)
     return SHINGLE_VIEW
 
 
@@ -399,7 +382,7 @@ FROM isl GROUP BY doc_id, grp"""
 
 SPAN_GRAM_VIEW = "__doc_span_gram"
 TOKEN_POS_VIEW = "__doc_token_pos"
-# same live-session weakref guard as _SHINGLE_STATE
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
 _SPAN_STATE: dict[int, tuple[object, object, list]] = {}
 
 
@@ -412,39 +395,28 @@ def ensure_span_views(spark, key: object = None) -> str:
     docs_span_scrub; building it once is the same build-once-index
     step as ensure_shingle_view (localCheckpoint locally; a persisted
     table on a cluster)."""
-    import weakref
-
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
 
-    state = _SPAN_STATE.get(id(spark))
-    if state is not None and state[0]() is not spark:
-        state = None
-    if state is not None and (key is None or state[1] == key):
-        return SPAN_GRAM_VIEW
-    d = SPARK
-    hvs = d.shingle_hvs("toks", SPAN_GRAM)
-    st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
-    arr = d.transform("sequence(1, size(hvs))", "i", st)
-    tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
-    tarr = d.transform("sequence(1, size(toks))", "i", tst)
-    g = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
+    def build(spark):
+        d = SPARK
+        hvs = d.shingle_hvs("toks", SPAN_GRAM)
+        st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
+        arr = d.transform("sequence(1, size(hvs))", "i", st)
+        tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
+        tarr = d.transform("sequence(1, size(toks))", "i", tst)
+        g = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
 h AS (SELECT doc_id, {hvs} AS hvs FROM t),
 ps AS (SELECT doc_id, {d.explode(arr)} AS s FROM h WHERE size(hvs) >= 1)
 SELECT doc_id, s.pos AS pos, s.hv AS hv FROM ps""").localCheckpoint(eager=True)
-    g.createOrReplaceTempView(SPAN_GRAM_VIEW)
-    tp = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
+        g.createOrReplaceTempView(SPAN_GRAM_VIEW)
+        tp = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
 tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t WHERE size(toks) >= 1)
 SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp""").localCheckpoint(eager=True)
-    tp.createOrReplaceTempView(TOKEN_POS_VIEW)
-    if state is not None:
-        for old in state[2]:
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-    for sid in [sid for sid, st_ in _SPAN_STATE.items() if st_[0]() is None]:
-        del _SPAN_STATE[sid]
-    _SPAN_STATE[id(spark)] = (weakref.ref(spark), key, [g, tp])
+        tp.createOrReplaceTempView(TOKEN_POS_VIEW)
+        return [g, tp]
+
+    ensure_session_plane(_SPAN_STATE, spark, key, build)
     return SPAN_GRAM_VIEW
 
 

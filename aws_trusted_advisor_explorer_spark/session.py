@@ -99,3 +99,37 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
             return []
         path = parts[0]
     return [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+
+
+def ensure_session_plane(state: dict, spark: SparkSession, key: object,
+                         build) -> bool:
+    """Build-once-per-(session, dataset) cache for localCheckpoint-backed
+    temp views ("session planes": the shingle, span, cluster, and
+    semdedup-pair relations).
+
+    ``state`` maps ``id(spark)`` to ``(weakref to the session, cache
+    key, pinned DataFrames)``. The weakref guards CPython id reuse: an
+    entry counts only if its session is still the LIVE object, so a new
+    session allocated at a recycled id re-registers instead of
+    resolving a dead session's stale views. On hit (live session and
+    ``key is None`` or the stored key matches) nothing runs; on miss
+    ``build(spark)`` materializes the plane (registering its temp
+    views) and returns the DataFrames to pin. A superseded entry is
+    simply dropped — ``unpersist()`` is a cache-manager call and a
+    no-op for localCheckpoint blocks, which are freed when their RDD
+    is GC'd. Dead-session entries are swept on every rebuild so the
+    dict does not grow with session churn. Returns True iff the plane
+    was (re)built.
+    """
+    import weakref
+
+    st = state.get(id(spark))
+    if st is not None and st[0]() is not spark:
+        st = None  # dead session's id was recycled — never trust it
+    if st is not None and (key is None or st[1] == key):
+        return False
+    dfs = build(spark)
+    for sid in [sid for sid, s in state.items() if s[0]() is None]:
+        del state[sid]
+    state[id(spark)] = (weakref.ref(spark), key, list(dfs))
+    return True
