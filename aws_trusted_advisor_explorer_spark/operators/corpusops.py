@@ -293,19 +293,23 @@ def docs_block_dedup(d: Dialect) -> str:
     fixed-width token block stands in — the dedup machinery (global DF
     over segment hashes, filter, ordered reassembly) is identical.
 
-    Scale posture: segments join on a 64-bit polynomial hash of the
-    block — the DF dimension and both shuffles are keyed on bigints,
-    never on text (same rule as the exact-dedup operators). Reassembly
-    is a per-doc groupBy whose Spark-side ordering is explicit
-    (array_sort over (block_no, text) structs — Dialect.ordered_concat),
-    not collect_list order. The block DF is computed by WINDOWS over
-    one hv exchange (a lag-based first-in-doc marker summed per hv —
-    count(DISTINCT) isn't a window aggregate in either engine), so the
-    segment relation is evaluated ONCE with ONE shuffle: both windows
-    PARTITION BY hv exactly (the marker orders by doc_id within hv;
-    partitioning by (hv, doc_id) instead would NOT satisfy the df
-    window's hv distribution and would force a second exchange —
-    verified in the executed plan).
+    Scale posture: the document-frequency dimension aggregates
+    (hv, doc_id) pairs — 16 bytes a row, block text never rides that
+    exchange — with map-side combine at both stages (partial DISTINCT,
+    partial count). Filtered to ``df > {BLOCK_MAX_DF}`` it is the HOT
+    list: boilerplate-only, tiny by construction, so the probe is a
+    broadcast anti-join (Spark plans the non-null ``NOT IN`` as one)
+    and the segment relation is never shuffled on hv at all. The only
+    exchange carrying text is the per-doc reassembly groupBy, keyed on
+    doc_id (well-distributed) with explicit ordering (array_sort over
+    (block_no, text) structs — Dialect.ordered_concat), not
+    collect_list order. The segment CTE is referenced twice (DF build
+    + probe) and Spark re-evaluates it per reference — DELIBERATE,
+    same trade as text_commonness_score: both evaluations are
+    skew-free codegen scans, whereas the single-evaluation window form
+    (sum/lag OVER (PARTITION BY hv)) lands every occurrence of a
+    corpus-wide boilerplate block in ONE window partition — the
+    straggler that kills the job at scale.
     """
     toks = d.tokens("text")
     n = BLOCK_N
@@ -329,19 +333,13 @@ b AS (
     ) x
   ) y
 ),
-w AS (
-  SELECT doc_id, block_no, blk,
-    sum(first_in_doc) OVER (PARTITION BY hv) AS df
-  FROM (
-    SELECT doc_id, block_no, blk, hv,
-      CASE WHEN lag(doc_id) OVER (PARTITION BY hv ORDER BY doc_id, block_no)
-                IS DISTINCT FROM doc_id
-           THEN 1 ELSE 0 END AS first_in_doc
-    FROM b
-  ) m
+hot AS (
+  SELECT hv FROM (SELECT DISTINCT doc_id, hv FROM b) db
+  GROUP BY hv HAVING count(*) > {BLOCK_MAX_DF}
 ),
 k AS (
-  SELECT doc_id, block_no, blk FROM w WHERE df <= {BLOCK_MAX_DF}
+  SELECT doc_id, block_no, blk FROM b
+  WHERE hv NOT IN (SELECT hv FROM hot)
 ),
 agg AS (
   SELECT doc_id AS agg_doc_id, count(*) AS n_kept,
