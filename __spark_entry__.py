@@ -377,6 +377,9 @@ _PARKED_TAIL = (
     "view_rds_idle_no_tags",
     "view_underutil_redshift_no_tags",
     "view_route53_latency_no_tags",
+    "embeddings_sq_int8",  # new in r2: SQ rung of the quantization
+                           # family; in-cap representative is
+                           # knn_ivfpq_adc (PQ train+encode+search)
 )
 
 

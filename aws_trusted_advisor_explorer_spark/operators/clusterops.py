@@ -594,6 +594,65 @@ def semdedup_prune_report_df(spark, pairs=None):
                  .alias("n_kept")))
 
 
+SQ_SCALE = 1_000_000   # val * 1e6 -> bigint before quantization
+SQ_LEVELS = 255        # 256-level (uint8) affine code per element
+
+
+def embeddings_sq_int8(d: Dialect) -> str:
+    """Scalar (per-dimension) 8-bit quantization of the embedding
+    corpus — the SQ rung of the quantization family beside PQ
+    (pq_codes / knn_ivfpq_adc): per-dimension corpus min/max → affine
+    256-level code per element → per-vector reconstruction-error
+    report (L1 + max absolute error in the scaled-integer space, plus
+    the code sum as a content fingerprint). This is the compression
+    pass that turns a float32 ANN corpus into the 4x-smaller uint8
+    layout most serving stacks ship.
+
+    Cross-engine exactness: each element is scaled-and-rounded to a
+    bigint ONCE (same rule as the KMeans trainer, module docstring);
+    quantization, reconstruction, and both error aggregates then stay
+    in integer arithmetic end-to-end — no float accumulation order to
+    drift between engines.
+
+    Scale posture: ``elems`` is a zero-shuffle posexplode projection;
+    ``stats`` is a DIM-row aggregate (map-side combined) whose join
+    back is a broadcast; the final per-vector groupBy combines
+    map-side to one row per vector before its exchange because a
+    vector's exploded elements never leave their input partition."""
+    seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
+           else f"range(1, {KMEANS_DIM} + 1)")
+    half = SQ_LEVELS // 2
+    return f"""WITH dims AS (SELECT {d.explode(seq)} AS pos),
+elems AS (
+  SELECT vec_id, pos,
+    cast(round(cast({d.elem('embedding', 'pos')} as double) * {SQ_SCALE})
+         as bigint) AS iv
+  FROM embeddings CROSS JOIN dims
+),
+stats AS (
+  SELECT pos, min(iv) AS mn, max(iv) AS mx FROM elems GROUP BY pos
+),
+codes AS (
+  SELECT e.vec_id, e.iv, s.mn, s.mx,
+    CASE WHEN s.mx = s.mn THEN cast(0 as bigint)
+         ELSE {d.idiv('((e.iv - s.mn) * ' + str(SQ_LEVELS) + ')',
+                      '(s.mx - s.mn)')} END AS code
+  FROM elems e JOIN stats s ON s.pos = e.pos
+),
+err AS (
+  SELECT vec_id, code,
+    abs(iv - (mn + {d.idiv('(code * (mx - mn) + ' + str(half) + ')',
+                           str(SQ_LEVELS))})) AS aerr
+  FROM codes
+)
+SELECT vec_id,
+  cast(count(*) as bigint) AS n_dims,
+  cast(sum(aerr) as bigint) AS l1_err_scaled,
+  cast(max(aerr) as bigint) AS max_err_scaled,
+  cast(sum(code) as bigint) AS code_sum
+FROM err GROUP BY vec_id"""
+
+
 # builders that accept a materialized-assignment view (entry wiring)
 ASG_BACKED = ("kmeans_assign", "kmeans_report", "semdedup_pairs",
               "semdedup_prune_report", "knn_ivf_kmeans")
@@ -607,4 +666,5 @@ BUILDERS = {
     "knn_ivf_kmeans": knn_ivf_kmeans,
     "pq_codes": pq_codes,
     "knn_ivfpq_adc": knn_ivfpq_adc,
+    "embeddings_sq_int8": embeddings_sq_int8,
 }

@@ -405,6 +405,45 @@ def test_kmeans_matches_independent_numpy(spark):
     assert got == exp
 
 
+def test_sq_int8_matches_independent_numpy(spark):
+    """embeddings_sq_int8 must equal a from-scratch numpy replay of the
+    affine 256-level quantizer (scaled-integer elements, per-dimension
+    corpus min/max, truncating integer division, half-up integer
+    reconstruction) — an oracle independent of BOTH SQL engines. Also
+    pins range invariants: every code in [0, 255], n_dims == DIM."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import clusterops as C
+    from tests.conftest import SF_DIR
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+
+    def rnd(x):  # round half away from zero, matching SQL round()
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    iv = rnd(V * C.SQ_SCALE).astype(np.int64)
+    mn, mx = iv.min(axis=0), iv.max(axis=0)
+    span = mx - mn
+    safe = np.where(span == 0, 1, span)
+    # operands are non-negative, so numpy floor-div == SQL truncating div
+    code = np.where(span == 0, 0, (iv - mn) * C.SQ_LEVELS // safe)
+    recon = mn + (code * span + C.SQ_LEVELS // 2) // C.SQ_LEVELS
+    aerr = np.abs(iv - recon)
+    assert code.min() >= 0 and code.max() <= C.SQ_LEVELS
+
+    rows = (spark.sql(C.embeddings_sq_int8(SPARK)).toPandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert (rows["vec_id"].to_numpy() == ids).all()
+    assert (rows["n_dims"] == C.KMEANS_DIM).all()
+    assert (rows["l1_err_scaled"].to_numpy() == aerr.sum(axis=1)).all()
+    assert (rows["max_err_scaled"].to_numpy() == aerr.max(axis=1)).all()
+    assert (rows["code_sum"].to_numpy() == code.sum(axis=1)).all()
+
+
 def test_normalized_dedup_catches_case_punct_variants(spark):
     """Planted variants: same words, different case/punctuation/
     whitespace. Byte-exact dedup must MISS them; normalized dedup must
