@@ -380,6 +380,9 @@ _PARKED_TAIL = (
     "embeddings_sq_int8",  # new in r2: SQ rung of the quantization
                            # family; in-cap representative is
                            # knn_ivfpq_adc (PQ train+encode+search)
+    "text_unicode_sanitize",  # new in r2: unicode-hygiene projection;
+                              # scrub family's in-cap representative is
+                              # pii_mask_accounts (P9)
 )
 
 

@@ -444,6 +444,33 @@ def test_sq_int8_matches_independent_numpy(spark):
     assert (rows["code_sum"].to_numpy() == code.sum(axis=1)).all()
 
 
+def test_unicode_sanitize_strips_planted_damage(spark):
+    """text_unicode_sanitize plants per-class unicode damage
+    (replacement chars / zero-width+BOM / C0 controls) on the fixture
+    docs; sanitizing must recover the original text exactly and the
+    counts must follow the doc_id class pattern."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import textops
+    from tests.conftest import SF_DIR
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    rows = spark.sql(textops.text_unicode_sanitize(SPARK)).toPandas()
+    m = rows.merge(docs, on="doc_id")
+    assert len(m) == len(docs)
+    assert (m["clean_text"] == m["text"]).all()
+    cls = m["doc_id"] % 5
+    assert (m.loc[cls == 0, "n_replacement"] == 3).all()
+    assert (m.loc[cls == 1, "n_zero_width"] == 2).all()
+    assert (m.loc[cls == 2, "n_control"] == 2).all()
+    clean_cls = ~cls.isin([0, 1, 2])
+    damage = ["n_replacement", "n_zero_width", "n_control"]
+    assert (m.loc[clean_cls, damage].to_numpy() == 0).all()
+    # mojibake verdicts exist and only ever on the replacement class
+    assert (m.loc[cls != 0, "is_mojibake"] == 0).all()
+    assert m.loc[cls == 0, "is_mojibake"].sum() > 0
+
+
 def test_normalized_dedup_catches_case_punct_variants(spark):
     """Planted variants: same words, different case/punctuation/
     whitespace. Byte-exact dedup must MISS them; normalized dedup must
