@@ -383,6 +383,9 @@ _PARKED_TAIL = (
     "text_unicode_sanitize",  # new in r2: unicode-hygiene projection;
                               # scrub family's in-cap representative is
                               # pii_mask_accounts (P9)
+    "media_phash_dedup",   # new in r2: perceptual-hash media near-dup;
+                           # banded-candidate family's in-cap
+                           # representative is dedup_simhash
 )
 
 

@@ -271,7 +271,86 @@ SELECT doc_id, frame_no,
 FROM c"""
 
 
+PHASH_BITS = 48          # gradient bits per payload (dHash shape)
+PHASH_BAND_BITS = 8      # 6 bands; pigeonhole catches hamming <= 5
+PHASH_MAX_HAMMING = 5
+PHASH_VARIANT_EVERY = 25       # plant a noisy twin for every 25th doc
+PHASH_VARIANT_OFFSET = 1_000_000
+
+
+def media_phash_dedup(d: Dialect) -> str:
+    """Perceptual-hash near-dup detection for media payloads — the
+    dHash shape: the sign of the gradient between {PHASH_BITS}+1
+    byte samples spaced evenly across the payload (sampling scales
+    with length, the stream analog of dHash's resize), packed into a
+    {PHASH_BITS}-bit key; candidates share one of six exact 8-bit
+    bands (pigeonhole: any pair within hamming {PHASH_MAX_HAMMING}
+    shares a clean band) and verify popcount(xor) <=
+    {PHASH_MAX_HAMMING}.
+
+    Positional hashes are robust to POINT noise (re-encode jitter —
+    a changed byte flips at most 2 gradient bits) but not to content
+    shifts, which is the correct contract for fixed-geometry media —
+    token-level text dedup belongs to the MinHash/shingle family.
+    Since the corpus stands in text bytes for media, noisy twins are
+    PLANTED deterministically (two 1-byte splices per twin, <= 4
+    flipped bits — guaranteed caught; same planted-input pattern as
+    pii_scrub_text): the expected output is exactly the twin pairs,
+    while unrelated payloads sit near hamming {PHASH_BITS}//2.
+
+    Scale posture: at ingest the decode stage (mapInPandas) computes
+    and STORES the hash as asset metadata; this query's inline
+    char-code hash is the oracle twin of that path. The band join is
+    metadata-only (doc_id, ph, band) — payloads never shuffle — and
+    verification is a popcount on the joined 8-byte keys."""
+    splice = ("substr(text, 1, 9) || '#' || substr(text, 11, 6) || '%' || "
+              "substr(text, 18)")
+    n_bands = PHASH_BITS // PHASH_BAND_BITS
+    mask = (1 << PHASH_BAND_BITS) - 1
+    pos_k = f"1 + {d.idiv('(k * (n - 1))', str(PHASH_BITS))}"
+    pos_k1 = f"1 + {d.idiv('((k + 1) * (n - 1))', str(PHASH_BITS))}"
+    band_strs = [
+        f"concat_ws(':', '{b}', "
+        f"cast({d.bitslice('ph', b * PHASH_BAND_BITS, mask)} as string))"
+        for b in range(n_bands)]
+    if d.name == "spark":
+        band_arr = "array(" + ", ".join(band_strs) + ")"
+    else:
+        band_arr = "[" + ", ".join(band_strs) + "]"
+    hamming = f"bit_count({d.xor('a.ph', 'b.ph')})"
+    return f"""WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 2
+),
+noisy AS (
+  SELECT doc_id + {PHASH_VARIANT_OFFSET} AS doc_id, {splice} AS text
+  FROM base
+  WHERE doc_id % {PHASH_VARIANT_EVERY} = 0 AND length(text) >= 24
+),
+m AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM noisy),
+c AS (SELECT doc_id, text, length(text) AS n FROM m),
+g AS (SELECT doc_id, text, n, {d.explode(d.seq('0', str(PHASH_BITS - 1)))} AS k
+      FROM c),
+s AS (
+  SELECT doc_id, sum(
+    CASE WHEN ascii(substr(text, {pos_k}, 1))
+            < ascii(substr(text, {pos_k1}, 1))
+         THEN {d.shl('cast(1 as bigint)', 'k')} ELSE cast(0 as bigint) END
+  ) AS ph
+  FROM g GROUP BY doc_id
+),
+bands AS (SELECT doc_id, ph, {d.explode(band_arr)} AS band_sig FROM s),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+    cast({hamming} as bigint) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  WHERE {hamming} <= {PHASH_MAX_HAMMING}
+)
+SELECT ia AS doc_a, ib AS doc_b, hamming FROM cand"""
+
+
 BUILDERS = {
     "media_inventory": media_inventory,
     "media_dedup_exact": media_dedup_exact,
+    "media_phash_dedup": media_phash_dedup,
 }

@@ -444,6 +444,28 @@ def test_sq_int8_matches_independent_numpy(spark):
     assert (rows["code_sum"].to_numpy() == code.sum(axis=1)).all()
 
 
+def test_phash_dedup_finds_exactly_planted_twins(spark):
+    """media_phash_dedup must return exactly the planted noisy-twin
+    pairs: every eligible doc pairs with its twin at hamming <= 4 (two
+    1-byte splices flip at most 2 gradient bits each — within the
+    banding's pigeonhole guarantee), and no unrelated payloads pass
+    the verify threshold."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import multimodal as M
+    from tests.conftest import SF_DIR
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    eligible = docs[(docs["doc_id"] % M.PHASH_VARIANT_EVERY == 0)
+                    & (docs["text"].str.len() >= 24)]["doc_id"]
+    expected = {(int(i), int(i) + M.PHASH_VARIANT_OFFSET) for i in eligible}
+
+    rows = spark.sql(M.media_phash_dedup(SPARK)).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(rows["doc_a"], rows["doc_b"])}
+    assert got == expected
+    assert (rows["hamming"] <= 4).all()
+
+
 def test_unicode_sanitize_strips_planted_damage(spark):
     """text_unicode_sanitize plants per-class unicode damage
     (replacement chars / zero-width+BOM / C0 controls) on the fixture
