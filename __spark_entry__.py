@@ -386,6 +386,8 @@ _PARKED_TAIL = (
     "media_phash_dedup",   # new in r2: perceptual-hash media near-dup;
                            # banded-candidate family's in-cap
                            # representative is dedup_simhash
+    "docs_boilerplate_topk",  # new in r2: top-k report twin of in-cap
+                              # docs_block_dedup (same segmenter)
 )
 
 

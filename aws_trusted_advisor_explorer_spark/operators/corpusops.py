@@ -419,6 +419,62 @@ SELECT
 FROM m"""
 
 
+BOILERPLATE_TOPK = 20
+
+
+def docs_boilerplate_topk(d: Dialect) -> str:
+    """Boilerplate forensics: the {BOILERPLATE_TOPK} most widely shared
+    token blocks (df >= 2) with their document frequency and occurrence
+    count — the report that tells a curator WHAT the shared boilerplate
+    IS, to confirm a stop-list before docs_block_dedup cuts it. Uses
+    the same fixed-width segmenter as docs_block_dedup so every
+    reported block maps 1:1 to what that operator would drop.
+
+    Scale posture: ranking runs entirely on the text-free (hv, doc_id)
+    relation — one distinct-count aggregate, then ORDER BY + LIMIT
+    (distributed TakeOrdered, no global sort). Only the {BOILERPLATE_TOPK}
+    winners' hvs join back for a sample text (broadcast semi-join into
+    a {BOILERPLATE_TOPK}-group aggregate), so block text never shuffles
+    corpus-wide. The segment CTE is referenced twice — deliberate
+    re-evaluated-scan trade, as in docs_block_dedup."""
+    toks = d.tokens("text")
+    n = BLOCK_N
+    if d.name == "spark":
+        nb = f"cast(ceil(size(toks) / {n}.0) as int)"
+        idx = f"slice(sequence(1, greatest({nb}, 1)), 1, {nb})"
+        blk = f"concat_ws(' ', slice(toks, (i - 1) * {n} + 1, {n}))"
+    else:
+        nb = f"cast(ceil(len(toks) / {n}.0) as int)"
+        idx = f"range(1, {nb} + 1)"
+        blk = (f"array_to_string(list_slice(toks, (i - 1) * {n} + 1, "
+               f"(i - 1) * {n} + {n}), ' ')")
+    return f"""WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, blk, {d.poly_hash('blk')} AS hv FROM (
+    SELECT doc_id, {blk} AS blk FROM (
+      SELECT doc_id, toks, {d.explode(idx)} AS i FROM t
+    ) x
+  ) y
+),
+agg AS (
+  SELECT hv, count(DISTINCT doc_id) AS df, count(*) AS n_occ
+  FROM b GROUP BY hv
+),
+top AS (
+  SELECT hv, df, n_occ FROM agg WHERE df >= 2
+  ORDER BY df DESC, n_occ DESC, hv LIMIT {BOILERPLATE_TOPK}
+),
+txt AS (
+  SELECT b.hv, min(b.blk) AS block_text
+  FROM b JOIN top ON top.hv = b.hv GROUP BY b.hv
+)
+SELECT txt.block_text, cast(top.df as bigint) AS n_docs,
+  cast(top.n_occ as bigint) AS n_occurrences, top.hv AS block_hv
+FROM top JOIN txt ON txt.hv = top.hv"""
+
+
 BUILDERS = {
     "docs_embedding_integrity": docs_embedding_integrity,
     "docs_importance_sample": docs_importance_sample,
@@ -432,4 +488,5 @@ BUILDERS = {
     "docs_stratified_sample": docs_stratified_sample,
     "docs_pack_efficiency": docs_pack_efficiency,
     "docs_block_dedup": docs_block_dedup,
+    "docs_boilerplate_topk": docs_boilerplate_topk,
 }
