@@ -34,9 +34,14 @@ from tests.conftest import SF_DIR
 #   events_funnel       — step N joins the previous step's user-sized
 #                         relation on a strictly-after condition
 #   events_key_skew_audit — single-row global total joined to top-N keys
+#   embeddings_sq_int8  — the DIM-row (64) dims relation cross-joined to
+#                         emulate posexplode dialect-portably (same shape
+#                         the KMeans trainer inlines; its queries() entry
+#                         reads the materialized view instead)
 BNLJ_ALLOWED = {
     "knn_bruteforce", "knn_recall_at_k", "knn_ivfpq_adc",
     "pq_recall_report", "events_funnel", "events_key_skew_audit",
+    "embeddings_sq_int8",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
