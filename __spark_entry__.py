@@ -237,6 +237,22 @@ def _span_backed_query(builder_name: str):
     return run
 
 
+def _block_backed_query(builder_name: str):
+    """Block queries read the per-session materialized fixed-width
+    segment relation (corpusops.ensure_block_view) instead of
+    re-evaluating the tokenize+explode+hash prefix per CTE reference."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+        from aws_trusted_advisor_explorer_spark.operators import corpusops
+
+        _prepare_ext(spark, sf_dir)
+        base = corpusops.ensure_block_view(spark, key=sf_dir)
+        return spark.sql(getattr(corpusops, builder_name)(SPARK, base=base))
+
+    return run
+
+
 def _cluster_df_query(fn_name: str):
     """Cluster-backed Arrow-kernel twins (semdedup pair join): same
     materialized assignment views, vectorized cosine kernel."""
@@ -413,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "dedup_containment", "dedup_simhash",
                 "dedup_incremental", "docs_dedup_rate_by_source"):
         q[key] = _shingle_backed_query(key)
+    for key in ("docs_block_dedup", "docs_boilerplate_topk"):
+        q[key] = _block_backed_query(key)
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",
                 "pq_recall_report"):

@@ -282,7 +282,74 @@ BLOCK_N = 4       # tokens per non-overlapping block
 BLOCK_MAX_DF = 4  # keep blocks seen in <= this many distinct docs
 
 
-def docs_block_dedup(d: Dialect) -> str:
+BLOCK_VIEW = "__doc_block"
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
+_BLOCK_STATE: dict[int, tuple[object, object, list]] = {}
+
+
+def _block_parts(d: Dialect) -> tuple[str, str, str]:
+    """(n_blocks, index-array, block-text) expression fragments over a
+    ``toks`` column for the fixed-width {BLOCK_N}-token segmenter."""
+    n = BLOCK_N
+    if d.name == "spark":
+        nb = f"cast(ceil(size(toks) / {n}.0) as int)"
+        # sequence(1, 0) DESCENDS in Spark — build >=1 slot, slice to nb
+        idx = f"slice(sequence(1, greatest({nb}, 1)), 1, {nb})"
+        blk = f"concat_ws(' ', slice(toks, (i - 1) * {n} + 1, {n}))"
+    else:
+        nb = f"cast(ceil(len(toks) / {n}.0) as int)"
+        idx = f"range(1, {nb} + 1)"
+        blk = (f"array_to_string(list_slice(toks, (i - 1) * {n} + 1, "
+               f"(i - 1) * {n} + {n}), ' ')")
+    return nb, idx, blk
+
+
+def _block_cte(d: Dialect, base: str | None) -> str:
+    """``t`` + ``b`` CTE prefix: the segment relation (doc_id,
+    block_no, blk, hv). With ``base`` (the session-materialized block
+    plane, Spark side) ``b`` is a cheap view scan; without it the CTE
+    is self-contained (DuckDB oracle, standalone tests). ``t`` is
+    harmless when unreferenced — both engines prune unused CTEs."""
+    _, idx, blk = _block_parts(d)
+    t = (f"t AS (\n  SELECT doc_id, {d.tokens('text')} AS toks "
+         f"FROM documents\n)")
+    if base is not None:
+        return (f"WITH {t},\n"
+                f"b AS (SELECT doc_id, block_no, blk, hv FROM {base})")
+    return f"""WITH {t},
+b AS (
+  SELECT doc_id, block_no, blk, {d.poly_hash('blk')} AS hv FROM (
+    SELECT doc_id, i AS block_no, {blk} AS blk FROM (
+      SELECT doc_id, toks, {d.explode(idx)} AS i FROM t
+    ) x
+  ) y
+)"""
+
+
+def ensure_block_view(spark, key: object = None) -> str:
+    """Materialize the fixed-width segment relation once per (session,
+    dataset) — docs_block_dedup and docs_boilerplate_topk both consume
+    it, and each references it twice (Spark re-evaluates inlined CTEs
+    per reference), so the tokenize+explode+hash prefix would
+    otherwise run 4x per bench pass. Same build-once pattern as
+    dedup.ensure_shingle_view (localCheckpoint locally; a persisted
+    table on a cluster)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+
+    def build(spark):
+        df = spark.sql(
+            _block_cte(SPARK, None)
+            + "\nSELECT doc_id, block_no, blk, hv FROM b"
+        ).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(BLOCK_VIEW)
+        return [df]
+
+    ensure_session_plane(_BLOCK_STATE, spark, key, build)
+    return BLOCK_VIEW
+
+
+def docs_block_dedup(d: Dialect, base: str | None = None) -> str:
     """Sub-document boilerplate removal (CCNet/C4-style line dedup):
     segment each document into non-overlapping {BLOCK_N}-token blocks,
     compute each block's corpus-wide document frequency, drop blocks
@@ -304,35 +371,15 @@ def docs_block_dedup(d: Dialect) -> str:
     doc_id (well-distributed) with explicit ordering (array_sort over
     (block_no, text) structs — Dialect.ordered_concat), not
     collect_list order. The segment CTE is referenced twice (DF build
-    + probe) and Spark re-evaluates it per reference — DELIBERATE,
-    same trade as text_commonness_score: both evaluations are
-    skew-free codegen scans, whereas the single-evaluation window form
-    (sum/lag OVER (PARTITION BY hv)) lands every occurrence of a
-    corpus-wide boilerplate block in ONE window partition — the
-    straggler that kills the job at scale.
+    + probe); the driver path reads it from the session-materialized
+    plane (ensure_block_view), and the inlined oracle form's repeated
+    scan is the same deliberate skew-free trade as
+    text_commonness_score — NOT a window over PARTITION BY hv, which
+    would land every occurrence of a corpus-wide boilerplate block in
+    one partition.
     """
-    toks = d.tokens("text")
-    n = BLOCK_N
-    if d.name == "spark":
-        nb = f"cast(ceil(size(toks) / {n}.0) as int)"
-        # sequence(1, 0) DESCENDS in Spark — build >=1 slot, slice to nb
-        idx = f"slice(sequence(1, greatest({nb}, 1)), 1, {nb})"
-        blk = f"concat_ws(' ', slice(toks, (i - 1) * {n} + 1, {n}))"
-    else:
-        nb = f"cast(ceil(len(toks) / {n}.0) as int)"
-        idx = f"range(1, {nb} + 1)"
-        blk = (f"array_to_string(list_slice(toks, (i - 1) * {n} + 1, "
-               f"(i - 1) * {n} + {n}), ' ')")
-    return f"""WITH t AS (
-  SELECT doc_id, {toks} AS toks FROM documents
-),
-b AS (
-  SELECT doc_id, block_no, blk, {d.poly_hash('blk')} AS hv FROM (
-    SELECT doc_id, i AS block_no, {blk} AS blk FROM (
-      SELECT doc_id, toks, {d.explode(idx)} AS i FROM t
-    ) x
-  ) y
-),
+    nb, _, _ = _block_parts(d)
+    return f"""{_block_cte(d, base)},
 hot AS (
   SELECT hv FROM (SELECT DISTINCT doc_id, hv FROM b) db
   GROUP BY hv HAVING count(*) > {BLOCK_MAX_DF}
@@ -422,7 +469,7 @@ FROM m"""
 BOILERPLATE_TOPK = 20
 
 
-def docs_boilerplate_topk(d: Dialect) -> str:
+def docs_boilerplate_topk(d: Dialect, base: str | None = None) -> str:
     """Boilerplate forensics: the {BOILERPLATE_TOPK} most widely shared
     token blocks (df >= 2) with their document frequency and occurrence
     count — the report that tells a curator WHAT the shared boilerplate
@@ -431,36 +478,20 @@ def docs_boilerplate_topk(d: Dialect) -> str:
     reported block maps 1:1 to what that operator would drop.
 
     Scale posture: ranking runs entirely on the text-free (hv, doc_id)
-    relation — one distinct-count aggregate, then ORDER BY + LIMIT
+    relation — a two-level aggregate (per-(hv, doc_id) partials, both
+    map-side combined; no DISTINCT expand), then ORDER BY + LIMIT
     (distributed TakeOrdered, no global sort). Only the {BOILERPLATE_TOPK}
     winners' hvs join back for a sample text (broadcast semi-join into
     a {BOILERPLATE_TOPK}-group aggregate), so block text never shuffles
-    corpus-wide. The segment CTE is referenced twice — deliberate
-    re-evaluated-scan trade, as in docs_block_dedup."""
-    toks = d.tokens("text")
-    n = BLOCK_N
-    if d.name == "spark":
-        nb = f"cast(ceil(size(toks) / {n}.0) as int)"
-        idx = f"slice(sequence(1, greatest({nb}, 1)), 1, {nb})"
-        blk = f"concat_ws(' ', slice(toks, (i - 1) * {n} + 1, {n}))"
-    else:
-        nb = f"cast(ceil(len(toks) / {n}.0) as int)"
-        idx = f"range(1, {nb} + 1)"
-        blk = (f"array_to_string(list_slice(toks, (i - 1) * {n} + 1, "
-               f"(i - 1) * {n} + {n}), ' ')")
-    return f"""WITH t AS (
-  SELECT doc_id, {toks} AS toks FROM documents
-),
-b AS (
-  SELECT doc_id, blk, {d.poly_hash('blk')} AS hv FROM (
-    SELECT doc_id, {blk} AS blk FROM (
-      SELECT doc_id, toks, {d.explode(idx)} AS i FROM t
-    ) x
-  ) y
-),
+    corpus-wide. The segment CTE is referenced twice — read from the
+    session-materialized plane in the driver path (ensure_block_view);
+    the inlined oracle form re-scans, deliberately, as in
+    docs_block_dedup."""
+    return f"""{_block_cte(d, base)},
 agg AS (
-  SELECT hv, count(DISTINCT doc_id) AS df, count(*) AS n_occ
-  FROM b GROUP BY hv
+  SELECT hv, count(*) AS df, sum(cnt) AS n_occ
+  FROM (SELECT hv, doc_id, count(*) AS cnt FROM b GROUP BY hv, doc_id) pd
+  GROUP BY hv
 ),
 top AS (
   SELECT hv, df, n_occ FROM agg WHERE df >= 2
