@@ -404,6 +404,9 @@ _PARKED_TAIL = (
                            # representative is dedup_simhash
     "docs_boilerplate_topk",  # new in r2: top-k report twin of in-cap
                               # docs_block_dedup (same segmenter)
+    "docs_dataset_card",   # new in r2: one-row datasheet rollup; the
+                           # composition family's in-cap row is
+                           # docs_contamination (corpus reports)
 )
 
 

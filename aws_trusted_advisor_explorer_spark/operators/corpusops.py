@@ -506,6 +506,46 @@ SELECT txt.block_text, cast(top.df as bigint) AS n_docs,
 FROM top JOIN txt ON txt.hv = top.hv"""
 
 
+CARD_SHORT_DOC_TOKENS = 16  # docs under this token count are "short"
+
+
+def docs_dataset_card(d: Dialect) -> str:
+    """The dataset-card summary (the one-row datasheet a corpus release
+    ships): document/token/char totals, language and source
+    cardinality, token-length min/mean/max, and the short-doc share —
+    the first table in any data statement or model card.
+
+    Cross-engine exactness: every aggregate is an exact bigint (counts
+    and sums of per-doc integer token/char counts); the two ratios are
+    single divisions of those bigints, so both engines emit identical
+    doubles.
+
+    Scale posture: ONE map-side-combining pass over the corpus (count /
+    sum / min / max partials, plus two-level distinct counts over
+    tiny-cardinality columns), one exchange of constant-size partials,
+    one output row."""
+    n_toks = d.arr_len(d.tokens("text"))
+    return f"""WITH t AS (
+  SELECT lang, source, cast({n_toks} as bigint) AS n_toks,
+    cast(length(text) as bigint) AS n_chars
+  FROM documents
+)
+SELECT
+  cast(count(*) as bigint) AS n_docs,
+  cast(sum(n_toks) as bigint) AS n_tokens,
+  cast(sum(n_chars) as bigint) AS n_chars,
+  cast(count(DISTINCT lang) as bigint) AS n_langs,
+  cast(count(DISTINCT source) as bigint) AS n_sources,
+  cast(min(n_toks) as bigint) AS min_doc_tokens,
+  cast(max(n_toks) as bigint) AS max_doc_tokens,
+  cast(sum(n_toks) as double) / count(*) AS mean_doc_tokens,
+  cast(sum(CASE WHEN n_toks < {CARD_SHORT_DOC_TOKENS} THEN 1 ELSE 0 END)
+       as bigint) AS n_short_docs,
+  cast(sum(CASE WHEN n_toks < {CARD_SHORT_DOC_TOKENS} THEN 1 ELSE 0 END)
+       as double) / count(*) AS short_doc_share
+FROM t"""
+
+
 BUILDERS = {
     "docs_embedding_integrity": docs_embedding_integrity,
     "docs_importance_sample": docs_importance_sample,
@@ -520,4 +560,5 @@ BUILDERS = {
     "docs_pack_efficiency": docs_pack_efficiency,
     "docs_block_dedup": docs_block_dedup,
     "docs_boilerplate_topk": docs_boilerplate_topk,
+    "docs_dataset_card": docs_dataset_card,
 }
