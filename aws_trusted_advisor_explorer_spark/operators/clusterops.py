@@ -619,10 +619,8 @@ def embeddings_sq_int8(d: Dialect) -> str:
     back is a broadcast; the final per-vector groupBy combines
     map-side to one row per vector before its exchange because a
     vector's exploded elements never leave their input partition."""
-    seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
-           else f"range(1, {KMEANS_DIM} + 1)")
     half = SQ_LEVELS // 2
-    return f"""WITH dims AS (SELECT {d.explode(seq)} AS pos),
+    return f"""WITH dims AS (SELECT {d.explode(d.seq('1', str(KMEANS_DIM)))} AS pos),
 elems AS (
   SELECT vec_id, pos,
     cast(round(cast({d.elem('embedding', 'pos')} as double) * {SQ_SCALE})

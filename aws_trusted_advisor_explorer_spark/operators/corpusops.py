@@ -370,15 +370,16 @@ def docs_block_dedup(d: Dialect, base: str | None = None) -> str:
     exchange carrying text is the per-doc reassembly groupBy, keyed on
     doc_id (well-distributed) with explicit ordering (array_sort over
     (block_no, text) structs — Dialect.ordered_concat), not
-    collect_list order. The segment CTE is referenced twice (DF build
-    + probe); the driver path reads it from the session-materialized
-    plane (ensure_block_view), and the inlined oracle form's repeated
-    scan is the same deliberate skew-free trade as
-    text_commonness_score — NOT a window over PARTITION BY hv, which
-    would land every occurrence of a corpus-wide boilerplate block in
-    one partition.
+    collect_list order. n_blocks comes from a per-doc count over the
+    segment relation (a doc_id-only scan backfills zero-token docs),
+    so the view-backed driver path never re-tokenizes the corpus. The
+    segment CTE is referenced three times (DF build, probe, block
+    count); the driver path reads the session-materialized plane
+    (ensure_block_view), and the inlined oracle form's repeated scan
+    is the same deliberate skew-free trade as text_commonness_score —
+    NOT a window over PARTITION BY hv, which would land every
+    occurrence of a corpus-wide boilerplate block in one partition.
     """
-    nb, _, _ = _block_parts(d)
     return f"""{_block_cte(d, base)},
 hot AS (
   SELECT hv FROM (SELECT DISTINCT doc_id, hv FROM b) db
@@ -392,12 +393,17 @@ agg AS (
   SELECT doc_id AS agg_doc_id, count(*) AS n_kept,
     {d.ordered_concat('blk', 'block_no')} AS clean_text
   FROM k GROUP BY doc_id
+),
+nbl AS (
+  SELECT doc_id AS nbl_doc_id, count(*) AS n_blocks FROM b GROUP BY doc_id
 )
-SELECT t.doc_id,
-  cast({nb.replace('toks', 't.toks')} as bigint) AS n_blocks,
+SELECT d0.doc_id,
+  cast(coalesce(nbl.n_blocks, 0) as bigint) AS n_blocks,
   cast(coalesce(agg.n_kept, 0) as bigint) AS n_kept_blocks,
   coalesce(agg.clean_text, '') AS clean_text
-FROM t LEFT JOIN agg ON agg.agg_doc_id = t.doc_id"""
+FROM (SELECT doc_id FROM documents) d0
+LEFT JOIN nbl ON nbl.nbl_doc_id = d0.doc_id
+LEFT JOIN agg ON agg.agg_doc_id = d0.doc_id"""
 
 
 # importance-sampling keep rates per quality band (percent kept). The

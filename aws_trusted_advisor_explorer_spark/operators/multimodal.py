@@ -292,6 +292,11 @@ def media_phash_dedup(d: Dialect) -> str:
     a changed byte flips at most 2 gradient bits) but not to content
     shifts, which is the correct contract for fixed-geometry media —
     token-level text dedup belongs to the MinHash/shingle family.
+    Payloads of {PHASH_BITS} bytes or fewer are EXCLUDED: below one
+    byte per sample the sample positions repeat and the repeated
+    gradients are constant zero, so short unrelated payloads would
+    collide under the verify threshold (a thumbnail-sized floor in a
+    real ingest).
     Since the corpus stands in text bytes for media, noisy twins are
     PLANTED deterministically (two 1-byte splices per twin, <= 4
     flipped bits — guaranteed caught; same planted-input pattern as
@@ -319,12 +324,13 @@ def media_phash_dedup(d: Dialect) -> str:
         band_arr = "[" + ", ".join(band_strs) + "]"
     hamming = f"bit_count({d.xor('a.ph', 'b.ph')})"
     return f"""WITH base AS (
-  SELECT doc_id, text FROM documents WHERE length(text) >= 2
+  SELECT doc_id, text FROM documents
+  WHERE length(text) > {PHASH_BITS}
 ),
 noisy AS (
   SELECT doc_id + {PHASH_VARIANT_OFFSET} AS doc_id, {splice} AS text
   FROM base
-  WHERE doc_id % {PHASH_VARIANT_EVERY} = 0 AND length(text) >= 24
+  WHERE doc_id % {PHASH_VARIANT_EVERY} = 0
 ),
 m AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM noisy),
 c AS (SELECT doc_id, text, length(text) AS n FROM m),

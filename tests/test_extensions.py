@@ -457,7 +457,7 @@ def test_phash_dedup_finds_exactly_planted_twins(spark):
 
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
     eligible = docs[(docs["doc_id"] % M.PHASH_VARIANT_EVERY == 0)
-                    & (docs["text"].str.len() >= 24)]["doc_id"]
+                    & (docs["text"].str.len() > M.PHASH_BITS)]["doc_id"]
     expected = {(int(i), int(i) + M.PHASH_VARIANT_OFFSET) for i in eligible}
 
     rows = spark.sql(M.media_phash_dedup(SPARK)).toPandas()
