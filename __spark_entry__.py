@@ -237,6 +237,23 @@ def _span_backed_query(builder_name: str):
     return run
 
 
+def _token_backed_query(builder_name: str):
+    """Token-relation queries (tfidf, commonness) read the per-session
+    positional token plane (dedup.ensure_span_views' TOKEN_POS_VIEW)
+    instead of re-running tokenize+explode per CTE reference."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+        from aws_trusted_advisor_explorer_spark.operators import dedup, textops
+
+        _prepare_ext(spark, sf_dir)
+        dedup.ensure_span_views(spark, key=sf_dir)
+        return spark.sql(getattr(textops, builder_name)(
+            SPARK, base=dedup.TOKEN_POS_VIEW))
+
+    return run
+
+
 def _block_backed_query(builder_name: str):
     """Block queries read the per-session materialized fixed-width
     segment relation (corpusops.ensure_block_view) instead of
@@ -445,6 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_graph_pagerank"] = _pagerank_query
     q["dedup_span_exact"] = _span_backed_query("dedup_span_exact")
     q["docs_span_scrub"] = _span_backed_query("docs_span_scrub")
+    for key in ("text_tfidf_topk", "text_commonness_score"):
+        q[key] = _token_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query

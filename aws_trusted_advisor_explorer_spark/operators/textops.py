@@ -240,7 +240,7 @@ EXCEPT
 SELECT doc_id FROM g"""
 
 
-def text_commonness_score(d: Dialect) -> str:
+def text_commonness_score(d: Dialect, base: str | None = None) -> str:
     """Unigram-frequency quality proxy (the word-frequency filter used
     before LM-based scoring exists): per document, the mean corpus
     frequency of its tokens — prose made of common words scores high,
@@ -251,16 +251,22 @@ def text_commonness_score(d: Dialect) -> str:
     at 100 TB the doc-side join is a broadcast of the (capped) vocab —
     AQE already picks broadcast here; swap exact counts for count-min
     estimates to cap vocab memory, keeping this as the sample-scale
-    oracle. The token CTE is referenced twice (vocab build + probe)
-    and Spark re-evaluates it per reference — that double scan is
-    DELIBERATE: both evaluations are skew-free codegen scans, whereas
-    the single-evaluation alternative (count(*) OVER (PARTITION BY
-    tok)) has no map-side combine and lands every occurrence of a
-    Zipfian head token in ONE window partition — a straggler/OOM at
-    corpus scale. Same trade in text_bigram_surprise."""
+    oracle. The token CTE is referenced twice (vocab build + probe);
+    the driver path reads the session-materialized positional token
+    plane (``base`` = dedup.ensure_span_views' TOKEN_POS_VIEW), and
+    the inlined oracle form's repeated scan is DELIBERATE: both
+    evaluations are skew-free codegen scans, whereas the
+    single-evaluation alternative (count(*) OVER (PARTITION BY tok))
+    has no map-side combine and lands every occurrence of a Zipfian
+    head token in ONE window partition — a straggler/OOM at corpus
+    scale. Same trade in text_bigram_surprise."""
     toks = d.tokens("text")
-    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-e AS (SELECT doc_id, {d.explode('toks')} AS tok FROM t),
+    if base is not None:
+        head = f"WITH e AS (SELECT doc_id, tok FROM {base})"
+    else:
+        head = f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+e AS (SELECT doc_id, {d.explode('toks')} AS tok FROM t)"""
+    return f"""{head},
 vf AS (SELECT tok, count(*) AS freq FROM e GROUP BY tok)
 SELECT e.doc_id,
   cast(count(*) as bigint) AS n_tokens,
@@ -273,7 +279,7 @@ GROUP BY e.doc_id"""
 TFIDF_TOP_K = 5
 
 
-def text_tfidf_topk(d: Dialect) -> str:
+def text_tfidf_topk(d: Dialect, base: str | None = None) -> str:
     """Per-document top-{TFIDF_TOP_K} keywords by TF-IDF. The idf is
     integer-scaled — ``idf_milli = (n_docs * 1000) div df`` — instead
     of ``ln(N/df)``: transcendental libm results are not guaranteed
@@ -285,13 +291,21 @@ def text_tfidf_topk(d: Dialect) -> str:
 
     Scale posture: tf is one (doc_id, term) map-side-combining
     aggregate; df aggregates the tf relation (already one row per
-    (doc, term)) — never the raw token stream twice; the df join is a
-    vocab-sized dimension (broadcast at heavy-hitter scale, AQE-picked
-    here); the top-k is a row_number window partitioned by doc_id —
-    distributed per-doc, no global sort."""
+    (doc, term)) — never the raw token stream twice AS WRITTEN, though
+    Spark inlines the tf CTE into both its references, so the driver
+    path reads the session-materialized positional token plane
+    (``base``) to keep the tokenize+explode prefix to one real
+    evaluation; the df join is a vocab-sized dimension (broadcast at
+    heavy-hitter scale, AQE-picked here); the top-k is a row_number
+    window partitioned by doc_id — distributed per-doc, no global
+    sort."""
     toks = d.tokens("text")
-    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-e AS (SELECT doc_id, {d.explode('toks')} AS term FROM t),
+    if base is not None:
+        head = f"WITH e AS (SELECT doc_id, tok AS term FROM {base})"
+    else:
+        head = f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+e AS (SELECT doc_id, {d.explode('toks')} AS term FROM t)"""
+    return f"""{head},
 tf AS (
   SELECT doc_id, term, cast(count(*) as bigint) AS tf
   FROM e GROUP BY doc_id, term
