@@ -342,20 +342,24 @@ def text_bigram_surprise(d: Dialect) -> str:
     Scale posture: the occurrence relation is linear in corpus tokens;
     both count tables aggregate it with map-side combine; the two
     probe joins are vocab-sized dimensions (broadcast at scale). The
-    occurrence CTE is referenced three times and Spark re-evaluates it
-    per reference — that repeated scan is DELIBERATE: each evaluation
-    is a skew-free codegen scan, whereas the single-evaluation window
-    form (count(*) OVER (PARTITION BY bigram/w1)) has no partial
-    aggregation and serializes every occurrence of a Zipfian head
-    word into one window partition — the straggler that kills the job
-    at corpus scale. Same trade in text_commonness_score."""
+    occurrence CTE is referenced twice (bigram-count build + probe)
+    and Spark re-evaluates it per reference — that repeated scan is
+    DELIBERATE: each evaluation is a skew-free codegen scan, whereas
+    the single-evaluation window form (count(*) OVER (PARTITION BY
+    bigram/w1)) has no partial aggregation and serializes every
+    occurrence of a Zipfian head word into one window partition — the
+    straggler that kills the job at corpus scale (same trade as
+    text_commonness_score). The leading-word counts need NO third
+    scan: every occurrence contributes exactly one bigram, so n1 is
+    the sum of n12 over the vocab-sized bigram-count relation."""
     toks = d.tokens("text")
     w1 = d.elem(d.split("bigram", " "), "1")
     return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 bg AS (SELECT doc_id, {d.explode(d.shingles('toks', 2))} AS bigram FROM t),
 occ AS (SELECT doc_id, bigram, {w1} AS w1 FROM bg),
 c12 AS (SELECT bigram, cast(count(*) as bigint) AS n12 FROM occ GROUP BY bigram),
-c1 AS (SELECT w1, cast(count(*) as bigint) AS n1 FROM occ GROUP BY w1),
+c1 AS (SELECT {d.elem(d.split('bigram', ' '), '1')} AS w1,
+       cast(sum(n12) as bigint) AS n1 FROM c12 GROUP BY 1),
 s AS (
   SELECT o.doc_id, {d.idiv('(c1.n1 * 1000)', 'c12.n12')} AS surprise_milli
   FROM occ o
