@@ -444,6 +444,29 @@ def test_sq_int8_matches_independent_numpy(spark):
     assert (rows["code_sum"].to_numpy() == code.sum(axis=1)).all()
 
 
+def test_dataset_card_totals_match_pandas(spark):
+    """docs_dataset_card's one row must equal an independent pandas
+    recomputation over the fixture (tokenizer parity: the card counts
+    regex-extracted alnum tokens, replayed here with str.findall)."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import corpusops as CO
+    from tests.conftest import SF_DIR
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n_toks = docs["text"].str.lower().str.findall(r"[a-z0-9]+").str.len()
+    row = spark.sql(CO.docs_dataset_card(SPARK)).collect()[0]
+    assert row.n_docs == len(docs)
+    assert row.n_tokens == int(n_toks.sum())
+    assert row.n_chars == int(docs["text"].str.len().sum())
+    assert row.n_langs == docs["lang"].nunique()
+    assert row.n_sources == docs["source"].nunique()
+    assert row.min_doc_tokens == int(n_toks.min())
+    assert row.max_doc_tokens == int(n_toks.max())
+    short = int((n_toks < CO.CARD_SHORT_DOC_TOKENS).sum())
+    assert row.n_short_docs == short
+
+
 def test_phash_dedup_finds_exactly_planted_twins(spark):
     """media_phash_dedup must return exactly the planted noisy-twin
     pairs: every eligible doc pairs with its twin at hamming <= 4 (two
