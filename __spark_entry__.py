@@ -239,17 +239,16 @@ def _span_backed_query(builder_name: str):
 
 def _token_backed_query(builder_name: str):
     """Token-relation queries (tfidf, commonness) read the per-session
-    positional token plane (dedup.ensure_span_views' TOKEN_POS_VIEW)
-    instead of re-running tokenize+explode per CTE reference."""
+    positional token plane (dedup.ensure_token_view) instead of
+    re-running tokenize+explode per CTE reference."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
         from aws_trusted_advisor_explorer_spark.operators import dedup, textops
 
         _prepare_ext(spark, sf_dir)
-        dedup.ensure_span_views(spark, key=sf_dir)
-        return spark.sql(getattr(textops, builder_name)(
-            SPARK, base=dedup.TOKEN_POS_VIEW))
+        base = dedup.ensure_token_view(spark, key=sf_dir)
+        return spark.sql(getattr(textops, builder_name)(SPARK, base=base))
 
     return run
 

@@ -384,37 +384,59 @@ SPAN_GRAM_VIEW = "__doc_span_gram"
 TOKEN_POS_VIEW = "__doc_token_pos"
 # id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
 _SPAN_STATE: dict[int, tuple[object, object, list]] = {}
+_TOKEN_STATE: dict[int, tuple[object, object, list]] = {}
+
+
+def ensure_token_view(spark, key: object = None) -> str:
+    """Materialize the positional token plane ``__doc_token_pos``
+    (doc_id, pos, tok) once per (session, dataset) — the cheap prefix
+    consumed directly by the token-relation queries (tfidf,
+    commonness) and layered under the span-gram plane
+    (ensure_span_views). Split from the gram plane so token-only
+    consumers don't pay for the char-fold gram hashing they never
+    read."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+
+    def build(spark):
+        d = SPARK
+        tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
+        tarr = d.transform("sequence(1, size(toks))", "i", tst)
+        tp = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
+tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t WHERE size(toks) >= 1)
+SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp""").localCheckpoint(eager=True)
+        tp.createOrReplaceTempView(TOKEN_POS_VIEW)
+        return [tp]
+
+    ensure_session_plane(_TOKEN_STATE, spark, key, build)
+    return TOKEN_POS_VIEW
 
 
 def ensure_span_views(spark, key: object = None) -> str:
-    """Materialize the POSITIONAL token plane once per (session,
-    dataset): ``__doc_token_pos`` (doc_id, pos, tok) and
-    ``__doc_span_gram`` (doc_id, pos, hv — the {SPAN_GRAM}-gram
-    combinator over per-token hashes). The char-fold token hashing is
-    the expensive interpreted prefix shared by dedup_span_exact and
+    """Materialize the POSITIONAL gram plane once per (session,
+    dataset): ``__doc_span_gram`` (doc_id, pos, hv — the {SPAN_GRAM}-
+    gram combinator over per-token hashes), plus the token plane it
+    layers on (ensure_token_view). The char-fold token hashing is the
+    expensive interpreted prefix shared by dedup_span_exact and
     docs_span_scrub; building it once is the same build-once-index
     step as ensure_shingle_view (localCheckpoint locally; a persisted
     table on a cluster)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
     from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
 
+    ensure_token_view(spark, key)
+
     def build(spark):
         d = SPARK
         hvs = d.shingle_hvs("toks", SPAN_GRAM)
         st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
         arr = d.transform("sequence(1, size(hvs))", "i", st)
-        tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
-        tarr = d.transform("sequence(1, size(toks))", "i", tst)
         g = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
 h AS (SELECT doc_id, {hvs} AS hvs FROM t),
 ps AS (SELECT doc_id, {d.explode(arr)} AS s FROM h WHERE size(hvs) >= 1)
 SELECT doc_id, s.pos AS pos, s.hv AS hv FROM ps""").localCheckpoint(eager=True)
         g.createOrReplaceTempView(SPAN_GRAM_VIEW)
-        tp = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
-tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t WHERE size(toks) >= 1)
-SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp""").localCheckpoint(eager=True)
-        tp.createOrReplaceTempView(TOKEN_POS_VIEW)
-        return [g, tp]
+        return [g]
 
     ensure_session_plane(_SPAN_STATE, spark, key, build)
     return SPAN_GRAM_VIEW

@@ -358,7 +358,7 @@ def text_bigram_surprise(d: Dialect) -> str:
 bg AS (SELECT doc_id, {d.explode(d.shingles('toks', 2))} AS bigram FROM t),
 occ AS (SELECT doc_id, bigram, {w1} AS w1 FROM bg),
 c12 AS (SELECT bigram, cast(count(*) as bigint) AS n12 FROM occ GROUP BY bigram),
-c1 AS (SELECT {d.elem(d.split('bigram', ' '), '1')} AS w1,
+c1 AS (SELECT {w1} AS w1,
        cast(sum(n12) as bigint) AS n1 FROM c12 GROUP BY 1),
 s AS (
   SELECT o.doc_id, {d.idiv('(c1.n1 * 1000)', 'c12.n12')} AS surprise_milli
