@@ -434,6 +434,31 @@ def _count_char(raw: str, ch: str) -> str:
     return f"(length({raw}) - length(replace({raw}, '{ch}', '')))"
 
 
+def sanitize_parts(d: Dialect) -> tuple[str, str, str, str, str]:
+    """Shared expression fragments for the unicode-hygiene pass:
+    (planted ``raw`` derivation over (doc_id, text), replacement-char
+    count, zero-width count, control count, cleaned text) — all over a
+    ``raw`` column. Consumed by :func:`text_unicode_sanitize` and the
+    streaming ingest twin (streaming/structured.sanitize_stream)."""
+    cpat = (CTRL_PATTERN.replace("\\", "\\\\") if d.name == "spark"
+            else CTRL_PATTERN)
+    raw = (f"CASE WHEN doc_id % 5 = 0 THEN '{REPL_CH}{REPL_CH}' || text || "
+           f"'{REPL_CH}'\n"
+           f"         WHEN doc_id % 5 = 1 THEN '{ZW_CHARS[0]}' || text || "
+           f"'{ZW_CHARS[3]}'\n"
+           f"         WHEN doc_id % 5 = 2 THEN chr(1) || text || chr(7)\n"
+           f"         ELSE text END")
+    n_repl = _count_char("raw", REPL_CH)
+    n_zw = " + ".join(_count_char("raw", ch) for ch in ZW_CHARS)
+    n_ctrl = f"length(raw) - length({d.re_replace('raw', cpat, '')})"
+    strip_lits = "raw"
+    for ch in (REPL_CH,) + ZW_CHARS:
+        strip_lits = f"replace({strip_lits}, '{ch}', '')"
+    cleaned = "trim(" + d.re_replace(
+        d.re_replace(strip_lits, cpat, ""), " +", " ") + ")"
+    return raw, n_repl, n_zw, n_ctrl, cleaned
+
+
 def text_unicode_sanitize(d: Dialect) -> str:
     """Unicode sanitation (the C4/CCNet hygiene pass): count and strip
     replacement characters (U+FFFD — the mojibake tell), zero-width/
@@ -450,30 +475,16 @@ def text_unicode_sanitize(d: Dialect) -> str:
     literal replace() and one regexp_replace, all whole-stage codegen,
     zero shuffle; chained after a quality gate it fuses into the same
     scan pass."""
-    cpat = (CTRL_PATTERN.replace("\\", "\\\\") if d.name == "spark"
-            else CTRL_PATTERN)
-    zw2 = ZW_CHARS[0] + ZW_CHARS[3]
-    raw = (f"CASE WHEN doc_id % 5 = 0 THEN '{REPL_CH}{REPL_CH}' || text || "
-           f"'{REPL_CH}'\n"
-           f"         WHEN doc_id % 5 = 1 THEN '{ZW_CHARS[0]}' || text || "
-           f"'{ZW_CHARS[3]}'\n"
-           f"         WHEN doc_id % 5 = 2 THEN chr(1) || text || chr(7)\n"
-           f"         ELSE text END")
-    n_zw = " + ".join(_count_char("raw", ch) for ch in ZW_CHARS)
-    strip_lits = "raw"
-    for ch in (REPL_CH,) + ZW_CHARS:
-        strip_lits = f"replace({strip_lits}, '{ch}', '')"
-    cleaned = d.re_replace(d.re_replace(strip_lits, cpat, ""), " +", " ")
+    raw, n_repl, n_zw, n_ctrl, cleaned = sanitize_parts(d)
     return f"""WITH t AS (
   SELECT doc_id, {raw} AS raw FROM documents
 ),
 m AS (
   SELECT doc_id, length(raw) AS n_chars_raw,
-    cast({_count_char('raw', REPL_CH)} as bigint) AS n_replacement,
+    cast({n_repl} as bigint) AS n_replacement,
     cast({n_zw} as bigint) AS n_zero_width,
-    cast(length(raw)
-         - length({d.re_replace('raw', cpat, '')}) as bigint) AS n_control,
-    trim({cleaned}) AS clean_text
+    cast({n_ctrl} as bigint) AS n_control,
+    {cleaned} AS clean_text
   FROM t
 )
 SELECT doc_id, cast(n_chars_raw as bigint) AS n_chars_raw,

@@ -533,3 +533,35 @@ def funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def sanitize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of textops.text_unicode_sanitize: the unicode
+    hygiene pass applied at INGEST — mojibake/zero-width/control
+    damage is counted and stripped before a document ever lands, which
+    is where a crawl pipeline actually runs it (re-sweeping a landed
+    corpus costs a full read). Shares the exact expression fragments
+    with the batch builder (textops.sanitize_parts), including the
+    planted per-class damage, so stream and batch agree row-for-row.
+
+    Scale posture: stateless whole-stage-codegen projection — no
+    state, no shuffle, no Python in the stream."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+    from aws_trusted_advisor_explorer_spark.operators.textops import (
+        MOJIBAKE_PCT, sanitize_parts,
+    )
+
+    raw, n_repl, n_zw, n_ctrl, cleaned = sanitize_parts(SD)
+    docs = documents_stream(spark, sf_dir)
+    return (docs
+            .withColumn("raw", F.expr(raw))
+            .selectExpr(
+                "doc_id",
+                "cast(length(raw) as bigint) AS n_chars_raw",
+                f"cast({n_repl} as bigint) AS n_replacement",
+                f"cast({n_zw} as bigint) AS n_zero_width",
+                f"cast({n_ctrl} as bigint) AS n_control",
+                f"cast(CASE WHEN ({n_repl}) * 100 >= "
+                f"length(raw) * {MOJIBAKE_PCT} AND ({n_repl}) > 0 "
+                f"THEN 1 ELSE 0 END as bigint) AS is_mojibake",
+                f"{cleaned} AS clean_text"))

@@ -174,3 +174,19 @@ def test_purchase_click_stream_stream_join_equals_batch(spark):
             for r in spark.sql(
                 eventops.events_purchase_click_pairs(SPARK)).collect()}
     assert got == want and got
+
+
+def test_sanitize_stream_equals_batch(spark):
+    """Streaming unicode sanitation: row-for-row equal to the batch
+    text_unicode_sanitize query (same planted damage, same expression
+    fragments via textops.sanitize_parts)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    structured.run_stream_to_memory(
+        structured.sanitize_stream(spark, SF_DIR), "sanitize_stream",
+        output_mode="append")
+    got = {tuple(r) for r in spark.table("sanitize_stream").collect()}
+    want = {tuple(r)
+            for r in spark.sql(textops.text_unicode_sanitize(SPARK)).collect()}
+    assert got == want
