@@ -211,10 +211,11 @@ def view_df(spark: SparkSession, name: str, with_tags: bool | None = None,
     (create-athena-views-lambda.py:57-72,91-93).
 
     Scale posture: by default AQE picks the physical join — broadcast
-    hash when the tags dimension fits the threshold, sort-merge with
-    skew handling when it doesn't (measured faster already at sf0.1,
-    where tags is ~460k wide rows). ``broadcast_tags=True`` forces the
-    broadcast hint for deployments that know the dimension is small.
+    hash when the tags dimension fits the session's 64MB threshold
+    (session.tune_session; the sf0.1 tags table is ~11MB -> broadcast,
+    measured 2-5x over sort-merge), sort-merge with skew handling when
+    the dimension outgrows it. ``broadcast_tags=True`` forces the hint
+    for deployments that know the dimension is small.
     """
     spec = VIEWS[name]
     fact = spark.table(f"`{spec.fact}`")

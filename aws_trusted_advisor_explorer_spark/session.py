@@ -27,6 +27,18 @@ def get_spark(app_name: str = "ta_explorer_spark", cpus: int | None = None) -> S
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # the generated-class cache defaults to 100 entries; a session
+        # running the full 97-query surface compiles several hundred
+        # wholestage/projection classes, so LRU eviction forces visible
+        # (~1s) recompiles of early queries on every later pass. Static
+        # conf -- must be set at JVM build time, hence here and not in
+        # tune_session.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # see tune_session: dimension-broadcast headroom over the stock
+        # 10MB (the sf0.1 tags dim is ~11MB -> broadcast, 2-5x)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         # progress bars land on the Python process's stdout and would
         # corrupt bench.py's one-JSON-line stdout contract
@@ -48,6 +60,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Dimension-broadcast headroom: the stock 10MB threshold is sized
+    # for small executors; with multi-GB executor memory a 64MB
+    # broadcast is routine and turns the fact-to-tags view joins into
+    # broadcast hash joins (measured 2-5x over the sort-merge pick at
+    # sf0.1, where tags is ~11MB on disk — just past the default
+    # threshold). Oversized dimensions still fall back to shuffle
+    # joins automatically, so the 100 TB posture is unchanged.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                   str(64 * 1024 * 1024))
     return spark
 
 

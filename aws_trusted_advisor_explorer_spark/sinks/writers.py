@@ -57,6 +57,14 @@ def write_raw_table(df: DataFrame, path: str, fmt: str = "parquet",
         if partitioned:
             w = w.partitionBy("year", "month", "day")
         w.parquet(path)
+    elif fmt == "orc":
+        # same safe-rename policy as parquet: ORC field names share
+        # the no-special-chars restriction
+        out = out.toDF(*[parquet_safe(c) for c in out.columns])
+        w = out.write.mode(mode)
+        if partitioned:
+            w = w.partitionBy("year", "month", "day")
+        w.orc(path)
     elif fmt == "csv":
         w = out.write.mode(mode).option("header", True)
         if partitioned:
@@ -85,6 +93,8 @@ def read_raw_table(spark: SparkSession, path: str, fmt: str = "parquet",
     (stable schema) skip it and evolving tables pay it explicitly."""
     if fmt == "parquet":
         df = spark.read.option("mergeSchema", merge_schema).parquet(path)
+    elif fmt == "orc":
+        df = spark.read.option("mergeSchema", merge_schema).orc(path)
     else:
         df = spark.read.option("header", True).csv(path)
     if not keep_partitions:
@@ -176,4 +186,58 @@ def write_range_sorted(df: DataFrame, path: str, col: str,
     boundaries) which the first filtered read pays back."""
     (df.repartitionByRange(n_files, col)
        .sortWithinPartitions(col)
+       .write.mode("overwrite").parquet(path))
+
+
+def zorder_key_expr(col_a: str, col_b: str,
+                    bounds: tuple[int, int, int, int], bits: int = 16):
+    """Morton (Z-order) key for two integer columns: each value is
+    affinely scaled to a ``bits``-wide grid cell using the given
+    ``(min_a, max_a, min_b, max_b)`` bounds, then the two cell numbers
+    are bit-interleaved (a takes the odd bit positions). Nearby (a, b)
+    points get nearby keys, so ONE sort order gives locality on BOTH
+    columns."""
+    lo_a, hi_a, lo_b, hi_b = bounds
+    span_a = max(hi_a - lo_a, 1)
+    span_b = max(hi_b - lo_b, 1)
+    grid = (1 << bits) - 1
+    sa = f"cast(((cast(`{col_a}` as bigint) - {lo_a}) * {grid}) div {span_a} as bigint)"
+    sb = f"cast(((cast(`{col_b}` as bigint) - {lo_b}) * {grid}) div {span_b} as bigint)"
+    parts = []
+    for i in range(bits):
+        parts.append(f"(shiftleft(shiftright({sa}, {i}) & 1, {2 * i + 1}))")
+        parts.append(f"(shiftleft(shiftright({sb}, {i}) & 1, {2 * i}))")
+    return F.expr(" + ".join(parts))
+
+
+def write_zorder(df: DataFrame, path: str, col_a: str, col_b: str,
+                 n_files: int = 32, bits: int = 16,
+                 bounds: tuple[int, int, int, int] | None = None) -> None:
+    """Z-ordered parquet layout over TWO columns (the Delta/Iceberg
+    ``OPTIMIZE ZORDER BY (a, b)`` effect without the table format):
+    rows are range-partitioned and sorted by the Morton interleave of
+    the two columns, so every file's parquet min/max stats cover a
+    compact BOX in (a, b) space and a predicate on EITHER column (or a
+    box on both) skips most files. ``write_range_sorted`` is the
+    single-column special case; use Z-order when two independent
+    access patterns must share one physical layout.
+
+    ``bounds`` (min_a, max_a, min_b, max_b) skips the stats pass —
+    pass them when known (e.g. from table metadata). Otherwise one
+    extra aggregate scan computes them (two scalar rows to the driver,
+    not data).
+
+    At 100 TB: the write costs one range exchange on the z-key
+    (sampled boundaries, same as any repartitionByRange); reads that
+    filter on either dimension then prune at file granularity —
+    without it, a filter on the second dimension scans everything."""
+    if bounds is None:
+        r = df.agg(F.min(col_a), F.max(col_a),
+                   F.min(col_b), F.max(col_b)).first()
+        bounds = (int(r[0]), int(r[1]), int(r[2]), int(r[3]))
+    zkey = zorder_key_expr(col_a, col_b, bounds, bits)
+    (df.withColumn("__zkey", zkey)
+       .repartitionByRange(n_files, "__zkey")
+       .sortWithinPartitions("__zkey")
+       .drop("__zkey")
        .write.mode("overwrite").parquet(path))

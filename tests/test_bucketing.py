@@ -83,3 +83,28 @@ def test_schema_evolution_across_months(spark, tmp_path):
     scan = one_month._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in scan and "month" in scan.split(
         "PartitionFilters")[1][:120]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the second columnar interchange format (same safe-rename
+    and partition layout policy as parquet)."""
+    df = spark.table("documents").limit(40).select(
+        "doc_id",
+        F.lit("2025-06-01 09:00:00").alias("datetime"),
+        F.col("text").alias("doc text"))
+    writers.write_raw_table(df, str(tmp_path / "t_orc"), fmt="orc")
+    back = writers.read_raw_table(spark, str(tmp_path / "t_orc"), fmt="orc")
+    assert set(back.columns) == {"doc_id", "datetime", "doc text"}
+    assert back.count() == 40
+    assert ({r.doc_id for r in back.collect()} ==
+            {r.doc_id for r in df.collect()})
+
+
+def test_session_scale_configs(spark):
+    """The session factory locks the measured tunings: 64MB dimension
+    broadcast headroom (tags-dim joins) and an enlarged generated-class
+    cache (no recompile churn across the 100-query surface)."""
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(64 * 1024 * 1024)
+    assert spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold") == str(64 * 1024 * 1024)
+    assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "2000"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -121,3 +121,60 @@ def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan
     # row counts preserved
     assert back.count() == spark.table("events").count()
+
+
+def test_zorder_layout_boxes_both_dims(spark, tmp_path):
+    """Z-ordered files must cover compact boxes in (doc_id, n_chars)
+    space: a box predicate on BOTH columns and a narrow predicate on
+    EACH single column alike must be satisfiable from a strict subset
+    of files (by parquet min/max stats), and the data must round-trip
+    exactly."""
+    import pyarrow.parquet as pq
+
+    from aws_trusted_advisor_explorer_spark.session import load_tables
+    from aws_trusted_advisor_explorer_spark.sinks import writers
+
+    load_tables(spark, SF_DIR)
+    src = spark.table("documents").select("doc_id", "n_chars", "lang")
+    path = str(tmp_path / "docs_zordered")
+    writers.write_zorder(src, path, "doc_id", "n_chars", n_files=16)
+
+    boxes = []
+    for f in sorted(os.listdir(path)):
+        if not f.startswith("part-"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        ia = md.schema.names.index("doc_id")
+        ib = md.schema.names.index("n_chars")
+        boxes.append((
+            min(md.row_group(i).column(ia).statistics.min
+                for i in range(md.num_row_groups)),
+            max(md.row_group(i).column(ia).statistics.max
+                for i in range(md.num_row_groups)),
+            min(md.row_group(i).column(ib).statistics.min
+                for i in range(md.num_row_groups)),
+            max(md.row_group(i).column(ib).statistics.max
+                for i in range(md.num_row_groups)),
+        ))
+    assert len(boxes) >= 8
+
+    lo_a = min(b[0] for b in boxes); hi_a = max(b[1] for b in boxes)
+    lo_b = min(b[2] for b in boxes); hi_b = max(b[3] for b in boxes)
+    qa = (lo_a, lo_a + (hi_a - lo_a) // 8)          # narrow doc_id slice
+    qb = (lo_b, lo_b + (hi_b - lo_b) // 8)          # narrow n_chars slice
+
+    hit_a = sum(1 for b in boxes if not (b[1] < qa[0] or b[0] > qa[1]))
+    hit_b = sum(1 for b in boxes if not (b[3] < qb[0] or b[2] > qb[1]))
+    hit_box = sum(1 for b in boxes
+                  if not (b[1] < qa[0] or b[0] > qa[1])
+                  and not (b[3] < qb[0] or b[2] > qb[1]))
+    # each single-dim predicate skips files; the box skips even more
+    assert hit_a < len(boxes)
+    assert hit_b < len(boxes)
+    assert hit_box <= min(hit_a, hit_b)
+    assert hit_box <= len(boxes) // 2
+
+    back = spark.read.parquet(path)
+    assert back.count() == src.count()
+    assert ({(r.doc_id, r.n_chars) for r in back.collect()} ==
+            {(r.doc_id, r.n_chars) for r in src.collect()})
