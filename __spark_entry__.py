@@ -423,6 +423,20 @@ _PARKED_TAIL = (
     "docs_dataset_card",   # new in r2: one-row datasheet rollup; the
                            # composition family's in-cap row is
                            # docs_contamination (corpus reports)
+    "text_nb_quality_score",  # new in r2: trained token-odds quality
+                              # classifier; supervised-scoring family
+                              # shares machinery with in-cap
+                              # text_commonness_score (vocab dim +
+                              # broadcast join); pandas-replay pytest
+    "docs_domain_cap",     # new in r2: per-source cap (CCNet balance
+                           # rule); ranked-within-group family's in-cap
+                           # row is text_tfidf_topk (same dense-rank
+                           # window shape); semantics pytest
+    "docs_merge_cdc",      # new in r2: batch MERGE (upsert/delete
+                           # apply); the id-equi-join family's in-cap
+                           # row is docs_embedding_integrity, and the
+                           # CDC family's streaming twin is
+                           # events_latest_state; action-semantics pytest
 )
 
 

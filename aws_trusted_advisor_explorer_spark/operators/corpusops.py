@@ -552,7 +552,93 @@ SELECT
 FROM t"""
 
 
+# --- per-domain cap (source-balance curation) ------------------------------
+DOMAIN_CAP = 15  # max docs kept per source
+
+
+def docs_domain_cap(d: Dialect) -> str:
+    """Per-domain document cap (the CCNet/C4 source-balance rule: no
+    single domain may dominate the corpus): rank docs within each
+    source by the deterministic id-hash (content-independent, stable
+    under re-runs and repartitioning — the same no-rand() rule as
+    docs_split_assign) and keep the first {DOMAIN_CAP}. Emits every
+    doc with its rank and verdict so the drop set is auditable.
+
+    Scale posture (100 TB): one exchange keyed on source. A hot domain
+    makes a hot partition; the production guard is a two-phase cap —
+    per-partition partial ranks, then a per-source offset join (same
+    shape as docs_pack_bins' distributed cumsum) — or AQE skew-split,
+    which handles moderate skew already. Ranking carries (doc_id,
+    source, hash) only — text never shuffles."""
+    pct = _id_hash_pct(d)
+    return f"""WITH h AS (
+  SELECT doc_id, source, {pct} AS hpct FROM documents
+),
+r AS (
+  SELECT doc_id, source, hpct,
+    row_number() OVER (PARTITION BY source ORDER BY hpct, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, source, cast(rk as bigint) AS rk,
+  cast(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END as bigint) AS kept
+FROM r"""
+
+
+# --- CDC MERGE (batch upsert/delete apply) ---------------------------------
+# Deterministic synthetic change feed derived from the snapshot itself:
+# every doc_id % CDC_MOD == 0 row is in the feed (deletes where
+# doc_id % CDC_DELETE_MOD == 0, else updated text), plus inserts at
+# offset ids — so both engines merge identical inputs with no RNG.
+CDC_MOD = 3
+CDC_DELETE_MOD = 7
+CDC_INSERT_MOD = 50          # doc_id % 50 == 1 rows spawn an insert twin
+CDC_INSERT_OFFSET = 10_000_000
+
+
+def docs_merge_cdc(d: Dialect) -> str:
+    """Batch MERGE (the Delta/Iceberg ``MERGE INTO`` shape without the
+    table format): apply a change feed of upserts + deletes to the
+    documents snapshot in one full-outer join, emitting the next
+    snapshot with an ``action`` audit column (update / delete-drop /
+    insert / keep). Deletes drop the row; updates take the feed's
+    text; inserts arrive under fresh ids.
+
+    Scale posture (100 TB): ONE equi-join on doc_id — with the
+    snapshot bucketed/partitioned by id (sinks/writers.
+    write_bucketed_table) the merge is shuffle-free on the big side,
+    and a daily-sized change feed broadcasts; this is exactly how
+    merge-on-read engines schedule MERGE. No text ever shuffles on
+    the snapshot side beyond its own co-located bucket files."""
+    return f"""WITH c AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {CDC_DELETE_MOD} = 0 THEN 'delete'
+         ELSE 'upsert' END AS op,
+    'v2 ' || text AS new_text, lang, source
+  FROM documents WHERE doc_id % {CDC_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {CDC_INSERT_OFFSET} AS doc_id, 'upsert' AS op,
+    'new ' || text AS new_text, lang, source
+  FROM documents WHERE doc_id % {CDC_INSERT_MOD} = 1
+),
+m AS (
+  SELECT coalesce(s.doc_id, c.doc_id) AS doc_id,
+    CASE WHEN c.op = 'delete' THEN 'delete'
+         WHEN c.doc_id IS NOT NULL AND s.doc_id IS NOT NULL THEN 'update'
+         WHEN c.doc_id IS NOT NULL THEN 'insert'
+         ELSE 'keep' END AS action,
+    coalesce(c.new_text, s.text) AS text,
+    coalesce(s.lang, c.lang) AS lang,
+    coalesce(s.source, c.source) AS source
+  FROM documents s FULL OUTER JOIN c ON s.doc_id = c.doc_id
+)
+SELECT doc_id, action, lang, source,
+  cast(length(text) as bigint) AS n_chars, text
+FROM m WHERE action <> 'delete'"""
+
+
 BUILDERS = {
+    "docs_domain_cap": docs_domain_cap,
+    "docs_merge_cdc": docs_merge_cdc,
     "docs_embedding_integrity": docs_embedding_integrity,
     "docs_importance_sample": docs_importance_sample,
     "docs_split_assign": docs_split_assign,

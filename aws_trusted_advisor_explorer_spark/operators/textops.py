@@ -495,7 +495,86 @@ SELECT doc_id, cast(n_chars_raw as bigint) AS n_chars_raw,
 FROM m"""
 
 
+# --- trained token-odds quality classifier ---------------------------------
+# fastText-style supervised quality scoring, relationally: a weak label
+# on a held-out TRAIN split yields per-token integer "odds points"
+# (calibrated fraction of good docs containing the token, Laplace
+# smoothed); every doc is scored as the integer mean of its tokens'
+# weights. All arithmetic is bigint (counts, one idiv per weight, one
+# idiv per doc), so Spark and DuckDB agree bit-for-bit.
+NB_TRAIN_PCT = 80       # train split: id-hash bucket < 80 (same hash as
+                        # docs_split_assign -> composable, resumable)
+NB_SCALE = 1000         # weight = P(good | token) in parts-per-1000
+NB_PRIOR = NB_SCALE // 2  # unseen-token weight (uninformative prior)
+NB_MIN_TOKENS = 20      # weak label: long enough ...
+NB_STOP_PCT = 5         # ... and >= 5% stopwords -> "good"
+
+
+def text_nb_quality_score(d: Dialect) -> str:
+    """Supervised quality classifier (fastText/naive-Bayes shape,
+    arXiv:1607.01759 as the published pattern): train token weights on
+    a deterministic 80% split with a weak rule label (n_tokens >=
+    {NB_MIN_TOKENS} AND stopword share >= {NB_STOP_PCT}%), then score
+    EVERY doc as the integer mean of its token weights; keep verdict
+    at the calibrated midpoint.
+
+    Weight = ((n_good + 1) * {NB_SCALE}) div (n_docs + 2) — Laplace-
+    smoothed P(good | token appears), integer-exact. Docs with zero
+    alnum tokens are excluded (no evidence to score, division guard);
+    the contract is documented rather than inventing a sentinel row.
+
+    Scale posture (100 TB): the weight relation is vocab-sized (at most
+    distinct tokens; cap with a DF floor at scale) -> broadcast hash
+    join against the exploded (doc_id, tok) stream; both aggregates
+    (weights, per-doc sums) are map-side-combining groupBys; the only
+    big exchange carries (doc_id, tok-hash-sized rows), never text.
+    The train pass is one extra scan, amortized by persisting weights
+    as a model table."""
+    pct = f"({d.poly_hash(d.str_cast('doc_id'))} % 100)"
+    n_tok = d.arr_len("toks")
+    n_stop = d.arr_len(d.filter_("toks", "x", f"x IN {_in_list(STOPWORDS)}"))
+    return f"""WITH t AS (
+  SELECT doc_id, {d.tokens('text')} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, toks, cast({n_tok} as bigint) AS n_tokens,
+    cast({n_stop} as bigint) AS n_stop, {pct} AS bucket_pct
+  FROM t
+),
+lab AS (
+  SELECT doc_id, toks,
+    CASE WHEN n_tokens >= {NB_MIN_TOKENS}
+          AND n_stop * 100 >= n_tokens * {NB_STOP_PCT}
+         THEN 1 ELSE 0 END AS good
+  FROM m WHERE bucket_pct < {NB_TRAIN_PCT} AND n_tokens > 0
+),
+trainrows AS (
+  SELECT {d.explode('toks')} AS tok, good FROM lab
+),
+w AS (
+  SELECT tok,
+    {d.idiv(f'((sum(good) + 1) * {NB_SCALE})', '(count(*) + 2)')} AS weight
+  FROM trainrows GROUP BY tok
+),
+scorerows AS (
+  SELECT doc_id, n_tokens, {d.explode('toks')} AS tok
+  FROM m WHERE n_tokens > 0
+),
+s AS (
+  SELECT sr.doc_id, sr.n_tokens,
+    sum(coalesce(w.weight, {NB_PRIOR})) AS sum_w
+  FROM scorerows sr LEFT JOIN w ON sr.tok = w.tok
+  GROUP BY sr.doc_id, sr.n_tokens
+)
+SELECT doc_id, n_tokens, cast(sum_w as bigint) AS sum_w,
+  cast({d.idiv('sum_w', 'n_tokens')} as bigint) AS nb_score,
+  cast(CASE WHEN {d.idiv('sum_w', 'n_tokens')} >= {NB_PRIOR}
+       THEN 1 ELSE 0 END as bigint) AS keep
+FROM s"""
+
+
 BUILDERS = {
+    "text_nb_quality_score": text_nb_quality_score,
     "text_unicode_sanitize": text_unicode_sanitize,
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_token_stats": text_token_stats,

@@ -1261,3 +1261,105 @@ def test_span_view_backed_matches_inline(spark):
         backed = {tuple(r)
                   for r in spark.sql(builder(SPARK, base=base)).collect()}
         assert inline == backed, builder.__name__
+
+
+def test_nb_quality_weights_match_pandas_replay(spark):
+    """The trained token-odds classifier's weights and doc scores match
+    an independent pandas replay of train-split selection, weak
+    labeling, Laplace-smoothed weights, and integer mean scoring."""
+    import re
+
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators.textops import (
+        NB_MIN_TOKENS, NB_PRIOR, NB_SCALE, NB_STOP_PCT, NB_TRAIN_PCT,
+        STOPWORDS,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def poly_hash(s: str) -> int:
+        h = 7
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    toks = {int(r.doc_id): re.findall(r"[a-z0-9]+", r.text.lower())
+            for r in docs.itertuples()}
+    # train + weak label
+    good_cnt: dict[str, int] = {}
+    tot_cnt: dict[str, int] = {}
+    for did, tk in toks.items():
+        if poly_hash(str(did)) % 100 >= NB_TRAIN_PCT or not tk:
+            continue
+        n_stop = sum(1 for t in tk if t in STOPWORDS)
+        good = int(len(tk) >= NB_MIN_TOKENS
+                   and n_stop * 100 >= len(tk) * NB_STOP_PCT)
+        for t in tk:
+            good_cnt[t] = good_cnt.get(t, 0) + good
+            tot_cnt[t] = tot_cnt.get(t, 0) + 1
+    weights = {t: ((good_cnt[t] + 1) * NB_SCALE) // (tot_cnt[t] + 2)
+               for t in tot_cnt}
+    expected = {}
+    for did, tk in toks.items():
+        if not tk:
+            continue
+        sw = sum(weights.get(t, NB_PRIOR) for t in tk)
+        expected[did] = (len(tk), sw, sw // len(tk),
+                         int(sw // len(tk) >= NB_PRIOR))
+    got = {int(r.doc_id): (int(r.n_tokens), int(r.sum_w), int(r.nb_score),
+                           int(r.keep))
+           for r in spark.sql(textops.text_nb_quality_score(SPARK)).collect()}
+    assert got == expected
+    # the score is a real signal, not a constant
+    assert len({v[2] for v in got.values()}) > 10
+
+
+def test_merge_cdc_actions(spark):
+    """MERGE semantics: deletes drop rows, updates carry the feed's
+    'v2 ' text, inserts arrive at offset ids, keeps are untouched."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        CDC_DELETE_MOD, CDC_INSERT_MOD, CDC_INSERT_OFFSET, CDC_MOD,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {int(r.doc_id): r.text for r in docs.itertuples()}
+    out = {int(r.doc_id): (r.action, r.text)
+           for r in spark.sql(corpusops.docs_merge_cdc(SPARK)).collect()}
+    for did, text in base.items():
+        in_feed = did % CDC_MOD == 0
+        if in_feed and did % CDC_DELETE_MOD == 0:
+            assert did not in out  # delete dropped the row
+        elif in_feed:
+            assert out[did] == ("update", "v2 " + text)
+        else:
+            assert out[did] == ("keep", text)
+        if did % CDC_INSERT_MOD == 1:
+            assert out[did + CDC_INSERT_OFFSET] == ("insert", "new " + text)
+    n_inserts = sum(1 for a, _ in out.values() if a == "insert")
+    assert n_inserts == sum(1 for d in base if d % CDC_INSERT_MOD == 1)
+
+
+def test_domain_cap_semantics(spark):
+    """Per-source cap: every source keeps at most DOMAIN_CAP docs,
+    every source with more docs than the cap has drops, ranks are
+    dense within source, and the kept set is hash-deterministic."""
+    from collections import Counter
+
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        DOMAIN_CAP,
+    )
+
+    rows = spark.sql(corpusops.docs_domain_cap(SPARK)).collect()
+    per_src = Counter(r.source for r in rows)
+    kept = Counter(r.source for r in rows if r.kept == 1)
+    for src, n in per_src.items():
+        assert kept[src] == min(n, DOMAIN_CAP), src
+        ranks = sorted(r.rk for r in rows if r.source == src)
+        assert ranks == list(range(1, n + 1)), f"ranks not dense for {src}"
+    assert any(n > DOMAIN_CAP for n in per_src.values())  # drops exercised
+    again = {(r.doc_id, r.kept)
+             for r in spark.sql(corpusops.docs_domain_cap(SPARK)).collect()}
+    assert {(r.doc_id, r.kept) for r in rows} == again
