@@ -428,6 +428,22 @@ _PARKED_TAIL = (
                               # shares machinery with in-cap
                               # text_commonness_score (vocab dim +
                               # broadcast join); pandas-replay pytest
+    "docs_curation_pipeline",  # new in r2: the 4-stage curation pass
+                               # as one plan (dedup+quality+cap+split);
+                               # every stage's in-cap representative
+                               # exists separately; planted-fixture
+                               # pytest covers all branches
+    "docs_boolean_search", # new in r2: conjunctive inverted-index AND
+                           # query; retrieval family shares the
+                           # filter-before-aggregate posting shape with
+                           # in-cap text_tfidf_topk; python-replay pytest
+    "docs_bm25_topk",      # new in r2: integer-exact Okapi BM25 top-k
+                           # (cleared-denominator rationals); ranked
+                           # retrieval family, in-cap representative
+                           # text_tfidf_topk; python-replay pytest
+    "docs_kanon_release",  # new in r2: k-anonymity suppression for
+                           # released group stats; privacy family's
+                           # in-cap row is pii_mask_accounts
     "docs_domain_cap",     # new in r2: per-source cap (CCNet balance
                            # rule); ranked-within-group family's in-cap
                            # row is text_tfidf_topk (same dense-rank

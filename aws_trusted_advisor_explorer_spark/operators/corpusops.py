@@ -552,6 +552,82 @@ SELECT
 FROM t"""
 
 
+# --- end-to-end curation pipeline (composition flagship) -------------------
+PIPE_MIN_TOKENS = 20   # quality rule shared with the nb classifier label
+PIPE_STOP_PCT = 5
+PIPE_CAP = 15          # per-source cap (same as DOMAIN_CAP)
+
+
+def docs_curation_pipeline(d: Dialect) -> str:
+    """The whole curation pass as ONE declarative plan — the query a
+    training-data team actually ships: exact dedup (content-hash
+    keep-lowest), rule quality gate, per-domain cap, and train/val/
+    test assignment, emitting every document with its verdict and the
+    FIRST failing stage as the drop reason (dedup → quality → cap).
+    Composing stages in one query is the point: Catalyst fuses the
+    projections, reuses one scan, and the per-doc verdicts land
+    atomically instead of via four intermediate tables.
+
+    Scale posture (100 TB): exactly TWO exchanges — the dedup window
+    keyed on md5(text) (~40-byte rows, text never shuffles: the
+    hash-key rule from the exact-dedup family) and the domain-cap
+    rank keyed on source (doc_id/source/hash rows). Quality and split
+    are pure codegen projections riding those shuffles. The cap ranks
+    only docs that SURVIVE dedup+quality, so its exchange is the
+    post-filter sliver."""
+    from aws_trusted_advisor_explorer_spark.operators.textops import (
+        STOPWORDS, _in_list,
+    )
+
+    md5 = "md5(text)"  # hex-string-identical in Spark and DuckDB
+    n_tok = d.arr_len("toks")
+    n_stop = d.arr_len(d.filter_("toks", "x", f"x IN {_in_list(STOPWORDS)}"))
+    pct = _id_hash_pct(d)
+    return f"""WITH t AS (
+  SELECT doc_id, source, {d.tokens('text')} AS toks, {md5} AS h,
+    {pct} AS hpct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, h, hpct,
+    cast({n_tok} as bigint) AS n_tokens,
+    cast({n_stop} as bigint) AS n_stop,
+    min(doc_id) OVER (PARTITION BY h) AS keeper_id
+  FROM t
+),
+q AS (
+  SELECT doc_id, source, hpct, n_tokens,
+    CASE WHEN doc_id = keeper_id THEN 0 ELSE 1 END AS is_dup,
+    CASE WHEN n_tokens >= {PIPE_MIN_TOKENS}
+          AND n_stop * 100 >= n_tokens * {PIPE_STOP_PCT}
+         THEN 1 ELSE 0 END AS quality_ok
+  FROM m
+),
+r AS (
+  SELECT doc_id, source, hpct, n_tokens, is_dup, quality_ok,
+    CASE WHEN is_dup = 0 AND quality_ok = 1 THEN
+      row_number() OVER (
+        PARTITION BY source,
+          CASE WHEN is_dup = 0 AND quality_ok = 1 THEN 1 ELSE 0 END
+        ORDER BY hpct, doc_id)
+    ELSE NULL END AS cap_rk
+  FROM q
+)
+SELECT doc_id, source, cast(is_dup as bigint) AS is_dup,
+  cast(quality_ok as bigint) AS quality_ok,
+  cast(cap_rk as bigint) AS cap_rk,
+  cast(CASE WHEN is_dup = 0 AND quality_ok = 1
+            AND cap_rk <= {PIPE_CAP} THEN 1 ELSE 0 END as bigint) AS keep,
+  CASE WHEN is_dup = 1 THEN 'exact_dup'
+       WHEN quality_ok = 0 THEN 'low_quality'
+       WHEN cap_rk > {PIPE_CAP} THEN 'domain_cap'
+       ELSE NULL END AS drop_reason,
+  CASE WHEN hpct < {TRAIN_PCT} THEN 'train'
+       WHEN hpct < {TRAIN_PCT + VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+FROM r"""
+
+
 # --- per-domain cap (source-balance curation) ------------------------------
 DOMAIN_CAP = 15  # max docs kept per source
 
@@ -637,6 +713,7 @@ FROM m WHERE action <> 'delete'"""
 
 
 BUILDERS = {
+    "docs_curation_pipeline": docs_curation_pipeline,
     "docs_domain_cap": docs_domain_cap,
     "docs_merge_cdc": docs_merge_cdc,
     "docs_embedding_integrity": docs_embedding_integrity,

@@ -101,7 +101,35 @@ SELECT c_custkey,
 FROM t"""
 
 
+# k-anonymity threshold for released group statistics
+KANON_K = 5
+
+
+def docs_kanon_release(d: Dialect) -> str:
+    """k-anonymity suppression for released group statistics (the
+    data-release counterpart of the PII scrub): per-(lang, source)
+    document counts are published only when the group holds at least
+    {KANON_K} docs; smaller groups are suppressed — the row ships with
+    a NULL count so the release can't reveal a quasi-identifier
+    combination that isolates fewer than k individuals. The exact
+    suppressed-group tally itself is aggregate-safe and is reported.
+
+    Scale posture: one map-side-combining groupBy over two
+    low-cardinality quasi-identifier columns; output is
+    dimension-sized. Pure aggregation, no text movement."""
+    return f"""WITH g AS (
+  SELECT lang, source, cast(count(*) as bigint) AS n_docs
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source,
+  CASE WHEN n_docs >= {KANON_K} THEN n_docs ELSE NULL END AS n_docs_released,
+  cast(CASE WHEN n_docs >= {KANON_K} THEN 0 ELSE 1 END as bigint)
+    AS suppressed
+FROM g"""
+
+
 BUILDERS = {
     "pii_mask_accounts": pii_mask_accounts,
     "pii_scrub_text": pii_scrub_text,
+    "docs_kanon_release": docs_kanon_release,
 }

@@ -495,6 +495,100 @@ SELECT doc_id, cast(n_chars_raw as bigint) AS n_chars_raw,
 FROM m"""
 
 
+# --- retrieval plane (boolean search + BM25 ranking) -----------------------
+# Fixed conjunctive query over the synthetic vocabulary; terms chosen to
+# have mid-range document frequency so both match and no-match docs
+# exist at every scale factor.
+QUERY_TERMS = ("hash", "join", "table")
+BM25_TOP_K = 10
+
+
+def docs_boolean_search(d: Dialect) -> str:
+    """Conjunctive boolean retrieval (the inverted-index AND query,
+    relationally): documents containing ALL query terms, with the
+    total query-term frequency as a crude rank signal.
+
+    Scale posture (100 TB): the term filter is applied BEFORE any
+    aggregation — the exploded token stream is cut to query-term rows
+    immediately (predicate on the generator output, fused by codegen),
+    so the exchange carries only (doc_id, term) rows for the handful
+    of query terms, a tiny fraction of the corpus. With a prebuilt
+    posting-list table bucketed by term this becomes a k-way
+    merge-intersection with zero scan."""
+    n_terms = len(QUERY_TERMS)
+    return f"""WITH e AS (
+  SELECT doc_id, {d.explode('toks')} AS term
+  FROM (SELECT doc_id, {d.tokens('text')} AS toks FROM documents) t
+),
+q AS (
+  SELECT doc_id, term, cast(count(*) as bigint) AS tf
+  FROM e WHERE term IN {_in_list(QUERY_TERMS)}
+  GROUP BY doc_id, term
+)
+SELECT doc_id, cast(count(*) as bigint) AS n_terms_matched,
+  cast(sum(tf) as bigint) AS total_tf
+FROM q GROUP BY doc_id HAVING count(*) = {n_terms}"""
+
+
+def docs_bm25_topk(d: Dialect) -> str:
+    """BM25 top-{BM25_TOP_K} ranking for the fixed conjunctive-free
+    query (Robertson/Sparck Jones probabilistic retrieval; the
+    Okapi BM25 form with k1=6/5, b=3/4) — kept EXACT in bigints by
+    clearing denominators instead of using floats/ln:
+
+      idf_milli   = (1000 * (2N - 2df + 1)) div (2df + 1)
+                    [integer-monotone analog of ln(1+(N-df+.5)/(df+.5))]
+      term score  = idf_milli * tf * 44 * sum_dl
+                    div (20*tf*sum_dl + 6*sum_dl + 18*dl*N)
+                    [= idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+                     with avgdl = sum_dl/N and all rationals cleared]
+
+    Every intermediate fits int64 at driver scale (worst case
+    idf_milli*tf*44*sum_dl with df>=1 stays under 2^63 through ~1e5
+    docs x ~100-token average length; 1e5 x 1000-token or 1e6-doc
+    corpora overflow); the production swap at 100 TB is double
+    arithmetic, where cross-engine bit-equality is no longer required.
+
+    Scale posture: tf is computed only for query-term rows (filter
+    before aggregate); df/N/sum_dl are constant-size dimensions
+    broadcast into the score projection; the final top-k is ORDER BY +
+    LIMIT -> distributed TakeOrdered, no global sort."""
+    dl = d.arr_len(d.tokens("text"))
+    return f"""WITH docstats AS (
+  SELECT doc_id, cast({dl} as bigint) AS dl FROM documents
+),
+corpus AS (
+  SELECT cast(count(*) as bigint) AS n_docs,
+    cast(sum(dl) as bigint) AS sum_dl FROM docstats
+),
+e AS (
+  SELECT doc_id, {d.explode('toks')} AS term
+  FROM (SELECT doc_id, {d.tokens('text')} AS toks FROM documents) t
+),
+tf AS (
+  SELECT doc_id, term, cast(count(*) as bigint) AS tf
+  FROM e WHERE term IN {_in_list(QUERY_TERMS)}
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term,
+    {d.idiv('(1000 * (2 * c.n_docs - 2 * df.df + 1))', '(2 * df.df + 1)')}
+      * tf.tf * 44 * c.sum_dl AS numer,
+    (20 * tf.tf * c.sum_dl + 6 * c.sum_dl + 18 * ds.dl * c.n_docs) AS denom
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN docstats ds ON ds.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT doc_id, cast(sum({d.idiv('numer', 'denom')}) as bigint) AS bm25_milli
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, bm25_milli FROM scored
+ORDER BY bm25_milli DESC, doc_id LIMIT {BM25_TOP_K}"""
+
+
 # --- trained token-odds quality classifier ---------------------------------
 # fastText-style supervised quality scoring, relationally: a weak label
 # on a held-out TRAIN split yields per-token integer "odds points"
@@ -508,6 +602,37 @@ NB_SCALE = 1000         # weight = P(good | token) in parts-per-1000
 NB_PRIOR = NB_SCALE // 2  # unseen-token weight (uninformative prior)
 NB_MIN_TOKENS = 20      # weak label: long enough ...
 NB_STOP_PCT = 5         # ... and >= 5% stopwords -> "good"
+
+
+def nb_weights_sql(d: Dialect) -> str:
+    """Standalone TRAIN query: the (tok, weight) model relation of
+    text_nb_quality_score (same CTE chain, weights only). Batch
+    training runs this once and persists the result; the streaming
+    scorer (streaming/structured.nb_score_stream) ships it in-plan."""
+    pct = f"({d.poly_hash(d.str_cast('doc_id'))} % 100)"
+    n_tok = d.arr_len("toks")
+    n_stop = d.arr_len(d.filter_("toks", "x", f"x IN {_in_list(STOPWORDS)}"))
+    return f"""WITH t AS (
+  SELECT doc_id, {d.tokens('text')} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, toks, cast({n_tok} as bigint) AS n_tokens,
+    cast({n_stop} as bigint) AS n_stop, {pct} AS bucket_pct
+  FROM t
+),
+lab AS (
+  SELECT doc_id, toks,
+    CASE WHEN n_tokens >= {NB_MIN_TOKENS}
+          AND n_stop * 100 >= n_tokens * {NB_STOP_PCT}
+         THEN 1 ELSE 0 END AS good
+  FROM m WHERE bucket_pct < {NB_TRAIN_PCT} AND n_tokens > 0
+),
+trainrows AS (
+  SELECT {d.explode('toks')} AS tok, good FROM lab
+)
+SELECT tok,
+  {d.idiv(f'((sum(good) + 1) * {NB_SCALE})', '(count(*) + 2)')} AS weight
+FROM trainrows GROUP BY tok"""
 
 
 def text_nb_quality_score(d: Dialect) -> str:
@@ -574,6 +699,8 @@ FROM s"""
 
 
 BUILDERS = {
+    "docs_boolean_search": docs_boolean_search,
+    "docs_bm25_topk": docs_bm25_topk,
     "text_nb_quality_score": text_nb_quality_score,
     "text_unicode_sanitize": text_unicode_sanitize,
     "text_bpe_pair_counts": text_bpe_pair_counts,

@@ -565,3 +565,45 @@ def sanitize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"length(raw) * {MOJIBAKE_PCT} AND ({n_repl}) > 0 "
                 f"THEN 1 ELSE 0 END as bigint) AS is_mojibake",
                 f"{cleaned} AS clean_text"))
+
+
+def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of textops.text_nb_quality_score's SCORING
+    phase: train offline, score online. The token-weight model is
+    trained ONCE batch-side (textops.nb_weights_sql — the same
+    relation the batch query computes) and shipped to executors
+    inside the plan as a map literal; each incoming document is
+    scored statelessly as the integer mean of its tokens' weights via
+    ``transform`` + ``aggregate`` over the map lookup — no state, no
+    shuffle, no Python in the stream. At real vocab sizes the
+    in-plan literal becomes a broadcast stream-static join or a
+    persisted model table; the arithmetic (and therefore every
+    verdict) is identical either way."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+    from aws_trusted_advisor_explorer_spark.operators.textops import (
+        NB_PRIOR, nb_weights_sql,
+    )
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_docs.createOrReplaceTempView("documents")
+    w_rows = spark.sql(nb_weights_sql(SD)).collect()
+    map_lit = ("map(" + ", ".join(
+        f"'{r.tok}', {int(r.weight)}L" for r in w_rows) + ")"
+        if w_rows else f"map('', {NB_PRIOR}L)")
+
+    toks = SD.tokens("text")
+    docs = documents_stream(spark, sf_dir)
+    return (docs
+            .withColumn("toks", F.expr(toks))
+            .filter("size(toks) > 0")
+            .withColumn("sum_w", F.expr(
+                f"aggregate(transform(toks, t -> "
+                f"coalesce(element_at({map_lit}, t), {NB_PRIOR}L)), "
+                f"cast(0 as bigint), (a, b) -> a + b)"))
+            .selectExpr(
+                "doc_id",
+                "cast(size(toks) as bigint) AS n_tokens",
+                "sum_w",
+                "cast(sum_w div size(toks) as bigint) AS nb_score",
+                f"cast(CASE WHEN sum_w div size(toks) >= {NB_PRIOR} "
+                f"THEN 1 ELSE 0 END as bigint) AS keep"))

@@ -1363,3 +1363,117 @@ def test_domain_cap_semantics(spark):
     again = {(r.doc_id, r.kept)
              for r in spark.sql(corpusops.docs_domain_cap(SPARK)).collect()}
     assert {(r.doc_id, r.kept) for r in rows} == again
+
+
+def test_bm25_and_boolean_search_match_python_replay(spark):
+    """BM25 integer scoring and conjunctive boolean retrieval both
+    match an independent pure-Python replay of the formulas (tf/df/dl
+    from scratch, cleared-denominator integer BM25)."""
+    import re
+
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators.textops import (
+        BM25_TOP_K, QUERY_TERMS,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = {int(r.doc_id): re.findall(r"[a-z0-9]+", r.text.lower())
+            for r in docs.itertuples()}
+    n = len(toks)
+    sum_dl = sum(len(t) for t in toks.values())
+    tf = {did: {q: t.count(q) for q in QUERY_TERMS if q in t}
+          for did, t in toks.items()}
+    df = {q: sum(1 for d_ in tf.values() if q in d_) for q in QUERY_TERMS}
+
+    # boolean AND
+    expect_bool = {did: (len(d_), sum(d_.values()))
+                   for did, d_ in tf.items() if len(d_) == len(QUERY_TERMS)}
+    got_bool = {int(r.doc_id): (int(r.n_terms_matched), int(r.total_tf))
+                for r in spark.sql(
+                    textops.docs_boolean_search(SPARK)).collect()}
+    assert got_bool == expect_bool
+    assert 0 < len(got_bool) < len(toks)  # both hits and misses exist
+
+    # BM25
+    scores = {}
+    for did, d_ in tf.items():
+        if not d_:
+            continue
+        dl = len(toks[did])
+        total = 0
+        for q, f in d_.items():
+            idf = (1000 * (2 * n - 2 * df[q] + 1)) // (2 * df[q] + 1)
+            numer = idf * f * 44 * sum_dl
+            denom = 20 * f * sum_dl + 6 * sum_dl + 18 * dl * n
+            total += numer // denom
+        scores[did] = total
+    expect_top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect_top = expect_top[:BM25_TOP_K]
+    got_top = [(int(r.doc_id), int(r.bm25_milli))
+               for r in spark.sql(textops.docs_bm25_topk(SPARK)).collect()]
+    assert got_top == expect_top
+
+
+def test_kanon_release_suppresses_small_groups(spark):
+    """Suppressed groups ship NULL counts; released groups ship exact
+    counts; both classes exist at test scale."""
+    from aws_trusted_advisor_explorer_spark.operators.masking import KANON_K
+
+    rows = spark.sql(masking.docs_kanon_release(SPARK)).collect()
+    import pandas as pd
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    truth = docs.groupby(["lang", "source"]).size().to_dict()
+    assert len(rows) == len(truth)
+    n_sup = 0
+    for r in rows:
+        true_n = truth[(r.lang, r.source)]
+        if true_n >= KANON_K:
+            assert r.n_docs_released == true_n and r.suppressed == 0
+        else:
+            assert r.n_docs_released is None and r.suppressed == 1
+            n_sup += 1
+    assert 0 < n_sup < len(rows)
+
+
+def test_curation_pipeline_planted_stages(spark):
+    """Planted corpus exercising EVERY pipeline branch: an exact
+    duplicate (dropped as exact_dup, keeper survives), a short doc
+    (low_quality), an over-cap source (domain_cap drops beyond the
+    cap), and keepers with split assignment. Spark == DuckDB
+    row-for-row and the drop precedence is dedup > quality > cap."""
+    import duckdb
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        PIPE_CAP, PIPE_MIN_TOKENS,
+    )
+    from tests.conftest import canonicalize
+
+    good = " ".join(
+        ("the" if i % 4 == 0 else f"word{i}") for i in range(PIPE_MIN_TOKENS + 10))
+    rows = [(1, good, "srcA"), (2, good, "srcA"),          # 2 = exact dup
+            (3, "too short", "srcA")]                      # low quality
+    # an over-cap source: PIPE_CAP + 3 distinct good docs
+    for i in range(PIPE_CAP + 3):
+        rows.append((100 + i, good + f" unique{i}", "srcHot"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(corpusops.docs_curation_pipeline(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(corpusops.docs_curation_pipeline(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    by_id = {int(r.doc_id): r
+             for r in ns.sql(corpusops.docs_curation_pipeline(SPARK)).collect()}
+    assert by_id[1].keep == 1 and by_id[1].drop_reason is None
+    assert by_id[2].keep == 0 and by_id[2].drop_reason == "exact_dup"
+    assert by_id[3].keep == 0 and by_id[3].drop_reason == "low_quality"
+    hot = [r for i, r in by_id.items() if 100 <= i]
+    kept_hot = [r for r in hot if r.keep == 1]
+    capped = [r for r in hot if r.drop_reason == "domain_cap"]
+    assert len(kept_hot) == PIPE_CAP and len(capped) == 3
+    assert all(r.split in ("train", "val", "test") for r in by_id.values())

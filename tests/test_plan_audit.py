@@ -38,10 +38,12 @@ from tests.conftest import SF_DIR
 #                         emulate posexplode dialect-portably (same shape
 #                         the KMeans trainer inlines; its queries() entry
 #                         reads the materialized view instead)
+#   docs_bm25_topk      — single-row corpus-stats relation (N, sum_dl)
+#                         cross-joined into the per-term score rows
 BNLJ_ALLOWED = {
     "knn_bruteforce", "knn_recall_at_k", "knn_ivfpq_adc",
     "pq_recall_report", "events_funnel", "events_key_skew_audit",
-    "embeddings_sq_int8",
+    "embeddings_sq_int8", "docs_bm25_topk",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")

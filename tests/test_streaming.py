@@ -190,3 +190,18 @@ def test_sanitize_stream_equals_batch(spark):
     want = {tuple(r)
             for r in spark.sql(textops.text_unicode_sanitize(SPARK)).collect()}
     assert got == want
+
+
+def test_nb_score_stream_equals_batch(spark):
+    """Streaming classifier scoring (frozen in-plan model) must be
+    row-for-row equal to the batch text_nb_quality_score."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    structured.run_stream_to_memory(
+        structured.nb_score_stream(spark, SF_DIR), "nb_score_stream",
+        output_mode="append")
+    got = {tuple(r) for r in spark.table("nb_score_stream").collect()}
+    want = {tuple(r)
+            for r in spark.sql(textops.text_nb_quality_score(SPARK)).collect()}
+    assert got == want
