@@ -428,6 +428,12 @@ _PARKED_TAIL = (
                               # shares machinery with in-cap
                               # text_commonness_score (vocab dim +
                               # broadcast join); pandas-replay pytest
+    "events_disorder_audit",   # new in r2: watermark-sizing lateness
+                               # audit; running-max window family's
+                               # in-cap row is events_latest_state;
+                               # zero-signal at driver SF by data
+                               # construction — planted-fixture pytest
+                               # pins the arithmetic
     "docs_curation_pipeline",  # new in r2: the 4-stage curation pass
                                # as one plan (dedup+quality+cap+split);
                                # every stage's in-cap representative

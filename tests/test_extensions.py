@@ -1477,3 +1477,42 @@ def test_curation_pipeline_planted_stages(spark):
     capped = [r for r in hot if r.drop_reason == "domain_cap"]
     assert len(kept_hot) == PIPE_CAP and len(capped) == 3
     assert all(r.split in ("train", "val", "test") for r in by_id.values())
+
+
+def test_disorder_audit_planted_lateness(spark):
+    """Planted out-of-order arrivals: event_id is arrival order; one
+    event arrives 90s behind the high-water mark, one in order. The
+    audit must count exactly the late rows and report the worst gap;
+    the in-order type reports zero."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (0, s(0), 1, "click", 1.0, "{}"),
+        (1, s(60), 1, "click", 1.0, "{}"),
+        (2, s(-30), 1, "click", 1.0, "{}"),   # 90s behind id=1's mark
+        (3, s(120), 1, "click", 1.0, "{}"),
+        (4, s(0), 2, "view", 1.0, "{}"),
+        (5, s(10), 2, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"])
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    ns.createDataFrame(pdf).createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    sdf = canonicalize(ns.sql(eventops.events_disorder_audit(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(eventops.events_disorder_audit(DUCK)).df())
+    assert sdf.equals(ddf)
+    got = {r.event_type: (int(r.n_late), int(r.max_lateness_us))
+           for r in ns.sql(eventops.events_disorder_audit(SPARK)).collect()}
+    assert got == {"click": (1, 90_000_000), "view": (0, 0)}
