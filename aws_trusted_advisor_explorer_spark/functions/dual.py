@@ -250,6 +250,22 @@ class Dialect:
         return f"cast({c} as string)" if self.name == "spark" else f"CAST({c} AS varchar)"
 
 
+def id_hash_pct(d: Dialect, col: str = "doc_id", salt: str = "") -> str:
+    """Deterministic 0-99 bucket from the polynomial hash of the id
+    STRING — stable across engines, runs, and partitioning (never use
+    engine-native hash() or rand() for split/sample assignment:
+    resuming a pipeline must not reshuffle the decision). ``salt``
+    derives an INDEPENDENT decision stream from the same id — pass a
+    distinct salt whenever two hash-based decisions must not
+    correlate (e.g. a per-domain cap rank vs the train/val/test
+    split, where sharing the stream would bias capped survivors into
+    one split)."""
+    expr = d.str_cast(col)
+    if salt:
+        expr = f"('{salt}:' || {expr})"
+    return f"({d.poly_hash(expr)} % 100)"
+
+
 SPARK = Dialect("spark")
 DUCK = Dialect("duck")
 

@@ -24,12 +24,13 @@ VAL_PCT = 10  # test = remainder
 PACK_BUDGET = 512  # tokens per packed shard
 
 
-def _id_hash_pct(d: Dialect) -> str:
-    """Deterministic 0-99 bucket from the polynomial hash of the doc id
-    STRING — stable across engines, runs, and partitioning (never use
-    engine-native hash() or rand() for split assignment: resuming a
-    pipeline must not reshuffle the split)."""
-    return f"({d.poly_hash(d.str_cast('doc_id'))} % 100)"
+def _id_hash_pct(d: Dialect, salt: str = "") -> str:
+    """See functions.dual.id_hash_pct (shared so the NB classifier's
+    train split and this module's split/sample/cap decisions stay one
+    implementation)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import id_hash_pct
+
+    return id_hash_pct(d, "doc_id", salt)
 
 
 def docs_split_assign(d: Dialect) -> str:
@@ -553,9 +554,13 @@ FROM t"""
 
 
 # --- end-to-end curation pipeline (composition flagship) -------------------
-PIPE_MIN_TOKENS = 20   # quality rule shared with the nb classifier label
-PIPE_STOP_PCT = 5
-PIPE_CAP = 15          # per-source cap (same as DOMAIN_CAP)
+# stage parameters are BOUND to their standalone operators' constants
+# (textops label rule, this module's DOMAIN_CAP), not re-declared, so
+# tuning one tunes both (review finding r2)
+from aws_trusted_advisor_explorer_spark.operators.textops import (  # noqa: E402
+    NB_MIN_TOKENS as PIPE_MIN_TOKENS,
+    NB_STOP_PCT as PIPE_STOP_PCT,
+)
 
 
 def docs_curation_pipeline(d: Dialect) -> str:
@@ -583,20 +588,25 @@ def docs_curation_pipeline(d: Dialect) -> str:
     n_tok = d.arr_len("toks")
     n_stop = d.arr_len(d.filter_("toks", "x", f"x IN {_in_list(STOPWORDS)}"))
     pct = _id_hash_pct(d)
+    # the cap rank draws from a SALTED decision stream: ranking by the
+    # split hash would funnel every capped source's survivors into
+    # 'train' (lowest hpct values win the rank AND map to the train
+    # band) — review finding r2
+    cap_pct = _id_hash_pct(d, salt="cap")
     return f"""WITH t AS (
   SELECT doc_id, source, {d.tokens('text')} AS toks, {md5} AS h,
-    {pct} AS hpct
+    {pct} AS hpct, {cap_pct} AS cappct
   FROM documents
 ),
 m AS (
-  SELECT doc_id, source, h, hpct,
+  SELECT doc_id, source, h, hpct, cappct,
     cast({n_tok} as bigint) AS n_tokens,
     cast({n_stop} as bigint) AS n_stop,
     min(doc_id) OVER (PARTITION BY h) AS keeper_id
   FROM t
 ),
 q AS (
-  SELECT doc_id, source, hpct, n_tokens,
+  SELECT doc_id, source, hpct, cappct, n_tokens,
     CASE WHEN doc_id = keeper_id THEN 0 ELSE 1 END AS is_dup,
     CASE WHEN n_tokens >= {PIPE_MIN_TOKENS}
           AND n_stop * 100 >= n_tokens * {PIPE_STOP_PCT}
@@ -609,7 +619,7 @@ r AS (
       row_number() OVER (
         PARTITION BY source,
           CASE WHEN is_dup = 0 AND quality_ok = 1 THEN 1 ELSE 0 END
-        ORDER BY hpct, doc_id)
+        ORDER BY cappct, doc_id)
     ELSE NULL END AS cap_rk
   FROM q
 )
@@ -630,15 +640,19 @@ FROM r"""
 
 # --- per-domain cap (source-balance curation) ------------------------------
 DOMAIN_CAP = 15  # max docs kept per source
+PIPE_CAP = DOMAIN_CAP  # the pipeline's cap stage IS docs_domain_cap's rule
 
 
 def docs_domain_cap(d: Dialect) -> str:
     """Per-domain document cap (the CCNet/C4 source-balance rule: no
     single domain may dominate the corpus): rank docs within each
-    source by the deterministic id-hash (content-independent, stable
-    under re-runs and repartitioning — the same no-rand() rule as
-    docs_split_assign) and keep the first {DOMAIN_CAP}. Emits every
-    doc with its rank and verdict so the drop set is auditable.
+    source by a SALTED deterministic id-hash (content-independent,
+    stable under re-runs and repartitioning — the same no-rand() rule
+    as docs_split_assign, but drawn from an independent decision
+    stream: ranking by the split hash itself would bias every capped
+    source's survivors into the train band) and keep the first
+    {DOMAIN_CAP}. Emits every doc with its rank and verdict so the
+    drop set is auditable.
 
     Scale posture (100 TB): one exchange keyed on source. A hot domain
     makes a hot partition; the production guard is a two-phase cap —
@@ -646,7 +660,7 @@ def docs_domain_cap(d: Dialect) -> str:
     shape as docs_pack_bins' distributed cumsum) — or AQE skew-split,
     which handles moderate skew already. Ranking carries (doc_id,
     source, hash) only — text never shuffles."""
-    pct = _id_hash_pct(d)
+    pct = _id_hash_pct(d, salt="cap")
     return f"""WITH h AS (
   SELECT doc_id, source, {pct} AS hpct FROM documents
 ),
@@ -668,7 +682,6 @@ FROM r"""
 CDC_MOD = 3
 CDC_DELETE_MOD = 7
 CDC_INSERT_MOD = 50          # doc_id % 50 == 1 rows spawn an insert twin
-CDC_INSERT_OFFSET = 10_000_000
 
 
 def docs_merge_cdc(d: Dialect) -> str:
@@ -677,7 +690,11 @@ def docs_merge_cdc(d: Dialect) -> str:
     documents snapshot in one full-outer join, emitting the next
     snapshot with an ``action`` audit column (update / delete-drop /
     insert / keep). Deletes drop the row; updates take the feed's
-    text; inserts arrive under fresh ids.
+    text; inserts arrive under fresh ids ABOVE the snapshot's max id
+    (a one-row max subquery, not a fixed offset — a fixed offset
+    collides with real ids once the corpus outgrows it; review
+    finding r2), so feed keys are unique by construction and the
+    full-outer join can never fan out.
 
     Scale posture (100 TB): ONE equi-join on doc_id — with the
     snapshot bucketed/partitioned by id (sinks/writers.
@@ -685,16 +702,17 @@ def docs_merge_cdc(d: Dialect) -> str:
     and a daily-sized change feed broadcasts; this is exactly how
     merge-on-read engines schedule MERGE. No text ever shuffles on
     the snapshot side beyond its own co-located bucket files."""
-    return f"""WITH c AS (
+    return f"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+c AS (
   SELECT doc_id,
     CASE WHEN doc_id % {CDC_DELETE_MOD} = 0 THEN 'delete'
          ELSE 'upsert' END AS op,
     'v2 ' || text AS new_text, lang, source
   FROM documents WHERE doc_id % {CDC_MOD} = 0
   UNION ALL
-  SELECT doc_id + {CDC_INSERT_OFFSET} AS doc_id, 'upsert' AS op,
+  SELECT doc_id + mx.mx + 1 AS doc_id, 'upsert' AS op,
     'new ' || text AS new_text, lang, source
-  FROM documents WHERE doc_id % {CDC_INSERT_MOD} = 1
+  FROM documents CROSS JOIN mx WHERE doc_id % {CDC_INSERT_MOD} = 1
 ),
 m AS (
   SELECT coalesce(s.doc_id, c.doc_id) AS doc_id,

@@ -604,62 +604,21 @@ NB_MIN_TOKENS = 20      # weak label: long enough ...
 NB_STOP_PCT = 5         # ... and >= 5% stopwords -> "good"
 
 
-def nb_weights_sql(d: Dialect) -> str:
-    """Standalone TRAIN query: the (tok, weight) model relation of
-    text_nb_quality_score (same CTE chain, weights only). Batch
-    training runs this once and persists the result; the streaming
-    scorer (streaming/structured.nb_score_stream) ships it in-plan."""
-    pct = f"({d.poly_hash(d.str_cast('doc_id'))} % 100)"
+def _nb_train_ctes(d: Dialect, table: str = "documents") -> str:
+    """Shared train-CTE chain (t/m/lab/trainrows) of the NB classifier:
+    deterministic 80% id-hash split (functions.dual.id_hash_pct — the
+    SAME stream as docs_split_assign, so classifier training composes
+    with corpus splitting) + the weak rule label. Both nb_weights_sql
+    and text_nb_quality_score build on this one string, so the label
+    rule and smoothing can never drift between the standalone train
+    query, the batch scorer, and the streaming scorer."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import id_hash_pct
+
+    pct = id_hash_pct(d)
     n_tok = d.arr_len("toks")
     n_stop = d.arr_len(d.filter_("toks", "x", f"x IN {_in_list(STOPWORDS)}"))
     return f"""WITH t AS (
-  SELECT doc_id, {d.tokens('text')} AS toks FROM documents
-),
-m AS (
-  SELECT doc_id, toks, cast({n_tok} as bigint) AS n_tokens,
-    cast({n_stop} as bigint) AS n_stop, {pct} AS bucket_pct
-  FROM t
-),
-lab AS (
-  SELECT doc_id, toks,
-    CASE WHEN n_tokens >= {NB_MIN_TOKENS}
-          AND n_stop * 100 >= n_tokens * {NB_STOP_PCT}
-         THEN 1 ELSE 0 END AS good
-  FROM m WHERE bucket_pct < {NB_TRAIN_PCT} AND n_tokens > 0
-),
-trainrows AS (
-  SELECT {d.explode('toks')} AS tok, good FROM lab
-)
-SELECT tok,
-  {d.idiv(f'((sum(good) + 1) * {NB_SCALE})', '(count(*) + 2)')} AS weight
-FROM trainrows GROUP BY tok"""
-
-
-def text_nb_quality_score(d: Dialect) -> str:
-    """Supervised quality classifier (fastText/naive-Bayes shape,
-    arXiv:1607.01759 as the published pattern): train token weights on
-    a deterministic 80% split with a weak rule label (n_tokens >=
-    {NB_MIN_TOKENS} AND stopword share >= {NB_STOP_PCT}%), then score
-    EVERY doc as the integer mean of its token weights; keep verdict
-    at the calibrated midpoint.
-
-    Weight = ((n_good + 1) * {NB_SCALE}) div (n_docs + 2) — Laplace-
-    smoothed P(good | token appears), integer-exact. Docs with zero
-    alnum tokens are excluded (no evidence to score, division guard);
-    the contract is documented rather than inventing a sentinel row.
-
-    Scale posture (100 TB): the weight relation is vocab-sized (at most
-    distinct tokens; cap with a DF floor at scale) -> broadcast hash
-    join against the exploded (doc_id, tok) stream; both aggregates
-    (weights, per-doc sums) are map-side-combining groupBys; the only
-    big exchange carries (doc_id, tok-hash-sized rows), never text.
-    The train pass is one extra scan, amortized by persisting weights
-    as a model table."""
-    pct = f"({d.poly_hash(d.str_cast('doc_id'))} % 100)"
-    n_tok = d.arr_len("toks")
-    n_stop = d.arr_len(d.filter_("toks", "x", f"x IN {_in_list(STOPWORDS)}"))
-    return f"""WITH t AS (
-  SELECT doc_id, {d.tokens('text')} AS toks FROM documents
+  SELECT doc_id, {d.tokens('text')} AS toks FROM {table}
 ),
 m AS (
   SELECT doc_id, toks, cast({n_tok} as bigint) AS n_tokens,
@@ -680,7 +639,41 @@ w AS (
   SELECT tok,
     {d.idiv(f'((sum(good) + 1) * {NB_SCALE})', '(count(*) + 2)')} AS weight
   FROM trainrows GROUP BY tok
-),
+)"""
+
+
+def nb_weights_sql(d: Dialect, table: str = "documents") -> str:
+    """Standalone TRAIN query: the (tok, weight) model relation of
+    text_nb_quality_score (same shared CTE chain, weights only). Batch
+    training runs this once and persists the result; the streaming
+    scorer (streaming/structured.nb_score_stream) ships it in-plan."""
+    return f"""{_nb_train_ctes(d, table)}
+SELECT tok, weight FROM w"""
+
+
+def text_nb_quality_score(d: Dialect) -> str:
+    """Supervised quality classifier (fastText/naive-Bayes shape,
+    arXiv:1607.01759 as the published pattern): train token weights on
+    a deterministic 80% split with a weak rule label (n_tokens >=
+    {NB_MIN_TOKENS} AND stopword share >= {NB_STOP_PCT}%), then score
+    EVERY doc as the integer mean of its token weights; keep verdict
+    at the calibrated midpoint. Train CTEs are the SHARED
+    _nb_train_ctes chain (one string for this query, nb_weights_sql,
+    and the streaming scorer — the rule cannot drift between them).
+
+    Weight = ((n_good + 1) * {NB_SCALE}) div (n_docs + 2) — Laplace-
+    smoothed P(good | token appears), integer-exact. Docs with zero
+    alnum tokens are excluded (no evidence to score, division guard);
+    the contract is documented rather than inventing a sentinel row.
+
+    Scale posture (100 TB): the weight relation is vocab-sized (at most
+    distinct tokens; cap with a DF floor at scale) -> broadcast hash
+    join against the exploded (doc_id, tok) stream; both aggregates
+    (weights, per-doc sums) are map-side-combining groupBys; the only
+    big exchange carries (doc_id, tok-hash-sized rows), never text.
+    The train pass is one extra scan, amortized by persisting weights
+    as a model table."""
+    return f"""{_nb_train_ctes(d)},
 scorerows AS (
   SELECT doc_id, n_tokens, {d.explode('toks')} AS tok
   FROM m WHERE n_tokens > 0

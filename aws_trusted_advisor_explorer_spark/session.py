@@ -28,7 +28,7 @@ def get_spark(app_name: str = "ta_explorer_spark", cpus: int | None = None) -> S
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # the generated-class cache defaults to 100 entries; a session
-        # running the full 97-query surface compiles several hundred
+        # running the full driver query surface compiles several hundred
         # wholestage/projection classes, so LRU eviction forces visible
         # (~1s) recompiles of early queries on every later pass. Static
         # conf -- must be set at JVM build time, hence here and not in

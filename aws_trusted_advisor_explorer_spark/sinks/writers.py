@@ -234,6 +234,11 @@ def write_zorder(df: DataFrame, path: str, col_a: str, col_b: str,
     if bounds is None:
         r = df.agg(F.min(col_a), F.max(col_a),
                    F.min(col_b), F.max(col_b)).first()
+        if any(v is None for v in r):
+            raise ValueError(
+                f"write_zorder: cannot derive bounds for ({col_a}, {col_b})"
+                " — input is empty or a z-column is all NULL; pass"
+                " explicit bounds or skip the write")
         bounds = (int(r[0]), int(r[1]), int(r[2]), int(r[3]))
     zkey = zorder_key_expr(col_a, col_b, bounds, bits)
     (df.withColumn("__zkey", zkey)

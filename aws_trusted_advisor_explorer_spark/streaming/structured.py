@@ -584,9 +584,12 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         NB_PRIOR, nb_weights_sql,
     )
 
+    # prefixed view: never clobber the session-global 'documents'
+    # (an operator helper must not silently rebind what every batch
+    # query reads — review finding r2)
     batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    batch_docs.createOrReplaceTempView("documents")
-    w_rows = spark.sql(nb_weights_sql(SD)).collect()
+    batch_docs.createOrReplaceTempView("__nb_batch_docs")
+    w_rows = spark.sql(nb_weights_sql(SD, table="__nb_batch_docs")).collect()
     map_lit = ("map(" + ", ".join(
         f"'{r.tok}', {int(r.weight)}L" for r in w_rows) + ")"
         if w_rows else f"map('', {NB_PRIOR}L)")

@@ -103,7 +103,7 @@ def test_orc_round_trip(spark, tmp_path):
 def test_session_scale_configs(spark):
     """The session factory locks the measured tunings: 64MB dimension
     broadcast headroom (tags-dim joins) and an enlarged generated-class
-    cache (no recompile churn across the 100-query surface)."""
+    cache (no recompile churn across the full query surface)."""
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(64 * 1024 * 1024)
     assert spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold") == str(64 * 1024 * 1024)
     assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "2000"

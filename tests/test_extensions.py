@@ -1321,11 +1321,12 @@ def test_merge_cdc_actions(spark):
     import pandas as pd
 
     from aws_trusted_advisor_explorer_spark.operators.corpusops import (
-        CDC_DELETE_MOD, CDC_INSERT_MOD, CDC_INSERT_OFFSET, CDC_MOD,
+        CDC_DELETE_MOD, CDC_INSERT_MOD, CDC_MOD,
     )
 
     docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
     base = {int(r.doc_id): r.text for r in docs.itertuples()}
+    insert_offset = max(base) + 1  # inserts land above the snapshot max
     out = {int(r.doc_id): (r.action, r.text)
            for r in spark.sql(corpusops.docs_merge_cdc(SPARK)).collect()}
     for did, text in base.items():
@@ -1337,7 +1338,7 @@ def test_merge_cdc_actions(spark):
         else:
             assert out[did] == ("keep", text)
         if did % CDC_INSERT_MOD == 1:
-            assert out[did + CDC_INSERT_OFFSET] == ("insert", "new " + text)
+            assert out[did + insert_offset] == ("insert", "new " + text)
     n_inserts = sum(1 for a, _ in out.values() if a == "insert")
     assert n_inserts == sum(1 for d in base if d % CDC_INSERT_MOD == 1)
 

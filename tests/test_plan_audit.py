@@ -40,10 +40,12 @@ from tests.conftest import SF_DIR
 #                         reads the materialized view instead)
 #   docs_bm25_topk      — single-row corpus-stats relation (N, sum_dl)
 #                         cross-joined into the per-term score rows
+#   docs_merge_cdc      — single-row max-id relation cross-joined into
+#                         the insert branch of the change feed
 BNLJ_ALLOWED = {
     "knn_bruteforce", "knn_recall_at_k", "knn_ivfpq_adc",
     "pq_recall_report", "events_funnel", "events_key_skew_audit",
-    "embeddings_sq_int8", "docs_bm25_topk",
+    "embeddings_sq_int8", "docs_bm25_topk", "docs_merge_cdc",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
