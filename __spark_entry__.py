@@ -454,6 +454,15 @@ _PARKED_TAIL = (
                            # rule); ranked-within-group family's in-cap
                            # row is text_tfidf_topk (same dense-rank
                            # window shape); semantics pytest
+    "dedup_lsh_recall",    # new in r2: LSH acceptance gate; the
+                           # recall-report family's in-cap row is
+                           # knn_recall_at_k (same truth-vs-approx
+                           # intersection shape); both pair inputs
+                           # hold in-cap rows themselves
+    "docs_cross_split_contamination",  # new in r2: train/test leakage
+                                       # rollup of in-cap
+                                       # dedup_minhash_lsh x in-cap
+                                       # docs_split_assign
     "docs_merge_cdc",      # new in r2: batch MERGE (upsert/delete
                            # apply); the id-equi-join family's in-cap
                            # row is docs_embedding_integrity, and the
@@ -482,7 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_frame_sample"] = _media_udf_query("media_frame_sample_df")
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                 "dedup_containment", "dedup_simhash",
-                "dedup_incremental", "docs_dedup_rate_by_source"):
+                "dedup_incremental", "docs_dedup_rate_by_source",
+                "dedup_lsh_recall", "docs_cross_split_contamination"):
         q[key] = _shingle_backed_query(key)
     for key in ("docs_block_dedup", "docs_boilerplate_topk"):
         q[key] = _block_backed_query(key)

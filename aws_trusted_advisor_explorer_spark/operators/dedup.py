@@ -930,6 +930,93 @@ def dedup_graph_pagerank_df(spark, base: str | None = None):
     return spark.sql(dedup_graph_pagerank(SD, pairs_view="__pagerank_pairs"))
 
 
+def dedup_lsh_recall(d: Dialect, base: str | None = None) -> str:
+    """MinHash-LSH acceptance gate: recall/precision of the banded LSH
+    pair set vs the exact shared-shingle Jaccard join at the same
+    threshold — the dedup counterpart of ``knn_recall_at_k`` (an
+    approximate index ships only with its measured quality).
+
+    The two pair relations are compared in ONE full-outer equi-join on
+    (doc_a, doc_b); counts and the recall/precision ratios come out of
+    a single aggregate over it. Note the truth side drops shingles with
+    document frequency > NGRAM_DF_CAP (its hot-shingle guard) while the
+    LSH side hashes all shingles, so near-threshold pairs can
+    legitimately differ between the sets; that disagreement is exactly
+    what this report measures. Zero-pair corpora emit NULL ratios
+    rather than dividing by zero.
+
+    Scale posture (100 TB): both inputs are pair-graph-sized (tiny
+    relative to the corpus — near-dup pairs, not the cross product),
+    so the outer join and the final one-row aggregate are negligible
+    next to the candidate generation they audit; on the Spark side both
+    sides reuse the session-materialized shingle view.
+    """
+    truth = dedup_ngram_jaccard(d, base)
+    lsh = dedup_minhash_lsh(d, base)
+    return f"""WITH truth AS (
+{truth}
+),
+lsh AS (
+{lsh}
+),
+m AS (
+  SELECT t.doc_a AS ta, l.doc_a AS la
+  FROM truth t FULL OUTER JOIN lsh l
+    ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+)
+SELECT
+  cast(count(ta) as bigint) AS n_true_pairs,
+  cast(count(la) as bigint) AS n_lsh_pairs,
+  cast(count(CASE WHEN ta IS NOT NULL AND la IS NOT NULL THEN 1 END)
+       as bigint) AS n_hit_pairs,
+  CASE WHEN count(ta) = 0 THEN cast(NULL as double)
+       ELSE cast(count(CASE WHEN ta IS NOT NULL AND la IS NOT NULL
+                       THEN 1 END) as double) / count(ta) END AS recall,
+  CASE WHEN count(la) = 0 THEN cast(NULL as double)
+       ELSE cast(count(CASE WHEN ta IS NOT NULL AND la IS NOT NULL
+                       THEN 1 END) as double) / count(la) END AS precision_
+FROM m"""
+
+
+def docs_cross_split_contamination(d: Dialect, base: str | None = None) -> str:
+    """Train/test LEAKAGE audit: MinHash near-dup pairs whose endpoints
+    land in different splits of ``docs_split_assign`` — the check a
+    training pipeline runs after splitting, because a val/test doc with
+    a near-duplicate in train silently inflates eval scores (the
+    within-corpus complement of ``docs_contamination``'s external-eval
+    probe).
+
+    Output: one row per unordered split pair (canonicalized with
+    least/greatest so train→test and test→train merge), with the
+    near-dup pair count and a leak flag; ``n_pairs`` on the
+    (train, train) row is the benign within-split mass for comparison.
+
+    Scale posture (100 TB): the split relation is a zero-shuffle
+    projection of ``documents`` and joins to the pair graph on doc_id —
+    pair-graph-sized, broadcast-able; the rollup output is at most
+    3x3 rows.
+    """
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        docs_split_assign,
+    )
+
+    pairs = dedup_minhash_lsh(d, base)
+    return f"""WITH pairs AS (
+{pairs}
+),
+sp AS (
+{docs_split_assign(d)}
+)
+SELECT least(sa.split, sb.split) AS split_lo,
+  greatest(sa.split, sb.split) AS split_hi,
+  cast(count(*) as bigint) AS n_pairs,
+  least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS is_leak
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.doc_a
+JOIN sp sb ON sb.doc_id = p.doc_b
+GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)"""
+
+
 BUILDERS = {
     "dedup_graph_pagerank": dedup_graph_pagerank,
     "dedup_exact_groups": dedup_exact_groups,
@@ -945,4 +1032,6 @@ BUILDERS = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "docs_dedup_rate_by_source": docs_dedup_rate_by_source,
+    "dedup_lsh_recall": dedup_lsh_recall,
+    "docs_cross_split_contamination": docs_cross_split_contamination,
 }

@@ -44,6 +44,39 @@ def test_minhash_candidates_subset_of_exact_jaccard(spark):
     assert mh == exact  # at J>=0.5 the 4x4 band recall is ~1 on this corpus
 
 
+def test_lsh_recall_gate_matches_set_arithmetic(spark):
+    """The one-row acceptance report must equal the recall/precision
+    computed directly from the two pair sets it audits."""
+    truth = {(r.doc_a, r.doc_b)
+             for r in spark.sql(dedup.dedup_ngram_jaccard(SPARK)).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in spark.sql(dedup.dedup_minhash_lsh(SPARK)).collect()}
+    [row] = spark.sql(dedup.dedup_lsh_recall(SPARK)).collect()
+    hits = truth & lsh
+    assert (row.n_true_pairs, row.n_lsh_pairs, row.n_hit_pairs) == (
+        len(truth), len(lsh), len(hits))
+    assert row.recall == (len(hits) / len(truth) if truth else None)
+    assert row.precision_ == (len(hits) / len(lsh) if lsh else None)
+
+
+def test_cross_split_contamination_accounts_for_every_pair(spark):
+    """Every MinHash pair lands in exactly one canonical split-pair
+    bucket; leak rows are exactly the off-diagonal ones, and the bucket
+    assignment matches a direct replay from docs_split_assign."""
+    pairs = spark.sql(dedup.dedup_minhash_lsh(SPARK)).collect()
+    split = {r.doc_id: r.split
+             for r in spark.sql(corpusops.docs_split_assign(SPARK)).collect()}
+    expect: dict[tuple[str, str], int] = {}
+    for r in pairs:
+        k = tuple(sorted((split[r.doc_a], split[r.doc_b])))
+        expect[k] = expect.get(k, 0) + 1
+    rows = spark.sql(dedup.docs_cross_split_contamination(SPARK)).collect()
+    assert {(r.split_lo, r.split_hi): r.n_pairs for r in rows} == expect
+    assert sum(r.n_pairs for r in rows) == len(pairs)
+    for r in rows:
+        assert r.is_leak == (r.split_lo != r.split_hi)
+
+
 def test_embedding_cosine_pandas_udf_bit_matches_sql_fold(spark):
     """The Arrow-vectorized cosine twin must reproduce the SQL fold's
     doubles EXACTLY (same IEEE op order), not just approximately —
