@@ -144,6 +144,16 @@ def _knn_ivf_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf_multiprobe_df(spark, sf_dir)
 
 
+def _bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training runs the iterative twin (one dictionary-sized
+    top-pair job per round); the unrolled SQL stays as the oracle."""
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    _prepare_ext(spark, sf_dir)
+    return textops.text_bpe_merge_train_df(
+        spark, base=textops.ensure_bpe_dict_view(spark, key=sf_dir))
+
+
 def _pack_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token packing runs the distributed two-phase cumsum twin (no
     global single-partition window); its oracle is the SQL window form."""
@@ -454,6 +464,12 @@ _PARKED_TAIL = (
                            # rule); ranked-within-group family's in-cap
                            # row is text_tfidf_topk (same dense-rank
                            # window shape); semantics pytest
+    "text_bpe_merge_train",  # new in r2: unrolled/iterative BPE
+                             # tokenizer training; its inner loop is
+                             # the in-cap text_bpe_pair_counts (same
+                             # pair-count aggregate); greedy-merge
+                             # semantics pinned by planted-fixture +
+                             # python-replay pytest
     "dedup_lsh_recall",    # new in r2: LSH acceptance gate; the
                            # recall-report family's in-cap row is
                            # knn_recall_at_k (same truth-vs-approx
@@ -515,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")
     q["docs_pack_bins"] = _pack_bins_query
+    q["text_bpe_merge_train"] = _bpe_train_query
     ordered = {k: q[k] for k in q if k not in _PARKED_TAIL}
     for k in _PARKED_TAIL:
         ordered[k] = q[k]

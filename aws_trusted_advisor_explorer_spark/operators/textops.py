@@ -419,6 +419,179 @@ ORDER BY n DESC, pair
 LIMIT {BPE_TOP_PAIRS}"""
 
 
+BPE_MERGES = 5     # merge rounds unrolled in the SQL form
+BPE_WORD_CAP = 256  # training dictionary = top words by corpus frequency
+
+
+def _bpe_merge_exprs(d: Dialect, left: str, right: str) -> tuple[str, str]:
+    """(kept-array, rebuilt-symbols) expression pair for ONE greedy BPE
+    merge of pair (``left``, ``right``) applied to a symbol array column
+    ``syms`` — shared by the unrolled SQL form (L/R = column refs from
+    the top-pair relation) and the Spark iterative twin (L/R = string
+    literals).
+
+    Greedy leftmost-non-overlapping semantics, positionally: position i
+    merges iff (syms[i], syms[i+1]) = (L, R) and — only possible when
+    L = R, where eligible positions are consecutive inside an
+    equal-symbol run — the run offset is even (exactly the positions a
+    left-to-right scan consumes). Every array index is wrapped in CASE
+    (ANSI mode: out-of-range element_at throws in Spark).
+    """
+    n = d.arr_len("syms")
+    # trailing run length of `left` strictly before position i
+    runlen = d.fold(d.seq("1", "i - 1"), "cast(0 as bigint)", "ac", "j",
+                    f"CASE WHEN {d.elem('syms', 'j')} = {left} "
+                    f"THEN ac + 1 ELSE cast(0 as bigint) END")
+    parity = (f"(CASE WHEN i = 1 THEN cast(0 as bigint) "
+              f"ELSE {runlen} END) % 2 = 0")
+    elig = (f"{d.elem('syms', 'i')} = {left} "
+            f"AND {d.elem('syms', 'i + 1')} = {right}")
+    kept_body = (f"CASE WHEN {elig} THEN ({left} <> {right} OR {parity}) "
+                 f"ELSE false END")
+    kept_arr = d.transform(d.seq("1", f"{n} - 1"), "i", kept_body)
+    empty_bool = ("cast(array() as array<boolean>)" if d.name == "spark"
+                  else "cast([] as boolean[])")
+    kept = f"CASE WHEN {n} < 2 THEN {empty_bool} ELSE {kept_arr} END"
+    # survivors: positions not consumed by a merge at i-1; a kept
+    # position emits the concatenated pair
+    consumed = (f"CASE WHEN i > 1 THEN {d.elem('kept', 'i - 1')} "
+                f"ELSE false END")
+    keep_pos = d.filter_(d.seq("1", n), "i", f"NOT ({consumed})")
+    merged_here = (f"CASE WHEN i < {n} THEN {d.elem('kept', 'i')} "
+                   f"ELSE false END")
+    emit = (f"CASE WHEN {merged_here} "
+            f"THEN {d.elem('syms', 'i')} || {d.elem('syms', 'i + 1')} "
+            f"ELSE {d.elem('syms', 'i')} END")
+    rebuilt = d.transform(keep_pos, "i", emit)
+    return kept, rebuilt
+
+
+def _bpe_dict_cte(d: Dialect, base: str | None) -> str:
+    """w0: the word-frequency training dictionary (top BPE_WORD_CAP by
+    freq, deterministic (freq DESC, token) tiebreak), one symbol per
+    char. With ``base`` (Spark side) the corpus-scale count is read
+    from the session-materialized view instead of recomputed."""
+    if base is not None:
+        return f"w0 AS (SELECT token, freq, syms FROM {base})"
+    return f"""tok AS (SELECT {d.explode(d.tokens('text'))} AS token FROM documents),
+wf AS (SELECT token, cast(count(*) as bigint) AS freq FROM tok GROUP BY token),
+wd AS (SELECT token, freq FROM wf ORDER BY freq DESC, token LIMIT {BPE_WORD_CAP}),
+w0 AS (SELECT token, freq, {d.chars('token')} AS syms FROM wd)"""
+
+
+def text_bpe_merge_train(d: Dialect, base: str | None = None) -> str:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), {BPE_MERGES}
+    merge rounds unrolled: count weighted adjacent symbol pairs over
+    the word dictionary, take the most frequent pair (count DESC, pair
+    ASC tiebreak — deterministic cross-engine), merge it greedily
+    left-to-right in every word, repeat. Output: the learned merge
+    table (rank, pair, merged symbol, weighted count at selection
+    time) — the artifact a BPE tokenizer ships.
+
+    Classic BPE trains on the word-frequency dictionary, not the raw
+    corpus; here the dictionary is capped at the top {BPE_WORD_CAP}
+    words (one corpus-scale count + TakeOrdered), so every merge round
+    runs on a dictionary-sized relation. Precondition: some word still
+    has >= 2 symbols each round (always true for a natural-language
+    dictionary at {BPE_MERGES} rounds).
+
+    Scale posture (100 TB): the ONLY corpus-scale work is the initial
+    token count (map-side combine, alphabet-bounded reduce); rounds
+    touch {BPE_WORD_CAP} rows. The Spark entry is the iterative twin
+    ``text_bpe_merge_train_df`` (this unrolled form re-evaluates the
+    dictionary chain per CTE reference under Catalyst inlining); the
+    self-contained SQL is the DuckDB oracle and the small-scale parity
+    form.
+    """
+    parts = [_bpe_dict_cte(d, base)]
+    n = d.arr_len("syms")
+    pair_i = f"{d.elem('syms', 'i')} || ' ' || {d.elem('syms', 'i + 1')}"
+    pairs_arr = d.transform(d.seq("1", f"{n} - 1"), "i", pair_i)
+    kept, rebuilt = _bpe_merge_exprs(d, "L", "R")
+    for r in range(1, BPE_MERGES + 1):
+        prev = f"w{r - 1}"
+        parts.append(f"""pr{r} AS (
+  SELECT pr, cast(sum(freq) as bigint) AS cnt
+  FROM (SELECT freq, {d.explode(pairs_arr)} AS pr FROM {prev}
+        WHERE {n} >= 2) x{r}
+  GROUP BY pr
+),
+p{r} AS (
+  SELECT {d.elem(d.split('pr', ' '), '1')} AS L,
+         {d.elem(d.split('pr', ' '), '2')} AS R, cnt
+  FROM (SELECT pr, cnt FROM pr{r} ORDER BY cnt DESC, pr LIMIT 1) t{r}
+),
+k{r} AS (
+  SELECT token, freq, syms, L, R, {kept} AS kept
+  FROM {prev} CROSS JOIN p{r}
+),
+w{r} AS (SELECT token, freq, {rebuilt} AS syms FROM k{r})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT cast({r} as int) AS merge_rank, L AS left_sym, "
+        f"R AS right_sym, L || R AS merged_sym, cnt AS pair_count FROM p{r}"
+        for r in range(1, BPE_MERGES + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
+_BPE_DICT_STATE: dict = {}
+BPE_DICT_VIEW = "__bpe_word_dict"
+
+
+def ensure_bpe_dict_view(spark, key: object = None) -> str:
+    """Materialize the top-{BPE_WORD_CAP} word-frequency dictionary
+    (token, freq, syms) once per (session, dataset) — the single
+    corpus-scale pass of BPE training; every merge round reads this
+    {BPE_WORD_CAP}-row plane."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+
+    def build(spark):
+        df = spark.sql("WITH " + _bpe_dict_cte(SPARK, None) +
+                       "\nSELECT token, freq, syms FROM w0") \
+            .localCheckpoint(eager=True)
+        df.createOrReplaceTempView(BPE_DICT_VIEW)
+        return [df]
+
+    ensure_session_plane(_BPE_DICT_STATE, spark, key, build)
+    return BPE_DICT_VIEW
+
+
+def text_bpe_merge_train_df(spark, base: str | None = None):
+    """Spark-native BPE training: the unrolled SQL re-evaluates the
+    dictionary chain once per CTE reference under Catalyst inlining
+    (~2x per round), so the cluster form iterates — one
+    dictionary-sized top-pair job per round (single-row collect, like
+    dedup_clusters' convergence probe), merge applied as a codegen
+    projection, localCheckpoint to keep lineage flat. The
+    self-contained SQL stays as the DuckDB oracle; pytest pins the two
+    forms equal."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as d
+
+    base = base if base is not None else ensure_bpe_dict_view(spark)
+    words = spark.table(base)
+    n = d.arr_len("syms")
+    pair_i = f"{d.elem('syms', 'i')} || ' ' || {d.elem('syms', 'i + 1')}"
+    pairs_arr = d.transform(d.seq("1", f"{n} - 1"), "i", pair_i)
+    merges = []
+    for r in range(1, BPE_MERGES + 1):
+        [top] = (words.where(F.expr(f"{n} >= 2"))
+                 .select("freq", F.explode(F.expr(pairs_arr)).alias("pr"))
+                 .groupBy("pr").agg(F.sum("freq").alias("cnt"))
+                 .orderBy(F.desc("cnt"), "pr").limit(1).collect())
+        left, right = top.pr.split(" ")
+        merges.append((r, left, right, left + right, top.cnt))
+        kept, rebuilt = _bpe_merge_exprs(d, f"'{left}'", f"'{right}'")
+        words = (words.withColumn("kept", F.expr(kept))
+                 .select("token", "freq", F.expr(rebuilt).alias("syms"))
+                 .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        merges, schema="merge_rank int, left_sym string, right_sym string, "
+                       "merged_sym string, pair_count bigint")
+
+
 # Unicode-hygiene targets (C4/CCNet-style sanitation): the replacement
 # character (the mojibake tell), zero-width/BOM code points, and C0
 # controls (tab/newline/CR kept — they are legitimate whitespace).
@@ -697,6 +870,7 @@ BUILDERS = {
     "text_nb_quality_score": text_nb_quality_score,
     "text_unicode_sanitize": text_unicode_sanitize,
     "text_bpe_pair_counts": text_bpe_pair_counts,
+    "text_bpe_merge_train": text_bpe_merge_train,
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,

@@ -77,6 +77,83 @@ def test_cross_split_contamination_accounts_for_every_pair(spark):
         assert r.is_leak == (r.split_lo != r.split_hi)
 
 
+def test_bpe_train_df_twin_matches_unrolled_sql(spark):
+    """The iterative Spark BPE trainer must emit the exact merge table
+    of the unrolled SQL form (same pairs, same weighted counts)."""
+    sql_rows = sorted(tuple(r) for r in
+                      spark.sql(textops.text_bpe_merge_train(SPARK)).collect())
+    df_rows = sorted(tuple(r) for r in
+                     textops.text_bpe_merge_train_df(spark).collect())
+    assert sql_rows == df_rows
+
+
+def test_bpe_train_matches_python_greedy_replay(spark):
+    """Merge table == a from-scratch pure-Python greedy BPE trainer run
+    on the same capped word dictionary (independent of every SQL
+    primitive the operator uses)."""
+    import collections
+    import re as _re
+
+    wf: collections.Counter = collections.Counter()
+    for (text,) in spark.sql("SELECT text FROM documents").collect():
+        wf.update(_re.findall(r"[a-z0-9]+", text.lower()))
+    top = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))
+    words = [(list(tok), f) for tok, f in top[:textops.BPE_WORD_CAP]]
+    expect = []
+    for r in range(1, textops.BPE_MERGES + 1):
+        pc: collections.Counter = collections.Counter()
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        (left, right), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
+        expect.append((r, left, right, left + right, cnt))
+        new = []
+        for syms, f in words:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new.append((out, f))
+        words = new
+    got = sorted(tuple(r) for r in
+                 spark.sql(textops.text_bpe_merge_train(SPARK)).collect())
+    assert got == expect
+
+
+def test_bpe_train_planted_run_parity_and_tiebreak(spark):
+    """Greedy L=R semantics (a run of k identical symbols merges at
+    even offsets only) and the (count DESC, pair ASC) tiebreak, pinned
+    on a hand-computed dictionary."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"token": ["aaaa", "aaab", "xy"], "freq": [10, 5, 3]}))
+    df.selectExpr("token", "cast(freq as bigint) AS freq",
+                  "split(token, '') AS syms") \
+        .createOrReplaceTempView("bpe_dict_planted")
+    for rows in (
+        spark.sql(textops.text_bpe_merge_train(
+            SPARK, base="bpe_dict_planted")).collect(),
+        textops.text_bpe_merge_train_df(
+            spark, base="bpe_dict_planted").collect(),
+    ):
+        assert sorted(tuple(r) for r in rows) == [
+            # aaaa -> [aa,aa]; aaab -> [aa,a,b] (greedy consumes 1-2)
+            (1, "a", "a", "aa", 40),
+            (2, "aa", "aa", "aaaa", 10),
+            # tie at 5: 'a b' < 'aa a' lexicographically
+            (3, "a", "b", "ab", 5),
+            (4, "aa", "ab", "aaab", 5),
+            (5, "x", "y", "xy", 3),
+        ]
+
+
 def test_embedding_cosine_pandas_udf_bit_matches_sql_fold(spark):
     """The Arrow-vectorized cosine twin must reproduce the SQL fold's
     doubles EXACTLY (same IEEE op order), not just approximately —
