@@ -464,6 +464,14 @@ _PARKED_TAIL = (
                            # rule); ranked-within-group family's in-cap
                            # row is text_tfidf_topk (same dense-rank
                            # window shape); semantics pytest
+    "knn_range_search",    # new in r2: radius variant of in-cap
+                           # knn_lsh (same bucket equi-join rails,
+                           # threshold filter instead of the top-k
+                           # window); superset-invariant pytest
+    "embeddings_norm_audit",  # new in r2: one-row embedding hygiene
+                              # rollup; the audit family's in-cap row
+                              # is events_key_skew_audit; numpy-replay
+                              # pytest
     "text_bpe_merge_train",  # new in r2: unrolled/iterative BPE
                              # tokenizer training; its inner loop is
                              # the in-cap text_bpe_pair_counts (same

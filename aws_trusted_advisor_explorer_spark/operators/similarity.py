@@ -318,8 +318,71 @@ FROM bf LEFT JOIN ls
 GROUP BY bf.query_id"""
 
 
+RANGE_COS_MIN = 0.25  # report every bucket-mate at least this similar
+
+
+def knn_range_search(d: Dialect) -> str:
+    """Radius (range) similarity search: every corpus vector in the
+    query's sign-LSH bucket with cosine >= {RANGE_COS_MIN} — the
+    'all sufficiently-similar neighbors' variant of top-k (dedup
+    candidate generation, coverage analysis), where the result size is
+    data-driven instead of k-bounded.
+
+    Scale posture (100 TB): identical rails to ``knn_lsh`` — the
+    corpus prunes to one bucket per query via the equi-join, exact
+    cosine only within the bucket, and there is no window at all (no
+    per-query ranking), so the plan is join -> filter, fully
+    streamable. Recall is bucket-bounded like every LSH probe; the
+    multi-probe rail applies unchanged if more is needed."""
+    cos = f"{d.dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    bucket = _bucket_expr(d, "embedding")
+    return f"""WITH h AS (SELECT vec_id, embedding, {_norm(d)} AS nrm,
+  {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id, embedding, nrm, bucket FROM h WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id, embedding, nrm, bucket FROM h WHERE vec_id % {QUERY_MOD} <> 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM q JOIN c ON q.bucket = c.bucket
+)
+SELECT query_id, neighbor_id, cosine
+FROM scored WHERE cosine >= {RANGE_COS_MIN}"""
+
+
+NORM_TOL_NUM, NORM_TOL_DEN = 1, 1000  # unit band = |norm - 1| <= 1/1000
+
+
+def embeddings_norm_audit(d: Dialect) -> str:
+    """Embedding-corpus hygiene audit (the pre-flight check before any
+    cosine math ships): vector count, dimension min/max (a ragged
+    corpus breaks every dot product), zero-vector count (cosine
+    divides by the norm), unit-band count (|norm-1| <= 1/1000 — models
+    that L2-normalize should be ~100% here), and min/max norm. One
+    map-side-combining aggregate over a projection; min/max on doubles
+    are order-insensitive, so no cross-engine accumulation drift (the
+    norm itself is the fixed-order fold). Counts are exact bigints."""
+    nrm = _norm(d)
+    lo = f"(1.0 - cast({NORM_TOL_NUM} as double) / {NORM_TOL_DEN})"
+    hi = f"(1.0 + cast({NORM_TOL_NUM} as double) / {NORM_TOL_DEN})"
+    return f"""WITH v AS (
+  SELECT vec_id, {d.arr_len('embedding')} AS dim, {nrm} AS nrm
+  FROM embeddings
+)
+SELECT
+  cast(count(*) as bigint) AS n_vectors,
+  cast(min(dim) as bigint) AS min_dim,
+  cast(max(dim) as bigint) AS max_dim,
+  cast(count(CASE WHEN nrm = 0.0 THEN 1 END) as bigint) AS n_zero,
+  cast(count(CASE WHEN nrm >= {lo} AND nrm <= {hi} THEN 1 END)
+       as bigint) AS n_unit_band,
+  min(nrm) AS min_norm,
+  max(nrm) AS max_norm
+FROM v"""
+
+
 BUILDERS = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_recall_at_k": knn_recall_at_k,
+    "knn_range_search": knn_range_search,
+    "embeddings_norm_audit": embeddings_norm_audit,
 }

@@ -77,6 +77,40 @@ def test_cross_split_contamination_accounts_for_every_pair(spark):
         assert r.is_leak == (r.split_lo != r.split_hi)
 
 
+def test_range_search_consistent_with_lsh_topk(spark):
+    """Radius search must contain every knn_lsh top-k hit whose cosine
+    clears the radius (same bucket rails, no k cutoff), and every
+    returned cosine must clear the threshold."""
+    rng = {(r.query_id, r.neighbor_id): r.cosine
+           for r in spark.sql(similarity.knn_range_search(SPARK)).collect()}
+    assert all(c >= similarity.RANGE_COS_MIN for c in rng.values())
+    for r in spark.sql(similarity.knn_lsh(SPARK)).collect():
+        if r.cosine >= similarity.RANGE_COS_MIN:
+            assert rng[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_norm_audit_matches_numpy_replay(spark):
+    """One-row audit == an independent numpy recomputation (counts
+    exact; min/max norms equal to the SQL fold's doubles)."""
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in spark.sql("SELECT vec_id, embedding "
+                               "FROM embeddings").collect()}
+    # fixed-order fold == numpy cumulative sum order for 1-D arrays
+    norms = {k: float(np.sqrt(sum(x * x for x in v)))
+             for k, v in vecs.items()}
+    [row] = spark.sql(similarity.embeddings_norm_audit(SPARK)).collect()
+    assert row.n_vectors == len(vecs)
+    assert row.min_dim == row.max_dim == 64
+    assert row.n_zero == sum(n == 0.0 for n in norms.values())
+    tol = similarity.NORM_TOL_NUM / similarity.NORM_TOL_DEN
+    assert row.n_unit_band == sum(1.0 - tol <= n <= 1.0 + tol
+                                  for n in norms.values())
+    assert row.min_norm == min(norms.values())
+    assert row.max_norm == max(norms.values())
+
+
 def test_bpe_train_df_twin_matches_unrolled_sql(spark):
     """The iterative Spark BPE trainer must emit the exact merge table
     of the unrolled SQL form (same pairs, same weighted counts)."""
