@@ -154,6 +154,19 @@ def _bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base=textops.ensure_bpe_dict_view(spark, key=sf_dir))
 
 
+def _bpe_tokenize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply: train iteratively, inline the learned merges as plan
+    literals, one codegen projection over documents. The
+    train-in-query SQL (Spark-impractical under CTE inlining — the
+    training chain would re-evaluate per pair reference) is
+    oracle-only, like the recursive multiprobe oracle."""
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    _prepare_ext(spark, sf_dir)
+    return textops.text_bpe_tokenize_count_df(
+        spark, base=textops.ensure_bpe_dict_view(spark, key=sf_dir))
+
+
 def _pack_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token packing runs the distributed two-phase cumsum twin (no
     global single-partition window); its oracle is the SQL window form."""
@@ -478,6 +491,10 @@ _PARKED_TAIL = (
                              # pair-count aggregate); greedy-merge
                              # semantics pinned by planted-fixture +
                              # python-replay pytest
+    "text_bpe_tokenize_count",  # new in r2: BPE apply (train ->
+                                # literal-inlined projection); family
+                                # head text_bpe_merge_train also
+                                # parked; python-replay pytest
     "dedup_lsh_recall",    # new in r2: LSH acceptance gate; the
                            # recall-report family's in-cap row is
                            # knn_recall_at_k (same truth-vs-approx
@@ -540,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")
     q["docs_pack_bins"] = _pack_bins_query
     q["text_bpe_merge_train"] = _bpe_train_query
+    q["text_bpe_tokenize_count"] = _bpe_tokenize_query
     ordered = {k: q[k] for k in q if k not in _PARKED_TAIL}
     for k in _PARKED_TAIL:
         ordered[k] = q[k]
@@ -569,4 +587,8 @@ def oracle_sql() -> dict[str, str]:
     o["knn_ivf_multiprobe"] = similarity.knn_multiprobe(DUCK)
     # iterative label propagation vs recursive-CTE transitive closure
     o["dedup_clusters"] = dedup.dedup_clusters_oracle(DUCK)
+    # BPE apply: oracle trains in-query (CTE-materializing DuckDB);
+    # Spark runs the iterative-train + literal-apply twin
+    from aws_trusted_advisor_explorer_spark.operators import textops
+    o["text_bpe_tokenize_count"] = textops.text_bpe_tokenize_count(DUCK)
     return o

@@ -466,14 +466,53 @@ def _bpe_merge_exprs(d: Dialect, left: str, right: str) -> tuple[str, str]:
     return kept, rebuilt
 
 
-def _bpe_dict_cte(d: Dialect, base: str | None) -> str:
+def _bind(d: Dialect, expr: str, var: str, body: str) -> str:
+    """Let-binding via a single-element transform (the shingle_hvs
+    trick): evaluate ``expr`` once, expose it to ``body`` as ``var``."""
+    if d.name == "spark":
+        return f"transform(array({expr}), {var} -> {body})[0]"
+    return f"list_transform([{expr}], {var} -> {body})[1]"
+
+
+def _bpe_apply_expr(d: Dialect, syms_expr: str,
+                    merges: list[tuple[str, str]]) -> str:
+    """Symbol-array expression applying the merge list SEQUENTIALLY
+    (rank order — BPE apply must replay training order) to
+    ``syms_expr``, with each round's input and kept-array let-bound so
+    they evaluate once. Same greedy semantics as training
+    (:func:`_bpe_merge_exprs`)."""
+    cur = syms_expr
+    for left, right in merges:
+        kept, rebuilt = _bpe_merge_exprs(d, left, right)
+        cur = _bind(d, cur, "syms", _bind(d, kept, "kept", rebuilt))
+    return cur
+
+
+def _bpe_count_parts(d: Dialect,
+                     merges: list[tuple[str, str]]) -> tuple[str, str]:
+    """(n_token_chars, n_bpe_tokens) expressions over a token-array
+    column ``toks`` for a merge list (expression refs or literals) —
+    shared by the batch apply query and the streaming twin. Tokens map
+    to bigint counts BEFORE the fold: the DuckDB fold trick
+    ([init] || list) needs accumulator type == element type."""
+    apply_ = _bpe_apply_expr(d, d.chars("tok"), merges)
+    bpe_counts = d.transform("toks", "tok",
+                             f"cast({d.arr_len(apply_)} as bigint)")
+    n_bpe = d.fold(bpe_counts, "cast(0 as bigint)", "a", "x", "a + x")
+    char_counts = d.transform("toks", "tok2", "cast(length(tok2) as bigint)")
+    n_chars = d.fold(char_counts, "cast(0 as bigint)", "a2", "x2", "a2 + x2")
+    return n_chars, n_bpe
+
+
+def _bpe_dict_cte(d: Dialect, base: str | None,
+                  table: str = "documents") -> str:
     """w0: the word-frequency training dictionary (top BPE_WORD_CAP by
     freq, deterministic (freq DESC, token) tiebreak), one symbol per
     char. With ``base`` (Spark side) the corpus-scale count is read
     from the session-materialized view instead of recomputed."""
     if base is not None:
         return f"w0 AS (SELECT token, freq, syms FROM {base})"
-    return f"""tok AS (SELECT {d.explode(d.tokens('text'))} AS token FROM documents),
+    return f"""tok AS (SELECT {d.explode(d.tokens('text'))} AS token FROM {table}),
 wf AS (SELECT token, cast(count(*) as bigint) AS freq FROM tok GROUP BY token),
 wd AS (SELECT token, freq FROM wf ORDER BY freq DESC, token LIMIT {BPE_WORD_CAP}),
 w0 AS (SELECT token, freq, {d.chars('token')} AS syms FROM wd)"""
@@ -533,6 +572,62 @@ w{r} AS (SELECT token, freq, {rebuilt} AS syms FROM k{r})""")
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def text_bpe_tokenize_count(d: Dialect, base: str | None = None,
+                            merges: list[tuple[str, str]] | None = None) -> str:
+    """BPE tokenizer APPLY — the measurement that prices a corpus in
+    tokens: per document, whitespace-token count, char count, and the
+    BPE-symbol count after replaying the learned merge table (plus the
+    chars-per-BPE-token compression ratio). Train → apply is the full
+    tokenizer lifecycle; the merge table comes from
+    :func:`text_bpe_merge_train`.
+
+    With ``merges`` (the Spark path) the learned pairs are inlined as
+    literals and this is ONE whole-stage-codegen projection over
+    documents — zero shuffles, zero joins; the trained model rides in
+    the plan exactly like the streaming scorer's frozen weights. The
+    self-contained form (the DuckDB oracle) trains in-query and CROSS
+    JOINs the five 1-row top-pair relations into the apply expression.
+
+    Scale posture (100 TB): apply is embarrassingly parallel (pure
+    projection); training cost is the dictionary count (see
+    text_bpe_merge_train). Per-token apply work is O(len²) lambda
+    arithmetic on short alnum tokens — constant-bounded.
+    """
+    if merges is not None:
+        pairs = [(f"'{left}'", f"'{right}'") for left, right in merges]
+        head = f"WITH docs AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents)"
+    else:
+        pairs = [(f"L{r}", f"R{r}") for r in range(1, BPE_MERGES + 1)]
+        # reuse the training chain, then re-alias each round's 1-row
+        # top-pair relation for the cross join into the apply projection
+        train = text_bpe_merge_train(d, base)
+        train_body = train[len("WITH "):train.rindex("\nSELECT cast(1")]
+        pair_aliases = ",\n".join(
+            f"pp{r} AS (SELECT L AS L{r}, R AS R{r} FROM p{r})"
+            for r in range(1, BPE_MERGES + 1))
+        cross = " CROSS JOIN ".join(
+            f"pp{r}" for r in range(1, BPE_MERGES + 1))
+        pair_cols = ", ".join(f"L{r}, R{r}"
+                              for r in range(1, BPE_MERGES + 1))
+        head = (f"WITH {train_body},\n{pair_aliases},\n"
+                f"docs AS (SELECT doc_id, {d.tokens('text')} AS toks, "
+                f"{pair_cols} FROM documents CROSS JOIN {cross})")
+    n_chars, n_bpe = _bpe_count_parts(d, pairs)
+    return f"""{head},
+counted AS (
+  SELECT doc_id,
+    cast({d.arr_len('toks')} as bigint) AS n_tokens,
+    {n_chars} AS n_token_chars,
+    {n_bpe} AS n_bpe_tokens
+  FROM docs
+)
+SELECT doc_id, n_tokens, n_token_chars, n_bpe_tokens,
+  CASE WHEN n_bpe_tokens = 0 THEN cast(NULL as double)
+       ELSE cast(n_token_chars as double) / n_bpe_tokens
+  END AS chars_per_bpe_token
+FROM counted"""
+
+
 # id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
 _BPE_DICT_STATE: dict = {}
 BPE_DICT_VIEW = "__bpe_word_dict"
@@ -590,6 +685,21 @@ def text_bpe_merge_train_df(spark, base: str | None = None):
     return spark.createDataFrame(
         merges, schema="merge_rank int, left_sym string, right_sym string, "
                        "merged_sym string, pair_count bigint")
+
+
+def text_bpe_tokenize_count_df(spark, base: str | None = None):
+    """Spark-native BPE apply: train iteratively (dictionary-sized
+    jobs), then inline the learned merge table as literals into ONE
+    codegen projection over documents — the frozen-model-in-plan
+    pattern the streaming scorer uses. The train-in-query SQL form is
+    the DuckDB oracle."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as d
+
+    merge_rows = sorted(
+        text_bpe_merge_train_df(spark, base=base).collect(),
+        key=lambda r: r.merge_rank)
+    merges = [(r.left_sym, r.right_sym) for r in merge_rows]
+    return spark.sql(text_bpe_tokenize_count(d, merges=merges))
 
 
 # Unicode-hygiene targets (C4/CCNet-style sanitation): the replacement

@@ -610,3 +610,44 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(sum_w div size(toks) as bigint) AS nb_score",
                 f"cast(CASE WHEN sum_w div size(toks) >= {NB_PRIOR} "
                 f"THEN 1 ELSE 0 END as bigint) AS keep"))
+
+
+def bpe_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of textops.text_bpe_tokenize_count: tokenizer
+    trained offline, corpus priced online. The merge table is learned
+    ONCE batch-side (the same iterative trainer the batch query runs,
+    over a prefixed snapshot view) and its five pairs ride the stream
+    plan as string literals inside the greedy-apply lambda — stateless,
+    shuffle-free, no Python in the stream; row-for-row equal to the
+    batch query (pytest)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+    from aws_trusted_advisor_explorer_spark.operators.textops import (
+        _bpe_count_parts, _bpe_dict_cte, text_bpe_merge_train_df,
+    )
+
+    # prefixed views: never clobber the session-global 'documents'
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_docs.createOrReplaceTempView("__bpe_batch_docs")
+    dict_df = spark.sql(
+        "WITH " + _bpe_dict_cte(SD, None, table="__bpe_batch_docs") +
+        "\nSELECT token, freq, syms FROM w0").localCheckpoint(eager=True)
+    dict_df.createOrReplaceTempView("__bpe_stream_dict")
+    merge_rows = sorted(
+        text_bpe_merge_train_df(spark, base="__bpe_stream_dict").collect(),
+        key=lambda r: r.merge_rank)
+    pairs = [(f"'{r.left_sym}'", f"'{r.right_sym}'") for r in merge_rows]
+    n_chars, n_bpe = _bpe_count_parts(SD, pairs)
+
+    docs = documents_stream(spark, sf_dir)
+    return (docs
+            .withColumn("toks", F.expr(SD.tokens("text")))
+            .withColumn("n_token_chars", F.expr(n_chars))
+            .withColumn("n_bpe_tokens", F.expr(n_bpe))
+            .selectExpr(
+                "doc_id",
+                "cast(size(toks) as bigint) AS n_tokens",
+                "n_token_chars",
+                "n_bpe_tokens",
+                "CASE WHEN n_bpe_tokens = 0 THEN cast(NULL as double) "
+                "ELSE cast(n_token_chars as double) / n_bpe_tokens "
+                "END AS chars_per_bpe_token"))

@@ -188,6 +188,50 @@ def test_bpe_train_planted_run_parity_and_tiebreak(spark):
         ]
 
 
+def test_bpe_tokenize_count_df_matches_oracle(spark, ddb):
+    """The literal-inlined apply projection must hash-match the
+    train-in-query DuckDB oracle (this op is not in BUILDERS: the
+    self-contained Spark rendering is impractical under CTE inlining,
+    so the DF twin is the only Spark form)."""
+    assert_matches_oracle(
+        textops.text_bpe_tokenize_count_df(spark), ddb,
+        textops.text_bpe_tokenize_count(DUCK))
+
+
+def test_bpe_tokenize_count_matches_python_replay(spark):
+    """Per-doc BPE token counts == a pure-Python replay of greedy
+    merge application with the trained merge table."""
+    merges = [(r.left_sym, r.right_sym) for r in sorted(
+        textops.text_bpe_merge_train_df(spark).collect(),
+        key=lambda r: r.merge_rank)]
+
+    import re as _re
+
+    def apply_word(tok: str) -> int:
+        syms = list(tok)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.doc_id: (r.n_tokens, r.n_token_chars, r.n_bpe_tokens)
+           for r in textops.text_bpe_tokenize_count_df(spark).collect()}
+    for (doc_id, text) in spark.sql(
+            "SELECT doc_id, text FROM documents").collect():
+        toks = _re.findall(r"[a-z0-9]+", text.lower())
+        expect = (len(toks), sum(len(t) for t in toks),
+                  sum(apply_word(t) for t in toks))
+        assert got[doc_id] == expect
+
+
 def test_embedding_cosine_pandas_udf_bit_matches_sql_fold(spark):
     """The Arrow-vectorized cosine twin must reproduce the SQL fold's
     doubles EXACTLY (same IEEE op order), not just approximately —

@@ -205,3 +205,17 @@ def test_nb_score_stream_equals_batch(spark):
     want = {tuple(r)
             for r in spark.sql(textops.text_nb_quality_score(SPARK)).collect()}
     assert got == want
+
+
+def test_bpe_count_stream_equals_batch(spark):
+    """Streaming BPE pricing (frozen merge table in-plan) must be
+    row-for-row equal to the batch text_bpe_tokenize_count."""
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    structured.run_stream_to_memory(
+        structured.bpe_count_stream(spark, SF_DIR), "bpe_count_stream",
+        output_mode="append")
+    got = {tuple(r) for r in spark.table("bpe_count_stream").collect()}
+    want = {tuple(r)
+            for r in textops.text_bpe_tokenize_count_df(spark).collect()}
+    assert got == want
