@@ -163,8 +163,20 @@ def _bpe_tokenize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_trusted_advisor_explorer_spark.operators import textops
 
     _prepare_ext(spark, sf_dir)
+    dict_view = textops.ensure_bpe_dict_view(spark, key=sf_dir)
     return textops.text_bpe_tokenize_count_df(
-        spark, base=textops.ensure_bpe_dict_view(spark, key=sf_dir))
+        spark, merges=textops.ensure_bpe_merges(
+            spark, key=sf_dir, base=dict_view))
+
+
+def _bpe_fertility_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    _prepare_ext(spark, sf_dir)
+    dict_view = textops.ensure_bpe_dict_view(spark, key=sf_dir)
+    return textops.text_bpe_fertility_by_lang_df(
+        spark, merges=textops.ensure_bpe_merges(
+            spark, key=sf_dir, base=dict_view))
 
 
 def _pack_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +507,9 @@ _PARKED_TAIL = (
                                 # literal-inlined projection); family
                                 # head text_bpe_merge_train also
                                 # parked; python-replay pytest
+    "text_bpe_fertility_by_lang",  # new in r2: per-lang rollup of
+                                   # text_bpe_tokenize_count (parked
+                                   # with its family)
     "dedup_lsh_recall",    # new in r2: LSH acceptance gate; the
                            # recall-report family's in-cap row is
                            # knn_recall_at_k (same truth-vs-approx
@@ -558,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_pack_bins"] = _pack_bins_query
     q["text_bpe_merge_train"] = _bpe_train_query
     q["text_bpe_tokenize_count"] = _bpe_tokenize_query
+    q["text_bpe_fertility_by_lang"] = _bpe_fertility_query
     ordered = {k: q[k] for k in q if k not in _PARKED_TAIL}
     for k in _PARKED_TAIL:
         ordered[k] = q[k]
@@ -591,4 +607,5 @@ def oracle_sql() -> dict[str, str]:
     # Spark runs the iterative-train + literal-apply twin
     from aws_trusted_advisor_explorer_spark.operators import textops
     o["text_bpe_tokenize_count"] = textops.text_bpe_tokenize_count(DUCK)
+    o["text_bpe_fertility_by_lang"] = textops.text_bpe_fertility_by_lang(DUCK)
     return o

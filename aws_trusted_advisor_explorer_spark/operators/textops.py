@@ -628,6 +628,66 @@ SELECT doc_id, n_tokens, n_token_chars, n_bpe_tokens,
 FROM counted"""
 
 
+def text_bpe_fertility_by_lang(d: Dialect, base: str | None = None,
+                               merges: list[tuple[str, str]] | None = None,
+                               ) -> str:
+    """Per-language tokenizer FERTILITY report — the acceptance gate a
+    multilingual tokenizer ships with: fertility (BPE tokens per
+    whitespace word) and chars-per-BPE-token per language, from the
+    corpus-wide apply. A language whose fertility is far above the
+    corpus mean is under-served by the learned merges (its text costs
+    disproportionate sequence length), the standard signal for
+    rebalancing the training dictionary.
+
+    Rollup of :func:`text_bpe_tokenize_count` joined to the lang
+    column; sums are exact bigints, each ratio one division —
+    cross-engine exact. Scale posture: the join key is doc_id on two
+    co-partitionable corpus relations, the output is lang-cardinality
+    rows via one map-side-combining aggregate.
+    """
+    tc = text_bpe_tokenize_count(d, base=base, merges=merges)
+    return f"""WITH tc AS (
+{tc}
+)
+SELECT dd.lang,
+  cast(count(*) as bigint) AS n_docs,
+  cast(sum(tc.n_tokens) as bigint) AS n_words,
+  cast(sum(tc.n_bpe_tokens) as bigint) AS n_bpe_tokens,
+  CASE WHEN sum(tc.n_tokens) = 0 THEN cast(NULL as double)
+       ELSE cast(sum(tc.n_bpe_tokens) as double) / sum(tc.n_tokens)
+  END AS fertility,
+  CASE WHEN sum(tc.n_bpe_tokens) = 0 THEN cast(NULL as double)
+       ELSE cast(sum(tc.n_token_chars) as double) / sum(tc.n_bpe_tokens)
+  END AS chars_per_bpe_token
+FROM tc JOIN documents dd ON dd.doc_id = tc.doc_id
+GROUP BY dd.lang"""
+
+
+def text_bpe_fertility_by_lang_df(spark,
+                                  merges: list[tuple[str, str]] | None = None):
+    """Spark twin: rollup of the distinct-word apply path (same exact
+    bigint sums and single divisions as the SQL form)."""
+    from pyspark.sql import functions as F
+
+    tc = text_bpe_tokenize_count_df(spark, merges=merges)
+    docs = spark.sql("SELECT doc_id, lang FROM documents")
+    return (tc.join(docs, "doc_id")
+            .groupBy("lang")
+            .agg(F.expr("cast(count(*) as bigint)").alias("n_docs"),
+                 F.expr("cast(sum(n_tokens) as bigint)").alias("n_words"),
+                 F.expr("cast(sum(n_bpe_tokens) as bigint)")
+                 .alias("n_bpe_tokens"),
+                 F.expr("CASE WHEN sum(n_tokens) = 0 "
+                        "THEN cast(NULL as double) "
+                        "ELSE cast(sum(n_bpe_tokens) as double) "
+                        "/ sum(n_tokens) END").alias("fertility"),
+                 F.expr("CASE WHEN sum(n_bpe_tokens) = 0 "
+                        "THEN cast(NULL as double) "
+                        "ELSE cast(sum(n_token_chars) as double) "
+                        "/ sum(n_bpe_tokens) END")
+                 .alias("chars_per_bpe_token")))
+
+
 # id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
 _BPE_DICT_STATE: dict = {}
 BPE_DICT_VIEW = "__bpe_word_dict"
@@ -687,19 +747,81 @@ def text_bpe_merge_train_df(spark, base: str | None = None):
                        "merged_sym string, pair_count bigint")
 
 
-def text_bpe_tokenize_count_df(spark, base: str | None = None):
+# id(spark) -> (weakref, key, merge list) — the trained merge TABLE
+# cached per (session, dataset); apply is a separate operator from
+# training (train offline / price online — the streaming twin's
+# semantics), so repeated apply calls must not re-run the trainer
+_BPE_MERGE_STATE: dict = {}
+
+
+def ensure_bpe_merges(spark, key: object = None,
+                      base: str | None = None) -> list[tuple[str, str]]:
+    """Train once per (session, dataset), return [(left, right), ...]
+    in rank order. Same weakref-guarded cache discipline as
+    session.ensure_session_plane (the cached value here is the 5-row
+    merge list, not a view)."""
+    import weakref
+
+    st = _BPE_MERGE_STATE.get(id(spark))
+    if st is not None and st[0]() is not spark:
+        st = None
+    if st is not None and (key is None or st[1] == key):
+        return st[2]
+    rows = sorted(text_bpe_merge_train_df(spark, base=base).collect(),
+                  key=lambda r: r.merge_rank)
+    merges = [(r.left_sym, r.right_sym) for r in rows]
+    for sid in [sid for sid, s in _BPE_MERGE_STATE.items() if s[0]() is None]:
+        del _BPE_MERGE_STATE[sid]
+    _BPE_MERGE_STATE[id(spark)] = (weakref.ref(spark), key, merges)
+    return merges
+
+
+def text_bpe_tokenize_count_df(spark, base: str | None = None,
+                               merges: list[tuple[str, str]] | None = None):
     """Spark-native BPE apply: train iteratively (dictionary-sized
-    jobs), then inline the learned merge table as literals into ONE
-    codegen projection over documents — the frozen-model-in-plan
-    pattern the streaming scorer uses. The train-in-query SQL form is
-    the DuckDB oracle."""
+    jobs; pass ``merges`` from :func:`ensure_bpe_merges` to reuse a
+    table already trained this session), then price the corpus by
+    applying the merge table to each DISTINCT word once — higher-order-function lambdas are interpreted
+    (not whole-stage codegen), so running the greedy-apply expression
+    per token OCCURRENCE costs ~vocab-expansion× more for identical
+    results (measured ~8x at sf0.1; Zipf makes it worse at scale).
+    The vocab-sized (token, n_syms) dim then broadcast-joins back to
+    the exploded token stream and one map-side-combining groupBy
+    rebuilds the per-doc counts. Docs with zero tokens are preserved
+    by the left join (NULL ratio, zero counts — same as the oracle).
+    The train-in-query SQL form is the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as d
 
-    merge_rows = sorted(
-        text_bpe_merge_train_df(spark, base=base).collect(),
-        key=lambda r: r.merge_rank)
-    merges = [(r.left_sym, r.right_sym) for r in merge_rows]
-    return spark.sql(text_bpe_tokenize_count(d, merges=merges))
+    if merges is None:
+        merges = [(r.left_sym, r.right_sym) for r in sorted(
+            text_bpe_merge_train_df(spark, base=base).collect(),
+            key=lambda r: r.merge_rank)]
+    pairs = [(f"'{left}'", f"'{right}'") for left, right in merges]
+    apply_ = _bpe_apply_expr(d, d.chars("tok"), pairs)
+
+    docs = spark.sql(
+        f"SELECT doc_id, {d.tokens('text')} AS toks FROM documents")
+    toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+    dim = (toks.select("tok").distinct()
+           .withColumn("w_syms", F.expr(f"cast({d.arr_len(apply_)} as bigint)"))
+           .withColumn("w_chars", F.expr("cast(length(tok) as bigint)")))
+    per_doc = (toks.join(F.broadcast(dim), "tok")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_tokens"),
+                    F.sum("w_chars").alias("n_token_chars"),
+                    F.sum("w_syms").alias("n_bpe_tokens")))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .selectExpr(
+                "doc_id",
+                "coalesce(n_tokens, 0L) AS n_tokens",
+                "coalesce(n_token_chars, 0L) AS n_token_chars",
+                "coalesce(n_bpe_tokens, 0L) AS n_bpe_tokens",
+                "CASE WHEN coalesce(n_bpe_tokens, 0L) = 0 "
+                "THEN cast(NULL as double) "
+                "ELSE cast(n_token_chars as double) / n_bpe_tokens "
+                "END AS chars_per_bpe_token"))
 
 
 # Unicode-hygiene targets (C4/CCNet-style sanitation): the replacement

@@ -198,6 +198,30 @@ def test_bpe_tokenize_count_df_matches_oracle(spark, ddb):
         textops.text_bpe_tokenize_count(DUCK))
 
 
+def test_bpe_fertility_by_lang_matches_oracle_and_rollup(spark, ddb):
+    """Per-language fertility == the train-in-query oracle, and ==
+    a direct pandas rollup of the per-doc apply output."""
+    df = textops.text_bpe_fertility_by_lang_df(spark)
+    assert_matches_oracle(df, ddb, textops.text_bpe_fertility_by_lang(DUCK))
+    tc = {r.doc_id: r for r in textops.text_bpe_tokenize_count_df(spark).collect()}
+    langs = {r.doc_id: r.lang for r in spark.sql(
+        "SELECT doc_id, lang FROM documents").collect()}
+    agg: dict[str, list[int]] = {}
+    for doc_id, r in tc.items():
+        a = agg.setdefault(langs[doc_id], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r.n_tokens
+        a[2] += r.n_bpe_tokens
+        a[3] += r.n_token_chars
+    for row in df.collect():
+        n_docs, n_words, n_bpe, n_chars = agg[row.lang]
+        assert (row.n_docs, row.n_words, row.n_bpe_tokens) == (
+            n_docs, n_words, n_bpe)
+        assert row.fertility == (n_bpe / n_words if n_words else None)
+        assert row.chars_per_bpe_token == (n_chars / n_bpe if n_bpe else None)
+    assert {r.lang for r in df.collect()} == set(agg)
+
+
 def test_bpe_tokenize_count_matches_python_replay(spark):
     """Per-doc BPE token counts == a pure-Python replay of greedy
     merge application with the trained merge table."""
