@@ -489,6 +489,11 @@ _PARKED_TAIL = (
                            # rule); ranked-within-group family's in-cap
                            # row is text_tfidf_topk (same dense-rank
                            # window shape); semantics pytest
+    "knn_index_upsert",    # new in r2: IVF maintenance (assign batch
+                           # to frozen cells + growth audit); the
+                           # learned-quantizer family's in-cap row is
+                           # knn_ivfpq_adc, incremental family's is
+                           # dedup_incremental; replay pytest
     "knn_range_search",    # new in r2: radius variant of in-cap
                            # knn_lsh (same bucket equi-join rails,
                            # threshold filter instead of the top-k

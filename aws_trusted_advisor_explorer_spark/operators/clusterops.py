@@ -652,8 +652,70 @@ FROM err GROUP BY vec_id"""
 
 
 # builders that accept a materialized-assignment view (entry wiring)
+UPSERT_BATCH_MOD = 10   # vec_id % 10 == UPSERT_BATCH_REM -> arriving batch
+UPSERT_BATCH_REM = 7
+
+
+def knn_index_upsert(d: Dialect, asg: str | None = None) -> str:
+    """IVF index MAINTENANCE (the daily-arrivals operation): assign a
+    new vector batch to the EXISTING index without retraining the
+    codebook — production IVF indexes absorb arrivals into stale cells
+    and only periodically retrain. The stored index state is the cell
+    membership; each cell's centroid is recomputed as the exact
+    integer mean of its indexed members (same _ESCALE arithmetic as
+    the trainer), the batch takes a deterministic argmin over those
+    centroids, and the report carries the per-cell growth audit
+    (n_before/n_after) that decides when retraining is due.
+
+    Batch = ``vec_id % {UPSERT_BATCH_MOD} = {UPSERT_BATCH_REM}``
+    (deterministic synthetic arrivals); index = the rest.
+
+    Scale posture (100 TB): cell centroids are K×DIM rows (broadcast);
+    the batch-vs-centroid distance join is batch-sized × K with one
+    map-side-combining aggregate; the n_before counts come from the
+    materialized assignment relation, not the raw vectors. Nothing
+    corpus-scale moves except one pass over the assignment view.
+    """
+    base = kmeans_assign(d, asg)
+    seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
+           else f"range(1, {KMEANS_DIM} + 1)")
+    assign, argmin = _assign("batch", "cellc", "u")
+    return f"""WITH asg AS (
+{base}
+),
+idx AS (SELECT vec_id, cluster_id FROM asg
+        WHERE vec_id % {UPSERT_BATCH_MOD} <> {UPSERT_BATCH_REM}),
+dims AS (SELECT {d.explode(seq)} AS pos),
+elems AS (
+  SELECT vec_id, pos, cast({d.elem('embedding', 'pos')} as double) AS val
+  FROM embeddings CROSS JOIN dims
+),
+cellc AS (
+  SELECT i.cluster_id AS cid, e.pos,
+    cast(cast(sum(cast(round(e.val * {_ESCALE}) as bigint)) as bigint)
+         as double) / (cast(count(*) as bigint) * {_ESCALE}) AS val
+  FROM elems e JOIN idx i ON i.vec_id = e.vec_id
+  GROUP BY i.cluster_id, e.pos
+),
+batch AS (SELECT vec_id, pos, val FROM elems
+          WHERE vec_id % {UPSERT_BATCH_MOD} = {UPSERT_BATCH_REM}),
+{assign},
+{argmin},
+before AS (SELECT cluster_id, cast(count(*) as bigint) AS n_before
+           FROM idx GROUP BY cluster_id),
+added AS (SELECT cid, cast(count(*) as bigint) AS n_added
+          FROM um GROUP BY cid)
+SELECT um.vec_id, um.cid AS cluster_id, um.dist AS dist_scaled,
+  b.n_before AS cell_n_before,
+  b.n_before + a.n_added AS cell_n_after
+FROM um
+JOIN before b ON b.cluster_id = um.cid
+JOIN added a ON a.cid = um.cid"""
+
+
 ASG_BACKED = ("kmeans_assign", "kmeans_report", "semdedup_pairs",
-              "semdedup_prune_report", "knn_ivf_kmeans")
+              "semdedup_prune_report", "knn_ivf_kmeans",
+              "knn_index_upsert")
 
 BUILDERS = {
     "pq_recall_report": pq_recall_report,
@@ -662,6 +724,7 @@ BUILDERS = {
     "semdedup_pairs": semdedup_pairs,
     "semdedup_prune_report": semdedup_prune_report,
     "knn_ivf_kmeans": knn_ivf_kmeans,
+    "knn_index_upsert": knn_index_upsert,
     "pq_codes": pq_codes,
     "knn_ivfpq_adc": knn_ivfpq_adc,
     "embeddings_sq_int8": embeddings_sq_int8,

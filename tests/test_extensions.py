@@ -790,6 +790,52 @@ def test_incremental_dedup_verdicts(spark):
                    22: ("new", None)}
 
 
+def test_index_upsert_matches_replay_and_counts(spark):
+    """IVF upsert: batch assignments must equal a numpy replay that
+    recomputes cell centroids from the indexed members (scaled-int
+    mean) and takes the deterministic argmin; growth counts must
+    reconcile with the assignment relation."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import clusterops as C
+    from tests.conftest import SF_DIR
+
+    asg = {r.vec_id: r.cluster_id
+           for r in spark.sql(C.kmeans_assign(SPARK)).collect()}
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+
+    def rnd(x):
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    idx_ids = [v for v in asg if v % C.UPSERT_BATCH_MOD != C.UPSERT_BATCH_REM]
+    batch_ids = [v for v in asg
+                 if v % C.UPSERT_BATCH_MOD == C.UPSERT_BATCH_REM]
+    # cell centroid = exact integer-scaled member mean (as stored)
+    cells: dict[int, list] = {}
+    for v in idx_ids:
+        cells.setdefault(asg[v], []).append(v)
+    cents = {cid: rnd(np.stack([vecs[v] for v in ms]) * 1e9).sum(axis=0)
+             / (len(ms) * 1e9) for cid, ms in cells.items()}
+    expect = {}
+    for v in batch_ids:
+        best = min(
+            ((int(rnd((vecs[v] - c) * (vecs[v] - c) * 1e12).sum()), cid)
+             for cid, c in cents.items()))
+        expect[v] = best  # (dist_scaled, cluster_id) with cid tiebreak
+    rows = spark.sql(C.knn_index_upsert(SPARK)).collect()
+    assert {r.vec_id for r in rows} == set(batch_ids)
+    added: dict[int, int] = {}
+    for r in rows:
+        assert (r.dist_scaled, r.cluster_id) == expect[r.vec_id]
+        assert r.cell_n_before == len(cells[r.cluster_id])
+        added[r.cluster_id] = added.get(r.cluster_id, 0) + 1
+    for r in rows:
+        assert r.cell_n_after == r.cell_n_before + added[r.cluster_id]
+
+
 def test_semdedup_pairs_cluster_blocked_and_report_consistent(spark):
     """Every SemDeDup pair must be co-assigned by kmeans_assign (the
     blocker really is the learned codebook), every reported drop must
