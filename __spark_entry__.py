@@ -96,12 +96,12 @@ def _prepare_ext(spark: SparkSession, sf_dir: str) -> None:
 def _ext_builders() -> dict:
     from aws_trusted_advisor_explorer_spark.operators import (
         clusterops, corpusops, dedup, eventops, masking, multimodal,
-        similarity, textops,
+        profiling, similarity, textops,
     )
 
     out = {}
     for mod in (textops, dedup, similarity, eventops, multimodal, masking,
-                corpusops, clusterops):
+                corpusops, clusterops, profiling):
         out.update(mod.BUILDERS)
     return out
 
@@ -489,6 +489,15 @@ _PARKED_TAIL = (
                            # rule); ranked-within-group family's in-cap
                            # row is text_tfidf_topk (same dense-rank
                            # window shape); semantics pytest
+    "docs_column_profile",  # new in r2: per-column profiler (deequ
+                            # shape); one-pass aggregate family's
+                            # in-cap row is docs_dataset_card
+    "docs_expectations_report",  # new in r2: expectation suite (data
+                                 # contract); same one-pass family;
+                                 # all-green invariant pytest
+    "docs_agg_refresh",    # new in r2: incremental aggregate refresh
+                           # (IVM); the merge family's in-cap analog
+                           # is docs_merge_cdc; in-row recompute audit
     "knn_index_upsert",    # new in r2: IVF maintenance (assign batch
                            # to frozen cells + growth audit); the
                            # learned-quantizer family's in-cap row is

@@ -9,14 +9,14 @@ import pytest
 
 from aws_trusted_advisor_explorer_spark.functions.dual import DUCK, SPARK
 from aws_trusted_advisor_explorer_spark.operators import (
-    clusterops, corpusops, dedup, eventops, masking, multimodal, similarity,
-    textops,
+    clusterops, corpusops, dedup, eventops, masking, multimodal, profiling,
+    similarity, textops,
 )
 from tests.conftest import assert_matches_oracle
 
 ALL_BUILDERS = {}
 for _mod in (textops, dedup, similarity, eventops, multimodal, masking,
-             corpusops, clusterops):
+             corpusops, clusterops, profiling):
     ALL_BUILDERS.update(_mod.BUILDERS)
 
 
@@ -42,6 +42,27 @@ def test_minhash_candidates_subset_of_exact_jaccard(spark):
     exact = {(r.doc_a, r.doc_b) for r in spark.sql(dedup.dedup_ngram_jaccard(SPARK)).collect()}
     assert mh <= exact
     assert mh == exact  # at J>=0.5 the 4x4 band recall is ~1 on this corpus
+
+
+def test_profiling_plane_invariants(spark):
+    """Clean-corpus invariants the profilers must surface: every
+    expectation passes, the doc_id profile proves uniqueness, and the
+    incremental refresh reconciles with the full recompute (in-row
+    audit all true + a python cross-check of stored+delta=total)."""
+    for r in spark.sql(profiling.docs_expectations_report(SPARK)).collect():
+        assert r.passed and r.n_violations == 0, r
+    prof = {r.column_name: r
+            for r in spark.sql(profiling.docs_column_profile(SPARK)).collect()}
+    assert set(prof) == {c for c, _ in profiling._DOC_COLUMNS}
+    idp = prof["doc_id"]
+    assert idp.n_rows == idp.n_nonnull == idp.n_distinct
+    assert prof["lang"].n_distinct == len(profiling.ALLOWED_LANGS)
+    rows = spark.sql(profiling.docs_agg_refresh(SPARK)).collect()
+    total = spark.sql("SELECT count(*) AS n FROM documents").collect()[0].n
+    assert all(r.matches_recompute for r in rows)
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.n_docs == r.n_docs_stored + r.n_docs_delta
 
 
 def test_lsh_recall_gate_matches_set_arithmetic(spark):
