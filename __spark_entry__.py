@@ -489,6 +489,17 @@ _PARKED_TAIL = (
                            # rule); ranked-within-group family's in-cap
                            # row is text_tfidf_topk (same dense-rank
                            # window shape); semantics pytest
+    "docs_chunking",       # new in r2: fixed-size overlapping
+                           # splitter (RAG/pretraining); the 1-to-many
+                           # projection family's in-cap row is
+                           # media_frame_sample's shape relative;
+                           # python-replay pytest
+    "docs_language_balance_plan",  # new in r2: per-lang keep-rate
+                                   # plan; rollup family in-cap row is
+                                   # docs_source_mix; invariant pytest
+    "events_top_paths",    # new in r2: sequential-pattern top-k; the
+                           # ordered-per-user family's in-cap row is
+                           # events_funnel; python-replay pytest
     "docs_column_profile",  # new in r2: per-column profiler (deequ
                             # shape); one-pass aggregate family's
                             # in-cap row is docs_dataset_card

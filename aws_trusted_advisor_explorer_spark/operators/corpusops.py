@@ -216,6 +216,89 @@ SELECT source, lang, n_docs, total_tokens,
 FROM g"""
 
 
+CHUNK_TOKS = 64     # tokens per chunk
+CHUNK_STRIDE = 48   # chunk start stride (overlap = CHUNK_TOKS - stride)
+
+
+def docs_chunking(d: Dialect) -> str:
+    """Fixed-size overlapping CHUNKING (the pretraining/RAG document
+    splitter): each document becomes ceil((n - overlap) / stride)
+    windows of {CHUNK_TOKS} tokens starting every {CHUNK_STRIDE}
+    (overlap {CHUNK_TOKS - CHUNK_STRIDE}); the final window absorbs
+    the tail (shorter, never empty). Output one row per chunk with
+    its position, token count, and rebuilt text.
+
+    Scale posture (100 TB): a pure 1-to-many projection (tokenize →
+    explode of per-doc window indexes → slice) — zero shuffles, zero
+    joins; whole-stage codegen except the array lambdas. Chunk
+    boundaries are token-index arithmetic, so the plan is identical
+    for any document length distribution.
+    """
+    n = d.arr_len("toks")
+    n_chunks = (f"CASE WHEN {n} <= {CHUNK_TOKS} THEN 1 "
+                f"ELSE {d.idiv(f'({n} - {CHUNK_TOKS} + {CHUNK_STRIDE} - 1)', str(CHUNK_STRIDE))} + 1 END")
+    start = f"(k * {CHUNK_STRIDE} + 1)"
+    if d.name == "spark":
+        piece = f"slice(toks, {start}, {CHUNK_TOKS})"
+    else:
+        piece = f"list_slice(toks, {start}, {start} + {CHUNK_TOKS} - 1)"
+    return f"""WITH t AS (
+  SELECT doc_id, {d.tokens('text')} AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, toks, {d.explode(d.seq('0', f'({n_chunks}) - 1'))} AS k
+  FROM t WHERE {n} >= 1
+),
+c AS (
+  SELECT doc_id, k AS chunk_idx, cast({start} as bigint) AS start_pos,
+    {piece} AS chunk_toks
+  FROM w
+)
+SELECT doc_id, chunk_idx, start_pos,
+  cast({d.arr_len('chunk_toks')} as bigint) AS n_chunk_tokens,
+  {d.arr_join('chunk_toks')} AS chunk_text
+FROM c"""
+
+
+# target language mixture for the balance plan: uniform across the
+# languages present — the rebalancing goal a multilingual pretraining
+# run states up front (any fixed target table works identically)
+def docs_language_balance_plan(d: Dialect) -> str:
+    """Language REBALANCING plan: given the observed per-language token
+    shares and a uniform target mixture, emit each language's keep
+    rate (scaled-integer, deterministic) — the sampling plan that
+    downs-samples over-represented languages to the target. keep_rate
+    = min(1, target_share / current_share) as an exact integer ppm
+    (parts-per-million) ratio: ppm = min(1e6, (total_toks * 1e6) div
+    (n_langs * lang_toks)); applying it composes with the id-hash
+    decision streams (docs_importance_sample).
+
+    Scale posture: one (lang) groupBy + a 2-scalar broadcast (total
+    tokens, language count); output is language-cardinality rows.
+    """
+    n_toks = d.arr_len(d.tokens("text"))
+    return f"""WITH t AS (
+  SELECT lang, cast({n_toks} as bigint) AS n_toks FROM documents
+),
+g AS (
+  SELECT lang, cast(count(*) as bigint) AS n_docs,
+    cast(sum(n_toks) as bigint) AS lang_tokens
+  FROM t GROUP BY lang
+),
+tot AS (
+  SELECT cast(sum(lang_tokens) as bigint) AS total_tokens,
+    cast(count(*) as bigint) AS n_langs
+  FROM g
+)
+SELECT g.lang, g.n_docs, g.lang_tokens,
+  cast(g.lang_tokens as double) / tot.total_tokens AS current_share,
+  cast(1 as double) / tot.n_langs AS target_share,
+  least(cast(1000000 as bigint),
+        {d.idiv('(tot.total_tokens * 1000000)', '(tot.n_langs * g.lang_tokens)')})
+    AS keep_rate_ppm
+FROM g CROSS JOIN tot"""
+
+
 LEN_BANDS = (16, 64, 256, 1024)  # token-count histogram edges
 
 
@@ -731,6 +814,8 @@ FROM m WHERE action <> 'delete'"""
 
 
 BUILDERS = {
+    "docs_chunking": docs_chunking,
+    "docs_language_balance_plan": docs_language_balance_plan,
     "docs_curation_pipeline": docs_curation_pipeline,
     "docs_domain_cap": docs_domain_cap,
     "docs_merge_cdc": docs_merge_cdc,

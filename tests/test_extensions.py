@@ -44,6 +44,70 @@ def test_minhash_candidates_subset_of_exact_jaccard(spark):
     assert mh == exact  # at J>=0.5 the 4x4 band recall is ~1 on this corpus
 
 
+def test_chunking_matches_python_replay(spark):
+    """Chunk windows must replay exactly: stride starts, full coverage
+    of every token, tail absorbed into a final shorter chunk."""
+    import re as _re
+
+    C, S = corpusops.CHUNK_TOKS, corpusops.CHUNK_STRIDE
+    rows = spark.sql(corpusops.docs_chunking(SPARK)).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_pos, r.n_chunk_tokens, r.chunk_text))
+    for (doc_id, text) in spark.sql(
+            "SELECT doc_id, text FROM documents").collect():
+        toks = _re.findall(r"[a-z0-9]+", text.lower())
+        n = len(toks)
+        n_chunks = 1 if n <= C else -((n - C) // -S) + 1
+        expect = []
+        for k in range(n_chunks):
+            start = k * S
+            piece = toks[start:start + C]
+            expect.append((k, start + 1, len(piece), " ".join(piece)))
+        assert sorted(got[doc_id]) == expect, doc_id
+        # coverage: the last chunk reaches the final token
+        assert expect[-1][1] - 1 + expect[-1][2] == n
+
+
+def test_top_paths_matches_python_replay(spark):
+    """Global top-k path counts == a replay over per-user event
+    sequences ordered by (ts, event_id)."""
+    import collections
+
+    ev = spark.sql("SELECT user_id, event_type, ts, event_id "
+                   "FROM events").collect()
+    byu: dict[int, list] = {}
+    for r in ev:
+        byu.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    pc: collections.Counter = collections.Counter()
+    for seq in byu.values():
+        types = [t for _, _, t in sorted(seq)]
+        for i in range(len(types) - eventops.PATH_N + 1):
+            pc[" ".join(types[i:i + eventops.PATH_N])] += 1
+    expect = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :eventops.PATH_TOP_K]
+    got = [(r.path, r.n_occurrences) for r in
+           spark.sql(eventops.events_top_paths(SPARK)).collect()]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
+
+
+def test_language_balance_plan_invariants(spark):
+    """Keep rates: under-represented languages keep everything
+    (1e6 ppm); over-represented ones keep target/current exactly
+    (integer-floor ppm); shares sum to 1."""
+    rows = spark.sql(
+        corpusops.docs_language_balance_plan(SPARK)).collect()
+    total = sum(r.lang_tokens for r in rows)
+    assert abs(sum(r.current_share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.target_share == 1.0 / len(rows)
+        want = min(10**6, (total * 10**6) // (len(rows) * r.lang_tokens))
+        assert r.keep_rate_ppm == want
+        assert (r.keep_rate_ppm == 10**6) == (
+            r.current_share <= 1.0 / len(rows))
+
+
 def test_profiling_plane_invariants(spark):
     """Clean-corpus invariants the profilers must surface: every
     expectation passes, the doc_id profile proves uniqueness, and the
