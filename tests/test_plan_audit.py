@@ -42,10 +42,16 @@ from tests.conftest import SF_DIR
 #                         cross-joined into the per-term score rows
 #   docs_merge_cdc      — single-row max-id relation cross-joined into
 #                         the insert branch of the change feed
+#   docs_language_balance_plan — single-row (total_tokens, n_langs)
+#                         relation cross-joined into the lang rollup
+#   knn_index_upsert    — the DIM-row (64) dims relation cross-joined
+#                         to emulate posexplode dialect-portably (the
+#                         embeddings_sq_int8 / KMeans-trainer shape)
 BNLJ_ALLOWED = {
     "knn_bruteforce", "knn_recall_at_k", "knn_ivfpq_adc",
     "pq_recall_report", "events_funnel", "events_key_skew_audit",
     "embeddings_sq_int8", "docs_bm25_topk", "docs_merge_cdc",
+    "docs_language_balance_plan", "knn_index_upsert",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
