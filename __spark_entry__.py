@@ -509,6 +509,10 @@ _PARKED_TAIL = (
     "docs_agg_refresh",    # new in r2: incremental aggregate refresh
                            # (IVM); the merge family's in-cap analog
                            # is docs_merge_cdc; in-row recompute audit
+    "docs_hybrid_search_rrf",  # new in r2: RRF fusion of the shingle
+                               # text arm + the in-cap knn_lsh vector
+                               # arm (both arms hold their own rows);
+                               # replay pytest
     "knn_index_upsert",    # new in r2: IVF maintenance (assign batch
                            # to frozen cells + growth audit); the
                            # learned-quantizer family's in-cap row is
@@ -591,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key in ("text_tfidf_topk", "text_commonness_score"):
         q[key] = _token_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
+    q["docs_hybrid_search_rrf"] = _shingle_backed_query(
+        "docs_hybrid_search_rrf", "similarity")
     q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query
     q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")

@@ -379,10 +379,83 @@ SELECT
 FROM v"""
 
 
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+HYBRID_TOP_T = 10   # text-arm candidates per query
+HYBRID_K = 10       # fused results per query
+
+
+def docs_hybrid_search_rrf(d: Dialect, base: str | None = None) -> str:
+    """HYBRID retrieval with reciprocal-rank fusion (Cormack et al.
+    2009 — the BM25+vector fusion modern search stacks run): for each
+    query document (doc_id % {QUERY_MOD} = 0, paired with its query
+    vector by the documents↔embeddings id correspondence), a TEXT arm
+    ranks corpus docs by shared 3-gram shingle count (DF-capped
+    against boilerplate, like the exact-Jaccard path) and a VECTOR arm
+    ranks by bucketed-LSH cosine (knn_lsh verbatim); the arms fuse by
+    RRF score Σ 1/({RRF_K}+rank) — rank-only fusion needs no score
+    calibration between arms, which is why RRF is the default fusion
+    everywhere.
+
+    Doubles are single divisions + one two-term sum — cross-engine
+    exact; ties break on candidate id.
+
+    Scale posture (100 TB): the text arm is the eval-side-only shingle
+    probe (query-side shingles only join the corpus relation — the
+    contamination rail) with the DF cap bounding per-shingle fan-out;
+    the vector arm is the bucket equi-join; both arms emit top-k
+    relations (query-set-sized), so the fusion join and final window
+    are negligible. On Spark both arms reuse session-materialized
+    planes (shingle view; the LSH arm's plan is shared with knn_lsh).
+    """
+    from aws_trusted_advisor_explorer_spark.operators.dedup import (
+        NGRAM_DF_CAP, _shingle_cte,
+    )
+
+    inv = f"cast(1 as double) / ({RRF_K} + "
+    return f"""{_shingle_cte(d, base)},
+keep AS (SELECT hv FROM sh GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}),
+fs AS (SELECT s.doc_id, s.hv FROM sh s JOIN keep k ON k.hv = s.hv),
+tc AS (
+  SELECT q.doc_id AS qid, c.doc_id AS cid, count(*) AS n_common
+  FROM fs q
+  JOIN fs c ON c.hv = q.hv AND c.doc_id % {QUERY_MOD} <> 0
+  WHERE q.doc_id % {QUERY_MOD} = 0
+  GROUP BY q.doc_id, c.doc_id
+),
+tr AS (
+  SELECT qid, cid, rank_t FROM (
+    SELECT qid, cid,
+      row_number() OVER (PARTITION BY qid ORDER BY n_common DESC, cid)
+        AS rank_t
+    FROM tc
+  ) x WHERE rank_t <= {HYBRID_TOP_T}
+),
+vr AS (
+{knn_lsh(d)}
+),
+fused AS (
+  SELECT coalesce(t.qid, v.query_id) AS query_id,
+    coalesce(t.cid, v.neighbor_id) AS candidate_id,
+    t.rank_t, v.rank AS rank_v,
+    coalesce({inv}t.rank_t), cast(0 as double)) +
+    coalesce({inv}v.rank), cast(0 as double)) AS rrf_score
+  FROM tr t FULL OUTER JOIN vr v
+    ON v.query_id = t.qid AND v.neighbor_id = t.cid
+)
+SELECT query_id, candidate_id, rank_t, rank_v, rrf_score, fused_rank
+FROM (
+  SELECT query_id, candidate_id, rank_t, rank_v, rrf_score,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf_score DESC, candidate_id) AS fused_rank
+  FROM fused
+) f WHERE fused_rank <= {HYBRID_K}"""
+
+
 BUILDERS = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_recall_at_k": knn_recall_at_k,
     "knn_range_search": knn_range_search,
     "embeddings_norm_audit": embeddings_norm_audit,
+    "docs_hybrid_search_rrf": docs_hybrid_search_rrf,
 }

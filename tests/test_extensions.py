@@ -162,6 +162,44 @@ def test_cross_split_contamination_accounts_for_every_pair(spark):
         assert r.is_leak == (r.split_lo != r.split_hi)
 
 
+def test_hybrid_rrf_matches_arm_replay(spark):
+    """Fused RRF output == a python replay fusing the two arm
+    relations (text shingle ranks rebuilt from the DF-capped shared-
+    shingle counts; vector ranks straight from knn_lsh)."""
+    vec = {(r.query_id, r.neighbor_id): r.rank
+           for r in spark.sql(similarity.knn_lsh(SPARK)).collect()}
+    # rebuild the text arm from the operator's own tc CTE semantics
+    from aws_trusted_advisor_explorer_spark.operators.dedup import (
+        NGRAM_DF_CAP, _shingle_cte,
+    )
+    rows = spark.sql(f"""{_shingle_cte(SPARK)},
+keep AS (SELECT hv FROM sh GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}),
+fs AS (SELECT s.doc_id, s.hv FROM sh s JOIN keep k ON k.hv = s.hv)
+SELECT q.doc_id qid, c.doc_id cid, count(*) n
+FROM fs q JOIN fs c ON c.hv = q.hv AND c.doc_id % 100 <> 0
+WHERE q.doc_id % 100 = 0 GROUP BY q.doc_id, c.doc_id""").collect()
+    byq: dict[int, list] = {}
+    for r in rows:
+        byq.setdefault(r.qid, []).append((-r.n, r.cid))
+    text = {}
+    for qid, lst in byq.items():
+        for i, (_, cid) in enumerate(sorted(lst)[:similarity.HYBRID_TOP_T]):
+            text[(qid, cid)] = i + 1
+    # fuse
+    fused: dict[int, list] = {}
+    for key in set(text) | set(vec):
+        score = (1.0 / (similarity.RRF_K + text[key]) if key in text else 0.0) \
+            + (1.0 / (similarity.RRF_K + vec[key]) if key in vec else 0.0)
+        fused.setdefault(key[0], []).append((-score, key[1]))
+    expect = {}
+    for qid, lst in fused.items():
+        for i, (ns, cid) in enumerate(sorted(lst)[:similarity.HYBRID_K]):
+            expect[(qid, cid)] = (i + 1, -ns)
+    got = {(r.query_id, r.candidate_id): (r.fused_rank, r.rrf_score)
+           for r in spark.sql(similarity.docs_hybrid_search_rrf(SPARK)).collect()}
+    assert got == expect
+
+
 def test_range_search_consistent_with_lsh_topk(spark):
     """Radius search must contain every knn_lsh top-k hit whose cosine
     clears the radius (same bucket rails, no k cutoff), and every
