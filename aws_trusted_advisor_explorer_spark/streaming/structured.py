@@ -651,3 +651,60 @@ def bpe_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CASE WHEN n_bpe_tokens = 0 THEN cast(NULL as double) "
                 "ELSE cast(n_token_chars as double) / n_bpe_tokens "
                 "END AS chars_per_bpe_token"))
+
+
+PATHS_STATE_SCHEMA = StructType([
+    StructField("tail", StringType()),   # last PATH_N-1 types, space-joined
+])
+
+PATHS_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("path", StringType()),
+    StructField("n", LongType()),
+])
+
+
+def _paths_update(key, pdfs, state: GroupState):
+    """Stateful sliding type-gram emitter (streaming twin of
+    eventops.events_top_paths' gram relation): per user, keep only the
+    last PATH_N-1 event types as state and emit each completed
+    length-PATH_N path with its in-batch count. Same in-order-per-user
+    arrival assumption as _funnel_update (documented there); events
+    replay in (us, event_id) order within each batch."""
+    from aws_trusted_advisor_explorer_spark.operators.eventops import PATH_N
+
+    (user_id,) = key
+    tail = state.get[0].split(" ") if state.exists and state.get[0] else []
+    counts: dict = {}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for r in pdf.itertuples():
+            tail.append(r.event_type)
+            if len(tail) == PATH_N:
+                g = " ".join(tail)
+                counts[g] = counts.get(g, 0) + 1
+                tail = tail[1:]
+    state.update((" ".join(tail),))
+    if counts:
+        yield pd.DataFrame({
+            "user_id": [user_id] * len(counts),
+            "path": list(counts),
+            "n": list(counts.values()),
+        })
+
+
+def top_paths_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState path-gram mining: O(PATH_N-1) state per
+    user, each micro-batch emits its completed paths with counts —
+    the downstream top-k is a rollup over this relation (the test
+    aggregates it and matches the batch gram counts exactly)."""
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _paths_update,
+        outputStructType=PATHS_OUTPUT_SCHEMA,
+        stateStructType=PATHS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -219,3 +219,30 @@ def test_bpe_count_stream_equals_batch(spark):
     want = {tuple(r)
             for r in textops.text_bpe_tokenize_count_df(spark).collect()}
     assert got == want
+
+
+def test_top_paths_stream_gram_counts_equal_batch(spark):
+    """Summing the stream's per-batch path emissions reproduces the
+    batch gram relation exactly (the top-k report is a rollup of it):
+    same sliding grams, no duplicates or gaps across micro-batches."""
+    import collections
+    import re as _re
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+
+    structured.run_stream_to_memory(
+        structured.top_paths_stream(spark, SF_DIR), "top_paths_stream",
+        output_mode="update")
+    got: collections.Counter = collections.Counter()
+    for r in spark.table("top_paths_stream").collect():
+        got[r.path] += r.n
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    byu: dict = {}
+    for r in ev:
+        byu.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    expect: collections.Counter = collections.Counter()
+    for seq in byu.values():
+        types = [t for _, _, t in sorted(seq)]
+        for i in range(len(types) - eventops.PATH_N + 1):
+            expect[" ".join(types[i:i + eventops.PATH_N])] += 1
+    assert got == expect
