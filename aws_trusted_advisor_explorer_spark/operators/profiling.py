@@ -34,15 +34,19 @@ def docs_column_profile(d: Dialect) -> str:
     as (truncated) strings for a uniform report schema. One aggregate
     pass per column over a single scan stage — Catalyst/DuckDB fuse
     the UNION ALL branches' scans; distinct counts are the only
-    shuffle, each keyed on its own column. Content here is ASCII so
-    string min/max agree across engines (binary collation both
-    sides)."""
+    shuffles, each keyed on its own column — and the wide ``text``
+    column's distinct is keyed on md5(text) so the exchange never
+    carries document bodies (same count, same hash-key rule as exact
+    dedup; min/max need no such guard — partial aggregation moves one
+    value per partition). Content here is ASCII so string min/max
+    agree across engines (binary collation both sides)."""
     branches = []
-    for col, _num in _DOC_COLUMNS:
+    for col, wide in ((c, c == "text") for c, _ in _DOC_COLUMNS):
+        dkey = f"md5({col})" if wide else col
         branches.append(f"""SELECT '{col}' AS column_name,
   cast(count(*) as bigint) AS n_rows,
   cast(count({col}) as bigint) AS n_nonnull,
-  cast(count(DISTINCT {col}) as bigint) AS n_distinct,
+  cast(count(DISTINCT {dkey}) as bigint) AS n_distinct,
   substr(cast(min({col}) as string), 1, {PROFILE_VALUE_TRUNC}) AS min_value,
   substr(cast(max({col}) as string), 1, {PROFILE_VALUE_TRUNC}) AS max_value
 FROM documents""")
