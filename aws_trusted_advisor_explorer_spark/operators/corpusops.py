@@ -226,7 +226,9 @@ def docs_chunking(d: Dialect) -> str:
     windows of {CHUNK_TOKS} tokens starting every {CHUNK_STRIDE}
     (overlap {CHUNK_TOKS - CHUNK_STRIDE}); the final window absorbs
     the tail (shorter, never empty). Output one row per chunk with
-    its position, token count, and rebuilt text.
+    its position, token count, and rebuilt text. A zero-token document
+    emits ONE empty chunk row rather than vanishing — downstream joins
+    keyed on doc_id must never silently lose documents.
 
     Scale posture (100 TB): a pure 1-to-many projection (tokenize →
     explode of per-doc window indexes → slice) — zero shuffles, zero
@@ -247,7 +249,7 @@ def docs_chunking(d: Dialect) -> str:
 ),
 w AS (
   SELECT doc_id, toks, {d.explode(d.seq('0', f'({n_chunks}) - 1'))} AS k
-  FROM t WHERE {n} >= 1
+  FROM t
 ),
 c AS (
   SELECT doc_id, k AS chunk_idx, cast({start} as bigint) AS start_pos,
@@ -293,9 +295,10 @@ tot AS (
 SELECT g.lang, g.n_docs, g.lang_tokens,
   cast(g.lang_tokens as double) / tot.total_tokens AS current_share,
   cast(1 as double) / tot.n_langs AS target_share,
-  least(cast(1000000 as bigint),
-        {d.idiv('(tot.total_tokens * 1000000)', '(tot.n_langs * g.lang_tokens)')})
-    AS keep_rate_ppm
+  CASE WHEN g.lang_tokens = 0 THEN cast(1000000 as bigint)
+       ELSE least(cast(1000000 as bigint),
+         {d.idiv('(tot.total_tokens * 1000000)', '(tot.n_langs * g.lang_tokens)')})
+  END AS keep_rate_ppm
 FROM g CROSS JOIN tot"""
 
 

@@ -14,14 +14,11 @@ from __future__ import annotations
 
 from aws_trusted_advisor_explorer_spark.functions.dual import Dialect
 
-# documents schema: (name, is_numeric) — the profiler targets
-_DOC_COLUMNS = (
-    ("doc_id", True),
-    ("text", False),
-    ("lang", False),
-    ("source", False),
-    ("n_chars", True),
-)
+# documents columns the profiler targets; WIDE columns get their
+# distinct count keyed on a content hash so exchanges never carry
+# large values
+_DOC_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
+_WIDE_COLUMNS = frozenset({"text"})
 
 PROFILE_VALUE_TRUNC = 40  # min/max rendered as strings, truncated
 
@@ -41,8 +38,8 @@ def docs_column_profile(d: Dialect) -> str:
     value per partition). Content here is ASCII so string min/max
     agree across engines (binary collation both sides)."""
     branches = []
-    for col, wide in ((c, c == "text") for c, _ in _DOC_COLUMNS):
-        dkey = f"md5({col})" if wide else col
+    for col in _DOC_COLUMNS:
+        dkey = f"md5({col})" if col in _WIDE_COLUMNS else col
         branches.append(f"""SELECT '{col}' AS column_name,
   cast(count(*) as bigint) AS n_rows,
   cast(count({col}) as bigint) AS n_nonnull,
@@ -73,7 +70,7 @@ def docs_expectations_report(d: Dialect) -> str:
          as bigint) AS v_empty_text,
     cast(count(CASE WHEN lang IS NULL OR lang NOT IN ({langs}) THEN 1 END)
          as bigint) AS v_bad_lang,
-    cast(count(CASE WHEN n_chars IS NULL OR n_chars <> length(text) THEN 1 END)
+    cast(count(CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 END)
          as bigint) AS v_chars_drift
   FROM documents
 )"""

@@ -542,6 +542,15 @@ def text_bpe_merge_train(d: Dialect, base: str | None = None) -> str:
     self-contained SQL is the DuckDB oracle and the small-scale parity
     form.
     """
+    cte_body, union = _bpe_train_parts(d, base)
+    return "WITH " + cte_body + "\n" + union
+
+
+def _bpe_train_parts(d: Dialect, base: str | None) -> tuple[str, str]:
+    """(CTE body, merge-table union tail) of the unrolled trainer —
+    composed verbatim by text_bpe_merge_train and, with extra apply
+    CTEs appended to the body, by text_bpe_tokenize_count (no string
+    surgery on rendered SQL)."""
     parts = [_bpe_dict_cte(d, base)]
     n = d.arr_len("syms")
     pair_i = f"{d.elem('syms', 'i')} || ' ' || {d.elem('syms', 'i + 1')}"
@@ -569,7 +578,7 @@ w{r} AS (SELECT token, freq, {rebuilt} AS syms FROM k{r})""")
         f"SELECT cast({r} as int) AS merge_rank, L AS left_sym, "
         f"R AS right_sym, L || R AS merged_sym, cnt AS pair_count FROM p{r}"
         for r in range(1, BPE_MERGES + 1))
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return ",\n".join(parts), union
 
 
 def text_bpe_tokenize_count(d: Dialect, base: str | None = None,
@@ -600,8 +609,7 @@ def text_bpe_tokenize_count(d: Dialect, base: str | None = None,
         pairs = [(f"L{r}", f"R{r}") for r in range(1, BPE_MERGES + 1)]
         # reuse the training chain, then re-alias each round's 1-row
         # top-pair relation for the cross join into the apply projection
-        train = text_bpe_merge_train(d, base)
-        train_body = train[len("WITH "):train.rindex("\nSELECT cast(1")]
+        train_body, _ = _bpe_train_parts(d, base)
         pair_aliases = ",\n".join(
             f"pp{r} AS (SELECT L AS L{r}, R AS R{r} FROM p{r})"
             for r in range(1, BPE_MERGES + 1))

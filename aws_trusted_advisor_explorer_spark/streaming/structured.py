@@ -622,7 +622,7 @@ def bpe_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch query (pytest)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
     from aws_trusted_advisor_explorer_spark.operators.textops import (
-        _bpe_count_parts, _bpe_dict_cte, text_bpe_merge_train_df,
+        _bpe_count_parts, _bpe_dict_cte, ensure_bpe_merges,
     )
 
     # prefixed views: never clobber the session-global 'documents'
@@ -632,10 +632,9 @@ def bpe_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH " + _bpe_dict_cte(SD, None, table="__bpe_batch_docs") +
         "\nSELECT token, freq, syms FROM w0").localCheckpoint(eager=True)
     dict_df.createOrReplaceTempView("__bpe_stream_dict")
-    merge_rows = sorted(
-        text_bpe_merge_train_df(spark, base="__bpe_stream_dict").collect(),
-        key=lambda r: r.merge_rank)
-    pairs = [(f"'{r.left_sym}'", f"'{r.right_sym}'") for r in merge_rows]
+    merges = ensure_bpe_merges(spark, key=("stream", sf_dir),
+                               base="__bpe_stream_dict")
+    pairs = [(f"'{left}'", f"'{right}'") for left, right in merges]
     n_chars, n_bpe = _bpe_count_parts(SD, pairs)
 
     docs = documents_stream(spark, sf_dir)
@@ -676,14 +675,16 @@ def _paths_update(key, pdfs, state: GroupState):
     (user_id,) = key
     tail = state.get[0].split(" ") if state.exists and state.get[0] else []
     counts: dict = {}
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["us", "event_id"])
-        for r in pdf.itertuples():
-            tail.append(r.event_type)
-            if len(tail) == PATH_N:
-                g = " ".join(tail)
-                counts[g] = counts.get(g, 0) + 1
-                tail = tail[1:]
+    # sort across ALL of this group's chunks: a >maxRecordsPerBatch
+    # user spans several Arrow chunks and per-chunk sorting would
+    # process cross-chunk stragglers out of order
+    pdf = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+    for r in pdf.itertuples():
+        tail.append(r.event_type)
+        if len(tail) == PATH_N:
+            g = " ".join(tail)
+            counts[g] = counts.get(g, 0) + 1
+            tail = tail[1:]
     state.update((" ".join(tail),))
     if counts:
         yield pd.DataFrame({

@@ -117,7 +117,7 @@ def test_profiling_plane_invariants(spark):
         assert r.passed and r.n_violations == 0, r
     prof = {r.column_name: r
             for r in spark.sql(profiling.docs_column_profile(SPARK)).collect()}
-    assert set(prof) == {c for c, _ in profiling._DOC_COLUMNS}
+    assert set(prof) == set(profiling._DOC_COLUMNS)
     idp = prof["doc_id"]
     assert idp.n_rows == idp.n_nonnull == idp.n_distinct
     assert prof["lang"].n_distinct == len(profiling.ALLOWED_LANGS)
