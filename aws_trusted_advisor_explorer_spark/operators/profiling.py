@@ -25,7 +25,7 @@ PROFILE_VALUE_TRUNC = 40  # min/max rendered as strings, truncated
 ALLOWED_LANGS = ("en", "de", "fr", "es", "zh")
 
 
-def docs_column_profile(d: Dialect) -> str:
+def docs_column_profile(d: Dialect, table: str = "documents") -> str:
     """Per-column corpus profile (the df.describe()/Deequ profiler):
     row count, non-null count, exact distinct count, min/max rendered
     as (truncated) strings for a uniform report schema. One aggregate
@@ -46,11 +46,11 @@ def docs_column_profile(d: Dialect) -> str:
   cast(count(DISTINCT {dkey}) as bigint) AS n_distinct,
   substr(cast(min({col}) as string), 1, {PROFILE_VALUE_TRUNC}) AS min_value,
   substr(cast(max({col}) as string), 1, {PROFILE_VALUE_TRUNC}) AS max_value
-FROM documents""")
+FROM {table}""")
     return "\nUNION ALL\n".join(branches)
 
 
-def docs_expectations_report(d: Dialect) -> str:
+def docs_expectations_report(d: Dialect, table: str = "documents") -> str:
     """Expectation-suite run (the pre-training data contract): each
     named expectation reports its violation count and verdict in ONE
     aggregate pass — uniqueness via count-minus-distinct, the rest as
@@ -72,7 +72,7 @@ def docs_expectations_report(d: Dialect) -> str:
          as bigint) AS v_bad_lang,
     cast(count(CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 END)
          as bigint) AS v_chars_drift
-  FROM documents
+  FROM {table}
 )"""
     rows = [
         ("doc_id_not_null", "v_null_id"),

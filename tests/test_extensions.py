@@ -129,6 +129,41 @@ def test_profiling_plane_invariants(spark):
         assert r.n_docs == r.n_docs_stored + r.n_docs_delta
 
 
+def test_expectations_report_counts_planted_violations(spark):
+    """Every expectation must fire on a planted-violation table: NULL
+    and duplicate ids, empty and NULL text (with n_chars set — the IS
+    DISTINCT FROM case), a disallowed lang, and drifted n_chars."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 2, None, 5, 6],
+        "text": ["ok text", "", None, "fine", "drift", "good"],
+        "lang": ["en", "de", "fr", "xx", None, "en"],
+        "source": ["s1", "s1", "s2", "s2", "s3", None],
+        "n_chars": [7, 0, 3, 4, 99, 4],
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("planted_docs")
+    got = {r.expectation: (r.n_violations, r.passed)
+           for r in spark.sql(profiling.docs_expectations_report(
+               SPARK, table="planted_docs")).collect()}
+    assert got == {
+        "doc_id_not_null": (1, False),
+        "doc_id_unique": (1, False),          # 5 non-null, 4 distinct
+        "text_nonempty": (2, False),          # "" and NULL
+        "lang_allowed": (2, False),           # 'xx' and NULL
+        # NULL text with n_chars=3 IS drift; "drift" len 5 vs 99 IS
+        # drift; "good" len 4 == 4 ok
+        "n_chars_consistent": (2, False),
+    }
+    prof = {r.column_name: r
+            for r in spark.sql(profiling.docs_column_profile(
+                SPARK, table="planted_docs")).collect()}
+    assert prof["doc_id"].n_rows == 6
+    assert prof["doc_id"].n_nonnull == 5
+    assert prof["doc_id"].n_distinct == 4
+    assert prof["text"].n_nonnull == 5
+
+
 def test_lsh_recall_gate_matches_set_arithmetic(spark):
     """The one-row acceptance report must equal the recall/precision
     computed directly from the two pair sets it audits."""
