@@ -96,12 +96,12 @@ def _prepare_ext(spark: SparkSession, sf_dir: str) -> None:
 def _ext_builders() -> dict:
     from aws_trusted_advisor_explorer_spark.operators import (
         clusterops, corpusops, dedup, eventops, masking, multimodal,
-        profiling, similarity, textops,
+        profiling, similarity, textops, tpch,
     )
 
     out = {}
     for mod in (textops, dedup, similarity, eventops, multimodal, masking,
-                corpusops, clusterops, profiling):
+                corpusops, clusterops, profiling, tpch):
         out.update(mod.BUILDERS)
     return out
 
@@ -489,6 +489,11 @@ _PARKED_TAIL = (
                            # rule); ranked-within-group family's in-cap
                            # row is text_tfidf_topk (same dense-rank
                            # window shape); semantics pytest
+    "tpch_q1",             # new in r2: general-OLAP demonstration
+    "tpch_q3",             # queries (pricing summary / top-k join /
+    "tpch_q5",             # 6-way join); the reference views already
+                           # hold the in-cap join+agg surface; pandas-
+                           # replay pytest on q1
     "docs_chunking",       # new in r2: fixed-size overlapping
                            # splitter (RAG/pretraining); the 1-to-many
                            # projection family's in-cap row is

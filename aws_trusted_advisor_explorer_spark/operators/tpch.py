@@ -1,0 +1,131 @@
+"""Classic TPC-H analytics over the lineitem/orders/customer/
+supplier/nation/region tables — the general OLAP surface (multi-way
+equi-joins, filtered aggregates, ranked reports) demonstrated on the
+standard queries Q1/Q3/Q5, adapted to the driver fixture schema (no
+o_shippriority column; money columns land as DOUBLE).
+
+Cross-engine exactness: the fixture money columns are arbitrary
+doubles, so a plain SUM's partial-aggregation order would make the
+two engines (and two Spark runs) disagree in the last bits. Per-row
+products are IEEE-deterministic (fixed op order), so every money term
+is computed per row as a double, scaled to integer micros with
+``round`` (half-away-from-zero in both engines), and summed as exact
+bigints; ratios/averages divide the exact sums once at the end — the
+same scaled-integer discipline as the KMeans trainer and the events
+money sums. int64 headroom: ~1e12 micros/row x 6e5 rows at sf0.1 =
+6e17 << 9.2e18; at TPC-H sf100+ swap the micros to decimal(38,6).
+
+Scale posture (100 TB): pure declarative joins + aggregates — Catalyst
+picks broadcast for the dimension sides (region/nation/customer at
+these shapes), AQE handles skew; no windows except Q3's top-k, which
+is an ORDER BY + LIMIT = distributed TakeOrdered.
+"""
+
+from __future__ import annotations
+
+from aws_trusted_advisor_explorer_spark.functions.dual import Dialect
+
+_US = 1_000_000  # money scale: micros
+
+
+def _micros(expr: str) -> str:
+    return f"cast(round(({expr}) * {_US}) as bigint)"
+
+
+Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+def tpch_q1(d: Dialect) -> str:
+    """Q1 pricing summary report: per (returnflag, linestatus) sums,
+    averages, and row counts over shipped-before-cutoff lineitems —
+    one map-side-combining aggregate over a pushed-down scan filter."""
+    return f"""WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+    {_micros('l_quantity')} AS qty_us,
+    {_micros('l_extendedprice')} AS price_us,
+    {_micros('l_extendedprice * (1 - l_discount)')} AS disc_price_us,
+    {_micros('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS charge_us,
+    {_micros('l_discount')} AS disc_us
+  FROM lineitem
+  WHERE l_shipdate <= timestamp '{Q1_CUTOFF}'
+)
+SELECT l_returnflag, l_linestatus,
+  cast(sum(qty_us) as double) / {_US} AS sum_qty,
+  cast(sum(price_us) as double) / {_US} AS sum_base_price,
+  cast(sum(disc_price_us) as double) / {_US} AS sum_disc_price,
+  cast(sum(charge_us) as double) / {_US} AS sum_charge,
+  cast(sum(qty_us) as double) / (count(*) * {_US}) AS avg_qty,
+  cast(sum(price_us) as double) / (count(*) * {_US}) AS avg_price,
+  cast(sum(disc_us) as double) / (count(*) * {_US}) AS avg_disc,
+  cast(count(*) as bigint) AS count_order
+FROM l
+GROUP BY l_returnflag, l_linestatus"""
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1996-06-01 00:00:00"
+Q3_TOP = 10
+
+
+def tpch_q3(d: Dialect) -> str:
+    """Q3 shipping-priority report (adapted: fixture orders carry
+    o_orderpriority, not o_shippriority): top-{Q3_TOP} unshipped
+    orders of one segment by revenue. Join chain customer→orders→
+    lineitem on keys; revenue is the exact scaled-integer sum, so the
+    ranking (revenue DESC, orderkey) is deterministic; top-k is
+    ORDER BY + LIMIT (TakeOrdered, no global sort)."""
+    return f"""WITH r AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+    {_micros('l.l_extendedprice * (1 - l.l_discount)')} AS rev_us
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+    AND o.o_orderdate < timestamp '{Q3_DATE}'
+    AND l.l_shipdate > timestamp '{Q3_DATE}'
+)
+SELECT l_orderkey,
+  cast(sum(rev_us) as double) / {_US} AS revenue,
+  o_orderdate, o_orderpriority
+FROM r
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(rev_us) DESC, l_orderkey
+LIMIT {Q3_TOP}"""
+
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01 00:00:00"
+Q5_TO = "1997-01-01 00:00:00"
+
+
+def tpch_q5(d: Dialect) -> str:
+    """Q5 local-supplier volume: revenue per nation where customer and
+    supplier share the nation, one region, one order-year. Six-way
+    equi-join; region/nation broadcast, the lineitem↔orders join rides
+    the orderkey rail; output is nation-cardinality rows from one
+    map-side-combining aggregate."""
+    return f"""WITH r AS (
+  SELECT n.n_name,
+    {_micros('l.l_extendedprice * (1 - l.l_discount)')} AS rev_us
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    AND s.s_nationkey = c.c_nationkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region rg ON rg.r_regionkey = n.n_regionkey
+  WHERE rg.r_name = '{Q5_REGION}'
+    AND o.o_orderdate >= timestamp '{Q5_FROM}'
+    AND o.o_orderdate < timestamp '{Q5_TO}'
+)
+SELECT n_name, cast(sum(rev_us) as double) / {_US} AS revenue,
+  cast(count(*) as bigint) AS n_lineitems
+FROM r
+GROUP BY n_name"""
+
+
+BUILDERS = {
+    "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+}

@@ -10,13 +10,13 @@ import pytest
 from aws_trusted_advisor_explorer_spark.functions.dual import DUCK, SPARK
 from aws_trusted_advisor_explorer_spark.operators import (
     clusterops, corpusops, dedup, eventops, masking, multimodal, profiling,
-    similarity, textops,
+    similarity, textops, tpch,
 )
 from tests.conftest import assert_matches_oracle
 
 ALL_BUILDERS = {}
 for _mod in (textops, dedup, similarity, eventops, multimodal, masking,
-             corpusops, clusterops, profiling):
+             corpusops, clusterops, profiling, tpch):
     ALL_BUILDERS.update(_mod.BUILDERS)
 
 
@@ -106,6 +106,42 @@ def test_language_balance_plan_invariants(spark):
         assert r.keep_rate_ppm == want
         assert (r.keep_rate_ppm == 10**6) == (
             r.current_share <= 1.0 / len(rows))
+
+
+def test_tpch_q1_matches_pandas_replay(spark):
+    """Q1 sums/averages == an independent pandas replay of the same
+    scaled-integer-micros arithmetic."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import tpch
+    from tests.conftest import SF_DIR
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li = li[li.l_shipdate <= pd.Timestamp(tpch.Q1_CUTOFF)]
+
+    def us(x):
+        return (x * 1_000_000).round().astype("int64")
+
+    li = li.assign(
+        qty_us=us(li.l_quantity), price_us=us(li.l_extendedprice),
+        disc_price_us=us(li.l_extendedprice * (1 - li.l_discount)),
+        charge_us=us(li.l_extendedprice * (1 - li.l_discount)
+                     * (1 + li.l_tax)),
+        disc_us=us(li.l_discount))
+    g = li.groupby(["l_returnflag", "l_linestatus"])
+    expect = {}
+    for key, grp in g:
+        n = len(grp)
+        expect[key] = (
+            grp.qty_us.sum() / 1e6, grp.price_us.sum() / 1e6,
+            grp.disc_price_us.sum() / 1e6, grp.charge_us.sum() / 1e6,
+            grp.qty_us.sum() / (n * 1e6), grp.price_us.sum() / (n * 1e6),
+            grp.disc_us.sum() / (n * 1e6), n)
+    got = {(r.l_returnflag, r.l_linestatus): (
+        r.sum_qty, r.sum_base_price, r.sum_disc_price, r.sum_charge,
+        r.avg_qty, r.avg_price, r.avg_disc, r.count_order)
+        for r in spark.sql(tpch.tpch_q1(SPARK)).collect()}
+    assert got == expect
 
 
 def test_profiling_plane_invariants(spark):
