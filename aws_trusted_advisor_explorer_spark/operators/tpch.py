@@ -124,8 +124,66 @@ FROM r
 GROUP BY n_name"""
 
 
+Q14_FROM = "1996-03-01 00:00:00"
+Q14_TO = "1996-04-01 00:00:00"
+
+
+def tpch_q14(d: Dialect) -> str:
+    """Q14 promotion effect: share of one month's revenue from PROMO
+    parts — a conditional aggregate over the lineitem↔part equi-join
+    (part is the broadcast dim). Numerator and denominator are both
+    exact micro sums; the percentage is one division at the end."""
+    rev = _micros("l.l_extendedprice * (1 - l.l_discount)")
+    return f"""WITH r AS (
+  SELECT CASE WHEN p.p_type = 'PROMO' THEN {rev} ELSE cast(0 as bigint) END
+      AS promo_us,
+    {rev} AS rev_us
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= timestamp '{Q14_FROM}'
+    AND l.l_shipdate < timestamp '{Q14_TO}'
+)
+SELECT
+  cast(sum(promo_us) as bigint) AS promo_revenue_us,
+  cast(sum(rev_us) as bigint) AS total_revenue_us,
+  CASE WHEN sum(rev_us) = 0 THEN cast(NULL as double)
+       ELSE cast(100 as double) * sum(promo_us) / sum(rev_us)
+  END AS promo_revenue_pct
+FROM r"""
+
+
+Q18_QTY_MIN = 250   # large-volume threshold (fixture max order qty 458)
+Q18_TOP = 20
+
+
+def tpch_q18(d: Dialect) -> str:
+    """Q18 large-volume customers: orders whose total quantity clears
+    the threshold, with the customer attached — the aggregate-then-
+    HAVING-then-join shape. The heavy groupBy runs on (l_orderkey)
+    BEFORE joining customers/orders, so only qualifying orders (tiny
+    by construction) reach the join; top-k by quantity is
+    TakeOrdered."""
+    return f"""WITH big AS (
+  SELECT l_orderkey, {_micros('l_quantity')} AS q_us
+  FROM lineitem
+),
+agg AS (
+  SELECT l_orderkey, sum(q_us) AS sum_qty_us
+  FROM big GROUP BY l_orderkey
+  HAVING sum(q_us) > cast({Q18_QTY_MIN} as bigint) * {_US}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+  cast(a.sum_qty_us as double) / {_US} AS total_qty
+FROM agg a
+JOIN orders o ON o.o_orderkey = a.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY a.sum_qty_us DESC, o.o_orderkey
+LIMIT {Q18_TOP}"""
+
+
 BUILDERS = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
+    "tpch_q14": tpch_q14,
+    "tpch_q18": tpch_q18,
 }
