@@ -828,6 +828,43 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id
 FROM cc_reach GROUP BY a"""
 
 
+def docs_near_dedup_apply_oracle(d: Dialect) -> str:
+    """Oracle for the near-dup dedup ACTION: every document with its
+    cluster (NULL for singletons) and the keep verdict — keep-lowest-id
+    per component (cluster_id IS the component min, so keeper ≡
+    doc_id = cluster_id)."""
+    return f"""WITH cl AS (
+{dedup_clusters_oracle(d)}
+)
+SELECT dd.doc_id, cl.cluster_id,
+  (cl.cluster_id IS NULL OR dd.doc_id = cl.cluster_id) AS keep
+FROM documents dd LEFT JOIN cl ON cl.doc_id = dd.doc_id"""
+
+
+def docs_near_dedup_apply_df(spark, base: str | None = None):
+    """The near-dup dedup ACTION (the step that produces the actual
+    drop list): MinHash pair graph → connected components
+    (dedup_clusters_df's iterative min-label propagation) → keep the
+    lowest doc_id per component, emit EVERY document with its cluster
+    and verdict so the drop set is auditable — completing the
+    detect→cluster→apply chain the way docs_span_scrub completes
+    span-dedup and docs_curation_pipeline completes exact dedup.
+
+    Scale posture (100 TB): the cluster relation is near-dup-sized
+    (tiny vs the corpus) → broadcast left join onto documents' id
+    projection; the keeper rule is a pure expression because the
+    component label IS the component min id. Oracle = recursive-CTE
+    closure + the same rule."""
+    from pyspark.sql import functions as F
+
+    clusters = dedup_clusters_df(spark, base=base)
+    docs = spark.sql("SELECT doc_id FROM documents")
+    return (docs.join(F.broadcast(clusters), "doc_id", "left")
+            .selectExpr(
+                "doc_id", "cluster_id",
+                "(cluster_id IS NULL OR doc_id = cluster_id) AS keep"))
+
+
 def docs_dedup_rate_by_source(d: Dialect, base: str | None = None) -> str:
     """Per-source near-dup rate report: for each ``source``, the doc
     count, how many docs appear in at least one MinHash near-dup pair,

@@ -233,6 +233,27 @@ def test_cross_split_contamination_accounts_for_every_pair(spark):
         assert r.is_leak == (r.split_lo != r.split_hi)
 
 
+def test_near_dedup_apply_verdicts(spark, ddb):
+    """The drop list must hash-match the recursive-CTE oracle AND obey
+    the semantics: every doc present exactly once, exactly one keeper
+    per cluster (the min id), singletons all kept."""
+    df = dedup.docs_near_dedup_apply_df(spark)
+    assert_matches_oracle(df, ddb, dedup.docs_near_dedup_apply_oracle(DUCK))
+    rows = df.collect()
+    n_docs = spark.sql("SELECT count(*) n FROM documents").collect()[0].n
+    assert len(rows) == n_docs
+    clusters: dict[int, list] = {}
+    for r in rows:
+        if r.cluster_id is None:
+            assert r.keep
+        else:
+            clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, members in clusters.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        assert keepers[0].doc_id == cid == min(r.doc_id for r in members)
+
+
 def test_hybrid_rrf_matches_arm_replay(spark):
     """Fused RRF output == a python replay fusing the two arm
     relations (text shingle ranks rebuilt from the DF-capped shared-
