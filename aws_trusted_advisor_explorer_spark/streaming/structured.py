@@ -709,3 +709,54 @@ def top_paths_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateStructType=PATHS_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def _emb_stream_schema() -> StructType:
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+    return StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+
+
+def range_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join retrieval (the online-query serving shape no
+    other twin demonstrates): a stream of query vectors equi-joins the
+    STATIC sign-LSH-bucketed corpus on the bucket id, exact cosine
+    within the bucket, radius filter — the streaming twin of
+    similarity.knn_range_search. The static side is planned once (the
+    bucketed corpus is the serving index; at scale it is the
+    cluster-partitioned table IVF writes), each micro-batch of queries
+    probes only its buckets, and there is no streaming state at all —
+    the join is stateless because the static side never changes
+    mid-query. Tested row-equal to the batch radius search."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+    from aws_trusted_advisor_explorer_spark.operators.similarity import (
+        QUERY_MOD, RANGE_COS_MIN, _bucket_expr, _norm,
+    )
+
+    bucket = _bucket_expr(SD, "embedding")
+    nrm = _norm(SD)
+    static = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+              .where(F.expr(f"vec_id % {QUERY_MOD} <> 0"))
+              .selectExpr("vec_id AS neighbor_id",
+                          "embedding AS c_emb",
+                          f"{nrm} AS c_nrm",
+                          f"{bucket} AS bucket"))
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(path):
+        path = _stage_single_file(path)
+    queries = (spark.readStream.schema(_emb_stream_schema())
+               .option("maxFilesPerTrigger", 1).parquet(path)
+               .where(F.expr(f"vec_id % {QUERY_MOD} = 0"))
+               .selectExpr("vec_id AS query_id",
+                           "embedding AS q_emb",
+                           f"{nrm} AS q_nrm",
+                           f"{bucket} AS bucket"))
+    cos = SD.dot("q_emb", "c_emb")
+    return (queries.join(static, "bucket")
+            .withColumn("cosine", F.expr(f"({cos}) / (q_nrm * c_nrm)"))
+            .where(F.col("cosine") >= RANGE_COS_MIN)
+            .select("query_id", "neighbor_id", "cosine"))

@@ -246,3 +246,19 @@ def test_top_paths_stream_gram_counts_equal_batch(spark):
         for i in range(len(types) - eventops.PATH_N + 1):
             expect[" ".join(types[i:i + eventops.PATH_N])] += 1
     assert got == expect
+
+
+def test_range_search_stream_equals_batch(spark):
+    """Stream-static retrieval: the streamed query vectors joined
+    against the static bucketed corpus must reproduce the batch
+    knn_range_search rows exactly (same buckets, same cosine folds)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import similarity
+
+    structured.run_stream_to_memory(
+        structured.range_search_stream(spark, SF_DIR), "range_stream",
+        output_mode="append")
+    got = {tuple(r) for r in spark.table("range_stream").collect()}
+    want = {tuple(r)
+            for r in spark.sql(similarity.knn_range_search(SPARK)).collect()}
+    assert got == want
