@@ -760,3 +760,49 @@ def range_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cosine", F.expr(f"({cos}) / (q_nrm * c_nrm)"))
             .where(F.col("cosine") >= RANGE_COS_MIN)
             .select("query_id", "neighbor_id", "cosine"))
+
+
+def anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online anomaly detection (train the control chart offline,
+    detect online): the per-type hourly count statistics (H hours,
+    S = Σn, Q = Σn²) are computed ONCE batch-side from the registered
+    ``events`` history and broadcast-joined onto the live stream
+    BEFORE the windowed aggregation (stream-static joins must precede
+    a complete-mode aggregate); each finished hour window's count then
+    scores the same exact integer rational z² = (nH−S)²·1e4/(HQ−S²)
+    as the batch events_hourly_anomaly — bit-identical flags, no
+    double accumulation. The stats columns ride the groupBy keys
+    (constant per type) so z² is a pure post-aggregate projection.
+
+    Precondition: the batch ``events`` view is registered
+    (session.load_tables) — the frozen-stats training side, exactly
+    like nb_score_stream's weight training."""
+    from aws_trusted_advisor_explorer_spark.operators.eventops import (
+        ANOM_MIN_HOURS, ANOM_Z2_MIN, ANOM_Z2_SCALE,
+    )
+
+    stats = spark.sql("""WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    cast(count(*) as bigint) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, cast(count(*) as bigint) AS h,
+  cast(sum(n) as bigint) AS s, cast(sum(n * n) as bigint) AS q
+FROM hourly GROUP BY event_type""").localCheckpoint(eager=True)
+
+    ev = events_stream(spark, sf_dir)
+    ev = ev.withColumn("ts_ltz", F.col("ts").cast(TimestampType()))
+    joined = ev.join(F.broadcast(stats), "event_type")
+    agg = (joined.withWatermark("ts_ltz", "2 hours")
+           .groupBy(F.window("ts_ltz", "1 hour"), "event_type",
+                    "h", "s", "q")
+           .agg(F.count(F.lit(1)).alias("n")))
+    num = "(n * h - s) * (n * h - s)"
+    den = "(h * q - s * s)"
+    return (agg.selectExpr(
+        "cast(window.start as timestamp_ntz) AS hour",
+        "event_type", "n AS n_events", "h", "s", "q",
+        f"(({num}) * {ANOM_Z2_SCALE}) div ({den}) AS z2_scaled_1e4")
+        .where(f"h >= {ANOM_MIN_HOURS} AND {den} > 0 "
+               f"AND z2_scaled_1e4 >= {ANOM_Z2_MIN}")
+        .select("event_type", "hour", "n_events", "z2_scaled_1e4"))

@@ -262,3 +262,18 @@ def test_range_search_stream_equals_batch(spark):
     want = {tuple(r)
             for r in spark.sql(similarity.knn_range_search(SPARK)).collect()}
     assert got == want
+
+
+def test_anomaly_stream_equals_batch(spark):
+    """Online control-chart detection (frozen batch-trained stats) must
+    flag exactly the batch events_hourly_anomaly rows with identical
+    integer z² values."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+
+    structured.run_stream_to_memory(
+        structured.anomaly_stream(spark, SF_DIR), "anomaly_stream")
+    got = {tuple(r) for r in spark.table("anomaly_stream").collect()}
+    want = {tuple(r)
+            for r in spark.sql(eventops.events_hourly_anomaly(SPARK)).collect()}
+    assert got == want
