@@ -777,18 +777,14 @@ def anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Precondition: the batch ``events`` view is registered
     (session.load_tables) — the frozen-stats training side, exactly
     like nb_score_stream's weight training."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
     from aws_trusted_advisor_explorer_spark.operators.eventops import (
-        ANOM_MIN_HOURS, ANOM_Z2_MIN, ANOM_Z2_SCALE,
+        ANOM_MIN_HOURS, ANOM_Z2_MIN, ANOM_Z2_SCALE, anomaly_stats_ctes,
     )
 
-    stats = spark.sql("""WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour,
-    cast(count(*) as bigint) AS n
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
-)
-SELECT event_type, cast(count(*) as bigint) AS h,
-  cast(sum(n) as bigint) AS s, cast(sum(n * n) as bigint) AS q
-FROM hourly GROUP BY event_type""").localCheckpoint(eager=True)
+    stats = spark.sql(
+        "WITH " + anomaly_stats_ctes(SD) +
+        "\nSELECT event_type, h, s, q FROM stats").localCheckpoint(eager=True)
 
     ev = events_stream(spark, sf_dir)
     ev = ev.withColumn("ts_ltz", F.col("ts").cast(TimestampType()))

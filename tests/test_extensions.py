@@ -120,7 +120,13 @@ def test_tpch_q1_matches_pandas_replay(spark):
     li = li[li.l_shipdate <= pd.Timestamp(tpch.Q1_CUTOFF)]
 
     def us(x):
-        return (x * 1_000_000).round().astype("int64")
+        # half-away-from-zero, matching SQL round() (pandas .round()
+        # is banker's rounding and would diverge on exact .5 micros)
+        import numpy as np
+
+        scaled = x * 1_000_000
+        return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
+            .astype("int64")
 
     li = li.assign(
         qty_us=us(li.l_quantity), price_us=us(li.l_extendedprice),
