@@ -219,6 +219,14 @@ def _near_dedup_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
 
 
+def _dedup_savings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    _prepare_ext(spark, sf_dir)
+    return dedup.docs_dedup_savings_df(
+        spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
+
+
 def _shingle_backed_query(builder_name: str, module: str = "dedup"):
     """Shingle-based queries read the per-session materialized
     shingle-hash view instead of re-running the explode+hash pipeline
@@ -526,6 +534,8 @@ _PARKED_TAIL = (
     "docs_near_dedup_apply",   # new in r2: the near-dup drop list
                                # (keep-lowest per component of in-cap
                                # dedup_clusters); invariant pytest
+    "docs_dedup_savings",      # new in r2: one-row rollup of the
+                               # drop list (docs/tokens saved)
     "docs_hybrid_search_rrf",  # new in r2: RRF fusion of the shingle
                                # text arm + the in-cap knn_lsh vector
                                # arm (both arms hold their own rows);
@@ -608,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semdedup_prune_report"] = _cluster_df_query("semdedup_prune_report_df")
     q["dedup_graph_pagerank"] = _pagerank_query
     q["docs_near_dedup_apply"] = _near_dedup_apply_query
+    q["docs_dedup_savings"] = _dedup_savings_query
     q["dedup_span_exact"] = _span_backed_query("dedup_span_exact")
     q["docs_span_scrub"] = _span_backed_query("docs_span_scrub")
     for key in ("text_tfidf_topk", "text_commonness_score"):
@@ -653,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
     # iterative label propagation vs recursive-CTE transitive closure
     o["dedup_clusters"] = dedup.dedup_clusters_oracle(DUCK)
     o["docs_near_dedup_apply"] = dedup.docs_near_dedup_apply_oracle(DUCK)
+    o["docs_dedup_savings"] = dedup.docs_dedup_savings_oracle(DUCK)
     # BPE apply: oracle trains in-query (CTE-materializing DuckDB);
     # Spark runs the iterative-train + literal-apply twin
     from aws_trusted_advisor_explorer_spark.operators import textops

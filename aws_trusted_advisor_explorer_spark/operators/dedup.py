@@ -865,6 +865,66 @@ def docs_near_dedup_apply_df(spark, base: str | None = None):
                 "(cluster_id IS NULL OR doc_id = cluster_id) AS keep"))
 
 
+def docs_dedup_savings_oracle(d: Dialect) -> str:
+    """Oracle for the dedup-savings report: one row quantifying what
+    the near-dup drop list saves — doc and exact token totals before/
+    after, and the saving percentages (single divisions of exact
+    bigints)."""
+    n_toks = d.arr_len(d.tokens("text"))
+    return f"""WITH verdicts AS (
+{docs_near_dedup_apply_oracle(d)}
+),
+t AS (
+  SELECT v.doc_id, v.keep, cast({n_toks} as bigint) AS n_toks
+  FROM verdicts v JOIN documents dd ON dd.doc_id = v.doc_id
+)
+SELECT
+  cast(count(*) as bigint) AS n_docs,
+  cast(count(CASE WHEN keep THEN 1 END) as bigint) AS n_docs_kept,
+  cast(sum(n_toks) as bigint) AS n_tokens,
+  cast(sum(CASE WHEN keep THEN n_toks ELSE 0 END) as bigint)
+    AS n_tokens_kept,
+  CASE WHEN count(*) = 0 THEN cast(NULL as double)
+       ELSE cast(count(CASE WHEN NOT keep THEN 1 END) as double)
+            * 100 / count(*) END AS doc_savings_pct,
+  CASE WHEN sum(n_toks) = 0 THEN cast(NULL as double)
+       ELSE cast(sum(CASE WHEN NOT keep THEN n_toks ELSE 0 END) as double)
+            * 100 / sum(n_toks) END AS token_savings_pct
+FROM t"""
+
+
+def docs_dedup_savings_df(spark, base: str | None = None):
+    """The dedup business case in one row: how many documents and
+    exact tokens the near-dup drop list removes — the number a
+    curation run reports before committing the deletion. Composes the
+    apply verdicts (broadcast-sized) with the corpus token counts; one
+    map-side-combining aggregate. Oracle = the same rollup over the
+    recursive-CTE closure."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as d
+
+    verdicts = docs_near_dedup_apply_df(spark, base=base)
+    toks = spark.sql(
+        f"SELECT doc_id, cast({d.arr_len(d.tokens('text'))} as bigint) "
+        f"AS n_toks FROM documents")
+    t = verdicts.join(toks, "doc_id")
+    return t.agg(
+        F.expr("cast(count(*) as bigint)").alias("n_docs"),
+        F.expr("cast(count(CASE WHEN keep THEN 1 END) as bigint)")
+        .alias("n_docs_kept"),
+        F.expr("cast(sum(n_toks) as bigint)").alias("n_tokens"),
+        F.expr("cast(sum(CASE WHEN keep THEN n_toks ELSE 0 END) as bigint)")
+        .alias("n_tokens_kept"),
+        F.expr("CASE WHEN count(*) = 0 THEN cast(NULL as double) "
+               "ELSE cast(count(CASE WHEN NOT keep THEN 1 END) as double) "
+               "* 100 / count(*) END").alias("doc_savings_pct"),
+        F.expr("CASE WHEN sum(n_toks) = 0 THEN cast(NULL as double) "
+               "ELSE cast(sum(CASE WHEN NOT keep THEN n_toks ELSE 0 END) "
+               "as double) * 100 / sum(n_toks) END")
+        .alias("token_savings_pct"))
+
+
 def docs_dedup_rate_by_source(d: Dialect, base: str | None = None) -> str:
     """Per-source near-dup rate report: for each ``source``, the doc
     count, how many docs appear in at least one MinHash near-dup pair,

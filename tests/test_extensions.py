@@ -260,6 +260,29 @@ def test_near_dedup_apply_verdicts(spark, ddb):
         assert keepers[0].doc_id == cid == min(r.doc_id for r in members)
 
 
+def test_dedup_savings_matches_verdict_rollup(spark, ddb):
+    """One-row savings report == the oracle and == a direct python
+    rollup of the verdict relation joined to token counts."""
+    import re as _re
+
+    df = dedup.docs_dedup_savings_df(spark)
+    assert_matches_oracle(df, ddb, dedup.docs_dedup_savings_oracle(DUCK))
+    verdicts = {r.doc_id: r.keep
+                for r in dedup.docs_near_dedup_apply_df(spark).collect()}
+    toks = {r.doc_id: len(_re.findall(r"[a-z0-9]+", r.text.lower()))
+            for r in spark.sql("SELECT doc_id, text FROM documents").collect()}
+    [row] = df.collect()
+    kept_docs = sum(verdicts.values())
+    kept_toks = sum(n for d_, n in toks.items() if verdicts[d_])
+    total_toks = sum(toks.values())
+    assert (row.n_docs, row.n_docs_kept) == (len(verdicts), kept_docs)
+    assert (row.n_tokens, row.n_tokens_kept) == (total_toks, kept_toks)
+    assert row.doc_savings_pct == \
+        (len(verdicts) - kept_docs) * 100 / len(verdicts)
+    assert row.token_savings_pct == \
+        (total_toks - kept_toks) * 100 / total_toks
+
+
 def test_hybrid_rrf_matches_arm_replay(spark):
     """Fused RRF output == a python replay fusing the two arm
     relations (text shingle ranks rebuilt from the DF-capped shared-
