@@ -536,6 +536,14 @@ _PARKED_TAIL = (
                                # dedup_clusters); invariant pytest
     "docs_dedup_savings",      # new in r2: one-row rollup of the
                                # drop list (docs/tokens saved)
+    "docs_cross_lingual_pairs",  # new in r2: lang-pair rollup of the
+                                 # in-cap minhash pairs (translation-
+                                 # candidate mining); same shape as
+                                 # parked docs_cross_split_contamination
+    "docs_quality_cutoff_calibration",  # new in r2: inverse of parked
+                                        # docs_quality_gate (rank-
+                                        # selection quantile family,
+                                        # in-cap events_value_quantiles)
     "docs_hybrid_search_rrf",  # new in r2: RRF fusion of the shingle
                                # text arm + the in-cap knn_lsh vector
                                # arm (both arms hold their own rows);
@@ -604,7 +612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                 "dedup_containment", "dedup_simhash",
                 "dedup_incremental", "docs_dedup_rate_by_source",
-                "dedup_lsh_recall", "docs_cross_split_contamination"):
+                "dedup_lsh_recall", "docs_cross_split_contamination",
+                "docs_cross_lingual_pairs"):
         q[key] = _shingle_backed_query(key)
     for key in ("docs_block_dedup", "docs_boilerplate_topk"):
         q[key] = _block_backed_query(key)

@@ -1114,6 +1114,30 @@ JOIN sp sb ON sb.doc_id = p.doc_b
 GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)"""
 
 
+def docs_cross_lingual_pairs(d: Dialect, base: str | None = None) -> str:
+    """Cross-LINGUAL near-dup mining: MinHash pairs rolled up by the
+    language pair of their endpoints (canonical least/greatest order)
+    with a cross-language flag — same-content different-lang pairs are
+    translation/transliteration candidates (parallel-corpus mining),
+    while a high same-lang count is ordinary duplication. Mirrors
+    docs_cross_split_contamination's shape with the lang dimension.
+
+    Scale posture: pair-graph-sized join onto two zero-shuffle lang
+    projections; ≤ lang² output rows."""
+    pairs = dedup_minhash_lsh(d, base)
+    return f"""WITH pairs AS (
+{pairs}
+)
+SELECT least(la.lang, lb.lang) AS lang_lo,
+  greatest(la.lang, lb.lang) AS lang_hi,
+  cast(count(*) as bigint) AS n_pairs,
+  least(la.lang, lb.lang) <> greatest(la.lang, lb.lang) AS is_cross_lingual
+FROM pairs p
+JOIN documents la ON la.doc_id = p.doc_a
+JOIN documents lb ON lb.doc_id = p.doc_b
+GROUP BY least(la.lang, lb.lang), greatest(la.lang, lb.lang)"""
+
+
 BUILDERS = {
     "dedup_graph_pagerank": dedup_graph_pagerank,
     "dedup_exact_groups": dedup_exact_groups,
@@ -1131,4 +1155,5 @@ BUILDERS = {
     "docs_dedup_rate_by_source": docs_dedup_rate_by_source,
     "dedup_lsh_recall": dedup_lsh_recall,
     "docs_cross_split_contamination": docs_cross_split_contamination,
+    "docs_cross_lingual_pairs": docs_cross_lingual_pairs,
 }

@@ -419,6 +419,47 @@ ORDER BY n DESC, pair
 LIMIT {BPE_TOP_PAIRS}"""
 
 
+CALIB_KEEP_PCT = 80  # calibrate the gate to keep this share of docs
+
+
+def docs_quality_cutoff_calibration(d: Dialect) -> str:
+    """Gate CALIBRATION (the inverse of docs_quality_gate): given a
+    target keep share, find the quality-score cutoff by exact rank
+    selection — rank docs by (score DESC, doc_id), keep the top
+    floor(n*{CALIB_KEEP_PCT}/100), and report the cutoff score (the
+    lowest kept score) with the realized keep rate. A fixed threshold
+    drifts as the corpus mix shifts; calibrating to a budget is how
+    production curation actually sets the knob. At 100 TB swap the
+    exact rank selection for ``approx_percentile`` (the same
+    sketch-vs-exact trade every quantile op here documents).
+
+    One scored projection + one rank window over (score, doc_id) —
+    deterministic total order, no approx drift — then ONE aggregate
+    over the ranked relation (the cutoff is a conditional min, no
+    correlated subquery, no extra join); one-row output. The global
+    rank window is the exact small-scale form (docs-count rows, like
+    the quantile oracles); the documented 100 TB swap removes it."""
+    quality = text_quality(d)
+    n_keep = d.idiv(f"(n * {CALIB_KEEP_PCT})", "100")
+    return f"""WITH q AS (
+{quality}
+),
+r AS (
+  SELECT doc_id, quality_score,
+    row_number() OVER (ORDER BY quality_score DESC, doc_id) AS rn,
+    count(*) OVER () AS n
+  FROM q
+)
+SELECT cast(max(n) as bigint) AS n_docs,
+  cast({CALIB_KEEP_PCT} as bigint) AS target_keep_pct,
+  cast(max({n_keep}) as bigint) AS n_kept,
+  min(CASE WHEN rn <= {n_keep} THEN quality_score END) AS cutoff_score,
+  CASE WHEN max(n) = 0 THEN cast(NULL as double)
+       ELSE cast(max({n_keep}) as double) * 100 / max(n)
+  END AS realized_keep_pct
+FROM r"""
+
+
 BPE_MERGES = 5     # merge rounds unrolled in the SQL form
 BPE_WORD_CAP = 256  # training dictionary = top words by corpus frequency
 
@@ -1110,6 +1151,7 @@ BUILDERS = {
     "text_nb_quality_score": text_nb_quality_score,
     "text_unicode_sanitize": text_unicode_sanitize,
     "text_bpe_pair_counts": text_bpe_pair_counts,
+    "docs_quality_cutoff_calibration": docs_quality_cutoff_calibration,
     "text_bpe_merge_train": text_bpe_merge_train,
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,

@@ -260,6 +260,38 @@ def test_near_dedup_apply_verdicts(spark, ddb):
         assert keepers[0].doc_id == cid == min(r.doc_id for r in members)
 
 
+def test_quality_cutoff_calibration_semantics(spark):
+    """Calibrated cutoff: exactly n*pct//100 docs score >= cutoff
+    under the (score, doc_id) total order, and the cutoff equals the
+    lowest kept score computed directly."""
+    [row] = spark.sql(
+        textops.docs_quality_cutoff_calibration(SPARK)).collect()
+    scores = sorted(
+        ((r.quality_score, r.doc_id)
+         for r in spark.sql(textops.text_quality(SPARK)).collect()),
+        key=lambda t: (-t[0], t[1]))
+    n_keep = len(scores) * textops.CALIB_KEEP_PCT // 100
+    assert (row.n_docs, row.n_kept) == (len(scores), n_keep)
+    assert row.cutoff_score == scores[n_keep - 1][0]
+    assert row.realized_keep_pct == n_keep * 100 / len(scores)
+
+
+def test_cross_lingual_pairs_account_for_every_pair(spark):
+    """Every MinHash pair lands in exactly one canonical lang-pair
+    bucket matching a direct replay."""
+    pairs = spark.sql(dedup.dedup_minhash_lsh(SPARK)).collect()
+    lang = {r.doc_id: r.lang for r in spark.sql(
+        "SELECT doc_id, lang FROM documents").collect()}
+    expect: dict[tuple[str, str], int] = {}
+    for r in pairs:
+        k = tuple(sorted((lang[r.doc_a], lang[r.doc_b])))
+        expect[k] = expect.get(k, 0) + 1
+    rows = spark.sql(dedup.docs_cross_lingual_pairs(SPARK)).collect()
+    assert {(r.lang_lo, r.lang_hi): r.n_pairs for r in rows} == expect
+    for r in rows:
+        assert r.is_cross_lingual == (r.lang_lo != r.lang_hi)
+
+
 def test_dedup_savings_matches_verdict_rollup(spark, ddb):
     """One-row savings report == the oracle and == a direct python
     rollup of the verdict relation joined to token counts."""

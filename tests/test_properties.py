@@ -125,3 +125,60 @@ def test_shingle_hvs_match_duckdb(spark, s, n):
     n_tok = len(re.findall("[a-z0-9]+", s.lower()))
     assert len(sp) == max(0, n_tok - n + 1)
     assert all(0 <= h < P_MOD for h in sp)
+
+
+# random BPE training dictionaries: short alnum words with small
+# alphabet (forces shared pairs and L=R runs), positive frequencies
+_bpe_word_st = st.text(alphabet=st.sampled_from("abc1"), min_size=1,
+                       max_size=8)
+_bpe_dict_st = st.dictionaries(_bpe_word_st, st.integers(1, 50),
+                               min_size=2, max_size=12)
+
+
+@given(_bpe_dict_st)
+@settings(**SETTINGS)
+def test_bpe_merge_train_sql_matches_greedy_replay(words):
+    """The unrolled dual-dialect BPE trainer (DuckDB rendering — fast
+    enough for hypothesis; the Spark rendering is pinned equal by the
+    fixture parity test) must reproduce a pure-Python greedy trainer
+    on arbitrary dictionaries — random runs of identical symbols
+    exercise the positional L=R parity rule far beyond the planted
+    fixture."""
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bpe_dict (token VARCHAR, freq BIGINT, "
+                "syms VARCHAR[])")
+    for tok, freq in words.items():
+        con.execute("INSERT INTO bpe_dict VALUES (?, ?, ?)",
+                    [tok, freq, list(tok)])
+    got = sorted(tuple(r) for r in con.execute(
+        textops.text_bpe_merge_train(DUCK, base="bpe_dict")).fetchall())
+
+    items = [(list(tok), f) for tok, f in words.items()]
+    expect = []
+    for r in range(1, textops.BPE_MERGES + 1):
+        pc_: dict = {}
+        for syms, f in items:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc_[k] = pc_.get(k, 0) + f
+        if not pc_:
+            break  # all words fully merged; SQL emits no further rows
+        (left, right), cnt = sorted(
+            pc_.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
+        expect.append((r, left, right, left + right, cnt))
+        new = []
+        for syms, f in items:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new.append((out, f))
+        items = new
+    assert got == sorted(expect)
