@@ -220,6 +220,22 @@ CHUNK_TOKS = 64     # tokens per chunk
 CHUNK_STRIDE = 48   # chunk start stride (overlap = CHUNK_TOKS - stride)
 
 
+def chunk_parts(d: Dialect) -> tuple[str, str, str]:
+    """(n_chunks, start-position, token-slice) expressions over a
+    token-array column ``toks`` and a 0-based window index ``k`` —
+    the SINGLE definition of the chunk geometry, shared by the batch
+    builder and the streaming chunker (structured.chunk_stream)."""
+    n = d.arr_len("toks")
+    n_chunks = (f"CASE WHEN {n} <= {CHUNK_TOKS} THEN 1 "
+                f"ELSE {d.idiv(f'({n} - {CHUNK_TOKS} + {CHUNK_STRIDE} - 1)', str(CHUNK_STRIDE))} + 1 END")
+    start = f"(k * {CHUNK_STRIDE} + 1)"
+    if d.name == "spark":
+        piece = f"slice(toks, {start}, {CHUNK_TOKS})"
+    else:
+        piece = f"list_slice(toks, {start}, {start} + {CHUNK_TOKS} - 1)"
+    return n_chunks, start, piece
+
+
 def docs_chunking(d: Dialect) -> str:
     """Fixed-size overlapping CHUNKING (the pretraining/RAG document
     splitter): each document becomes ceil((n - overlap) / stride)
@@ -236,14 +252,7 @@ def docs_chunking(d: Dialect) -> str:
     boundaries are token-index arithmetic, so the plan is identical
     for any document length distribution.
     """
-    n = d.arr_len("toks")
-    n_chunks = (f"CASE WHEN {n} <= {CHUNK_TOKS} THEN 1 "
-                f"ELSE {d.idiv(f'({n} - {CHUNK_TOKS} + {CHUNK_STRIDE} - 1)', str(CHUNK_STRIDE))} + 1 END")
-    start = f"(k * {CHUNK_STRIDE} + 1)"
-    if d.name == "spark":
-        piece = f"slice(toks, {start}, {CHUNK_TOKS})"
-    else:
-        piece = f"list_slice(toks, {start}, {start} + {CHUNK_TOKS} - 1)"
+    n_chunks, start, piece = chunk_parts(d)
     return f"""WITH t AS (
   SELECT doc_id, {d.tokens('text')} AS toks FROM documents
 ),

@@ -124,6 +124,28 @@ FROM r
 GROUP BY n_name"""
 
 
+Q6_FROM = "1996-01-01 00:00:00"
+Q6_TO = "1997-01-01 00:00:00"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY_MAX = 24
+
+
+def tpch_q6(d: Dialect) -> str:
+    """Q6 forecasting revenue change: one-row sum over a multi-predicate
+    range filter — the canonical predicate-pushdown demonstration (every
+    predicate reaches the parquet scan; the aggregate sees only
+    qualifying rows). Exact micro sum as everywhere in this module."""
+    return f"""SELECT
+  cast(sum({_micros('l_extendedprice * l_discount')}) as bigint)
+    AS revenue_us,
+  cast(count(*) as bigint) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= timestamp '{Q6_FROM}'
+  AND l_shipdate < timestamp '{Q6_TO}'
+  AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_MAX}"""
+
+
 Q14_FROM = "1996-03-01 00:00:00"
 Q14_TO = "1996-04-01 00:00:00"
 
@@ -184,6 +206,7 @@ BUILDERS = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
     "tpch_q14": tpch_q14,
     "tpch_q18": tpch_q18,
 }

@@ -802,3 +802,30 @@ def anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(f"h >= {ANOM_MIN_HOURS} AND {den} > 0 "
                f"AND z2_scaled_1e4 >= {ANOM_Z2_MIN}")
         .select("event_type", "hour", "n_events", "z2_scaled_1e4"))
+
+
+def chunk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chunker: the fixed-size overlapping splitter applied
+    at INGEST (chunk documents as they land, before the corpus is a
+    corpus) — a stateless 1-to-many projection (tokenize → explode of
+    per-doc window indexes → slice) sharing the chunk-geometry
+    expressions with the batch docs_chunking
+    (corpusops.chunk_parts), so stream and batch emit identical
+    chunks; tested row-equal."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        chunk_parts,
+    )
+
+    n_chunks, start, piece = chunk_parts(SD)
+    docs = documents_stream(spark, sf_dir)
+    return (docs
+            .withColumn("toks", F.expr(SD.tokens("text")))
+            .withColumn("k", F.explode(F.expr(
+                SD.seq("0", f"({n_chunks}) - 1"))))
+            .withColumn("chunk_toks", F.expr(piece))
+            .selectExpr(
+                "doc_id", "k AS chunk_idx",
+                f"cast({start} as bigint) AS start_pos",
+                f"cast({SD.arr_len('chunk_toks')} as bigint) AS n_chunk_tokens",
+                f"{SD.arr_join('chunk_toks')} AS chunk_text"))

@@ -277,3 +277,18 @@ def test_anomaly_stream_equals_batch(spark):
     want = {tuple(r)
             for r in spark.sql(eventops.events_hourly_anomaly(SPARK)).collect()}
     assert got == want
+
+
+def test_chunk_stream_equals_batch(spark):
+    """Streaming chunker (shared geometry expressions) must emit
+    exactly the batch docs_chunking rows."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+
+    structured.run_stream_to_memory(
+        structured.chunk_stream(spark, SF_DIR), "chunk_stream",
+        output_mode="append")
+    got = {tuple(r) for r in spark.table("chunk_stream").collect()}
+    want = {tuple(r)
+            for r in spark.sql(corpusops.docs_chunking(SPARK)).collect()}
+    assert got == want
