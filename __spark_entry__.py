@@ -537,6 +537,11 @@ _PARKED_TAIL = (
                                # dedup_clusters); invariant pytest
     "docs_dedup_savings",      # new in r2: one-row rollup of the
                                # drop list (docs/tokens saved)
+    "docs_span_coverage",      # new in r2: one-row rollup of parked
+                               # dedup_span_exact (is-scrub-worth-it)
+    "events_user_rate_topk",   # new in r2: bot-hunt rate report; the
+                               # per-user rollup family's in-cap row
+                               # is events_sessionize
     "docs_cross_lingual_pairs",  # new in r2: lang-pair rollup of the
                                  # in-cap minhash pairs (translation-
                                  # candidate mining); same shape as
@@ -630,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_near_dedup_apply"] = _near_dedup_apply_query
     q["docs_dedup_savings"] = _dedup_savings_query
     q["dedup_span_exact"] = _span_backed_query("dedup_span_exact")
+    q["docs_span_coverage"] = _span_backed_query("docs_span_coverage")
     q["docs_span_scrub"] = _span_backed_query("docs_span_scrub")
     for key in ("text_tfidf_topk", "text_commonness_score"):
         q[key] = _token_backed_query(key)

@@ -828,6 +828,42 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id
 FROM cc_reach GROUP BY a"""
 
 
+def docs_span_coverage(d: Dialect, base: str | None = None) -> str:
+    """Span-dedup COVERAGE report: one row quantifying how much of the
+    corpus sits inside cross-document duplicated spans — affected doc
+    count, span count, duplicated-token total, corpus-token total, and
+    the duplicated share (single division of exact bigints). The
+    measurement that decides whether running the span-scrub pass (the
+    expensive token-granularity rung) is worth it on a given corpus.
+
+    Scale posture: composes the span relation (already DF-capped and
+    positional — see dedup_span_exact) with one corpus token count;
+    both sides aggregate to scalars before meeting, so the final join
+    is 1x1."""
+    spans = dedup_span_exact(d, base)
+    n_toks = d.arr_len(d.tokens("text"))
+    return f"""WITH spans AS (
+{spans}
+),
+s AS (
+  SELECT cast(count(DISTINCT doc_id) as bigint) AS n_docs_affected,
+    cast(count(*) as bigint) AS n_spans,
+    cast(coalesce(sum(span_tokens), 0) as bigint) AS dup_tokens
+  FROM spans
+),
+tot AS (
+  SELECT cast(count(*) as bigint) AS n_docs,
+    cast(sum({n_toks}) as bigint) AS n_tokens
+  FROM documents
+)
+SELECT tot.n_docs, s.n_docs_affected, s.n_spans, tot.n_tokens,
+  s.dup_tokens,
+  CASE WHEN tot.n_tokens = 0 THEN cast(NULL as double)
+       ELSE cast(s.dup_tokens as double) * 100 / tot.n_tokens
+  END AS dup_token_pct
+FROM s CROSS JOIN tot"""
+
+
 def docs_near_dedup_apply_oracle(d: Dialect) -> str:
     """Oracle for the near-dup dedup ACTION: every document with its
     cluster (NULL for singletons) and the keep verdict — keep-lowest-id
@@ -1156,4 +1192,5 @@ BUILDERS = {
     "dedup_lsh_recall": dedup_lsh_recall,
     "docs_cross_split_contamination": docs_cross_split_contamination,
     "docs_cross_lingual_pairs": docs_cross_lingual_pairs,
+    "docs_span_coverage": docs_span_coverage,
 }

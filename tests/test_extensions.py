@@ -292,6 +292,44 @@ def test_cross_lingual_pairs_account_for_every_pair(spark):
         assert r.is_cross_lingual == (r.lang_lo != r.lang_hi)
 
 
+def test_span_coverage_matches_span_rollup(spark):
+    """One-row coverage report == a direct rollup of the span relation
+    plus the corpus token total."""
+    import re as _re
+
+    spans = spark.sql(dedup.dedup_span_exact(SPARK)).collect()
+    total = sum(len(_re.findall(r"[a-z0-9]+", r.text.lower()))
+                for r in spark.sql("SELECT text FROM documents").collect())
+    [row] = spark.sql(dedup.docs_span_coverage(SPARK)).collect()
+    dup_toks = sum(r.span_tokens for r in spans)
+    assert row.n_docs_affected == len({r.doc_id for r in spans})
+    assert row.n_spans == len(spans)
+    assert (row.n_tokens, row.dup_tokens) == (total, dup_toks)
+    assert row.dup_token_pct == dup_toks * 100 / total
+
+
+def test_user_rate_topk_matches_replay(spark):
+    """Top-k rate report == a python replay of the exact integer rate
+    ranking."""
+    rows = spark.sql("SELECT user_id, unix_micros(cast(ts as timestamp)) "
+                     "AS us FROM events").collect()
+    byu: dict[int, list] = {}
+    for r in rows:
+        byu.setdefault(r.user_id, []).append(r.us)
+    cands = []
+    for u, ts in byu.items():
+        n, span = len(ts), max(ts) - min(ts)
+        if n >= eventops.RATE_MIN_EVENTS and span > 0:
+            rate = ((n - 1) * 60_000_000 * eventops.RATE_SCALE) // span
+            cands.append((-rate, u, n, span, rate))
+    expect = [(u, n, span, rate, rate / eventops.RATE_SCALE)
+              for _, u, n, span, rate in
+              sorted(cands)[:eventops.RATE_TOP_K]]
+    got = [tuple(r) for r in
+           spark.sql(eventops.events_user_rate_topk(SPARK)).collect()]
+    assert sorted(got) == sorted(expect)
+
+
 def test_dedup_savings_matches_verdict_rollup(spark, ddb):
     """One-row savings report == the oracle and == a direct python
     rollup of the verdict relation joined to token counts."""

@@ -52,6 +52,9 @@ BNLJ_ALLOWED = {
     "pq_recall_report", "events_funnel", "events_key_skew_audit",
     "embeddings_sq_int8", "docs_bm25_topk", "docs_merge_cdc",
     "docs_language_balance_plan", "knn_index_upsert",
+    # docs_span_coverage — two single-row aggregate relations cross-
+    #                       joined for the one-row report
+    "docs_span_coverage",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
