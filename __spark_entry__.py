@@ -508,10 +508,10 @@ _PARKED_TAIL = (
     "tpch_q1",             # new in r2: general-OLAP demonstration
     "tpch_q3",             # queries (pricing summary / top-k join /
     "tpch_q5",             # 6-way join / pushdown aggregate / promo
-    "tpch_q6",             # ratio / HAVING volume report); the
-    "tpch_q14",            # reference views already hold the in-cap
-    "tpch_q18",            # join+agg surface; pandas-replay pytest
-                           # on q1
+    "tpch_q6",             # ratio / returned-item top-k / HAVING
+    "tpch_q10",            # volume report); the reference views
+    "tpch_q14",            # already hold the in-cap join+agg
+    "tpch_q18",            # surface; pandas-replay pytest on q1
     "docs_chunking",       # new in r2: fixed-size overlapping
                            # splitter (RAG/pretraining); the 1-to-many
                            # projection family's in-cap row is

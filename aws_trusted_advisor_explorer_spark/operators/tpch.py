@@ -202,11 +202,43 @@ ORDER BY a.sum_qty_us DESC, o.o_orderkey
 LIMIT {Q18_TOP}"""
 
 
+Q10_FROM = "1996-01-01 00:00:00"
+Q10_TO = "1996-04-01 00:00:00"
+Q10_TOP = 20
+
+
+def tpch_q10(d: Dialect) -> str:
+    """Q10 returned-item reporting: the {Q10_TOP} customers who lost
+    the most revenue to returns in one quarter, with their nation —
+    the aggregate-heavy join+top-k report shape (customer×orders×
+    lineitem filtered to returnflag='R', nation broadcast dim).
+    Revenue is the exact micro sum, so the (revenue DESC, custkey)
+    ranking is deterministic; top-k is TakeOrdered."""
+    return f"""WITH r AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+    {_micros('l.l_extendedprice * (1 - l.l_discount)')} AS rev_us
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= timestamp '{Q10_FROM}'
+    AND o.o_orderdate < timestamp '{Q10_TO}'
+    AND l.l_returnflag = 'R'
+)
+SELECT c_custkey, c_name, n_name, c_acctbal,
+  cast(sum(rev_us) as double) / {_US} AS revenue
+FROM r
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY sum(rev_us) DESC, c_custkey
+LIMIT {Q10_TOP}"""
+
+
 BUILDERS = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q10": tpch_q10,
     "tpch_q14": tpch_q14,
     "tpch_q18": tpch_q18,
 }
