@@ -537,6 +537,11 @@ _PARKED_TAIL = (
                                # dedup_clusters); invariant pytest
     "docs_dedup_savings",      # new in r2: one-row rollup of the
                                # drop list (docs/tokens saved)
+    "tpch_q4",             # new in r2: the EXISTS/semi-join TPC-H
+                           # shape (late-order priority counts)
+    "text_tokenizer_coverage",  # new in r2: lossy-tokenization audit
+                                # over the sanitize plane's planted
+                                # dirty text; audit family
     "docs_span_coverage",      # new in r2: one-row rollup of parked
                                # dedup_span_exact (is-scrub-worth-it)
     "events_user_rate_topk",   # new in r2: bot-hunt rate report; the

@@ -419,6 +419,42 @@ ORDER BY n DESC, pair
 LIMIT {BPE_TOP_PAIRS}"""
 
 
+def text_tokenizer_coverage(d: Dialect) -> str:
+    """Tokenizer LOSS audit: per document, how many characters the
+    alnum tokenizer actually captures vs what it silently throws away
+    (everything that is neither a token character nor plain
+    whitespace) — the lossy-tokenization check run before trusting
+    token counts as corpus size. Runs over the sanitize plane's
+    planted-damage ``raw`` derivation (sanitize_parts) so the audit
+    sees the dirty-ingest text the hygiene pass sees: residual > 0
+    exactly on the damaged rows.
+
+    Pure codegen projection, zero shuffles; counts are exact bigints,
+    coverage is one division."""
+    raw, _, _, _, _ = sanitize_parts(d)
+    toks = d.tokens("raw")
+    tok_chars = d.fold(
+        d.transform(toks, "x", "cast(length(x) as bigint)"),
+        "cast(0 as bigint)", "a", "b", "a + b")
+    n_space = "cast(length(raw) - length(replace(raw, ' ', '')) as bigint)"
+    return f"""WITH r AS (
+  SELECT doc_id, {raw} AS raw FROM documents
+),
+m AS (
+  SELECT doc_id,
+    cast(length(raw) as bigint) AS n_chars,
+    cast({tok_chars} as bigint) AS n_token_chars,
+    {n_space} AS n_whitespace
+  FROM r
+)
+SELECT doc_id, n_chars, n_token_chars, n_whitespace,
+  n_chars - n_token_chars - n_whitespace AS n_residual,
+  CASE WHEN n_chars = 0 THEN cast(NULL as double)
+       ELSE cast(n_token_chars as double) / n_chars
+  END AS token_coverage
+FROM m"""
+
+
 CALIB_KEEP_PCT = 80  # calibrate the gate to keep this share of docs
 
 
@@ -1152,6 +1188,7 @@ BUILDERS = {
     "text_unicode_sanitize": text_unicode_sanitize,
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "docs_quality_cutoff_calibration": docs_quality_cutoff_calibration,
+    "text_tokenizer_coverage": text_tokenizer_coverage,
     "text_bpe_merge_train": text_bpe_merge_train,
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,

@@ -202,6 +202,29 @@ ORDER BY a.sum_qty_us DESC, o.o_orderkey
 LIMIT {Q18_TOP}"""
 
 
+Q4_FROM = "1996-01-01 00:00:00"
+Q4_TO = "1996-04-01 00:00:00"
+
+
+def tpch_q4(d: Dialect) -> str:
+    """Q4 order-priority checking: orders of one quarter with at least
+    one late lineitem (commitdate proxy: shipdate after orderdate + 30
+    days — the fixture carries no commit/receipt dates), counted per
+    priority — the EXISTS/semi-join shape: the probe side reduces to
+    DISTINCT orderkeys before the join, so each order joins once no
+    matter how many late lines it has."""
+    return f"""WITH late AS (
+  SELECT DISTINCT l.l_orderkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+SELECT o.o_orderpriority, cast(count(*) as bigint) AS order_count
+FROM orders o JOIN late ON late.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= timestamp '{Q4_FROM}'
+  AND o.o_orderdate < timestamp '{Q4_TO}'
+GROUP BY o.o_orderpriority"""
+
+
 Q10_FROM = "1996-01-01 00:00:00"
 Q10_TO = "1996-04-01 00:00:00"
 Q10_TOP = 20
@@ -236,6 +259,7 @@ LIMIT {Q10_TOP}"""
 BUILDERS = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
+    "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
     "tpch_q10": tpch_q10,
