@@ -539,6 +539,8 @@ _PARKED_TAIL = (
                                # drop list (docs/tokens saved)
     "tpch_q4",             # new in r2: the EXISTS/semi-join TPC-H
                            # shape (late-order priority counts)
+    "tpch_q17",            # new in r2: the correlated-scalar-agg
+                           # shape, decorrelated (per-part avg join)
     "text_tokenizer_coverage",  # new in r2: lossy-tokenization audit
                                 # over the sanitize plane's planted
                                 # dirty text; audit family

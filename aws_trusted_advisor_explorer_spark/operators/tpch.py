@@ -256,6 +256,39 @@ ORDER BY sum(rev_us) DESC, c_custkey
 LIMIT {Q10_TOP}"""
 
 
+Q17_BRAND = "Brand#1"
+Q17_FRACTION_NUM, Q17_FRACTION_DEN = 1, 5  # "below 20% of the part's avg"
+
+
+def tpch_q17(d: Dialect) -> str:
+    """Q17 small-quantity-order revenue: average yearly revenue lost if
+    tiny orders (quantity below {Q17_FRACTION_NUM}/{Q17_FRACTION_DEN}
+    of that part's average order quantity) were not filled — the
+    CORRELATED-scalar-aggregate shape, written DECORRELATED: the
+    per-part average is one groupBy over the SAME brand-filtered
+    lineitem slice, broadcast back by partkey (exactly what Catalyst's
+    decorrelation would produce, stated explicitly). The threshold
+    compare is exact integer cross-multiplication (qty*den*cnt <
+    num*sum) — no division, no doubles in the predicate."""
+    return f"""WITH pl AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+    {_micros('l_quantity')} AS qty_us
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = '{Q17_BRAND}'
+),
+avgq AS (
+  SELECT l_partkey, cast(sum(qty_us) as bigint) AS sum_qty_us,
+    cast(count(*) as bigint) AS cnt
+  FROM pl GROUP BY l_partkey
+)
+SELECT
+  cast(count(*) as bigint) AS n_small_orders,
+  cast(sum({_micros('pl.l_extendedprice')}) as bigint) AS revenue_us
+FROM pl JOIN avgq a ON a.l_partkey = pl.l_partkey
+WHERE pl.qty_us * {Q17_FRACTION_DEN} * a.cnt
+      < cast({Q17_FRACTION_NUM} as bigint) * a.sum_qty_us"""
+
+
 BUILDERS = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -264,5 +297,6 @@ BUILDERS = {
     "tpch_q6": tpch_q6,
     "tpch_q10": tpch_q10,
     "tpch_q14": tpch_q14,
+    "tpch_q17": tpch_q17,
     "tpch_q18": tpch_q18,
 }
