@@ -490,9 +490,7 @@ SELECT cast(max(n) as bigint) AS n_docs,
   cast({CALIB_KEEP_PCT} as bigint) AS target_keep_pct,
   cast(max({n_keep}) as bigint) AS n_kept,
   min(CASE WHEN rn <= {n_keep} THEN quality_score END) AS cutoff_score,
-  CASE WHEN max(n) = 0 THEN cast(NULL as double)
-       ELSE cast(max({n_keep}) as double) * 100 / max(n)
-  END AS realized_keep_pct
+  cast(max({n_keep}) as double) * 100 / max(n) AS realized_keep_pct
 FROM r"""
 
 

@@ -217,6 +217,8 @@ def tpch_q4(d: Dialect) -> str:
   SELECT DISTINCT l.l_orderkey
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
   WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    AND o.o_orderdate >= timestamp '{Q4_FROM}'
+    AND o.o_orderdate < timestamp '{Q4_TO}'
 )
 SELECT o.o_orderpriority, cast(count(*) as bigint) AS order_count
 FROM orders o JOIN late ON late.l_orderkey = o.o_orderkey
