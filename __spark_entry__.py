@@ -544,6 +544,9 @@ _PARKED_TAIL = (
     "text_tokenizer_coverage",  # new in r2: lossy-tokenization audit
                                 # over the sanitize plane's planted
                                 # dirty text; audit family
+    "docs_split_token_budget",  # new in r2: per-split rollup of
+                                # in-cap docs_split_assign (token
+                                # budget); source-mix family
     "docs_span_coverage",      # new in r2: one-row rollup of parked
                                # dedup_span_exact (is-scrub-worth-it)
     "events_user_rate_topk",   # new in r2: bot-hunt rate report; the

@@ -311,6 +311,34 @@ SELECT g.lang, g.n_docs, g.lang_tokens,
 FROM g CROSS JOIN tot"""
 
 
+def docs_split_token_budget(d: Dialect) -> str:
+    """Per-split token BUDGET report: documents, exact token totals,
+    and token share for each train/val/test split — the first question
+    asked of a prepared corpus ("how many tokens does my train split
+    actually hold?"), answered from the same deterministic hash-mod
+    assignment the split ships with. One lang-free groupBy over the
+    zero-shuffle split projection; shares are single divisions of
+    exact bigints."""
+    n_toks = d.arr_len(d.tokens("text"))
+    split = docs_split_assign(d)
+    return f"""WITH sp AS (
+{split}
+),
+t AS (
+  SELECT sp.split, cast({n_toks} as bigint) AS n_toks
+  FROM sp JOIN documents dd ON dd.doc_id = sp.doc_id
+),
+g AS (
+  SELECT split, cast(count(*) as bigint) AS n_docs,
+    cast(sum(n_toks) as bigint) AS n_tokens
+  FROM t GROUP BY split
+)
+SELECT split, n_docs, n_tokens,
+  cast(n_tokens as double) /
+    (SELECT cast(sum(n_tokens) as bigint) FROM g) AS token_share
+FROM g"""
+
+
 LEN_BANDS = (16, 64, 256, 1024)  # token-count histogram edges
 
 
@@ -827,6 +855,7 @@ FROM m WHERE action <> 'delete'"""
 
 BUILDERS = {
     "docs_chunking": docs_chunking,
+    "docs_split_token_budget": docs_split_token_budget,
     "docs_language_balance_plan": docs_language_balance_plan,
     "docs_curation_pipeline": docs_curation_pipeline,
     "docs_domain_cap": docs_domain_cap,
