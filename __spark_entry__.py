@@ -189,10 +189,14 @@ def _pack_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked embedding dedup over the once-per-session
+    materialized KMeans index (round-3 verdict item 3: the learned
+    cell is the default block key; the label-blocked form is the
+    pytest oracle only)."""
     from aws_trusted_advisor_explorer_spark.operators import dedup
 
     _prepare_ext(spark, sf_dir)
-    return dedup.dedup_embedding_cosine_df(spark)
+    return dedup.dedup_embedding_cosine_df(spark, key=sf_dir)
 
 
 def _pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,9 +695,12 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_clusters"] = dedup.dedup_clusters_oracle(DUCK)
     o["docs_near_dedup_apply"] = dedup.docs_near_dedup_apply_oracle(DUCK)
     o["docs_dedup_savings"] = dedup.docs_dedup_savings_oracle(DUCK)
-    # BPE apply: oracle trains in-query (CTE-materializing DuckDB);
-    # Spark runs the iterative-train + literal-apply twin
+    # BPE: oracles train in-query (CTE-materializing DuckDB; the
+    # unrolled chain is MATERIALIZED-hinted — Spark's CTE inlining
+    # would re-evaluate it exponentially, so the Spark forms are the
+    # iterative/batched twins above)
     from aws_trusted_advisor_explorer_spark.operators import textops
+    o["text_bpe_merge_train"] = textops.text_bpe_merge_train(DUCK)
     o["text_bpe_tokenize_count"] = textops.text_bpe_tokenize_count(DUCK)
     o["text_bpe_fertility_by_lang"] = textops.text_bpe_fertility_by_lang(DUCK)
     return o

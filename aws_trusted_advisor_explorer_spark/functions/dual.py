@@ -51,6 +51,20 @@ class Dialect:
         """Generator in the SELECT list: one output row per element."""
         return f"explode({a})" if self.name == "spark" else f"unnest({a})"
 
+    def arr_contains(self, a: str, e: str) -> str:
+        return (f"array_contains({a}, {e})" if self.name == "spark"
+                else f"list_contains({a}, {e})")
+
+    def arr_lit(self, items: list[str]) -> str:
+        """Array literal from pre-rendered SQL literal strings (typed
+        empty string-array when the list is empty)."""
+        if not items:
+            return ("cast(array() as array<string>)" if self.name == "spark"
+                    else "cast([] as varchar[])")
+        if self.name == "spark":
+            return "array(" + ", ".join(items) + ")"
+        return "[" + ", ".join(items) + "]"
+
     def transform(self, a: str, var: str, body: str) -> str:
         if self.name == "spark":
             return f"transform({a}, {var} -> {body})"
@@ -245,6 +259,15 @@ class Dialect:
     # --- binary primitives ------------------------------------------------
     def to_blob(self, s: str) -> str:
         return f"cast({s} as binary)" if self.name == "spark" else f"encode({s})"
+
+    def cte_as(self) -> str:
+        """CTE introducer: DuckDB gets an explicit MATERIALIZED hint
+        (its optimizer may inline a CTE per reference, which turns an
+        unrolled k-round chain with 2 refs/round into 2^k plan copies
+        — measured 20s on a 3-row input at 8 rounds); Spark has no
+        MATERIALIZED syntax (and inlines regardless — iterative chains
+        run as DataFrame loops there)."""
+        return "AS MATERIALIZED" if self.name == "duck" else "AS"
 
     def str_cast(self, c: str) -> str:
         return f"cast({c} as string)" if self.name == "spark" else f"CAST({c} AS varchar)"

@@ -691,11 +691,43 @@ cand AS (
 SELECT ia AS doc_a, ib AS doc_b, hamming FROM cand"""
 
 
-def dedup_embedding_cosine(d: Dialect) -> str:
-    """Embedding-cosine near-dup pairs, blocked by the cluster label
-    (at 100 TB the block key is a coarse KMeans/LSH bucket, same plan
-    shape). Cosine is the fixed-order fold — cross-engine exact; norms
-    are precomputed per vector, not per pair."""
+def dedup_embedding_cosine(d: Dialect, asg: str | None = None) -> str:
+    """Embedding-cosine near-dup pairs, blocked by the LEARNED KMeans
+    cell (clusterops.kmeans_assign) — the block key that exists at
+    100 TB, where no metadata label does and the blocks must track the
+    actual embedding geometry (SemDeDup's published fix for the N²
+    blow-up). Candidate count is Σ|c|² over cells, never N²; ``asg``
+    names a materialized assignment view (the train-once path), None
+    inlines the training chain (the self-contained oracle form).
+    Cosine is the fixed-order fold — cross-engine exact; norms are
+    precomputed per vector, not per pair.
+
+    The metadata-label-blocked form this operator shipped with in
+    rounds 1-2 survives as :func:`dedup_embedding_cosine_label_blocked`
+    — the small-scale pytest oracle that measures what the learned
+    blocks recall (tests/test_extensions.py)."""
+    from aws_trusted_advisor_explorer_spark.operators.clusterops import (
+        _member_cte,
+    )
+
+    cos = d.dot("a.embedding", "b.embedding")
+    return f"""WITH {_member_cte(d, asg)},
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    {cos} / (a.nrm * b.nrm) AS cosine
+  FROM mv a JOIN mv b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {COSINE_DUP_THRESHOLD}"""
+
+
+def dedup_embedding_cosine_label_blocked(d: Dialect) -> str:
+    """The label-blocked variant (block key = the fixture's metadata
+    label column): valid only when a trustworthy partition label
+    exists, so it is NOT the default operator — it is the small-scale
+    ORACLE the cluster-blocked default is measured against (the labels
+    generated the planted near-dups, so this blocking has recall 1 on
+    the fixture by construction)."""
     cos = d.dot("a.embedding", "b.embedding")
     nrm = d.dot("embedding", "embedding")
     return f"""WITH v AS (
@@ -709,29 +741,26 @@ p AS (
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {COSINE_DUP_THRESHOLD}"""
 
 
-def dedup_embedding_cosine_df(spark):
-    """Arrow-vectorized twin of :func:`dedup_embedding_cosine` for the
-    Spark side: the label-blocked pair join stays a Catalyst equi-join,
-    but the per-pair cosine moves from the interpreted higher-order
-    fold (``aggregate(zip_with(...))`` — no whole-stage codegen, ~µs
-    per pair) to ONE batched Pandas UDF.
-
-    Bit-exactness with the SQL/DuckDB fold comes from the shared
-    kernel (functions/vectorized.py), which replays the same IEEE
-    operation order vectorized across pairs instead of across dims."""
+def dedup_embedding_cosine_df(spark, key: object = None):
+    """Spark twin of :func:`dedup_embedding_cosine`, routed through
+    the materialized cluster index (clusterops.ensure_cluster_views):
+    the within-cell pair relation is the SAME Arrow-kernel join
+    SemDeDup materializes once per session (ensure_semdedup_pairs),
+    re-filtered at COSINE_DUP_THRESHOLD — train once, consume from
+    every embedding-dedup operator. The pandas cosine kernel replays
+    the SQL fold's IEEE op order, so doubles (and the oracle hash)
+    are bit-identical (functions/vectorized.py)."""
     from pyspark.sql import functions as F
 
-    from aws_trusted_advisor_explorer_spark.functions import vectorized as V
+    from aws_trusted_advisor_explorer_spark.operators import clusterops as C
 
-    v = spark.table("embeddings").select("vec_id", "label", "embedding")
-    a, b = v.alias("a"), v.alias("b")
-    return (a.join(b, (F.col("a.label") == F.col("b.label"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"),
-                    V.pair_cosine(F.col("a.embedding"),
-                                  F.col("b.embedding")).alias("cosine"))
-            .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD))
+    # the shared pair plane is cut at the SemDeDup threshold; reusing
+    # it is only a filter when our threshold is at least as high
+    assert COSINE_DUP_THRESHOLD >= C.COSINE_SEM_THRESHOLD
+    C.ensure_cluster_views(spark, key=key)
+    pairs = C.ensure_semdedup_pairs(spark, key=key)
+    return (pairs.filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+            .select("vec_a", "vec_b", "cosine"))
 
 
 def dedup_clusters_df(spark, base: str | None = None):

@@ -494,34 +494,73 @@ SELECT cast(max(n) as bigint) AS n_docs,
 FROM r"""
 
 
-BPE_MERGES = 5     # merge rounds unrolled in the SQL form
+BPE_ROUNDS = 8       # selection rounds (= driver round-trips, DF twin)
+BPE_ROUND_K = 8      # max merges selected per round (disjoint symbols)
+BPE_CAND_POOL = 24   # ranked candidate pool examined per round
+BPE_MERGES = BPE_ROUNDS * BPE_ROUND_K   # total merge budget (64)
 BPE_WORD_CAP = 256  # training dictionary = top words by corpus frequency
+BPE_LITERAL_MAX = 256  # merges inlined as plan literals up to this count;
+                       # larger models take the broadcast-variable path
 
 
-def _bpe_merge_exprs(d: Dialect, left: str, right: str) -> tuple[str, str]:
-    """(kept-array, rebuilt-symbols) expression pair for ONE greedy BPE
-    merge of pair (``left``, ``right``) applied to a symbol array column
-    ``syms`` — shared by the unrolled SQL form (L/R = column refs from
-    the top-pair relation) and the Spark iterative twin (L/R = string
-    literals).
+def _bpe_sel_fold(d: Dialect, cands: str) -> str:
+    """Greedy disjoint-symbol batch selection (the standard batched-BPE
+    round): fold the RANKED candidate array (``'L R cnt'`` strings,
+    (count DESC, pair ASC) order) left-to-right, selecting a candidate
+    iff neither of its symbols appears in an already-selected pair,
+    stopping after {BPE_ROUND_K} selections. Disjointness is what makes
+    applying the whole round simultaneously equal to applying its
+    merges sequentially in rank order (no selected pair can create,
+    destroy, or overlap an occurrence of another).
+
+    The accumulator is a single string (DuckDB's list_reduce requires
+    accumulator type == element type): each selection appends
+    ``;L R cnt~[L][R]`` — the raw entry plus bracketed symbol markers
+    for the disjointness probe (symbols are alnum, so brackets cannot
+    collide). Returns the selected entries as array<string>, selection
+    order."""
+    L = d.elem(d.split("c", " "), "1")
+    R = d.elem(d.split("c", " "), "2")
+    n_sel = "(length(a) - length(replace(a, ';', '')))"
+    conflict = (f"contains(a, '[' || {L} || ']') "
+                f"OR contains(a, '[' || {R} || ']')")
+    entry = f"a || ';' || c || '~[' || {L} || '][' || {R} || ']'"
+    body = (f"CASE WHEN c = '' OR {n_sel} >= {BPE_ROUND_K} THEN a "
+            f"WHEN {conflict} THEN a ELSE {entry} END")
+    folded = d.fold(cands, "''", "a", "c", body)
+    entries = d.filter_(d.split(folded, ";"), "e", "e <> ''")
+    return d.transform(entries, "e", d.elem(d.split("e", "~"), "1"))
+
+
+def _bpe_merge_set_exprs(d: Dialect, pairs: str) -> tuple[str, str]:
+    """(kept-array, rebuilt-symbols) expression pair applying a
+    DISJOINT-symbol merge SET simultaneously to a symbol array column
+    ``syms``; ``pairs`` is an expression for ``array<string>`` of
+    ``'L R'`` pair keys (a literal array, a column ref, or a lambda
+    var). With pairwise-disjoint symbols, overlapping eligible
+    positions can only come from the SAME self-pair (L = R) inside an
+    equal-symbol run — two adjacent positions eligible for different
+    pairs would force a shared symbol — so the single-pair greedy
+    machinery generalizes unchanged.
 
     Greedy leftmost-non-overlapping semantics, positionally: position i
-    merges iff (syms[i], syms[i+1]) = (L, R) and — only possible when
-    L = R, where eligible positions are consecutive inside an
-    equal-symbol run — the run offset is even (exactly the positions a
-    left-to-right scan consumes). Every array index is wrapped in CASE
-    (ANSI mode: out-of-range element_at throws in Spark).
+    merges iff ``syms[i] || ' ' || syms[i+1]`` is in the set and — only
+    possible when syms[i] = syms[i+1], where eligible positions are
+    consecutive inside an equal-symbol run — the run offset is even
+    (exactly the positions a left-to-right scan consumes). Every array
+    index is wrapped in CASE (ANSI mode: out-of-range element_at
+    throws in Spark).
     """
     n = d.arr_len("syms")
-    # trailing run length of `left` strictly before position i
+    si, si1 = d.elem("syms", "i"), d.elem("syms", "i + 1")
+    # trailing run length of syms[i] strictly before position i
     runlen = d.fold(d.seq("1", "i - 1"), "cast(0 as bigint)", "ac", "j",
-                    f"CASE WHEN {d.elem('syms', 'j')} = {left} "
+                    f"CASE WHEN {d.elem('syms', 'j')} = {si} "
                     f"THEN ac + 1 ELSE cast(0 as bigint) END")
     parity = (f"(CASE WHEN i = 1 THEN cast(0 as bigint) "
               f"ELSE {runlen} END) % 2 = 0")
-    elig = (f"{d.elem('syms', 'i')} = {left} "
-            f"AND {d.elem('syms', 'i + 1')} = {right}")
-    kept_body = (f"CASE WHEN {elig} THEN ({left} <> {right} OR {parity}) "
+    elig = d.arr_contains(pairs, f"{si} || ' ' || {si1}")
+    kept_body = (f"CASE WHEN {elig} THEN ({si} <> {si1} OR {parity}) "
                  f"ELSE false END")
     kept_arr = d.transform(d.seq("1", f"{n} - 1"), "i", kept_body)
     empty_bool = ("cast(array() as array<boolean>)" if d.name == "spark"
@@ -535,10 +574,18 @@ def _bpe_merge_exprs(d: Dialect, left: str, right: str) -> tuple[str, str]:
     merged_here = (f"CASE WHEN i < {n} THEN {d.elem('kept', 'i')} "
                    f"ELSE false END")
     emit = (f"CASE WHEN {merged_here} "
-            f"THEN {d.elem('syms', 'i')} || {d.elem('syms', 'i + 1')} "
-            f"ELSE {d.elem('syms', 'i')} END")
+            f"THEN {si} || {si1} "
+            f"ELSE {si} END")
     rebuilt = d.transform(keep_pos, "i", emit)
     return kept, rebuilt
+
+
+def _round_set_exprs(d: Dialect,
+                     rounds: list[list[tuple[str, str]]]) -> list[str]:
+    """Per-round ``array<string>`` literals of 'L R' pair keys for the
+    literal-inlined apply path; empty rounds are dropped (no-op)."""
+    return [d.arr_lit([f"'{left} {right}'" for left, right in rnd])
+            for rnd in rounds if rnd]
 
 
 def _bind(d: Dialect, expr: str, var: str, body: str) -> str:
@@ -550,27 +597,31 @@ def _bind(d: Dialect, expr: str, var: str, body: str) -> str:
 
 
 def _bpe_apply_expr(d: Dialect, syms_expr: str,
-                    merges: list[tuple[str, str]]) -> str:
-    """Symbol-array expression applying the merge list SEQUENTIALLY
-    (rank order — BPE apply must replay training order) to
-    ``syms_expr``, with each round's input and kept-array let-bound so
-    they evaluate once. Same greedy semantics as training
-    (:func:`_bpe_merge_exprs`)."""
+                    round_sets: list[str]) -> str:
+    """Symbol-array expression replaying the trained merge ROUNDS in
+    order (BPE apply must replay training order; within a round the
+    disjoint-symbol set applies simultaneously — equal to sequential
+    rank order, see :func:`_bpe_sel_fold`) on ``syms_expr``, with each
+    round's input, pair set, and kept-array let-bound so they evaluate
+    once. One chained bind per ROUND, not per merge — {BPE_MERGES}
+    merges cost {BPE_ROUNDS} expression layers."""
     cur = syms_expr
-    for left, right in merges:
-        kept, rebuilt = _bpe_merge_exprs(d, left, right)
-        cur = _bind(d, cur, "syms", _bind(d, kept, "kept", rebuilt))
+    for pairs in round_sets:
+        kept, rebuilt = _bpe_merge_set_exprs(d, "mp")
+        inner = _bind(d, kept, "kept", rebuilt)
+        inner = _bind(d, pairs, "mp", inner)
+        cur = _bind(d, cur, "syms", inner)
     return cur
 
 
-def _bpe_count_parts(d: Dialect,
-                     merges: list[tuple[str, str]]) -> tuple[str, str]:
+def _bpe_count_parts(d: Dialect, round_sets: list[str]) -> tuple[str, str]:
     """(n_token_chars, n_bpe_tokens) expressions over a token-array
-    column ``toks`` for a merge list (expression refs or literals) —
-    shared by the batch apply query and the streaming twin. Tokens map
-    to bigint counts BEFORE the fold: the DuckDB fold trick
-    ([init] || list) needs accumulator type == element type."""
-    apply_ = _bpe_apply_expr(d, d.chars("tok"), merges)
+    column ``toks`` for per-round pair-set expressions (literal arrays
+    or column refs) — shared by the batch apply query and the
+    streaming twin. Tokens map to bigint counts BEFORE the fold: the
+    DuckDB fold trick ([init] || list) needs accumulator type ==
+    element type."""
+    apply_ = _bpe_apply_expr(d, d.chars("tok"), round_sets)
     bpe_counts = d.transform("toks", "tok",
                              f"cast({d.arr_len(apply_)} as bigint)")
     n_bpe = d.fold(bpe_counts, "cast(0 as bigint)", "a", "x", "a + x")
@@ -585,117 +636,170 @@ def _bpe_dict_cte(d: Dialect, base: str | None,
     freq, deterministic (freq DESC, token) tiebreak), one symbol per
     char. With ``base`` (Spark side) the corpus-scale count is read
     from the session-materialized view instead of recomputed."""
+    ca = d.cte_as()
     if base is not None:
-        return f"w0 AS (SELECT token, freq, syms FROM {base})"
-    return f"""tok AS (SELECT {d.explode(d.tokens('text'))} AS token FROM {table}),
-wf AS (SELECT token, cast(count(*) as bigint) AS freq FROM tok GROUP BY token),
-wd AS (SELECT token, freq FROM wf ORDER BY freq DESC, token LIMIT {BPE_WORD_CAP}),
-w0 AS (SELECT token, freq, {d.chars('token')} AS syms FROM wd)"""
+        return f"w0 {ca} (SELECT token, freq, syms FROM {base})"
+    return f"""tok {ca} (SELECT {d.explode(d.tokens('text'))} AS token FROM {table}),
+wf {ca} (SELECT token, cast(count(*) as bigint) AS freq FROM tok GROUP BY token),
+wd {ca} (SELECT token, freq FROM wf ORDER BY freq DESC, token LIMIT {BPE_WORD_CAP}),
+w0 {ca} (SELECT token, freq, {d.chars('token')} AS syms FROM wd)"""
 
 
 def text_bpe_merge_train(d: Dialect, base: str | None = None) -> str:
-    """BPE tokenizer TRAINING (Sennrich et al. 2016), {BPE_MERGES}
-    merge rounds unrolled: count weighted adjacent symbol pairs over
-    the word dictionary, take the most frequent pair (count DESC, pair
-    ASC tiebreak — deterministic cross-engine), merge it greedily
-    left-to-right in every word, repeat. Output: the learned merge
-    table (rank, pair, merged symbol, weighted count at selection
-    time) — the artifact a BPE tokenizer ships.
+    """BATCHED BPE tokenizer TRAINING (Sennrich et al. 2016; batched
+    rounds as in production trainers), {BPE_ROUNDS} rounds unrolled:
+    count weighted adjacent symbol pairs over the word dictionary,
+    greedily select up to {BPE_ROUND_K} DISJOINT-symbol pairs from the
+    top-{BPE_CAND_POOL} candidates ((count DESC, pair ASC) order —
+    deterministic cross-engine; see :func:`_bpe_sel_fold`), merge the
+    whole set simultaneously in every word, repeat. Output: the
+    learned merge table (global rank = (round, in-round selection
+    order), pair, merged symbol, weighted count at round start) — the
+    artifact a BPE tokenizer ships, up to {BPE_MERGES} merges from
+    {BPE_ROUNDS} passes.
 
     Classic BPE trains on the word-frequency dictionary, not the raw
     corpus; here the dictionary is capped at the top {BPE_WORD_CAP}
-    words (one corpus-scale count + TakeOrdered), so every merge round
-    runs on a dictionary-sized relation. Precondition: some word still
-    has >= 2 symbols each round (always true for a natural-language
-    dictionary at {BPE_MERGES} rounds).
+    words (one corpus-scale count + TakeOrdered), so every round runs
+    on a dictionary-sized relation. Rounds with no selectable pair
+    (dictionary fully merged) are no-ops and emit no rows.
 
     Scale posture (100 TB): the ONLY corpus-scale work is the initial
     token count (map-side combine, alphabet-bounded reduce); rounds
-    touch {BPE_WORD_CAP} rows. The Spark entry is the iterative twin
-    ``text_bpe_merge_train_df`` (this unrolled form re-evaluates the
-    dictionary chain per CTE reference under Catalyst inlining); the
-    self-contained SQL is the DuckDB oracle and the small-scale parity
-    form.
+    touch {BPE_WORD_CAP} rows, and batching means a real ~30k-merge
+    vocab needs ~30k/{BPE_ROUND_K} rounds, not 30k (raise
+    BPE_ROUND_K/BPE_CAND_POOL together to go wider). The Spark entry
+    is the iterative twin ``text_bpe_merge_train_df`` (one
+    driver round-trip per ROUND, not per merge; this unrolled form
+    re-evaluates the dictionary chain per CTE reference under Catalyst
+    inlining); the self-contained SQL is the DuckDB oracle.
     """
-    cte_body, union = _bpe_train_parts(d, base)
-    return "WITH " + cte_body + "\n" + union
+    cte_body, tail = _bpe_train_parts(d, base)
+    return "WITH " + cte_body + "\n" + tail
+
+
+def _sel_pairs_expr(d: Dialect, sel: str = "sel") -> str:
+    """array<string> of 'L R' pair keys from a selected-entry array
+    ('L R cnt' strings)."""
+    pl = d.elem(d.split("e", " "), "1")
+    pr_ = d.elem(d.split("e", " "), "2")
+    return d.transform(sel, "e", f"{pl} || ' ' || {pr_}")
 
 
 def _bpe_train_parts(d: Dialect, base: str | None) -> tuple[str, str]:
-    """(CTE body, merge-table union tail) of the unrolled trainer —
-    composed verbatim by text_bpe_merge_train and, with extra apply
-    CTEs appended to the body, by text_bpe_tokenize_count (no string
-    surgery on rendered SQL)."""
+    """(CTE body, merge-table tail SELECT) of the unrolled batched
+    trainer — composed verbatim by text_bpe_merge_train and, with
+    extra apply CTEs appended to the body, by text_bpe_tokenize_count
+    (no string surgery on rendered SQL). Round r CTEs: pr{{r}} pair
+    counts -> top{{r}} ranked pool -> sel{{r}} one-row selected-set
+    array -> selx{{r}} exploded merge rows -> w{{r}} rebuilt words."""
     parts = [_bpe_dict_cte(d, base)]
     n = d.arr_len("syms")
     pair_i = f"{d.elem('syms', 'i')} || ' ' || {d.elem('syms', 'i + 1')}"
     pairs_arr = d.transform(d.seq("1", f"{n} - 1"), "i", pair_i)
-    kept, rebuilt = _bpe_merge_exprs(d, "L", "R")
-    for r in range(1, BPE_MERGES + 1):
+    cand_str = d.ordered_concat(
+        f"pr || ' ' || {d.str_cast('cnt')}", "rk", ",")
+    sel_expr = _bpe_sel_fold(d, d.split(f"coalesce({cand_str}, '')", ","))
+    if d.name == "spark":
+        ords = (f"CASE WHEN {d.arr_len('sel')} < 1 "
+                f"THEN cast(array() as array<int>) "
+                f"ELSE sequence(1, {d.arr_len('sel')}) END")
+    else:
+        ords = f"range(1, {d.arr_len('sel')} + 1)"
+    ef = d.split("entry", " ")
+    kept, rebuilt = _bpe_merge_set_exprs(d, "mp")
+    ca = d.cte_as()
+    for r in range(1, BPE_ROUNDS + 1):
         prev = f"w{r - 1}"
-        parts.append(f"""pr{r} AS (
+        parts.append(f"""pr{r} {ca} (
   SELECT pr, cast(sum(freq) as bigint) AS cnt
   FROM (SELECT freq, {d.explode(pairs_arr)} AS pr FROM {prev}
         WHERE {n} >= 2) x{r}
   GROUP BY pr
 ),
-p{r} AS (
-  SELECT {d.elem(d.split('pr', ' '), '1')} AS L,
-         {d.elem(d.split('pr', ' '), '2')} AS R, cnt
-  FROM (SELECT pr, cnt FROM pr{r} ORDER BY cnt DESC, pr LIMIT 1) t{r}
+top{r} {ca} (
+  SELECT pr, cnt FROM (
+    SELECT pr, cnt, row_number() OVER (ORDER BY cnt DESC, pr) AS rk
+    FROM pr{r}) rt{r}
+  WHERE rk <= {BPE_CAND_POOL}
 ),
-k{r} AS (
-  SELECT token, freq, syms, L, R, {kept} AS kept
-  FROM {prev} CROSS JOIN p{r}
+sel{r} {ca} (
+  SELECT {sel_expr} AS sel
+  FROM (SELECT pr, cnt, row_number() OVER (ORDER BY cnt DESC, pr) AS rk
+        FROM top{r}) st{r}
 ),
-w{r} AS (SELECT token, freq, {rebuilt} AS syms FROM k{r})""")
+selx{r} {ca} (
+  SELECT ord,
+    {d.elem(ef, '1')} AS left_sym,
+    {d.elem(ef, '2')} AS right_sym,
+    cast({d.elem(ef, '3')} as bigint) AS pair_count
+  FROM (SELECT {d.elem('sel', 'ord')} AS entry, ord
+        FROM (SELECT sel, {d.explode(ords)} AS ord FROM sel{r}) z{r}) y{r}
+),
+k{r} {ca} (
+  SELECT token, freq, syms, mp, {kept} AS kept
+  FROM (SELECT token, freq, syms, {_sel_pairs_expr(d)} AS mp
+        FROM {prev} CROSS JOIN sel{r}) mk{r}
+),
+w{r} {ca} (SELECT token, freq, {rebuilt} AS syms FROM k{r})""")
     union = "\nUNION ALL\n".join(
-        f"SELECT cast({r} as int) AS merge_rank, L AS left_sym, "
-        f"R AS right_sym, L || R AS merged_sym, cnt AS pair_count FROM p{r}"
-        for r in range(1, BPE_MERGES + 1))
-    return ",\n".join(parts), union
+        f"SELECT cast({r} as int) AS rnd, ord, left_sym, right_sym, "
+        f"pair_count FROM selx{r}"
+        for r in range(1, BPE_ROUNDS + 1))
+    tail = f"""SELECT
+  cast(row_number() OVER (ORDER BY rnd, ord) as int) AS merge_rank,
+  left_sym, right_sym, left_sym || right_sym AS merged_sym, pair_count
+FROM (
+{union}
+) allm"""
+    return ",\n".join(parts), tail
 
 
 def text_bpe_tokenize_count(d: Dialect, base: str | None = None,
-                            merges: list[tuple[str, str]] | None = None) -> str:
+                            merges: list[list[tuple[str, str]]] | None = None,
+                            ) -> str:
     """BPE tokenizer APPLY — the measurement that prices a corpus in
     tokens: per document, whitespace-token count, char count, and the
     BPE-symbol count after replaying the learned merge table (plus the
     chars-per-BPE-token compression ratio). Train → apply is the full
     tokenizer lifecycle; the merge table comes from
-    :func:`text_bpe_merge_train`.
+    :func:`text_bpe_merge_train`; ``merges`` is round-structured
+    (list of rounds, each a disjoint-symbol pair list).
 
-    With ``merges`` (the Spark path) the learned pairs are inlined as
-    literals and this is ONE whole-stage-codegen projection over
-    documents — zero shuffles, zero joins; the trained model rides in
-    the plan exactly like the streaming scorer's frozen weights. The
-    self-contained form (the DuckDB oracle) trains in-query and CROSS
-    JOINs the five 1-row top-pair relations into the apply expression.
+    With ``merges`` (the literal path) the learned rounds are inlined
+    as array literals and this is ONE whole-stage-codegen projection
+    over documents — zero shuffles, zero joins; the trained model
+    rides in the plan exactly like the streaming scorer's frozen
+    weights. The self-contained form (the DuckDB oracle) trains
+    in-query and CROSS JOINs the {BPE_ROUNDS} 1-row selected-set
+    relations into the apply expression.
 
     Scale posture (100 TB): apply is embarrassingly parallel (pure
     projection); training cost is the dictionary count (see
     text_bpe_merge_train). Per-token apply work is O(len²) lambda
-    arithmetic on short alnum tokens — constant-bounded.
+    arithmetic on short alnum tokens — constant-bounded. Models past
+    BPE_LITERAL_MAX merges take the broadcast path
+    (:func:`text_bpe_tokenize_count_df`) instead of plan literals.
     """
     if merges is not None:
-        pairs = [(f"'{left}'", f"'{right}'") for left, right in merges]
+        round_sets = _round_set_exprs(d, merges)
         head = f"WITH docs AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents)"
     else:
-        pairs = [(f"L{r}", f"R{r}") for r in range(1, BPE_MERGES + 1)]
+        round_sets = [f"mp{r}" for r in range(1, BPE_ROUNDS + 1)]
         # reuse the training chain, then re-alias each round's 1-row
-        # top-pair relation for the cross join into the apply projection
+        # selected-set relation for the cross join into the apply
+        # projection
         train_body, _ = _bpe_train_parts(d, base)
         pair_aliases = ",\n".join(
-            f"pp{r} AS (SELECT L AS L{r}, R AS R{r} FROM p{r})"
-            for r in range(1, BPE_MERGES + 1))
+            f"pp{r} AS (SELECT {_sel_pairs_expr(d)} AS mp{r} FROM sel{r})"
+            for r in range(1, BPE_ROUNDS + 1))
         cross = " CROSS JOIN ".join(
-            f"pp{r}" for r in range(1, BPE_MERGES + 1))
-        pair_cols = ", ".join(f"L{r}, R{r}"
-                              for r in range(1, BPE_MERGES + 1))
+            f"pp{r}" for r in range(1, BPE_ROUNDS + 1))
+        pair_cols = ", ".join(f"mp{r}" for r in range(1, BPE_ROUNDS + 1))
         head = (f"WITH {train_body},\n{pair_aliases},\n"
                 f"docs AS (SELECT doc_id, {d.tokens('text')} AS toks, "
                 f"{pair_cols} FROM documents CROSS JOIN {cross})")
-    n_chars, n_bpe = _bpe_count_parts(d, pairs)
+    n_chars, n_bpe = _bpe_count_parts(d, round_sets)
     return f"""{head},
 counted AS (
   SELECT doc_id,
@@ -712,7 +816,7 @@ FROM counted"""
 
 
 def text_bpe_fertility_by_lang(d: Dialect, base: str | None = None,
-                               merges: list[tuple[str, str]] | None = None,
+                               merges: list[list[tuple[str, str]]] | None = None,
                                ) -> str:
     """Per-language tokenizer FERTILITY report — the acceptance gate a
     multilingual tokenizer ships with: fertility (BPE tokens per
@@ -747,7 +851,7 @@ GROUP BY dd.lang"""
 
 
 def text_bpe_fertility_by_lang_df(spark,
-                                  merges: list[tuple[str, str]] | None = None):
+                                  merges: list[list[tuple[str, str]]] | None = None):
     """Spark twin: rollup of the distinct-word apply path (same exact
     bigint sums and single divisions as the SQL form)."""
     from pyspark.sql import functions as F
@@ -795,15 +899,17 @@ def ensure_bpe_dict_view(spark, key: object = None) -> str:
     return BPE_DICT_VIEW
 
 
-def text_bpe_merge_train_df(spark, base: str | None = None):
-    """Spark-native BPE training: the unrolled SQL re-evaluates the
-    dictionary chain once per CTE reference under Catalyst inlining
-    (~2x per round), so the cluster form iterates — one
-    dictionary-sized top-pair job per round (single-row collect, like
-    dedup_clusters' convergence probe), merge applied as a codegen
-    projection, localCheckpoint to keep lineage flat. The
-    self-contained SQL stays as the DuckDB oracle; pytest pins the two
-    forms equal."""
+def _bpe_train_rounds(spark, base: str | None = None,
+                      ) -> list[list[tuple[str, str, int]]]:
+    """Spark-native BATCHED BPE training loop: one dictionary-sized
+    top-{BPE_CAND_POOL} pair job per ROUND (a single bounded collect —
+    the batching that makes a 30k-merge vocab ~30k/{BPE_ROUND_K}
+    driver round-trips instead of 30k), the greedy disjoint-symbol
+    selection replayed in Python with the exact rule of
+    :func:`_bpe_sel_fold`, and the whole selected set applied as ONE
+    codegen projection; localCheckpoint keeps lineage flat. Returns
+    per-round [(left, right, count), ...] lists (possibly empty —
+    no-op rounds mirror the unrolled SQL)."""
     from pyspark.sql import functions as F
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as d
@@ -813,21 +919,49 @@ def text_bpe_merge_train_df(spark, base: str | None = None):
     n = d.arr_len("syms")
     pair_i = f"{d.elem('syms', 'i')} || ' ' || {d.elem('syms', 'i + 1')}"
     pairs_arr = d.transform(d.seq("1", f"{n} - 1"), "i", pair_i)
-    merges = []
-    for r in range(1, BPE_MERGES + 1):
-        [top] = (words.where(F.expr(f"{n} >= 2"))
-                 .select("freq", F.explode(F.expr(pairs_arr)).alias("pr"))
-                 .groupBy("pr").agg(F.sum("freq").alias("cnt"))
-                 .orderBy(F.desc("cnt"), "pr").limit(1).collect())
-        left, right = top.pr.split(" ")
-        merges.append((r, left, right, left + right, top.cnt))
-        kept, rebuilt = _bpe_merge_exprs(d, f"'{left}'", f"'{right}'")
-        words = (words.withColumn("kept", F.expr(kept))
+    rounds: list[list[tuple[str, str, int]]] = []
+    for _ in range(BPE_ROUNDS):
+        top = (words.where(F.expr(f"{n} >= 2"))
+               .select("freq", F.explode(F.expr(pairs_arr)).alias("pr"))
+               .groupBy("pr").agg(F.sum("freq").alias("cnt"))
+               .orderBy(F.desc("cnt"), "pr")
+               .limit(BPE_CAND_POOL).collect())
+        sel: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            left, right = row.pr.split(" ")
+            if left in used or right in used:
+                continue
+            sel.append((left, right, int(row.cnt)))
+            used.update((left, right))
+            if len(sel) == BPE_ROUND_K:
+                break
+        rounds.append(sel)
+        if not sel:
+            continue  # dictionary fully merged: remaining rounds no-op
+        pairs_lit = d.arr_lit([f"'{left} {right}'" for left, right, _ in sel])
+        kept, rebuilt = _bpe_merge_set_exprs(d, "mp")
+        words = (words.withColumn("mp", F.expr(pairs_lit))
+                 .withColumn("kept", F.expr(kept))
                  .select("token", "freq", F.expr(rebuilt).alias("syms"))
                  .localCheckpoint(eager=True))
+    return rounds
+
+
+def text_bpe_merge_train_df(spark, base: str | None = None):
+    """Spark-native batched BPE training: the unrolled SQL re-evaluates
+    the dictionary chain once per CTE reference under Catalyst
+    inlining (~2x per round), so the cluster form iterates
+    (:func:`_bpe_train_rounds`). The self-contained SQL stays as the
+    DuckDB oracle; pytest pins the two forms equal."""
+    rows, rank = [], 0
+    for rnd in _bpe_train_rounds(spark, base=base):
+        for left, right, cnt in rnd:
+            rank += 1
+            rows.append((rank, left, right, left + right, cnt))
     return spark.createDataFrame(
-        merges, schema="merge_rank int, left_sym string, right_sym string, "
-                       "merged_sym string, pair_count bigint")
+        rows, schema="merge_rank int, left_sym string, right_sym string, "
+                     "merged_sym string, pair_count bigint")
 
 
 # id(spark) -> (weakref, key, merge list) — the trained merge TABLE
@@ -838,11 +972,14 @@ _BPE_MERGE_STATE: dict = {}
 
 
 def ensure_bpe_merges(spark, key: object = None,
-                      base: str | None = None) -> list[tuple[str, str]]:
-    """Train once per (session, dataset), return [(left, right), ...]
-    in rank order. Same weakref-guarded cache discipline as
-    session.ensure_session_plane (the cached value here is the 5-row
-    merge list, not a view)."""
+                      base: str | None = None,
+                      ) -> list[list[tuple[str, str]]]:
+    """Train once per (session, dataset), return the ROUND-structured
+    merge table [[(left, right), ...], ...] (rounds in order; pairs in
+    in-round rank order; within a round symbols are pairwise disjoint,
+    so per-round simultaneous apply == flat sequential apply). Same
+    weakref-guarded cache discipline as session.ensure_session_plane
+    (the cached value here is the merge list, not a view)."""
     import weakref
 
     st = _BPE_MERGE_STATE.get(id(spark))
@@ -850,46 +987,86 @@ def ensure_bpe_merges(spark, key: object = None,
         st = None
     if st is not None and (key is None or st[1] == key):
         return st[2]
-    rows = sorted(text_bpe_merge_train_df(spark, base=base).collect(),
-                  key=lambda r: r.merge_rank)
-    merges = [(r.left_sym, r.right_sym) for r in rows]
+    merges = [[(left, right) for left, right, _ in rnd]
+              for rnd in _bpe_train_rounds(spark, base=base)]
     for sid in [sid for sid, s in _BPE_MERGE_STATE.items() if s[0]() is None]:
         del _BPE_MERGE_STATE[sid]
     _BPE_MERGE_STATE[id(spark)] = (weakref.ref(spark), key, merges)
     return merges
 
 
+def bpe_apply_python(tok: str, flat_merges: list[tuple[str, str]]) -> int:
+    """Pure-Python greedy BPE apply (merge count for one token):
+    replays the flat merge list sequentially with the same
+    leftmost-non-overlapping scan the SQL expressions implement — the
+    broadcast-model kernel AND the test oracle for the expression
+    path (per-round simultaneous apply of disjoint sets equals this
+    flat sequential replay)."""
+    syms = list(tok)
+    for left, right in flat_merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
 def text_bpe_tokenize_count_df(spark, base: str | None = None,
-                               merges: list[tuple[str, str]] | None = None):
+                               merges: list[list[tuple[str, str]]] | None = None):
     """Spark-native BPE apply: train iteratively (dictionary-sized
-    jobs; pass ``merges`` from :func:`ensure_bpe_merges` to reuse a
-    table already trained this session), then price the corpus by
-    applying the merge table to each DISTINCT word once — higher-order-function lambdas are interpreted
+    jobs; pass round-structured ``merges`` from
+    :func:`ensure_bpe_merges` to reuse a table already trained this
+    session), then price the corpus by applying the merge table to
+    each DISTINCT word once — higher-order-function lambdas are interpreted
     (not whole-stage codegen), so running the greedy-apply expression
     per token OCCURRENCE costs ~vocab-expansion× more for identical
-    results (measured ~8x at sf0.1; Zipf makes it worse at scale).
+    results (measured ~3.5x total-query wall at sf0.1 — see SCALE.md
+    §BPE; Zipf makes it worse at scale).
     The vocab-sized (token, n_syms) dim then broadcast-joins back to
     the exploded token stream and one map-side-combining groupBy
     rebuilds the per-doc counts. Docs with zero tokens are preserved
     by the left join (NULL ratio, zero counts — same as the oracle).
-    The train-in-query SQL form is the DuckDB oracle."""
+    The train-in-query SQL form is the DuckDB oracle.
+
+    Frozen-model mechanics: up to BPE_LITERAL_MAX total merges the
+    rounds are inlined as plan array literals (tiny model, widest
+    codegen). Past that — a real ~30k-merge vocab — the literal would
+    bloat the plan string, so the model ships as a SparkContext
+    BROADCAST variable consumed by an Arrow-batched pandas UDF over
+    the same distinct-word dim (``bpe_apply_python`` kernel, pinned
+    equal to the expression path by pytest)."""
     from pyspark.sql import functions as F
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as d
 
     if merges is None:
-        merges = [(r.left_sym, r.right_sym) for r in sorted(
-            text_bpe_merge_train_df(spark, base=base).collect(),
-            key=lambda r: r.merge_rank)]
-    pairs = [(f"'{left}'", f"'{right}'") for left, right in merges]
-    apply_ = _bpe_apply_expr(d, d.chars("tok"), pairs)
+        merges = [[(left, right) for left, right, _ in rnd]
+                  for rnd in _bpe_train_rounds(spark, base=base)]
 
     docs = spark.sql(
         f"SELECT doc_id, {d.tokens('text')} AS toks FROM documents")
     toks = docs.select("doc_id", F.explode("toks").alias("tok"))
-    dim = (toks.select("tok").distinct()
-           .withColumn("w_syms", F.expr(f"cast({d.arr_len(apply_)} as bigint)"))
-           .withColumn("w_chars", F.expr("cast(length(tok) as bigint)")))
+    dim = toks.select("tok").distinct()
+    if sum(len(rnd) for rnd in merges) <= BPE_LITERAL_MAX:
+        apply_ = _bpe_apply_expr(d, d.chars("tok"),
+                                 _round_set_exprs(d, merges))
+        dim = dim.withColumn(
+            "w_syms", F.expr(f"cast({d.arr_len(apply_)} as bigint)"))
+    else:
+        from aws_trusted_advisor_explorer_spark.functions.vectorized import (
+            make_broadcast_model_udf,
+        )
+
+        flat = [p for rnd in merges for p in rnd]
+        bc = spark.sparkContext.broadcast(flat)
+        dim = dim.withColumn(
+            "w_syms", make_broadcast_model_udf(bc, bpe_apply_python)("tok"))
+    dim = dim.withColumn("w_chars", F.expr("cast(length(tok) as bigint)"))
     per_doc = (toks.join(F.broadcast(dim), "tok")
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_tokens"),
@@ -1187,7 +1364,12 @@ BUILDERS = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "docs_quality_cutoff_calibration": docs_quality_cutoff_calibration,
     "text_tokenizer_coverage": text_tokenizer_coverage,
-    "text_bpe_merge_train": text_bpe_merge_train,
+    # text_bpe_merge_train is NOT here: like text_bpe_tokenize_count,
+    # its self-contained unrolled SQL is DuckDB-oracle-only (Catalyst
+    # CTE inlining re-evaluates the {BPE_ROUNDS}-round chain
+    # exponentially and trips the analyzer's iteration cap); the Spark
+    # form is the iterative twin text_bpe_merge_train_df, wired
+    # explicitly in __spark_entry__.
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,

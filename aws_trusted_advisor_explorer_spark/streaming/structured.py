@@ -33,6 +33,38 @@ from pyspark.sql.types import (
 
 SESSION_GAP_US = 1_800_000_000  # mirrors operators/eventops.SESSION_GAP_US
 
+# Frozen models (eval-hash sets, Bloom words, NB token weights) ride the
+# stream plan as literals up to this many elements — the widest-codegen
+# path for fixture/test-sized models. Larger models ship as a
+# SparkContext BROADCAST variable consumed by an Arrow-batched pandas
+# UDF (functions/vectorized.make_broadcast_model_udf): a production eval
+# set has millions of shingle hashes and an in-plan literal would blow
+# up the plan string and driver memory. Both paths compute identical
+# verdicts (pinned by tests/test_streaming.py's monkeypatched twins).
+MODEL_LITERAL_MAX = 4096
+
+
+def _nb_sum_kernel(toks, model) -> int:
+    """Exact integer token-weight sum with the unseen-token prior —
+    the same arithmetic as the map-literal ``aggregate`` expression."""
+    from aws_trusted_advisor_explorer_spark.operators.textops import NB_PRIOR
+
+    return sum(model.get(t, NB_PRIOR) for t in toks)
+
+
+def _bloom_probe_kernel(probes, model) -> bool:
+    """All-k-bits-set membership test over the broadcast (word_idx ->
+    bits) filter words; NULL probes (null text) -> False, matching the
+    batch operator's CASE."""
+    out = True
+    for p in probes:
+        if p is None:
+            return False
+        p = int(p)
+        if not (model.get(p // 63, 0) >> (p % 63)) & 1:
+            out = False
+    return out
+
 def _events_stream_schema(ts_is_nanos: bool) -> StructType:
     """The driver has shipped events.parquet with ``ts`` as both
     TIMESTAMP(NANOS) and timestamp[us] across regenerations, so the
@@ -331,15 +363,20 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean instead of re-sweeping it.
 
     The eval dimension is computed ONCE batch-side (the benchmark
-    corpus is small by construction) and shipped to executors inside
-    the plan as an array literal — the degenerate broadcast; at real
-    benchmark sizes the same filter is a broadcast set or Bloom
-    filter. The stream-side test is a stateless whole-stage-codegen
-    ``arrays_overlap`` over the document's 5-token shingle hashes — no
-    Python in the stream, no state, no shuffle. Shingle hashes use the
+    corpus is small by construction) and, up to MODEL_LITERAL_MAX
+    hashes, shipped to executors inside the plan as an array literal —
+    the stream-side test is then a stateless whole-stage-codegen
+    ``arrays_overlap`` over the document's 5-token shingle hashes (no
+    Python in the stream, no state, no shuffle). Past the threshold
+    (real benchmark suites: millions of shingles) the hash SET ships
+    as a broadcast variable probed by an Arrow-batched UDF — same
+    verdicts, model never in the plan string. Shingle hashes use the
     identical token-hash combinator (Dialect.shingle_hvs), so stream
     and batch agree exactly."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+    from aws_trusted_advisor_explorer_spark.functions.vectorized import (
+        make_broadcast_model_udf,
+    )
     from aws_trusted_advisor_explorer_spark.operators.corpusops import (
         BENCH_MOD, CONTAM_NGRAM,
     )
@@ -353,15 +390,38 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT explode({hvs}) AS hv FROM __decon_batch_docs
           WHERE doc_id % {BENCH_MOD} = 0
         )""").collect()
-    ev_lit = ", ".join(str(r.hv) for r in ev_rows) or "null"
 
-    docs = documents_stream(spark, sf_dir)
-    return (docs
+    docs = (documents_stream(spark, sf_dir)
             .filter(f"doc_id % {BENCH_MOD} <> 0")
-            .withColumn("hvs", F.expr(hvs))
-            .filter(F.expr(
-                f"NOT arrays_overlap(hvs, array({ev_lit}))"))
-            .select("doc_id", "text", "lang"))
+            .withColumn("hvs", F.expr(hvs)))
+    if len(ev_rows) <= MODEL_LITERAL_MAX:
+        ev_lit = ", ".join(str(r.hv) for r in ev_rows) or "null"
+        docs = docs.filter(F.expr(
+            f"NOT arrays_overlap(hvs, array({ev_lit}))"))
+    else:
+        bc = spark.sparkContext.broadcast(
+            frozenset(int(r.hv) for r in ev_rows))
+
+        # row-DROPPING model application must be mapInPandas here: a
+        # scalar PythonUDF inside a streaming Filter predicate is not
+        # extracted into an Arrow eval node (INTERNAL_ERROR:
+        # Unevaluable in InterpretedPredicate), and Catalyst's
+        # predicate pushdown re-inlines a projected verdict column
+        # straight back into the filter. mapInPandas both probes the
+        # broadcast set and drops matching rows in one Arrow stage —
+        # the same operator shape the multimodal plane uses.
+        def _drop_contaminated(batches):
+            model = bc.value
+            for pdf in batches:
+                keep = pdf["hvs"].map(
+                    lambda hv: hv is not None
+                    and not any(int(h) in model for h in hv))
+                yield pdf.loc[keep, ["doc_id", "text", "lang"]]
+
+        return docs.mapInPandas(
+            _drop_contaminated, schema="doc_id bigint, text string, "
+                                       "lang string")
+    return docs.select("doc_id", "text", "lang")
 
 
 def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,12 +432,15 @@ def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact lookup downstream).
 
     The filter words are built ONCE batch-side with the operator's own
-    SQL aggregate, densified into a {n_words}-slot array literal, and
-    shipped inside the plan (the degenerate broadcast; a real cluster
-    broadcasts the same array). The stream-side test is {k} codegen'd
-    bit probes over the document's content poly-hash — no Python, no
-    state, no shuffle. Same hashes as the batch operator, so verdicts
-    agree exactly (pinned by tests/test_streaming.py)."""
+    SQL aggregate and, up to MODEL_LITERAL_MAX words, densified into an
+    array literal shipped inside the plan — the stream-side test is
+    then {k} codegen'd bit probes over the document's content
+    poly-hash (no Python, no state, no shuffle). A wider filter (a
+    production corpus wants billions of bits) ships the sparse
+    (word_idx -> bits) dict as a broadcast variable probed by an
+    Arrow-batched UDF over the SAME JVM-computed probe positions, so
+    the hash arithmetic — and every verdict — is identical either way
+    (pinned by tests/test_streaming.py)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
     from aws_trusted_advisor_explorer_spark.operators.dedup import (
         BLOOM_BITS, BLOOM_SALTS, INCREMENTAL_BATCH_SOURCE, P_MOD,
@@ -399,27 +462,38 @@ def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT pos div 63 AS word_idx,
                bit_or(shiftleft(cast(1 as bigint), cast(pos % 63 as int))) AS bits
         FROM ({pos_union}) GROUP BY pos div 63""").collect()}
-    arr_lit = ", ".join(
-        f"{words.get(i, 0)}L" for i in range(n_words))
-    checks = " AND ".join(
-        f"(element_at(__bloom_words, cast(p{i} div 63 as int) + 1)"
-        f" & shiftleft(cast(1 as bigint), cast(p{i} % 63 as int))) <> 0"
-        for i in range(len(BLOOM_SALTS)))
-
     docs = documents_stream(spark, sf_dir)
     out = (docs
            .filter(F.col("source") == INCREMENTAL_BATCH_SOURCE)
-           .withColumn("hv", F.expr(hv))
-           .withColumn("__bloom_words", F.expr(f"array({arr_lit})")))
+           .withColumn("hv", F.expr(hv)))
     for i, (a, b) in enumerate(BLOOM_SALTS):
         out = out.withColumn(
             f"p{i}", F.expr(f"(hv * {a} + {b}) % {P_MOD} % {BLOOM_BITS}"))
-    # NULL text -> NULL probes -> the AND is NULL; the batch operator's
-    # CASE maps the same row to false, so coalesce to keep verdicts equal
-    return (out
-            .withColumn("bloom_maybe",
-                        F.coalesce(F.expr(f"({checks})"), F.lit(False)))
-            .select("doc_id", "bloom_maybe"))
+    if n_words <= MODEL_LITERAL_MAX:
+        arr_lit = ", ".join(
+            f"{words.get(i, 0)}L" for i in range(n_words))
+        checks = " AND ".join(
+            f"(element_at(__bloom_words, cast(p{i} div 63 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast(p{i} % 63 as int))) <> 0"
+            for i in range(len(BLOOM_SALTS)))
+        # NULL text -> NULL probes -> the AND is NULL; the batch
+        # operator's CASE maps the same row to false, so coalesce to
+        # keep verdicts equal
+        out = (out
+               .withColumn("__bloom_words", F.expr(f"array({arr_lit})"))
+               .withColumn("bloom_maybe",
+                           F.coalesce(F.expr(f"({checks})"), F.lit(False))))
+    else:
+        from aws_trusted_advisor_explorer_spark.functions.vectorized import (
+            make_broadcast_model_udf,
+        )
+
+        bc = spark.sparkContext.broadcast(words)
+        probe = make_broadcast_model_udf(
+            bc, _bloom_probe_kernel, ret="boolean")
+        out = out.withColumn("bloom_maybe", probe(F.array(
+            *(F.col(f"p{i}") for i in range(len(BLOOM_SALTS))))))
+    return out.select("doc_id", "bloom_maybe")
 
 
 def purchase_click_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,14 +645,15 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of textops.text_nb_quality_score's SCORING
     phase: train offline, score online. The token-weight model is
     trained ONCE batch-side (textops.nb_weights_sql — the same
-    relation the batch query computes) and shipped to executors
-    inside the plan as a map literal; each incoming document is
-    scored statelessly as the integer mean of its tokens' weights via
-    ``transform`` + ``aggregate`` over the map lookup — no state, no
-    shuffle, no Python in the stream. At real vocab sizes the
-    in-plan literal becomes a broadcast stream-static join or a
-    persisted model table; the arithmetic (and therefore every
-    verdict) is identical either way."""
+    relation the batch query computes) and, up to MODEL_LITERAL_MAX
+    tokens, shipped to executors inside the plan as a map literal;
+    each incoming document is then scored statelessly as the integer
+    mean of its tokens' weights via ``transform`` + ``aggregate`` over
+    the map lookup — no state, no shuffle, no Python in the stream. At
+    real vocab sizes the weight dict ships as a broadcast variable
+    summed by an Arrow-batched UDF (same exact integer arithmetic —
+    every verdict identical, pinned by the monkeypatched twin
+    test)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
     from aws_trusted_advisor_explorer_spark.operators.textops import (
         NB_PRIOR, nb_weights_sql,
@@ -590,19 +665,30 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch_docs.createOrReplaceTempView("__nb_batch_docs")
     w_rows = spark.sql(nb_weights_sql(SD, table="__nb_batch_docs")).collect()
-    map_lit = ("map(" + ", ".join(
-        f"'{r.tok}', {int(r.weight)}L" for r in w_rows) + ")"
-        if w_rows else f"map('', {NB_PRIOR}L)")
 
     toks = SD.tokens("text")
     docs = documents_stream(spark, sf_dir)
-    return (docs
+    docs = (docs
             .withColumn("toks", F.expr(toks))
-            .filter("size(toks) > 0")
-            .withColumn("sum_w", F.expr(
-                f"aggregate(transform(toks, t -> "
-                f"coalesce(element_at({map_lit}, t), {NB_PRIOR}L)), "
-                f"cast(0 as bigint), (a, b) -> a + b)"))
+            .filter("size(toks) > 0"))
+    if len(w_rows) <= MODEL_LITERAL_MAX:
+        map_lit = ("map(" + ", ".join(
+            f"'{r.tok}', {int(r.weight)}L" for r in w_rows) + ")"
+            if w_rows else f"map('', {NB_PRIOR}L)")
+        docs = docs.withColumn("sum_w", F.expr(
+            f"aggregate(transform(toks, t -> "
+            f"coalesce(element_at({map_lit}, t), {NB_PRIOR}L)), "
+            f"cast(0 as bigint), (a, b) -> a + b)"))
+    else:
+        from aws_trusted_advisor_explorer_spark.functions.vectorized import (
+            make_broadcast_model_udf,
+        )
+
+        bc = spark.sparkContext.broadcast(
+            {r.tok: int(r.weight) for r in w_rows})
+        sum_w = make_broadcast_model_udf(bc, _nb_sum_kernel, ret="long")
+        docs = docs.withColumn("sum_w", sum_w(F.col("toks")))
+    return (docs
             .selectExpr(
                 "doc_id",
                 "cast(size(toks) as bigint) AS n_tokens",
@@ -615,11 +701,14 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of textops.text_bpe_tokenize_count: tokenizer
     trained offline, corpus priced online. The merge table is learned
-    ONCE batch-side (the same iterative trainer the batch query runs,
-    over a prefixed snapshot view) and its five pairs ride the stream
-    plan as string literals inside the greedy-apply lambda — stateless,
-    shuffle-free, no Python in the stream; row-for-row equal to the
-    batch query (pytest)."""
+    ONCE batch-side (the same batched iterative trainer the batch
+    query runs, over a prefixed snapshot view) and its per-round
+    disjoint pair sets ride the stream plan as array literals inside
+    the greedy-apply lambda — stateless, shuffle-free, no Python in
+    the stream; row-for-row equal to the batch query (pytest). A
+    model past textops.BPE_LITERAL_MAX merges would ship as a
+    broadcast variable + pandas UDF instead (the batch operator's
+    broadcast path shows the mechanics)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
     from aws_trusted_advisor_explorer_spark.operators.textops import (
         _bpe_count_parts, _bpe_dict_cte, ensure_bpe_merges,
@@ -634,8 +723,9 @@ def bpe_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dict_df.createOrReplaceTempView("__bpe_stream_dict")
     merges = ensure_bpe_merges(spark, key=("stream", sf_dir),
                                base="__bpe_stream_dict")
-    pairs = [(f"'{left}'", f"'{right}'") for left, right in merges]
-    n_chars, n_bpe = _bpe_count_parts(SD, pairs)
+    round_sets = [SD.arr_lit([f"'{left} {right}'" for left, right in rnd])
+                  for rnd in merges if rnd]
+    n_chars, n_bpe = _bpe_count_parts(SD, round_sets)
 
     docs = documents_stream(spark, sf_dir)
     return (docs

@@ -425,20 +425,67 @@ def test_norm_audit_matches_numpy_replay(spark):
     assert row.max_norm == max(norms.values())
 
 
-def test_bpe_train_df_twin_matches_unrolled_sql(spark):
-    """The iterative Spark BPE trainer must emit the exact merge table
-    of the unrolled SQL form (same pairs, same weighted counts)."""
-    sql_rows = sorted(tuple(r) for r in
-                      spark.sql(textops.text_bpe_merge_train(SPARK)).collect())
+def bpe_batched_replay(words: list[tuple[list[str], int]]):
+    """Pure-Python replay of the BATCHED trainer spec: per round, rank
+    pairs (count DESC, pair ASC), greedily select up to BPE_ROUND_K
+    disjoint-symbol pairs from the top-BPE_CAND_POOL, apply the set
+    simultaneously; global rank = (round, in-round order)."""
+    import collections
+
+    expect, rank = [], 0
+    for _ in range(textops.BPE_ROUNDS):
+        pc: collections.Counter = collections.Counter()
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        cands = sorted(pc.items(),
+                       key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        sel, used = [], set()
+        for (left, right), cnt in cands[:textops.BPE_CAND_POOL]:
+            if left in used or right in used:
+                continue
+            sel.append((left, right, cnt))
+            used.update((left, right))
+            if len(sel) == textops.BPE_ROUND_K:
+                break
+        for left, right, cnt in sel:
+            rank += 1
+            expect.append((rank, left, right, left + right, cnt))
+        keys = {(left, right) for left, right, _ in sel}
+        new = []
+        for syms, f in words:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in keys:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new.append((out, f))
+        words = new
+    return expect
+
+
+def test_bpe_train_df_twin_matches_unrolled_sql(spark, ddb):
+    """The iterative batched Spark BPE trainer must emit the exact
+    merge table of the unrolled SQL form (same pairs, same weighted
+    counts, same global ranks). The unrolled form runs on DuckDB — it
+    is the oracle dialect, and under Spark's CTE inlining the
+    {BPE_ROUNDS}-round chain re-evaluates exponentially (the DF twin
+    IS the Spark form)."""
+    sql_rows = sorted(tuple(r) for r in ddb.execute(
+        textops.text_bpe_merge_train(DUCK)).fetchall())
     df_rows = sorted(tuple(r) for r in
                      textops.text_bpe_merge_train_df(spark).collect())
     assert sql_rows == df_rows
 
 
 def test_bpe_train_matches_python_greedy_replay(spark):
-    """Merge table == a from-scratch pure-Python greedy BPE trainer run
-    on the same capped word dictionary (independent of every SQL
-    primitive the operator uses)."""
+    """Merge table == a from-scratch pure-Python batched greedy BPE
+    trainer run on the same capped word dictionary (independent of
+    every SQL primitive the operator uses), and batching actually
+    batches: far more merges than driver rounds."""
     import collections
     import re as _re
 
@@ -447,37 +494,40 @@ def test_bpe_train_matches_python_greedy_replay(spark):
         wf.update(_re.findall(r"[a-z0-9]+", text.lower()))
     top = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))
     words = [(list(tok), f) for tok, f in top[:textops.BPE_WORD_CAP]]
-    expect = []
-    for r in range(1, textops.BPE_MERGES + 1):
-        pc: collections.Counter = collections.Counter()
-        for syms, f in words:
-            for i in range(len(syms) - 1):
-                pc[(syms[i], syms[i + 1])] += f
-        (left, right), cnt = sorted(
-            pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
-        expect.append((r, left, right, left + right, cnt))
-        new = []
-        for syms, f in words:
-            out, i = [], 0
-            while i < len(syms):
-                if (i + 1 < len(syms) and syms[i] == left
-                        and syms[i + 1] == right):
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            new.append((out, f))
-        words = new
+    expect = bpe_batched_replay(words)
     got = sorted(tuple(r) for r in
-                 spark.sql(textops.text_bpe_merge_train(SPARK)).collect())
-    assert got == expect
+                 textops.text_bpe_merge_train_df(spark).collect())
+    assert got == sorted(expect)
+    # the round-2 verdict gate: merge count must far exceed the round
+    # count (the whole point of batching the trainer)
+    assert len(got) > 4 * textops.BPE_ROUNDS
 
 
-def test_bpe_train_planted_run_parity_and_tiebreak(spark):
+def test_bpe_train_rounds_are_disjoint_and_bounded(spark):
+    """Every training round selects <= BPE_ROUND_K pairs with pairwise
+    DISJOINT symbols (the invariant that makes simultaneous in-round
+    apply equal sequential rank-order apply), in <= BPE_ROUNDS
+    rounds."""
+    rounds = textops._bpe_train_rounds(spark)
+    assert len(rounds) == textops.BPE_ROUNDS
+    for rnd in rounds:
+        assert len(rnd) <= textops.BPE_ROUND_K
+        syms = [s for left, right, _ in rnd for s in (left, right)]
+        dedup = set(syms)
+        # a self-pair (L, L) contributes L twice — collapse per pair
+        per_pair = [set((left, right)) for left, right, _ in rnd]
+        for i, a in enumerate(per_pair):
+            for b in per_pair[i + 1:]:
+                assert not (a & b), f"overlapping round pairs: {rnd}"
+        assert dedup  # non-degenerate on the corpus dictionary
+
+
+def test_bpe_train_planted_run_parity_and_tiebreak(spark, ddb):
     """Greedy L=R semantics (a run of k identical symbols merges at
-    even offsets only) and the (count DESC, pair ASC) tiebreak, pinned
-    on a hand-computed dictionary."""
+    even offsets only), the (count DESC, pair ASC) tiebreak, AND the
+    disjoint-symbol batch selection (round 1 takes (a,a) then skips
+    the conflicting (a,b) but still takes (x,y)), pinned on a
+    hand-computed dictionary in both engines."""
     import pandas as pd
 
     df = spark.createDataFrame(
@@ -485,21 +535,75 @@ def test_bpe_train_planted_run_parity_and_tiebreak(spark):
     df.selectExpr("token", "cast(freq as bigint) AS freq",
                   "split(token, '') AS syms") \
         .createOrReplaceTempView("bpe_dict_planted")
-    for rows in (
-        spark.sql(textops.text_bpe_merge_train(
-            SPARK, base="bpe_dict_planted")).collect(),
-        textops.text_bpe_merge_train_df(
-            spark, base="bpe_dict_planted").collect(),
-    ):
-        assert sorted(tuple(r) for r in rows) == [
-            # aaaa -> [aa,aa]; aaab -> [aa,a,b] (greedy consumes 1-2)
-            (1, "a", "a", "aa", 40),
-            (2, "aa", "aa", "aaaa", 10),
-            # tie at 5: 'a b' < 'aa a' lexicographically
-            (3, "a", "b", "ab", 5),
-            (4, "aa", "ab", "aaab", 5),
-            (5, "x", "y", "xy", 3),
-        ]
+    con = ddb.cursor()
+    con.execute("CREATE OR REPLACE TABLE bpe_dict_planted "
+                "(token VARCHAR, freq BIGINT, syms VARCHAR[])")
+    for tok, freq in [("aaaa", 10), ("aaab", 5), ("xy", 3)]:
+        con.execute("INSERT INTO bpe_dict_planted VALUES (?, ?, ?)",
+                    [tok, freq, list(tok)])
+    expect = [
+        # round 1: ranked (a a, 40), (a b, 5), (x y, 3); (a,b) conflicts
+        # with selected (a,a); (x,y) disjoint -> selected second
+        (1, "a", "a", "aa", 40),
+        (2, "x", "y", "xy", 3),
+        # round 2: aaaa->[aa,aa]; aaab->[aa,a,b]; ranked (aa aa, 10)
+        # then tie at 5: 'a b' < 'aa a'; (aa,a) conflicts with both
+        (3, "aa", "aa", "aaaa", 10),
+        (4, "a", "b", "ab", 5),
+        # round 3: aa+ab only pair left; rounds 4..8 are no-ops
+        (5, "aa", "ab", "aaab", 5),
+    ]
+    assert sorted(tuple(r) for r in con.execute(
+        textops.text_bpe_merge_train(
+            DUCK, base="bpe_dict_planted")).fetchall()) == expect
+    assert sorted(tuple(r) for r in textops.text_bpe_merge_train_df(
+        spark, base="bpe_dict_planted").collect()) == expect
+
+
+def test_bpe_apply_broadcast_path_matches_literal(spark, monkeypatch):
+    """Frozen-model mechanics: force the broadcast path (threshold 0)
+    and pin (a) the plan really runs the Arrow-batched UDF — the model
+    is NOT in the plan as literals — and (b) per-doc counts are
+    bit-identical to the literal-inlined expression path."""
+    lit = {r.doc_id: tuple(r)[1:] for r in
+           textops.text_bpe_tokenize_count_df(spark).collect()}
+    monkeypatch.setattr(textops, "BPE_LITERAL_MAX", -1)
+    bdf = textops.text_bpe_tokenize_count_df(spark)
+    plan = bdf._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    got = {r.doc_id: tuple(r)[1:] for r in bdf.collect()}
+    assert got == lit
+
+
+def test_bpe_apply_broadcast_path_large_synthetic_model(spark):
+    """A synthetic model far past BPE_LITERAL_MAX (the real-vocab
+    regime) must take the broadcast path untruncated and match a
+    pure-Python replay — plan-literal splicing would blow up here."""
+    rng = __import__("random").Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    rounds, flat = [], []
+    for r in range(40):
+        rnd = []
+        for _ in range(16):
+            # early rounds: single-char pairs (these actually fire on
+            # char-split tokens); later rounds: longer random symbols
+            width = 1 if r < 8 else 2
+            left = "".join(rng.choice(alphabet) for _ in range(width))
+            right = "".join(rng.choice(alphabet) for _ in range(width))
+            rnd.append((left, right))
+        rounds.append(rnd)
+        flat.extend(rnd)
+    assert len(flat) > textops.BPE_LITERAL_MAX
+    bdf = textops.text_bpe_tokenize_count_df(spark, merges=rounds)
+    assert "ArrowEvalPython" in (
+        bdf._jdf.queryExecution().executedPlan().toString())
+    got = {r.doc_id: r.n_bpe_tokens for r in bdf.collect()}
+    import re as _re
+    for doc_id, text in spark.sql(
+            "SELECT doc_id, text FROM documents LIMIT 50").collect():
+        toks = _re.findall(r"[a-z0-9]+", text.lower())
+        assert got[doc_id] == sum(
+            textops.bpe_apply_python(t, flat) for t in toks)
 
 
 def test_bpe_tokenize_count_df_matches_oracle(spark, ddb):
@@ -571,14 +675,54 @@ def test_bpe_tokenize_count_matches_python_replay(spark):
 
 
 def test_embedding_cosine_pandas_udf_bit_matches_sql_fold(spark):
-    """The Arrow-vectorized cosine twin must reproduce the SQL fold's
-    doubles EXACTLY (same IEEE op order), not just approximately —
-    that's what keeps it oracle-hash-compatible."""
+    """The Arrow-vectorized cluster-blocked twin must reproduce the
+    self-contained SQL form's doubles EXACTLY (same IEEE op order),
+    not just approximately — that's what keeps it
+    oracle-hash-compatible — and its plan must join on the LEARNED
+    cluster key, not a metadata label."""
     sql_rows = {(r.vec_a, r.vec_b): r.cosine
                 for r in spark.sql(dedup.dedup_embedding_cosine(SPARK)).collect()}
-    udf_rows = {(r.vec_a, r.vec_b): r.cosine
-                for r in dedup.dedup_embedding_cosine_df(spark).collect()}
+    df = dedup.dedup_embedding_cosine_df(spark)
+    udf_rows = {(r.vec_a, r.vec_b): r.cosine for r in df.collect()}
     assert sql_rows == udf_rows  # exact float equality, on purpose
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "cluster_id" in plan and "label" not in plan
+
+
+def test_embedding_cosine_cluster_blocks_vs_truth_and_label(spark, ddb):
+    """Blocking quality acceptance gate, measured against BRUTE-FORCE
+    ground truth (all-pairs cosine >= threshold — affordable at the
+    500-vector test SF): (a) both blockings emit only true pairs
+    (precision 1 — blocking can only LOSE pairs), (b) the label-
+    blocked variant agrees cross-engine (it is the retained oracle
+    form), and (c) the learned KMeans blocking recalls strictly more
+    truth than the metadata label on this fixture — the measured
+    numbers (20/66 vs 5/66 at sf0.001) are pinned as regression
+    anchors for the codebook, not claimed as universal; production
+    raises K and Lloyd iterations for tighter cells."""
+    d = DUCK
+    cos = d.dot("a.embedding", "b.embedding")
+    nrm = d.dot("embedding", "embedding")
+    truth = {(r[0], r[1]): r[2] for r in ddb.execute(f"""
+        WITH v AS (
+          SELECT vec_id, embedding, sqrt({nrm}) AS nrm FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            {cos} / (a.nrm * b.nrm) AS cosine
+          FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cosine FROM p
+        WHERE cosine >= {dedup.COSINE_DUP_THRESHOLD}""").fetchall()}
+    lbl = {(r.vec_a, r.vec_b) for r in spark.sql(
+        dedup.dedup_embedding_cosine_label_blocked(SPARK)).collect()}
+    lbl_duck = {(r[0], r[1]) for r in ddb.execute(
+        dedup.dedup_embedding_cosine_label_blocked(DUCK)).fetchall()}
+    assert lbl == lbl_duck
+    got = {(r.vec_a, r.vec_b): r.cosine
+           for r in dedup.dedup_embedding_cosine_df(spark).collect()}
+    assert set(got) <= set(truth) and lbl <= set(truth)  # precision 1
+    assert len(set(got) & set(truth)) > len(lbl & set(truth))
+    recall = len(set(got)) / len(truth)
+    assert recall >= 0.3, recall  # measured 0.303 (20/66) at sf0.001
 
 
 def test_pack_bins_distributed_cumsum_matches_sql_window(spark):
@@ -712,13 +856,18 @@ def test_approx_quantiles_near_exact(spark):
         assert abs(a.p95_value - e.p95_value) <= 0.1 * spread + 1e-9
 
 
-def test_decode_stubs_raise(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"x")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"x")
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_video_frames(b"x")
+def test_decoders_reject_garbage(spark):
+    """Non-media bytes must fail loudly in every decoder tier (header
+    parsers raise ValueError/wave.Error; the video path raises
+    NotImplementedError without PyAV or av.* with it)."""
+    import wave
+
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"x" * 64)
+    with pytest.raises((wave.Error, EOFError, RuntimeError)):
+        multimodal.decode_audio(b"x" * 64)
+    with pytest.raises(Exception):
+        multimodal.sample_video_frames(b"x" * 64)
 
 
 def test_media_df_schema(spark):
@@ -2089,3 +2238,107 @@ def test_disorder_audit_planted_lateness(spark):
     got = {r.event_type: (int(r.n_late), int(r.max_lateness_us))
            for r in ns.sql(eventops.events_disorder_audit(SPARK)).collect()}
     assert got == {"click": (1, 90_000_000), "view": (0, 0)}
+
+
+def _tiny_png(w: int, h: int) -> bytes:
+    """Minimal valid 8-bit RGB PNG built with stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x07\x00\x03" * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _tiny_wav(n_channels: int, rate: int, n_frames: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x01\x02" * n_channels * n_frames)
+    return buf.getvalue()
+
+
+def test_decode_image_header_parse_png_gif_bmp():
+    """Real image metadata decode without any media library: PNG from
+    the stdlib encoder above, GIF/BMP from hand-packed headers."""
+    import struct
+
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    meta = multimodal.decode_image(_tiny_png(5, 3))
+    assert meta == {"format": "png", "width": 5, "height": 3,
+                    "channels": 3}
+    gif = b"GIF89a" + struct.pack("<HH", 9, 4) + b"\x00" * 10
+    assert multimodal.decode_image(gif)["width"] == 9
+    assert multimodal.decode_image(gif)["height"] == 4
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 7, -2) + b"\x00" * 10
+    m = multimodal.decode_image(bmp)
+    assert (m["width"], m["height"]) == (7, 2)  # top-down BMP: |h|
+    import pytest as _pytest
+    try:
+        import PIL  # noqa: F401 — with PIL present the fallback is bypassed
+    except ImportError:
+        with _pytest.raises(ValueError):
+            multimodal.decode_image(b"\x00not an image container\x00")
+
+
+def test_decode_audio_stdlib_wave():
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    meta = multimodal.decode_audio(_tiny_wav(2, 16000, 37))
+    assert meta["n_channels"] == 2
+    assert meta["sample_rate"] == 16000
+    assert meta["n_frames"] == 37
+    assert meta["format"].startswith("wav")
+
+
+def test_decode_image_pil_full_decode():
+    """Live-PIL branch (skips in this container — PIL is an optional
+    dependency, absent by design)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    meta = multimodal.decode_image(_tiny_png(6, 2))
+    assert (meta["width"], meta["height"], meta["channels"]) == (6, 2, 3)
+
+
+def test_sample_video_frames_guarded():
+    import pytest as _pytest
+
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            multimodal.sample_video_frames(b"\x00\x00")
+    else:
+        assert isinstance(multimodal.sample_video_frames, object)
+
+
+def test_media_decode_meta_mapinpandas_real_pngs(spark):
+    """The real decode stage end-to-end on Spark: generate actual PNG
+    payloads, run the Arrow-batched mapInPandas header parse, and
+    check every asset's decoded geometry."""
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    dims = [(i, 1 + i % 7, 1 + i % 5) for i in range(40)]
+    media = spark.createDataFrame(
+        [(i, bytearray(_tiny_png(w, h))) for i, w, h in dims],
+        schema="doc_id long, payload binary")
+    got = {r.doc_id: (r.format, r.width, r.height, r.channels)
+           for r in multimodal.media_decode_meta_df(media).collect()}
+    assert got == {i: ("png", w, h, 3) for i, w, h in dims}

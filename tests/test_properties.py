@@ -155,30 +155,7 @@ def test_bpe_merge_train_sql_matches_greedy_replay(words):
     got = sorted(tuple(r) for r in con.execute(
         textops.text_bpe_merge_train(DUCK, base="bpe_dict")).fetchall())
 
+    from tests.test_extensions import bpe_batched_replay
+
     items = [(list(tok), f) for tok, f in words.items()]
-    expect = []
-    for r in range(1, textops.BPE_MERGES + 1):
-        pc_: dict = {}
-        for syms, f in items:
-            for i in range(len(syms) - 1):
-                k = (syms[i], syms[i + 1])
-                pc_[k] = pc_.get(k, 0) + f
-        if not pc_:
-            break  # all words fully merged; SQL emits no further rows
-        (left, right), cnt = sorted(
-            pc_.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
-        expect.append((r, left, right, left + right, cnt))
-        new = []
-        for syms, f in items:
-            out, i = [], 0
-            while i < len(syms):
-                if (i + 1 < len(syms) and syms[i] == left
-                        and syms[i + 1] == right):
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            new.append((out, f))
-        items = new
-    assert got == sorted(expect)
+    assert got == sorted(bpe_batched_replay(items))

@@ -292,3 +292,44 @@ def test_chunk_stream_equals_batch(spark):
     want = {tuple(r)
             for r in spark.sql(corpusops.docs_chunking(SPARK)).collect()}
     assert got == want
+
+
+def test_frozen_model_broadcast_path_twins(spark, monkeypatch):
+    """Frozen-model shipping mechanics (round-3 verdict item 1): force
+    every model past the literal threshold so decontaminate / bloom /
+    NB-score build their BROADCAST-variable + Arrow-UDF plans, pin
+    (a) the stream plan really carries the pandas UDF (the model is
+    NOT a plan literal) and (b) verdicts are identical to the batch
+    operators — the model is the same object either way, only the
+    shipping changes."""
+    from aws_trusted_advisor_explorer_spark.operators import corpusops, dedup
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    monkeypatch.setattr(structured, "MODEL_LITERAL_MAX", -1)
+
+    decon = structured.decontaminate_stream(spark, SF_DIR)
+    bloom = structured.bloom_prefilter_stream(spark, SF_DIR)
+    nbsc = structured.nb_score_stream(spark, SF_DIR)
+    # decon drops rows -> mapInPandas stage; bloom/nb project a column
+    # -> Arrow-batched scalar UDF stage
+    assert "MapInPandas" in decon._jdf.queryExecution().analyzed().toString()
+    for df in (bloom, nbsc):
+        assert "apply_model" in df._jdf.queryExecution().analyzed().toString()
+
+    structured.run_stream_to_memory(decon, "decon_bc", output_mode="append")
+    got = {r.doc_id for r in spark.table("decon_bc").collect()}
+    want = {r.doc_id
+            for r in spark.sql(corpusops.docs_decontaminated(SPARK)).collect()}
+    assert got == want
+
+    structured.run_stream_to_memory(bloom, "bloom_bc", output_mode="append")
+    got = {r.doc_id: r.bloom_maybe for r in spark.table("bloom_bc").collect()}
+    want = {r.doc_id: r.bloom_maybe
+            for r in spark.sql(dedup.dedup_bloom_prefilter(SPARK)).collect()}
+    assert got == want
+
+    structured.run_stream_to_memory(nbsc, "nb_bc", output_mode="append")
+    got = {tuple(r) for r in spark.table("nb_bc").collect()}
+    want = {tuple(r)
+            for r in spark.sql(textops.text_nb_quality_score(SPARK)).collect()}
+    assert got == want
