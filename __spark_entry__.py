@@ -545,6 +545,19 @@ _PARKED_TAIL = (
                            # shape (late-order priority counts)
     "tpch_q17",            # new in r2: the correlated-scalar-agg
                            # shape, decorrelated (per-part avg join)
+    "tpch_q2",             # new in r3: the remaining 13 TPC-H queries
+    "tpch_q7",             # — the full 22-query suite now ships
+    "tpch_q8",             # (schema-adapted where the fixture lacks
+    "tpch_q9",             # partsupp/shipmode/commitdate; each
+    "tpch_q11",            # docstring names its adaptation). All are
+    "tpch_q12",            # declarative dual-dialect SQL, money as
+    "tpch_q13",            # exact scaled integers; the OLAP join+agg
+    "tpch_q15",            # family's in-cap representatives are the
+    "tpch_q16",            # reference views + the r2 TPC-H rows, so
+    "tpch_q19",            # these park as one family. q21 also has a
+    "tpch_q20",            # pure-python replay pytest; every key is
+    "tpch_q21",            # FULL-verified vs the DuckDB oracle.
+    "tpch_q22",
     "text_tokenizer_coverage",  # new in r2: lossy-tokenization audit
                                 # over the sanitize plane's planted
                                 # dirty text; audit family

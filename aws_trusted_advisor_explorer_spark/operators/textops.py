@@ -40,13 +40,22 @@ def _toks_cte(d: Dialect) -> str:
 
 def text_token_stats(d: Dialect) -> str:
     """Token counting: whitespace tokens, alnum (BPE-ish regex) tokens,
-    distinct tokens, type-token ratio, mean token length."""
+    distinct tokens, type-token ratio, mean token length. Zero-token
+    documents (no [a-z0-9] at all — CJK-only, emoji-only, empty) get
+    NULL ratios: Spark's ANSI mode THROWS on the unguarded division
+    while DuckDB returns NULL, so the CASE guard is what keeps the two
+    engines row-identical on non-Latin corpora
+    (tests/test_extensions.py unicode parity)."""
     n_ws = ("size(split(text, ' '))" if d.name == "spark"
             else "len(string_split(text, ' '))")
     n_tok = d.arr_len("toks")
     n_dist = d.arr_len(d.arr_distinct("toks"))
     sum_len = d.fold(d.transform("toks", "x", "cast(length(x) as bigint)"),
                      "cast(0 as bigint)", "a", "b", "a + b")
+    ttr = (f"CASE WHEN {n_tok} = 0 THEN cast(NULL as double) "
+           f"ELSE cast({n_dist} as double) / {n_tok} END")
+    avg_len = (f"CASE WHEN {n_tok} = 0 THEN cast(NULL as double) "
+               f"ELSE cast({sum_len} as double) / {n_tok} END")
     return f"""{_toks_cte(d)}
 SELECT
   doc_id,
@@ -54,8 +63,8 @@ SELECT
   cast({n_ws} as bigint) AS n_ws_tokens,
   cast({n_tok} as bigint) AS n_tokens,
   cast({n_dist} as bigint) AS n_distinct_tokens,
-  cast({n_dist} as double) / {n_tok} AS type_token_ratio,
-  cast({sum_len} as double) / {n_tok} AS avg_token_len
+  {ttr} AS type_token_ratio,
+  {avg_len} AS avg_token_len
 FROM t"""
 
 
@@ -430,13 +439,19 @@ def text_tokenizer_coverage(d: Dialect) -> str:
     exactly on the damaged rows.
 
     Pure codegen projection, zero shuffles; counts are exact bigints,
-    coverage is one division."""
+    coverage is one division. Whitespace counts ALL of space/tab/
+    newline/CR (the characters the sanitize plane treats as legitimate
+    separators) via the same regexp length-delta trick as the control
+    count — counting only ' ' would misclassify tab/newline into
+    n_residual and overstate tokenizer loss (round-2 advice item)."""
     raw, _, _, _, _ = sanitize_parts(d)
     toks = d.tokens("raw")
     tok_chars = d.fold(
         d.transform(toks, "x", "cast(length(x) as bigint)"),
         "cast(0 as bigint)", "a", "b", "a + b")
-    n_space = "cast(length(raw) - length(replace(raw, ' ', '')) as bigint)"
+    ws_pat = "[ \\\\t\\\\n\\\\r]" if d.name == "spark" else "[ \\t\\n\\r]"
+    n_space = (f"cast(length(raw) - "
+               f"length({d.re_replace('raw', ws_pat, '')}) as bigint)")
     return f"""WITH r AS (
   SELECT doc_id, {raw} AS raw FROM documents
 ),
@@ -1025,8 +1040,10 @@ def text_bpe_tokenize_count_df(spark, base: str | None = None,
     each DISTINCT word once — higher-order-function lambdas are interpreted
     (not whole-stage codegen), so running the greedy-apply expression
     per token OCCURRENCE costs ~vocab-expansion× more for identical
-    results (measured ~3.5x total-query wall at sf0.1 — see SCALE.md
-    §BPE; Zipf makes it worse at scale).
+    results (measured 7.7x end-to-end at sf0.1 with the 62-merge
+    model, 1.23s dim-path vs 9.53s per-occurrence, full evaluation
+    forced via sum(n_bpe_tokens) — same figure quoted in SCALE.md
+    §Tokenizer; Zipf makes it worse at scale).
     The vocab-sized (token, n_syms) dim then broadcast-joins back to
     the exploded token stream and one map-side-combining groupBy
     rebuilds the per-doc counts. Docs with zero tokens are preserved

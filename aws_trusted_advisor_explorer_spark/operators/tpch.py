@@ -13,7 +13,11 @@ is computed per row as a double, scaled to integer micros with
 bigints; ratios/averages divide the exact sums once at the end — the
 same scaled-integer discipline as the KMeans trainer and the events
 money sums. int64 headroom: ~1e12 micros/row x 6e5 rows at sf0.1 =
-6e17 << 9.2e18; at TPC-H sf100+ swap the micros to decimal(38,6).
+6e17 << 9.2e18; at TPC-H sf100+ the sums would overflow int64, so
+``set_money_mode("decimal")`` switches every money term to
+DECIMAL(38,0) micros (exact 38-digit integer arithmetic, identical
+values where both modes are in range — pinned mode-vs-mode and
+cross-engine by tests/test_extensions.py::test_tpch_money_modes).
 
 Scale posture (100 TB): pure declarative joins + aggregates — Catalyst
 picks broadcast for the dimension sides (region/nation/customer at
@@ -27,9 +31,31 @@ from aws_trusted_advisor_explorer_spark.functions.dual import Dialect
 
 _US = 1_000_000  # money scale: micros
 
+# money representation: "micros" = int64 micro-units (fastest; safe
+# through ~sf10, documented bound above); "decimal" = DECIMAL(38,0)
+# micro-units (exact through sf100+ where int64 sums would overflow).
+# Both engines render from the same module global, so oracle and Spark
+# always agree on the mode.
+MONEY_MODE = "micros"
+
+
+def set_money_mode(mode: str) -> None:
+    """Switch the money representation for every TPC-H builder
+    ("micros" int64 | "decimal" DECIMAL(38,0)). Module-global on
+    purpose: the driver renders Spark and oracle SQL in one process,
+    so both sides flip together."""
+    global MONEY_MODE
+    if mode not in ("micros", "decimal"):
+        raise ValueError(f"unknown money mode {mode!r}")
+    MONEY_MODE = mode
+
+
+def _money_t() -> str:
+    return "bigint" if MONEY_MODE == "micros" else "decimal(38,0)"
+
 
 def _micros(expr: str) -> str:
-    return f"cast(round(({expr}) * {_US}) as bigint)"
+    return f"cast(round(({expr}) * {_US}) as {_money_t()})"
 
 
 Q1_CUTOFF = "1998-09-02 00:00:00"
@@ -136,7 +162,7 @@ def tpch_q6(d: Dialect) -> str:
     predicate reaches the parquet scan; the aggregate sees only
     qualifying rows). Exact micro sum as everywhere in this module."""
     return f"""SELECT
-  cast(sum({_micros('l_extendedprice * l_discount')}) as bigint)
+  cast(sum({_micros('l_extendedprice * l_discount')}) as {_money_t()})
     AS revenue_us,
   cast(count(*) as bigint) AS n_lineitems
 FROM lineitem
@@ -165,8 +191,8 @@ def tpch_q14(d: Dialect) -> str:
     AND l.l_shipdate < timestamp '{Q14_TO}'
 )
 SELECT
-  cast(sum(promo_us) as bigint) AS promo_revenue_us,
-  cast(sum(rev_us) as bigint) AS total_revenue_us,
+  cast(sum(promo_us) as {_money_t()}) AS promo_revenue_us,
+  cast(sum(rev_us) as {_money_t()}) AS total_revenue_us,
   CASE WHEN sum(rev_us) = 0 THEN cast(NULL as double)
        ELSE cast(100 as double) * sum(promo_us) / sum(rev_us)
   END AS promo_revenue_pct
@@ -285,19 +311,449 @@ avgq AS (
 )
 SELECT
   cast(count(*) as bigint) AS n_small_orders,
-  cast(sum({_micros('pl.l_extendedprice')}) as bigint) AS revenue_us
+  cast(sum({_micros('pl.l_extendedprice')}) as {_money_t()}) AS revenue_us
 FROM pl JOIN avgq a ON a.l_partkey = pl.l_partkey
 WHERE pl.qty_us * {Q17_FRACTION_DEN} * a.cnt
       < cast({Q17_FRACTION_NUM} as bigint) * a.sum_qty_us"""
 
 
+Q2_SIZE = 15
+Q2_REGION = "EUROPE"
+Q2_TOP = 100
+
+
+def tpch_q2(d: Dialect) -> str:
+    """Q2 minimum-cost supplier (adapted: the fixture has no partsupp
+    table, so the part-supplier catalog is DERIVED as the distinct
+    (l_partkey, l_suppkey) pairs observed in lineitem, and s_acctbal
+    stands in for ps_supplycost). For every size-{Q2_SIZE} part, the
+    {Q2_REGION} supplier with the MINIMUM account balance — the
+    correlated-min subquery shape, written decorrelated (per-part min
+    + equality join back, exactly Catalyst's rewrite). Balances
+    compare as exact scaled integers, so the min and the tie set are
+    cross-engine deterministic; ties keep ALL minimal suppliers like
+    the spec query."""
+    bal = _micros("s.s_acctbal")
+    return f"""WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+es AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name, {bal} AS bal_us
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{Q2_REGION}'
+),
+cand AS (
+  SELECT p.p_partkey, p.p_name, e.s_name, e.n_name, e.bal_us
+  FROM part p
+  JOIN ps ON ps.l_partkey = p.p_partkey
+  JOIN es e ON e.s_suppkey = ps.l_suppkey
+  WHERE p.p_size = {Q2_SIZE}
+),
+mn AS (
+  SELECT p_partkey, min(bal_us) AS mn_us FROM cand GROUP BY p_partkey
+)
+SELECT c.p_partkey, c.p_name, c.s_name, c.n_name,
+  cast(c.bal_us as double) / {_US} AS s_acctbal
+FROM cand c JOIN mn ON mn.p_partkey = c.p_partkey
+  AND c.bal_us = mn.mn_us
+ORDER BY c.bal_us DESC, c.p_partkey, c.s_name
+LIMIT {Q2_TOP}"""
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_FROM = "1996-01-01 00:00:00"
+Q7_TO = "1998-01-01 00:00:00"
+
+
+def tpch_q7(d: Dialect) -> str:
+    """Q7 volume shipping between two nations: revenue per
+    (supplier nation, customer nation, ship year) for both directions
+    of the {Q7_NATION_A}<->{Q7_NATION_B} trade lane over two ship
+    years. The two nation dims broadcast; the fact-side join chain is
+    the lineitem->orders->customer rail. Exact micro sums; year() is
+    engine-identical on timestamps."""
+    rev = _micros("l.l_extendedprice * (1 - l.l_discount)")
+    return f"""WITH sn AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+),
+cn AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  WHERE n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+),
+r AS (
+  SELECT sn.supp_nation, cn.cust_nation,
+    cast(year(l.l_shipdate) as bigint) AS l_year, {rev} AS rev_us
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN sn ON sn.s_suppkey = l.l_suppkey
+  JOIN cn ON cn.c_custkey = o.o_custkey
+  WHERE sn.supp_nation <> cn.cust_nation
+    AND l.l_shipdate >= timestamp '{Q7_FROM}'
+    AND l.l_shipdate < timestamp '{Q7_TO}'
+)
+SELECT supp_nation, cust_nation, l_year,
+  cast(sum(rev_us) as double) / {_US} AS revenue,
+  cast(count(*) as bigint) AS n_lineitems
+FROM r GROUP BY supp_nation, cust_nation, l_year"""
+
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+Q8_TYPE = "ECONOMY"
+Q8_FROM = "1996-01-01 00:00:00"
+Q8_TO = "1998-01-01 00:00:00"
+
+
+def tpch_q8(d: Dialect) -> str:
+    """Q8 national market share: {Q8_NATION}'s share of {Q8_REGION}
+    {Q8_TYPE}-part revenue per order year — the conditional-ratio
+    aggregate. Numerator and denominator are exact micro sums of the
+    SAME rows (the share is one guarded division), so the percentage
+    is cross-engine exact."""
+    rev = _micros("l.l_extendedprice * (1 - l.l_discount)")
+    return f"""WITH r AS (
+  SELECT cast(year(o.o_orderdate) as bigint) AS o_year,
+    CASE WHEN sn.n_name = '{Q8_NATION}' THEN {rev}
+         ELSE cast(0 as bigint) END AS nation_us,
+    {rev} AS rev_us
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region rg ON rg.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE rg.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_TYPE}'
+    AND o.o_orderdate >= timestamp '{Q8_FROM}'
+    AND o.o_orderdate < timestamp '{Q8_TO}'
+)
+SELECT o_year,
+  CASE WHEN sum(rev_us) = 0 THEN cast(NULL as double)
+       ELSE cast(sum(nation_us) as double) / sum(rev_us) END AS mkt_share,
+  cast(sum(rev_us) as double) / {_US} AS total_revenue
+FROM r GROUP BY o_year"""
+
+
+Q9_PART_LIKE = "%bolt%"
+Q9_COST_FRAC = "cast(0.8 as double)"  # supply-cost proxy of retail price
+
+
+def tpch_q9(d: Dialect) -> str:
+    """Q9 product-type profit (adapted: no partsupp, so supply cost is
+    proxied as 80% of p_retailprice — the profit SHAPE, per-row
+    deterministic): profit per (supplier nation, order year) over
+    parts matching '{Q9_PART_LIKE}'. Per-row profit is one IEEE
+    expression scaled to micros; sums are exact and may be negative."""
+    profit = _micros(
+        "l.l_extendedprice * (1 - l.l_discount) "
+        f"- l.l_quantity * p.p_retailprice * {Q9_COST_FRAC}")
+    return f"""WITH r AS (
+  SELECT sn.n_name AS nation,
+    cast(year(o.o_orderdate) as bigint) AS o_year,
+    {profit} AS profit_us
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE p.p_name LIKE '{Q9_PART_LIKE}'
+)
+SELECT nation, o_year,
+  cast(sum(profit_us) as double) / {_US} AS sum_profit,
+  cast(count(*) as bigint) AS n_lineitems
+FROM r GROUP BY nation, o_year"""
+
+
+Q11_NATION = "NATION_3"
+Q11_MEAN_MULT = 2  # keep parts holding > this x the mean part value
+
+
+def tpch_q11(d: Dialect) -> str:
+    """Q11 important stock (adapted: stock value is the shipped
+    quantity x retail price observed in lineitem for suppliers of one
+    nation, standing in for ps_availqty x ps_supplycost): parts whose
+    value exceeds {Q11_MEAN_MULT}x the MEAN part value for the nation
+    — the global-total scalar subquery shape (one-row aggregate
+    cross-joined back). The mean-relative threshold is scale-free
+    (the spec's fixed 0.0001/SF fraction would empty out or flood as
+    SF moves); the compare is integer cross-multiplication, no
+    division."""
+    val = _micros("l.l_quantity * p.p_retailprice")
+    return f"""WITH v AS (
+  SELECT l.l_partkey AS p_partkey, sum({val}) AS value_us
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = '{Q11_NATION}'
+  GROUP BY l.l_partkey
+),
+t AS (SELECT sum(value_us) AS total_us, count(*) AS np FROM v)
+SELECT v.p_partkey, cast(v.value_us as double) / {_US} AS value
+FROM v CROSS JOIN t
+WHERE v.value_us * t.np > {Q11_MEAN_MULT} * t.total_us"""
+
+
+Q12_LATE_DAYS = 30
+_DAY_US = 86_400_000_000
+
+
+def tpch_q12(d: Dialect) -> str:
+    """Q12 shipping-lag audit (adapted: no shipmode/commit/receipt
+    dates, so lineitems bucket by order->ship lag months, capped at
+    2+): per lag bucket, how many lineitems belong to high-priority
+    (1-URGENT / 2-HIGH) vs lower-priority orders — the CASE-sum
+    pivot aggregate. Lag arithmetic is integer microseconds."""
+    gap_days = d.idiv(
+        f"({d.epoch_us('l.l_shipdate')} - {d.epoch_us('o.o_orderdate')})",
+        str(_DAY_US))
+    bucket = f"least({d.idiv(gap_days, str(Q12_LATE_DAYS))}, cast(2 as bigint))"
+    return f"""SELECT
+  cast({bucket} as bigint) AS lag_bucket,
+  cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+  cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) as bigint) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY {bucket}"""
+
+
+Q13_EXCLUDE_PRIO = "4-NOT SPECIFIED"
+
+
+def tpch_q13(d: Dialect) -> str:
+    """Q13 customer order-count distribution: orders per customer
+    (LEFT join so zero-order customers stay, with the priority filter
+    in the JOIN condition — filtering in WHERE would silently drop
+    them, the classic Q13 trap), then the histogram of those counts."""
+    return f"""WITH cc AS (
+  SELECT c.c_custkey, cast(count(o.o_orderkey) as bigint) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    AND o.o_orderpriority <> '{Q13_EXCLUDE_PRIO}'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, cast(count(*) as bigint) AS custdist
+FROM cc GROUP BY c_count"""
+
+
+Q15_FROM = "1996-01-01 00:00:00"
+Q15_TO = "1996-04-01 00:00:00"
+
+
+def tpch_q15(d: Dialect) -> str:
+    """Q15 top supplier: suppliers whose one-quarter revenue equals
+    the maximum over all suppliers — the scalar-max subquery shape
+    (one-row max cross-joined back; exact micro revenue makes the max
+    and its tie set deterministic, and ties keep ALL top suppliers
+    like the spec query)."""
+    rev = _micros("l_extendedprice * (1 - l_discount)")
+    return f"""WITH sr AS (
+  SELECT l_suppkey, sum({rev}) AS rev_us
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '{Q15_FROM}'
+    AND l_shipdate < timestamp '{Q15_TO}'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(rev_us) AS mx_us FROM sr)
+SELECT s.s_suppkey, s.s_name,
+  cast(sr.rev_us as double) / {_US} AS total_revenue
+FROM sr JOIN mx ON sr.rev_us = mx.mx_us
+JOIN supplier s ON s.s_suppkey = sr.l_suppkey"""
+
+
+Q16_EXCL_BRAND = "Brand#15"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+
+
+def tpch_q16(d: Dialect) -> str:
+    """Q16 parts/supplier relationship (adapted: the part-supplier
+    catalog is the distinct lineitem pair set; the
+    customer-complaint supplier exclusion stands in as negative
+    account balance): distinct supplier count per (brand, type, size)
+    outside one brand/type, over {len(Q16_SIZES)} sizes."""
+    sizes = ", ".join(str(x) for x in Q16_SIZES)
+    return f"""WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+ok AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0
+)
+SELECT p.p_brand, p.p_type, cast(p.p_size as bigint) AS p_size,
+  cast(count(DISTINCT ps.l_suppkey) as bigint) AS supplier_cnt
+FROM ps
+JOIN ok ON ok.s_suppkey = ps.l_suppkey
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+  AND p.p_type <> '{Q16_EXCL_TYPE}'
+  AND p.p_size IN ({sizes})
+GROUP BY p.p_brand, p.p_type, p.p_size"""
+
+
+Q19_ARMS = (("Brand#11", 1, 5, 1, 11),
+            ("Brand#12", 1, 10, 10, 20),
+            ("Brand#13", 1, 15, 20, 30))
+
+
+def tpch_q19(d: Dialect) -> str:
+    """Q19 discounted revenue under DISJUNCTIVE predicates (adapted to
+    the fixture's brand/size/quantity columns): three OR-ed
+    brand x size-range x quantity-range arms over the lineitem-part
+    join — the disjunction-pushdown shape (each arm's part predicates
+    prune the broadcast dim; the OR of ANDs stays in the join
+    filter)."""
+    rev = _micros("l.l_extendedprice * (1 - l.l_discount)")
+    arms = "\n   OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND l.l_quantity >= {qlo} AND l.l_quantity <= {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_ARMS)
+    return f"""SELECT
+  cast(sum({rev}) as double) / {_US} AS revenue,
+  cast(count(*) as bigint) AS n_lineitems
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {arms}"""
+
+
+Q20_NATION = "NATION_2"
+Q20_PART_LIKE = "cold%"
+Q20_SHARE_NUM, Q20_SHARE_DEN = 3, 10   # dominant: > 30% of part volume
+Q20_FROM = "1996-01-01 00:00:00"
+Q20_TO = "1997-01-01 00:00:00"
+
+
+def tpch_q20(d: Dialect) -> str:
+    """Q20 potential part promotion (adapted: without ps_availqty the
+    'excess stock' test becomes a DOMINANT-SUPPLIER test — pairs whose
+    one-year shipped quantity exceeds {Q20_SHARE_NUM}/{Q20_SHARE_DEN}
+    of the part's total): suppliers of one nation dominating at least
+    one '{Q20_PART_LIKE}' part — the nested semi-join chain, written
+    as aggregates + joins. Quantity compares are integer
+    cross-multiplications of exact micro sums."""
+    qty = _micros("l.l_quantity")
+    return f"""WITH pq AS (
+  SELECT l.l_partkey, l.l_suppkey, sum({qty}) AS pair_qty_us
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '{Q20_PART_LIKE}'
+    AND l.l_shipdate >= timestamp '{Q20_FROM}'
+    AND l.l_shipdate < timestamp '{Q20_TO}'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+pt AS (
+  SELECT l_partkey, sum(pair_qty_us) AS part_qty_us
+  FROM pq GROUP BY l_partkey
+),
+dom AS (
+  SELECT DISTINCT pq.l_suppkey
+  FROM pq JOIN pt ON pt.l_partkey = pq.l_partkey
+  WHERE pq.pair_qty_us * {Q20_SHARE_DEN}
+        > pt.part_qty_us * {Q20_SHARE_NUM}
+)
+SELECT s.s_name, n.n_name
+FROM dom
+JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = '{Q20_NATION}'"""
+
+
+Q21_TOP = 20
+
+
+def tpch_q21(d: Dialect) -> str:
+    """Q21 suppliers who kept orders waiting (adapted: 'late' is the
+    Q4 proxy, shipdate > orderdate + {Q12_LATE_DAYS} days): per
+    finished multi-supplier order, the supplier who was the ONLY late
+    one — the EXISTS / NOT-EXISTS pair, decorrelated into per-order
+    supplier/late-supplier counts (one aggregate instead of two
+    correlated probes). Top {Q21_TOP} by wait count, deterministic
+    (numwait DESC, s_name) tiebreak."""
+    return f"""WITH ol AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+        THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+oc AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+  FROM ol GROUP BY l_orderkey
+)
+SELECT s.s_name, cast(count(*) as bigint) AS numwait
+FROM ol
+JOIN oc ON oc.l_orderkey = ol.l_orderkey
+JOIN supplier s ON s.s_suppkey = ol.l_suppkey
+WHERE ol.is_late = 1 AND oc.n_supp > 1 AND oc.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT {Q21_TOP}"""
+
+
+Q22_NATIONKEYS = (1, 3, 5, 7, 9, 11, 13)
+Q22_CUTOFF = "1999-01-01 00:00:00"
+
+
+def tpch_q22(d: Dialect) -> str:
+    """Q22 global sales opportunity (adapted: the phone country code
+    becomes c_nationkey over {len(Q22_NATIONKEYS)} nation keys; 'no
+    recent orders' = no orders on/after {Q22_CUTOFF}): per country,
+    count and total balance of above-average-balance customers who
+    stopped ordering — the anti-join + scalar-average shape. The
+    average compare is integer cross-multiplication of exact micro
+    sums (no division in the predicate)."""
+    keys = ", ".join(str(k) for k in Q22_NATIONKEYS)
+    bal = _micros("c_acctbal")
+    return f"""WITH pool AS (
+  SELECT c_custkey, cast(c_nationkey as bigint) AS cntry, {bal} AS bal_us
+  FROM customer
+  WHERE c_nationkey IN ({keys})
+),
+avgp AS (
+  SELECT sum(bal_us) AS sum_us, count(*) AS cnt
+  FROM pool WHERE bal_us > 0
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= timestamp '{Q22_CUTOFF}'
+)
+SELECT p.cntry,
+  cast(count(*) as bigint) AS numcust,
+  cast(sum(p.bal_us) as double) / {_US} AS totacctbal
+FROM pool p
+CROSS JOIN avgp a
+LEFT JOIN recent r ON r.o_custkey = p.c_custkey
+WHERE r.o_custkey IS NULL AND p.bal_us * a.cnt > a.sum_us
+GROUP BY p.cntry"""
+
+
 BUILDERS = {
     "tpch_q1": tpch_q1,
+    "tpch_q2": tpch_q2,
     "tpch_q3": tpch_q3,
     "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q7": tpch_q7,
+    "tpch_q8": tpch_q8,
+    "tpch_q9": tpch_q9,
     "tpch_q10": tpch_q10,
+    "tpch_q11": tpch_q11,
+    "tpch_q12": tpch_q12,
+    "tpch_q13": tpch_q13,
+    "tpch_q15": tpch_q15,
+    "tpch_q16": tpch_q16,
+    "tpch_q19": tpch_q19,
+    "tpch_q20": tpch_q20,
+    "tpch_q21": tpch_q21,
+    "tpch_q22": tpch_q22,
     "tpch_q14": tpch_q14,
     "tpch_q17": tpch_q17,
     "tpch_q18": tpch_q18,
