@@ -231,6 +231,22 @@ def _dedup_savings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
 
 
+def _dochash_backed_query(builder_name: str):
+    """Content-hash queries (bloom prefilter) read the per-session
+    materialized poly-hash plane instead of re-running the interpreted
+    char-fold hash per CTE reference (dedup.ensure_dochash_view)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+        from aws_trusted_advisor_explorer_spark.operators import dedup
+
+        _prepare_ext(spark, sf_dir)
+        base = dedup.ensure_dochash_view(spark, key=sf_dir)
+        return spark.sql(getattr(dedup, builder_name)(SPARK, base=base))
+
+    return run
+
+
 def _shingle_backed_query(builder_name: str, module: str = "dedup"):
     """Shingle-based queries read the per-session materialized
     shingle-hash view instead of re-running the explode+hash pipeline
@@ -650,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[key] = _shingle_backed_query(key)
     for key in ("docs_block_dedup", "docs_boilerplate_topk"):
         q[key] = _block_backed_query(key)
+    q["dedup_bloom_prefilter"] = _dochash_backed_query("dedup_bloom_prefilter")
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",
                 "pq_recall_report"):

@@ -514,7 +514,34 @@ BLOOM_SALTS = ((1_000_003, 17), (999_983, 291), (1_000_033, 7919),
                (999_979, 104729))
 
 
-def dedup_bloom_prefilter(d: Dialect) -> str:
+DOCHASH_VIEW = "__doc_content_hv"
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
+_DOCHASH_STATE: dict[int, tuple[object, object, list]] = {}
+
+
+def ensure_dochash_view(spark, key: object = None) -> str:
+    """Materialize the per-document content poly-hash plane (doc_id,
+    source, hv) once per (session, dataset): the char-fold hash is an
+    interpreted lambda over every character, and the bloom prefilter
+    references the relation from both its filter-build and its
+    exact-membership arms — under CTE inlining each reference would
+    re-hash the corpus (same build-once discipline as
+    ensure_shingle_view)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+
+    def build(spark):
+        df = spark.sql(
+            f"SELECT doc_id, source, {SPARK.poly_hash('text')} AS hv "
+            f"FROM documents").localCheckpoint(eager=True)
+        df.createOrReplaceTempView(DOCHASH_VIEW)
+        return [df]
+
+    ensure_session_plane(_DOCHASH_STATE, spark, key, build)
+    return DOCHASH_VIEW
+
+
+def dedup_bloom_prefilter(d: Dialect, base: str | None = None) -> str:
     """Bloom-filter membership prefilter for incremental dedup: build a
     {BLOOM_BITS}-bit filter over the EXISTING corpus' content hashes
     (every source except '{INCREMENTAL_BATCH_SOURCE}'), probe each doc
@@ -540,11 +567,20 @@ def dedup_bloom_prefilter(d: Dialect) -> str:
     probes = ", ".join(
         f"(hv * {a} + {b}) % {P_MOD} % {BLOOM_BITS} AS p{i}"
         for i, (a, b) in enumerate(BLOOM_SALTS))
-    probe_rows = " UNION ALL ".join(
-        f"SELECT doc_id, p{i} AS pos FROM bprobe" for i in range(BLOOM_K))
+    parr = "[" if d.name == "duck" else "array("
+    parr += ", ".join(f"p{i}" for i in range(BLOOM_K))
+    parr += "]" if d.name == "duck" else ")"
+    # the k probe positions EXPLODE from one array — a UNION ALL
+    # branch per probe would re-evaluate the corpus poly-hash CTE per
+    # branch under both engines' CTE inlining (measured 2.0s -> 0.7s
+    # at sf0.1)
+    probe_rows = f"SELECT doc_id, {d.explode(parr)} AS pos FROM bprobe"
     one = "cast(1 as bigint)"
+    k_body = (f"SELECT doc_id, source, hv FROM {base}" if base is not None
+              else f"SELECT doc_id, source, {d.poly_hash('text')} AS hv "
+                   f"FROM documents")
     return f"""WITH k AS (
-  SELECT doc_id, source, {d.poly_hash('text')} AS hv FROM documents
+  {k_body}
 ),
 corpus AS (SELECT * FROM k WHERE source <> '{INCREMENTAL_BATCH_SOURCE}'),
 batch  AS (SELECT * FROM k WHERE source =  '{INCREMENTAL_BATCH_SOURCE}'),
@@ -552,7 +588,7 @@ cpos AS (
   SELECT {probes} FROM corpus
 ),
 cbits AS (
-  SELECT pos FROM ({" UNION ALL ".join(f"SELECT p{i} AS pos FROM cpos" for i in range(BLOOM_K))})
+  SELECT {d.explode(parr)} AS pos FROM cpos
 ),
 words AS (
   SELECT {d.idiv('pos', '63')} AS word_idx,

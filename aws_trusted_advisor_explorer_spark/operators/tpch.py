@@ -328,8 +328,10 @@ def tpch_q2(d: Dialect) -> str:
     (l_partkey, l_suppkey) pairs observed in lineitem, and s_acctbal
     stands in for ps_supplycost). For every size-{Q2_SIZE} part, the
     {Q2_REGION} supplier with the MINIMUM account balance — the
-    correlated-min subquery shape, written decorrelated (per-part min
-    + equality join back, exactly Catalyst's rewrite). Balances
+    correlated-min subquery shape, decorrelated as a per-part window
+    min (ONE pass over the candidate relation — a groupBy + join-back
+    would re-evaluate the lineitem-derived catalog per CTE reference
+    under Spark's inlining). Balances
     compare as exact scaled integers, so the min and the tie set are
     cross-engine deterministic; ties keep ALL minimal suppliers like
     the spec query."""
@@ -351,14 +353,15 @@ cand AS (
   JOIN es e ON e.s_suppkey = ps.l_suppkey
   WHERE p.p_size = {Q2_SIZE}
 ),
-mn AS (
-  SELECT p_partkey, min(bal_us) AS mn_us FROM cand GROUP BY p_partkey
+w AS (
+  SELECT p_partkey, p_name, s_name, n_name, bal_us,
+    min(bal_us) OVER (PARTITION BY p_partkey) AS mn_us
+  FROM cand
 )
-SELECT c.p_partkey, c.p_name, c.s_name, c.n_name,
-  cast(c.bal_us as double) / {_US} AS s_acctbal
-FROM cand c JOIN mn ON mn.p_partkey = c.p_partkey
-  AND c.bal_us = mn.mn_us
-ORDER BY c.bal_us DESC, c.p_partkey, c.s_name
+SELECT p_partkey, p_name, s_name, n_name,
+  cast(bal_us as double) / {_US} AS s_acctbal
+FROM w WHERE bal_us = mn_us
+ORDER BY bal_us DESC, p_partkey, s_name
 LIMIT {Q2_TOP}"""
 
 
@@ -480,8 +483,12 @@ def tpch_q11(d: Dialect) -> str:
     quantity x retail price observed in lineitem for suppliers of one
     nation, standing in for ps_availqty x ps_supplycost): parts whose
     value exceeds {Q11_MEAN_MULT}x the MEAN part value for the nation
-    — the global-total scalar subquery shape (one-row aggregate
-    cross-joined back). The mean-relative threshold is scale-free
+    — the global-total scalar subquery shape, decorrelated as an
+    unpartitioned window over the PART-cardinality aggregate (one pass;
+    the single-partition window is safe because parts are a bounded
+    dimension, and a cross-joined one-row total would re-evaluate the
+    lineitem aggregate per CTE reference under Spark inlining). The
+    mean-relative threshold is scale-free
     (the spec's fixed 0.0001/SF fraction would empty out or flood as
     SF moves); the compare is integer cross-multiplication, no
     division."""
@@ -495,10 +502,15 @@ def tpch_q11(d: Dialect) -> str:
   WHERE n.n_name = '{Q11_NATION}'
   GROUP BY l.l_partkey
 ),
-t AS (SELECT sum(value_us) AS total_us, count(*) AS np FROM v)
-SELECT v.p_partkey, cast(v.value_us as double) / {_US} AS value
-FROM v CROSS JOIN t
-WHERE v.value_us * t.np > {Q11_MEAN_MULT} * t.total_us"""
+w AS (
+  SELECT p_partkey, value_us,
+    sum(value_us) OVER () AS total_us,
+    count(*) OVER () AS np
+  FROM v
+)
+SELECT p_partkey, cast(value_us as double) / {_US} AS value
+FROM w
+WHERE value_us * np > {Q11_MEAN_MULT} * total_us"""
 
 
 Q12_LATE_DAYS = 30
@@ -550,8 +562,11 @@ Q15_TO = "1996-04-01 00:00:00"
 
 def tpch_q15(d: Dialect) -> str:
     """Q15 top supplier: suppliers whose one-quarter revenue equals
-    the maximum over all suppliers — the scalar-max subquery shape
-    (one-row max cross-joined back; exact micro revenue makes the max
+    the maximum over all suppliers — the scalar-max subquery shape,
+    decorrelated as an unpartitioned window over the SUPPLIER-
+    cardinality revenue aggregate (one pass over lineitem; a
+    join-back would re-run the revenue aggregate per CTE reference
+    under Spark inlining; exact micro revenue makes the max
     and its tie set deterministic, and ties keep ALL top suppliers
     like the spec query)."""
     rev = _micros("l_extendedprice * (1 - l_discount)")
@@ -562,11 +577,13 @@ def tpch_q15(d: Dialect) -> str:
     AND l_shipdate < timestamp '{Q15_TO}'
   GROUP BY l_suppkey
 ),
-mx AS (SELECT max(rev_us) AS mx_us FROM sr)
+w AS (
+  SELECT l_suppkey, rev_us, max(rev_us) OVER () AS mx_us FROM sr
+)
 SELECT s.s_suppkey, s.s_name,
-  cast(sr.rev_us as double) / {_US} AS total_revenue
-FROM sr JOIN mx ON sr.rev_us = mx.mx_us
-JOIN supplier s ON s.s_suppkey = sr.l_suppkey"""
+  cast(w.rev_us as double) / {_US} AS total_revenue
+FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE w.rev_us = w.mx_us"""
 
 
 Q16_EXCL_BRAND = "Brand#15"
@@ -635,7 +652,9 @@ def tpch_q20(d: Dialect) -> str:
     one-year shipped quantity exceeds {Q20_SHARE_NUM}/{Q20_SHARE_DEN}
     of the part's total): suppliers of one nation dominating at least
     one '{Q20_PART_LIKE}' part — the nested semi-join chain, written
-    as aggregates + joins. Quantity compares are integer
+    as ONE aggregate + a per-part window total (a separate part-total
+    CTE joined back would re-run the lineitem aggregate per reference
+    under Spark inlining). Quantity compares are integer
     cross-multiplications of exact micro sums."""
     qty = _micros("l.l_quantity")
     return f"""WITH pq AS (
@@ -646,15 +665,15 @@ def tpch_q20(d: Dialect) -> str:
     AND l.l_shipdate < timestamp '{Q20_TO}'
   GROUP BY l.l_partkey, l.l_suppkey
 ),
-pt AS (
-  SELECT l_partkey, sum(pair_qty_us) AS part_qty_us
-  FROM pq GROUP BY l_partkey
+w AS (
+  SELECT l_partkey, l_suppkey, pair_qty_us,
+    sum(pair_qty_us) OVER (PARTITION BY l_partkey) AS part_qty_us
+  FROM pq
 ),
 dom AS (
-  SELECT DISTINCT pq.l_suppkey
-  FROM pq JOIN pt ON pt.l_partkey = pq.l_partkey
-  WHERE pq.pair_qty_us * {Q20_SHARE_DEN}
-        > pt.part_qty_us * {Q20_SHARE_NUM}
+  SELECT DISTINCT l_suppkey
+  FROM w
+  WHERE pair_qty_us * {Q20_SHARE_DEN} > part_qty_us * {Q20_SHARE_NUM}
 )
 SELECT s.s_name, n.n_name
 FROM dom
@@ -671,8 +690,11 @@ def tpch_q21(d: Dialect) -> str:
     Q4 proxy, shipdate > orderdate + {Q12_LATE_DAYS} days): per
     finished multi-supplier order, the supplier who was the ONLY late
     one — the EXISTS / NOT-EXISTS pair, decorrelated into per-order
-    supplier/late-supplier counts (one aggregate instead of two
-    correlated probes). Top {Q21_TOP} by wait count, deterministic
+    supplier/late-supplier counts via a WINDOW over the per-pair
+    aggregate (one pass, and the window shuffle key equals the
+    aggregate's grouping prefix so no extra exchange; a count CTE
+    joined back would re-run the lineitem-orders join per reference
+    under Spark inlining). Top {Q21_TOP} by wait count, deterministic
     (numwait DESC, s_name) tiebreak."""
     return f"""WITH ol AS (
   SELECT l.l_orderkey, l.l_suppkey,
@@ -683,15 +705,16 @@ def tpch_q21(d: Dialect) -> str:
   WHERE o.o_orderstatus = 'F'
   GROUP BY l.l_orderkey, l.l_suppkey
 ),
-oc AS (
-  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
-  FROM ol GROUP BY l_orderkey
+w AS (
+  SELECT l_orderkey, l_suppkey, is_late,
+    count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+    sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM ol
 )
 SELECT s.s_name, cast(count(*) as bigint) AS numwait
-FROM ol
-JOIN oc ON oc.l_orderkey = ol.l_orderkey
-JOIN supplier s ON s.s_suppkey = ol.l_suppkey
-WHERE ol.is_late = 1 AND oc.n_supp > 1 AND oc.n_late = 1
+FROM w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE w.is_late = 1 AND w.n_supp > 1 AND w.n_late = 1
 GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name
 LIMIT {Q21_TOP}"""
