@@ -73,6 +73,7 @@ SELECT doc_id, {d.poly_hash('shingle')} AS hv FROM e"""
 
 SHINGLE_VIEW = "__doc_shingle_hv"
 SHINGLE_DISTINCT_VIEW = "__doc_shingle_hv_distinct"
+SHINGLE_CAPPED_VIEW = "__doc_shingle_hv_capped"
 # id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
 _SHINGLE_STATE: dict[int, tuple[object, object, list]] = {}
 
@@ -102,7 +103,20 @@ def ensure_shingle_view(spark, key: object = None) -> str:
             f"FROM (SELECT DISTINCT doc_id, hv FROM {SHINGLE_VIEW})"
         ).localCheckpoint(eager=True)
         ddf.createOrReplaceTempView(SHINGLE_DISTINCT_VIEW)
-        return [df, ddf]
+        # the DF-capped relation (hot boilerplate shingles dropped, per-doc
+        # counts over the SURVIVORS) rides along too: it feeds both sides
+        # of the exact-Jaccard/containment self-join, which would otherwise
+        # re-run the cap filter + count window once per join side under
+        # CTE inlining (measured 1.11s -> 0.75s per query at sf0.1)
+        cdf = spark.sql(
+            f"SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n "
+            f"FROM (SELECT s.doc_id, s.hv FROM {SHINGLE_DISTINCT_VIEW} s "
+            f"JOIN (SELECT hv FROM {SHINGLE_DISTINCT_VIEW} "
+            f"GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}) k "
+            f"ON k.hv = s.hv)"
+        ).localCheckpoint(eager=True)
+        cdf.createOrReplaceTempView(SHINGLE_CAPPED_VIEW)
+        return [df, ddf, cdf]
 
     ensure_session_plane(_SHINGLE_STATE, spark, key, build)
     return SHINGLE_VIEW
@@ -124,6 +138,26 @@ sh2 AS (SELECT doc_id, hv, n FROM {SHINGLE_DISTINCT_VIEW})"""
 e AS (SELECT doc_id, {d.explode(shingles)} AS shingle FROM t),
 sh AS (SELECT DISTINCT doc_id, {d.poly_hash('shingle')} AS hv FROM e),
 sh2 AS (SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n FROM sh)"""
+
+
+def _capped_shingle_cte(d: Dialect, base: str | None = None) -> str:
+    """DF-capped shingle relation ``fs2(doc_id, hv, n)``: hot boilerplate
+    shingles (document frequency > NGRAM_DF_CAP) dropped, per-doc counts
+    over the survivors. Both sides of the exact-Jaccard/containment
+    self-join read it, so with ``base`` (Spark side) it comes from the
+    checkpoint-backed :data:`SHINGLE_CAPPED_VIEW` — inlining would
+    otherwise re-run the cap filter + count window once per join side.
+    Without ``base`` the chain is self-contained (DuckDB oracle,
+    standalone tests)."""
+    if base is not None:
+        return (f"WITH fs2 AS "
+                f"(SELECT doc_id, hv, n FROM {SHINGLE_CAPPED_VIEW})")
+    return f"""{_shingle_cte(d, None)},
+keep AS (
+  SELECT hv FROM sh GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}
+),
+fs AS (SELECT s.doc_id, s.hv FROM sh s JOIN keep k ON k.hv = s.hv),
+fs2 AS (SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n FROM fs)"""
 
 
 def dedup_exact_groups(d: Dialect) -> str:
@@ -222,12 +256,7 @@ def dedup_ngram_jaccard(d: Dialect, base: str | None = None) -> str:
     boilerplate) are dropped before the self-join, bounding per-shingle
     fan-out at CAP^2; set sizes and Jaccard are computed over the
     surviving shingles in BOTH dialects."""
-    return f"""{_shingle_cte(d, base)},
-keep AS (
-  SELECT hv FROM sh GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}
-),
-fs AS (SELECT s.doc_id, s.hv FROM sh s JOIN keep k ON k.hv = s.hv),
-fs2 AS (SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n FROM fs),
+    return f"""{_capped_shingle_cte(d, base)},
 common AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_common,
     max(a.n) AS na, max(b.n) AS nb
@@ -256,12 +285,7 @@ def dedup_containment(d: Dialect, base: str | None = None) -> str:
     :func:`dedup_ngram_jaccard` (shared-shingle equi-join over
     DF-capped shingle hashes); only the verify arithmetic differs, so
     the two queries share the materialized shingle view at scale."""
-    return f"""{_shingle_cte(d, base)},
-keep AS (
-  SELECT hv FROM sh GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}
-),
-fs AS (SELECT s.doc_id, s.hv FROM sh s JOIN keep k ON k.hv = s.hv),
-fs2 AS (SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n FROM fs),
+    return f"""{_capped_shingle_cte(d, base)},
 common AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_common,
     max(a.n) AS na, max(b.n) AS nb

@@ -349,31 +349,37 @@ def text_bigram_surprise(d: Dialect) -> str:
     unpredictable (gibberish or out-of-domain); low = formulaic.
 
     Scale posture: the occurrence relation is linear in corpus tokens;
-    both count tables aggregate it with map-side combine; the two
-    probe joins are vocab-sized dimensions (broadcast at scale). The
+    the bigram-count table aggregates it with map-side combine and the
+    probe join is a vocab-sized dimension (broadcast at scale). The
     occurrence CTE is referenced twice (bigram-count build + probe)
     and Spark re-evaluates it per reference — that repeated scan is
     DELIBERATE: each evaluation is a skew-free codegen scan, whereas
     the single-evaluation window form (count(*) OVER (PARTITION BY
-    bigram/w1)) has no partial aggregation and serializes every
+    bigram)) has no partial aggregation and serializes every
     occurrence of a Zipfian head word into one window partition — the
     straggler that kills the job at corpus scale (same trade as
     text_commonness_score). The leading-word counts need NO third
-    scan: every occurrence contributes exactly one bigram, so n1 is
-    the sum of n12 over the vocab-sized bigram-count relation."""
+    scan AND no occurrence-level window: every occurrence contributes
+    exactly one bigram, so n1 is a window sum of n12 over the
+    VOCAB-sized bigram-count relation (a distinct head word owns at
+    most |following vocab| rows there, never its occurrence count —
+    attaching n1 as a third join instead would re-evaluate the c12
+    aggregate and with it the whole occurrence scan under CTE
+    inlining; measured 1.30s -> 0.84s at sf0.1)."""
     toks = d.tokens("text")
     w1 = d.elem(d.split("bigram", " "), "1")
     return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 bg AS (SELECT doc_id, {d.explode(d.shingles('toks', 2))} AS bigram FROM t),
-occ AS (SELECT doc_id, bigram, {w1} AS w1 FROM bg),
-c12 AS (SELECT bigram, cast(count(*) as bigint) AS n12 FROM occ GROUP BY bigram),
-c1 AS (SELECT {w1} AS w1,
-       cast(sum(n12) as bigint) AS n1 FROM c12 GROUP BY 1),
+c12 AS (SELECT bigram, cast(count(*) as bigint) AS n12 FROM bg GROUP BY bigram),
+cw AS (
+  SELECT bigram, n12,
+    cast(sum(n12) OVER (PARTITION BY {w1}) as bigint) AS n1
+  FROM c12
+),
 s AS (
-  SELECT o.doc_id, {d.idiv('(c1.n1 * 1000)', 'c12.n12')} AS surprise_milli
-  FROM occ o
-  JOIN c12 ON c12.bigram = o.bigram
-  JOIN c1 ON c1.w1 = o.w1
+  SELECT o.doc_id, {d.idiv('(cw.n1 * 1000)', 'cw.n12')} AS surprise_milli
+  FROM bg o
+  JOIN cw ON cw.bigram = o.bigram
 )
 SELECT doc_id,
   cast(count(*) as bigint) AS n_bigrams,
