@@ -96,12 +96,12 @@ def _prepare_ext(spark: SparkSession, sf_dir: str) -> None:
 def _ext_builders() -> dict:
     from aws_trusted_advisor_explorer_spark.operators import (
         clusterops, corpusops, dedup, eventops, masking, multimodal,
-        profiling, similarity, textops, tpch,
+        profiling, similarity, sketchops, textops, tpch,
     )
 
     out = {}
     for mod in (textops, dedup, similarity, eventops, multimodal, masking,
-                corpusops, clusterops, profiling, tpch):
+                corpusops, clusterops, profiling, tpch, sketchops):
         out.update(mod.BUILDERS)
     return out
 
@@ -231,18 +231,23 @@ def _dedup_savings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
 
 
-def _dochash_backed_query(builder_name: str):
-    """Content-hash queries (bloom prefilter) read the per-session
-    materialized poly-hash plane instead of re-running the interpreted
-    char-fold hash per CTE reference (dedup.ensure_dochash_view)."""
+def _dochash_backed_query(builder_name: str, module: str = "dedup"):
+    """Content-hash queries (bloom prefilter, KMV sketches) read the
+    per-session materialized poly-hash plane instead of re-running the
+    interpreted char-fold hash per CTE reference
+    (dedup.ensure_dochash_view)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import importlib
+
         from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
         from aws_trusted_advisor_explorer_spark.operators import dedup
 
+        mod = importlib.import_module(
+            f"aws_trusted_advisor_explorer_spark.operators.{module}")
         _prepare_ext(spark, sf_dir)
         base = dedup.ensure_dochash_view(spark, key=sf_dir)
-        return spark.sql(getattr(dedup, builder_name)(SPARK, base=base))
+        return spark.sql(getattr(mod, builder_name)(SPARK, base=base))
 
     return run
 
@@ -637,6 +642,21 @@ _PARKED_TAIL = (
                            # row is docs_embedding_integrity, and the
                            # CDC family's streaming twin is
                            # events_latest_state; action-semantics pytest
+    "events_hll_distinct",  # new in r3: sketch plane (HLL distinct +
+                            # exact + error gate); the estimate-vs-
+                            # truth family's in-cap row is
+                            # knn_recall_at_k; property pytest
+    "events_hll_merge",     # new in r3: HLL register mergeability
+                            # audit (parked with its family head
+                            # events_hll_distinct)
+    "events_cms_heavy_hitters",  # new in r3: count-min heavy hitters
+                                 # vs exact counts; the heavy-key
+                                 # family's in-cap row is
+                                 # events_key_skew_audit
+    "docs_kmv_distinct_union",   # new in r3: KMV/theta distinct-union
+                                 # sketch over the in-cap bloom/
+                                 # dochash plane (dedup_incremental
+                                 # holds the in-cap content-hash row)
 )
 
 
@@ -667,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for key in ("docs_block_dedup", "docs_boilerplate_topk"):
         q[key] = _block_backed_query(key)
     q["dedup_bloom_prefilter"] = _dochash_backed_query("dedup_bloom_prefilter")
+    q["docs_kmv_distinct_union"] = _dochash_backed_query(
+        "docs_kmv_distinct_union", "sketchops")
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",
                 "pq_recall_report"):

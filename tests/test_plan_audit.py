@@ -61,6 +61,12 @@ BNLJ_ALLOWED = {
     #            evaluation is cheaper than a single-partition window
     #            over the pool would be)
     "tpch_q22",
+    # docs_kmv_distinct_union — five single-row sketch-stat relations
+    #            (direct/merged kth-min, exact count, source count,
+    #            disagreement count) cross-joined for the one-row
+    #            report; every input relation is sketch-sized
+    #            (<= shards x k rows) by construction
+    "docs_kmv_distinct_union",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")

@@ -1,0 +1,126 @@
+"""Sketch plane: HLL distinct, count-min heavy hitters, KMV union —
+cross-engine parity plus the algebraic properties each sketch ships
+with (merge losslessness, never-undercount, small-range accuracy)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from aws_trusted_advisor_explorer_spark.functions.dual import DUCK, SPARK
+from aws_trusted_advisor_explorer_spark.operators import sketchops
+from tests.conftest import assert_matches_oracle, canonicalize
+
+
+def test_mix_hash_matches_python_reference(spark):
+    """The SQL xorshift-multiply mix must equal the arithmetic spec —
+    pins the hash layout both engines (and any future port) share."""
+    P, K = 1_000_000_007, sketchops.MIX_MULT
+
+    def mix(u: int) -> int:
+        x0 = u % P
+        x1 = x0 ^ (x0 >> 13)
+        x2 = (x1 * K) % P
+        return x2 ^ (x2 >> 11)
+
+    rows = spark.sql(
+        "SELECT id, " + sketchops._mix(SPARK, "id") + " AS hv "
+        "FROM (SELECT explode(sequence(0, 99)) AS id)").collect()
+    for r in rows:
+        assert r.hv == mix(r.id), (r.id, r.hv, mix(r.id))
+
+
+def test_hll_distinct_parity_and_accuracy(spark, ddb):
+    """Both engines agree bit-for-bit (incl. the double estimate), the
+    linear-counting small-range branch keeps the estimate within 15%
+    of truth on the fixture, and exact counts are genuinely exact."""
+    df = spark.sql(sketchops.events_hll_distinct(SPARK))
+    assert_matches_oracle(df, ddb, sketchops.events_hll_distinct(DUCK))
+    pdf = df.toPandas()
+    exact = ddb.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS n "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY 1").df()
+    merged = pdf.merge(exact, on="event_type")
+    assert (merged["n_exact"] == merged["n"]).all()
+    assert (merged["err_milli"] < 150).all(), merged
+
+
+def test_hll_merge_is_lossless(spark, ddb):
+    """Per-day register tables merged with max() must equal the
+    direct build — zero disagreeing registers, identical Z partials."""
+    df = spark.sql(sketchops.events_hll_merge(SPARK))
+    assert_matches_oracle(df, ddb, sketchops.events_hll_merge(DUCK))
+    pdf = df.toPandas()
+    assert (pdf["n_disagree"] == 0).all()
+    assert (pdf["z_partial_direct"] == pdf["z_partial_merged"]).all()
+    assert (pdf["n_registers"] > 0).all()
+
+
+def test_cms_never_undercounts(spark, ddb):
+    """CMS estimates are upper bounds (min of d over-counting rows):
+    overcount >= 0 for every reported user, and the exact column
+    matches a direct groupBy."""
+    df = spark.sql(sketchops.events_cms_heavy_hitters(SPARK))
+    assert_matches_oracle(df, ddb, sketchops.events_cms_heavy_hitters(DUCK))
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert (pdf["overcount"] >= 0).all()
+    assert (pdf["cms_est"] >= pdf["n_exact"]).all()
+
+
+def test_cms_planted_heavy_hitter(spark):
+    """A planted user owning half the stream must be reported with an
+    exact count; background users stay under the relative threshold."""
+    events = pd.DataFrame({
+        "user_id": [u for u, n in
+                    [(1000, 500)] + [(i, 1) for i in range(40)]
+                    for _ in range(n)]})
+    ns = spark.newSession()
+    ns.createDataFrame(events).createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.register("events", events)
+    sdf = canonicalize(
+        ns.sql(sketchops.events_cms_heavy_hitters(SPARK)).toPandas())
+    ddf = canonicalize(
+        con.sql(sketchops.events_cms_heavy_hitters(DUCK)).df())
+    assert sdf.equals(ddf)
+    out = ns.sql(sketchops.events_cms_heavy_hitters(SPARK)).toPandas()
+    assert set(out["user_id"]) == {1000}
+    assert int(out["n_exact"].iloc[0]) == 500
+
+
+def test_kmv_merge_matches_direct(spark, ddb):
+    """The k smallest of the union of per-source sketches equal the
+    k smallest over the corpus (lossless top-k merge), and the direct
+    estimate lands within 3 sigma (~38%) of exact at k=64."""
+    df = spark.sql(sketchops.docs_kmv_distinct_union(SPARK))
+    assert_matches_oracle(df, ddb, sketchops.docs_kmv_distinct_union(DUCK))
+    row = df.toPandas().iloc[0]
+    assert row["merge_matches_direct"] == 1
+    assert row["kmv_est_direct"] == row["kmv_est_merged"]
+    assert row["err_milli"] < 380, row
+
+
+def test_kmv_exact_mode_below_k(spark):
+    """With fewer distinct documents than k the sketch holds the whole
+    hash set: the estimate IS the exact count and the error is 0."""
+    pdf = pd.DataFrame({
+        "doc_id": range(10),
+        "source": ["a"] * 5 + ["b"] * 5,
+        "text": [f"doc number {i}" for i in range(8)] + ["dup", "dup"],
+    })
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sdf = canonicalize(
+        ns.sql(sketchops.docs_kmv_distinct_union(SPARK)).toPandas())
+    ddf = canonicalize(
+        con.sql(sketchops.docs_kmv_distinct_union(DUCK)).df())
+    assert sdf.equals(ddf)
+    row = ns.sql(sketchops.docs_kmv_distinct_union(SPARK)).toPandas().iloc[0]
+    assert row["n_exact"] == 9
+    assert row["kmv_est_direct"] == 9
+    assert row["kmv_est_merged"] == 9
+    assert row["merge_matches_direct"] == 1
+    assert row["err_milli"] == 0
