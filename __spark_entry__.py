@@ -657,6 +657,10 @@ _PARKED_TAIL = (
                                  # sketch over the in-cap bloom/
                                  # dochash plane (dedup_incremental
                                  # holds the in-cap content-hash row)
+    "events_hist_quantiles",     # new in r3: mergeable fixed-bin
+                                 # histogram quantiles; the exact-
+                                 # quantile family's in-cap row is
+                                 # events_value_quantiles
 )
 
 

@@ -358,10 +358,116 @@ SELECT srcs.n_sources, exact.n_exact,
 FROM srcs, exact, agree, dstats, mstats"""
 
 
+def hll_registers_sql(d: Dialect) -> str:
+    """The bare register relation (event_type, bucket, rho) — the
+    sketch STATE events_hll_distinct estimates from, exposed for the
+    streaming twin's equality test (streaming/structured.py
+    hll_registers_stream maintains exactly this table as a native
+    streaming aggregation)."""
+    return f"""WITH e AS (
+  SELECT event_type, user_id, {_mix(d, 'user_id')} AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS ({_hll_registers(d, 'event_type', 'e')})
+SELECT event_type, bucket, rho FROM reg"""
+
+
+# --- fixed-bin histogram quantiles ---------------------------------------
+HIST_BINS = 256
+
+
+def events_hist_quantiles(d: Dialect) -> str:
+    """Quantiles from a fixed {HIST_BINS}-bin equi-width histogram —
+    the mergeable-quantile rung of the sketch family (bin counts merge
+    by ADDITION across partitions/days, the property percentile_approx
+    gets from its engine-specific digest but expressed here in
+    oracle-able arithmetic). Per event type: p50/p99 histogram
+    estimates (bin midpoints) beside the exact rank-selection values,
+    with the error as an integer share of the value RANGE — provably
+    bounded by half a bin width (the true quantile lies inside the
+    selected bin), i.e. err_span_milli <= 1000/{HIST_BINS}/2 + 1.
+
+    Three deliberate passes over events: a 1-row global bounds
+    aggregate (broadcast back — fixed data-independent bin edges are
+    what makes the counts mergeable), the histogram build (map-side
+    combining, output fixed at groups x {HIST_BINS} rows), and the
+    exact rank-selection gate (the expensive per-type sort the sketch
+    exists to replace at scale — kept as the acceptance oracle). All
+    estimate arithmetic is IEEE basic ops, bit-identical across
+    engines."""
+    mid = (f"(b_vmin + (cast(qbin as double) + cast('0.5' as double)) "
+           f"* (b_vmax - b_vmin) / cast({HIST_BINS} as double))")
+
+    def rank(q: int) -> str:
+        return f"{d.idiv(f'(n - 1) * {q}', '100')} + 1"
+
+    def qsel(q: int, col: str) -> str:
+        return f"max(CASE WHEN rn = {rank(q)} THEN {col} END)"
+
+    return f"""WITH b AS (
+  SELECT cast(min(value) as double) AS b_vmin,
+    cast(max(value) as double) AS b_vmax
+  FROM events WHERE value IS NOT NULL
+),
+h AS (
+  SELECT event_type,
+    CASE WHEN b_vmax = b_vmin THEN 0
+         ELSE least(cast({HIST_BINS - 1} as bigint),
+           cast(floor((cast(value as double) - b_vmin)
+                * cast({HIST_BINS} as double) / (b_vmax - b_vmin))
+                as bigint)) END AS bin,
+    cast(count(*) as bigint) AS c
+  FROM events CROSS JOIN b
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, c,
+    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cc,
+    sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+qb AS (
+  SELECT event_type,
+    cast(max(n) as bigint) AS n_events,
+    min(CASE WHEN cc >= {rank(50)} THEN bin END) AS qbin50,
+    min(CASE WHEN cc >= {rank(99)} THEN bin END) AS qbin99
+  FROM cum GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, {qsel(50, 'value')} AS p50_exact,
+    {qsel(99, 'value')} AS p99_exact
+  FROM (
+    SELECT event_type, value,
+      row_number() OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS rn,
+      count(*) OVER (PARTITION BY event_type) AS n
+    FROM events WHERE value IS NOT NULL
+  ) r GROUP BY event_type
+)
+SELECT qb.event_type, qb.n_events,
+  {mid.replace('qbin', 'qb.qbin50')} AS p50_est,
+  cast(ex.p50_exact as double) AS p50_exact,
+  {mid.replace('qbin', 'qb.qbin99')} AS p99_est,
+  cast(ex.p99_exact as double) AS p99_exact,
+  CASE WHEN b_vmax = b_vmin THEN cast(0 as bigint)
+       ELSE cast(floor(abs({mid.replace('qbin', 'qb.qbin50')}
+            - cast(ex.p50_exact as double)) * cast(1000 as double)
+            / (b_vmax - b_vmin)) as bigint) END AS err50_span_milli,
+  CASE WHEN b_vmax = b_vmin THEN cast(0 as bigint)
+       ELSE cast(floor(abs({mid.replace('qbin', 'qb.qbin99')}
+            - cast(ex.p99_exact as double)) * cast(1000 as double)
+            / (b_vmax - b_vmin)) as bigint) END AS err99_span_milli
+FROM qb
+JOIN ex ON ex.event_type = qb.event_type
+CROSS JOIN b"""
+
+
 BUILDERS = {
     "events_hll_distinct": events_hll_distinct,
     "events_hll_merge": events_hll_merge,
     "events_cms_heavy_hitters": events_cms_heavy_hitters,
+    "events_hist_quantiles": events_hist_quantiles,
     # self-contained form is the DuckDB oracle; the entry overrides the
     # Spark side to read the session-materialized dochash view
     "docs_kmv_distinct_union": docs_kmv_distinct_union,

@@ -919,3 +919,32 @@ def chunk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"cast({start} as bigint) AS start_pos",
                 f"cast({SD.arr_len('chunk_toks')} as bigint) AS n_chunk_tokens",
                 f"{SD.arr_join('chunk_toks')} AS chunk_text"))
+
+
+def hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the sketch plane's HLL register build
+    (operators/sketchops.hll_registers_sql): the register table
+    maintained as a NATIVE streaming aggregation —
+    ``groupBy(event_type, bucket).agg(max(rho))`` in complete mode.
+
+    This is the canonical "sketch as streaming state" shape: state is
+    FIXED at groups x HLL_M integers no matter how long the stream runs
+    (no watermark needed — the state cannot grow), and max() merges
+    associatively so each micro-batch folds into the registers exactly
+    the way the batch merge audit (sketchops.events_hll_merge) proves
+    for day slices. A distinct-count estimate at any moment is one
+    {HLL_M}-row scan of this state. Tested register-identical to the
+    batch build (tests/test_streaming.py)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+    from aws_trusted_advisor_explorer_spark.operators import sketchops as SK
+
+    ev = (events_stream(spark, sf_dir)
+          .where("user_id IS NOT NULL")
+          .selectExpr("event_type", f"{SK._mix(SD, 'user_id')} AS hv")
+          .selectExpr("event_type",
+                      f"hv % {SK.HLL_M} AS bucket",
+                      f"hv div {SK.HLL_M} AS w")
+          .selectExpr("event_type", "bucket",
+                      f"CASE WHEN w = 0 THEN {SK.HLL_RHO_MAX} "
+                      f"ELSE {SK.HLL_W + 1} - length(bin(w)) END AS rho"))
+    return ev.groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))

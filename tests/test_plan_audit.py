@@ -67,6 +67,11 @@ BNLJ_ALLOWED = {
     #            report; every input relation is sketch-sized
     #            (<= shards x k rows) by construction
     "docs_kmv_distinct_union",
+    # events_hist_quantiles — the 1-row global bounds aggregate
+    #            broadcast back onto the scan (fixed bin edges are what
+    #            makes the histogram counts mergeable) and onto the
+    #            one-row-per-type report
+    "events_hist_quantiles",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")

@@ -124,3 +124,17 @@ def test_kmv_exact_mode_below_k(spark):
     assert row["kmv_est_merged"] == 9
     assert row["merge_matches_direct"] == 1
     assert row["err_milli"] == 0
+
+
+def test_hist_quantiles_parity_and_error_bound(spark, ddb):
+    """Both engines agree bit-for-bit and the histogram estimate's
+    error stays within one bin width of the value range (the true
+    quantile lies inside the selected bin; midpoint estimate is off by
+    at most half a bin + floor slack): err <= 1000/HIST_BINS."""
+    df = spark.sql(sketchops.events_hist_quantiles(SPARK))
+    assert_matches_oracle(df, ddb, sketchops.events_hist_quantiles(DUCK))
+    pdf = df.toPandas()
+    bound = 1000 // sketchops.HIST_BINS + 1
+    assert (pdf["err50_span_milli"] <= bound).all(), pdf
+    assert (pdf["err99_span_milli"] <= bound).all(), pdf
+    assert (pdf["n_events"] > 0).all()

@@ -333,3 +333,19 @@ def test_frozen_model_broadcast_path_twins(spark, monkeypatch):
     want = {tuple(r)
             for r in spark.sql(textops.text_nb_quality_score(SPARK)).collect()}
     assert got == want
+
+
+def test_hll_registers_stream_equals_batch(spark):
+    """The streamed HLL register table (native streaming max()
+    aggregation, fixed-size state) must be row-identical to the batch
+    register build — the streaming face of the merge-losslessness the
+    batch audit proves per day slice."""
+    from aws_trusted_advisor_explorer_spark.operators import sketchops
+
+    structured.run_stream_to_memory(
+        structured.hll_registers_stream(spark, SF_DIR), "hll_stream")
+    got = canonicalize(spark.table("hll_stream").toPandas())
+    want = canonicalize(
+        spark.sql(sketchops.hll_registers_sql(SPARK)).toPandas())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want), "stream registers != batch registers"
