@@ -138,3 +138,92 @@ def test_hist_quantiles_parity_and_error_bound(spark, ddb):
     assert (pdf["err50_span_milli"] <= bound).all(), pdf
     assert (pdf["err99_span_milli"] <= bound).all(), pdf
     assert (pdf["n_events"] > 0).all()
+
+
+# --- hypothesis properties (DuckDB-only: the engine-parity of every
+# builder is pinned by the fixture tests above; these pin the sketch
+# ALGEBRA on arbitrary streams — upper bounds, merge losslessness,
+# error bounds — which no single fixture draw can certify) ------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SET = dict(max_examples=25, deadline=None)
+
+
+@given(st.lists(st.integers(0, 15), min_size=5, max_size=300))
+@settings(**_SET)
+def test_cms_upper_bound_on_random_streams(user_ids):
+    """min-of-counters never undercounts, and the exact column always
+    matches a direct groupBy — on arbitrary skewed streams."""
+    con = duckdb.connect()
+    events = pd.DataFrame({"user_id": user_ids})
+    con.register("events", events)
+    out = con.sql(sketchops.events_cms_heavy_hitters(DUCK)).df()
+    truth = events.groupby("user_id").size()
+    for _, r in out.iterrows():
+        assert r["cms_est"] >= r["n_exact"]
+        assert r["overcount"] >= 0
+        assert r["n_exact"] == truth[r["user_id"]]
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10**12),
+                          st.sampled_from(["a", "b"])),
+                min_size=1, max_size=300))
+@settings(**_SET)
+def test_hll_merge_lossless_on_random_streams(rows):
+    """max-merged per-day registers equal the direct build for any
+    (day, user, type) stream, and the exact column is truly exact."""
+    con = duckdb.connect()
+    events = pd.DataFrame(rows, columns=["day", "user_id", "event_type"])
+    events["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        events.pop("day"), unit="D")
+    con.register("events", events)
+    m = con.sql(sketchops.events_hll_merge(DUCK)).df()
+    assert (m["n_disagree"] == 0).all()
+    assert (m["z_partial_direct"] == m["z_partial_merged"]).all()
+    d = con.sql(sketchops.events_hll_distinct(DUCK)).df()
+    truth = events.groupby("event_type")["user_id"].nunique()
+    for _, r in d.iterrows():
+        assert r["n_exact"] == truth[r["event_type"]]
+
+
+@given(st.lists(st.tuples(st.sampled_from(["s1", "s2", "s3"]),
+                          st.integers(0, 200)),
+                min_size=1, max_size=400))
+@settings(**_SET)
+def test_kmv_merge_lossless_on_random_corpora(rows):
+    """The k smallest of the union of per-source sketches equal the
+    direct corpus top-k for ANY source split (lossless merge), and
+    below k distinct the estimate is exact."""
+    con = duckdb.connect()
+    docs = pd.DataFrame(
+        [(i, s, f"text {t}") for i, (s, t) in enumerate(rows)],
+        columns=["doc_id", "source", "text"])
+    con.register("documents", docs)
+    r = con.sql(sketchops.docs_kmv_distinct_union(DUCK)).df().iloc[0]
+    assert r["merge_matches_direct"] == 1
+    assert r["kmv_est_direct"] == r["kmv_est_merged"]
+    n_exact = docs["text"].nunique()
+    assert r["n_exact"] == n_exact
+    if n_exact < sketchops.KMV_K:
+        assert r["kmv_est_direct"] == n_exact
+        assert r["err_milli"] == 0
+
+
+@given(st.lists(st.tuples(st.sampled_from(["x", "y"]),
+                          st.floats(-1e6, 1e6, allow_nan=False)),
+                min_size=2, max_size=300))
+@settings(**_SET)
+def test_hist_quantile_error_bound_on_random_values(rows):
+    """The histogram estimate is within one bin width of the exact
+    rank-selection quantile for arbitrary value distributions."""
+    con = duckdb.connect()
+    events = pd.DataFrame(
+        [(i, t, v) for i, (t, v) in enumerate(rows)],
+        columns=["event_id", "event_type", "value"])
+    con.register("events", events)
+    out = con.sql(sketchops.events_hist_quantiles(DUCK)).df()
+    bound = 1000 // sketchops.HIST_BINS + 1
+    assert (out["err50_span_milli"] <= bound).all(), out
+    assert (out["err99_span_milli"] <= bound).all(), out
