@@ -388,7 +388,7 @@ def events_hist_quantiles(d: Dialect) -> str:
     selected bin), i.e. err_span_milli <= 1000/{HIST_BINS}/2 + 1.
 
     Three deliberate passes over events: a 1-row global bounds
-    aggregate (broadcast back — fixed data-independent bin edges are
+    aggregate (broadcast back — one edge set shared by every partition is
     what makes the counts mergeable), the histogram build (map-side
     combining, output fixed at groups x {HIST_BINS} rows), and the
     exact rank-selection gate (the expensive per-type sort the sketch
