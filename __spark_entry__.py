@@ -199,12 +199,31 @@ def _dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.dedup_embedding_cosine_df(spark, key=sf_dir)
 
 
+def _pairs_backed_query(builder_name: str):
+    """Pair-graph consumers read the per-session materialized
+    MinHash-LSH pair relation (dedup.ensure_minhash_pairs_view)
+    instead of re-running the band-join pipeline — consumers that
+    reference the pair CTE twice would otherwise re-evaluate it per
+    reference under Spark inlining."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+        from aws_trusted_advisor_explorer_spark.operators import dedup
+
+        _prepare_ext(spark, sf_dir)
+        pv = dedup.ensure_minhash_pairs_view(spark, key=sf_dir)
+        return spark.sql(getattr(dedup, builder_name)(
+            SPARK, base=dedup.SHINGLE_VIEW, pairs_view=pv))
+
+    return run
+
+
 def _pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_trusted_advisor_explorer_spark.operators import dedup
 
     _prepare_ext(spark, sf_dir)
     return dedup.dedup_graph_pagerank_df(
-        spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
+        spark, pairs_view=dedup.ensure_minhash_pairs_view(spark, key=sf_dir))
 
 
 def _dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +231,7 @@ def _dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prepare_ext(spark, sf_dir)
     return dedup.dedup_clusters_df(
-        spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
+        spark, pairs_view=dedup.ensure_minhash_pairs_view(spark, key=sf_dir))
 
 
 def _near_dedup_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +239,7 @@ def _near_dedup_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prepare_ext(spark, sf_dir)
     return dedup.docs_near_dedup_apply_df(
-        spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
+        spark, pairs_view=dedup.ensure_minhash_pairs_view(spark, key=sf_dir))
 
 
 def _dedup_savings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +247,7 @@ def _dedup_savings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prepare_ext(spark, sf_dir)
     return dedup.docs_dedup_savings_df(
-        spark, base=dedup.ensure_shingle_view(spark, key=sf_dir))
+        spark, pairs_view=dedup.ensure_minhash_pairs_view(spark, key=sf_dir))
 
 
 def _dochash_backed_query(builder_name: str, module: str = "dedup"):
@@ -683,11 +702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_feature_extract"] = _media_udf_query("media_feature_extract_df")
     q["media_frame_sample"] = _media_udf_query("media_frame_sample_df")
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
-                "dedup_containment", "dedup_simhash",
-                "dedup_incremental", "docs_dedup_rate_by_source",
+                "dedup_containment", "dedup_simhash"):
+        q[key] = _shingle_backed_query(key)
+    for key in ("dedup_incremental", "docs_dedup_rate_by_source",
                 "dedup_lsh_recall", "docs_cross_split_contamination",
                 "docs_cross_lingual_pairs"):
-        q[key] = _shingle_backed_query(key)
+        q[key] = _pairs_backed_query(key)
     for key in ("docs_block_dedup", "docs_boilerplate_topk"):
         q[key] = _block_backed_query(key)
     q["dedup_bloom_prefilter"] = _dochash_backed_query("dedup_bloom_prefilter")

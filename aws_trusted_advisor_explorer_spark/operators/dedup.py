@@ -565,6 +565,47 @@ def ensure_dochash_view(spark, key: object = None) -> str:
     return DOCHASH_VIEW
 
 
+MINHASH_PAIRS_VIEW = "__minhash_pairs"
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
+_PAIRS_STATE: dict[int, tuple[object, object, list]] = {}
+
+
+def ensure_minhash_pairs_view(spark, key: object = None) -> str:
+    """Materialize the MinHash-LSH near-dup pair graph (doc_a, doc_b,
+    jaccard) once per (session, dataset) — the shared input of
+    incremental dedup, the per-source rate report, the cross-split /
+    cross-lingual rollups, the LSH recall gate's approximate arm,
+    PageRank forensics, and the connected-components machinery. On a
+    cluster this is the persisted pair table every downstream consumer
+    joins (pairs are near-dup-sized, tiny vs the corpus); locally a
+    localCheckpoint. Consumers that reference the pair relation twice
+    (the symmetrized union in dedup_incremental, the endpoint union in
+    docs_dedup_rate_by_source) would otherwise re-run the whole
+    band-join pipeline per CTE reference under Spark inlining."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+
+    def build(spark):
+        base = ensure_shingle_view(spark, key=key)
+        df = spark.sql(
+            dedup_minhash_lsh(SPARK, base)).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(MINHASH_PAIRS_VIEW)
+        return [df]
+
+    ensure_session_plane(_PAIRS_STATE, spark, key, build)
+    return MINHASH_PAIRS_VIEW
+
+
+def _pairs_cte(d: Dialect, base: str | None,
+               pairs_view: str | None) -> str:
+    """The MinHash pair relation body: the materialized pairs view
+    (Spark session plane) when given, else the inline self-contained
+    pipeline (DuckDB oracle, standalone tests)."""
+    if pairs_view is not None:
+        return f"SELECT doc_a, doc_b, jaccard FROM {pairs_view}"
+    return dedup_minhash_lsh(d, base)
+
+
 def dedup_bloom_prefilter(d: Dialect, base: str | None = None) -> str:
     """Bloom-filter membership prefilter for incremental dedup: build a
     {BLOOM_BITS}-bit filter over the EXISTING corpus' content hashes
@@ -643,7 +684,8 @@ LEFT JOIN (SELECT DISTINCT hv FROM corpus) c ON c.hv = b.hv"""
 INCREMENTAL_BATCH_SOURCE = "src0"  # the "incoming crawl" slice in tests
 
 
-def dedup_incremental(d: Dialect, base: str | None = None) -> str:
+def dedup_incremental(d: Dialect, base: str | None = None,
+                      pairs_view: str | None = None) -> str:
     """Incremental (batch-vs-corpus) dedup: each document of the
     incoming batch (``source = '{INCREMENTAL_BATCH_SOURCE}'``) gets a
     verdict against the EXISTING corpus (every other source) —
@@ -661,7 +703,7 @@ def dedup_incremental(d: Dialect, base: str | None = None) -> str:
     join/verdict shape is identical. Near-dup candidates reuse
     :func:`dedup_minhash_lsh` (band join + Jaccard verify + hot-band
     star guard) so the two operators share one signature pipeline."""
-    pairs = dedup_minhash_lsh(d, base)
+    pairs = _pairs_cte(d, base, pairs_view)
     return f"""WITH mh_pairs AS (
 {pairs}
 ),
@@ -823,7 +865,8 @@ def dedup_embedding_cosine_df(spark, key: object = None):
             .select("vec_a", "vec_b", "cosine"))
 
 
-def dedup_clusters_df(spark, base: str | None = None):
+def dedup_clusters_df(spark, base: str | None = None,
+                      pairs_view: str | None = None):
     """Near-dup CLUSTER assignment: connected components over the
     MinHash pair graph, as iterative min-label propagation on
     DataFrames (the Spark-native CC algorithm — each round is one
@@ -851,7 +894,9 @@ def dedup_clusters_df(spark, base: str | None = None):
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
 
-    pairs = (spark.sql(dedup_minhash_lsh(SPARK, base))
+    pairs = (spark.table(pairs_view).select("doc_a", "doc_b")
+             if pairs_view is not None else
+             spark.sql(dedup_minhash_lsh(SPARK, base))
              .select("doc_a", "doc_b").localCheckpoint(eager=True))
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
@@ -966,7 +1011,8 @@ SELECT dd.doc_id, cl.cluster_id,
 FROM documents dd LEFT JOIN cl ON cl.doc_id = dd.doc_id"""
 
 
-def docs_near_dedup_apply_df(spark, base: str | None = None):
+def docs_near_dedup_apply_df(spark, base: str | None = None,
+                             pairs_view: str | None = None):
     """The near-dup dedup ACTION (the step that produces the actual
     drop list): MinHash pair graph → connected components
     (dedup_clusters_df's iterative min-label propagation) → keep the
@@ -982,7 +1028,7 @@ def docs_near_dedup_apply_df(spark, base: str | None = None):
     closure + the same rule."""
     from pyspark.sql import functions as F
 
-    clusters = dedup_clusters_df(spark, base=base)
+    clusters = dedup_clusters_df(spark, base=base, pairs_view=pairs_view)
     docs = spark.sql("SELECT doc_id FROM documents")
     return (docs.join(F.broadcast(clusters), "doc_id", "left")
             .selectExpr(
@@ -1018,7 +1064,8 @@ SELECT
 FROM t"""
 
 
-def docs_dedup_savings_df(spark, base: str | None = None):
+def docs_dedup_savings_df(spark, base: str | None = None,
+                          pairs_view: str | None = None):
     """The dedup business case in one row: how many documents and
     exact tokens the near-dup drop list removes — the number a
     curation run reports before committing the deletion. Composes the
@@ -1029,7 +1076,8 @@ def docs_dedup_savings_df(spark, base: str | None = None):
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as d
 
-    verdicts = docs_near_dedup_apply_df(spark, base=base)
+    verdicts = docs_near_dedup_apply_df(spark, base=base,
+                                        pairs_view=pairs_view)
     toks = spark.sql(
         f"SELECT doc_id, cast({d.arr_len(d.tokens('text'))} as bigint) "
         f"AS n_toks FROM documents")
@@ -1050,7 +1098,8 @@ def docs_dedup_savings_df(spark, base: str | None = None):
         .alias("token_savings_pct"))
 
 
-def docs_dedup_rate_by_source(d: Dialect, base: str | None = None) -> str:
+def docs_dedup_rate_by_source(d: Dialect, base: str | None = None,
+                              pairs_view: str | None = None) -> str:
     """Per-source near-dup rate report: for each ``source``, the doc
     count, how many docs appear in at least one MinHash near-dup pair,
     and the dup rate — the standard curation dashboard for deciding
@@ -1061,7 +1110,7 @@ def docs_dedup_rate_by_source(d: Dialect, base: str | None = None) -> str:
     small aggregation over documents keyed by doc_id — the pair set is
     tiny relative to the corpus, so the extra join is dimension-sized.
     """
-    pairs = dedup_minhash_lsh(d, base)
+    pairs = _pairs_cte(d, base, pairs_view)
     return f"""WITH mh_pairs AS (
 {pairs}
 ),
@@ -1137,7 +1186,8 @@ SELECT r.node AS doc_id, r.rank AS rank_scaled, g.d AS degree
 FROM r{PAGERANK_ITERS} r JOIN deg g ON g.src = r.node"""
 
 
-def dedup_graph_pagerank_df(spark, base: str | None = None):
+def dedup_graph_pagerank_df(spark, base: str | None = None,
+                            pairs_view: str | None = None):
     """Spark-side PageRank entry: materialize the MinHash pair
     relation ONCE (localCheckpoint) before the unrolled iterations —
     Spark inlines CTEs, so the SQL form would re-run the whole minhash
@@ -1147,12 +1197,16 @@ def dedup_graph_pagerank_df(spark, base: str | None = None):
     stays as the DuckDB oracle (values identical — pytest)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
 
-    pairs = spark.sql(dedup_minhash_lsh(SD, base)).localCheckpoint(eager=True)
-    pairs.createOrReplaceTempView("__pagerank_pairs")
-    return spark.sql(dedup_graph_pagerank(SD, pairs_view="__pagerank_pairs"))
+    if pairs_view is None:
+        pairs = spark.sql(
+            dedup_minhash_lsh(SD, base)).localCheckpoint(eager=True)
+        pairs.createOrReplaceTempView("__pagerank_pairs")
+        pairs_view = "__pagerank_pairs"
+    return spark.sql(dedup_graph_pagerank(SD, pairs_view=pairs_view))
 
 
-def dedup_lsh_recall(d: Dialect, base: str | None = None) -> str:
+def dedup_lsh_recall(d: Dialect, base: str | None = None,
+                     pairs_view: str | None = None) -> str:
     """MinHash-LSH acceptance gate: recall/precision of the banded LSH
     pair set vs the exact shared-shingle Jaccard join at the same
     threshold — the dedup counterpart of ``knn_recall_at_k`` (an
@@ -1174,7 +1228,7 @@ def dedup_lsh_recall(d: Dialect, base: str | None = None) -> str:
     sides reuse the session-materialized shingle view.
     """
     truth = dedup_ngram_jaccard(d, base)
-    lsh = dedup_minhash_lsh(d, base)
+    lsh = _pairs_cte(d, base, pairs_view)
     return f"""WITH truth AS (
 {truth}
 ),
@@ -1200,7 +1254,8 @@ SELECT
 FROM m"""
 
 
-def docs_cross_split_contamination(d: Dialect, base: str | None = None) -> str:
+def docs_cross_split_contamination(d: Dialect, base: str | None = None,
+                                   pairs_view: str | None = None) -> str:
     """Train/test LEAKAGE audit: MinHash near-dup pairs whose endpoints
     land in different splits of ``docs_split_assign`` — the check a
     training pipeline runs after splitting, because a val/test doc with
@@ -1222,7 +1277,7 @@ def docs_cross_split_contamination(d: Dialect, base: str | None = None) -> str:
         docs_split_assign,
     )
 
-    pairs = dedup_minhash_lsh(d, base)
+    pairs = _pairs_cte(d, base, pairs_view)
     return f"""WITH pairs AS (
 {pairs}
 ),
@@ -1239,7 +1294,8 @@ JOIN sp sb ON sb.doc_id = p.doc_b
 GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)"""
 
 
-def docs_cross_lingual_pairs(d: Dialect, base: str | None = None) -> str:
+def docs_cross_lingual_pairs(d: Dialect, base: str | None = None,
+                             pairs_view: str | None = None) -> str:
     """Cross-LINGUAL near-dup mining: MinHash pairs rolled up by the
     language pair of their endpoints (canonical least/greatest order)
     with a cross-language flag — same-content different-lang pairs are
@@ -1249,7 +1305,7 @@ def docs_cross_lingual_pairs(d: Dialect, base: str | None = None) -> str:
 
     Scale posture: pair-graph-sized join onto two zero-shuffle lang
     projections; ≤ lang² output rows."""
-    pairs = dedup_minhash_lsh(d, base)
+    pairs = _pairs_cte(d, base, pairs_view)
     return f"""WITH pairs AS (
 {pairs}
 )
