@@ -199,6 +199,19 @@ def _dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.dedup_embedding_cosine_df(spark, key=sf_dir)
 
 
+def _phash_backed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual-hash band self-join reads the per-session
+    materialized (doc_id, ph) signature relation — in production the
+    stored per-asset hash metadata — instead of re-running the
+    gradient pipeline once per join side under CTE inlining."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    _prepare_ext(spark, sf_dir)
+    return spark.sql(multimodal.media_phash_dedup(
+        SPARK, base=multimodal.ensure_phash_view(spark, key=sf_dir)))
+
+
 def _pairs_backed_query(builder_name: str):
     """Pair-graph consumers read the per-session materialized
     MinHash-LSH pair relation (dedup.ensure_minhash_pairs_view)
@@ -713,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_bloom_prefilter"] = _dochash_backed_query("dedup_bloom_prefilter")
     q["docs_kmv_distinct_union"] = _dochash_backed_query(
         "docs_kmv_distinct_union", "sketchops")
+    q["media_phash_dedup"] = _phash_backed_query
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",
                 "pq_recall_report"):

@@ -389,7 +389,65 @@ PHASH_VARIANT_EVERY = 25       # plant a noisy twin for every 25th doc
 PHASH_VARIANT_OFFSET = 1_000_000
 
 
-def media_phash_dedup(d: Dialect) -> str:
+def _phash_sig_cte(d: Dialect) -> str:
+    """CTE chain ending at ``s(doc_id, ph)`` — the perceptual-hash
+    signature relation including the planted noisy twins. This is the
+    metadata an ingest pipeline computes once (mapInPandas decode
+    stage) and STORES per asset; :func:`ensure_phash_view`
+    materializes it per session so the band self-join does not
+    re-evaluate the whole gradient pipeline once per join side under
+    CTE inlining."""
+    splice = ("substr(text, 1, 9) || '#' || substr(text, 11, 6) || '%' || "
+              "substr(text, 18)")
+    pos_k = f"1 + {d.idiv('(k * (n - 1))', str(PHASH_BITS))}"
+    pos_k1 = f"1 + {d.idiv('((k + 1) * (n - 1))', str(PHASH_BITS))}"
+    return f"""WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) > {PHASH_BITS}
+),
+noisy AS (
+  SELECT doc_id + {PHASH_VARIANT_OFFSET} AS doc_id, {splice} AS text
+  FROM base
+  WHERE doc_id % {PHASH_VARIANT_EVERY} = 0
+),
+m AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM noisy),
+c AS (SELECT doc_id, text, length(text) AS n FROM m),
+g AS (SELECT doc_id, text, n, {d.explode(d.seq('0', str(PHASH_BITS - 1)))} AS k
+      FROM c),
+s AS (
+  SELECT doc_id, sum(
+    CASE WHEN ascii(substr(text, {pos_k}, 1))
+            < ascii(substr(text, {pos_k1}, 1))
+         THEN {d.shl('cast(1 as bigint)', 'k')} ELSE cast(0 as bigint) END
+  ) AS ph
+  FROM g GROUP BY doc_id
+)"""
+
+
+PHASH_VIEW = "__media_phash_sig"
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
+_PHASH_STATE: dict[int, tuple[object, object, list]] = {}
+
+
+def ensure_phash_view(spark, key: object = None) -> str:
+    """Materialize the (doc_id, ph) perceptual-hash relation once per
+    (session, dataset) — locally a localCheckpoint, in production the
+    stored per-asset hash column the docstring above describes."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+
+    def build(spark):
+        df = spark.sql(
+            _phash_sig_cte(SPARK) + "\nSELECT doc_id, ph FROM s"
+        ).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(PHASH_VIEW)
+        return [df]
+
+    ensure_session_plane(_PHASH_STATE, spark, key, build)
+    return PHASH_VIEW
+
+
+def media_phash_dedup(d: Dialect, base: str | None = None) -> str:
     """Perceptual-hash near-dup detection for media payloads — the
     dHash shape: the sign of the gradient between {PHASH_BITS}+1
     byte samples spaced evenly across the payload (sampling scales
@@ -419,12 +477,8 @@ def media_phash_dedup(d: Dialect) -> str:
     char-code hash is the oracle twin of that path. The band join is
     metadata-only (doc_id, ph, band) — payloads never shuffle — and
     verification is a popcount on the joined 8-byte keys."""
-    splice = ("substr(text, 1, 9) || '#' || substr(text, 11, 6) || '%' || "
-              "substr(text, 18)")
     n_bands = PHASH_BITS // PHASH_BAND_BITS
     mask = (1 << PHASH_BAND_BITS) - 1
-    pos_k = f"1 + {d.idiv('(k * (n - 1))', str(PHASH_BITS))}"
-    pos_k1 = f"1 + {d.idiv('((k + 1) * (n - 1))', str(PHASH_BITS))}"
     band_strs = [
         f"concat_ws(':', '{b}', "
         f"cast({d.bitslice('ph', b * PHASH_BAND_BITS, mask)} as string))"
@@ -434,27 +488,9 @@ def media_phash_dedup(d: Dialect) -> str:
     else:
         band_arr = "[" + ", ".join(band_strs) + "]"
     hamming = f"bit_count({d.xor('a.ph', 'b.ph')})"
-    return f"""WITH base AS (
-  SELECT doc_id, text FROM documents
-  WHERE length(text) > {PHASH_BITS}
-),
-noisy AS (
-  SELECT doc_id + {PHASH_VARIANT_OFFSET} AS doc_id, {splice} AS text
-  FROM base
-  WHERE doc_id % {PHASH_VARIANT_EVERY} = 0
-),
-m AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM noisy),
-c AS (SELECT doc_id, text, length(text) AS n FROM m),
-g AS (SELECT doc_id, text, n, {d.explode(d.seq('0', str(PHASH_BITS - 1)))} AS k
-      FROM c),
-s AS (
-  SELECT doc_id, sum(
-    CASE WHEN ascii(substr(text, {pos_k}, 1))
-            < ascii(substr(text, {pos_k1}, 1))
-         THEN {d.shl('cast(1 as bigint)', 'k')} ELSE cast(0 as bigint) END
-  ) AS ph
-  FROM g GROUP BY doc_id
-),
+    prefix = (f"WITH s AS (SELECT doc_id, ph FROM {base})"
+              if base is not None else _phash_sig_cte(d))
+    return f"""{prefix},
 bands AS (SELECT doc_id, ph, {d.explode(band_arr)} AS band_sig FROM s),
 cand AS (
   SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
