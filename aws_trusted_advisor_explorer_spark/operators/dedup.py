@@ -128,8 +128,15 @@ def _shingle_cte(d: Dialect, base: str | None = None) -> str:
     extra joins back to a count CTE. With ``base`` (a materialized
     shingle-hash view, Spark side) the expensive explode+hash prefix is
     read from cache; without it the CTE is self-contained (DuckDB
-    oracle, standalone tests)."""
+    oracle, standalone tests). ``base`` must be the shingle plane's own
+    view name — the distinct/capped ride-alongs are keyed to it, so an
+    arbitrary relation here would silently read the wrong corpus."""
     if base is not None:
+        if base != SHINGLE_VIEW:
+            raise ValueError(
+                f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
+                f"(its distinct/capped ride-along views are keyed to "
+                f"it), got {base!r}")
         return f"""WITH sh AS (SELECT doc_id, hv FROM {SHINGLE_DISTINCT_VIEW}),
 sh2 AS (SELECT doc_id, hv, n FROM {SHINGLE_DISTINCT_VIEW})"""
     toks = d.tokens("text")
@@ -148,8 +155,15 @@ def _capped_shingle_cte(d: Dialect, base: str | None = None) -> str:
     checkpoint-backed :data:`SHINGLE_CAPPED_VIEW` — inlining would
     otherwise re-run the cap filter + count window once per join side.
     Without ``base`` the chain is self-contained (DuckDB oracle,
-    standalone tests)."""
+    standalone tests). Like :func:`_shingle_cte`, ``base`` must be the
+    shingle plane's own view name (the capped ride-along is keyed to
+    it)."""
     if base is not None:
+        if base != SHINGLE_VIEW:
+            raise ValueError(
+                f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
+                f"(the capped ride-along view is keyed to it), "
+                f"got {base!r}")
         return (f"WITH fs2 AS "
                 f"(SELECT doc_id, hv, n FROM {SHINGLE_CAPPED_VIEW})")
     return f"""{_shingle_cte(d, None)},

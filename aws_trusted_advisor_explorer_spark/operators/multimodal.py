@@ -155,18 +155,25 @@ def decode_image(payload: bytes) -> dict:
             return {"format": (im.format or "?").lower(),
                     "width": im.width, "height": im.height,
                     "channels": len(im.getbands())}
-    if payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
-        w, h = struct.unpack(">II", payload[16:24])
-        color_type = payload[25]
-        return {"format": "png", "width": w, "height": h,
-                "channels": _PNG_CHANNELS.get(color_type, 0)}
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        w, h = struct.unpack("<HH", payload[6:10])
-        return {"format": "gif", "width": w, "height": h, "channels": 3}
-    if payload[:2] == b"BM":
-        w, h = struct.unpack("<ii", payload[18:26])
-        return {"format": "bmp", "width": w, "height": abs(h),
-                "channels": 3}
+    # a recognized signature with a truncated header must still raise
+    # the contract's ValueError, not a low-level struct.error/IndexError
+    # that kills the whole mapInPandas task on one damaged asset
+    try:
+        if payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            color_type = payload[25]
+            return {"format": "png", "width": w, "height": h,
+                    "channels": _PNG_CHANNELS.get(color_type, 0)}
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", payload[6:10])
+            return {"format": "gif", "width": w, "height": h,
+                    "channels": 3}
+        if payload[:2] == b"BM":
+            w, h = struct.unpack("<ii", payload[18:26])
+            return {"format": "bmp", "width": w, "height": abs(h),
+                    "channels": 3}
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated image header: {exc}") from exc
     raise ValueError(
         "unrecognized image container (stdlib header parse covers "
         "PNG/GIF/BMP; install PIL for full-format decode)")

@@ -136,13 +136,15 @@ agg AS (
     cast(sum(nd_bucket) as bigint) AS n_exact
   FROM reg GROUP BY event_type
 )
-SELECT event_type, n_exact,
-  {_hll_est(d, 'z_int', 'n_empty')} AS hll_est,
-  cast(floor(abs({_hll_est(d, 'z_int', 'n_empty')}
-       - cast(n_exact as double))
+SELECT event_type, n_exact, hll_est,
+  cast(floor(abs(hll_est - cast(n_exact as double))
        * cast(1000 as double) / cast(n_exact as double)) as bigint)
     AS err_milli
-FROM agg"""
+FROM (
+  SELECT event_type, n_exact,
+    {_hll_est(d, 'z_int', 'n_empty')} AS hll_est
+  FROM agg
+) e2"""
 
 
 def events_hll_merge(d: Dialect) -> str:
@@ -445,22 +447,24 @@ ex AS (
     FROM events WHERE value IS NOT NULL
   ) r GROUP BY event_type
 )
-SELECT qb.event_type, qb.n_events,
-  {mid.replace('qbin', 'qb.qbin50')} AS p50_est,
-  cast(ex.p50_exact as double) AS p50_exact,
-  {mid.replace('qbin', 'qb.qbin99')} AS p99_est,
-  cast(ex.p99_exact as double) AS p99_exact,
+SELECT event_type, n_events, p50_est, p50_exact, p99_est, p99_exact,
   CASE WHEN b_vmax = b_vmin THEN cast(0 as bigint)
-       ELSE cast(floor(abs({mid.replace('qbin', 'qb.qbin50')}
-            - cast(ex.p50_exact as double)) * cast(1000 as double)
+       ELSE cast(floor(abs(p50_est - p50_exact) * cast(1000 as double)
             / (b_vmax - b_vmin)) as bigint) END AS err50_span_milli,
   CASE WHEN b_vmax = b_vmin THEN cast(0 as bigint)
-       ELSE cast(floor(abs({mid.replace('qbin', 'qb.qbin99')}
-            - cast(ex.p99_exact as double)) * cast(1000 as double)
+       ELSE cast(floor(abs(p99_est - p99_exact) * cast(1000 as double)
             / (b_vmax - b_vmin)) as bigint) END AS err99_span_milli
-FROM qb
-JOIN ex ON ex.event_type = qb.event_type
-CROSS JOIN b"""
+FROM (
+  SELECT qb.event_type, qb.n_events,
+    {mid.replace('qbin', 'qb.qbin50')} AS p50_est,
+    cast(ex.p50_exact as double) AS p50_exact,
+    {mid.replace('qbin', 'qb.qbin99')} AS p99_est,
+    cast(ex.p99_exact as double) AS p99_exact,
+    b_vmin, b_vmax
+  FROM qb
+  JOIN ex ON ex.event_type = qb.event_type
+  CROSS JOIN b
+) q2"""
 
 
 BUILDERS = {

@@ -55,15 +55,18 @@ def _nb_sum_kernel(toks, model) -> int:
 def _bloom_probe_kernel(probes, model) -> bool:
     """All-k-bits-set membership test over the broadcast (word_idx ->
     bits) filter words; NULL probes (null text) -> False, matching the
-    batch operator's CASE."""
-    out = True
+    batch operator's CASE. Arrow hands a null array element to the UDF
+    as float NaN, not None (pyarrow's pandas conversion), so the null
+    check must be pd.isna — `p is None` never fires and int(nan)
+    raises."""
+    import pandas as pd
+
     for p in probes:
-        if p is None:
+        if p is None or pd.isna(p):
             return False
-        p = int(p)
-        if not (model.get(p // 63, 0) >> (p % 63)) & 1:
-            out = False
-    return out
+    return all(
+        (model.get(int(p) // 63, 0) >> (int(p) % 63)) & 1
+        for p in probes)
 
 def _events_stream_schema(ts_is_nanos: bool) -> StructType:
     """The driver has shipped events.parquet with ``ts`` as both
@@ -711,7 +714,8 @@ def bpe_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast path shows the mechanics)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
     from aws_trusted_advisor_explorer_spark.operators.textops import (
-        _bpe_count_parts, _bpe_dict_cte, ensure_bpe_merges,
+        _bpe_count_parts, _bpe_dict_cte, _round_set_exprs,
+        ensure_bpe_merges,
     )
 
     # prefixed views: never clobber the session-global 'documents'
@@ -723,8 +727,7 @@ def bpe_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dict_df.createOrReplaceTempView("__bpe_stream_dict")
     merges = ensure_bpe_merges(spark, key=("stream", sf_dir),
                                base="__bpe_stream_dict")
-    round_sets = [SD.arr_lit([f"'{left} {right}'" for left, right in rnd])
-                  for rnd in merges if rnd]
+    round_sets = _round_set_exprs(SD, merges)
     n_chars, n_bpe = _bpe_count_parts(SD, round_sets)
 
     docs = documents_stream(spark, sf_dir)

@@ -52,7 +52,7 @@ def main() -> None:
     rows = []
     for key in qs:
         t0, t1, t2 = (runs[sf]["queries"].get(key) for sf in SFS)
-        if t1 is None or t2 is None or t1 <= 0:
+        if t0 is None or t1 is None or t2 is None or t1 <= 0:
             continue
         g = t2 / t1
         ig = input_growth(key)

@@ -2551,3 +2551,26 @@ def test_tpch_q21_matches_python_replay(spark):
     got = [(r.s_name, r.numwait) for r in spark.sql(
         tpch.tpch_q21(SPARK)).collect()]
     assert got == expect
+
+
+def test_decode_image_truncated_header_raises_valueerror():
+    """A recognized signature with a truncated header must raise the
+    decode contract's ValueError, not struct.error/IndexError that
+    would kill a whole mapInPandas task on one damaged asset."""
+    import pytest as _pytest
+
+    png_sig = b"\x89PNG\r\n\x1a\n"
+    truncated = [
+        png_sig + b"\x00\x00\x00\x0dIHDR",          # PNG cut at IHDR
+        png_sig + b"\x00\x00\x00\x0dIHDR\x00\x00",  # PNG cut mid-dims
+        b"GIF89a\x10",                               # GIF cut mid-dims
+        b"BM\x00\x00\x00\x00\x00\x00",               # BMP cut before dims
+    ]
+    try:
+        import PIL  # noqa: F401 — PIL present: its own errors apply
+        _pytest.skip("PIL installed; stdlib header path not taken")
+    except ImportError:
+        pass
+    for payload in truncated:
+        with _pytest.raises(ValueError):
+            multimodal.decode_image(payload)

@@ -349,3 +349,21 @@ def test_hll_registers_stream_equals_batch(spark):
         spark.sql(sketchops.hll_registers_sql(SPARK)).toPandas())
     assert list(got.columns) == list(want.columns)
     assert got.equals(want), "stream registers != batch registers"
+
+
+def test_bloom_probe_kernel_nan_probe_is_false():
+    """Arrow hands a NULL array element to a pandas UDF as float NaN,
+    not None — the kernel must return False (the batch CASE's verdict
+    for null text), not raise on int(nan)."""
+    import numpy as np
+
+    from aws_trusted_advisor_explorer_spark.streaming.structured import (
+        _bloom_probe_kernel,
+    )
+
+    model = {0: (1 << 5) | (1 << 7)}
+    assert _bloom_probe_kernel([5.0, 7.0], model) is True
+    assert _bloom_probe_kernel([5.0, 8.0], model) is False
+    assert _bloom_probe_kernel([float("nan"), 5.0], model) is False
+    assert _bloom_probe_kernel([np.nan], model) is False
+    assert _bloom_probe_kernel([None, 5.0], model) is False
