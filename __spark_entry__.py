@@ -174,9 +174,10 @@ def _bpe_fertility_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prepare_ext(spark, sf_dir)
     dict_view = textops.ensure_bpe_dict_view(spark, key=sf_dir)
+    merges = textops.ensure_bpe_merges(spark, key=sf_dir, base=dict_view)
     return textops.text_bpe_fertility_by_lang_df(
-        spark, merges=textops.ensure_bpe_merges(
-            spark, key=sf_dir, base=dict_view))
+        spark, priced_view=textops.ensure_bpe_priced_view(
+            spark, key=sf_dir, merges=merges))
 
 
 def _pack_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -871,13 +871,45 @@ FROM tc JOIN documents dd ON dd.doc_id = tc.doc_id
 GROUP BY dd.lang"""
 
 
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
+_BPE_PRICED_STATE: dict = {}
+BPE_PRICED_VIEW = "__bpe_priced_docs"
+
+
+def ensure_bpe_priced_view(spark, key: object = None,
+                           merges=None) -> str:
+    """Materialize the per-doc BPE pricing relation
+    (text_bpe_tokenize_count_df's output) once per (session, dataset)
+    — the fertility rollup consumes it the way a pipeline prices the
+    corpus once and reports many times; the tokenize_count query
+    itself still computes the apply (it IS the pricing operation).
+    ``merges`` must be the model ensure_bpe_merges trained for the
+    same ``key`` (deterministic per dataset, so the dataset key alone
+    identifies the plane)."""
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+
+    def build(spark):
+        df = text_bpe_tokenize_count_df(
+            spark, merges=merges).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(BPE_PRICED_VIEW)
+        return [df]
+
+    ensure_session_plane(_BPE_PRICED_STATE, spark, key, build)
+    return BPE_PRICED_VIEW
+
+
 def text_bpe_fertility_by_lang_df(spark,
-                                  merges: list[list[tuple[str, str]]] | None = None):
+                                  merges: list[list[tuple[str, str]]] | None = None,
+                                  priced_view: str | None = None):
     """Spark twin: rollup of the distinct-word apply path (same exact
-    bigint sums and single divisions as the SQL form)."""
+    bigint sums and single divisions as the SQL form). With
+    ``priced_view`` the per-doc pricing comes from the
+    session-materialized relation instead of re-running the whole
+    apply pipeline."""
     from pyspark.sql import functions as F
 
-    tc = text_bpe_tokenize_count_df(spark, merges=merges)
+    tc = (spark.table(priced_view) if priced_view is not None
+          else text_bpe_tokenize_count_df(spark, merges=merges))
     docs = spark.sql("SELECT doc_id, lang FROM documents")
     return (tc.join(docs, "doc_id")
             .groupBy("lang")
