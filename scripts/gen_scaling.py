@@ -84,7 +84,11 @@ Totals: sf0.001 = {totals['0.001']:.1f}s, sf0.01 = {totals['0.01']:.1f}s,
 sf0.1 = {totals['0.1']:.1f}s for {n} queries.
 At these sizes per-query fixed cost (job scheduling, codegen cache
 hits, Arrow setup) dominates most queries, so the signal is the
-per-query growth, not the absolute seconds.
+per-query growth, not the absolute seconds. Run-to-run variance of
+the resident local[32] JVM is ~±10% on the sf0.1 total (measured
+49.0s / 53.1s / 53.5s across back-to-back round-3 sweeps of identical
+code) — treat total deltas inside that band as noise; the normalized
+per-query growth ratios are the regression signal.
 
 Median normalized ratio across all {n} queries: **{med:.2f}**;
 90th percentile: {p90:.2f}; max: {norm[-1]:.2f}.
