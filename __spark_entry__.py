@@ -225,9 +225,14 @@ def _pairs_backed_query(builder_name: str):
         from aws_trusted_advisor_explorer_spark.operators import dedup
 
         _prepare_ext(spark, sf_dir)
+        # ensure the shingle plane for THIS dataset explicitly: on a
+        # pairs-view cache hit the plane build (which ensures it) does
+        # not run, and another dataset's interleaved queries may have
+        # re-pointed the shingle views since (truth arms read them)
+        base = dedup.ensure_shingle_view(spark, key=sf_dir)
         pv = dedup.ensure_minhash_pairs_view(spark, key=sf_dir)
         return spark.sql(getattr(dedup, builder_name)(
-            SPARK, base=dedup.SHINGLE_VIEW, pairs_view=pv))
+            SPARK, base=base, pairs_view=pv))
 
     return run
 

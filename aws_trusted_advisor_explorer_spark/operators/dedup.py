@@ -566,17 +566,15 @@ def ensure_dochash_view(spark, key: object = None) -> str:
     re-hash the corpus (same build-once discipline as
     ensure_shingle_view)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        register_session_plane,
+    )
 
-    def build(spark):
-        df = spark.sql(
+    return register_session_plane(
+        _DOCHASH_STATE, spark, key, DOCHASH_VIEW,
+        lambda spark: spark.sql(
             f"SELECT doc_id, source, {SPARK.poly_hash('text')} AS hv "
-            f"FROM documents").localCheckpoint(eager=True)
-        df.createOrReplaceTempView(DOCHASH_VIEW)
-        return [df]
-
-    ensure_session_plane(_DOCHASH_STATE, spark, key, build)
-    return DOCHASH_VIEW
+            f"FROM documents"))
 
 
 MINHASH_PAIRS_VIEW = "__minhash_pairs"
@@ -597,17 +595,16 @@ def ensure_minhash_pairs_view(spark, key: object = None) -> str:
     docs_dedup_rate_by_source) would otherwise re-run the whole
     band-join pipeline per CTE reference under Spark inlining."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        register_session_plane,
+    )
 
-    def build(spark):
+    def build_df(spark):
         base = ensure_shingle_view(spark, key=key)
-        df = spark.sql(
-            dedup_minhash_lsh(SPARK, base)).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(MINHASH_PAIRS_VIEW)
-        return [df]
+        return spark.sql(dedup_minhash_lsh(SPARK, base))
 
-    ensure_session_plane(_PAIRS_STATE, spark, key, build)
-    return MINHASH_PAIRS_VIEW
+    return register_session_plane(
+        _PAIRS_STATE, spark, key, MINHASH_PAIRS_VIEW, build_df)
 
 
 def _pairs_cte(d: Dialect, base: str | None,
@@ -1238,8 +1235,9 @@ def dedup_lsh_recall(d: Dialect, base: str | None = None,
     Scale posture (100 TB): both inputs are pair-graph-sized (tiny
     relative to the corpus — near-dup pairs, not the cross product),
     so the outer join and the final one-row aggregate are negligible
-    next to the candidate generation they audit; on the Spark side both
-    sides reuse the session-materialized shingle view.
+    next to the candidate generation they audit; on the Spark side the
+    truth arm reuses the session-materialized shingle plane and the
+    LSH arm reads the materialized pair graph (``pairs_view``).
     """
     truth = dedup_ngram_jaccard(d, base)
     lsh = _pairs_cte(d, base, pairs_view)

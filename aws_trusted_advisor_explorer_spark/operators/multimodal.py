@@ -12,10 +12,12 @@ keeps every stat oracle-checkable). Two paths:
   real plumbing a decode/resize/frame-sample stage runs on; the DuckDB
   oracle recomputes the same stats from the character codes, proving
   the UDF path end-to-end.
-- decode_image / decode_audio / sample_video_frames — STUBS: the
-  container has no image/audio libs, so they raise NotImplementedError
-  after validating schema/batch shape. The Spark-side contract
-  (schemas, batching, partitioning) is real and tested.
+- decode_image / decode_audio / sample_video_frames — REAL decoders
+  with tiered dependencies (round 3): PIL/soundfile/av when importable,
+  else pure-stdlib header parses (PNG/GIF/BMP, RIFF/WAV); only video
+  keeps a NotImplementedError branch without a library (no stdlib
+  demuxer). Damaged assets raise ValueError and the mapInPandas stage
+  quarantines them as null-meta rows instead of failing the task.
 
 Scale posture: payloads stay in executors (never collected); at 100 TB
 the media table is read via ``spark.read.format("binaryFile")`` or
@@ -243,7 +245,14 @@ def _decode_meta_batches(batches: "Iterator") -> "Iterator":
     for pdf in batches:
         rows = []
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-            meta = decode_image(bytes(p))
+            # quarantine damaged assets instead of failing the task:
+            # a truncated/unrecognized payload yields a null-meta row
+            # (decoders normalize their low-level errors to ValueError)
+            try:
+                meta = decode_image(bytes(p))
+            except ValueError:
+                rows.append((int(doc_id), None, None, None, None))
+                continue
             rows.append((int(doc_id), meta["format"], meta["width"],
                          meta["height"], meta["channels"]))
         yield pd.DataFrame(
@@ -441,17 +450,14 @@ def ensure_phash_view(spark, key: object = None) -> str:
     (session, dataset) — locally a localCheckpoint, in production the
     stored per-asset hash column the docstring above describes."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        register_session_plane,
+    )
 
-    def build(spark):
-        df = spark.sql(
-            _phash_sig_cte(SPARK) + "\nSELECT doc_id, ph FROM s"
-        ).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(PHASH_VIEW)
-        return [df]
-
-    ensure_session_plane(_PHASH_STATE, spark, key, build)
-    return PHASH_VIEW
+    return register_session_plane(
+        _PHASH_STATE, spark, key, PHASH_VIEW,
+        lambda spark: spark.sql(
+            _phash_sig_cte(SPARK) + "\nSELECT doc_id, ph FROM s"))
 
 
 def media_phash_dedup(d: Dialect, base: str | None = None) -> str:

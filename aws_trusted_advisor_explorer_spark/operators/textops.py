@@ -886,16 +886,13 @@ def ensure_bpe_priced_view(spark, key: object = None,
     ``merges`` must be the model ensure_bpe_merges trained for the
     same ``key`` (deterministic per dataset, so the dataset key alone
     identifies the plane)."""
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        register_session_plane,
+    )
 
-    def build(spark):
-        df = text_bpe_tokenize_count_df(
-            spark, merges=merges).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(BPE_PRICED_VIEW)
-        return [df]
-
-    ensure_session_plane(_BPE_PRICED_STATE, spark, key, build)
-    return BPE_PRICED_VIEW
+    return register_session_plane(
+        _BPE_PRICED_STATE, spark, key, BPE_PRICED_VIEW,
+        lambda spark: text_bpe_tokenize_count_df(spark, merges=merges))
 
 
 def text_bpe_fertility_by_lang_df(spark,

@@ -155,3 +155,20 @@ def ensure_session_plane(state: dict, spark: SparkSession, key: object,
         del state[sid]
     state[id(spark)] = (weakref.ref(spark), key, list(dfs))
     return True
+
+
+def register_session_plane(state: dict, spark: SparkSession, key: object,
+                           view_name: str, df_factory) -> str:
+    """The common single-view plane shape: build a DataFrame once per
+    (session, dataset), localCheckpoint it, register it under
+    ``view_name``, pin it in ``state``. The multi-view planes (shingle
+    + its ride-alongs) keep their custom ``build``; everything else
+    collapses to one call of this."""
+
+    def build(spark):
+        df = df_factory(spark).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(view_name)
+        return [df]
+
+    ensure_session_plane(state, spark, key, build)
+    return view_name

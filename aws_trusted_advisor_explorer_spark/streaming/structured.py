@@ -57,16 +57,16 @@ def _bloom_probe_kernel(probes, model) -> bool:
     bits) filter words; NULL probes (null text) -> False, matching the
     batch operator's CASE. Arrow hands a null array element to the UDF
     as float NaN, not None (pyarrow's pandas conversion), so the null
-    check must be pd.isna — `p is None` never fires and int(nan)
-    raises."""
-    import pandas as pd
-
+    check must catch NaN (p != p — IEEE self-inequality, no pandas
+    import in this per-row hot path) — `p is None` never fires and
+    int(nan) raises."""
     for p in probes:
-        if p is None or pd.isna(p):
+        if p is None or p != p:
             return False
-    return all(
-        (model.get(int(p) // 63, 0) >> (int(p) % 63)) & 1
-        for p in probes)
+        p = int(p)
+        if not (model.get(p // 63, 0) >> (p % 63)) & 1:
+            return False
+    return True
 
 def _events_stream_schema(ts_is_nanos: bool) -> StructType:
     """The driver has shipped events.parquet with ``ts`` as both
