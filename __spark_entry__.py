@@ -699,6 +699,11 @@ _PARKED_TAIL = (
                                  # histogram quantiles; the exact-
                                  # quantile family's in-cap row is
                                  # events_value_quantiles
+    "dedup_prefix_join",         # new in r3: prefix-filtered exact
+                                 # Jaccard (PPJoin family); the exact
+                                 # pair family's in-cap row is
+                                 # dedup_ngram_jaccard, which is also
+                                 # its cross-algorithm driver oracle
 )
 
 
@@ -721,7 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_feature_extract"] = _media_udf_query("media_feature_extract_df")
     q["media_frame_sample"] = _media_udf_query("media_frame_sample_df")
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
-                "dedup_containment", "dedup_simhash"):
+                "dedup_containment", "dedup_simhash",
+                "dedup_prefix_join"):
         q[key] = _shingle_backed_query(key)
     for key in ("dedup_incremental", "docs_dedup_rate_by_source",
                 "dedup_lsh_recall", "docs_cross_split_contamination",
@@ -784,6 +790,9 @@ def oracle_sql() -> dict[str, str]:
     o["media_byte_stats"] = multimodal.media_byte_stats_oracle(DUCK)
     o["media_feature_extract"] = multimodal.media_feature_extract_oracle(DUCK)
     o["media_frame_sample"] = multimodal.media_frame_sample_oracle(DUCK)
+    # the prefix-filtered exact join must equal the full shared-shingle
+    # join — two different exact algorithms checking each other
+    o["dedup_prefix_join"] = dedup.dedup_ngram_jaccard(DUCK)
     # IVF uses the same planes/buckets as sign-LSH -> identical results
     o["knn_ivf"] = similarity.knn_lsh(DUCK)
     o["knn_ivf_multiprobe"] = similarity.knn_multiprobe(DUCK)

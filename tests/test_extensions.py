@@ -2574,3 +2574,60 @@ def test_decode_image_truncated_header_raises_valueerror():
     for payload in truncated:
         with _pytest.raises(ValueError):
             multimodal.decode_image(payload)
+
+
+def test_prefix_join_equals_full_shingle_join(spark, ddb):
+    """Two different exact algorithms, one answer: the prefix-filtered
+    join (PPJoin family) must emit exactly the full shared-shingle
+    join's pairs in both engines, while generating strictly fewer
+    candidate rows (the point of prefix filtering)."""
+    from tests.conftest import assert_matches_oracle
+
+    base = dedup.ensure_shingle_view(spark)
+    df = spark.sql(dedup.dedup_prefix_join(SPARK, base))
+    # cross-algorithm oracle: the plain shared-shingle join
+    assert_matches_oracle(df, ddb, dedup.dedup_ngram_jaccard(DUCK))
+
+    def cand_count(sql: str) -> int:
+        head = sql.split("common AS")[0].rstrip().rstrip(",")
+        return ddb.sql(head + "\nSELECT count(*) FROM cand").fetchone()[0]
+
+    full_head = dedup.dedup_ngram_jaccard(DUCK).split("common AS")[0]
+    n_full = ddb.sql(
+        full_head + """
+cand AS (SELECT a.doc_id, b.doc_id FROM fs2 a
+         JOIN fs2 b ON a.hv = b.hv AND a.doc_id < b.doc_id)
+SELECT count(*) FROM cand""").fetchone()[0]
+    n_pref = cand_count(dedup.dedup_prefix_join(DUCK))
+    assert n_pref < n_full, (n_pref, n_full)
+
+
+def test_prefix_join_completeness_planted_boundary(spark):
+    """A pair at EXACTLY the threshold (Jaccard = 1/2 via containment
+    with |B| = 2|A|, which also sits on the size-filter boundary) must
+    survive both the prefix filter and the size filter."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    # doc 1's shingle set is fully contained in doc 2's, |S2| = 2*|S1|
+    a_words = "alpha beta gamma delta epsilon zeta".split()
+    b_words = a_words + "eta theta iota kappa".split()
+    # 3-gram shingles: |A| = 4, need |B| = 8 -> b has 10 words
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [" ".join(a_words), " ".join(b_words),
+                 "completely different words entirely here now"],
+    })
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sdf = canonicalize(ns.sql(dedup.dedup_prefix_join(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.dedup_prefix_join(DUCK)).df())
+    jac = canonicalize(con.sql(dedup.dedup_ngram_jaccard(DUCK)).df())
+    assert sdf.equals(ddf)
+    assert sdf.equals(jac)
+    pairs = set(zip(ddf["doc_a"].astype(str), ddf["doc_b"].astype(str)))
+    assert ("1", "2") in pairs, ddf
