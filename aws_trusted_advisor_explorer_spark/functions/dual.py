@@ -229,6 +229,20 @@ class Dialect:
             return f"(shiftright({h}, {shift}) & {mask})"
         return f"(({h} >> {shift}) & {mask})"
 
+    def arr_agg(self, c: str) -> str:
+        """Group-aggregate values into an array (element ORDER is
+        engine/partition-dependent — only use where downstream math is
+        order-insensitive, e.g. intersection cardinality)."""
+        if self.name == "spark":
+            return f"collect_list({c})"
+        return f"list({c})"
+
+    def arr_intersect_size(self, a: str, b: str) -> str:
+        """|A ∩ B| for arrays of DISTINCT elements (order-independent)."""
+        if self.name == "spark":
+            return f"size(array_intersect({a}, {b}))"
+        return f"len(list_intersect({a}, {b}))"
+
     def xor(self, a: str, b: str) -> str:
         # DuckDB's ^ is exponentiation — its bitwise xor is the function form
         return f"({a} ^ {b})" if self.name == "spark" else f"xor({a}, {b})"

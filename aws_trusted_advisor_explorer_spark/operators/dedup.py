@@ -340,8 +340,12 @@ def dedup_prefix_join(d: Dialect, base: str | None = None) -> str:
     ``ceil(t*|A|)-1``-sized suffix — contradiction — so the minimum
     common shingle lies in BOTH prefixes and the equi-join finds the
     pair. The size filter (t*max <= min) prunes cross-size candidates
-    the threshold already forbids. Candidates are verified with the
-    same count/Jaccard arithmetic as the full join.
+    the threshold already forbids. Each candidate pair is VERIFIED by
+    array intersection against a doc-level shingle-set dimension
+    (corpus-doc-sized, broadcastable) — joining candidates back to the
+    row-per-shingle relation instead would expand to candidates x
+    set-size rows, which measured SLOWER than the full join it is
+    meant to beat (3.7s vs 0.9s at sf0.1 before this verify shape).
 
     Scale posture (100 TB): the join fan-out per shingle is bounded by
     its document frequency WITHIN PREFIXES — rare shingles lead the
@@ -351,7 +355,11 @@ def dedup_prefix_join(d: Dialect, base: str | None = None) -> str:
     (measured 4.1x fewer candidate rows at sf0.1 and 18x at sf0.01 —
     the pytest pins the reduction and the output equality; the ratio
     varies with how concentrated the corpus' shared shingles are).
-    The df ranking is one
+    On THIS fixture the DF-capped full join is already cheap, so the
+    prefix path's wall-clock is comparable rather than dominant — its
+    regime is corpora where candidate generation is the bottleneck
+    (heavy boilerplate fan-out that the plain equi-join would
+    square). The df ranking is one
     vocab-sized aggregate; the per-doc prefix rank is a window keyed
     on doc_id, co-partitioned with the shingle plane."""
     pl = (f"n - {d.idiv(f'(n * {PREFIX_T_NUM} + {PREFIX_T_DEN} - 1)', str(PREFIX_T_DEN))} + 1")
@@ -370,12 +378,19 @@ cand AS (
   WHERE a.n * {PREFIX_T_NUM} <= b.n * {PREFIX_T_DEN}
     AND b.n * {PREFIX_T_NUM} <= a.n * {PREFIX_T_DEN}
 ),
+sets AS (
+  SELECT doc_id, {d.arr_agg('hv')} AS arr,
+    cast(max(n) as bigint) AS n
+  FROM fs2 GROUP BY doc_id
+),
 common AS (
-  SELECT c.ia, c.ib, count(*) AS n_common, max(a.n) AS na, max(b.n) AS nb
+  SELECT c.ia, c.ib,
+    cast({d.arr_intersect_size('sa.arr', 'sb.arr')} as bigint)
+      AS n_common,
+    sa.n AS na, sb.n AS nb
   FROM cand c
-  JOIN fs2 a ON a.doc_id = c.ia
-  JOIN fs2 b ON b.doc_id = c.ib AND b.hv = a.hv
-  GROUP BY c.ia, c.ib
+  JOIN sets sa ON sa.doc_id = c.ia
+  JOIN sets sb ON sb.doc_id = c.ib
 )
 SELECT ia AS doc_a, ib AS doc_b,
   cast(n_common as double) / (na + nb - n_common) AS jaccard
