@@ -213,6 +213,20 @@ def _phash_backed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         SPARK, base=multimodal.ensure_phash_view(spark, key=sf_dir)))
 
 
+def _prefix_backed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix-filtered exact join reads its two multiply-referenced
+    relations (rarest-first prefixes, doc-level shingle sets) from the
+    session-materialized prefix plane (dedup.ensure_prefix_views) —
+    each would otherwise re-evaluate per join side under inlining."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    _prepare_ext(spark, sf_dir)
+    base = dedup.ensure_shingle_view(spark, key=sf_dir)
+    dedup.ensure_prefix_views(spark, key=sf_dir)
+    return spark.sql(dedup.dedup_prefix_join(SPARK, base=base))
+
+
 def _pairs_backed_query(builder_name: str):
     """Pair-graph consumers read the per-session materialized
     MinHash-LSH pair relation (dedup.ensure_minhash_pairs_view)
@@ -726,9 +740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_feature_extract"] = _media_udf_query("media_feature_extract_df")
     q["media_frame_sample"] = _media_udf_query("media_frame_sample_df")
     for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
-                "dedup_containment", "dedup_simhash",
-                "dedup_prefix_join"):
+                "dedup_containment", "dedup_simhash"):
         q[key] = _shingle_backed_query(key)
+    q["dedup_prefix_join"] = _prefix_backed_query
     for key in ("dedup_incremental", "docs_dedup_rate_by_source",
                 "dedup_lsh_recall", "docs_cross_split_contamination",
                 "docs_cross_lingual_pairs"):

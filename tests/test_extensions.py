@@ -2584,22 +2584,23 @@ def test_prefix_join_equals_full_shingle_join(spark, ddb):
     from tests.conftest import assert_matches_oracle
 
     base = dedup.ensure_shingle_view(spark)
+    dedup.ensure_prefix_views(spark)
     df = spark.sql(dedup.dedup_prefix_join(SPARK, base))
     # cross-algorithm oracle: the plain shared-shingle join
     assert_matches_oracle(df, ddb, dedup.dedup_ngram_jaccard(DUCK))
 
-    def cand_count(sql: str) -> int:
-        head = sql.split("common AS")[0].rstrip().rstrip(",")
-        return ddb.sql(head + "\nSELECT count(*) FROM cand").fetchone()[0]
-
+    # like-for-like: DISTINCT candidate pairs on BOTH sides
     full_head = dedup.dedup_ngram_jaccard(DUCK).split("common AS")[0]
     n_full = ddb.sql(
         full_head + """
-cand AS (SELECT a.doc_id, b.doc_id FROM fs2 a
+cand AS (SELECT DISTINCT a.doc_id, b.doc_id FROM fs2 a
          JOIN fs2 b ON a.hv = b.hv AND a.doc_id < b.doc_id)
 SELECT count(*) FROM cand""").fetchone()[0]
-    n_pref = cand_count(dedup.dedup_prefix_join(DUCK))
-    assert n_pref < n_full, (n_pref, n_full)
+    pref_head = (dedup.dedup_prefix_join(DUCK)
+                 .split("common AS")[0].rstrip().rstrip(","))
+    n_pref = ddb.sql(
+        pref_head + "\nSELECT count(*) FROM cand").fetchone()[0]
+    assert n_pref * 2 < n_full, (n_pref, n_full)
 
 
 def test_prefix_join_completeness_planted_boundary(spark):
