@@ -407,7 +407,13 @@ def dedup_prefix_join(d: Dialect, base: str | None = None) -> str:
     prefix path's wall-clock is comparable rather than dominant — its
     regime is corpora where candidate generation is the bottleneck
     (heavy boilerplate fan-out that the plain equi-join would
-    square). The df ranking is one
+    square). SCALING.md flags this query's measured growth above 1.0:
+    the candidate PAIR set grows ~quadratically on the
+    duplication-dense fixture (dup clusters scale with the corpus), so
+    the exact per-pair verify inherits that — the same pressure that
+    puts the sibling exact join just under 1.0, and exactly why both
+    exact forms are the ORACLES of the sublinear MinHash-LSH rung
+    rather than the 100 TB path themselves. The df ranking is one
     vocab-sized aggregate; the per-doc prefix rank is a window keyed
     on doc_id, co-partitioned with the shingle plane."""
     pl = (f"n - {d.idiv(f'(n * {PREFIX_T_NUM} + {PREFIX_T_DEN} - 1)', str(PREFIX_T_DEN))} + 1")

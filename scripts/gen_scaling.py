@@ -26,6 +26,20 @@ SFS = ("0.001", "0.01", "0.1")
 GROWTH_DEFAULT = 10.0   # lineitem/orders/customer/supplier/part/events/documents
 GROWTH_EMBEDDINGS = 4.0
 
+# documented causes for queries measured above 1.0 normalized growth —
+# anything NOT in this dict that crosses 1.0 renders as "unexplained"
+KNOWN_SUPRALINEAR = {
+    "dedup_prefix_join": (
+        "`dedup_prefix_join`: exact verify over the candidate PAIR set, "
+        "which grows ~quadratically on this duplication-dense fixture "
+        "(310k pairs at sf0.1 vs 777 at sf0.01 — dup clusters scale "
+        "with the corpus); the sibling exact join `dedup_ngram_jaccard` "
+        "sits just under 1.0 for the same reason. Both exact forms are "
+        "the ORACLES of the scale path (`dedup_minhash_lsh`, sublinear "
+        "here) — at 100 TB you run the LSH rung and sample-verify; the "
+        "docstring documents the regime where prefix filtering wins."),
+}
+
 # queries whose ONLY corpus-scale input is the embeddings table; mixed
 # documents+embeddings queries keep the 10x documents side as dominant
 _EMB_PREFIXES = ("knn_", "embeddings_", "semdedup_", "kmeans_", "pq_")
@@ -100,15 +114,34 @@ Top queries by NORMALIZED growth (growth ÷ input growth):
     for key, t0, t1, t2, g, ig, ng in rows[:20]:
         out.append(f"| `{key}` | {t0:.3f}s | {t1:.3f}s | {t2:.3f}s "
                    f"| {g:.1f}x | {ig:.0f}x | {ng:.2f} |")
-    out.append(f"""
+    over = [(k, ng) for k, *_, ng in
+            [(r[0], *r[1:]) for r in rows] if ng > 1.0]
+    if over:
+        names = ", ".join(f"`{k}` ({ng:.2f})" for k, ng in over)
+        why = []
+        for k, _ in over:
+            why.append(KNOWN_SUPRALINEAR.get(
+                k, f"`{k}`: unexplained — investigate before shipping"))
+        out.append(f"""
+Reading: {len(over)} quer{'y is' if len(over) == 1 else 'ies are'}
+above 1.0 — {names} — with the cause documented per query:
+{chr(10).join('- ' + w for w in why)}
+Every other query stays at or below ~1 (p90 {p90:.2f}): the
+quadratic-risk operators (shared-shingle joins, cluster-blocked
+cosine, band joins) stay bounded by their DF caps / learned blocks
+exactly as SCALE.md claims.""")
+    else:
+        out.append(f"""
 Reading: every query's normalized ratio stays at or below ~1
 (max {norm[-1]:.2f}), i.e. no operator grows faster than its own input
 across this window — the quadratic-risk operators (shared-shingle
 joins, cluster-blocked cosine, band joins) stay bounded by their DF
-caps / learned blocks exactly as SCALE.md claims. The absolute numbers
-are NOT cluster predictions; they are regression anchors — a future
-change that pushes a normalized ratio well past 1 is a scale bug the
-next round should catch by re-running this sweep.""")
+caps / learned blocks exactly as SCALE.md claims.""")
+    out.append("""
+The absolute numbers are NOT cluster predictions; they are regression
+anchors — a future change that pushes a normalized ratio well past 1
+(beyond the documented outliers) is a scale bug the next round should
+catch by re-running this sweep.""")
     with open(os.path.join(root, "SCALING.md"), "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"wrote SCALING.md ({n} queries; median {med:.2f}, "
