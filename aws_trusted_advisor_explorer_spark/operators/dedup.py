@@ -419,6 +419,14 @@ def dedup_prefix_join(d: Dialect, base: str | None = None) -> str:
     pl = (f"n - {d.idiv(f'(n * {PREFIX_T_NUM} + {PREFIX_T_DEN} - 1)', str(PREFIX_T_DEN))} + 1")
     ca = d.cte_as()
     if base is not None:
+        if base != SHINGLE_VIEW:
+            # the prefix/sets planes are keyed to the shingle plane —
+            # an arbitrary base here would silently read the wrong
+            # corpus (same contract as _shingle_cte/_capped_shingle_cte)
+            raise ValueError(
+                f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
+                f"(the prefix/sets ride-along views are keyed to it), "
+                f"got {base!r}")
         # the multiply-referenced pref/sets relations come from the
         # checkpoint-backed prefix plane (ensure_prefix_views) — each
         # would otherwise re-evaluate per join side under inlining
@@ -1018,8 +1026,15 @@ def dedup_embedding_cosine_df(spark, key: object = None):
     from aws_trusted_advisor_explorer_spark.operators import clusterops as C
 
     # the shared pair plane is cut at the SemDeDup threshold; reusing
-    # it is only a filter when our threshold is at least as high
-    assert COSINE_DUP_THRESHOLD >= C.COSINE_SEM_THRESHOLD
+    # it is only a filter when our threshold is at least as high (a
+    # bare assert would vanish under PYTHONOPTIMIZE and silently drop
+    # pairs — same rationale as the PREFIX_T guard)
+    if COSINE_DUP_THRESHOLD < C.COSINE_SEM_THRESHOLD:
+        raise ValueError(
+            f"COSINE_DUP_THRESHOLD {COSINE_DUP_THRESHOLD} must be >= "
+            f"COSINE_SEM_THRESHOLD {C.COSINE_SEM_THRESHOLD}: the shared "
+            f"SemDeDup pair plane is cut at the latter, so a lower dedup "
+            f"threshold cannot be served by filtering it")
     C.ensure_cluster_views(spark, key=key)
     pairs = C.ensure_semdedup_pairs(spark, key=key)
     return (pairs.filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)

@@ -247,10 +247,14 @@ def _decode_meta_batches(batches: "Iterator") -> "Iterator":
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
             # quarantine damaged assets instead of failing the task:
             # a truncated/unrecognized payload yields a null-meta row
-            # (decoders normalize their low-level errors to ValueError)
+            # (decoders normalize their low-level errors to ValueError;
+            # a NULL payload would make bytes(None) raise TypeError —
+            # quarantine it the same way instead of failing the task)
             try:
+                if p is None:
+                    raise ValueError("null payload")
                 meta = decode_image(bytes(p))
-            except ValueError:
+            except (ValueError, TypeError):
                 rows.append((int(doc_id), None, None, None, None))
                 continue
             rows.append((int(doc_id), meta["format"], meta["width"],

@@ -137,9 +137,10 @@ agg AS (
   FROM reg GROUP BY event_type
 )
 SELECT event_type, n_exact, hll_est,
-  cast(floor(abs(hll_est - cast(n_exact as double))
-       * cast(1000 as double) / cast(n_exact as double)) as bigint)
-    AS err_milli
+  CASE WHEN n_exact = 0 THEN cast(NULL as bigint)
+       ELSE cast(floor(abs(hll_est - cast(n_exact as double))
+            * cast(1000 as double) / cast(n_exact as double)) as bigint)
+  END AS err_milli
 FROM (
   SELECT event_type, n_exact,
     {_hll_est(d, 'z_int', 'n_empty')} AS hll_est
@@ -355,8 +356,10 @@ SELECT srcs.n_sources, exact.n_exact,
   {est('dstats')} AS kmv_est_direct,
   {est('mstats')} AS kmv_est_merged,
   CASE WHEN agree.n_disagree = 0 THEN 1 ELSE 0 END AS merge_matches_direct,
-  {d.idiv(f"abs({est('dstats')} - exact.n_exact) * 1000",
-          'exact.n_exact')} AS err_milli
+  CASE WHEN exact.n_exact = 0 THEN cast(NULL as bigint)
+       ELSE {d.idiv(f"abs({est('dstats')} - exact.n_exact) * 1000",
+                    'exact.n_exact')}
+  END AS err_milli
 FROM srcs, exact, agree, dstats, mstats"""
 
 

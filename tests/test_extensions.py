@@ -2344,6 +2344,25 @@ def test_media_decode_meta_mapinpandas_real_pngs(spark):
     assert got == {i: ("png", w, h, 3) for i, w, h in dims}
 
 
+def test_media_decode_meta_quarantines_null_and_damaged(spark):
+    """Damaged-asset quarantine contract: a NULL payload and a
+    truncated payload must each yield a null-meta row instead of
+    failing the whole mapInPandas task (a NULL would otherwise make
+    bytes(None) raise TypeError — ADVICE r4)."""
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(0, bytearray(_tiny_png(4, 3))),       # good
+         (1, None),                              # NULL payload
+         (2, bytearray(b"\x89PNG\r\n\x1a\n"))],  # truncated header
+        schema="doc_id long, payload binary")
+    got = {r.doc_id: (r.format, r.width, r.height, r.channels)
+           for r in multimodal.media_decode_meta_df(media).collect()}
+    assert got[0] == ("png", 4, 3, 3)
+    assert got[1] == (None, None, None, None)
+    assert got[2] == (None, None, None, None)
+
+
 def test_tpch_money_modes(spark, ddb):
     """The decimal(38,0)-micros money mode (the sf100+ overflow-safe
     representation) must produce the same VALUES as the default int64
