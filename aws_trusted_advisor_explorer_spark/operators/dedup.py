@@ -346,8 +346,10 @@ def ensure_prefix_views(spark, key: object = None) -> tuple[str, str]:
         ensure_shingle_view(spark, key=key)
         pl = (f"n - ((n * {PREFIX_T_NUM} + {PREFIX_T_DEN} - 1) "
               f"div {PREFIX_T_DEN}) + 1")
+        # r (the rank within the doc's FULL rarest-first ordering) rides
+        # along — the position filter's upper bound needs it per side
         pref = spark.sql(f"""
-            SELECT doc_id, hv, n FROM (
+            SELECT doc_id, hv, n, r FROM (
               SELECT f.doc_id, f.hv, f.n,
                 row_number() OVER (PARTITION BY f.doc_id
                                    ORDER BY fr.df, f.hv) AS r
@@ -369,7 +371,8 @@ def ensure_prefix_views(spark, key: object = None) -> tuple[str, str]:
     return PREFIX_VIEW, SETS_VIEW
 
 
-def dedup_prefix_join(d: Dialect, base: str | None = None) -> str:
+def dedup_prefix_join(d: Dialect, base: str | None = None,
+                      position_filter: bool = True) -> str:
     """Exact Jaccard near-dup pairs via PREFIX FILTERING (PPJoin
     family, Xiao et al. 2008; Chaudhuri et al. 2006) — the scalable
     exact algorithm, vs :func:`dedup_ngram_jaccard`'s full
@@ -387,7 +390,24 @@ def dedup_prefix_join(d: Dialect, base: str | None = None) -> str:
     ``ceil(t*|A|)-1``-sized suffix — contradiction — so the minimum
     common shingle lies in BOTH prefixes and the equi-join finds the
     pair. The size filter (t*max <= min) prunes cross-size candidates
-    the threshold already forbids. Each candidate pair is VERIFIED by
+    the threshold already forbids, and the POSITION filter (Xiao et
+    al. 2008 §3.2, in its accumulated per-pair form) prunes pairs
+    whose shared-prefix matches already cap the overlap below the
+    required alpha = ceil(t*(|A|+|B|)/(1+t)). Soundness of the group
+    bound ``c + min(|A|-max_ra, |B|-max_rb) >= alpha`` (c = shared
+    prefix-shingle count, max_ra/max_rb = ranks of the LARGEST shared
+    prefix shingle w_max): per-doc rank order equals the global
+    (df, hv) order, so any common shingle smaller than w_max has rank
+    < max_ra <= pl_A in A and < max_rb <= pl_B in B — i.e. it sits in
+    BOTH prefixes and is therefore one of the c join rows; any common
+    shingle larger than w_max has rank > max_ra in A and > max_rb in
+    B, so at most min(|A|-max_ra, |B|-max_rb) of them exist. Total
+    overlap <= the bound, hence J >= t implies the pair survives.
+    (The single-row variant of the filter pruned <1% on this fixture
+    — shallow-rank matches bound nothing; the accumulated form cuts
+    the verify set 2.6x at sf0.1, measured below.) The GROUP BY that
+    computes c replaces the DISTINCT the candidate step needed anyway
+    — same exchange, no extra pass. Each candidate pair is VERIFIED by
     array intersection against a doc-level shingle-set dimension
     (corpus-doc-sized, broadcastable) — joining candidates back to the
     row-per-shingle relation instead would expand to candidates x
@@ -399,21 +419,29 @@ def dedup_prefix_join(d: Dialect, base: str | None = None) -> str:
     order, so hot boilerplate shingles (the fan-out killers) fall out
     of prefixes entirely; the candidate set shrinks from
     Σ df² over ALL shingles to Σ df_prefix² over the rare ones
-    (measured like-for-like on DISTINCT candidate pairs: 3.6x fewer
-    at sf0.1, 14.8x at sf0.01 — the pytest pins the reduction and the
-    output equality; the ratio varies with how concentrated the
-    corpus' shared shingles are).
+    (measured like-for-like on candidate pairs REACHING THE VERIFY:
+    prefix+length filters give 3.6x fewer than the full join at
+    sf0.1 / 14.8x at sf0.01; the position filter's group bound then
+    prunes a further 2.6x at sf0.1 (310,086 -> 120,035 candidates
+    for 256 true pairs) and ~30x at sf0.01 (777 -> 26 for 25 true
+    pairs) — the pytest pins the reduction and the output equality;
+    the ratio varies with how concentrated the corpus' shared
+    shingles are).
     On THIS fixture the DF-capped full join is already cheap, so the
     prefix path's wall-clock is comparable rather than dominant — its
     regime is corpora where candidate generation is the bottleneck
     (heavy boilerplate fan-out that the plain equi-join would
-    square). SCALING.md flags this query's measured growth above 1.0:
-    the candidate PAIR set grows ~quadratically on the
-    duplication-dense fixture (dup clusters scale with the corpus), so
-    the exact per-pair verify inherits that — the same pressure that
-    puts the sibling exact join just under 1.0, and exactly why both
-    exact forms are the ORACLES of the sublinear MinHash-LSH rung
-    rather than the 100 TB path themselves. The df ranking is one
+    square). Round 3's SCALING.md flagged this query's normalized
+    growth at 1.37 (the surface's only >1.0): the candidate PAIR set
+    grows ~quadratically on the duplication-dense fixture (dup
+    clusters scale with the corpus), so the exact per-pair verify
+    inherited that. The position filter's group bound now holds the
+    verify set at ~470x the true-pair count instead of ~1200x; the
+    residual super-linearity is the true near-threshold pair mass
+    itself — the same pressure that puts the sibling exact join just
+    under 1.0, and exactly why both exact forms are the ORACLES of
+    the sublinear MinHash-LSH rung rather than the 100 TB path
+    themselves. The df ranking is one
     vocab-sized aggregate; the per-doc prefix rank is a window keyed
     on doc_id, co-partitioned with the shingle plane."""
     pl = (f"n - {d.idiv(f'(n * {PREFIX_T_NUM} + {PREFIX_T_DEN} - 1)', str(PREFIX_T_DEN))} + 1")
@@ -430,7 +458,7 @@ def dedup_prefix_join(d: Dialect, base: str | None = None) -> str:
         # the multiply-referenced pref/sets relations come from the
         # checkpoint-backed prefix plane (ensure_prefix_views) — each
         # would otherwise re-evaluate per join side under inlining
-        head = f"""WITH pref AS (SELECT doc_id, hv, n FROM {PREFIX_VIEW}),
+        head = f"""WITH pref AS (SELECT doc_id, hv, n, r FROM {PREFIX_VIEW}),
 sets AS (SELECT doc_id, arr, n FROM {SETS_VIEW}),
 cand AS ("""
     else:
@@ -445,18 +473,28 @@ ord AS (
                        ORDER BY fr.df, f.hv) AS r
   FROM fs2 f JOIN freq fr ON fr.hv = f.hv
 ),
-pref {ca} (SELECT doc_id, hv, n FROM ord WHERE r <= {pl}),
+pref {ca} (SELECT doc_id, hv, n, r FROM ord WHERE r <= {pl}),
 sets {ca} (
   SELECT doc_id, {d.arr_agg('hv')} AS arr,
     cast(max(n) as bigint) AS n
   FROM fs2 GROUP BY doc_id
 ),
 cand AS ("""
+    # required overlap alpha = ceil(t*(na+nb)/(1+t)) as exact integers
+    # over the per-group size aggregates (constant within a pair group)
+    alpha = d.idiv(
+        f"({PREFIX_T_NUM} * (max(a.n) + max(b.n)) "
+        f"+ {PREFIX_T_NUM + PREFIX_T_DEN} - 1)",
+        str(PREFIX_T_NUM + PREFIX_T_DEN))
+    pos = (f"""
+  HAVING count(*) + least(max(a.n) - max(a.r), max(b.n) - max(b.r))
+         >= {alpha}""" if position_filter else "")
     return f"""{head}
-  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  SELECT a.doc_id AS ia, b.doc_id AS ib
   FROM pref a JOIN pref b ON a.hv = b.hv AND a.doc_id < b.doc_id
   WHERE a.n * {PREFIX_T_NUM} <= b.n * {PREFIX_T_DEN}
     AND b.n * {PREFIX_T_NUM} <= a.n * {PREFIX_T_DEN}
+  GROUP BY a.doc_id, b.doc_id{pos}
 ),
 common AS (
   SELECT c.ia, c.ib,

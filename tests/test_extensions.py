@@ -2615,11 +2615,57 @@ def test_prefix_join_equals_full_shingle_join(spark, ddb):
 cand AS (SELECT DISTINCT a.doc_id, b.doc_id FROM fs2 a
          JOIN fs2 b ON a.hv = b.hv AND a.doc_id < b.doc_id)
 SELECT count(*) FROM cand""").fetchone()[0]
-    pref_head = (dedup.dedup_prefix_join(DUCK)
-                 .split("common AS")[0].rstrip().rstrip(","))
-    n_pref = ddb.sql(
-        pref_head + "\nSELECT count(*) FROM cand").fetchone()[0]
+
+    def n_cand(position_filter):
+        head = (dedup.dedup_prefix_join(DUCK,
+                                        position_filter=position_filter)
+                .split("common AS")[0].rstrip().rstrip(","))
+        return ddb.sql(head + "\nSELECT count(*) FROM cand").fetchone()[0]
+
+    n_pref = n_cand(False)     # prefix + length filters only (round 3)
+    n_pos = n_cand(True)       # + position filter (group bound, r4)
     assert n_pref * 2 < n_full, (n_pref, n_full)
+    # the accumulated position filter must strictly tighten the
+    # round-3 candidate set (measured ~27x at sf0.001, ~30x at
+    # sf0.01, 2.6x at sf0.1 — see dedup_prefix_join's docstring)
+    assert n_pos * 2 < n_pref, (n_pos, n_pref)
+
+
+def test_prefix_join_position_filter_prunes_false_candidate():
+    """Planted pathology for the position filter's group bound: A and
+    B share exactly one shingle that lands in both prefixes (rank 2/2
+    in A, rank 1/4 in B), so c + min(|A|-max_ra, |B|-max_rb) =
+    1 + min(0, 3) = 1 < alpha = ceil((2+4)/3) = 2 — the pair must be
+    pruned BEFORE the verify, while surviving prefix + length filters
+    (it is a candidate without the position filter). True Jaccard is
+    1/5 < 0.5, so output equality with the full join is unaffected."""
+    import duckdb
+    import pandas as pd
+
+    # A = "x y z w": shingles s=(x y z) df2, (y z w) df1 -> |A|=2
+    # B = "x y z p q r": s + three fillers each also in C and D (df3)
+    # C = D = "y z p q r": make B's fillers df=3 so s leads B's order
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["x y z w", "x y z p q r", "y z p q r", "y z p q r"],
+    })
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    def n_ab_cand(position_filter):
+        head = (dedup.dedup_prefix_join(DUCK,
+                                        position_filter=position_filter)
+                .split("common AS")[0].rstrip().rstrip(","))
+        return con.sql(
+            head + "\nSELECT count(*) FROM cand "
+                   "WHERE ia = 1 AND ib = 2").fetchone()[0]
+
+    assert n_ab_cand(False) == 1   # survives prefix + length filters
+    assert n_ab_cand(True) == 0    # pruned by the position group bound
+    out = sorted(con.sql(dedup.dedup_prefix_join(DUCK)).fetchall())
+    jac = sorted(con.sql(dedup.dedup_ngram_jaccard(DUCK)).fetchall())
+    assert out == jac              # exact output identity preserved
+    assert (1, 2) not in {(a, b) for a, b, _ in out}
 
 
 def test_prefix_join_completeness_planted_boundary(spark):
