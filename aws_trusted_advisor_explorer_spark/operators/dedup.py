@@ -199,9 +199,23 @@ SELECT doc_id,
 FROM k"""
 
 
-def dedup_minhash_lsh(d: Dialect, base: str | None = None) -> str:
-    """MinHash(16 perms) -> 4-band LSH candidate join -> exact Jaccard
-    verify on candidates only. Output: (doc_a, doc_b, jaccard).
+def dedup_minhash_lsh(d: Dialect, base: str | None = None,
+                      n_perm: int = N_PERM,
+                      n_bands: int = N_BANDS) -> str:
+    """MinHash(``n_perm`` perms) -> ``n_bands``-band LSH candidate
+    join -> exact Jaccard verify on candidates only. Output:
+    (doc_a, doc_b, jaccard).
+
+    The committed default (16 perms / 4 bands, 4 rows per band) is
+    the driver-oracled query; a production 100 TB near-dup pass runs
+    >= 128 perms / >= 16 bands at the SAME rows-per-band, which
+    strictly raises per-pair detection probability
+    (1 - (1 - J^r)^b is monotone in b at fixed r) — the
+    high-fidelity pytest pins that dominance on a planted borderline
+    corpus (tests/test_extensions.py). The plan shape is config-
+    independent: one groupBy computes all ``n_perm`` min-aggregates
+    (map-side combining, signature state = n_perm ints per doc), one
+    explode emits the bands.
 
     Plan shape: the band index is EMBEDDED in the signature string and
     generated by one explode — a UNION-per-band would make Spark
@@ -209,13 +223,17 @@ def dedup_minhash_lsh(d: Dialect, base: str | None = None) -> str:
     Band buckets larger than BAND_CAP emit STAR candidates (hub =
     bucket min doc_id) instead of all pairs — see the BAND_CAP note.
     """
-    params = minhash_params(N_PERM)
+    if n_perm % n_bands != 0:
+        raise ValueError(
+            f"n_perm {n_perm} must be divisible by n_bands {n_bands} "
+            f"(bands are contiguous equal-width signature slices)")
+    params = minhash_params(n_perm)
     mins = ",\n    ".join(
         f"min(({a} * hv + {b}) % {P_MOD}) AS m{j}"
         for j, (a, b) in enumerate(params))
-    rows_per_band = N_PERM // N_BANDS
+    rows_per_band = n_perm // n_bands
     band_strs = []
-    for band in range(N_BANDS):
+    for band in range(n_bands):
         cols = [f"cast(m{band * rows_per_band + r} as string)"
                 for r in range(rows_per_band)]
         band_strs.append(f"concat_ws(':', '{band}', " + ", ".join(cols) + ")")
@@ -1420,7 +1438,9 @@ def dedup_graph_pagerank_df(spark, base: str | None = None,
 
 
 def dedup_lsh_recall(d: Dialect, base: str | None = None,
-                     pairs_view: str | None = None) -> str:
+                     pairs_view: str | None = None,
+                     n_perm: int = N_PERM,
+                     n_bands: int = N_BANDS) -> str:
     """MinHash-LSH acceptance gate: recall/precision of the banded LSH
     pair set vs the exact shared-shingle Jaccard join at the same
     threshold — the dedup counterpart of ``knn_recall_at_k`` (an
@@ -1443,7 +1463,10 @@ def dedup_lsh_recall(d: Dialect, base: str | None = None,
     LSH arm reads the materialized pair graph (``pairs_view``).
     """
     truth = dedup_ngram_jaccard(d, base)
-    lsh = _pairs_cte(d, base, pairs_view)
+    lsh = (_pairs_cte(d, base, pairs_view)
+           if (n_perm, n_bands) == (N_PERM, N_BANDS)
+           else dedup_minhash_lsh(d, base, n_perm=n_perm,
+                                  n_bands=n_bands))
     return f"""WITH truth AS (
 {truth}
 ),
