@@ -545,7 +545,8 @@ _PARKED_TAIL = (
                               # pii_mask_accounts (P9)
     "media_phash_dedup",   # new in r2: perceptual-hash media near-dup;
                            # banded-candidate family's in-cap
-                           # representative is dedup_simhash
+                           # representative is dedup_minhash_lsh (r5:
+                           # dedup_simhash rotated out)
     "docs_boilerplate_topk",  # new in r2: top-k report twin of in-cap
                               # docs_block_dedup (same segmenter)
     "docs_dataset_card",   # new in r2: one-row datasheet rollup; the
@@ -558,10 +559,13 @@ _PARKED_TAIL = (
                               # broadcast join); pandas-replay pytest
     "events_disorder_audit",   # new in r2: watermark-sizing lateness
                                # audit; running-max window family's
-                               # in-cap row is events_latest_state;
-                               # zero-signal at driver SF by data
-                               # construction — planted-fixture pytest
-                               # pins the arithmetic
+                               # in-cap relative is events_asof_join
+                               # (r5: events_latest_state rotated
+                               # out); zero-signal at driver SF by
+                               # data construction — planted-fixture
+                               # pytest + the r5 non-zero-signal twin
+                               # events_disorder_audit_signal pin the
+                               # lateness arithmetic
     "docs_curation_pipeline",  # new in r2: the 4-stage curation pass
                                # as one plan (dedup+quality+cap+split);
                                # every stage's in-cap representative
@@ -618,19 +622,19 @@ _PARKED_TAIL = (
                            # shape (late-order priority counts)
     "tpch_q17",            # new in r2: the correlated-scalar-agg
                            # shape, decorrelated (per-part avg join)
-    "tpch_q2",             # new in r3: the remaining 13 TPC-H queries
-    "tpch_q7",             # — the full 22-query suite now ships
+    "tpch_q7",             # new in r3: the full 22-query TPC-H suite
     "tpch_q8",             # (schema-adapted where the fixture lacks
-    "tpch_q9",             # partsupp/shipmode/commitdate; each
-    "tpch_q11",            # docstring names its adaptation). All are
-    "tpch_q12",            # declarative dual-dialect SQL, money as
-    "tpch_q13",            # exact scaled integers; the OLAP join+agg
-    "tpch_q15",            # family's in-cap representatives are the
-    "tpch_q16",            # reference views + the r2 TPC-H rows, so
-    "tpch_q19",            # these park as one family. q21 also has a
-    "tpch_q20",            # pure-python replay pytest; every key is
-    "tpch_q21",            # FULL-verified vs the DuckDB oracle.
-    "tpch_q22",
+    "tpch_q11",            # partsupp/shipmode/commitdate; each
+    "tpch_q12",            # docstring names its adaptation). All are
+    "tpch_q13",            # declarative dual-dialect SQL, money as
+    "tpch_q15",            # exact scaled integers; the OLAP join+agg
+    "tpch_q16",            # family's in-cap representatives are the
+    "tpch_q19",            # reference views, the r2 TPC-H rows, and —
+    "tpch_q20",            # since the r5 rotation — q2 (min-cost
+    "tpch_q22",            # supplier window), q9 (profit rollup) and
+                           # q21 (multi-exists decorrelation), so the
+                           # rest park as one family; every key is
+                           # FULL-verified vs the DuckDB oracle.
     "text_tokenizer_coverage",  # new in r2: lossy-tokenization audit
                                 # over the sanitize plane's planted
                                 # dirty text; audit family
@@ -641,7 +645,8 @@ _PARKED_TAIL = (
                                # dedup_span_exact (is-scrub-worth-it)
     "events_user_rate_topk",   # new in r2: bot-hunt rate report; the
                                # per-user rollup family's in-cap row
-                               # is events_sessionize
+                               # is events_session_attribution (r5:
+                               # events_sessionize rotated out)
     "docs_cross_lingual_pairs",  # new in r2: lang-pair rollup of the
                                  # in-cap minhash pairs (translation-
                                  # candidate mining); same shape as
@@ -694,30 +699,33 @@ _PARKED_TAIL = (
                            # row is docs_embedding_integrity, and the
                            # CDC family's streaming twin is
                            # events_latest_state; action-semantics pytest
-    "events_hll_distinct",  # new in r3: sketch plane (HLL distinct +
-                            # exact + error gate); the estimate-vs-
-                            # truth family's in-cap row is
-                            # knn_recall_at_k; property pytest
-    "events_hll_merge",     # new in r3: HLL register mergeability
-                            # audit (parked with its family head
-                            # events_hll_distinct)
-    "events_cms_heavy_hitters",  # new in r3: count-min heavy hitters
-                                 # vs exact counts; the heavy-key
-                                 # family's in-cap row is
-                                 # events_key_skew_audit
-    "docs_kmv_distinct_union",   # new in r3: KMV/theta distinct-union
-                                 # sketch over the in-cap bloom/
-                                 # dochash plane (dedup_incremental
-                                 # holds the in-cap content-hash row)
-    "events_hist_quantiles",     # new in r3: mergeable fixed-bin
-                                 # histogram quantiles; the exact-
-                                 # quantile family's in-cap row is
-                                 # events_value_quantiles
-    "dedup_prefix_join",         # new in r3: prefix-filtered exact
-                                 # Jaccard (PPJoin family); the exact
-                                 # pair family's in-cap row is
-                                 # dedup_ngram_jaccard, which is also
-                                 # its cross-algorithm driver oracle
+    # --- r5 rotation: the r3 sketch plane, dedup_prefix_join, and
+    # representative r3 TPC-H keys moved INTO the 50-slot driver
+    # window (they had only FULL/pytest evidence); the nine keys
+    # below — driver-green in CORRECTNESS_r01–r04 — park in exchange,
+    # each with an in-cap family representative.
+    "dedup_ngram_jaccard",  # driver-green r1–r4; exact shared-shingle
+                            # pair family's in-cap row is now
+                            # dedup_prefix_join, whose driver oracle
+                            # is THIS query's SQL (cross-algorithm)
+    "dedup_containment",    # driver-green r1–r4; shared-shingle pair
+                            # family reps in-cap: dedup_prefix_join +
+                            # dedup_minhash_lsh
+    "dedup_simhash",        # driver-green r1–r4; banded-candidate
+                            # family rep in-cap: dedup_minhash_lsh
+    "events_hourly_anomaly",  # driver-green r1–r4; hourly-agg family
+                              # head events_hourly_by_type stays in-cap
+    "events_sessionize",    # driver-green r1–r4; session family rep
+                            # in-cap: events_session_attribution
+    "events_latest_state",  # driver-green r1–r4; ordered-per-key
+                            # window family rep in-cap: events_asof_join
+    "text_bigram_surprise", # driver-green r1–r4; vocab-window family
+                            # rep in-cap: text_tfidf_topk
+    "docs_importance_sample",  # driver-green r1–r4; deterministic-hash
+                               # sampler family rep in-cap:
+                               # docs_split_assign
+    "knn_ivf_kmeans",       # driver-green r1–r4; learned-quantizer
+                            # family reps in-cap: knn_ivf + knn_ivfpq_adc
 )
 
 

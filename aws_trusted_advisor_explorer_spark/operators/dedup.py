@@ -208,11 +208,16 @@ def dedup_minhash_lsh(d: Dialect, base: str | None = None,
 
     The committed default (16 perms / 4 bands, 4 rows per band) is
     the driver-oracled query; a production 100 TB near-dup pass runs
-    >= 128 perms / >= 16 bands at the SAME rows-per-band, which
-    strictly raises per-pair detection probability
-    (1 - (1 - J^r)^b is monotone in b at fixed r) — the
-    high-fidelity pytest pins that dominance on a planted borderline
-    corpus (tests/test_extensions.py). The plan shape is config-
+    more perms at the SAME rows-per-band (e.g. 128 perms / 32 bands),
+    which strictly raises per-pair detection probability
+    (1 - (1 - J^r)^b is monotone in b at fixed r) —
+    ``test_minhash_recall_dominance_at_high_fidelity``
+    (tests/test_extensions.py) pins that dominance on a planted
+    borderline corpus (J ~= 0.565: 16/4 recalls 14/40 pairs, 128/32
+    recalls 38/40, 256/64 recalls 40/40, deterministic). Raising
+    rows-per-band instead (128 perms / 16 bands, r=8) LOWERS
+    borderline recall (0.125 on the same corpus) — that is the
+    precision knob, pinned by the same test. The plan shape is config-
     independent: one groupBy computes all ``n_perm`` min-aggregates
     (map-side combining, signature state = n_perm ints per doc), one
     explode emits the bands.
@@ -1461,7 +1466,19 @@ def dedup_lsh_recall(d: Dialect, base: str | None = None,
     next to the candidate generation they audit; on the Spark side the
     truth arm reuses the session-materialized shingle plane and the
     LSH arm reads the materialized pair graph (``pairs_view``).
+
+    ``pairs_view`` and non-default ``n_perm``/``n_bands`` are mutually
+    exclusive (ValueError): the materialized graph was built at the
+    default banding, so honoring both would silently audit the wrong
+    configuration. Non-default fidelities regenerate the LSH arm
+    inline.
     """
+    if pairs_view is not None and (n_perm, n_bands) != (N_PERM, N_BANDS):
+        raise ValueError(
+            "pairs_view holds a materialized pair graph built at the "
+            f"default ({N_PERM} perms, {N_BANDS} bands) configuration; "
+            "pass EITHER pairs_view OR non-default n_perm/n_bands, not "
+            "both (the view cannot represent the requested banding)")
     truth = dedup_ngram_jaccard(d, base)
     lsh = (_pairs_cte(d, base, pairs_view)
            if (n_perm, n_bands) == (N_PERM, N_BANDS)

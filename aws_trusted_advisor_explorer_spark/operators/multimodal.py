@@ -246,15 +246,17 @@ def _decode_meta_batches(batches: "Iterator") -> "Iterator":
         rows = []
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
             # quarantine damaged assets instead of failing the task:
-            # a truncated/unrecognized payload yields a null-meta row
-            # (decoders normalize their low-level errors to ValueError;
-            # a NULL payload would make bytes(None) raise TypeError —
-            # quarantine it the same way instead of failing the task)
+            # a truncated/unrecognized payload yields a null-meta row.
+            # Only ValueError is data damage (decoders normalize their
+            # low-level errors to it, and the explicit None guard below
+            # covers the one TypeError source); anything else is a
+            # decoder code bug and must surface as a task failure, not
+            # a silent null-meta row.
             try:
                 if p is None:
                     raise ValueError("null payload")
                 meta = decode_image(bytes(p))
-            except (ValueError, TypeError):
+            except ValueError:
                 rows.append((int(doc_id), None, None, None, None))
                 continue
             rows.append((int(doc_id), meta["format"], meta["width"],

@@ -221,6 +221,79 @@ def test_lsh_recall_gate_matches_set_arithmetic(spark):
     assert row.precision_ == (len(hits) / len(lsh) if lsh else None)
 
 
+def test_minhash_recall_dominance_at_high_fidelity(spark):
+    """High-fidelity MinHash pins (dedup.py dedup_minhash_lsh
+    docstring): on a planted borderline corpus (40 pairs, every pair
+    at Jaccard 13/23 ~= 0.565, pairwise-disjoint vocabularies so the
+    DF cap never bites), recall at 128 perms / 32 bands — the SAME
+    rows-per-band r=4 as the committed 16/4 default, 8x the bands —
+    strictly dominates the default, because detection probability
+    1-(1-J^r)^b is monotone in b at fixed r (theory at J=0.565:
+    0.35 vs 0.97). Raising rows-per-band instead (128/16, r=8) is the
+    precision knob and must NOT dominate on borderline pairs (theory
+    0.154). All hashes are fixed deterministic params, so the exact
+    counts are pinned, on BOTH dialects, including cross-engine
+    pair-set equality of the non-default-parameter rendering."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    rows = []
+    did = 0
+    for p in range(40):
+        a_toks = [f"p{p}w{i}" for i in range(20)]
+        b_toks = a_toks[:15] + [f"p{p}x{i}" for i in range(5)]
+        rows.append((did, "en", " ".join(a_toks), "src0")); did += 1
+        rows.append((did, "en", " ".join(b_toks), "src0")); did += 1
+    for s in range(10):  # unrelated singletons: must never pair
+        rows.append((did, "en",
+                     " ".join(f"s{s}z{i}" for i in range(20)), "src1"))
+        did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text", "source"])
+
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    # every planted pair is in the exact truth set, at the planted J
+    truth = con.sql(dedup.dedup_ngram_jaccard(DUCK)).df()
+    assert len(truth) == 40
+    assert all(abs(j - 13 / 23) < 1e-12 for j in truth["jaccard"])
+
+    # deterministic recall ladder: same r, more bands => strictly more
+    expect = {(16, 4): 14, (128, 32): 38, (256, 64): 40,
+              (128, 16): 5}  # r=8: precision knob, recall collapses
+    for (n_perm, n_bands), n_hit in expect.items():
+        rec = con.execute(dedup.dedup_lsh_recall(
+            DUCK, n_perm=n_perm, n_bands=n_bands)).fetchall()[0]
+        assert (rec[0], rec[1], rec[2]) == (40, n_hit, n_hit), (
+            n_perm, n_bands, rec)
+        assert rec[4] == 1.0  # precision: every emitted pair is true
+    assert expect[(16, 4)] < expect[(128, 32)] < expect[(256, 64)]
+
+    # the Spark rendering of the non-default parameterization matches
+    # DuckDB pair-for-pair, and its recall gate row matches too
+    s_pairs = canonicalize(
+        ns.sql(dedup.dedup_minhash_lsh(SPARK, n_perm=128,
+                                       n_bands=32)).toPandas())
+    d_pairs = canonicalize(
+        con.sql(dedup.dedup_minhash_lsh(DUCK, n_perm=128,
+                                        n_bands=32)).df())
+    assert len(s_pairs) == 38 and s_pairs.equals(d_pairs)
+    [s_rec] = ns.sql(dedup.dedup_lsh_recall(SPARK, n_perm=128,
+                                            n_bands=32)).collect()
+    assert (s_rec.n_true_pairs, s_rec.n_lsh_pairs,
+            s_rec.n_hit_pairs) == (40, 38, 38)
+
+    # a materialized default-banding pair graph cannot audit a
+    # non-default banding: explicit error, not silent precedence
+    with pytest.raises(ValueError, match="pairs_view"):
+        dedup.dedup_lsh_recall(SPARK, pairs_view="__some_view",
+                               n_perm=128, n_bands=32)
+
+
 def test_cross_split_contamination_accounts_for_every_pair(spark):
     """Every MinHash pair lands in exactly one canonical split-pair
     bucket; leak rows are exactly the off-diagonal ones, and the bucket
