@@ -1091,7 +1091,15 @@ def text_bpe_tokenize_count_df(spark, base: str | None = None,
     bloat the plan string, so the model ships as a SparkContext
     BROADCAST variable consumed by an Arrow-batched pandas UDF over
     the same distinct-word dim (``bpe_apply_python`` kernel, pinned
-    equal to the expression path by pytest)."""
+    equal to the expression path by pytest). Unlike the membership-set
+    models (eval shingles, Bloom words — see
+    streaming.structured.MODEL_BROADCAST_MAX's no-driver-hop join
+    tier), the BPE model is VOCAB-bounded by construction — a merge
+    table is at most the target vocabulary (~30k-100k pairs, ~1 MB),
+    never corpus-scale — so the one driver hop here is constant-size
+    and a join tier is structurally impossible anyway (greedy merge
+    application is an ordered iterative rewrite, not a per-key
+    lookup)."""
     from pyspark.sql import functions as F
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as d

@@ -42,6 +42,28 @@ SESSION_GAP_US = 1_800_000_000  # mirrors operators/eventops.SESSION_GAP_US
 # up the plan string and driver memory. Both paths compute identical
 # verdicts (pinned by tests/test_streaming.py's monkeypatched twins).
 MODEL_LITERAL_MAX = 4096
+# Past THIS cap the model never touches the driver at all: the frozen
+# relation stays a DataFrame and ships to the stream as a
+# broadcast-hint STREAM-STATIC JOIN (Spark replicates the static side
+# executor-to-executor; the driver holds only the plan). A production
+# eval set (1e8+ shingles) cannot be collect()ed even once, so the
+# broadcast-VARIABLE tier above MODEL_LITERAL_MAX is itself capped.
+# Tier selection collects at most MODEL_BROADCAST_MAX + 1 model rows
+# (``limit(max+1).collect()``), so driver memory is bounded by
+# construction, not by hope. All three tiers compute identical
+# verdicts (tests/test_streaming.py pins literal == broadcast == join
+# on the same corpus, and that the join tier's plan carries a
+# stream-static BroadcastHashJoin with no Python stage).
+MODEL_BROADCAST_MAX = 2_000_000
+
+
+def _model_rows_or_none(df, cap: int):
+    """Driver-bounded tier probe: the first ``cap + 1`` rows of the
+    frozen-model relation, or None when the model exceeds ``cap`` (the
+    caller must then use the no-driver-hop join path). One job, never
+    more than cap + 1 rows on the driver."""
+    rows = df.limit(cap + 1).collect()
+    return None if len(rows) > cap else rows
 
 
 def _nb_sum_kernel(toks, model) -> int:
@@ -370,12 +392,18 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, shipped to executors inside the plan as an array literal —
     the stream-side test is then a stateless whole-stage-codegen
     ``arrays_overlap`` over the document's 5-token shingle hashes (no
-    Python in the stream, no state, no shuffle). Past the threshold
-    (real benchmark suites: millions of shingles) the hash SET ships
-    as a broadcast variable probed by an Arrow-batched UDF — same
-    verdicts, model never in the plan string. Shingle hashes use the
-    identical token-hash combinator (Dialect.shingle_hvs), so stream
-    and batch agree exactly."""
+    Python in the stream, no state, no shuffle). Up to
+    MODEL_BROADCAST_MAX the hash SET ships as a broadcast variable
+    probed by an Arrow-batched UDF — same verdicts, model never in the
+    plan string. PAST that (a production benchmark suite: 1e8+
+    shingles, uncollectable), the eval dim never touches the driver:
+    the doc stream explodes to (doc, hv), stream-static LEFT
+    broadcast-joins the eval DataFrame, and a per-doc max(hit) group
+    rebuilds the verdict — the join tier needs ``update`` output mode
+    (per-doc aggregation state; each doc's group completes within its
+    arrival micro-batch). Shingle hashes use the identical token-hash
+    combinator (Dialect.shingle_hvs), so stream and batch agree
+    exactly in all three tiers."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
     from aws_trusted_advisor_explorer_spark.functions.vectorized import (
         make_broadcast_model_udf,
@@ -388,15 +416,37 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     hvs = SD.shingle_hvs(toks, CONTAM_NGRAM)
     batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch_docs.createOrReplaceTempView("__decon_batch_docs")
-    ev_rows = spark.sql(f"""
+    ev_dim = spark.sql(f"""
         SELECT DISTINCT hv FROM (
           SELECT explode({hvs}) AS hv FROM __decon_batch_docs
           WHERE doc_id % {BENCH_MOD} = 0
-        )""").collect()
+        )""")
+    ev_rows = _model_rows_or_none(ev_dim, MODEL_BROADCAST_MAX)
 
     docs = (documents_stream(spark, sf_dir)
             .filter(f"doc_id % {BENCH_MOD} <> 0")
             .withColumn("hvs", F.expr(hvs)))
+    if ev_rows is None:
+        # no-driver-hop tier: the eval dim stays a DataFrame; verdict
+        # via explode -> stream-static broadcast join -> per-doc ANY.
+        # explode_outer keeps shingle-less docs (they cannot be
+        # contaminated — the batch operator keeps them too).
+        # localCheckpoint materializes the dim executor-side ONCE so
+        # every micro-batch re-joins it instead of re-deriving it.
+        ev_dim = ev_dim.localCheckpoint(eager=True)
+        exploded = docs.select(
+            "doc_id", "text", "lang",
+            F.explode_outer("hvs").alias("hv"))
+        tagged = exploded.join(
+            F.broadcast(ev_dim.withColumn("__contam", F.lit(1))),
+            "hv", "left_outer")
+        return (tagged
+                .groupBy("doc_id")
+                .agg(F.max("__contam").alias("__hit"),
+                     F.first("text").alias("text"),
+                     F.first("lang").alias("lang"))
+                .filter(F.col("__hit").isNull())
+                .select("doc_id", "text", "lang"))
     if len(ev_rows) <= MODEL_LITERAL_MAX:
         ev_lit = ", ".join(str(r.hv) for r in ev_rows) or "null"
         docs = docs.filter(F.expr(
@@ -438,12 +488,17 @@ def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL aggregate and, up to MODEL_LITERAL_MAX words, densified into an
     array literal shipped inside the plan — the stream-side test is
     then {k} codegen'd bit probes over the document's content
-    poly-hash (no Python, no state, no shuffle). A wider filter (a
-    production corpus wants billions of bits) ships the sparse
-    (word_idx -> bits) dict as a broadcast variable probed by an
-    Arrow-batched UDF over the SAME JVM-computed probe positions, so
-    the hash arithmetic — and every verdict — is identical either way
-    (pinned by tests/test_streaming.py)."""
+    poly-hash (no Python, no state, no shuffle). A wider filter ships
+    the sparse (word_idx -> bits) dict as a broadcast variable probed
+    by an Arrow-batched UDF over the SAME JVM-computed probe
+    positions. A production filter (billions of bits — word count
+    past MODEL_BROADCAST_MAX) never touches the driver at all: the
+    word relation stays a DataFrame and each of the k probes becomes
+    a stateless stream-static LEFT broadcast join on its word index
+    (absent word row == zero bits, via coalesce), k fixed-size joins,
+    no aggregation state, no Python. The hash arithmetic — and every
+    verdict — is identical in all three tiers (pinned by
+    tests/test_streaming.py)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
     from aws_trusted_advisor_explorer_spark.operators.dedup import (
         BLOOM_BITS, BLOOM_SALTS, INCREMENTAL_BATCH_SOURCE, P_MOD,
@@ -458,13 +513,13 @@ def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(BLOOM_SALTS))
     pos_union = " UNION ALL ".join(
         f"SELECT p{i} AS pos FROM cpos" for i in range(len(BLOOM_SALTS)))
-    words = {int(r.word_idx): int(r.bits) for r in spark.sql(f"""
+    words_dim = spark.sql(f"""
         WITH k AS (SELECT {hv} AS hv FROM __bloom_corpus_docs
                    WHERE source <> '{INCREMENTAL_BATCH_SOURCE}'),
         cpos AS (SELECT {probes} FROM k)
         SELECT pos div 63 AS word_idx,
                bit_or(shiftleft(cast(1 as bigint), cast(pos % 63 as int))) AS bits
-        FROM ({pos_union}) GROUP BY pos div 63""").collect()}
+        FROM ({pos_union}) GROUP BY pos div 63""")
     docs = documents_stream(spark, sf_dir)
     out = (docs
            .filter(F.col("source") == INCREMENTAL_BATCH_SOURCE)
@@ -472,6 +527,30 @@ def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (a, b) in enumerate(BLOOM_SALTS):
         out = out.withColumn(
             f"p{i}", F.expr(f"(hv * {a} + {b}) % {P_MOD} % {BLOOM_BITS}"))
+    if n_words > MODEL_BROADCAST_MAX:
+        # no-driver-hop tier: k stateless stream-static broadcast
+        # joins, one per probe; a word index with no corpus bit has no
+        # row, so its bits coalesce to 0 (probe fails, as it must).
+        # NULL text -> NULL probe -> NULL join key -> no match -> 0.
+        words_dim = words_dim.localCheckpoint(eager=True)
+        checks = []
+        for i in range(len(BLOOM_SALTS)):
+            out = (out
+                   .withColumn(f"__w{i}", F.expr(f"p{i} div 63"))
+                   .join(F.broadcast(words_dim.selectExpr(
+                       f"word_idx AS __w{i}", f"bits AS __bits{i}")),
+                       f"__w{i}", "left_outer"))
+            checks.append(
+                f"(coalesce(__bits{i}, 0L) & shiftleft(cast(1 as "
+                f"bigint), cast(p{i} % 63 as int))) <> 0")
+        # NULL probes make the AND NULL -> coalesce false, matching
+        # the batch operator's CASE on null text
+        return (out
+                .withColumn("bloom_maybe",
+                            F.coalesce(F.expr(" AND ".join(checks)),
+                                       F.lit(False)))
+                .select("doc_id", "bloom_maybe"))
+    words = {int(r.word_idx): int(r.bits) for r in words_dim.collect()}
     if n_words <= MODEL_LITERAL_MAX:
         arr_lit = ", ".join(
             f"{words.get(i, 0)}L" for i in range(n_words))
@@ -654,9 +733,14 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean of its tokens' weights via ``transform`` + ``aggregate`` over
     the map lookup — no state, no shuffle, no Python in the stream. At
     real vocab sizes the weight dict ships as a broadcast variable
-    summed by an Arrow-batched UDF (same exact integer arithmetic —
-    every verdict identical, pinned by the monkeypatched twin
-    test)."""
+    summed by an Arrow-batched UDF (same exact integer arithmetic).
+    Past MODEL_BROADCAST_MAX tokens the weight relation never touches
+    the driver: the doc stream explodes to (doc, token), stream-static
+    LEFT broadcast-joins the weight DataFrame (unseen token ->
+    NB_PRIOR via coalesce), and a per-doc sum/count group rebuilds the
+    score — ``update`` output mode (per-doc aggregation state). Every
+    verdict is identical across all three tiers, pinned by the
+    monkeypatched twin tests."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
     from aws_trusted_advisor_explorer_spark.operators.textops import (
         NB_PRIOR, nb_weights_sql,
@@ -667,13 +751,38 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query reads — review finding r2)
     batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch_docs.createOrReplaceTempView("__nb_batch_docs")
-    w_rows = spark.sql(nb_weights_sql(SD, table="__nb_batch_docs")).collect()
+    w_dim = spark.sql(nb_weights_sql(SD, table="__nb_batch_docs"))
+    w_rows = _model_rows_or_none(w_dim, MODEL_BROADCAST_MAX)
 
     toks = SD.tokens("text")
     docs = documents_stream(spark, sf_dir)
     docs = (docs
             .withColumn("toks", F.expr(toks))
             .filter("size(toks) > 0"))
+    if w_rows is None:
+        # no-driver-hop tier: explode to (doc, token), stream-static
+        # broadcast join the weight dim, per-doc sum/count rebuild.
+        # coalesce supplies the unseen-token prior, exactly like the
+        # map-literal and kernel tiers.
+        w_dim = w_dim.localCheckpoint(eager=True)
+        exploded = docs.select(
+            "doc_id", F.explode("toks").alias("tok"))
+        tagged = exploded.join(
+            F.broadcast(w_dim.select("tok", "weight")),
+            "tok", "left_outer")
+        per_doc = (tagged
+                   .groupBy("doc_id")
+                   .agg(F.sum(F.coalesce(
+                            F.col("weight"),
+                            F.lit(NB_PRIOR)).cast("long")).alias("sum_w"),
+                        F.count(F.lit(1)).alias("n_tokens")))
+        return per_doc.selectExpr(
+            "doc_id",
+            "cast(n_tokens as bigint) AS n_tokens",
+            "sum_w",
+            "cast(sum_w div n_tokens as bigint) AS nb_score",
+            f"cast(CASE WHEN sum_w div n_tokens >= {NB_PRIOR} "
+            f"THEN 1 ELSE 0 END as bigint) AS keep")
     if len(w_rows) <= MODEL_LITERAL_MAX:
         map_lit = ("map(" + ", ".join(
             f"'{r.tok}', {int(r.weight)}L" for r in w_rows) + ")"
