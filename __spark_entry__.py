@@ -543,34 +543,21 @@ _PARKED_TAIL = (
     "text_unicode_sanitize",  # new in r2: unicode-hygiene projection;
                               # scrub family's in-cap representative is
                               # pii_mask_accounts (P9)
-    "media_phash_dedup",   # new in r2: perceptual-hash media near-dup;
-                           # banded-candidate family's in-cap
-                           # representative is dedup_minhash_lsh (r5:
-                           # dedup_simhash rotated out)
     "docs_boilerplate_topk",  # new in r2: top-k report twin of in-cap
                               # docs_block_dedup (same segmenter)
     "docs_dataset_card",   # new in r2: one-row datasheet rollup; the
                            # composition family's in-cap row is
                            # docs_contamination (corpus reports)
-    "text_nb_quality_score",  # new in r2: trained token-odds quality
-                              # classifier; supervised-scoring family
-                              # shares machinery with in-cap
-                              # text_commonness_score (vocab dim +
-                              # broadcast join); pandas-replay pytest
     "events_disorder_audit",   # new in r2: watermark-sizing lateness
-                               # audit; running-max window family's
-                               # in-cap relative is events_asof_join
-                               # (r5: events_latest_state rotated
-                               # out); zero-signal at driver SF by
+                               # audit; zero-signal at driver SF by
                                # data construction — planted-fixture
-                               # pytest + the r5 non-zero-signal twin
-                               # events_disorder_audit_signal pin the
-                               # lateness arithmetic
-    "docs_curation_pipeline",  # new in r2: the 4-stage curation pass
-                               # as one plan (dedup+quality+cap+split);
-                               # every stage's in-cap representative
-                               # exists separately; planted-fixture
-                               # pytest covers all branches
+                               # pytest pins the arithmetic, and the
+                               # r6 non-zero-signal twin
+                               # events_disorder_audit_signal (IN-CAP,
+                               # eventops.py) runs the same running-max
+                               # window on a deterministically
+                               # disordered arrival order so the
+                               # oracle row actually fires
     "docs_boolean_search", # new in r2: conjunctive inverted-index AND
                            # query; retrieval family shares the
                            # filter-before-aggregate posting shape with
@@ -586,18 +573,11 @@ _PARKED_TAIL = (
                            # rule); ranked-within-group family's in-cap
                            # row is text_tfidf_topk (same dense-rank
                            # window shape); semantics pytest
-    "tpch_q1",             # new in r2: general-OLAP demonstration
-    "tpch_q3",             # queries (pricing summary / top-k join /
-    "tpch_q5",             # 6-way join / pushdown aggregate / promo
-    "tpch_q6",             # ratio / returned-item top-k / HAVING
-    "tpch_q10",            # volume report); the reference views
-    "tpch_q14",            # already hold the in-cap join+agg
-    "tpch_q18",            # surface; pandas-replay pytest on q1
-    "docs_chunking",       # new in r2: fixed-size overlapping
-                           # splitter (RAG/pretraining); the 1-to-many
-                           # projection family's in-cap row is
-                           # media_frame_sample's shape relative;
-                           # python-replay pytest
+    "tpch_q5",             # r2 TPC-H keys still parked after the r6
+    "tpch_q14",            # rotation (q1/q3/q6/q10 moved in-cap);
+    "tpch_q18",            # the OLAP join+agg family's in-cap reps
+                           # are the reference views + the rotated
+                           # TPC-H rows; pandas-replay pytest on q1
     "docs_language_balance_plan",  # new in r2: per-lang keep-rate
                                    # plan; rollup family in-cap row is
                                    # docs_source_mix; invariant pytest
@@ -625,16 +605,13 @@ _PARKED_TAIL = (
     "tpch_q7",             # new in r3: the full 22-query TPC-H suite
     "tpch_q8",             # (schema-adapted where the fixture lacks
     "tpch_q11",            # partsupp/shipmode/commitdate; each
-    "tpch_q12",            # docstring names its adaptation). All are
-    "tpch_q13",            # declarative dual-dialect SQL, money as
-    "tpch_q15",            # exact scaled integers; the OLAP join+agg
-    "tpch_q16",            # family's in-cap representatives are the
-    "tpch_q19",            # reference views, the r2 TPC-H rows, and —
-    "tpch_q20",            # since the r5 rotation — q2 (min-cost
-    "tpch_q22",            # supplier window), q9 (profit rollup) and
-                           # q21 (multi-exists decorrelation), so the
-                           # rest park as one family; every key is
-                           # FULL-verified vs the DuckDB oracle.
+    "tpch_q13",            # docstring names its adaptation). All are
+    "tpch_q15",            # declarative dual-dialect SQL, money as
+    "tpch_q19",            # exact scaled integers; in-cap TPC-H reps
+    "tpch_q20",            # after the r5+r6 rotations: q2/q9/q21
+    "tpch_q22",            # (r5) and q1/q3/q6/q10/q12/q16 (r6), so
+                           # the rest park as one family; every key
+                           # is FULL-verified vs the DuckDB oracle.
     "text_tokenizer_coverage",  # new in r2: lossy-tokenization audit
                                 # over the sanitize plane's planted
                                 # dirty text; audit family
@@ -685,11 +662,6 @@ _PARKED_TAIL = (
     "text_bpe_fertility_by_lang",  # new in r2: per-lang rollup of
                                    # text_bpe_tokenize_count (parked
                                    # with its family)
-    "dedup_lsh_recall",    # new in r2: LSH acceptance gate; the
-                           # recall-report family's in-cap row is
-                           # knn_recall_at_k (same truth-vs-approx
-                           # intersection shape); both pair inputs
-                           # hold in-cap rows themselves
     "docs_cross_split_contamination",  # new in r2: train/test leakage
                                        # rollup of in-cap
                                        # dedup_minhash_lsh x in-cap
@@ -726,6 +698,47 @@ _PARKED_TAIL = (
                                # docs_split_assign
     "knn_ivf_kmeans",       # driver-green r1–r4; learned-quantizer
                             # family reps in-cap: knn_ivf + knn_ivfpq_adc
+    # --- r6 rotation: tpch_q1/q3/q6/q10/q12/q16, dedup_lsh_recall,
+    # text_nb_quality_score, docs_curation_pipeline, media_phash_dedup,
+    # docs_chunking moved INTO the 50-slot driver window (never
+    # driver-verified before), plus the new in-cap
+    # events_disorder_audit_signal; the twelve keys below — all
+    # driver-green in 4–5 consecutive rounds — park in exchange, each
+    # with an in-cap family representative.
+    "text_repetition",      # driver-green r1–r5; shingle-signal family
+                            # reps in-cap: text_tfidf_topk +
+                            # dedup_minhash_lsh hold the shingle rails
+    "events_props_json",    # driver-green r1–r5; JSON-projection shape;
+                            # the events plane keeps 6+ in-cap rows
+    "events_asof_join",     # driver-green r1–r5; ordered-window family
+                            # rep in-cap: events_disorder_audit_signal
+                            # (same running-max rail)
+    "docs_split_assign",    # driver-green r1–r5; deterministic-hash
+                            # splitter re-exercised in-cap by
+                            # docs_curation_pipeline's split stage
+    "docs_pack_bins",       # driver-green r1–r5; bin-packing family's
+                            # rollup docs_pack_efficiency also parked;
+                            # two-phase shard pattern pytest-pinned
+    "docs_contamination",   # driver-green r1–r5; shingle-probe family;
+                            # in-cap reps: docs_curation_pipeline (same
+                            # corpus gates) + dedup_minhash_lsh
+    "events_hourly_by_type",  # driver-green r1–r5; tumbling-agg family
+                              # rep in-cap: events_hist_quantiles +
+                              # the TPC-H aggregates
+    "events_value_quantiles",  # driver-green r1–r5; rank-selection
+                               # quantile family rep in-cap:
+                               # events_hist_quantiles (r5-green)
+    "dedup_exact_flags",    # driver-green r1–r5; exact-dup family reps
+                            # in-cap: dedup_minhash_lsh +
+                            # docs_curation_pipeline's exact_dup stage
+    "dedup_embedding_cosine",  # driver-green r1–r5; embedding family
+                               # reps in-cap: semdedup_pairs +
+                               # kmeans_assign (same cell blocking)
+    "media_byte_stats",     # driver-green r1–r5; media mapInPandas
+                            # family reps in-cap: media_feature_extract
+                            # + media_phash_dedup (r6 rotated in)
+    "events_funnel",        # driver-green r2–r5; ordered-funnel family
+                            # rep in-cap: events_session_attribution
 )
 
 

@@ -251,7 +251,12 @@ def _decode_meta_batches(batches: "Iterator") -> "Iterator":
             # low-level errors to it, and the explicit None guard below
             # covers the one TypeError source); anything else is a
             # decoder code bug and must surface as a task failure, not
-            # a silent null-meta row.
+            # a silent null-meta row. Deliberate narrowing (ADVICE r5
+            # reviewed): bytes(p) CAN raise TypeError on a non-bytes
+            # payload, but the column is BinaryType so Arrow only
+            # delivers bytes/None — a non-bytes value here means the
+            # schema contract was broken upstream, which is a bug to
+            # surface, not an asset to quarantine.
             try:
                 if p is None:
                     raise ValueError("null payload")

@@ -42,25 +42,35 @@ SESSION_GAP_US = 1_800_000_000  # mirrors operators/eventops.SESSION_GAP_US
 # up the plan string and driver memory. Both paths compute identical
 # verdicts (pinned by tests/test_streaming.py's monkeypatched twins).
 MODEL_LITERAL_MAX = 4096
-# Past THIS cap the model never touches the driver at all: the frozen
-# relation stays a DataFrame and ships to the stream as a
-# broadcast-hint STREAM-STATIC JOIN (Spark replicates the static side
-# executor-to-executor; the driver holds only the plan). A production
+# Past THIS cap the model is never collect()ed: the frozen relation
+# stays a DataFrame and ships to the stream as a plain STREAM-STATIC
+# equi-join with NO join hint. While the dim fits
+# spark.sql.autoBroadcastJoinThreshold Catalyst plans a
+# BroadcastHashJoin — note that a broadcast relation IS still built
+# driver-side in stock Spark (subject to the 8 GB / 512M-row
+# broadcast caps), so this is a bounded driver build, not zero driver
+# involvement. Past the threshold each micro-batch plans a shuffled
+# join (sort-merge / shuffled-hash): neither side is ever
+# materialized on the driver — the only tier that survives a 1e8+-row
+# model. At that scale persist/bucket the static side so the per-
+# micro-batch exchange reuses it instead of re-shuffling. A production
 # eval set (1e8+ shingles) cannot be collect()ed even once, so the
 # broadcast-VARIABLE tier above MODEL_LITERAL_MAX is itself capped.
 # Tier selection collects at most MODEL_BROADCAST_MAX + 1 model rows
 # (``limit(max+1).collect()``), so driver memory is bounded by
 # construction, not by hope. All three tiers compute identical
 # verdicts (tests/test_streaming.py pins literal == broadcast == join
-# on the same corpus, and that the join tier's plan carries a
-# stream-static BroadcastHashJoin with no Python stage).
+# on the same corpus, that the join tier's plan carries the stream-
+# static join with no Python stage, and that with auto-broadcast
+# disabled the join degrades to a shuffled join — the no-driver-
+# materialization path — without changing verdicts).
 MODEL_BROADCAST_MAX = 2_000_000
 
 
 def _model_rows_or_none(df, cap: int):
     """Driver-bounded tier probe: the first ``cap + 1`` rows of the
     frozen-model relation, or None when the model exceeds ``cap`` (the
-    caller must then use the no-driver-hop join path). One job, never
+    caller must then use the no-collect join path). One job, never
     more than cap + 1 rows on the driver."""
     rows = df.limit(cap + 1).collect()
     return None if len(rows) > cap else rows
@@ -396,10 +406,12 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     MODEL_BROADCAST_MAX the hash SET ships as a broadcast variable
     probed by an Arrow-batched UDF — same verdicts, model never in the
     plan string. PAST that (a production benchmark suite: 1e8+
-    shingles, uncollectable), the eval dim never touches the driver:
-    the doc stream explodes to (doc, hv), stream-static LEFT
-    broadcast-joins the eval DataFrame, and a per-doc max(hit) group
-    rebuilds the verdict — the join tier needs ``update`` output mode
+    shingles, uncollectable), the eval dim is never collect()ed:
+    the doc stream explodes to (doc, hv) and stream-static LEFT
+    equi-joins the eval DataFrame (auto-broadcast while it fits the
+    threshold — a bounded driver-side build; a shuffled join past it,
+    where neither side ever materializes whole), and a per-doc
+    max(hit) group rebuilds the verdict — the join tier needs ``update`` output mode
     (per-doc aggregation state; each doc's group completes within its
     arrival micro-batch). Shingle hashes use the identical token-hash
     combinator (Dialect.shingle_hvs), so stream and batch agree
@@ -427,9 +439,14 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(f"doc_id % {BENCH_MOD} <> 0")
             .withColumn("hvs", F.expr(hvs)))
     if ev_rows is None:
-        # no-driver-hop tier: the eval dim stays a DataFrame; verdict
-        # via explode -> stream-static broadcast join -> per-doc ANY.
-        # explode_outer keeps shingle-less docs (they cannot be
+        # no-collect tier: the eval dim stays a DataFrame; verdict
+        # via explode -> stream-static equi-join -> per-doc ANY.
+        # No join hint: Catalyst broadcasts the dim while it fits
+        # autoBroadcastJoinThreshold (a bounded driver-side build);
+        # past it each micro-batch plans a shuffled join and the
+        # model never materializes anywhere whole — the only shape
+        # that survives a 1e8+-shingle eval set. explode_outer keeps
+        # shingle-less AND null-text docs (they cannot be
         # contaminated — the batch operator keeps them too).
         # localCheckpoint materializes the dim executor-side ONCE so
         # every micro-batch re-joins it instead of re-deriving it.
@@ -438,7 +455,7 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text", "lang",
             F.explode_outer("hvs").alias("hv"))
         tagged = exploded.join(
-            F.broadcast(ev_dim.withColumn("__contam", F.lit(1))),
+            ev_dim.withColumn("__contam", F.lit(1)),
             "hv", "left_outer")
         return (tagged
                 .groupBy("doc_id")
@@ -449,8 +466,11 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "text", "lang"))
     if len(ev_rows) <= MODEL_LITERAL_MAX:
         ev_lit = ", ".join(str(r.hv) for r in ev_rows) or "null"
+        # coalesce: null text -> null hvs -> arrays_overlap is NULL;
+        # the batch anti-join KEEPS such docs (they never reach the
+        # contaminated set), so the literal tier must keep them too
         docs = docs.filter(F.expr(
-            f"NOT arrays_overlap(hvs, array({ev_lit}))"))
+            f"coalesce(NOT arrays_overlap(hvs, array({ev_lit})), true)"))
     else:
         bc = spark.sparkContext.broadcast(
             frozenset(int(r.hv) for r in ev_rows))
@@ -466,9 +486,11 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _drop_contaminated(batches):
             model = bc.value
             for pdf in batches:
+                # null text -> null hvs -> KEEP (matches the batch
+                # anti-join and the other two tiers)
                 keep = pdf["hvs"].map(
-                    lambda hv: hv is not None
-                    and not any(int(h) in model for h in hv))
+                    lambda hv: hv is None
+                    or not any(int(h) in model for h in hv))
                 yield pdf.loc[keep, ["doc_id", "text", "lang"]]
 
         return docs.mapInPandas(
@@ -492,9 +514,10 @@ def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sparse (word_idx -> bits) dict as a broadcast variable probed
     by an Arrow-batched UDF over the SAME JVM-computed probe
     positions. A production filter (billions of bits — word count
-    past MODEL_BROADCAST_MAX) never touches the driver at all: the
-    word relation stays a DataFrame and each of the k probes becomes
-    a stateless stream-static LEFT broadcast join on its word index
+    past MODEL_BROADCAST_MAX) is never collect()ed: the word
+    relation stays a DataFrame and each of the k probes becomes a
+    stateless stream-static LEFT equi-join on its word index
+    (auto-broadcast while small, shuffled past the threshold)
     (absent word row == zero bits, via coalesce), k fixed-size joins,
     no aggregation state, no Python. The hash arithmetic — and every
     verdict — is identical in all three tiers (pinned by
@@ -528,17 +551,19 @@ def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumn(
             f"p{i}", F.expr(f"(hv * {a} + {b}) % {P_MOD} % {BLOOM_BITS}"))
     if n_words > MODEL_BROADCAST_MAX:
-        # no-driver-hop tier: k stateless stream-static broadcast
-        # joins, one per probe; a word index with no corpus bit has no
-        # row, so its bits coalesce to 0 (probe fails, as it must).
+        # no-collect tier: k stateless stream-static equi-joins, one
+        # per probe (no hint — Catalyst broadcasts while the word dim
+        # fits autoBroadcastJoinThreshold, shuffles past it; the dim
+        # is never collect()ed); a word index with no corpus bit has
+        # no row, so its bits coalesce to 0 (probe fails, as it must).
         # NULL text -> NULL probe -> NULL join key -> no match -> 0.
         words_dim = words_dim.localCheckpoint(eager=True)
         checks = []
         for i in range(len(BLOOM_SALTS)):
             out = (out
                    .withColumn(f"__w{i}", F.expr(f"p{i} div 63"))
-                   .join(F.broadcast(words_dim.selectExpr(
-                       f"word_idx AS __w{i}", f"bits AS __bits{i}")),
+                   .join(words_dim.selectExpr(
+                       f"word_idx AS __w{i}", f"bits AS __bits{i}"),
                        f"__w{i}", "left_outer"))
             checks.append(
                 f"(coalesce(__bits{i}, 0L) & shiftleft(cast(1 as "
@@ -734,10 +759,11 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the map lookup — no state, no shuffle, no Python in the stream. At
     real vocab sizes the weight dict ships as a broadcast variable
     summed by an Arrow-batched UDF (same exact integer arithmetic).
-    Past MODEL_BROADCAST_MAX tokens the weight relation never touches
-    the driver: the doc stream explodes to (doc, token), stream-static
-    LEFT broadcast-joins the weight DataFrame (unseen token ->
-    NB_PRIOR via coalesce), and a per-doc sum/count group rebuilds the
+    Past MODEL_BROADCAST_MAX tokens the weight relation is never
+    collect()ed: the doc stream explodes to (doc, token) and
+    stream-static LEFT equi-joins the weight DataFrame (unseen token
+    -> NB_PRIOR via coalesce; auto-broadcast while the vocab dim is
+    small, a shuffled join past the threshold), and a per-doc sum/count group rebuilds the
     score — ``update`` output mode (per-doc aggregation state). Every
     verdict is identical across all three tiers, pinned by the
     monkeypatched twin tests."""
@@ -760,15 +786,17 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("toks", F.expr(toks))
             .filter("size(toks) > 0"))
     if w_rows is None:
-        # no-driver-hop tier: explode to (doc, token), stream-static
-        # broadcast join the weight dim, per-doc sum/count rebuild.
-        # coalesce supplies the unseen-token prior, exactly like the
-        # map-literal and kernel tiers.
+        # no-collect tier: explode to (doc, token), stream-static
+        # equi-join the weight dim (no hint — auto-broadcast while it
+        # fits, shuffled join past the threshold; never collect()ed),
+        # per-doc sum/count rebuild. coalesce supplies the
+        # unseen-token prior, exactly like the map-literal and kernel
+        # tiers.
         w_dim = w_dim.localCheckpoint(eager=True)
         exploded = docs.select(
             "doc_id", F.explode("toks").alias("tok"))
         tagged = exploded.join(
-            F.broadcast(w_dim.select("tok", "weight")),
+            w_dim.select("tok", "weight"),
             "tok", "left_outer")
         per_doc = (tagged
                    .groupBy("doc_id")

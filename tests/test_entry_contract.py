@@ -36,3 +36,78 @@ def test_priority_head_fits_driver_cap_and_holds_reference_views():
         assert view_key in head, f"{view_key} fell out of the priority head"
     for audited in ("knn_ivf", "knn_ivf_multiprobe", "dedup_clusters"):
         assert audited in head
+
+
+def _comment_and_docstring_text(path):
+    """(prose, code) split of a python file: prose is #-comments plus
+    docstrings, code is everything else (incl. SQL string literals)."""
+    import ast
+    import io
+    import tokenize
+
+    src = open(path, encoding="utf-8").read()
+    prose_spans = []
+    for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+        if tok.type == tokenize.COMMENT:
+            prose_spans.append(tok.string)
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return " ".join(prose_spans), src
+    docstrings = []
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.ClassDef, ast.FunctionDef,
+                             ast.AsyncFunctionDef)):
+            d = ast.get_docstring(node, clean=False)
+            if d:
+                docstrings.append(d)
+    prose = " ".join(prose_spans) + "\n" + "\n".join(docstrings)
+    code = src
+    for d in docstrings:
+        code = code.replace(d, " ")
+    for c in prose_spans:
+        code = code.replace(c, " ")
+    return prose, code
+
+
+def test_cited_names_resolve():
+    """Reference-integrity guard (VERDICT r5 #1): every queries()-key-
+    shaped token and every ``test_*`` name cited in a source comment or
+    docstring must name something that exists — a real queries() key,
+    or a symbol/string that occurs in actual code somewhere in the
+    repo. A claim of evidence that exists only in the comment citing
+    it (the r4 phantom MinHash test, the r5 phantom
+    events_disorder_audit_signal) fails here."""
+    import glob
+    import re
+
+    keys = set(ent.queries())
+    prefixes = sorted({k.split("_")[0] for k in keys})
+    key_pat = re.compile(r"\b(?:%s)_[a-z0-9_]+\b" % "|".join(prefixes))
+    test_pat = re.compile(r"\btest_[a-zA-Z0-9_]+\b")
+
+    files = (glob.glob("/root/repo/aws_trusted_advisor_explorer_spark/**/*.py",
+                       recursive=True)
+             + ["/root/repo/__spark_entry__.py", "/root/repo/bench.py"]
+             + glob.glob("/root/repo/scripts/*.py"))
+    test_files = glob.glob("/root/repo/tests/*.py")
+
+    cited = set()
+    all_code = []
+    for p in files:
+        prose, code = _comment_and_docstring_text(p)
+        cited |= set(key_pat.findall(prose)) | set(test_pat.findall(prose))
+        all_code.append(code)
+    for p in test_files:
+        _, code = _comment_and_docstring_text(p)
+        all_code.append(code)
+        all_code.append(p)  # file path: "tests/test_streaming.py" cites resolve
+    code_blob = "\n".join(all_code)
+
+    unresolved = sorted(
+        t for t in cited
+        if t not in keys
+        and not re.search(r"\b%s\b" % re.escape(t), code_blob))
+    assert not unresolved, (
+        "phantom references (cited in comments/docstrings but defined "
+        f"nowhere in code, tests, or queries()): {unresolved}")

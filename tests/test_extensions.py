@@ -2313,6 +2313,45 @@ def test_disorder_audit_planted_lateness(spark):
     assert got == {"click": (1, 90_000_000), "view": (0, 0)}
 
 
+def test_disorder_audit_signal_nonzero_and_replay(spark, ddb):
+    """The non-zero-signal twin: (a) cross-engine equal on the real
+    sf0.001 corpus, (b) every event type reports n_late > 0 (the twin
+    exists precisely because the base audit is all-zero on
+    time-ordered driver data), (c) a python replay of the modeled
+    ingest (every LATE_MOD-th event delayed LATE_SHIFT arrival slots)
+    reproduces the counts and worst gaps exactly."""
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(eventops.events_disorder_audit_signal(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(eventops.events_disorder_audit_signal(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    ev = spark.sql(
+        "SELECT event_type, event_id, "
+        f"{SPARK.epoch_us('ts')} AS ep FROM events").collect()
+    byt: dict[str, list] = {}
+    for r in ev:
+        delay = eventops.LATE_SHIFT if r.event_id % eventops.LATE_MOD == 0 else 0
+        byt.setdefault(r.event_type, []).append(
+            (r.event_id + delay, r.event_id, r.ep))
+    expect = {}
+    for t, rows in byt.items():
+        hw, n_late, worst = None, 0, 0
+        for _, _, ep in sorted(rows):
+            hw = ep if hw is None else max(hw, ep)
+            if ep < hw:
+                n_late += 1
+                worst = max(worst, hw - ep)
+        expect[t] = (len(rows), n_late, worst)
+    got = {r.event_type: (int(r.n_events), int(r.n_late),
+                          int(r.max_lateness_us))
+           for r in spark.sql(
+               eventops.events_disorder_audit_signal(SPARK)).collect()}
+    assert got == expect
+    assert all(n_late > 0 and worst > 0 for _, n_late, worst in got.values())
+
+
 def _tiny_png(w: int, h: int) -> bytes:
     """Minimal valid 8-bit RGB PNG built with stdlib only."""
     import struct

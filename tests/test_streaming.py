@@ -336,14 +336,21 @@ def test_frozen_model_broadcast_path_twins(spark, monkeypatch):
 
 
 def test_frozen_model_join_path_twins(spark, monkeypatch):
-    """No-driver-hop model shipping (round-4 verdict item 4): force
-    every frozen model past MODEL_BROADCAST_MAX so decontaminate /
-    bloom / NB-score take the stream-static BROADCAST-JOIN tier — the
-    model stays a DataFrame and is never collect()ed to the driver.
-    Pin (a) each twin's physical plan carries a BroadcastHashJoin and
-    NO Python stage (the model is neither a plan literal nor a
-    broadcast-variable UDF), and (b) verdicts are identical to the
-    batch operators — same model, third shipping mechanism."""
+    """No-collect model shipping (round-4 verdict item 4, mechanism
+    corrected r6 per ADVICE): force every frozen model past
+    MODEL_BROADCAST_MAX so decontaminate / bloom / NB-score take the
+    stream-static JOIN tier — the model stays a DataFrame and is never
+    collect()ed. Pin (a) each twin's physical plan carries the
+    stream-static join and NO Python stage (the model is neither a
+    plan literal nor a broadcast-variable UDF), (b) with
+    auto-broadcast disabled the un-hinted join degrades to a SHUFFLED
+    join — the path where nothing is materialized driver-side, which
+    a 1e8+-row model requires (a BroadcastExchange still builds its
+    relation on the driver in stock Spark), and (c) verdicts are
+    identical to the batch operators — same model, third shipping
+    mechanism."""
+    import re
+
     from aws_trusted_advisor_explorer_spark.operators import (
         corpusops, dedup, textops,
     )
@@ -355,18 +362,31 @@ def test_frozen_model_join_path_twins(spark, monkeypatch):
             spark._jvm.org.apache.spark.sql.execution.ExplainMode
             .fromString("formatted"))
 
+    JOIN = r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
     decon = structured.decontaminate_stream(spark, SF_DIR)
     bloom = structured.bloom_prefilter_stream(spark, SF_DIR)
     nbsc = structured.nb_score_stream(spark, SF_DIR)
     for df in (decon, bloom, nbsc):
         plan = physical(df)
-        assert "BroadcastHashJoin" in plan
+        assert re.search(JOIN, plan)
         assert "MapInPandas" not in plan
         assert "pythonudf" not in plan.lower()
     # bloom is the stateless tier: one join per probe, no agg state
     # (formatted explain prints each node twice: tree + detail)
-    assert physical(bloom).count("BroadcastHashJoin") == 2 * len(
+    assert len(re.findall(JOIN, physical(bloom))) == 2 * len(
         dedup.BLOOM_SALTS)
+
+    # (b): past autoBroadcastJoinThreshold the un-hinted join plans
+    # shuffled — no driver-side hash-relation build anywhere
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = physical(structured.decontaminate_stream(spark, SF_DIR))
+        assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
     # decon/nb aggregate per-doc -> update mode (group completes
     # within its arrival micro-batch, emitted exactly once)
@@ -390,6 +410,57 @@ def test_frozen_model_join_path_twins(spark, monkeypatch):
     want = {tuple(r)
             for r in spark.sql(textops.text_nb_quality_score(SPARK)).collect()}
     assert got == want
+
+
+def test_decontaminate_tiers_agree_on_null_text(spark, tmp_path,
+                                                monkeypatch):
+    """NULL-text docs must survive decontamination in ALL THREE model
+    tiers (ADVICE r5): the batch anti-join keeps them (a null text
+    never reaches the contaminated set), the join tier keeps them via
+    explode_outer, and — fixed r6 — the literal tier's coalesce'd
+    arrays_overlap and the broadcast tier's kernel keep them too.
+    Planted corpus: one eval doc, one contaminated training doc, one
+    NULL-text doc, one clean doc, one shingle-less doc."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        BENCH_MOD,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0 * BENCH_MOD, "en", shared, "web"),          # eval stand-in
+        (1, "en", shared, "web"),                      # contaminated
+        (2, "en", None, "web"),                        # NULL text
+        (3, "en", "one two three four five six", "web"),
+        (4, "en", "hi", "web"),                        # shingle-less
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text", "source"])
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    expect = {2, 3, 4}
+    # literal tier (defaults: the planted model is tiny)
+    d1 = structured.decontaminate_stream(spark, str(tmp_path))
+    structured.run_stream_to_memory(d1, "decon_null_lit",
+                                    output_mode="append")
+    assert {r.doc_id for r in spark.table("decon_null_lit").collect()} \
+        == expect
+    # broadcast-variable tier
+    monkeypatch.setattr(structured, "MODEL_LITERAL_MAX", -1)
+    d2 = structured.decontaminate_stream(spark, str(tmp_path))
+    structured.run_stream_to_memory(d2, "decon_null_bc",
+                                    output_mode="append")
+    assert {r.doc_id for r in spark.table("decon_null_bc").collect()} \
+        == expect
+    # join tier
+    monkeypatch.setattr(structured, "MODEL_BROADCAST_MAX", -1)
+    d3 = structured.decontaminate_stream(spark, str(tmp_path))
+    structured.run_stream_to_memory(d3, "decon_null_join",
+                                    output_mode="update")
+    assert {r.doc_id for r in spark.table("decon_null_join").collect()} \
+        == expect
 
 
 def test_hll_registers_stream_equals_batch(spark):
