@@ -1112,7 +1112,7 @@ def text_bpe_tokenize_count_df(spark, base: str | None = None,
     the same distinct-word dim (``bpe_apply_python`` kernel, pinned
     equal to the expression path by pytest). Unlike the membership-set
     models (eval shingles, Bloom words — see
-    streaming.structured.MODEL_BROADCAST_MAX's no-driver-hop join
+    streaming.structured.MODEL_BROADCAST_MAX's no-collect join
     tier), the BPE model is VOCAB-bounded by construction — a merge
     table is at most the target vocabulary (~30k-100k pairs, ~1 MB),
     never corpus-scale — so the one driver hop here is constant-size

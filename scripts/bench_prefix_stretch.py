@@ -6,9 +6,10 @@ There is no driver-generated sf0.2 dataset, so this builds one for the
 DOCUMENTS table only (the sole input of the shared-shingle joins): the
 sf0.1 corpus plus a deterministically perturbed copy (doc_id offset,
 one sentinel token appended — copies stay near-duplicates of their
-originals, so duplication clusters double in size and the candidate
-PAIR set grows ~4x while the corpus grows 2x, the worst case the
-claim is about). Other tables are symlinked from sf0.1.
+originals, so every doc gains a near-dup twin and duplication
+clusters double in size — the output pair set grows far faster than
+the 2x corpus (measured ~23x on this duplication-dense fixture), the
+worst case the claim is about). Other tables are symlinked from sf0.1.
 
 Writes one JSON line to stdout (redirect to
 bench_results/prefix_stretch.json); scripts/gen_scaling.py folds it
@@ -49,9 +50,9 @@ def build_stretch_dir() -> None:
           UNION ALL
           SELECT doc_id + (SELECT max(doc_id) + 1
                            FROM '{SRC}/documents.parquet') AS doc_id,
-                 lang,
                  text || ' stretchtok' || CAST(doc_id % 7 AS VARCHAR) AS text,
-                 source
+                 lang, source,
+                 n_chars + 11 AS n_chars
           FROM '{SRC}/documents.parquet'
         ) TO '{out}' (FORMAT PARQUET)""")
 
