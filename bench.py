@@ -3,7 +3,14 @@
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "n_queries": N, "queries_full": "bench_results/"}
+
+``value`` totals ALL queries; the stdout ``queries`` map holds the
+slowest BENCH_TOP so the line fits the consumer's ~1.9 KB tail
+capture, and the COMPLETE per-query map is written to
+``bench_results/bench_sf{sf}.json`` by every run (the file
+scripts/gen_scaling.py consumes).
 
 Each query is forced end-to-end with a ``noop``-format write (full
 computation, zero sink cost) so the timing measures the plan, not
@@ -21,6 +28,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# slowest-N queries included in the one-line stdout JSON; the FULL
+# per-query map is written to bench_results/bench_sf{sf}.json on every
+# run (the stdout consumer keeps only a ~1.9 KB tail, so the line must
+# fit inside it)
+BENCH_TOP = 30
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -69,16 +81,36 @@ def main() -> None:
                 timings[name] = el
 
     total = round(sum(timings.values()), 4)
-    sys.stdout.flush()
-    os.dup2(real_stdout, 1)
-    os.close(real_stdout)
-    print(json.dumps({
+    # the driver records only a ~1.9 KB TAIL of stdout (BENCH_r05
+    # captured 69 of 156 entries and parsed null), so the one-line
+    # contract JSON must FIT: print the slowest BENCH_TOP queries
+    # (what a perf reader inspects) and write the complete per-query
+    # map to bench_results/ on every run — committed each round as
+    # the full artifact
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results",
+        f"bench_sf{_sf_from_dir(SF_DIR)}.json")
+    payload = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
-    }))
+    }
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(payload, f)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the summary
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:BENCH_TOP])
+    sys.stdout.flush()
+    os.dup2(real_stdout, 1)
+    os.close(real_stdout)
+    print(json.dumps({**payload,
+                      "queries": top,
+                      "n_queries": len(timings),
+                      "queries_full": "bench_results/"}))
     spark.stop()
 
 
