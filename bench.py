@@ -9,8 +9,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 ``value`` totals ALL queries; the stdout ``queries`` map holds the
 slowest BENCH_TOP so the line fits the consumer's ~1.9 KB tail
 capture, and the COMPLETE per-query map is written to
-``bench_results/bench_sf{sf}.json`` by every run (the file
-scripts/gen_scaling.py consumes).
+``bench_results/last_bench_sf{sf}.json`` (uncommitted) by every run —
+or to the canonical ``bench_sf{sf}.json`` that scripts/gen_scaling.py
+consumes when SPARK_GRAFT_BENCH_COMMIT=1, so a casual drive can never
+overwrite the committed regression anchors.
 
 Each query is forced end-to-end with a ``noop``-format write (full
 computation, zero sink cost) so the timing measures the plan, not
@@ -85,11 +87,16 @@ def main() -> None:
     # captured 69 of 156 entries and parsed null), so the one-line
     # contract JSON must FIT: print the slowest BENCH_TOP queries
     # (what a perf reader inspects) and write the complete per-query
-    # map to bench_results/ on every run — committed each round as
-    # the full artifact
+    # map to bench_results/ on every run. Casual runs write the
+    # uncommitted last_bench_* name so they can never clobber the
+    # committed regression anchors; sweep runs set
+    # SPARK_GRAFT_BENCH_COMMIT=1 to write the canonical
+    # bench_sf{sf}.json that scripts/gen_scaling.py consumes.
+    canonical = os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1"
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_results",
-        f"bench_sf{_sf_from_dir(SF_DIR)}.json")
+        ("bench_sf{}.json" if canonical else "last_bench_sf{}.json")
+        .format(_sf_from_dir(SF_DIR)))
     payload = {
         "metric": "total_query_wall_seconds",
         "value": total,

@@ -52,7 +52,8 @@ def build_stretch_dir() -> None:
                            FROM '{SRC}/documents.parquet') AS doc_id,
                  text || ' stretchtok' || CAST(doc_id % 7 AS VARCHAR) AS text,
                  lang, source,
-                 n_chars + 11 AS n_chars
+                 n_chars + length(' stretchtok' || CAST(doc_id % 7 AS VARCHAR))
+                   AS n_chars
           FROM '{SRC}/documents.parquet'
         ) TO '{out}' (FORMAT PARQUET)""")
 

@@ -377,14 +377,24 @@ def test_frozen_model_join_path_twins(spark, monkeypatch):
         dedup.BLOOM_SALTS)
 
     # (b): past autoBroadcastJoinThreshold the un-hinted join plans
-    # shuffled — no driver-side hash-relation build anywhere
+    # shuffled — no driver-side hash-relation build anywhere — and the
+    # stream EXECUTED on that path produces the same verdicts (plan
+    # shape alone would not catch a runtime-only regression in the
+    # very path the 1e8+-row claim rests on)
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = physical(structured.decontaminate_stream(spark, SF_DIR))
+        decon_smj = structured.decontaminate_stream(spark, SF_DIR)
+        plan = physical(decon_smj)
         assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
         assert "BroadcastHashJoin" not in plan
         assert "BroadcastExchange" not in plan
+        structured.run_stream_to_memory(decon_smj, "decon_join_smj",
+                                        output_mode="update")
+        got = {r.doc_id for r in spark.table("decon_join_smj").collect()}
+        want = {r.doc_id for r in
+                spark.sql(corpusops.docs_decontaminated(SPARK)).collect()}
+        assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
