@@ -381,6 +381,24 @@ def _token_backed_query(builder_name: str):
     return run
 
 
+def _contam_backed_query(builder_name: str):
+    """Contamination queries read the per-session materialized
+    contaminated-hits plane (corpusops.ensure_contam_view): the report
+    scans it, the shipping anti-join probes it — the eval-shingle
+    build + probe join runs once per (session, dataset) instead of
+    once per query (and twice inside the anti-join's subquery)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+        from aws_trusted_advisor_explorer_spark.operators import corpusops
+
+        _prepare_ext(spark, sf_dir)
+        base = corpusops.ensure_contam_view(spark, key=sf_dir)
+        return spark.sql(getattr(corpusops, builder_name)(SPARK, base=base))
+
+    return run
+
+
 def _block_backed_query(builder_name: str):
     """Block queries read the per-session materialized fixed-width
     segment relation (corpusops.ensure_block_view) instead of
@@ -770,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[key] = _pairs_backed_query(key)
     for key in ("docs_block_dedup", "docs_boilerplate_topk"):
         q[key] = _block_backed_query(key)
+    for key in ("docs_contamination", "docs_decontaminated"):
+        q[key] = _contam_backed_query(key)
     q["dedup_bloom_prefilter"] = _dochash_backed_query("dedup_bloom_prefilter")
     q["docs_kmv_distinct_union"] = _dochash_backed_query(
         "docs_kmv_distinct_union", "sketchops")

@@ -140,7 +140,35 @@ CONTAM_NGRAM = 5  # contamination shingle width (tokens)
 BENCH_MOD = 50    # doc_id % 50 == 0 -> stand-in benchmark/eval set
 
 
-def docs_contamination(d: Dialect) -> str:
+CONTAM_VIEW = "__contam_hits_plane"
+_CONTAM_STATE: dict = {}
+
+
+def ensure_contam_view(spark, key: object = None) -> str:
+    """Materialize the contaminated-hits relation (train_doc_id,
+    n_shared_shingles, witness_eval_doc_id) once per (session,
+    dataset): docs_contamination REPORTS it and docs_decontaminated
+    ANTI-JOINS it, so without the plane the eval-shingle dim build +
+    probe join + aggregate runs once for the report and again inside
+    the anti-join's subquery (~1.8 s combined at sf0.1 → ~0.3 s).
+    Same build-once pattern as dedup.ensure_shingle_view
+    (localCheckpoint locally; a persisted table on a cluster — which
+    is exactly how a production decontamination pass ships anyway:
+    compute the contaminated-id list once, reuse it for the report,
+    the shipping anti-join, and the audit)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+
+    def build(spark):
+        df = spark.sql(docs_contamination(SPARK)).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(CONTAM_VIEW)
+        return [df]
+
+    ensure_session_plane(_CONTAM_STATE, spark, key, build)
+    return CONTAM_VIEW
+
+
+def docs_contamination(d: Dialect, base: str | None = None) -> str:
     """Benchmark contamination check: training docs sharing at least
     one {CONTAM_NGRAM}-token shingle with any eval-set document (the
     eval stand-in here is ``doc_id % {BENCH_MOD} == 0``; in production
@@ -159,7 +187,15 @@ def docs_contamination(d: Dialect) -> str:
     contaminated hits, which are rare by construction. Shingle hashes
     come from the token-hash combinator (Dialect.shingle_hvs): each
     token char-folds once and the 5 window hashes combine
-    arithmetically, so no shingle strings are ever built."""
+    arithmetically, so no shingle strings are ever built.
+
+    ``base``: the session-materialized hits plane (ensure_contam_view)
+    — the Spark runner passes it so the report is a plane scan; the
+    self-contained form below stays as the DuckDB oracle and the
+    plane's own build SQL."""
+    if base is not None:
+        return (f"SELECT train_doc_id, n_shared_shingles, "
+                f"witness_eval_doc_id FROM {base}")
     toks = d.tokens("text")
     hvs = d.shingle_hvs("toks", CONTAM_NGRAM)
     base = f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -179,18 +215,21 @@ FROM tr JOIN ev ON ev.hv = tr.hv
 GROUP BY tr.doc_id"""
 
 
-def docs_decontaminated(d: Dialect) -> str:
+def docs_decontaminated(d: Dialect, base: str | None = None) -> str:
     """The decontaminated training set: training docs minus the
     contaminated ones — the anti-join that actually ships the corpus.
     Spark plans the NOT IN over the (rare-by-construction) contaminated
     id set as a broadcast left-anti join, so the pass over the training
-    corpus stays map-side."""
-    inner = docs_contamination(d)
+    corpus stays map-side. With ``base`` (the session hits plane,
+    ensure_contam_view) the contaminated-id subquery is a plane scan
+    instead of re-running the whole probe join."""
+    inner = (f"SELECT train_doc_id FROM {base}" if base is not None
+             else f"""SELECT train_doc_id FROM (
+{docs_contamination(d)}
+) c""")
     return f"""SELECT doc_id FROM documents
 WHERE doc_id % {BENCH_MOD} <> 0
-  AND doc_id NOT IN (SELECT train_doc_id FROM (
-{inner}
-) c)"""
+  AND doc_id NOT IN ({inner})"""
 
 
 def docs_source_mix(d: Dialect) -> str:

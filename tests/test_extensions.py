@@ -2809,3 +2809,34 @@ def test_prefix_join_completeness_planted_boundary(spark):
     assert sdf.equals(jac)
     pairs = set(zip(ddf["doc_a"].astype(str), ddf["doc_b"].astype(str)))
     assert ("1", "2") in pairs, ddf
+
+
+def test_contam_plane_matches_inline_form(spark, ddb):
+    """The session contamination plane (r6, corpusops.ensure_contam_view)
+    must be invisible to results: the plane-backed report and anti-join
+    equal their self-contained forms AND the DuckDB oracle, and the
+    keep/drop partition is exact (every training doc is in exactly one
+    of the two outputs)."""
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+    from tests.conftest import canonicalize
+
+    base = corpusops.ensure_contam_view(spark, key="test_contam_plane")
+    for builder in (corpusops.docs_contamination,
+                    corpusops.docs_decontaminated):
+        planed = canonicalize(spark.sql(builder(SPARK, base=base)).toPandas())
+        inline = canonicalize(spark.sql(builder(SPARK)).toPandas())
+        oracle = canonicalize(ddb.sql(builder(DUCK)).df())
+        assert planed.equals(inline), builder.__name__
+        assert planed.equals(oracle), builder.__name__
+
+    contam = {r.train_doc_id for r in
+              spark.sql(corpusops.docs_contamination(SPARK, base=base))
+              .collect()}
+    kept = {r.doc_id for r in
+            spark.sql(corpusops.docs_decontaminated(SPARK, base=base))
+            .collect()}
+    train = {r.doc_id for r in spark.sql(
+        f"SELECT doc_id FROM documents "
+        f"WHERE doc_id % {corpusops.BENCH_MOD} <> 0").collect()}
+    assert contam and kept
+    assert contam | kept == train and not (contam & kept)
