@@ -89,3 +89,53 @@ def test_no_scale_antipatterns_in_any_query_plan(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not failures, "\n".join(failures)
+
+
+def _formatted(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_reference_view_plan_shape(spark):
+    """POSITIVE plan assertions for the reference views (the shape
+    SCALE.md claims): the with-tags form is one scan + one BROADCAST
+    exchange (the as-of tags dim) + join + project — no shuffle
+    exchange, no sort anywhere; the tags scan is column-pruned to its
+    4 needed columns with the join-key null filters pushed into the
+    parquet reader. The degraded no-tags twin has NO exchange at all
+    (pure scan + project)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    for key in ("view_low_util_ec2", "view_rds_idle", "view_idle_elb"):
+        plan = _formatted(spark, q[key](spark, SF_DIR))
+        assert "BroadcastExchange" in plan, key
+        assert "Exchange hashpartitioning" not in plan, key
+        assert "Sort " not in plan, key
+        tags_scan = re.search(
+            r"Output \[4\]: \[datetime#\d+, resourceid#\d+", plan)
+        assert tags_scan, f"{key}: tags scan not pruned to 4 columns"
+        assert re.search(r"PushedFilters: \[IsNotNull\(resourceid\)", plan), \
+            f"{key}: tags join-key filters not pushed to the scan"
+        plan_nt = _formatted(spark, q[f"{key}_no_tags"](spark, SF_DIR))
+        assert "Exchange" not in plan_nt, f"{key}_no_tags"
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    """Predicate pushdown regression gate: tpch_q6's selective filters
+    (date range, discount band, quantity cap) must surface as
+    PushedFilters on the lineitem scan — at 100 TB these prune row
+    groups before any row is materialized; a refactor that wraps the
+    columns in expressions Catalyst cannot push (e.g. a cast on the
+    column side of the comparison) silently turns the scan into a
+    full read and THIS assertion is what catches it."""
+    import __spark_entry__ as entrymod
+
+    plan = _formatted(
+        spark, entrymod.queries()["tpch_q6"](spark, SF_DIR))
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                   "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"):
+        assert pushed in plan, f"q6 filter not pushed: {pushed}"
