@@ -74,8 +74,19 @@ def main() -> int:
             rc = 1
         report[key] = row
     print(f"{n_ok}/{len(qs)} queries pass")
+    # provenance stamp: which code produced this artifact — the
+    # committed file must always be re-generated AFTER the round's
+    # last code commit, and the stamp makes that checkable
+    import subprocess
+    import time as _time
+    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                          capture_output=True, text=True,
+                          cwd="/root/repo").stdout.strip() or "unknown"
     with open(OUT, "w") as f:
         json.dump({"sf_dir": SF, "n_queries": len(qs), "n_ok": n_ok,
+                   "generated_at": _time.strftime(
+                       "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+                   "git_head": head,
                    "rows": report}, f, indent=2)
     print(f"wrote {OUT}")
     return rc
