@@ -757,6 +757,13 @@ _PARKED_TAIL = (
                             # + media_phash_dedup (r6 rotated in)
     "events_funnel",        # driver-green r2–r5; ordered-funnel family
                             # rep in-cap: events_session_attribution
+    "docs_kmv_source_overlap",  # new in r6 (KMV sketch INTERSECTION:
+                                # source-pair shingle-resemblance
+                                # matrix with in-row exact truth);
+                                # the sketch family's in-cap rep is
+                                # docs_kmv_distinct_union (same sketch
+                                # build, union/merge side); FULL +
+                                # python-replay pytest are the evidence
 )
 
 
@@ -793,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_bloom_prefilter"] = _dochash_backed_query("dedup_bloom_prefilter")
     q["docs_kmv_distinct_union"] = _dochash_backed_query(
         "docs_kmv_distinct_union", "sketchops")
+    q["docs_kmv_source_overlap"] = _shingle_backed_query(
+        "docs_kmv_source_overlap", "sketchops")
     q["media_phash_dedup"] = _phash_backed_query
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",

@@ -470,12 +470,117 @@ FROM (
 ) q2"""
 
 
+def docs_kmv_source_overlap(d: Dialect, base: str | None = None) -> str:
+    """Source-pair resemblance audit via KMV/theta sketch
+    INTERSECTION (Beyer et al. 2007's KMV set operations — the
+    companion of docs_kmv_distinct_union's union/merge proof): for
+    every pair of corpus sources, estimate how many distinct 3-gram
+    shingles the two slices SHARE. This is the dataset-redundancy
+    matrix a mixture designer reads before weighting sources — two
+    slices with high shingle overlap are near-duplicate feeds, and at
+    100 TB you cannot afford the exact pairwise intersection this
+    query also computes as its own error column.
+
+    Estimator, all exact integer arithmetic so both engines agree
+    bit-for-bit: per source, the sketch is its {KMV_K} minimum shingle
+    hashes; per pair, take the {KMV_K} smallest of the two sketches'
+    union — ``h_k`` (the Kth minimum) gives the union estimate
+    ``(K-1)*P/h_k`` (or the exact count while the union sketch is
+    under-full), ``matches`` counts union-top-K values present in
+    BOTH sketches, and ``est = matches * est_union / n_u`` scales the
+    in-sketch overlap fraction to the union size (integer division;
+    the acceptance column ``exact_shared_shingles`` is the truth).
+
+    Scale posture (100 TB): the per-source sketches come from one
+    source-partitioned top-K window over the DISTINCT (source, hv)
+    relation — never a global sort; everything after ``sk`` is
+    sketch-sized (sources x {KMV_K} rows) so the pair fan-out is
+    sources-squared over {KMV_K}-row relations, independent of corpus
+    size. The exact arm self-joins (source, hv) on hv — linear in the
+    shingle vocabulary, quadratic only in the source count — and is
+    the small-scale oracle column, not the product path. On Spark
+    ``sh`` reads the session shingle plane; self-contained chain for
+    the DuckDB oracle."""
+    from aws_trusted_advisor_explorer_spark.operators.dedup import _shingle_cte
+
+    ca = d.cte_as()
+    # the pair generator is an inequality join of two source-count-
+    # sized relations (tens of rows: sources are corpus FEEDS, not
+    # data); without a hint Catalyst has no stats on the derived
+    # relation and plans a CartesianProduct — the broadcast hint pins
+    # the small-by-construction BroadcastNestedLoopJoin instead
+    # (allowlisted in tests/test_plan_audit.py). DuckDB parses the
+    # hint as a plain comment.
+    bhint = "/*+ BROADCAST(a) */ " if d.name == "spark" else ""
+    kth = f"{KMV_K - 1} * cast({P_MOD} as bigint)"
+    return f"""{_shingle_cte(d, base)},
+esrc {ca} (
+  SELECT DISTINCT dd.source, s.hv
+  FROM sh s JOIN documents dd ON dd.doc_id = s.doc_id
+),
+ps AS (
+  SELECT source, hv,
+    row_number() OVER (PARTITION BY source ORDER BY hv) AS r
+  FROM esrc
+),
+sk {ca} (SELECT source, hv FROM ps WHERE r <= {KMV_K}),
+srcs {ca} (SELECT DISTINCT source FROM esrc),
+pairs {ca} (
+  SELECT {bhint}a.source AS s1, b.source AS s2
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+su AS (
+  SELECT p.s1, p.s2, k.hv, 1 AS in1, 0 AS in2
+  FROM pairs p JOIN sk k ON k.source = p.s1
+  UNION ALL
+  SELECT p.s1, p.s2, k.hv, 0 AS in1, 1 AS in2
+  FROM pairs p JOIN sk k ON k.source = p.s2
+),
+u AS (
+  SELECT s1, s2, hv, max(in1) AS in1, max(in2) AS in2
+  FROM su GROUP BY s1, s2, hv
+),
+ur AS (
+  SELECT s1, s2, hv, in1, in2,
+    row_number() OVER (PARTITION BY s1, s2 ORDER BY hv) AS r
+  FROM u
+),
+ag AS (
+  SELECT s1, s2,
+    cast(count(*) as bigint) AS n_u,
+    cast(max(hv) as bigint) AS h_k,
+    cast(sum(in1 * in2) as bigint) AS matches
+  FROM ur WHERE r <= {KMV_K}
+  GROUP BY s1, s2
+),
+ex {ca} (
+  SELECT a.source AS s1, b.source AS s2,
+    cast(count(*) as bigint) AS exact_inter
+  FROM esrc a JOIN esrc b ON b.hv = a.hv AND b.source > a.source
+  GROUP BY a.source, b.source
+),
+es AS (
+  SELECT s1, s2, n_u, matches,
+    CASE WHEN n_u < {KMV_K} THEN n_u
+         ELSE {d.idiv(kth, 'h_k')} END AS est_union
+  FROM ag
+)
+SELECT es.s1 AS source_a, es.s2 AS source_b,
+  coalesce(ex.exact_inter, cast(0 as bigint)) AS exact_shared_shingles,
+  es.matches AS sketch_matches,
+  es.est_union AS est_union_shingles,
+  {d.idiv('es.matches * es.est_union', 'es.n_u')} AS est_shared_shingles
+FROM es LEFT JOIN ex ON ex.s1 = es.s1 AND ex.s2 = es.s2"""
+
+
 BUILDERS = {
     "events_hll_distinct": events_hll_distinct,
     "events_hll_merge": events_hll_merge,
     "events_cms_heavy_hitters": events_cms_heavy_hitters,
     "events_hist_quantiles": events_hist_quantiles,
-    # self-contained form is the DuckDB oracle; the entry overrides the
-    # Spark side to read the session-materialized dochash view
+    # self-contained forms are the DuckDB oracle; the entry overrides
+    # the Spark side to read the session-materialized dochash /
+    # shingle planes
     "docs_kmv_distinct_union": docs_kmv_distinct_union,
+    "docs_kmv_source_overlap": docs_kmv_source_overlap,
 }

@@ -72,6 +72,12 @@ BNLJ_ALLOWED = {
     #            makes the histogram counts mergeable) and onto the
     #            one-row-per-type report
     "events_hist_quantiles",
+    # docs_kmv_source_overlap — the source-PAIR generator (srcs a
+    #            JOIN srcs b ON a.source < b.source) is an inequality
+    #            join of two source-count-sized relations (tens of
+    #            rows by construction; sources are corpus feeds, not
+    #            data rows) — everything downstream is sketch-sized
+    "docs_kmv_source_overlap",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")

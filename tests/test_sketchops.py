@@ -227,3 +227,48 @@ def test_hist_quantile_error_bound_on_random_values(rows):
     bound = 1000 // sketchops.HIST_BINS + 1
     assert (out["err50_span_milli"] <= bound).all(), out
     assert (out["err99_span_milli"] <= bound).all(), out
+
+
+def test_kmv_source_overlap_python_replay(spark, ddb):
+    """The KMV intersection estimator (r6): (a) Spark == DuckDB on the
+    fixture, (b) a pure-Python replay of the sketch algebra — per-source
+    k-min sketches, per-pair union top-k, in-both match count, cleared-
+    integer estimates — reproduces every output column exactly, and
+    (c) the in-row exact truth column equals the real pairwise
+    intersection of distinct shingle sets."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import P_MOD
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    sdf = canonicalize(
+        spark.sql(sketchops.docs_kmv_source_overlap(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(sketchops.docs_kmv_source_overlap(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    base = dedup.ensure_shingle_view(spark, key=None)
+    rows = spark.sql(
+        f"SELECT DISTINCT d.source, s.hv FROM {base} s "
+        f"JOIN documents d ON d.doc_id = s.doc_id").collect()
+    by_src: dict[str, set] = {}
+    for r in rows:
+        by_src.setdefault(r.source, set()).add(int(r.hv))
+    K = sketchops.KMV_K
+    sk = {s: set(sorted(vs)[:K]) for s, vs in by_src.items()}
+    expect = {}
+    for s1 in sorted(by_src):
+        for s2 in sorted(by_src):
+            if s1 >= s2:
+                continue
+            union_sorted = sorted(sk[s1] | sk[s2])
+            top = union_sorted[:K]
+            n_u, h_k = len(top), top[-1]
+            matches = sum(1 for hv in top if hv in sk[s1] and hv in sk[s2])
+            est_u = n_u if n_u < K else ((K - 1) * P_MOD) // h_k
+            expect[(s1, s2)] = (len(by_src[s1] & by_src[s2]), matches,
+                                est_u, (matches * est_u) // n_u)
+    got = {(r.source_a, r.source_b):
+           (int(r.exact_shared_shingles), int(r.sketch_matches),
+            int(r.est_union_shingles), int(r.est_shared_shingles))
+           for r in spark.sql(
+               sketchops.docs_kmv_source_overlap(SPARK)).collect()}
+    assert got == expect
+    assert any(v[0] > 0 for v in got.values()), "zero-signal fixture"
