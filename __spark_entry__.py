@@ -764,6 +764,17 @@ _PARKED_TAIL = (
                                 # docs_kmv_distinct_union (same sketch
                                 # build, union/merge side); FULL +
                                 # python-replay pytest are the evidence
+    "docs_winnow_fingerprints",  # new in r6 (robust-winnowing
+                                 # fingerprint selection + density
+                                 # audit, Schleimer et al. 2003);
+                                 # span-plane family rep in-cap via
+                                 # the r6 window is docs_chunking;
+                                 # python-replay pytest is evidence
+    "dedup_winnow_overlap",  # new in r6: substring-overlap candidate
+                             # rung on the winnowed fingerprints; the
+                             # candidates-then-verify family rep
+                             # in-cap is dedup_lsh_recall (r6 window);
+                             # planted-guarantee pytest is evidence
 )
 
 
@@ -817,6 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_span_exact"] = _span_backed_query("dedup_span_exact")
     q["docs_span_coverage"] = _span_backed_query("docs_span_coverage")
     q["docs_span_scrub"] = _span_backed_query("docs_span_scrub")
+    q["docs_winnow_fingerprints"] = _span_backed_query(
+        "docs_winnow_fingerprints")
+    q["dedup_winnow_overlap"] = _span_backed_query("dedup_winnow_overlap")
     for key in ("text_tfidf_topk", "text_commonness_score"):
         q[key] = _token_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")

@@ -1574,6 +1574,128 @@ JOIN documents lb ON lb.doc_id = p.doc_b
 GROUP BY least(la.lang, lb.lang), greatest(la.lang, lb.lang)"""
 
 
+WINNOW_W = 4              # gram positions per winnow window
+WINNOW_POS_SHIFT = 2 ** 31  # (hv, pos) -> one int64 window key (no overflow:
+#                             hv < P_MOD < 2^30, so hv*SHIFT + pos < 2^61)
+WINNOW_DF_CAP = 64        # drop fingerprints shared by more docs than this
+WINNOW_MIN_SHARED = 1     # recall-preserving: a minimal guaranteed match
+#                           (one full shared window) yields ONE shared fp
+
+
+def _winnow_fp_cte(d: Dialect, base: str | None = None) -> str:
+    """Robust-winnowing fingerprint relation ``fp(doc_id, ng, hv,
+    pos)`` (Schleimer, Wilkerson & Aiken 2003, the MOSS algorithm)
+    over the positional {SPAN_GRAM}-gram plane: slide a window of
+    {WINNOW_W} consecutive gram positions over each document and
+    select, per window, the minimal gram hash — rightmost occurrence
+    on ties. The tie rule here is the STATELESS rightmost-min variant
+    (selection depends only on window content, never on what earlier
+    windows chose), which is what makes it one order-independent
+    window expression in SQL and bit-identical across engines; it
+    selects a superset of Schleimer's stateful rule, so the detection
+    guarantee is unchanged and density is at most slightly higher
+    than the stateful 2/(w+1) expectation.
+
+    Encoding: the window minimum is taken over the single int64 key
+    ``hv * SHIFT + (SHIFT-1-pos)`` — min key is min hv, and among
+    equal hv the MAX pos (rightmost) — then decoded back to (hv,
+    pos). Documents with fewer than {WINNOW_W} grams get one whole-
+    doc window (the last ROWS frame, pos = ng) so every gram-bearing
+    doc yields at least one fingerprint.
+
+    Scale posture (100 TB): one window pass partitioned by doc_id —
+    co-partitioned with the gram plane, no global sort, no join; the
+    output is ~2/(w+1) the gram plane's size by the winnowing density
+    bound, which is the whole point: downstream overlap joins run on
+    the thinned fingerprint relation, never the full gram relation."""
+    shift = WINNOW_POS_SHIFT
+    ca = d.cte_as()
+    return f"""{_span_gram_cte(d, base)},
+wk AS (
+  SELECT doc_id, pos,
+    count(*) OVER (PARTITION BY doc_id) AS ng,
+    min(hv * {shift} + ({shift} - 1 - pos)) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin
+  FROM g
+),
+sel AS (
+  SELECT DISTINCT doc_id, ng, wmin FROM wk
+  WHERE pos >= {WINNOW_W} OR (ng < {WINNOW_W} AND pos = ng)
+),
+fp {ca} (
+  SELECT doc_id, cast(ng as bigint) AS ng,
+    {d.idiv('wmin', str(shift))} AS hv,
+    cast({shift} - 1 - (wmin % {shift}) as bigint) AS pos
+  FROM sel
+)"""
+
+
+def docs_winnow_fingerprints(d: Dialect, base: str | None = None) -> str:
+    """Per-document winnowing-fingerprint report: gram count, selected
+    fingerprint count, and achieved density — the sizing audit you run
+    before building a fingerprint index (MOSS-style substring search /
+    near-dup candidate generation) over a corpus. Robust winnowing
+    guarantees any shared token run of at least
+    ``WINNOW_W + SPAN_GRAM - 1`` tokens ({WINNOW_W}+{SPAN_GRAM}-1)
+    leaves a common selected hash in both documents, at an expected
+    index size of ~2/(w+1) of the gram count — ``density`` is the
+    measured ratio, the number that prices the index at 100 TB.
+
+    Scale posture: the fingerprint CTE's single co-partitioned window
+    pass plus a doc-keyed aggregate — same exchange key throughout,
+    text and grams never leave their partitions."""
+    return f"""WITH {_winnow_fp_cte(d, base)}
+SELECT doc_id,
+  cast(max(ng) as bigint) AS n_grams,
+  cast(count(*) as bigint) AS n_fingerprints,
+  cast(count(*) as double) / max(ng) AS density
+FROM fp GROUP BY doc_id"""
+
+
+def dedup_winnow_overlap(d: Dialect, base: str | None = None) -> str:
+    """Substring-overlap CANDIDATE pairs via shared winnowing
+    fingerprints — the sub-linear companion of
+    :func:`dedup_span_exact`: where the span operator localizes every
+    duplicated run by joining the FULL gram relation on itself, this
+    rung equi-joins only the winnowed ~2/(w+1) fingerprint sample,
+    with the Schleimer et al. guarantee that any cross-doc run of at
+    least {WINNOW_W}+{SPAN_GRAM}-1 tokens still surfaces (each doc
+    contains a full window inside the shared run, and rightmost-min
+    selection over identical window content picks the identical gram
+    hash in both). Emits each candidate pair with its shared-
+    fingerprint count and fingerprint-Jaccard — a curation pass then
+    verifies bytes before cutting, the same candidates-then-verify
+    shape as the MinHash rung.
+
+    Scale posture (100 TB): the pair join runs on the fingerprint
+    relation after a document-frequency cap ({WINNOW_DF_CAP}) drops
+    boilerplate fingerprints — fan-out per hash is df-bounded exactly
+    like the capped shingle join; the per-doc size dim ``nf`` is
+    doc-count-sized. The full gram relation is never self-joined."""
+    ca = d.cte_as()
+    return f"""WITH {_winnow_fp_cte(d, base)},
+fpd {ca} (SELECT DISTINCT doc_id, hv FROM fp),
+keep AS (SELECT hv FROM fpd GROUP BY hv
+         HAVING count(*) <= {WINNOW_DF_CAP}),
+fpc {ca} (SELECT f.doc_id, f.hv FROM fpd f JOIN keep k ON k.hv = f.hv),
+nf AS (SELECT doc_id, cast(count(*) as bigint) AS nfp
+       FROM fpc GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+    cast(count(*) as bigint) AS shared
+  FROM fpc a JOIN fpc b ON b.hv = a.hv AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT c.da AS doc_a, c.db AS doc_b, c.shared AS n_shared_fp,
+  na.nfp AS n_fp_a, nb.nfp AS n_fp_b,
+  cast(c.shared as double) / (na.nfp + nb.nfp - c.shared) AS fp_jaccard
+FROM cand c
+JOIN nf na ON na.doc_id = c.da
+JOIN nf nb ON nb.doc_id = c.db"""
+
+
 BUILDERS = {
     "dedup_graph_pagerank": dedup_graph_pagerank,
     "dedup_exact_groups": dedup_exact_groups,
@@ -1594,4 +1716,6 @@ BUILDERS = {
     "docs_cross_split_contamination": docs_cross_split_contamination,
     "docs_cross_lingual_pairs": docs_cross_lingual_pairs,
     "docs_span_coverage": docs_span_coverage,
+    "docs_winnow_fingerprints": docs_winnow_fingerprints,
+    "dedup_winnow_overlap": dedup_winnow_overlap,
 }

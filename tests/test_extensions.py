@@ -2840,3 +2840,137 @@ def test_contam_plane_matches_inline_form(spark, ddb):
         f"WHERE doc_id % {corpusops.BENCH_MOD} <> 0").collect()}
     assert contam and kept
     assert contam | kept == train and not (contam & kept)
+
+
+def _py_winnow(text: str) -> set[tuple[int, int]]:
+    """Pure-Python replay of the winnowing chain: tokens -> per-token
+    char fold -> SPAN_GRAM combinator -> W-window rightmost-min
+    selection. Returns the selected (hv, pos) fingerprint set."""
+    import re
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        HASH_INIT, HASH_MULT, P_MOD, SHINGLE_MULT,
+    )
+
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    th = []
+    for t in toks:
+        a = HASH_INIT
+        for ch in t:
+            a = (a * HASH_MULT + ord(ch)) % P_MOD
+        th.append(a)
+    n = dedup.SPAN_GRAM
+    hvs = []
+    for i in range(len(th) - n + 1):
+        a = HASH_INIT
+        for h in th[i:i + n]:
+            a = (a * SHINGLE_MULT + h) % P_MOD
+        hvs.append(a)
+    ng, W = len(hvs), dedup.WINNOW_W
+    if ng == 0:
+        return set()
+    sel: set[tuple[int, int]] = set()
+    ends = [ng] if ng < W else range(W, ng + 1)
+    for end in ends:
+        win = [(hvs[j - 1], j) for j in range(max(1, end - W + 1), end + 1)]
+        hvmin = min(h for h, _ in win)
+        sel.add((hvmin, max(p for h, p in win if h == hvmin)))
+    return sel
+
+
+def test_winnow_fingerprints_python_replay(spark):
+    """The SQL winnowing selection equals a pure-Python replay of
+    Schleimer et al.'s stateless rightmost-min rule, fingerprint by
+    fingerprint (hv AND position), on a fixture that exercises ties
+    (repeated text), a short-doc (< W grams) whole-doc window, and a
+    doc below the gram width; and Spark == DuckDB on the report."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again "
+            "the quick brown fox jumps over the lazy dog"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+        (3, "just eight tokens so exactly one gram here"),   # 1 gram < W
+        (4, "too short"),                                    # 0 grams
+        (5, "alpha beta gamma delta alpha beta gamma delta alpha beta "
+            "gamma delta epsilon"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    fp_sql = (f"WITH {dedup._winnow_fp_cte(SPARK)} "
+              f"SELECT doc_id, hv, pos FROM fp")
+    got: dict[int, set] = {}
+    for r in ns.sql(fp_sql).collect():
+        got.setdefault(int(r.doc_id), set()).add((int(r.hv), int(r.pos)))
+    expect = {doc: _py_winnow(text) for doc, text in rows}
+    expect = {d: s for d, s in expect.items() if s}
+    assert got == expect
+
+    sdf = canonicalize(
+        ns.sql(dedup.docs_winnow_fingerprints(SPARK)).toPandas())
+    ddf = canonicalize(
+        con.sql(dedup.docs_winnow_fingerprints(DUCK)).df())
+    assert sdf.equals(ddf)
+    # doc 4 has no grams -> no report row; short doc 3 -> exactly one
+    # whole-doc fingerprint
+    ids = sdf["doc_id"].astype(int)
+    assert set(ids) == {1, 2, 3, 5}
+    assert int(sdf.loc[ids == 3, "n_fingerprints"].astype(int).iloc[0]) == 1
+
+
+def test_winnow_overlap_guarantee_planted(spark):
+    """Detection guarantee: a shared run of exactly W + SPAN_GRAM - 1
+    tokens contains one full gram window in each doc, and rightmost-min
+    selection over identical window content picks the identical hash —
+    so the pair MUST surface in dedup_winnow_overlap even at different
+    offsets. An unrelated doc must not pair with anything, and
+    Spark == DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    t = dedup.WINNOW_W + dedup.SPAN_GRAM - 1
+    shared = " ".join(f"sh{i}" for i in range(t))
+    rows = [
+        (1, "pre1 pre2 pre3 " + shared + " tail1 tail2 tail3"),
+        (2, shared + " other words entirely different from before now"),
+        (3, "nothing at all in common with any of the other documents "
+            "whatsoever in this corpus today"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(dedup.dedup_winnow_overlap(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(dedup.dedup_winnow_overlap(DUCK)).df())
+    assert sdf.equals(ddf)
+    pairs = {(int(r.doc_a), int(r.doc_b)): int(r.n_shared_fp)
+             for _, r in sdf.iterrows()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_density_and_cap_on_testdata(spark, ddb):
+    """Invariants on the driver tables: every fingerprint count is
+    within [1, n_grams], the corpus mean density sits in a loose band
+    around the stateless-rule expectation ~2/(W+1), and no overlap
+    pair's shared count exceeds either endpoint's fingerprint count."""
+    rep = spark.sql(dedup.docs_winnow_fingerprints(SPARK)).toPandas()
+    assert ((rep.n_fingerprints >= 1) & (rep.n_fingerprints <= rep.n_grams)).all()
+    mean_density = float(rep.density.mean())
+    assert 0.25 < mean_density < 0.60, mean_density
+    ov = spark.sql(dedup.dedup_winnow_overlap(SPARK)).toPandas()
+    if len(ov):
+        assert ((ov.n_shared_fp <= ov.n_fp_a)
+                & (ov.n_shared_fp <= ov.n_fp_b)).all()
+        assert ((ov.fp_jaccard > 0) & (ov.fp_jaccard <= 1.0)).all()
