@@ -189,6 +189,16 @@ def _pack_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusops.docs_pack_bins_df(spark)
 
 
+def _ccnet_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet tercile bucketing runs the distributed twin (compacted
+    per-(lang, score) CDF + broadcast tercile map — no per-doc window
+    partition per language); its oracle is the SQL window form."""
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    _prepare_ext(spark, sf_dir)
+    return textops.docs_ccnet_buckets_df(spark)
+
+
 def _dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-blocked embedding dedup over the once-per-session
     materialized KMeans index (round-3 verdict item 3: the learned
@@ -775,6 +785,13 @@ _PARKED_TAIL = (
                              # candidates-then-verify family rep
                              # in-cap is dedup_lsh_recall (r6 window);
                              # planted-guarantee pytest is evidence
+    "text_token_stats",  # driver-green r1-r5 (5 rounds) — parked to
+                         # free cap slots for the never-driver-green
+                         # r6 CCNet keys; token-plane family rep
+                         # in-cap is text_tfidf_topk
+    "text_quality",  # driver-green r1-r5 (5 rounds) — parked with
+                     # text_token_stats; quality-family rep in-cap is
+                     # text_nb_quality_score (r6 window)
 )
 
 
@@ -841,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")
     q["docs_pack_bins"] = _pack_bins_query
+    q["docs_ccnet_buckets"] = _ccnet_buckets_query
     q["text_bpe_merge_train"] = _bpe_train_query
     q["text_bpe_tokenize_count"] = _bpe_tokenize_query
     q["text_bpe_fertility_by_lang"] = _bpe_fertility_query

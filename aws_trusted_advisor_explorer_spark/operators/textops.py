@@ -389,6 +389,158 @@ SELECT doc_id,
 FROM s GROUP BY doc_id"""
 
 
+LM_REF_PCT = 20   # reference-slice share (salted id-hash percent)
+LM_SCALE = 1000   # milli units for the integer surprise score
+
+
+def _lm_score_sql(d: Dialect) -> str:
+    """Shared body of :func:`text_lm_score_ref` (also consumed by
+    docs_ccnet_buckets and the _df twin)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import id_hash_pct
+
+    toks = d.tokens("text")
+    w1 = d.elem(d.split("bigram", " "), "1")
+    pct = id_hash_pct(d, "doc_id", "lm")
+    return f"""WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+bg0 AS (SELECT doc_id, lang, {d.explode(d.shingles('toks', 2))} AS bigram FROM t),
+bg AS (SELECT doc_id, lang, bigram, {w1} AS w1h FROM bg0),
+c12 AS (
+  SELECT lang, bigram, cast(count(*) as bigint) AS n12
+  FROM bg WHERE {pct} < {LM_REF_PCT}
+  GROUP BY lang, bigram
+),
+ch AS (
+  SELECT lang, {w1} AS w1h, cast(sum(n12) as bigint) AS n1
+  FROM c12 GROUP BY lang, {w1}
+),
+vl AS (
+  SELECT lang, cast(count(*) as bigint) AS v FROM ch GROUP BY lang
+),
+s AS (
+  SELECT b.doc_id, b.lang,
+    {d.idiv(f'((coalesce(ch.n1, 0) + coalesce(vl.v, 1)) * {LM_SCALE})',
+            '(coalesce(c.n12, 0) + 1)')} AS nlp_milli
+  FROM bg b
+  LEFT JOIN c12 c ON c.lang = b.lang AND c.bigram = b.bigram
+  LEFT JOIN ch ON ch.lang = b.lang AND ch.w1h = b.w1h
+  LEFT JOIN vl ON vl.lang = b.lang
+)
+SELECT doc_id, lang,
+  cast(count(*) as bigint) AS n_bigrams,
+  cast(sum(nlp_milli) as bigint) AS total_nlp_milli,
+  {d.idiv('cast(sum(nlp_milli) as bigint)', 'cast(count(*) as bigint)')}
+    AS score_milli,
+  ({pct} < {LM_REF_PCT}) AS is_ref
+FROM s GROUP BY doc_id, lang"""
+
+
+def text_lm_score_ref(d: Dialect) -> str:
+    """CCNet-style reference-model fluency scoring (Wenzek et al.
+    2020): train a per-LANGUAGE add-one-smoothed bigram LM on a
+    deterministic reference slice of the corpus ({LM_REF_PCT}% by
+    salted id-hash — the stand-in for CCNet's Wikipedia reference
+    models), then score EVERY document against its language's model.
+    The integer-exact surprise stand-in for perplexity (the
+    :func:`text_bigram_surprise` precedent) is the inverse smoothed
+    conditional probability in milli units per bigram occurrence:
+    ``nlp_milli = ((n1 + V) * {LM_SCALE}) div (n12 + 1)`` with
+    n12/n1 the REFERENCE counts of the bigram and its head word and V
+    the per-language head-vocabulary size — an unseen bigram under a
+    seen head scores (n1+V)·{LM_SCALE}, an unseen head V·{LM_SCALE},
+    and a language with no reference docs at all degrades to a
+    constant {LM_SCALE} per bigram (coalesced, never drops rows).
+    Emits per doc the bigram count, total, integer mean
+    ``score_milli`` (the downstream bucketing key), and ``is_ref`` so
+    consumers can exclude the slice the model saw. Docs with < 2
+    tokens produce no bigrams and no row (same rule as the shingle
+    plane).
+
+    Overflow bound (money-sum discipline): per-doc total <
+    n_bigrams · (n1_max + V) · {LM_SCALE}; int64-safe while
+    n1_max · doc_bigrams < 9.2e15 — holds to ~1e12-token reference
+    models with 1e3-bigram docs; past that drop LM_SCALE.
+
+    Scale posture (100 TB): the occurrence relation is linear in
+    corpus tokens and the model relations are all vocab-sized
+    dimensions — bigram counts (c12), head counts (ch, an aggregate
+    of c12 so the probe sees n1 even for bigrams the reference never
+    saw), and per-language vocab (vl); three left joins against
+    broadcast-sized sides, no occurrence-level window anywhere (the
+    text_bigram_surprise trade). bg is referenced twice (model build
+    + probe) — two skew-free codegen scans under CTE inlining,
+    deliberately cheaper than any occurrence-level window."""
+    return _lm_score_sql(d)
+
+
+def docs_ccnet_buckets(d: Dialect) -> str:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    assign every scored document to a per-language fluency tercile of
+    the :func:`text_lm_score_ref` distribution — head = lowest
+    surprise (the slice CCNet keeps), tail = highest. The bucket is
+    CDF-based and tie-stable: with ``chi`` = docs of the same language
+    scoring <= mine (the default RANGE window includes ties) and ``n``
+    the language total, ``bucket = 1 + (chi-1)*3 div n`` — every doc
+    sharing a score shares a bucket, so the assignment is
+    order-independent and engine-exact.
+
+    This SQL form ranks per-doc rows in one window partition per
+    language — exact, and the exchange carries only (doc_id, lang, 2
+    ints), but a 100 TB language is still one sort partition; the
+    distributed twin :func:`docs_ccnet_buckets_df` (the wired Spark
+    path) computes the same CDF over the COMPACTED (lang, score)
+    distribution and broadcast-joins the tercile map back — identical
+    integers, verified by test."""
+    return f"""WITH sc AS (
+{_lm_score_sql(d)}
+),
+r AS (
+  SELECT doc_id, lang, score_milli, n_bigrams,
+    cast(count(*) OVER (PARTITION BY lang ORDER BY score_milli)
+         as bigint) AS chi,
+    cast(count(*) OVER (PARTITION BY lang) as bigint) AS n
+  FROM sc
+)
+SELECT doc_id, lang, score_milli, n_bigrams,
+  CASE cast(1 + {d.idiv('(chi - 1) * 3', 'n')} as int)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM r"""
+
+
+def docs_ccnet_buckets_df(spark):
+    """Distributed twin of :func:`docs_ccnet_buckets`: materialize the
+    per-doc score relation once (localCheckpoint — it feeds both the
+    distribution build and the final assign, and Catalyst CTE inlining
+    would otherwise re-run the whole scoring chain per reference),
+    compact it to the per-(lang, score_milli) distribution, window the
+    CDF over THAT (distribution-sized partitions, never per-doc), and
+    broadcast the tercile map back onto the scores. Identical integers
+    to the SQL window form (CDF of a tie-grouped integer key),
+    verified by test."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    sc = spark.sql(_lm_score_sql(SPARK)).localCheckpoint(eager=False)
+    dist = sc.groupBy("lang", "score_milli").agg(
+        F.count("*").cast("bigint").alias("nd"))
+    w_cdf = (Window.partitionBy("lang").orderBy("score_milli")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy("lang")
+    buckets = (dist
+               .withColumn("chi", F.sum("nd").over(w_cdf))
+               .withColumn("n", F.sum("nd").over(w_tot))
+               .withColumn(
+                   "bucket",
+                   F.element_at(
+                       F.array(F.lit("head"), F.lit("middle"),
+                               F.lit("tail")),
+                       F.expr("cast(1 + ((chi - 1) * 3 div n) as int)")))
+               .select("lang", "score_milli", "bucket"))
+    return (sc.join(F.broadcast(buckets), ["lang", "score_milli"])
+            .select("doc_id", "lang", "score_milli", "n_bigrams", "bucket"))
+
+
 def text_lang_confusion(d: Dialect) -> str:
     """Language-ID evaluation: the (actual x predicted) confusion
     matrix over :func:`text_lang_id` — the acceptance report for any
@@ -1461,4 +1613,9 @@ BUILDERS = {
     "text_lang_confusion": text_lang_confusion,
     "text_tfidf_topk": text_tfidf_topk,
     "text_bigram_surprise": text_bigram_surprise,
+    "text_lm_score_ref": text_lm_score_ref,
+    # docs_ccnet_buckets is here for the ORACLE; the wired Spark path
+    # is the distributed twin docs_ccnet_buckets_df (compacted-CDF +
+    # broadcast tercile map), overridden in __spark_entry__.
+    "docs_ccnet_buckets": docs_ccnet_buckets,
 }

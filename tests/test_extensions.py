@@ -2974,3 +2974,126 @@ def test_winnow_density_and_cap_on_testdata(spark, ddb):
         assert ((ov.n_shared_fp <= ov.n_fp_a)
                 & (ov.n_shared_fp <= ov.n_fp_b)).all()
         assert ((ov.fp_jaccard > 0) & (ov.fp_jaccard <= 1.0)).all()
+
+
+def _py_lm_scores(rows):
+    """Pure-Python replay of the CCNet reference-LM scoring chain:
+    salted id-hash ref slice -> per-lang add-one bigram LM over the
+    ref tokens -> inverse-probability milli score per occurrence."""
+    import re
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        HASH_INIT, HASH_MULT, P_MOD,
+    )
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    def pct(doc_id):
+        a = HASH_INIT
+        for ch in f"lm:{doc_id}":
+            a = (a * HASH_MULT + ord(ch)) % P_MOD
+        return a % 100
+
+    def bigrams(text):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    is_ref = {i: pct(i) < textops.LM_REF_PCT for i, _, _ in rows}
+    c12, c1, vocab = {}, {}, {}
+    for i, lang, text in rows:
+        if not is_ref[i]:
+            continue
+        for bg in bigrams(text):
+            c12[(lang, bg)] = c12.get((lang, bg), 0) + 1
+            w1 = bg.split(" ")[0]
+            c1[(lang, w1)] = c1.get((lang, w1), 0) + 1
+            vocab.setdefault(lang, set()).add(w1)
+    out = {}
+    for i, lang, text in rows:
+        bgs = bigrams(text)
+        if not bgs:
+            continue
+        v = len(vocab.get(lang, ())) or 1
+        tot = 0
+        for bg in bgs:
+            n12 = c12.get((lang, bg), 0)
+            n1 = c1.get((lang, bg.split(" ")[0]), 0)
+            tot += ((n1 + v) * textops.LM_SCALE) // (n12 + 1)
+        out[i] = (lang, len(bgs), tot, tot // len(bgs), is_ref[i])
+    return out
+
+
+def test_lm_score_ref_python_replay(spark):
+    """The SQL scoring equals a pure-Python replay on a fixture that
+    plants every degraded path: an unseen bigram under a seen head, an
+    unseen head word, a language with NO reference docs at all (ids
+    hash past LM_REF_PCT), a sub-2-token doc (no row), and the ref
+    slice scoring itself; and Spark == DuckDB on the full report."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    rows = [
+        # id 30 hashes into the ref slice for salt 'lm'; 1, 2, 3, 4 do not
+        (30, "en", "the quick brown fox jumps over the lazy dog"),
+        (1, "en", "the quick brown fox naps under the lazy dog"),  # unseen
+        (2, "en", "zebra quark the quick brown fox"),  # unseen head 'zebra'
+        (3, "xx", "completely unmodeled language with no reference docs"),
+        (4, "xx", "another unmodeled document here"),
+        (5, "en", "single"),                           # < 2 tokens -> no row
+    ]
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    assert all((i >= 30) == (r[4]) for i, r in _py_lm_scores(rows).items())
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(ns.sql(textops.text_lm_score_ref(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(textops.text_lm_score_ref(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    got = {int(r.doc_id): (r.lang, int(r.n_bigrams),
+                           int(r.total_nlp_milli), int(r.score_milli),
+                           r.is_ref == "True")
+           for _, r in sdf.iterrows()}
+    assert got == _py_lm_scores(rows)
+    # the no-ref language degrades to the documented constant per bigram
+    assert got[3][3] == textops.LM_SCALE and got[4][3] == textops.LM_SCALE
+    # the unseen-everything doc scores strictly above the ref doc
+    assert got[1][3] > got[30][3]
+
+
+def test_ccnet_buckets_invariants_and_twin(spark, ddb):
+    """On the driver tables: the df twin (compacted-CDF + broadcast
+    map) equals the SQL window form on BOTH engines; buckets partition
+    the scored docs; per-language tercile sizes are balanced within
+    the tie tolerance; docs sharing (lang, score) share a bucket; and
+    head scores <= tail scores within every language."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import textops
+    from tests.conftest import canonicalize
+
+    tw = canonicalize(textops.docs_ccnet_buckets_df(spark).toPandas())
+    ssql = canonicalize(spark.sql(textops.docs_ccnet_buckets(SPARK)).toPandas())
+    dsql = canonicalize(ddb.sql(textops.docs_ccnet_buckets(DUCK)).df())
+    assert tw.equals(ssql) and ssql.equals(dsql)
+
+    df = textops.docs_ccnet_buckets_df(spark).toPandas()
+    sc = spark.sql(textops.text_lm_score_ref(SPARK)).toPandas()
+    assert sorted(df.doc_id) == sorted(sc.doc_id)
+    assert (df.groupby(["lang", "score_milli"]).bucket.nunique() == 1).all()
+    for lang, g in df.groupby("lang"):
+        counts = g.bucket.value_counts()
+        n = len(g)
+        # ties can shift boundaries; each tercile within n/3 +- largest tie
+        max_tie = int(g.groupby("score_milli").size().max())
+        for b in ("head", "middle", "tail"):
+            assert abs(int(counts.get(b, 0)) - n / 3) <= max_tie + 1, (
+                lang, b, counts.to_dict())
+        assert g.loc[g.bucket == "head", "score_milli"].max() <= \
+            g.loc[g.bucket == "tail", "score_milli"].min()
