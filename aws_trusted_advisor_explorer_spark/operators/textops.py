@@ -393,15 +393,19 @@ LM_REF_PCT = 20   # reference-slice share (salted id-hash percent)
 LM_SCALE = 1000   # milli units for the integer surprise score
 
 
-def _lm_score_sql(d: Dialect) -> str:
-    """Shared body of :func:`text_lm_score_ref` (also consumed by
-    docs_ccnet_buckets and the _df twin)."""
+def lm_model_ctes(d: Dialect, table: str = "documents") -> str:
+    """The reference-LM TRAINING relations as a CTE chain — c12
+    (per-language bigram counts from the reference slice), ch (head
+    counts, an aggregate of c12), vl (per-language head-vocab sizes)
+    — SHARED between the batch scorer and the streaming twin
+    (structured.lm_score_stream) so the frozen model is one
+    implementation, never a drifted copy."""
     from aws_trusted_advisor_explorer_spark.functions.dual import id_hash_pct
 
     toks = d.tokens("text")
     w1 = d.elem(d.split("bigram", " "), "1")
     pct = id_hash_pct(d, "doc_id", "lm")
-    return f"""WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, lang, {toks} AS toks FROM {table}),
 bg0 AS (SELECT doc_id, lang, {d.explode(d.shingles('toks', 2))} AS bigram FROM t),
 bg AS (SELECT doc_id, lang, bigram, {w1} AS w1h FROM bg0),
 c12 AS (
@@ -415,7 +419,16 @@ ch AS (
 ),
 vl AS (
   SELECT lang, cast(count(*) as bigint) AS v FROM ch GROUP BY lang
-),
+)"""
+
+
+def _lm_score_sql(d: Dialect) -> str:
+    """Shared body of :func:`text_lm_score_ref` (also consumed by
+    docs_ccnet_buckets and the _df twin)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import id_hash_pct
+
+    pct = id_hash_pct(d, "doc_id", "lm")
+    return f"""WITH {lm_model_ctes(d)},
 s AS (
   SELECT b.doc_id, b.lang,
     {d.idiv(f'((coalesce(ch.n1, 0) + coalesce(vl.v, 1)) * {LM_SCALE})',

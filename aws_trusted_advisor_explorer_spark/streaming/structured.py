@@ -84,6 +84,26 @@ def _nb_sum_kernel(toks, model) -> int:
     return sum(model.get(t, NB_PRIOR) for t in toks)
 
 
+def _lm_total_kernel(v, model) -> int:
+    """Exact integer reference-LM surprise total for one document —
+    the same add-one-smoothed inverse-probability arithmetic as the
+    batch scorer and the map-literal tier. ``v`` is the doc's bigram
+    array with its language prepended at [0] (a struct column would
+    reach a pandas UDF as a DataFrame, not row dicts); ``model``
+    holds the three frozen dims keyed 'lang|bigram' / 'lang|head' /
+    'lang'."""
+    from aws_trusted_advisor_explorer_spark.operators.textops import LM_SCALE
+
+    lang, total = v[0], 0
+    c12, ch, vl = model["c12"], model["ch"], model["vl"]
+    vsz = vl.get(lang, 1)
+    for bg in v[1:]:
+        n1 = ch.get(f"{lang}|{bg.split(' ', 1)[0]}", 0)
+        n12 = c12.get(f"{lang}|{bg}", 0)
+        total += ((n1 + vsz) * LM_SCALE) // (n12 + 1)
+    return total
+
+
 def _bloom_probe_kernel(probes, model) -> bool:
     """All-k-bits-set membership test over the broadcast (word_idx ->
     bits) filter words; NULL probes (null text) -> False, matching the
@@ -836,6 +856,108 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(sum_w div size(toks) as bigint) AS nb_score",
                 f"cast(CASE WHEN sum_w div size(toks) >= {NB_PRIOR} "
                 f"THEN 1 ELSE 0 END as bigint) AS keep"))
+
+
+def lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of textops.text_lm_score_ref: reference LMs
+    trained offline, documents scored online. The per-language bigram
+    model (textops.lm_model_ctes — the SAME training SQL the batch
+    scorer runs, over a prefixed snapshot view) ships by the standard
+    three-tier ladder, sized on the dominant c12 relation: up to
+    MODEL_LITERAL_MAX bigrams all three dims ride the plan as map
+    literals keyed ``lang|bigram`` / ``lang|head`` / ``lang`` (token
+    charset is [a-z0-9 ], so '|' never collides) and the score is one
+    codegen ``aggregate`` over the doc's shingles; up to
+    MODEL_BROADCAST_MAX the dims ship as ONE broadcast variable
+    consumed by an Arrow-batched kernel (_lm_total_kernel, same
+    integer arithmetic); past that nothing is collect()ed — the doc
+    stream explodes to (doc, lang, bigram, head) and stream-static
+    LEFT-joins the three dim DataFrames (un-hinted: auto-broadcast
+    while small, shuffled past the threshold), with a per-(doc, lang)
+    sum/count rebuild — ``update`` output mode. Unseen bigrams, heads,
+    and languages coalesce to the batch scorer's exact smoothing in
+    every tier."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        SPARK as SD, id_hash_pct,
+    )
+    from aws_trusted_advisor_explorer_spark.operators.textops import (
+        LM_REF_PCT, LM_SCALE, lm_model_ctes,
+    )
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_docs.createOrReplaceTempView("__lm_batch_docs")
+    ctes = lm_model_ctes(SD, table="__lm_batch_docs")
+    c12 = spark.sql(f"WITH {ctes} SELECT lang, bigram, n12 FROM c12")
+    ch = spark.sql(f"WITH {ctes} SELECT lang, w1h, n1 FROM ch")
+    vl = spark.sql(f"WITH {ctes} SELECT lang, v FROM vl")
+    c12_rows = _model_rows_or_none(c12, MODEL_BROADCAST_MAX)
+
+    is_ref = f"({id_hash_pct(SD, 'doc_id', 'lm')} < {LM_REF_PCT})"
+    docs = (documents_stream(spark, sf_dir)
+            .withColumn("toks", F.expr(SD.tokens("text")))
+            .withColumn("bgs", F.expr(SD.shingles("toks", 2)))
+            .filter("size(bgs) > 0"))
+
+    if c12_rows is None:
+        # no-collect tier: the three dims stay DataFrames
+        c12 = c12.localCheckpoint(eager=True)
+        ch = ch.localCheckpoint(eager=True)
+        vl = vl.localCheckpoint(eager=True)
+        ex = (docs.select("doc_id", "lang",
+                          F.explode("bgs").alias("bigram"))
+              .withColumn("w1h", F.expr(
+                  SD.elem(SD.split("bigram", " "), "1"))))
+        j = (ex.join(c12, ["lang", "bigram"], "left_outer")
+             .join(ch, ["lang", "w1h"], "left_outer")
+             .join(vl, ["lang"], "left_outer"))
+        per = (j.groupBy("doc_id", "lang")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                    F.sum(F.expr(
+                        f"((coalesce(n1, 0L) + coalesce(v, 1L)) * "
+                        f"{LM_SCALE}) div (coalesce(n12, 0L) + 1L)"))
+                    .cast("long").alias("total_nlp_milli")))
+        return per.selectExpr(
+            "doc_id", "lang", "n_bigrams", "total_nlp_milli",
+            "total_nlp_milli div n_bigrams AS score_milli",
+            f"{is_ref} AS is_ref")
+    if len(c12_rows) <= MODEL_LITERAL_MAX:
+        ch_rows, vl_rows = ch.collect(), vl.collect()
+        m12 = ("map(" + ", ".join(
+            f"'{r.lang}|{r.bigram}', {int(r.n12)}L" for r in c12_rows)
+            + ")" if c12_rows else "map('', 0L)")
+        mh = ("map(" + ", ".join(
+            f"'{r.lang}|{r.w1h}', {int(r.n1)}L" for r in ch_rows)
+            + ")" if ch_rows else "map('', 0L)")
+        mv = ("map(" + ", ".join(
+            f"'{r.lang}', {int(r.v)}L" for r in vl_rows)
+            + ")" if vl_rows else "map('', 0L)")
+        docs = docs.withColumn("total_nlp_milli", F.expr(
+            f"aggregate(bgs, cast(0 as bigint), (a, b) -> a + "
+            f"((coalesce(element_at({mh}, concat(lang, '|', "
+            f"element_at(split(b, ' '), 1))), 0L) "
+            f"+ coalesce(element_at({mv}, lang), 1L)) * {LM_SCALE}) "
+            f"div (coalesce(element_at({m12}, concat(lang, '|', b)), "
+            f"0L) + 1L))"))
+    else:
+        from aws_trusted_advisor_explorer_spark.functions.vectorized import (
+            make_broadcast_model_udf,
+        )
+
+        bc = spark.sparkContext.broadcast({
+            "c12": {f"{r.lang}|{r.bigram}": int(r.n12) for r in c12_rows},
+            "ch": {f"{r.lang}|{r.w1h}": int(r.n1) for r in ch.collect()},
+            "vl": {r.lang: int(r.v) for r in vl.collect()},
+        })
+        total = make_broadcast_model_udf(bc, _lm_total_kernel, ret="long")
+        docs = docs.withColumn(
+            "total_nlp_milli",
+            total(F.expr("concat(array(lang), bgs)")))
+    return docs.selectExpr(
+        "doc_id", "lang",
+        "cast(size(bgs) as bigint) AS n_bigrams",
+        "total_nlp_milli",
+        "total_nlp_milli div size(bgs) AS score_milli",
+        f"{is_ref} AS is_ref")
 
 
 def bpe_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -505,3 +505,49 @@ def test_bloom_probe_kernel_nan_probe_is_false():
     assert _bloom_probe_kernel([float("nan"), 5.0], model) is False
     assert _bloom_probe_kernel([np.nan], model) is False
     assert _bloom_probe_kernel([None, 5.0], model) is False
+
+
+def test_lm_score_stream_three_tiers_equal_batch(spark, monkeypatch):
+    """Streaming reference-LM scoring must be row-for-row equal to the
+    batch text_lm_score_ref in ALL THREE model tiers — the per-language
+    bigram LM is the canonical join-tier model (vocab²-bounded dims).
+    Pins the shipping mechanism per tier: map literals in-plan (no UDF,
+    no join), broadcast variable + Arrow kernel (apply_model stage),
+    and the no-collect stream-static join (join present, no Python
+    stage, three dim joins)."""
+    import re
+
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    want = {tuple(r)
+            for r in spark.sql(textops.text_lm_score_ref(SPARK)).collect()}
+    assert want
+
+    # literal tier (default at this SF): model rides the plan string
+    lit = structured.lm_score_stream(spark, SF_DIR)
+    an = lit._jdf.queryExecution().analyzed().toString()
+    assert "map_from_arrays" in an or "map(" in an
+    assert "apply_model" not in an
+    structured.run_stream_to_memory(lit, "lm_lit", output_mode="append")
+    assert {tuple(r) for r in spark.table("lm_lit").collect()} == want
+
+    # broadcast-variable + Arrow-kernel tier
+    monkeypatch.setattr(structured, "MODEL_LITERAL_MAX", -1)
+    bc = structured.lm_score_stream(spark, SF_DIR)
+    assert "apply_model" in bc._jdf.queryExecution().analyzed().toString()
+    structured.run_stream_to_memory(bc, "lm_bc", output_mode="append")
+    assert {tuple(r) for r in spark.table("lm_bc").collect()} == want
+
+    # no-collect join tier: dims stay DataFrames; per-(doc,lang) agg
+    # completes within its arrival micro-batch -> update mode
+    monkeypatch.setattr(structured, "MODEL_BROADCAST_MAX", -1)
+    jn = structured.lm_score_stream(spark, SF_DIR)
+    plan = jn._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+                     plan)
+    assert "MapInPandas" not in plan
+    assert "pythonudf" not in plan.lower()
+    structured.run_stream_to_memory(jn, "lm_join", output_mode="update")
+    assert {tuple(r) for r in spark.table("lm_join").collect()} == want
