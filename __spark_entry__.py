@@ -792,6 +792,12 @@ _PARKED_TAIL = (
     "text_quality",  # driver-green r1-r5 (5 rounds) — parked with
                      # text_token_stats; quality-family rep in-cap is
                      # text_nb_quality_score (r6 window)
+    "events_interval_join",  # new in r6 (bucketized no-key
+                             # interval-overlap join; driver oracle is
+                             # the naive range join — cross-algorithm
+                             # check); event-join family rep in-cap is
+                             # events_session_attribution; boundary
+                             # pytest is the evidence
 )
 
 
@@ -889,6 +895,10 @@ def oracle_sql() -> dict[str, str]:
     # the prefix-filtered exact join must equal the full shared-shingle
     # join — two different exact algorithms checking each other
     o["dedup_prefix_join"] = dedup.dedup_ngram_jaccard(DUCK)
+    # the bucketized interval join must equal the naive O(n*m) range
+    # join — same cross-algorithm pattern
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+    o["events_interval_join"] = eventops.events_interval_join_naive(DUCK)
     # IVF uses the same planes/buckets as sign-LSH -> identical results
     o["knn_ivf"] = similarity.knn_lsh(DUCK)
     o["knn_ivf_multiprobe"] = similarity.knn_multiprobe(DUCK)

@@ -3097,3 +3097,59 @@ def test_ccnet_buckets_invariants_and_twin(spark, ddb):
                 lang, b, counts.to_dict())
         assert g.loc[g.bucket == "head", "score_milli"].max() <= \
             g.loc[g.bucket == "tail", "score_milli"].min()
+
+
+def test_interval_join_boundaries_and_bucket_straddle(spark):
+    """The bucketized interval join honors exact [start, end)
+    semantics on a planted fixture: start-inclusive, end-exclusive, a
+    match in the WINDOW'S SECOND bucket (the straddle row the
+    bucketization must not lose), stacked incidents counted with the
+    earliest id, incident-free purchases absent; bucketized Spark ==
+    bucketized DuckDB == naive-range-join DuckDB."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+    from tests.conftest import canonicalize
+
+    BU = eventops.INTERVAL_BUCKET_US
+    DUR = eventops.INCIDENT_DUR_US
+
+    def ts(us):
+        return dt.datetime(2026, 1, 1) + dt.timedelta(microseconds=us)
+
+    # error at half-bucket offset -> its window straddles two buckets
+    e0 = BU // 2
+    rows = [
+        (100, ts(e0), 1, "error", 0.0, "{}"),
+        (101, ts(e0 + 10), 1, "error", 0.0, "{}"),   # stacked incident
+        (1, ts(e0), 1, "purchase", 5.0, "{}"),        # start-inclusive
+        (2, ts(e0 + DUR - 1), 1, "purchase", 6.0, "{}"),  # last µs, in
+        #   bucket 1 while the error sits in bucket 0 — the straddle
+        (3, ts(e0 + DUR), 1, "purchase", 7.0, "{}"),  # end-exclusive
+        (4, ts(e0 - 1), 1, "purchase", 8.0, "{}"),    # before start
+        (5, ts(e0 + 10), 1, "purchase", 9.0, "{}"),   # inside both
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    sdf = canonicalize(ns.sql(eventops.events_interval_join(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(eventops.events_interval_join(DUCK)).df())
+    ndf = canonicalize(con.sql(eventops.events_interval_join_naive(DUCK)).df())
+    assert sdf.equals(ddf) and ddf.equals(ndf)
+
+    got = {int(r.purchase_id): (int(r.n_incidents), int(r.first_incident_id))
+           for _, r in sdf.iterrows()}
+    assert got == {
+        1: (1, 100),   # at window start (101 starts 10us later)
+        2: (2, 100),   # straddle bucket, inside both windows
+        3: (1, 101),   # end-EXCLUSIVE for 100, still inside 101's
+        #                window (it opened 10us later)
+        5: (2, 100),   # inside both stacked windows
+    }
