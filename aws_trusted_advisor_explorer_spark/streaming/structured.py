@@ -1114,6 +1114,47 @@ def range_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "cosine"))
 
 
+def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of eventops.events_interval_join — and the
+    demonstration of WHY the bucketized form matters beyond plan
+    shape: a stream-static join in Spark must be an equi-join (a
+    naive range predicate would be a nested-loop over the static side
+    per micro-batch), so mapping both sides to epoch buckets is what
+    makes keyless interval attribution STREAMABLE at all. The static
+    side is the exploded (incident, bucket) window index (<= 2 rows
+    per incident, planned once); each arriving purchase owns exactly
+    one bucket, probes it, post-filters the exact [ws, ws+DUR) range
+    inside the join stage, and a per-purchase sum/min group rebuilds
+    the attribution — ``update`` output mode. Row-equal to the batch
+    operator (and therefore to its naive range-join oracle)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
+    from aws_trusted_advisor_explorer_spark.operators.eventops import (
+        INCIDENT_DUR_US, INTERVAL_BUCKET_US,
+    )
+
+    eus = SD.epoch_us("ts")
+    static = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+              .where("event_type = 'error'")
+              .selectExpr("event_id AS incident_id", f"{eus} AS ws")
+              .selectExpr(
+                  "incident_id", "ws",
+                  f"explode(sequence(ws div {INTERVAL_BUCKET_US}, "
+                  f"(ws + {INCIDENT_DUR_US} - 1) div "
+                  f"{INTERVAL_BUCKET_US})) AS bkt"))
+    purchases = (events_stream(spark, sf_dir)
+                 .where("event_type = 'purchase'")
+                 .selectExpr("event_id AS purchase_id",
+                             "value AS purchase_value",
+                             f"{eus} AS pu",
+                             f"{eus} div {INTERVAL_BUCKET_US} AS bkt"))
+    hits = (purchases.join(static, "bkt")
+            .where(F.expr(f"pu >= ws AND pu < ws + {INCIDENT_DUR_US}")))
+    return (hits.groupBy("purchase_id", "purchase_value")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_incidents"),
+                 F.min("incident_id").cast("long")
+                 .alias("first_incident_id")))
+
+
 def anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online anomaly detection (train the control chart offline,
     detect online): the per-type hourly count statistics (H hours,

@@ -551,3 +551,19 @@ def test_lm_score_stream_three_tiers_equal_batch(spark, monkeypatch):
     assert "pythonudf" not in plan.lower()
     structured.run_stream_to_memory(jn, "lm_join", output_mode="update")
     assert {tuple(r) for r in spark.table("lm_join").collect()} == want
+
+
+def test_interval_join_stream_equals_batch(spark):
+    """The stream-static bucketized interval join must reproduce the
+    batch events_interval_join exactly — keyless interval attribution
+    is only streamable BECAUSE of the bucket equi-key (a range
+    predicate alone cannot be a stream-static join key)."""
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+
+    structured.run_stream_to_memory(
+        structured.interval_join_stream(spark, SF_DIR),
+        "interval_join_stream", output_mode="update")
+    got = {tuple(r) for r in spark.table("interval_join_stream").collect()}
+    want = {tuple(r)
+            for r in spark.sql(eventops.events_interval_join(SPARK)).collect()}
+    assert got and got == want
