@@ -159,3 +159,121 @@ def test_bpe_merge_train_sql_matches_greedy_replay(words):
 
     items = [(list(tok), f) for tok, f in words.items()]
     assert got == sorted(bpe_batched_replay(items))
+
+
+# --- r6 operator properties (DuckDB rendering — fast enough for
+# hypothesis; Spark == DuckDB on these builders is pinned by the
+# fixture/driver parity tests) ------------------------------------
+
+_tok_st = st.sampled_from([f"w{i}" for i in range(8)])
+
+
+def _register_docs(rows):
+    """rows: (doc_id, lang, text) -> fresh DuckDB conn with a
+    documents view (the builders' default base)."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "lang", "text"]))
+    return con
+
+
+@given(st.lists(_tok_st, min_size=11, max_size=11),
+       st.lists(_tok_st, min_size=0, max_size=6),
+       st.lists(_tok_st, min_size=0, max_size=6),
+       st.lists(_tok_st, min_size=0, max_size=14))
+@settings(**SETTINGS)
+def test_winnow_guarantee_property(run, pre, suf, other):
+    """Schleimer et al.'s detection guarantee on ARBITRARY corpora:
+    any two docs sharing a token run of W + SPAN_GRAM - 1 (= 11)
+    tokens MUST share a selected fingerprint and surface as a
+    dedup_winnow_overlap candidate pair, at any offsets; and every
+    selected (hv, pos) equals the pure-Python rightmost-min replay."""
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+    from tests.test_extensions import _py_winnow
+
+    assert dedup.WINNOW_W + dedup.SPAN_GRAM - 1 == 11
+    rows = [(1, "en", " ".join(pre + run)),
+            (2, "en", " ".join(run + suf)),
+            (3, "en", " ".join(other))]
+    con = _register_docs(rows)
+
+    fp_sql = (f"WITH {dedup._winnow_fp_cte(DUCK)} "
+              f"SELECT doc_id, hv, pos FROM fp")
+    got: dict = {}
+    for doc_id, hv, pos in con.sql(fp_sql).fetchall():
+        got.setdefault(doc_id, set()).add((hv, pos))
+    expect = {i: _py_winnow(t) for i, _, t in rows}
+    assert got == {i: s for i, s in expect.items() if s}
+
+    pairs = {(a, b) for a, b, *_ in
+             con.sql(dedup.dedup_winnow_overlap(DUCK)).fetchall()}
+    assert (1, 2) in pairs
+
+
+_lang_st = st.sampled_from(["en", "xx"])
+_doc_st = st.tuples(_lang_st, st.lists(_tok_st, min_size=0, max_size=12))
+
+
+@given(st.lists(_doc_st, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_lm_score_property(docs):
+    """The reference-LM scorer equals the pure-Python replay on
+    arbitrary corpora — random doc_ids land on both sides of the
+    ref-slice hash, random token streams exercise seen/unseen bigrams,
+    heads, and reference-less languages far beyond the planted
+    fixture."""
+    from aws_trusted_advisor_explorer_spark.operators import textops
+    from tests.test_extensions import _py_lm_scores
+
+    rows = [(i * 7, lang, " ".join(toks))
+            for i, (lang, toks) in enumerate(docs)]
+    con = _register_docs(rows)
+    got = {doc_id: (lang, n, tot, sc, bool(ref))
+           for doc_id, lang, n, tot, sc, ref in
+           con.sql(textops.text_lm_score_ref(DUCK)).fetchall()}
+    assert got == _py_lm_scores(rows)
+
+
+_us_st = st.integers(0, 3 * 600_000_000)
+
+
+@given(st.lists(_us_st, min_size=0, max_size=8),
+       st.lists(_us_st, min_size=0, max_size=8))
+@settings(**SETTINGS)
+def test_interval_join_property(error_us, purchase_us):
+    """The bucketized interval join equals a brute-force Python range
+    scan on arbitrary timestamp placements — bucket-boundary and
+    window-edge collisions hypothesis will find are exactly the cases
+    the planted fixture cannot enumerate."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for i, us in enumerate(error_us):
+        rows.append((100 + i, base + dt.timedelta(microseconds=us),
+                     1, "error", 0.0, "{}"))
+    for i, us in enumerate(purchase_us):
+        rows.append((i, base + dt.timedelta(microseconds=us),
+                     1, "purchase", float(i), "{}"))
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).astype({"event_id": "int64", "ts": "datetime64[us]",
+              "user_id": "int64", "value": "float64"})
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    got = {pid: (n, first) for pid, _, n, first in
+           con.sql(eventops.events_interval_join(DUCK)).fetchall()}
+    expect = {}
+    for i, pu in enumerate(purchase_us):
+        hits = [100 + j for j, ws in enumerate(error_us)
+                if ws <= pu < ws + eventops.INCIDENT_DUR_US]
+        if hits:
+            expect[i] = (len(hits), min(hits))
+    assert got == expect
