@@ -167,7 +167,13 @@ means the prefix/position filters and DF caps are doing their job,
 and the prefix join growing markedly slower than the full join is the
 post-r3-fix growth claim this stretch point exists to anchor; the LSH
 rung staying ~flat (corpus-linear work, pair-count-independent) is
-the scale path working as designed.""")
+the scale path working as designed. The substring plane (r6 rows):
+`dedup_span_exact` self-joins the FULL positional-gram relation
+(duplicated-gram rows explode with the doubled dup clusters), while
+`dedup_winnow_overlap` joins only the winnowed ~2/(w+1) fingerprint
+sample — its wall growing visibly slower than the span join's on the
+same corpus is the measured form of the winnowing claim ("downstream
+joins run on the thinned relation, never the full gram relation").""")
     out.append("""
 The absolute numbers are NOT cluster predictions; they are regression
 anchors — a future change that pushes a normalized ratio well past 1
