@@ -798,6 +798,12 @@ _PARKED_TAIL = (
                              # check); event-join family rep in-cap is
                              # events_session_attribution; boundary
                              # pytest is the evidence
+    "docs_temperature_mix",  # new in r6 (XLM-R/mC4 α=0.5 temperature
+                             # mixture weights via IEEE-exact sqrt,
+                             # integer normalizing total); mixture
+                             # family rep in-cap is docs_ccnet_buckets
+                             # (r6 window); python-replay + property
+                             # pytest are the evidence
 )
 
 

@@ -255,6 +255,57 @@ SELECT source, lang, n_docs, total_tokens,
 FROM g"""
 
 
+TEMP_W_SCALE = 1000  # milli units for the integer sqrt weights
+
+
+def docs_temperature_mix(d: Dialect) -> str:
+    """Temperature-scaled mixture weights (the multilingual-pretraining
+    standard: sample source i with p_i ∝ share_i^α, α = 1/T — XLM-R /
+    mC4 use α = 0.5, i.e. T = 2, which up-weights low-resource sources
+    without letting them dominate). α = 0.5 is exactly ``sqrt``, and
+    IEEE-754 requires sqrt to be CORRECTLY rounded — so
+    ``floor(sqrt(tokens) · {TEMP_W_SCALE})`` is a deterministic integer
+    in both engines, the normalizing total is an INTEGER sum (order-
+    independent, unlike a float Σ), and every emitted double is one
+    exact-rounded division or multiply-then-divide of deterministic
+    operands. Emits per source: exact token counts/shares, the
+    temperature weight, and the sampling boost
+    (weight/share — > 1 means the sampler repeats this source).
+
+    Scale posture: one (source) groupBy with map-side combine; all
+    later relations are source-cardinality rows (scalar-subquery
+    total, no window over docs). Double products are taken after
+    cast-to-double, so nothing overflows int64 regardless of corpus
+    size (weights are milli-sqrt(tokens): ~3e9 at 100 TB)."""
+    n_toks = d.arr_len(d.tokens("text"))
+    return f"""WITH t AS (
+  SELECT source, cast({n_toks} as bigint) AS n_toks FROM documents
+),
+g AS (
+  SELECT source, cast(count(*) as bigint) AS n_docs,
+    cast(sum(n_toks) as bigint) AS src_tokens
+  FROM t GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, src_tokens,
+    cast(floor(sqrt(cast(src_tokens as double)) * {TEMP_W_SCALE})
+         as bigint) AS w_milli
+  FROM g
+),
+tot AS (
+  SELECT cast(sum(src_tokens) as bigint) AS total_tokens,
+    cast(sum(w_milli) as bigint) AS total_w
+  FROM w
+)
+SELECT w.source, w.n_docs, w.src_tokens,
+  cast(w.src_tokens as double) / tot.total_tokens AS token_share,
+  cast(w.w_milli as double) / tot.total_w AS temp_weight,
+  (cast(w.w_milli as double) * cast(tot.total_tokens as double))
+    / (cast(tot.total_w as double) * cast(w.src_tokens as double))
+    AS sampling_boost
+FROM w CROSS JOIN tot"""
+
+
 CHUNK_TOKS = 64     # tokens per chunk
 CHUNK_STRIDE = 48   # chunk start stride (overlap = CHUNK_TOKS - stride)
 
@@ -908,6 +959,7 @@ BUILDERS = {
     "docs_decontaminated": docs_decontaminated,
     "docs_length_histogram": docs_length_histogram,
     "docs_source_mix": docs_source_mix,
+    "docs_temperature_mix": docs_temperature_mix,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_pack_efficiency": docs_pack_efficiency,
     "docs_block_dedup": docs_block_dedup,

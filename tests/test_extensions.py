@@ -3153,3 +3153,56 @@ def test_interval_join_boundaries_and_bucket_straddle(spark):
         #                window (it opened 10us later)
         5: (2, 100),   # inside both stacked windows
     }
+
+
+def _py_temperature_mix(rows):
+    """Pure-Python replay of docs_temperature_mix: exact integer token
+    totals, floor(sqrt·1000) milli weights (IEEE sqrt — identical to
+    both engines), integer normalizer, and the engines' exact division
+    order for every emitted double."""
+    import math
+    import re
+
+    counts: dict = {}
+    for _, source, text in rows:
+        n = len(re.findall(r"[a-z0-9]+", text.lower()))
+        d, t = counts.get(source, (0, 0))
+        counts[source] = (d + 1, t + n)
+    w = {s: int(math.floor(math.sqrt(float(t)) * 1000))
+         for s, (_, t) in counts.items()}
+    total_t = sum(t for _, t in counts.values())
+    total_w = sum(w.values())
+    return {s: (d, t, t / total_t, w[s] / total_w,
+                (float(w[s]) * float(total_t))
+                / (float(total_w) * float(t)))
+            for s, (d, t) in counts.items()}
+
+
+def test_temperature_mix_replay_and_invariants(spark, ddb):
+    """On the driver tables: Spark == DuckDB == the pure-Python replay
+    bit for bit; weights sum to ~1; α=0.5 compresses the mixture
+    (every boost is on the opposite side of 1 from its share's
+    distance to the mean, i.e. under-represented sources get boost >
+    1); and boost ordering is the reverse of share ordering."""
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark.sql(corpusops.docs_temperature_mix(SPARK)), ddb,
+        corpusops.docs_temperature_mix(DUCK))
+
+    df = spark.sql(corpusops.docs_temperature_mix(SPARK)).toPandas()
+    rows = [(int(r.doc_id), r.source, r.text) for r in
+            spark.sql("SELECT doc_id, source, text FROM documents")
+            .collect()]
+    want = _py_temperature_mix(rows)
+    for _, r in df.iterrows():
+        d, t, share, wgt, boost = want[r.source]
+        assert (int(r.n_docs), int(r.src_tokens)) == (d, t)
+        assert float(r.token_share) == share
+        assert float(r.temp_weight) == wgt
+        assert float(r.sampling_boost) == boost
+    assert abs(df.temp_weight.sum() - 1.0) < 1e-9
+    s = df.sort_values("token_share")
+    assert (s.sampling_boost.diff().dropna() <= 1e-12).all(), \
+        "boost must be non-increasing in share"

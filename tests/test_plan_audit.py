@@ -55,6 +55,10 @@ BNLJ_ALLOWED = {
     # docs_span_coverage — two single-row aggregate relations cross-
     #                       joined for the one-row report
     "docs_span_coverage",
+    # docs_temperature_mix — the 1-row (total_tokens, total_w)
+    #            normalizer cross-joined into the source-cardinality
+    #            weight relation (same shape as language_balance_plan)
+    "docs_temperature_mix",
     # tpch_q22 — single-row (balance sum, count) average relation
     #            cross-joined into the customer pool (the pool scan is
     #            a cheap filtered customer read, so the double CTE

@@ -277,3 +277,32 @@ def test_interval_join_property(error_us, purchase_us):
         if hits:
             expect[i] = (len(hits), min(hits))
     assert got == expect
+
+
+_src_st = st.sampled_from(["a", "b", "c"])
+
+
+@given(st.lists(st.tuples(_src_st, st.integers(0, 40)),
+                min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_temperature_mix_property(docs):
+    """docs_temperature_mix equals the pure-Python replay on arbitrary
+    per-source token distributions — including all-empty sources
+    (sqrt(0) weights) and single-source corpora."""
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+    from tests.test_extensions import _py_temperature_mix
+
+    import pandas as pd
+
+    rows = [(i, src, " ".join(f"t{j}" for j in range(n)))
+            for i, (src, n) in enumerate(docs)]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "source", "text"]))
+    # zero-token corpora divide by a zero total -> engine inf/nan;
+    # the replay mirrors only the defined case
+    if sum(n for _, n in docs) == 0:
+        return
+    got = {src: tuple(rest) for src, *rest in
+           con.sql(corpusops.docs_temperature_mix(DUCK)).fetchall()}
+    assert got == _py_temperature_mix(rows)
