@@ -804,6 +804,11 @@ _PARKED_TAIL = (
                              # family rep in-cap is docs_ccnet_buckets
                              # (r6 window); python-replay + property
                              # pytest are the evidence
+    "docs_curation_drift",  # new in r6 (per-language before/after
+                            # quality-gate share drift, integer ppm);
+                            # composes in-cap docs_curation_pipeline's
+                            # gate stage; planted emptied-language
+                            # pytest is the evidence
 )
 
 

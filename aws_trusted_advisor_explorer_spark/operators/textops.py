@@ -249,6 +249,60 @@ EXCEPT
 SELECT doc_id FROM g"""
 
 
+def docs_curation_drift(d: Dialect) -> str:
+    """Curation composition-shift audit: per-language token shares
+    BEFORE vs AFTER the quality gate, with the share delta and keep
+    rate — the bias check a pretraining pipeline runs on every filter
+    (quality heuristics are known to skew language/source mixtures;
+    this is the number that catches it before training does). All
+    shares are integer ppm from exact token totals (single idiv per
+    row, scalar-subquery totals — no float Σ, no cross join), so the
+    report is cross-engine exact. Languages the gate empties keep
+    their row (LEFT join + coalesce, share_after 0); an empty
+    survivor set degrades every after-share to 0 via the zero-guard
+    instead of dividing by zero.
+
+    Int64 bound (money-sum discipline): shares compute
+    ``tokens · 1e6``, safe while corpus totals stay under ~9.2e12
+    tokens (same bound as docs_language_balance_plan); past that,
+    drop the ppm scale to per-mille.
+
+    Scale posture: the gate CTE is the existing operator verbatim;
+    both aggregates are (lang)-keyed map-side-combining passes over
+    projections, every later relation is language-cardinality."""
+    gate = docs_quality_gate(d)
+    n_toks = d.arr_len(d.tokens("text"))
+    return f"""WITH g AS (
+{gate}
+),
+b AS (
+  SELECT lang, cast(count(*) as bigint) AS docs_before,
+    cast(sum({n_toks}) as bigint) AS toks_before
+  FROM documents GROUP BY lang
+),
+a AS (
+  SELECT dd.lang, cast(count(*) as bigint) AS docs_after,
+    cast(sum(g.n_tokens) as bigint) AS toks_after
+  FROM g JOIN documents dd ON dd.doc_id = g.doc_id
+  GROUP BY dd.lang
+)
+SELECT b.lang, b.docs_before, coalesce(a.docs_after, 0) AS docs_after,
+  b.toks_before, coalesce(a.toks_after, 0) AS toks_after,
+  cast({d.idiv('(b.toks_before * 1000000)',
+               '(SELECT cast(sum(toks_before) as bigint) FROM b)')}
+       as bigint) AS share_before_ppm,
+  CASE WHEN (SELECT sum(toks_after) FROM a) IS NULL THEN cast(0 as bigint)
+    ELSE cast({d.idiv('(coalesce(a.toks_after, 0) * 1000000)',
+                      '(SELECT cast(sum(toks_after) as bigint) FROM a)')}
+              as bigint)
+  END AS share_after_ppm,
+  CASE WHEN b.toks_before = 0 THEN cast(0 as bigint)
+    ELSE cast({d.idiv('(coalesce(a.toks_after, 0) * 1000000)',
+                      'b.toks_before')} as bigint)
+  END AS keep_rate_ppm
+FROM b LEFT JOIN a ON a.lang = b.lang"""
+
+
 def text_commonness_score(d: Dialect, base: str | None = None) -> str:
     """Unigram-frequency quality proxy (the word-frequency filter used
     before LM-based scoring exists): per document, the mean corpus
@@ -1620,6 +1674,7 @@ BUILDERS = {
     "text_fingerprint": text_fingerprint,
     "text_repetition": text_repetition,
     "docs_quality_gate": docs_quality_gate,
+    "docs_curation_drift": docs_curation_drift,
     "docs_top_quality": docs_top_quality,
     "docs_rejected": docs_rejected,
     "text_commonness_score": text_commonness_score,

@@ -3206,3 +3206,58 @@ def test_temperature_mix_replay_and_invariants(spark, ddb):
     s = df.sort_values("token_share")
     assert (s.sampling_boost.diff().dropna() <= 1e-12).all(), \
         "boost must be non-increasing in share"
+
+
+def test_curation_drift_consistency_and_emptied_lang(spark, ddb):
+    """docs_curation_drift must agree with its two constituent green
+    queries on the driver tables (before counts = documents, after
+    counts = quality-gate survivors per language; keep rate never
+    exceeds 1e6; floor shares sum to within n_langs of 1e6) — and on a
+    planted corpus a language the gate EMPTIES keeps its row with
+    zeroed after-columns instead of disappearing or dividing by
+    zero."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import assert_matches_oracle, canonicalize
+
+    assert_matches_oracle(
+        spark.sql(textops.docs_curation_drift(SPARK)), ddb,
+        textops.docs_curation_drift(DUCK))
+
+    df = spark.sql(textops.docs_curation_drift(SPARK)).toPandas()
+    before = dict(spark.sql(
+        "SELECT lang, count(*) FROM documents GROUP BY lang").collect())
+    gate = spark.sql(f"""WITH g AS ({textops.docs_quality_gate(SPARK)})
+        SELECT d.lang, count(*) FROM g JOIN documents d
+        ON d.doc_id = g.doc_id GROUP BY d.lang""")
+    after = dict(gate.collect())
+    for _, r in df.iterrows():
+        assert int(r.docs_before) == before[r.lang]
+        assert int(r.docs_after) == after.get(r.lang, 0)
+        assert int(r.keep_rate_ppm) <= 1_000_000
+    for col in ("share_before_ppm", "share_after_ppm"):
+        s = int(df[col].sum())
+        assert 1_000_000 - len(df) <= s <= 1_000_000, (col, s)
+
+    rows = [
+        (1, "en", "one two three four five six seven eight nine ten "
+                  "eleven twelve unique tokens in this passing doc"),
+        (2, "en", "another passing document with twelve sufficiently "
+                  "distinct tokens present here today okay"),
+        (3, "xx", "too short"),          # < 10 tokens -> gated out
+        (4, "xx", "also tiny"),          # -> lang xx fully emptied
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sdf = canonicalize(ns.sql(textops.docs_curation_drift(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(textops.docs_curation_drift(DUCK)).df())
+    assert sdf.equals(ddf)
+    got = {r.lang: (int(r.docs_after), int(r.toks_after),
+                    int(r.share_after_ppm), int(r.keep_rate_ppm))
+           for _, r in sdf.iterrows()}
+    assert got["xx"] == (0, 0, 0, 0)
+    assert got["en"][2] == 1_000_000   # survivors are all-en
