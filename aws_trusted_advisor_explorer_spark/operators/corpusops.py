@@ -272,6 +272,11 @@ def docs_temperature_mix(d: Dialect) -> str:
     temperature weight, and the sampling boost
     (weight/share — > 1 means the sampler repeats this source).
 
+    Zero guards (ANSI-safe): a token-less source gets boost 0 (it
+    cannot be sampled), and an all-empty corpus zeroes every ratio
+    instead of dividing by zero (Spark ANSI throws; DuckDB would NaN
+    — the guard keeps the engines identical).
+
     Scale posture: one (source) groupBy with map-side combine; all
     later relations are source-cardinality rows (scalar-subquery
     total, no window over docs). Double products are taken after
@@ -298,11 +303,14 @@ tot AS (
   FROM w
 )
 SELECT w.source, w.n_docs, w.src_tokens,
-  cast(w.src_tokens as double) / tot.total_tokens AS token_share,
-  cast(w.w_milli as double) / tot.total_w AS temp_weight,
-  (cast(w.w_milli as double) * cast(tot.total_tokens as double))
-    / (cast(tot.total_w as double) * cast(w.src_tokens as double))
-    AS sampling_boost
+  CASE WHEN tot.total_tokens = 0 THEN cast(0 as double)
+    ELSE cast(w.src_tokens as double) / tot.total_tokens END AS token_share,
+  CASE WHEN tot.total_w = 0 THEN cast(0 as double)
+    ELSE cast(w.w_milli as double) / tot.total_w END AS temp_weight,
+  CASE WHEN w.src_tokens = 0 OR tot.total_w = 0 THEN cast(0 as double)
+    ELSE (cast(w.w_milli as double) * cast(tot.total_tokens as double))
+      / (cast(tot.total_w as double) * cast(w.src_tokens as double))
+  END AS sampling_boost
 FROM w CROSS JOIN tot"""
 
 

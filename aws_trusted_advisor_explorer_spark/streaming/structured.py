@@ -887,9 +887,19 @@ def lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch_docs.createOrReplaceTempView("__lm_batch_docs")
     ctes = lm_model_ctes(SD, table="__lm_batch_docs")
-    c12 = spark.sql(f"WITH {ctes} SELECT lang, bigram, n12 FROM c12")
-    ch = spark.sql(f"WITH {ctes} SELECT lang, w1h, n1 FROM ch")
-    vl = spark.sql(f"WITH {ctes} SELECT lang, v FROM vl")
+    # train ONCE: c12 is the corpus-scale aggregate (tokenize + explode
+    # + count) — checkpoint it and derive ch/vl relationally from the
+    # vocab-sized result (the same aggregates lm_model_ctes defines
+    # over c12 in SQL), instead of re-running the training scan three
+    # times via three independent spark.sql chains
+    c12 = spark.sql(f"WITH {ctes} SELECT lang, bigram, n12 FROM c12") \
+        .localCheckpoint(eager=True)
+    ch = (c12.selectExpr(
+              "lang", f"{SD.elem(SD.split('bigram', ' '), '1')} AS w1h",
+              "n12")
+          .groupBy("lang", "w1h")
+          .agg(F.sum("n12").cast("long").alias("n1")))
+    vl = ch.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("v"))
     c12_rows = _model_rows_or_none(c12, MODEL_BROADCAST_MAX)
 
     is_ref = f"({id_hash_pct(SD, 'doc_id', 'lm')} < {LM_REF_PCT})"
@@ -899,8 +909,9 @@ def lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter("size(bgs) > 0"))
 
     if c12_rows is None:
-        # no-collect tier: the three dims stay DataFrames
-        c12 = c12.localCheckpoint(eager=True)
+        # no-collect tier: the three dims stay DataFrames (c12 is
+        # already checkpointed; ch/vl checkpoint their vocab-sized
+        # derivations so each micro-batch probes frozen relations)
         ch = ch.localCheckpoint(eager=True)
         vl = vl.localCheckpoint(eager=True)
         ex = (docs.select("doc_id", "lang",
@@ -1131,9 +1142,21 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_trusted_advisor_explorer_spark.operators.eventops import (
         INCIDENT_DUR_US, INTERVAL_BUCKET_US,
     )
+    from aws_trusted_advisor_explorer_spark.session import (
+        _nanos_timestamp_cols,
+    )
 
     eus = SD.epoch_us("ts")
-    static = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # the static side needs the same TIMESTAMP(NANOS) normalization as
+    # the batch loader / events_stream: under nanosAsLong a nanos file
+    # reads ts as LONG and epoch_us would misread nanos as seconds,
+    # silently desyncing the bucket keys from the stream side
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        static = static.withColumn(c, F.expr(
+            f"CAST(timestamp_micros({c} DIV 1000) AS TIMESTAMP_NTZ)"))
+    static = (static
               .where("event_type = 'error'")
               .selectExpr("event_id AS incident_id", f"{eus} AS ws")
               .selectExpr(

@@ -3172,9 +3172,11 @@ def _py_temperature_mix(rows):
          for s, (_, t) in counts.items()}
     total_t = sum(t for _, t in counts.values())
     total_w = sum(w.values())
-    return {s: (d, t, t / total_t, w[s] / total_w,
+    return {s: (d, t,
+                t / total_t if total_t else 0.0,
+                w[s] / total_w if total_w else 0.0,
                 (float(w[s]) * float(total_t))
-                / (float(total_w) * float(t)))
+                / (float(total_w) * float(t)) if t and total_w else 0.0)
             for s, (d, t) in counts.items()}
 
 
@@ -3206,6 +3208,30 @@ def test_temperature_mix_replay_and_invariants(spark, ddb):
     s = df.sort_values("token_share")
     assert (s.sampling_boost.diff().dropna() <= 1e-12).all(), \
         "boost must be non-increasing in share"
+
+    # planted token-less source: Spark's ANSI mode must NOT throw
+    # DIVIDE_BY_ZERO (the zero guard), the engines must agree, and the
+    # unsampleable source gets boost 0
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    pdf = pd.DataFrame(
+        [(1, "full", "alpha beta gamma delta"),
+         (2, "full", "epsilon zeta eta theta iota"),
+         (3, "empty", "!!! ... ???")],          # zero [a-z0-9] tokens
+        columns=["doc_id", "source", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sdf = canonicalize(
+        ns.sql(corpusops.docs_temperature_mix(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(corpusops.docs_temperature_mix(DUCK)).df())
+    assert sdf.equals(ddf)
+    by_src = {r.source: float(r.sampling_boost) for _, r in sdf.iterrows()}
+    assert by_src["empty"] == 0.0 and by_src["full"] > 0.0
 
 
 def test_curation_drift_consistency_and_emptied_lang(spark, ddb):
