@@ -281,7 +281,15 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_sliding_window: 1-hour windows hopping
     every 30 minutes via ``F.window(ts, windowDuration, slideDuration)``
     with a 2-hour watermark; exact decimal value sums. Window starts
-    are emitted as epoch seconds to match the batch/oracle output."""
+    are emitted as epoch seconds to match the batch/oracle output.
+
+    Contract boundary: F.window FLOORS window starts while the batch
+    twin's integer bucket arithmetic (``sec div 1800``) TRUNCATES
+    toward zero, so the two assign pre-1970 (negative-epoch) events to
+    different windows — event timestamps before 1970 are out of
+    contract for this twin pair (the fixture generator never emits
+    them; a corpus that needs them should offset epochs the way
+    events_top_paths does)."""
     ev = events_stream(spark, sf_dir)
     ev = ev.withColumn("ts_ltz", F.col("ts").cast(TimestampType()))
     agg = (ev.withWatermark("ts_ltz", "2 hours")
@@ -310,17 +318,24 @@ SESSION_OUTPUT_SCHEMA = StructType([
 
 def _session_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
-    """Custom stateful operator: per-user gap sessionization. Within a
-    micro-batch events are sorted by (us, event_id); state carries
-    (session count, last event time, event count) across batches."""
+    """Custom stateful operator: per-user gap sessionization. The
+    micro-batch's Arrow chunks MUST be concatenated before the one
+    (us, event_id) sort — a user spanning multiple chunks (>
+    arrow.maxRecordsPerBatch events in one batch) arrives in arbitrary
+    chunk order, and per-chunk sorting would replay cross-chunk
+    stragglers out of order and miscount sessions (same hazard as
+    _paths_update documents). State carries (session count, last event
+    time, event count) across batches."""
     (user_id,) = key
     if state.exists:
         n_sessions, last_us, n_events = state.get
     else:
         n_sessions, last_us, n_events = 0, None, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["us", "event_id"])
-        for us in pdf["us"]:
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        allpdf = (pd.concat(chunks, ignore_index=True)
+                  if len(chunks) > 1 else chunks[0])
+        for us in allpdf.sort_values(["us", "event_id"])["us"]:
             us = int(us)
             if last_us is None or us - last_us > SESSION_GAP_US:
                 n_sessions += 1
@@ -437,9 +452,6 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinator (Dialect.shingle_hvs), so stream and batch agree
     exactly in all three tiers."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
-    from aws_trusted_advisor_explorer_spark.functions.vectorized import (
-        make_broadcast_model_udf,
-    )
     from aws_trusted_advisor_explorer_spark.operators.corpusops import (
         BENCH_MOD, CONTAM_NGRAM,
     )
@@ -448,11 +460,15 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     hvs = SD.shingle_hvs(toks, CONTAM_NGRAM)
     batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch_docs.createOrReplaceTempView("__decon_batch_docs")
+    # train ONCE: checkpoint the eval aggregate BEFORE the tier probe
+    # (limit cannot short-circuit a DISTINCT, so probing the raw plan
+    # and then checkpointing would run the training job twice — the
+    # lm_score_stream pattern)
     ev_dim = spark.sql(f"""
         SELECT DISTINCT hv FROM (
           SELECT explode({hvs}) AS hv FROM __decon_batch_docs
           WHERE doc_id % {BENCH_MOD} = 0
-        )""")
+        )""").localCheckpoint(eager=True)
     ev_rows = _model_rows_or_none(ev_dim, MODEL_BROADCAST_MAX)
 
     docs = (documents_stream(spark, sf_dir)
@@ -467,10 +483,9 @@ def decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # model never materializes anywhere whole — the only shape
         # that survives a 1e8+-shingle eval set. explode_outer keeps
         # shingle-less AND null-text docs (they cannot be
-        # contaminated — the batch operator keeps them too).
-        # localCheckpoint materializes the dim executor-side ONCE so
-        # every micro-batch re-joins it instead of re-deriving it.
-        ev_dim = ev_dim.localCheckpoint(eager=True)
+        # contaminated — the batch operator keeps them too). The dim
+        # is already checkpointed (train-once, above), so every
+        # micro-batch re-joins the materialized relation.
         exploded = docs.select(
             "doc_id", "text", "lang",
             F.explode_outer("hvs").alias("hv"))
@@ -551,18 +566,21 @@ def bloom_prefilter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch_docs.createOrReplaceTempView("__bloom_corpus_docs")
     hv = SD.poly_hash("text")
-    probes = ", ".join(
-        f"(hv * {a} + {b}) % {P_MOD} % {BLOOM_BITS} AS p{i}"
-        for i, (a, b) in enumerate(BLOOM_SALTS))
-    pos_union = " UNION ALL ".join(
-        f"SELECT p{i} AS pos FROM cpos" for i in range(len(BLOOM_SALTS)))
+    # one exploded probe ARRAY, not a UNION ALL branch per probe: under
+    # CTE inlining each branch would re-run the interpreted per-char
+    # corpus poly-hash fold — the exact k-times-the-work shape the
+    # batch operator measured and removed (dedup.dedup_bloom_prefilter,
+    # 2.0s -> 0.7s at sf0.1)
+    probe_arr = ", ".join(
+        f"(hv * {a} + {b}) % {P_MOD} % {BLOOM_BITS}"
+        for a, b in BLOOM_SALTS)
     words_dim = spark.sql(f"""
         WITH k AS (SELECT {hv} AS hv FROM __bloom_corpus_docs
                    WHERE source <> '{INCREMENTAL_BATCH_SOURCE}'),
-        cpos AS (SELECT {probes} FROM k)
+        cpos AS (SELECT explode(array({probe_arr})) AS pos FROM k)
         SELECT pos div 63 AS word_idx,
                bit_or(shiftleft(cast(1 as bigint), cast(pos % 63 as int))) AS bits
-        FROM ({pos_union}) GROUP BY pos div 63""")
+        FROM cpos GROUP BY pos div 63""")
     docs = documents_stream(spark, sf_dir)
     out = (docs
            .filter(F.col("source") == INCREMENTAL_BATCH_SOURCE)
@@ -679,9 +697,10 @@ def _funnel_update(key, pdfs, state: GroupState):
     """Stateful funnel progression (streaming twin of
     eventops.events_funnel): per user, advance through FUNNEL_STEPS on
     the first event of the next step STRICTLY AFTER the current step's
-    entry time. State is two scalars; events are replayed in (us,
-    event_id) order inside each batch, matching the batch query's
-    total order. ASSUMPTION: per-user arrival order respects event
+    entry time. State is two scalars; the micro-batch's Arrow chunks
+    are concatenated BEFORE the one (us, event_id) sort (per-chunk
+    sorting would replay cross-chunk stragglers out of order — the
+    _paths_update hazard), matching the batch query's total order. ASSUMPTION: per-user arrival order respects event
     time ACROSS micro-batches (true for time-ordered log ingestion and
     for the staged test input) — the state machine never rewinds, so a
     step-k event arriving in an earlier batch than its step-(k-1)
@@ -697,9 +716,11 @@ def _funnel_update(key, pdfs, state: GroupState):
         step, entry_us = state.get
     else:
         step, entry_us = 0, None
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["us", "event_id"])
-        for r in pdf.itertuples():
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        allpdf = (pd.concat(chunks, ignore_index=True)
+                  if len(chunks) > 1 else chunks[0])
+        for r in allpdf.sort_values(["us", "event_id"]).itertuples():
             if step >= len(FUNNEL_STEPS):
                 break
             want = FUNNEL_STEPS[step]
@@ -707,8 +728,10 @@ def _funnel_update(key, pdfs, state: GroupState):
                 continue
             us = int(r.us)
             if step == 0:
-                if entry_us is None or us < entry_us:
-                    entry_us = us
+                # step 0 implies entry_us is None (entry_us is only
+                # ever set together with step >= 1 and the machine
+                # never rewinds)
+                entry_us = us
                 step = 1
             elif us > entry_us:
                 entry_us = us
@@ -797,7 +820,11 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query reads — review finding r2)
     batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch_docs.createOrReplaceTempView("__nb_batch_docs")
-    w_dim = spark.sql(nb_weights_sql(SD, table="__nb_batch_docs"))
+    # train ONCE: checkpoint before the tier probe (limit cannot
+    # short-circuit the training aggregate — the lm_score_stream
+    # pattern)
+    w_dim = spark.sql(nb_weights_sql(SD, table="__nb_batch_docs")) \
+        .localCheckpoint(eager=True)
     w_rows = _model_rows_or_none(w_dim, MODEL_BROADCAST_MAX)
 
     toks = SD.tokens("text")
@@ -808,11 +835,11 @@ def nb_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if w_rows is None:
         # no-collect tier: explode to (doc, token), stream-static
         # equi-join the weight dim (no hint — auto-broadcast while it
-        # fits, shuffled join past the threshold; never collect()ed),
+        # fits, shuffled join past the threshold; never collect()ed;
+        # already checkpointed by the train-once step above),
         # per-doc sum/count rebuild. coalesce supplies the
         # unseen-token prior, exactly like the map-literal and kernel
         # tiers.
-        w_dim = w_dim.localCheckpoint(eager=True)
         exploded = docs.select(
             "doc_id", F.explode("toks").alias("tok"))
         tagged = exploded.join(
@@ -1150,7 +1177,11 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the static side needs the same TIMESTAMP(NANOS) normalization as
     # the batch loader / events_stream: under nanosAsLong a nanos file
     # reads ts as LONG and epoch_us would misread nanos as seconds,
-    # silently desyncing the bucket keys from the stream side
+    # silently desyncing the bucket keys from the stream side. Set the
+    # conf HERE, not only in events_stream (called later) — on a fresh
+    # session the static read below would otherwise reject the nanos
+    # file outright ("Illegal Parquet type")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     static = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):

@@ -567,3 +567,55 @@ def test_interval_join_stream_equals_batch(spark):
     want = {tuple(r)
             for r in spark.sql(eventops.events_interval_join(SPARK)).collect()}
     assert got and got == want
+
+
+def test_stateful_kernels_sort_across_arrow_chunks(spark, tmp_path):
+    """Regression for the per-chunk-sort hazard: with
+    arrow.maxRecordsPerBatch forced to 1, a user whose events arrive
+    in REVERSE time order spans many Arrow chunks in anti-chronological
+    order — the kernels must concatenate before the one (us, event_id)
+    sort. Pre-fix, sessionize counted 1 session instead of 3 (each
+    chunk sorted alone replays stragglers out of order) and the funnel
+    missed the view->click->purchase progression entirely."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2026, 1, 1)
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    # reverse-chronological file order; gaps of 3600s > SESSION_GAP
+    rows = [
+        (5, ts(8000), 1, "purchase", 0.0, "{}"),
+        (4, ts(7200), 1, "view", 0.0, "{}"),      # wrong-order step
+        (3, ts(7500), 1, "click", 0.0, "{}"),
+        (2, ts(3600), 1, "click", 0.0, "{}"),
+        (1, ts(0), 1, "view", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf.astype({"ts": "datetime64[us]"}).to_parquet(
+        tmp_path / "events.parquet")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+        structured.run_stream_to_memory(
+            structured.sessionize_stream(spark, str(tmp_path)),
+            "chunk_sessions", output_mode="update")
+        got = {(r.user_id, r.n_sessions, r.n_events)
+               for r in spark.table("chunk_sessions").collect()}
+        # chronological: 0 | 3600 | 7200,7500,8000 -> 3 sessions
+        assert got == {(1, 3, 5)}
+
+        structured.run_stream_to_memory(
+            structured.funnel_stream(spark, str(tmp_path)),
+            "chunk_funnel", output_mode="update")
+        got_f = {(r.user_id, r.step_reached)
+                 for r in spark.table("chunk_funnel").collect()}
+        # chronological: view@0 -> click@3600 -> purchase@8000 = step 3
+        assert got_f == {(1, 3)}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
