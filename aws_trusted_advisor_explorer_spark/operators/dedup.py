@@ -543,11 +543,20 @@ def dedup_exact_normalized(d: Dialect) -> str:
     the 128-bit hash of the NORMALIZED text, never the text itself.
     One row per normalized-duplicate group; ``n_raw_variants`` counts
     distinct raw texts inside the group (1 means plain exact dup,
-    >1 means normalization did real work)."""
+    >1 means normalization did real work).
+
+    Docs whose normalized form is EMPTY (no [a-z0-9] at all — e.g.
+    fully non-Latin text under this ASCII normalization) are excluded
+    from grouping: they are incomparable under the rule, and grouping
+    them would collapse arbitrary unrelated non-ASCII documents into
+    one false "duplicate" set whose keeper rule then drops real
+    content. A multilingual corpus needs a script-aware normalizer
+    before this rung; the exclusion keeps the operator safe rather
+    than silently destructive there."""
     norm = f"trim({d.re_replace('lower(text)', '[^a-z0-9]+', ' ')})"
     return f"""WITH k AS (
   SELECT doc_id, md5({norm}) AS norm_key, md5(text) AS raw_key
-  FROM documents
+  FROM documents WHERE {norm} <> ''
 )
 SELECT norm_key, min(doc_id) AS keeper_id,
   cast(count(*) as bigint) AS n_copies,
@@ -644,6 +653,19 @@ _SPAN_STATE: dict[int, tuple[object, object, list]] = {}
 _TOKEN_STATE: dict[int, tuple[object, object, list]] = {}
 
 
+def _tpos_from_t(d: Dialect) -> str:
+    """Positional token relation ``tpos(doc_id, pos, tok)`` derived
+    from an in-scope ``t(doc_id, toks)`` CTE — the ONE template shared
+    by the materialized token plane (ensure_token_view) and the
+    self-contained docs_span_scrub oracle, so the Spark plane and the
+    DuckDB rendering can never drift apart."""
+    tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
+    tarr = d.transform(d.seq("1", d.arr_len("toks")), "i", tst)
+    return f"""tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t
+       WHERE {d.arr_len('toks')} >= 1),
+tpos AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp)"""
+
+
 def ensure_token_view(spark, key: object = None) -> str:
     """Materialize the positional token plane ``__doc_token_pos``
     (doc_id, pos, tok) once per (session, dataset) — the cheap prefix
@@ -657,11 +679,13 @@ def ensure_token_view(spark, key: object = None) -> str:
 
     def build(spark):
         d = SPARK
-        tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
-        tarr = d.transform("sequence(1, size(toks))", "i", tst)
-        tp = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
-tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t WHERE size(toks) >= 1)
-SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp""").localCheckpoint(eager=True)
+        # ONE template (the _tpos_from_t the scrub oracle inlines) —
+        # a hand-restated copy here could silently desync the
+        # materialized Spark plane from the DuckDB oracle
+        tp = spark.sql(
+            f"WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks "
+            f"FROM documents),\n{_tpos_from_t(d)}\n"
+            f"SELECT doc_id, pos, tok FROM tpos").localCheckpoint(eager=True)
         tp.createOrReplaceTempView(TOKEN_POS_VIEW)
         return [tp]
 
@@ -684,14 +708,12 @@ def ensure_span_views(spark, key: object = None) -> str:
     ensure_token_view(spark, key)
 
     def build(spark):
-        d = SPARK
-        hvs = d.shingle_hvs("toks", SPAN_GRAM)
-        st = d.struct_(("pos", "i"), ("hv", d.elem("hvs", "i")))
-        arr = d.transform("sequence(1, size(hvs))", "i", st)
-        g = spark.sql(f"""WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks FROM documents),
-h AS (SELECT doc_id, {hvs} AS hvs FROM t),
-ps AS (SELECT doc_id, {d.explode(arr)} AS s FROM h WHERE size(hvs) >= 1)
-SELECT doc_id, s.pos AS pos, s.hv AS hv FROM ps""").localCheckpoint(eager=True)
+        # ONE template — the same _span_gram_cte the oracle and the
+        # standalone tests render (a restated copy here is the drift
+        # hazard the dual-dialect invariant exists to prevent)
+        g = spark.sql(
+            f"WITH {_span_gram_cte(SPARK, None)}\n"
+            f"SELECT doc_id, pos, hv FROM g").localCheckpoint(eager=True)
         g.createOrReplaceTempView(SPAN_GRAM_VIEW)
         return [g]
 
@@ -729,11 +751,7 @@ def docs_span_scrub(d: Dialect, base: str | None = None) -> str:
     if base is not None:
         tpos_cte = f"tpos AS (SELECT doc_id, pos, tok FROM {TOKEN_POS_VIEW})"
     else:
-        tst = d.struct_(("pos", "i"), ("tok", d.elem("toks", "i")))
-        tarr = d.transform(d.seq("1", d.arr_len("toks")), "i", tst)
-        tpos_cte = f"""tp AS (SELECT doc_id, {d.explode(tarr)} AS s FROM t
-       WHERE {d.arr_len('toks')} >= 1),
-tpos AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tp)"""
+        tpos_cte = _tpos_from_t(d)
     return f"""WITH {_span_gram_cte(d, base)},
 dup AS (SELECT hv, min(doc_id) AS keeper_doc FROM g GROUP BY hv
         HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
@@ -854,9 +872,14 @@ def dedup_bloom_prefilter(d: Dialect, base: str | None = None) -> str:
     Scale posture (100 TB): the filter relation is {BLOOM_BITS}/64 rows
     regardless of corpus size — broadcast to every probe task; the
     batch side probes with a {BLOOM_K}-row-per-doc broadcast join and
-    NEVER shuffles the corpus. The guarantee that makes a prefilter
-    sound: no false negatives — ``exact_in_corpus`` implies
-    ``bloom_maybe`` (pytest-pinned); false positives only cost a
+    NEVER shuffles the corpus. The ``exact_in_corpus`` truth arm is
+    keyed on md5(text) — the same 128-bit collision-nil key the exact
+    dedup rungs use — NOT on the ~30-bit probe poly-hash, whose
+    collisions would fabricate "exact" membership at corpus scale
+    (expected |batch|·|corpus|/1e9 false hits). The guarantee that
+    makes a prefilter sound: no false negatives — ``exact_in_corpus``
+    implies ``bloom_maybe`` (same text ⇒ same probe hash;
+    pytest-pinned); false positives only cost a
     wasted exact check downstream. At real scale, size m ~ 10 bits per
     corpus key for ~1% FP and keep the same plan shape."""
     probes = ", ".join(
@@ -903,12 +926,17 @@ hits AS (
 verdict AS (
   SELECT doc_id, cast(min(hit) = 1 as boolean) AS bloom_maybe
   FROM hits GROUP BY doc_id
+),
+ck AS (
+  SELECT doc_id, source, md5(text) AS ckey FROM documents
 )
 SELECT v.doc_id, v.bloom_maybe,
-  cast(c.hv IS NOT NULL as boolean) AS exact_in_corpus
+  cast(c.ckey IS NOT NULL as boolean) AS exact_in_corpus
 FROM verdict v
-JOIN batch b ON b.doc_id = v.doc_id
-LEFT JOIN (SELECT DISTINCT hv FROM corpus) c ON c.hv = b.hv"""
+JOIN ck b ON b.doc_id = v.doc_id
+LEFT JOIN (SELECT DISTINCT ckey FROM ck
+           WHERE source <> '{INCREMENTAL_BATCH_SOURCE}') c
+  ON c.ckey = b.ckey"""
 
 
 INCREMENTAL_BATCH_SOURCE = "src0"  # the "incoming crawl" slice in tests
@@ -999,6 +1027,14 @@ def dedup_simhash(d: Dialect, base: str | None = None) -> str:
         band_arr = "[" + ", ".join(band_strs) + "]"
     hamming = f"bit_count({d.xor('a.sh', 'b.sh')})"
     if base is not None:
+        # same wrong-relation guard as _shingle_cte: the weighting
+        # needs the OCCURRENCE-level plane — a distinct-shingle view
+        # would silently drop the frequency weights and desync the
+        # Spark signature from the always-occurrence-weighted oracle
+        if base != SHINGLE_VIEW:
+            raise ValueError(
+                f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
+                f"(occurrence-level), got {base!r}")
         prefix = f"WITH th AS (SELECT doc_id, hv FROM {base})"
     else:
         prefix = f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -1423,22 +1459,23 @@ SELECT r.node AS doc_id, r.rank AS rank_scaled, g.d AS degree
 FROM r{PAGERANK_ITERS} r JOIN deg g ON g.src = r.node"""
 
 
-def dedup_graph_pagerank_df(spark, base: str | None = None,
-                            pairs_view: str | None = None):
-    """Spark-side PageRank entry: materialize the MinHash pair
-    relation ONCE (localCheckpoint) before the unrolled iterations —
-    Spark inlines CTEs, so the SQL form would re-run the whole minhash
-    pipeline for every reference to the edge list (2 directions x
-    {PAGERANK_ITERS} iterations). The persisted-edge-list-then-iterate
-    split is exactly how a cluster runs it; the self-contained SQL
-    stays as the DuckDB oracle (values identical — pytest)."""
+def dedup_graph_pagerank_df(spark, pairs_view: str | None = None):
+    """Spark-side PageRank entry: iterate over a MATERIALIZED pair
+    relation — Spark inlines CTEs, so the SQL form would re-run the
+    whole minhash pipeline for every reference to the edge list (2
+    directions x {PAGERANK_ITERS} iterations). With no ``pairs_view``
+    the session pair-graph plane (ensure_minhash_pairs_view — PageRank
+    is one of its named consumers) is built/reused. The persisted-
+    edge-list-then-iterate split is exactly how a cluster runs it; the
+    self-contained SQL stays as the DuckDB oracle (values identical —
+    pytest)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK as SD
 
     if pairs_view is None:
-        pairs = spark.sql(
-            dedup_minhash_lsh(SD, base)).localCheckpoint(eager=True)
-        pairs.createOrReplaceTempView("__pagerank_pairs")
-        pairs_view = "__pagerank_pairs"
+        # reuse the session pair-graph plane (PageRank is one of its
+        # named consumers) instead of re-running the MinHash pipeline
+        # into an unmanaged checkpoint per call
+        pairs_view = ensure_minhash_pairs_view(spark)
     return spark.sql(dedup_graph_pagerank(SD, pairs_view=pairs_view))
 
 
@@ -1578,8 +1615,6 @@ WINNOW_W = 4              # gram positions per winnow window
 WINNOW_POS_SHIFT = 2 ** 31  # (hv, pos) -> one int64 window key (no overflow:
 #                             hv < P_MOD < 2^30, so hv*SHIFT + pos < 2^61)
 WINNOW_DF_CAP = 64        # drop fingerprints shared by more docs than this
-WINNOW_MIN_SHARED = 1     # recall-preserving: a minimal guaranteed match
-#                           (one full shared window) yields ONE shared fp
 
 
 def _winnow_fp_cte(d: Dialect, base: str | None = None) -> str:
@@ -1671,29 +1706,30 @@ def dedup_winnow_overlap(d: Dialect, base: str | None = None) -> str:
     Scale posture (100 TB): the pair join runs on the fingerprint
     relation after a document-frequency cap ({WINNOW_DF_CAP}) drops
     boilerplate fingerprints — fan-out per hash is df-bounded exactly
-    like the capped shingle join; the per-doc size dim ``nf`` is
-    doc-count-sized. The full gram relation is never self-joined."""
+    like the capped shingle join; the per-doc fingerprint counts ride
+    ``fpc`` as ONE window column instead of a separate size dim, so
+    the self-join's two sides are the ONLY references to the winnowed
+    chain (each extra reference would re-run the window pass +
+    DF cap under CTE inlining). The full gram relation is never
+    self-joined. Every shared fingerprint makes a candidate — the
+    Schleimer guarantee needs exactly one, so there is no min-shared
+    knob to tune."""
     ca = d.cte_as()
     return f"""WITH {_winnow_fp_cte(d, base)},
 fpd {ca} (SELECT DISTINCT doc_id, hv FROM fp),
 keep AS (SELECT hv FROM fpd GROUP BY hv
          HAVING count(*) <= {WINNOW_DF_CAP}),
-fpc {ca} (SELECT f.doc_id, f.hv FROM fpd f JOIN keep k ON k.hv = f.hv),
-nf AS (SELECT doc_id, cast(count(*) as bigint) AS nfp
-       FROM fpc GROUP BY doc_id),
-cand AS (
-  SELECT a.doc_id AS da, b.doc_id AS db,
-    cast(count(*) as bigint) AS shared
-  FROM fpc a JOIN fpc b ON b.hv = a.hv AND b.doc_id > a.doc_id
-  GROUP BY a.doc_id, b.doc_id
-  HAVING count(*) >= {WINNOW_MIN_SHARED}
+fpc {ca} (
+  SELECT f.doc_id, f.hv,
+    cast(count(*) OVER (PARTITION BY f.doc_id) as bigint) AS nfp
+  FROM fpd f JOIN keep k ON k.hv = f.hv
 )
-SELECT c.da AS doc_a, c.db AS doc_b, c.shared AS n_shared_fp,
-  na.nfp AS n_fp_a, nb.nfp AS n_fp_b,
-  cast(c.shared as double) / (na.nfp + nb.nfp - c.shared) AS fp_jaccard
-FROM cand c
-JOIN nf na ON na.doc_id = c.da
-JOIN nf nb ON nb.doc_id = c.db"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  cast(count(*) as bigint) AS n_shared_fp,
+  a.nfp AS n_fp_a, b.nfp AS n_fp_b,
+  cast(count(*) as double) / (a.nfp + b.nfp - count(*)) AS fp_jaccard
+FROM fpc a JOIN fpc b ON b.hv = a.hv AND b.doc_id > a.doc_id
+GROUP BY a.doc_id, b.doc_id, a.nfp, b.nfp"""
 
 
 BUILDERS = {

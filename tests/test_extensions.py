@@ -3287,3 +3287,38 @@ def test_curation_drift_consistency_and_emptied_lang(spark, ddb):
            for _, r in sdf.iterrows()}
     assert got["xx"] == (0, 0, 0, 0)
     assert got["en"][2] == 1_000_000   # survivors are all-en
+
+
+def test_exact_normalized_excludes_unnormalizable_docs(spark):
+    """ASCII normalization maps fully non-Latin text to '' — such docs
+    are incomparable under the rule and must NOT collapse into one
+    false duplicate group (pre-fix, every non-ASCII doc in the corpus
+    shared md5('') and the keeper rule would drop all but one). Case/
+    punctuation variants must still group; Spark == DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),        # normalizes equal to doc 1
+        (3, "你好世界"),          # non-Latin -> ''
+        (4, "完全不同的文本"),  # different, also ''
+        (5, "unique ascii text here"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = canonicalize(
+        ns.sql(dedup.dedup_exact_normalized(SPARK)).toPandas())
+    ddf = canonicalize(
+        con.sql(dedup.dedup_exact_normalized(DUCK)).df())
+    assert sdf.equals(ddf)
+    # exactly ONE group: {1, 2}; the two non-Latin docs never group
+    assert len(sdf) == 1
+    assert int(sdf.keeper_id.iloc[0]) == 1
+    assert int(sdf.n_copies.iloc[0]) == 2
