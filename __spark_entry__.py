@@ -865,7 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_winnow_fingerprints"] = _span_backed_query(
         "docs_winnow_fingerprints")
     q["dedup_winnow_overlap"] = _span_backed_query("dedup_winnow_overlap")
-    for key in ("text_tfidf_topk", "text_commonness_score"):
+    for key in ("text_tfidf_topk", "text_commonness_score",
+                "docs_bm25_topk", "docs_boolean_search"):
         q[key] = _token_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["docs_hybrid_search_rrf"] = _shingle_backed_query(

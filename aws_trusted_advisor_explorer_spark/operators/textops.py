@@ -93,26 +93,35 @@ s AS (
   {score_cols}
   FROM t
 )
-SELECT doc_id, lang_actual, score_en, score_de, score_es, score_fr, score_zh,
+SELECT doc_id, lang_actual, {", ".join(f"score_{l}" for l, _ in LANG_PROFILES)},
   {argmax} AS lang_pred
 FROM s"""
 
 
 def text_quality(d: Dialect) -> str:
     """Quality scoring: length, stopword ratio, mean word length,
-    type-token ratio -> weighted composite score in [0, ~1]."""
+    type-token ratio -> weighted composite score in [0, ~1].
+    Zero-token documents get NULL ratios and a NULL score via the same
+    CASE guard as text_token_stats (Spark ANSI THROWS on the unguarded
+    division while DuckDB returns NULL — the guard is what keeps the
+    engines row-identical on non-Latin/empty docs)."""
     n_tok = d.arr_len("toks")
     n_dist = d.arr_len(d.arr_distinct("toks"))
     n_stop = d.arr_len(d.filter_("toks", "x", f"x IN {_in_list(STOPWORDS)}"))
     sum_len = d.fold(d.transform("toks", "x", "cast(length(x) as bigint)"),
                      "cast(0 as bigint)", "a", "b", "a + b")
+
+    def ratio(num: str) -> str:
+        return (f"CASE WHEN {n_tok} = 0 THEN cast(NULL as double) "
+                f"ELSE cast({num} as double) / {n_tok} END")
+
     return f"""{_toks_cte(d)},
 m AS (
   SELECT doc_id,
     cast({n_tok} as bigint) AS n_tokens,
-    cast({n_stop} as double) / {n_tok} AS stopword_ratio,
-    cast({sum_len} as double) / {n_tok} AS avg_word_len,
-    cast({n_dist} as double) / {n_tok} AS type_token_ratio
+    {ratio(n_stop)} AS stopword_ratio,
+    {ratio(sum_len)} AS avg_word_len,
+    {ratio(n_dist)} AS type_token_ratio
   FROM t
 )
 SELECT doc_id, n_tokens, stopword_ratio, avg_word_len, type_token_ratio,
@@ -210,7 +219,8 @@ def docs_quality_gate(d: Dialect) -> str:
 m AS (
   SELECT doc_id, md5(text) AS content_key,
     cast({n_tok} as bigint) AS n_tokens,
-    cast({n_dist} as double) / {n_tok} AS type_token_ratio
+    CASE WHEN {n_tok} = 0 THEN cast(NULL as double)
+      ELSE cast({n_dist} as double) / {n_tok} END AS type_token_ratio
   FROM t
 ),
 kept AS (
@@ -453,18 +463,24 @@ def lm_model_ctes(d: Dialect, table: str = "documents") -> str:
     counts, an aggregate of c12), vl (per-language head-vocab sizes)
     — SHARED between the batch scorer and the streaming twin
     (structured.lm_score_stream) so the frozen model is one
-    implementation, never a drifted copy."""
+    implementation, never a drifted copy. The salted ref-slice hash
+    (an interpreted per-character fold) is computed ONCE per document
+    in t and carried as a boolean through the occurrence relation —
+    filtering bg on the hash expression directly would re-run the
+    fold once per bigram occurrence (the _nb_train_ctes shape)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import id_hash_pct
 
     toks = d.tokens("text")
     w1 = d.elem(d.split("bigram", " "), "1")
     pct = id_hash_pct(d, "doc_id", "lm")
-    return f"""t AS (SELECT doc_id, lang, {toks} AS toks FROM {table}),
-bg0 AS (SELECT doc_id, lang, {d.explode(d.shingles('toks', 2))} AS bigram FROM t),
-bg AS (SELECT doc_id, lang, bigram, {w1} AS w1h FROM bg0),
+    return f"""t AS (SELECT doc_id, lang, {toks} AS toks,
+  ({pct} < {LM_REF_PCT}) AS in_ref FROM {table}),
+bg0 AS (SELECT doc_id, lang, in_ref,
+  {d.explode(d.shingles('toks', 2))} AS bigram FROM t),
+bg AS (SELECT doc_id, lang, in_ref, bigram, {w1} AS w1h FROM bg0),
 c12 AS (
   SELECT lang, bigram, cast(count(*) as bigint) AS n12
-  FROM bg WHERE {pct} < {LM_REF_PCT}
+  FROM bg WHERE in_ref
   GROUP BY lang, bigram
 ),
 ch AS (
@@ -1226,7 +1242,11 @@ def _bpe_train_rounds(spark, base: str | None = None,
                 break
         rounds.append(sel)
         if not sel:
-            continue  # dictionary fully merged: remaining rounds no-op
+            # an empty selection means no 2+-symbol word remains — an
+            # irreversible state, so later rounds could only select
+            # nothing too; break instead of paying a dead dictionary
+            # aggregate + collect (~150-300 ms/job) per leftover round
+            break
         pairs_lit = d.arr_lit([f"'{left} {right}'" for left, right, _ in sel])
         kept, rebuilt = _bpe_merge_set_exprs(d, "mp")
         words = (words.withColumn("mp", F.expr(pairs_lit))
@@ -1284,7 +1304,9 @@ def ensure_bpe_merges(spark, key: object = None,
 
 
 def bpe_apply_python(tok: str, flat_merges: list[tuple[str, str]]) -> int:
-    """Pure-Python greedy BPE apply (merge count for one token):
+    """Pure-Python greedy BPE apply — returns the POST-MERGE SYMBOL
+    count for one token (the BPE token count, ``len(syms)`` — NOT the
+    number of merges applied):
     replays the flat merge list sequentially with the same
     leftmost-non-overlapping scan the SQL expressions implement — the
     broadcast-model kernel AND the test oracle for the expression
@@ -1466,7 +1488,7 @@ QUERY_TERMS = ("hash", "join", "table")
 BM25_TOP_K = 10
 
 
-def docs_boolean_search(d: Dialect) -> str:
+def docs_boolean_search(d: Dialect, base: str | None = None) -> str:
     """Conjunctive boolean retrieval (the inverted-index AND query,
     relationally): documents containing ALL query terms, with the
     total query-term frequency as a crude rank signal.
@@ -1475,14 +1497,20 @@ def docs_boolean_search(d: Dialect) -> str:
     aggregation — the exploded token stream is cut to query-term rows
     immediately (predicate on the generator output, fused by codegen),
     so the exchange carries only (doc_id, term) rows for the handful
-    of query terms, a tiny fraction of the corpus. With a prebuilt
+    of query terms, a tiny fraction of the corpus. With ``base`` (the
+    session token plane, Spark side) the tokenize+explode prefix is a
+    cache read instead of a corpus scan. With a prebuilt
     posting-list table bucketed by term this becomes a k-way
     merge-intersection with zero scan."""
     n_terms = len(QUERY_TERMS)
-    return f"""WITH e AS (
+    if base is not None:
+        e_cte = f"e AS (SELECT doc_id, tok AS term FROM {base})"
+    else:
+        e_cte = f"""e AS (
   SELECT doc_id, {d.explode('toks')} AS term
   FROM (SELECT doc_id, {d.tokens('text')} AS toks FROM documents) t
-),
+)"""
+    return f"""WITH {e_cte},
 q AS (
   SELECT doc_id, term, cast(count(*) as bigint) AS tf
   FROM e WHERE term IN {_in_list(QUERY_TERMS)}
@@ -1493,7 +1521,7 @@ SELECT doc_id, cast(count(*) as bigint) AS n_terms_matched,
 FROM q GROUP BY doc_id HAVING count(*) = {n_terms}"""
 
 
-def docs_bm25_topk(d: Dialect) -> str:
+def docs_bm25_topk(d: Dialect, base: str | None = None) -> str:
     """BM25 top-{BM25_TOP_K} ranking for the fixed conjunctive-free
     query (Robertson/Sparck Jones probabilistic retrieval; the
     Okapi BM25 form with k1=6/5, b=3/4) — kept EXACT in bigints by
@@ -1515,9 +1543,27 @@ def docs_bm25_topk(d: Dialect) -> str:
     Scale posture: tf is computed only for query-term rows (filter
     before aggregate); df/N/sum_dl are constant-size dimensions
     broadcast into the score projection; the final top-k is ORDER BY +
-    LIMIT -> distributed TakeOrdered, no global sort."""
+    LIMIT -> distributed TakeOrdered, no global sort. With ``base``
+    (the session token plane, Spark side) the doc-length stats AND the
+    posting rows both read the cached plane — the self-contained form
+    tokenizes the corpus twice (docstats + e) under CTE inlining.
+    Zero-token docs are absent from the plane but contribute nothing
+    to sum_dl and can never be scored (no query-term row), so only
+    n_docs must come from the documents table itself."""
     dl = d.arr_len(d.tokens("text"))
-    return f"""WITH docstats AS (
+    if base is not None:
+        prefix = f"""docstats AS (
+  SELECT doc_id, cast(count(*) as bigint) AS dl FROM {base} GROUP BY doc_id
+),
+corpus AS (
+  SELECT (SELECT cast(count(*) as bigint) FROM documents) AS n_docs,
+    (SELECT cast(count(*) as bigint) FROM {base}) AS sum_dl
+),
+e AS (
+  SELECT doc_id, tok AS term FROM {base}
+)"""
+    else:
+        prefix = f"""docstats AS (
   SELECT doc_id, cast({dl} as bigint) AS dl FROM documents
 ),
 corpus AS (
@@ -1527,7 +1573,8 @@ corpus AS (
 e AS (
   SELECT doc_id, {d.explode('toks')} AS term
   FROM (SELECT doc_id, {d.tokens('text')} AS toks FROM documents) t
-),
+)"""
+    return f"""WITH {prefix},
 tf AS (
   SELECT doc_id, term, cast(count(*) as bigint) AS tf
   FROM e WHERE term IN {_in_list(QUERY_TERMS)}

@@ -3322,3 +3322,34 @@ def test_exact_normalized_excludes_unnormalizable_docs(spark):
     assert len(sdf) == 1
     assert int(sdf.keeper_id.iloc[0]) == 1
     assert int(sdf.n_copies.iloc[0]) == 2
+
+
+def test_text_quality_zero_token_docs_parity(spark):
+    """Regression (review-verified crash): zero-token docs (CJK-only,
+    empty) must yield NULL ratios/score in BOTH engines instead of
+    throwing DIVIDE_BY_ZERO under Spark ANSI — same guard contract as
+    text_token_stats; composers docs_top_quality and the cutoff
+    calibration must run on the same corpus too."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    rows = [(1, "a fine document with several proper tokens"),
+            (2, "纯中文文档"),     # zero [a-z0-9] tokens
+            (3, ""),
+            (4, "short but fine")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    for key in ("text_quality", "docs_top_quality",
+                "docs_quality_cutoff_calibration"):
+        sdf = canonicalize(ns.sql(getattr(textops, key)(SPARK)).toPandas())
+        ddf = canonicalize(con.sql(getattr(textops, key)(DUCK)).df())
+        assert sdf.equals(ddf), key
+    q = ns.sql(textops.text_quality(SPARK)).toPandas()
+    z = q[q.doc_id.isin([2, 3])]
+    assert z.quality_score.isna().all() and z.type_token_ratio.isna().all()
