@@ -79,9 +79,14 @@ def docs_pack_bins_df(spark):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    # ONE tokenizer definition (Dialect.tokens) — a hardcoded copy
+    # here would silently diverge from the SQL twin if the token
+    # regex ever changes
     t = spark.sql(
-        "SELECT doc_id, cast(size(regexp_extract_all(lower(text), "
-        "'[a-z0-9]+', 0)) as bigint) AS n_toks FROM documents")
+        f"SELECT doc_id, cast({SPARK.arr_len(SPARK.tokens('text'))} "
+        f"as bigint) AS n_toks FROM documents")
     ranged = (t.repartitionByRange(32, "doc_id")
               .withColumn("pid", F.spark_partition_id()))
     # phase 1: per-partition totals (rows = #partitions, driver-safe)
@@ -157,15 +162,13 @@ def ensure_contam_view(spark, key: object = None) -> str:
     compute the contaminated-id list once, reuse it for the report,
     the shipping anti-join, and the audit)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        register_session_plane,
+    )
 
-    def build(spark):
-        df = spark.sql(docs_contamination(SPARK)).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(CONTAM_VIEW)
-        return [df]
-
-    ensure_session_plane(_CONTAM_STATE, spark, key, build)
-    return CONTAM_VIEW
+    return register_session_plane(
+        _CONTAM_STATE, spark, key, CONTAM_VIEW,
+        lambda s: s.sql(docs_contamination(SPARK)))
 
 
 def docs_contamination(d: Dialect, base: str | None = None) -> str:
@@ -250,8 +253,10 @@ g AS (
   FROM t GROUP BY source, lang
 )
 SELECT source, lang, n_docs, total_tokens,
-  cast(total_tokens as double) / (SELECT cast(sum(total_tokens) as bigint) FROM g)
-    AS token_share
+  CASE WHEN (SELECT sum(total_tokens) FROM g) = 0 THEN cast(NULL as double)
+    ELSE cast(total_tokens as double)
+      / (SELECT cast(sum(total_tokens) as bigint) FROM g)
+  END AS token_share
 FROM g"""
 
 
@@ -384,6 +389,11 @@ def docs_language_balance_plan(d: Dialect) -> str:
 
     Scale posture: one (lang) groupBy + a 2-scalar broadcast (total
     tokens, language count); output is language-cardinality rows.
+    Int64 bound (money-sum discipline, same as docs_curation_drift):
+    the ppm numerator is ``total_tokens · 1e6``, safe while the corpus
+    holds under ~9.2e12 tokens; past that drop the scale to per-mille
+    (both engines THROW on the overflow rather than silently wrap, so
+    the bound is enforced, not assumed).
     """
     n_toks = d.arr_len(d.tokens("text"))
     return f"""WITH t AS (
@@ -400,7 +410,9 @@ tot AS (
   FROM g
 )
 SELECT g.lang, g.n_docs, g.lang_tokens,
-  cast(g.lang_tokens as double) / tot.total_tokens AS current_share,
+  CASE WHEN tot.total_tokens = 0 THEN cast(NULL as double)
+    ELSE cast(g.lang_tokens as double) / tot.total_tokens
+  END AS current_share,
   cast(1 as double) / tot.n_langs AS target_share,
   CASE WHEN g.lang_tokens = 0 THEN cast(1000000 as bigint)
        ELSE least(cast(1000000 as bigint),
@@ -414,17 +426,21 @@ def docs_split_token_budget(d: Dialect) -> str:
     and token share for each train/val/test split — the first question
     asked of a prepared corpus ("how many tokens does my train split
     actually hold?"), answered from the same deterministic hash-mod
-    assignment the split ships with. One lang-free groupBy over the
-    zero-shuffle split projection; shares are single divisions of
-    exact bigints."""
+    assignment the split ships with. The split CASE and the token
+    count are ONE projection over documents (bucket_pct computed once
+    per row in an inner select) — a join back to the split relation
+    would scan the corpus twice and add a full-corpus exchange for
+    what is a pure projection. Shares are single divisions of exact
+    bigints, NULL-guarded for the all-zero-token corpus (Spark ANSI
+    throws on /0 where DuckDB NULLs)."""
     n_toks = d.arr_len(d.tokens("text"))
-    split = docs_split_assign(d)
-    return f"""WITH sp AS (
-{split}
-),
-t AS (
-  SELECT sp.split, cast({n_toks} as bigint) AS n_toks
-  FROM sp JOIN documents dd ON dd.doc_id = sp.doc_id
+    pct = _id_hash_pct(d)
+    return f"""WITH t AS (
+  SELECT CASE WHEN bucket_pct < {TRAIN_PCT} THEN 'train'
+              WHEN bucket_pct < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split, n_toks
+  FROM (SELECT {pct} AS bucket_pct,
+          cast({n_toks} as bigint) AS n_toks FROM documents) i
 ),
 g AS (
   SELECT split, cast(count(*) as bigint) AS n_docs,
@@ -432,8 +448,10 @@ g AS (
   FROM t GROUP BY split
 )
 SELECT split, n_docs, n_tokens,
-  cast(n_tokens as double) /
-    (SELECT cast(sum(n_tokens) as bigint) FROM g) AS token_share
+  CASE WHEN (SELECT sum(n_tokens) FROM g) = 0 THEN cast(NULL as double)
+    ELSE cast(n_tokens as double) /
+      (SELECT cast(sum(n_tokens) as bigint) FROM g)
+  END AS token_share
 FROM g"""
 
 
@@ -470,11 +488,15 @@ def docs_stratified_sample(d: Dialect) -> str:
     ``lang`` stratum by id-hash bucket — reproducible across engines,
     runs and partitioning (the same reason docs_split_assign avoids
     rand()), and stratum-balanced where a global hash sample would
-    under-represent small languages. Zero-shuffle projection."""
+    under-represent small languages. Zero-shuffle projection; the
+    interpreted char-fold hash is computed ONCE per row in an inner
+    select — filter and projection don't share subexpressions across
+    operators, so repeating the expression in WHERE would pay the
+    fold twice per row."""
     pct = _id_hash_pct(d)
-    return f"""SELECT doc_id, lang, {pct} AS bucket_pct
-FROM documents
-WHERE {pct} < {SAMPLE_PCT}"""
+    return f"""SELECT doc_id, lang, bucket_pct
+FROM (SELECT doc_id, lang, {pct} AS bucket_pct FROM documents) i
+WHERE bucket_pct < {SAMPLE_PCT}"""
 
 
 def docs_pack_efficiency(d: Dialect) -> str:
@@ -557,18 +579,14 @@ def ensure_block_view(spark, key: object = None) -> str:
     dedup.ensure_shingle_view (localCheckpoint locally; a persisted
     table on a cluster)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        register_session_plane,
+    )
 
-    def build(spark):
-        df = spark.sql(
-            _block_cte(SPARK, None)
-            + "\nSELECT doc_id, block_no, blk, hv FROM b"
-        ).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(BLOCK_VIEW)
-        return [df]
-
-    ensure_session_plane(_BLOCK_STATE, spark, key, build)
-    return BLOCK_VIEW
+    return register_session_plane(
+        _BLOCK_STATE, spark, key, BLOCK_VIEW,
+        lambda s: s.sql(_block_cte(SPARK, None)
+                        + "\nSELECT doc_id, block_no, blk, hv FROM b"))
 
 
 def docs_block_dedup(d: Dialect, base: str | None = None) -> str:
@@ -649,7 +667,10 @@ def docs_importance_sample(d: Dialect) -> str:
 
     Scale posture (100 TB): composes the text_quality projection (one
     pass over documents, whole-stage codegen) with a pure filter — no
-    shuffle, no rand(), trivially resumable."""
+    shuffle, no rand(), trivially resumable. The interpreted char-fold
+    hash and the band CASE are each computed ONCE per row in an inner
+    select (repeating them in WHERE would double the per-row work —
+    filter and projection don't share subexpressions)."""
     from aws_trusted_advisor_explorer_spark.operators import textops
 
     pct = _id_hash_pct(d)
@@ -660,11 +681,14 @@ def docs_importance_sample(d: Dialect) -> str:
     return f"""WITH q AS (
 {textops.text_quality(d)}
 )
-SELECT doc_id, quality_score,
-  cast({band} as bigint) AS keep_pct,
-  cast({pct} as bigint) AS bucket_pct
-FROM q
-WHERE {pct} < {band}"""
+SELECT doc_id, quality_score, keep_pct, bucket_pct
+FROM (
+  SELECT doc_id, quality_score,
+    cast({band} as bigint) AS keep_pct,
+    cast({pct} as bigint) AS bucket_pct
+  FROM q
+) i
+WHERE bucket_pct < keep_pct"""
 
 
 def docs_embedding_integrity(d: Dialect) -> str:

@@ -3353,3 +3353,33 @@ def test_text_quality_zero_token_docs_parity(spark):
     q = ns.sql(textops.text_quality(SPARK)).toPandas()
     z = q[q.doc_id.isin([2, 3])]
     assert z.quality_score.isna().all() and z.type_token_ratio.isna().all()
+
+
+def test_mix_reports_zero_token_corpus_parity(spark):
+    """Regression (review-verified): an all-non-Latin corpus has zero
+    alnum tokens everywhere — the share ratios in docs_source_mix,
+    docs_language_balance_plan, and docs_split_token_budget must yield
+    NULL in BOTH engines instead of throwing DIVIDE_BY_ZERO under
+    Spark ANSI; keep_rate_ppm degrades to the documented full-keep."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    rows = [(1, "zh", "srcA", "你好世界"),
+            (2, "zh", "srcA", "完全不同的文本"),
+            (3, "ja", "srcB", "これはテストです")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    for key in ("docs_source_mix", "docs_language_balance_plan",
+                "docs_split_token_budget"):
+        sdf = canonicalize(ns.sql(getattr(corpusops, key)(SPARK)).toPandas())
+        ddf = canonicalize(con.sql(getattr(corpusops, key)(DUCK)).df())
+        assert sdf.equals(ddf), key
+    bal = ns.sql(corpusops.docs_language_balance_plan(SPARK)).toPandas()
+    assert bal.current_share.isna().all()
+    assert (bal.keep_rate_ppm.astype(int) == 1_000_000).all()
