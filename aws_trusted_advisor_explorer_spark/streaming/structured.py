@@ -283,13 +283,11 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a 2-hour watermark; exact decimal value sums. Window starts
     are emitted as epoch seconds to match the batch/oracle output.
 
-    Contract boundary: F.window FLOORS window starts while the batch
-    twin's integer bucket arithmetic (``sec div 1800``) TRUNCATES
-    toward zero, so the two assign pre-1970 (negative-epoch) events to
-    different windows — event timestamps before 1970 are out of
-    contract for this twin pair (the fixture generator never emits
-    them; a corpus that needs them should offset epochs the way
-    events_top_paths does)."""
+    The batch twin's bucket arithmetic uses FLOOR semantics (the
+    double-mod formula, r6 fix) to match F.window's flooring on
+    pre-1970 negative epochs — both sides assign any event, either
+    epoch sign, to the same two hopping windows (pinned by the
+    negative-epoch twin test)."""
     ev = events_stream(spark, sf_dir)
     ev = ev.withColumn("ts_ltz", F.col("ts").cast(TimestampType()))
     agg = (ev.withWatermark("ts_ltz", "2 hours")

@@ -619,3 +619,44 @@ def test_stateful_kernels_sort_across_arrow_chunks(spark, tmp_path):
         assert got_f == {(1, 3)}
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_sliding_window_negative_epoch_twin_parity(spark, tmp_path):
+    """Regression (review finding): pre-1970 negative-epoch events
+    must land in the SAME two hopping windows in the batch bucket
+    arithmetic (floor semantics, r6 fix) and the F.window stream —
+    truncating division used to assign them one wrong window."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = [
+        (1, dt.datetime(1969, 12, 31, 23, 58, 20), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(1970, 1, 1, 0, 10, 0), 1, "click", 2.0, "{}"),
+        (3, dt.datetime(1969, 12, 31, 22, 0, 0), 1, "view", 3.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf.astype({"ts": "datetime64[us]"}).to_parquet(
+        tmp_path / "events.parquet")
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+    from aws_trusted_advisor_explorer_spark.session import load_tables
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    load_tables(ns, str(tmp_path), names=("events",))
+    batch = {(r.event_type, r.win_start_sec, r.n_events, r.total_value)
+             for r in ns.sql(eventops.events_sliding_window(SPARK)).collect()}
+    # every event covers exactly 2 hopping windows, negative epochs
+    # too: 3 events -> 6 window memberships
+    assert sum(n for _, _, n, _ in batch) == 6
+    # the -100s click floors into {-1800, -3600}, NOT {0, -1800}
+    assert ("click", -3600, 1, 1.0) in batch
+
+    structured.run_stream_to_memory(
+        structured.sliding_counts_stream(spark, str(tmp_path)),
+        "neg_sliding")
+    got = {(r.event_type, r.win_start_sec, r.n_events, r.total_value)
+           for r in spark.table("neg_sliding").collect()}
+    assert got == batch
