@@ -152,12 +152,17 @@ def _member_cte(d: Dialect, asg: str | None = None) -> str:
     deterministic labeling."""
     base = kmeans_assign(d, asg)
     norm = f"sqrt({d.dot('embedding', 'embedding')})"
+    # nrm > 0: zero-norm vectors are excluded from every cosine
+    # consumer (similarity._vec_base rule — Spark ANSI throws on the
+    # /0 where DuckDB NULLs and the Arrow kernels NaN)
     return f"""asg AS (
 {base}
 ),
 mv AS (
-  SELECT a.vec_id, a.cluster_id, e.embedding, {norm} AS nrm
-  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+  SELECT * FROM (
+    SELECT a.vec_id, a.cluster_id, e.embedding, {norm} AS nrm
+    FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+  ) i0 WHERE nrm > 0
 )"""
 
 

@@ -31,12 +31,28 @@ def _norm(d: Dialect) -> str:
     return f"sqrt({d.dot('embedding', 'embedding')})"
 
 
+def _vec_base(d: Dialect, with_bucket: bool = False) -> str:
+    """The filtered vector-relation CTE body ``(vec_id, embedding,
+    nrm[, bucket])`` every similarity query starts from. Zero-norm
+    embeddings are EXCLUDED here — a zero vector has no direction,
+    and the unguarded cosine division diverges three ways on one
+    (Spark ANSI throws DIVIDE_BY_ZERO, DuckDB returns NULL, the Arrow
+    kernel twins produce NaN which sorts FIRST under DESC);
+    embeddings_norm_audit's ``n_zero`` column is the audit that counts
+    what this filter drops. The norm is computed once in an inner
+    select (filter + projection don't share subexpressions)."""
+    bucket = f", {_bucket_expr(d, 'embedding')} AS bucket" if with_bucket \
+        else ""
+    return (f"SELECT * FROM (SELECT vec_id, embedding, {_norm(d)} AS nrm"
+            f"{bucket} FROM embeddings) i0 WHERE nrm > 0")
+
+
 def knn_bruteforce(d: Dialect) -> str:
     """Exact top-k: query set x corpus cosine (norms precomputed per
     vector), row_number ranking with a deterministic
     (cosine DESC, neighbor id ASC) tiebreak."""
     cos = f"{d.dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
-    return f"""WITH v AS (SELECT vec_id, embedding, {_norm(d)} AS nrm FROM embeddings),
+    return f"""WITH v AS ({_vec_base(d)}),
 q AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id % {QUERY_MOD} = 0),
 c AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id % {QUERY_MOD} <> 0),
 scored AS (
@@ -75,9 +91,7 @@ def knn_lsh(d: Dialect) -> str:
     May return fewer than k (or zero) neighbors for sparse buckets —
     the accepted ANN recall trade; identical in both engines."""
     cos = f"{d.dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
-    bucket = _bucket_expr(d, "embedding")
-    return f"""WITH h AS (SELECT vec_id, embedding, {_norm(d)} AS nrm,
-  {bucket} AS bucket FROM embeddings),
+    return f"""WITH h AS ({_vec_base(d, with_bucket=True)}),
 q AS (SELECT vec_id, embedding, nrm, bucket FROM h WHERE vec_id % {QUERY_MOD} = 0),
 c AS (SELECT vec_id, embedding, nrm, bucket FROM h WHERE vec_id % {QUERY_MOD} <> 0),
 scored AS (
@@ -104,14 +118,12 @@ def knn_multiprobe(d: Dialect) -> str:
     A corpus vector lives in exactly one bucket, so the probe fan-out
     introduces no duplicate candidates."""
     cos = f"{d.dot('p.embedding', 'c.embedding')} / (p.nrm * c.nrm)"
-    bucket = _bucket_expr(d, "embedding")
     flips = ", ".join(d.xor("bucket", str(1 << j)) for j in range(N_PLANES))
     if d.name == "spark":
         probe_arr = f"array(bucket, {flips})"
     else:
         probe_arr = f"[bucket, {flips}]"
-    return f"""WITH h AS (SELECT vec_id, embedding, {_norm(d)} AS nrm,
-  {bucket} AS bucket FROM embeddings),
+    return f"""WITH h AS ({_vec_base(d, with_bucket=True)}),
 q AS (SELECT vec_id, embedding, nrm, bucket FROM h WHERE vec_id % {QUERY_MOD} = 0),
 p AS (SELECT vec_id, embedding, nrm, {d.explode(probe_arr)} AS probe FROM q),
 c AS (SELECT vec_id, embedding, nrm, bucket FROM h WHERE vec_id % {QUERY_MOD} <> 0),
@@ -182,7 +194,12 @@ def knn_bruteforce_df(spark):
 
     from aws_trusted_advisor_explorer_spark.functions import vectorized as V
 
-    v = spark.table("embeddings").select("vec_id", "embedding")
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    # zero-norm exclusion (the _vec_base rule): the Arrow kernel would
+    # NaN on a zero vector where the SQL forms filter it out
+    v = (spark.table("embeddings").select("vec_id", "embedding")
+         .where(F.expr(f"{SPARK.dot('embedding', 'embedding')} > 0")))
     q = (v.filter(F.col("vec_id") % QUERY_MOD == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb")))
@@ -203,8 +220,11 @@ def knn_lsh_df(spark):
 
     from aws_trusted_advisor_explorer_spark.functions import vectorized as V
 
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
     bucket = V.make_lsh_bucket(N_PLANES)
     h = (spark.table("embeddings")
+         .where(F.expr(f"{SPARK.dot('embedding', 'embedding')} > 0"))
          .select("vec_id", "embedding", bucket("embedding").alias("bucket")))
     q = (h.filter(F.col("vec_id") % QUERY_MOD == 0)
          .select(F.col("vec_id").alias("query_id"),
@@ -234,7 +254,7 @@ def ivf_index_path(sf_dir: str) -> str:
     except OSError:
         stamp = "missing"
     key = hashlib.md5(
-        f"{sf_dir}|{stamp}|planes={N_PLANES}|v1".encode()).hexdigest()[:12]
+        f"{sf_dir}|{stamp}|planes={N_PLANES}|v2".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "spark_ivf_cache", key)
 
 
@@ -251,9 +271,12 @@ def build_ivf_index(spark, sf_dir: str) -> str:
     path = ivf_index_path(sf_dir)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    bucket = _bucket_expr(SPARK, "embedding")
-    df = spark.sql(f"SELECT vec_id, embedding, {_norm(SPARK)} AS nrm, "
-                   f"{bucket} AS bucket FROM embeddings")
+    # same filtered relation as the SQL forms (_vec_base), WITHOUT the
+    # norm column — no index consumer reads it (the pair kernel
+    # recomputes both norms in its fixed IEEE op order), so persisting
+    # it only inflated every partition file
+    df = spark.sql(
+        f"SELECT vec_id, embedding, bucket FROM ({_vec_base(SPARK, True)}) b")
     tmp = f"{path}.tmp-{os.getpid()}"
     df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     try:
@@ -335,9 +358,7 @@ def knn_range_search(d: Dialect) -> str:
     streamable. Recall is bucket-bounded like every LSH probe; the
     multi-probe rail applies unchanged if more is needed."""
     cos = f"{d.dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
-    bucket = _bucket_expr(d, "embedding")
-    return f"""WITH h AS (SELECT vec_id, embedding, {_norm(d)} AS nrm,
-  {bucket} AS bucket FROM embeddings),
+    return f"""WITH h AS ({_vec_base(d, with_bucket=True)}),
 q AS (SELECT vec_id, embedding, nrm, bucket FROM h WHERE vec_id % {QUERY_MOD} = 0),
 c AS (SELECT vec_id, embedding, nrm, bucket FROM h WHERE vec_id % {QUERY_MOD} <> 0),
 scored AS (
@@ -408,17 +429,24 @@ def docs_hybrid_search_rrf(d: Dialect, base: str | None = None) -> str:
     planes (shingle view; the LSH arm's plan is shared with knn_lsh).
     """
     from aws_trusted_advisor_explorer_spark.operators.dedup import (
-        NGRAM_DF_CAP, _shingle_cte,
+        _capped_shingle_cte,
     )
 
-    inv = f"cast(1 as double) / ({RRF_K} + "
-    return f"""{_shingle_cte(d, base)},
-keep AS (SELECT hv FROM sh GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}),
-fs AS (SELECT s.doc_id, s.hv FROM sh s JOIN keep k ON k.hv = s.hv),
+    def rrf(rank: str) -> str:
+        # whole-term helper: locally balanced parens (a dangling-paren
+        # prefix string desyncs silently on edit)
+        return (f"coalesce(cast(1 as double) / ({RRF_K} + {rank}), "
+                f"cast(0 as double))")
+
+    # the text arm reads dedup's DF-capped shingle relation fs2 — the
+    # ONE cap implementation; with base set it is the materialized
+    # SHINGLE_CAPPED_VIEW, so the tc self-join's two references don't
+    # re-run the cap GROUP BY under CTE inlining
+    return f"""{_capped_shingle_cte(d, base)},
 tc AS (
   SELECT q.doc_id AS qid, c.doc_id AS cid, count(*) AS n_common
-  FROM fs q
-  JOIN fs c ON c.hv = q.hv AND c.doc_id % {QUERY_MOD} <> 0
+  FROM fs2 q
+  JOIN fs2 c ON c.hv = q.hv AND c.doc_id % {QUERY_MOD} <> 0
   WHERE q.doc_id % {QUERY_MOD} = 0
   GROUP BY q.doc_id, c.doc_id
 ),
@@ -437,8 +465,8 @@ fused AS (
   SELECT coalesce(t.qid, v.query_id) AS query_id,
     coalesce(t.cid, v.neighbor_id) AS candidate_id,
     t.rank_t, v.rank AS rank_v,
-    coalesce({inv}t.rank_t), cast(0 as double)) +
-    coalesce({inv}v.rank), cast(0 as double)) AS rrf_score
+    {rrf('t.rank_t')} +
+    {rrf('v.rank')} AS rrf_score
   FROM tr t FULL OUTER JOIN vr v
     ON v.query_id = t.qid AND v.neighbor_id = t.cid
 )

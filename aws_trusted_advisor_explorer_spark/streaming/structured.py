@@ -1127,12 +1127,15 @@ def range_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bucket = _bucket_expr(SD, "embedding")
     nrm = _norm(SD)
+    # c_nrm/q_nrm > 0: the zero-norm exclusion every batch cosine form
+    # applies (similarity._vec_base) — without it the division NaNs
     static = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
               .where(F.expr(f"vec_id % {QUERY_MOD} <> 0"))
               .selectExpr("vec_id AS neighbor_id",
                           "embedding AS c_emb",
                           f"{nrm} AS c_nrm",
-                          f"{bucket} AS bucket"))
+                          f"{bucket} AS bucket")
+              .where("c_nrm > 0"))
     path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.isfile(path):
         path = _stage_single_file(path)
@@ -1142,7 +1145,8 @@ def range_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                .selectExpr("vec_id AS query_id",
                            "embedding AS q_emb",
                            f"{nrm} AS q_nrm",
-                           f"{bucket} AS bucket"))
+                           f"{bucket} AS bucket")
+               .where("q_nrm > 0"))
     cos = SD.dot("q_emb", "c_emb")
     return (queries.join(static, "bucket")
             .withColumn("cosine", F.expr(f"({cos}) / (q_nrm * c_nrm)"))

@@ -3383,3 +3383,39 @@ def test_mix_reports_zero_token_corpus_parity(spark):
     bal = ns.sql(corpusops.docs_language_balance_plan(SPARK)).toPandas()
     assert bal.current_share.isna().all()
     assert (bal.keep_rate_ppm.astype(int) == 1_000_000).all()
+
+
+def test_knn_zero_norm_vectors_excluded(spark):
+    """Regression (review finding): a zero-norm embedding must be
+    EXCLUDED from every cosine form instead of diverging three ways
+    (Spark ANSI threw DIVIDE_BY_ZERO, DuckDB NULL-ranked it, the
+    Arrow kernel NaN-ranked it FIRST); Spark == DuckDB == DF twin on
+    a corpus planting a zero corpus vector and a zero query vector."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for vid in [0, 100, 1, 2, 3, 4]:   # 0,100 -> query set
+        rows.append((vid, rng.randn(64).astype("float32").tolist()))
+    rows.append((200, [0.0] * 64))     # zero QUERY vector
+    rows.append((5, [0.0] * 64))       # zero CORPUS vector
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ns = spark.newSession()
+    ns.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>"
+    ).createOrReplaceTempView("embeddings")
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+
+    sdf = canonicalize(ns.sql(similarity.knn_bruteforce(SPARK)).toPandas())
+    ddf = canonicalize(con.sql(similarity.knn_bruteforce(DUCK)).df())
+    assert sdf.equals(ddf)
+    tw = canonicalize(similarity.knn_bruteforce_df(ns).toPandas())
+    assert tw.equals(ddf)
+    qids = {int(q) for q in sdf.query_id.astype(int)}
+    nids = {int(n) for n in sdf.neighbor_id.astype(int)}
+    assert 200 not in qids and 5 not in nids and qids == {0, 100}
