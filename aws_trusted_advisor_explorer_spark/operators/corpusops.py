@@ -33,15 +33,25 @@ def _id_hash_pct(d: Dialect, salt: str = "") -> str:
     return id_hash_pct(d, "doc_id", salt)
 
 
+def _split_case(pct_expr: str) -> str:
+    """The one train/val/test decision rule, rendered over any percent
+    expression/column. Shared by docs_split_assign,
+    docs_split_token_budget, and docs_curation_pipeline so a future
+    threshold or hash edit cannot silently desync the token-budget /
+    pipeline reports from the shipped split (both engines render the
+    same builder, so the DuckDB oracle alone can't catch that drift)."""
+    return f"""CASE WHEN {pct_expr} < {TRAIN_PCT} THEN 'train'
+       WHEN {pct_expr} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+       ELSE 'test' END"""
+
+
 def docs_split_assign(d: Dialect) -> str:
     """Deterministic train/val/test assignment: hash-mod buckets, 80/10/10.
     Content-independent (id-keyed) so near-dup handling stays a separate
     concern; at 100 TB this is a pure projection — zero shuffles."""
     pct = _id_hash_pct(d)
     return f"""SELECT doc_id, {pct} AS bucket_pct,
-  CASE WHEN {pct} < {TRAIN_PCT} THEN 'train'
-       WHEN {pct} < {TRAIN_PCT + VAL_PCT} THEN 'val'
-       ELSE 'test' END AS split
+  {_split_case(pct)} AS split
 FROM documents"""
 
 
@@ -436,9 +446,7 @@ def docs_split_token_budget(d: Dialect) -> str:
     n_toks = d.arr_len(d.tokens("text"))
     pct = _id_hash_pct(d)
     return f"""WITH t AS (
-  SELECT CASE WHEN bucket_pct < {TRAIN_PCT} THEN 'train'
-              WHEN bucket_pct < {TRAIN_PCT + VAL_PCT} THEN 'val'
-              ELSE 'test' END AS split, n_toks
+  SELECT {_split_case('bucket_pct')} AS split, n_toks
   FROM (SELECT {pct} AS bucket_pct,
           cast({n_toks} as bigint) AS n_toks FROM documents) i
 ),
@@ -877,9 +885,7 @@ SELECT doc_id, source, cast(is_dup as bigint) AS is_dup,
        WHEN quality_ok = 0 THEN 'low_quality'
        WHEN cap_rk > {PIPE_CAP} THEN 'domain_cap'
        ELSE NULL END AS drop_reason,
-  CASE WHEN hpct < {TRAIN_PCT} THEN 'train'
-       WHEN hpct < {TRAIN_PCT + VAL_PCT} THEN 'val'
-       ELSE 'test' END AS split
+  {_split_case('hpct')} AS split
 FROM r"""
 
 

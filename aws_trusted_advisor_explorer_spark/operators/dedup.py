@@ -554,9 +554,15 @@ def dedup_exact_normalized(d: Dialect) -> str:
     before this rung; the exclusion keeps the operator safe rather
     than silently destructive there."""
     norm = f"trim({d.re_replace('lower(text)', '[^a-z0-9]+', ' ')})"
-    return f"""WITH k AS (
-  SELECT doc_id, md5({norm}) AS norm_key, md5(text) AS raw_key
-  FROM documents WHERE {norm} <> ''
+    # normalize once in an inner select (operators don't share
+    # subexpressions across filter/projection), then filter + hash the
+    # computed column
+    return f"""WITH n AS (
+  SELECT doc_id, text, {norm} AS nt FROM documents
+),
+k AS (
+  SELECT doc_id, md5(nt) AS norm_key, md5(text) AS raw_key
+  FROM n WHERE nt <> ''
 )
 SELECT norm_key, min(doc_id) AS keeper_id,
   cast(count(*) as bigint) AS n_copies,
@@ -1612,8 +1618,13 @@ GROUP BY least(la.lang, lb.lang), greatest(la.lang, lb.lang)"""
 
 
 WINNOW_W = 4              # gram positions per winnow window
-WINNOW_POS_SHIFT = 2 ** 31  # (hv, pos) -> one int64 window key (no overflow:
-#                             hv < P_MOD < 2^30, so hv*SHIFT + pos < 2^61)
+WINNOW_POS_SHIFT = 2 ** 31  # (hv, pos) -> one int64 window key (no overflow
+#                             while BOTH bounds hold: hv < P_MOD < 2^30 gives
+#                             hv*SHIFT < 2^61, and pos < 2^31 keeps the
+#                             position term in range — a doc with >= 2^31
+#                             grams would flip the rightmost-min tie decode;
+#                             unreachable for any real document, but the
+#                             invariant is two-sided, not hv-only)
 WINNOW_DF_CAP = 64        # drop fingerprints shared by more docs than this
 
 

@@ -270,7 +270,8 @@ def docs_curation_drift(d: Dialect) -> str:
     report is cross-engine exact. Languages the gate empties keep
     their row (LEFT join + coalesce, share_after 0); an empty
     survivor set degrades every after-share to 0 via the zero-guard
-    instead of dividing by zero.
+    instead of dividing by zero, and a zero-token corpus (all-CJK)
+    degrades the before-shares the same way.
 
     Int64 bound (money-sum discipline): shares compute
     ``tokens · 1e6``, safe while corpus totals stay under ~9.2e12
@@ -298,9 +299,11 @@ a AS (
 )
 SELECT b.lang, b.docs_before, coalesce(a.docs_after, 0) AS docs_after,
   b.toks_before, coalesce(a.toks_after, 0) AS toks_after,
-  cast({d.idiv('(b.toks_before * 1000000)',
-               '(SELECT cast(sum(toks_before) as bigint) FROM b)')}
-       as bigint) AS share_before_ppm,
+  CASE WHEN (SELECT sum(toks_before) FROM b) = 0 THEN cast(0 as bigint)
+    ELSE cast({d.idiv('(b.toks_before * 1000000)',
+                      '(SELECT cast(sum(toks_before) as bigint) FROM b)')}
+              as bigint)
+  END AS share_before_ppm,
   CASE WHEN (SELECT sum(toks_after) FROM a) IS NULL THEN cast(0 as bigint)
     ELSE cast({d.idiv('(coalesce(a.toks_after, 0) * 1000000)',
                       '(SELECT cast(sum(toks_after) as bigint) FROM a)')}
@@ -721,16 +724,16 @@ def docs_quality_cutoff_calibration(d: Dialect) -> str:
     floor(n*{CALIB_KEEP_PCT}/100), and report the cutoff score (the
     lowest kept score) with the realized keep rate. A fixed threshold
     drifts as the corpus mix shifts; calibrating to a budget is how
-    production curation actually sets the knob. At 100 TB swap the
-    exact rank selection for ``approx_percentile`` (the same
-    sketch-vs-exact trade every quantile op here documents).
+    production curation actually sets the knob.
 
     One scored projection + one rank window over (score, doc_id) —
     deterministic total order, no approx drift — then ONE aggregate
     over the ranked relation (the cutoff is a conditional min, no
     correlated subquery, no extra join); one-row output. The global
-    rank window is the exact small-scale form (docs-count rows, like
-    the quantile oracles); the documented 100 TB swap removes it."""
+    rank window here is the ORACLE form only (single-partition sort);
+    the WIRED Spark plan is :func:`docs_quality_cutoff_calibration_df`,
+    the two-phase distributed exact rank — same integers, no
+    single-partition window."""
     quality = text_quality(d)
     n_keep = d.idiv(f"(n * {CALIB_KEEP_PCT})", "100")
     return f"""WITH q AS (
@@ -748,6 +751,65 @@ SELECT cast(max(n) as bigint) AS n_docs,
   min(CASE WHEN rn <= {n_keep} THEN quality_score END) AS cutoff_score,
   cast(max({n_keep}) as double) * 100 / max(n) AS realized_keep_pct
 FROM r"""
+
+
+def docs_quality_cutoff_calibration_df(spark):
+    """Distributed twin of :func:`docs_quality_cutoff_calibration`: the
+    wired Spark plan (the SQL form's global ``row_number() OVER (ORDER
+    BY ...)`` is a single-partition sort — the exact WindowExec
+    "Moving all data to a single partition" scale-killer, fine only as
+    the DuckDB oracle). Two-phase exact rank selection, the
+    docs_pack_bins_df pattern:
+
+    1. Range-repartition the scored relation by the selection order
+       (score DESC, doc_id) — a parallel range shuffle, no global sort.
+    2. Per-partition counts -> exclusive prefix offsets (the
+       unpartitioned window is BOUNDED: one row per range partition).
+    3. Global rank = within-partition row_number + broadcast offset;
+       the cutoff is the single row at rank n_keep (scores are
+       non-increasing in rank, so the rank-n_keep score IS the minimum
+       kept score), fetched via a broadcast equi-join against the
+       one-row (n, n_keep) relation — no driver collect, no
+       single-partition window over the corpus.
+
+    Identical output to the SQL window form (exact rank, same
+    deterministic total order, long arithmetic), verified by
+    mode-equality test at driver SF. Defined for non-empty corpora
+    (n_keep >= 1; the driver tables always are — the SQL oracle is the
+    authority for the degenerate empty input)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    q = spark.sql(text_quality(SPARK)).select("doc_id", "quality_score")
+    ranged = (q.repartitionByRange(
+                  32, F.col("quality_score").desc(), F.col("doc_id").asc())
+              .withColumn("pid", F.spark_partition_id()))
+    totals = ranged.groupBy("pid").agg(F.count("*").alias("part_n"))
+    # unpartitioned window is BOUNDED: `totals` has one row per range
+    # partition (<= 32 here, O(partitions) on a cluster)
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("part_n").over(w_off), F.lit(0)))
+    glob = (offsets.agg(F.sum("part_n").alias("n"))
+            .withColumn("n_keep",
+                        F.expr(f"cast((n * {CALIB_KEEP_PCT}) div 100"
+                               f" as bigint)")))
+    w_in = (Window.partitionBy("pid")
+            .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc()))
+    ranked = (ranged.join(F.broadcast(offsets.select("pid", "offset")), "pid")
+              .withColumn("rn",
+                          F.row_number().over(w_in).cast("bigint")
+                          + F.col("offset")))
+    cut = ranked.join(F.broadcast(glob), F.col("rn") == F.col("n_keep"))
+    return cut.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.lit(CALIB_KEEP_PCT).cast("bigint").alias("target_keep_pct"),
+        F.col("n_keep").cast("bigint").alias("n_kept"),
+        F.col("quality_score").alias("cutoff_score"),
+        (F.col("n_keep").cast("double") * 100 / F.col("n"))
+        .alias("realized_keep_pct"))
 
 
 BPE_ROUNDS = 8       # selection rounds (= driver round-trips, DF twin)

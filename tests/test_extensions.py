@@ -3288,6 +3288,23 @@ def test_curation_drift_consistency_and_emptied_lang(spark, ddb):
     assert got["xx"] == (0, 0, 0, 0)
     assert got["en"][2] == 1_000_000   # survivors are all-en
 
+    # All-zero-token corpus (pure CJK, no alnum tokens anywhere): both
+    # toks_before and toks_after totals are 0 — share_before_ppm must
+    # degrade to 0 through its CASE guard in BOTH engines instead of
+    # Spark ANSI throwing DIVIDE_BY_ZERO (review finding: the sibling
+    # guards existed but share_before_ppm's was missed).
+    zrows = [(1, "zh", "你好世界"), (2, "ja", "これはテストです")]
+    zpdf = pd.DataFrame(zrows, columns=["doc_id", "lang", "text"])
+    zs = spark.newSession()
+    zs.createDataFrame(zpdf).createOrReplaceTempView("documents")
+    zcon = duckdb.connect()
+    zcon.register("documents", zpdf)
+    zsdf = canonicalize(zs.sql(textops.docs_curation_drift(SPARK)).toPandas())
+    zddf = canonicalize(zcon.sql(textops.docs_curation_drift(DUCK)).df())
+    assert zsdf.equals(zddf)
+    assert (zsdf.share_before_ppm.astype(int) == 0).all()
+    assert (zsdf.share_after_ppm.astype(int) == 0).all()
+
 
 def test_exact_normalized_excludes_unnormalizable_docs(spark):
     """ASCII normalization maps fully non-Latin text to '' — such docs
@@ -3383,6 +3400,20 @@ def test_mix_reports_zero_token_corpus_parity(spark):
     bal = ns.sql(corpusops.docs_language_balance_plan(SPARK)).toPandas()
     assert bal.current_share.isna().all()
     assert (bal.keep_rate_ppm.astype(int) == 1_000_000).all()
+
+
+def test_split_token_budget_counts_match_split_assign(spark):
+    """docs_split_token_budget's per-split doc counts must equal a
+    groupBy over docs_split_assign's shipped assignment — both now
+    render the one shared _split_case fragment, and this pins that a
+    future threshold/hash edit cannot desync the budget report from
+    the split it describes."""
+    budget = {r.split: int(r.n_docs) for r in spark.sql(
+        corpusops.docs_split_token_budget(SPARK)).collect()}
+    assign = {r.split: int(r.n) for r in spark.sql(
+        f"SELECT split, count(*) AS n FROM ("
+        f"{corpusops.docs_split_assign(SPARK)}) GROUP BY split").collect()}
+    assert budget == assign
 
 
 def test_knn_zero_norm_vectors_excluded(spark):
