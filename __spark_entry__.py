@@ -189,6 +189,25 @@ def _pack_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusops.docs_pack_bins_df(spark)
 
 
+def _pack_efficiency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA rolls up the distributed two-phase cumsum twin (the
+    SQL form embeds the global cumsum window — oracle only)."""
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+
+    _prepare_ext(spark, sf_dir)
+    return corpusops.docs_pack_efficiency_df(spark)
+
+
+def _cutoff_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate calibration runs the two-phase distributed exact-rank twin
+    (no single-partition global row_number over the corpus); its
+    oracle is the SQL window form."""
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    _prepare_ext(spark, sf_dir)
+    return textops.docs_quality_cutoff_calibration_df(spark)
+
+
 def _ccnet_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet tercile bucketing runs the distributed twin (compacted
     per-(lang, score) CDF + broadcast tercile map — no per-doc window
@@ -547,15 +566,12 @@ _PARKED_TAIL = (
     "events_user_topk",    # text_vocab_topk + the knn ranked top-k family
     "text_lang_confusion", # new in r2; all 50 slots were allocated —
                            # verified in CORRECTNESS_FULL.json + pytest
-    "dedup_span_exact",    # new in r2 (substring-span dedup); the exact/
-                           # shingle dedup family already holds 6 in-cap
-                           # rows — FULL-verified + planted-fixture pytest
     "dedup_bloom_prefilter",  # new in r2 (mergeable membership sketch);
                               # no-false-negative property pytest-pinned,
                               # FULL-verified
     "docs_span_scrub",     # new in r2: the keep-one-copy span CUT action
-                           # (report twin dedup_span_exact also parked);
-                           # planted-fixture pytest + FULL-verified
+                           # (report twin dedup_span_exact rotated
+                           # in-cap in r7); planted pytest + FULL
     "events_purchase_click_pairs",  # new in r2: batch twin of the
                                     # stream-stream join (pair set tested
                                     # equal); range-join family's in-cap
@@ -601,11 +617,6 @@ _PARKED_TAIL = (
                            # rule); ranked-within-group family's in-cap
                            # row is text_tfidf_topk (same dense-rank
                            # window shape); semantics pytest
-    "tpch_q5",             # r2 TPC-H keys still parked after the r6
-    "tpch_q14",            # rotation (q1/q3/q6/q10 moved in-cap);
-    "tpch_q18",            # the OLAP join+agg family's in-cap reps
-                           # are the reference views + the rotated
-                           # TPC-H rows; pandas-replay pytest on q1
     "docs_language_balance_plan",  # new in r2: per-lang keep-rate
                                    # plan; rollup family in-cap row is
                                    # docs_source_mix; invariant pytest
@@ -626,20 +637,6 @@ _PARKED_TAIL = (
                                # dedup_clusters); invariant pytest
     "docs_dedup_savings",      # new in r2: one-row rollup of the
                                # drop list (docs/tokens saved)
-    "tpch_q4",             # new in r2: the EXISTS/semi-join TPC-H
-                           # shape (late-order priority counts)
-    "tpch_q17",            # new in r2: the correlated-scalar-agg
-                           # shape, decorrelated (per-part avg join)
-    "tpch_q7",             # new in r3: the full 22-query TPC-H suite
-    "tpch_q8",             # (schema-adapted where the fixture lacks
-    "tpch_q11",            # partsupp/shipmode/commitdate; each
-    "tpch_q13",            # docstring names its adaptation). All are
-    "tpch_q15",            # declarative dual-dialect SQL, money as
-    "tpch_q19",            # exact scaled integers; in-cap TPC-H reps
-    "tpch_q20",            # after the r5+r6 rotations: q2/q9/q21
-    "tpch_q22",            # (r5) and q1/q3/q6/q10/q12/q16 (r6), so
-                           # the rest park as one family; every key
-                           # is FULL-verified vs the DuckDB oracle.
     "text_tokenizer_coverage",  # new in r2: lossy-tokenization audit
                                 # over the sanitize plane's planted
                                 # dirty text; audit family
@@ -656,14 +653,6 @@ _PARKED_TAIL = (
                                  # in-cap minhash pairs (translation-
                                  # candidate mining); same shape as
                                  # parked docs_cross_split_contamination
-    "docs_quality_cutoff_calibration",  # new in r2: inverse of parked
-                                        # docs_quality_gate (rank-
-                                        # selection quantile family,
-                                        # in-cap events_value_quantiles)
-    "docs_hybrid_search_rrf",  # new in r2: RRF fusion of the shingle
-                               # text arm + the in-cap knn_lsh vector
-                               # arm (both arms hold their own rows);
-                               # replay pytest
     "knn_index_upsert",    # new in r2: IVF maintenance (assign batch
                            # to frozen cells + growth audit); the
                            # learned-quantizer family's in-cap row is
@@ -677,19 +666,10 @@ _PARKED_TAIL = (
                               # rollup; the audit family's in-cap row
                               # is events_key_skew_audit; numpy-replay
                               # pytest
-    "text_bpe_merge_train",  # new in r2: unrolled/iterative BPE
-                             # tokenizer training; its inner loop is
-                             # the in-cap text_bpe_pair_counts (same
-                             # pair-count aggregate); greedy-merge
-                             # semantics pinned by planted-fixture +
-                             # python-replay pytest
-    "text_bpe_tokenize_count",  # new in r2: BPE apply (train ->
-                                # literal-inlined projection); family
-                                # head text_bpe_merge_train also
-                                # parked; python-replay pytest
     "text_bpe_fertility_by_lang",  # new in r2: per-lang rollup of
-                                   # text_bpe_tokenize_count (parked
-                                   # with its family)
+                                   # text_bpe_tokenize_count (the BPE
+                                   # train/apply family heads rotated
+                                   # in-cap in r7)
     "docs_cross_split_contamination",  # new in r2: train/test leakage
                                        # rollup of in-cap
                                        # dedup_minhash_lsh x in-cap
@@ -792,23 +772,58 @@ _PARKED_TAIL = (
     "text_quality",  # driver-green r1-r5 (5 rounds) — parked with
                      # text_token_stats; quality-family rep in-cap is
                      # text_nb_quality_score (r6 window)
-    "events_interval_join",  # new in r6 (bucketized no-key
-                             # interval-overlap join; driver oracle is
-                             # the naive range join — cross-algorithm
-                             # check); event-join family rep in-cap is
-                             # events_session_attribution; boundary
-                             # pytest is the evidence
-    "docs_temperature_mix",  # new in r6 (XLM-R/mC4 α=0.5 temperature
-                             # mixture weights via IEEE-exact sqrt,
-                             # integer normalizing total); mixture
-                             # family rep in-cap is docs_ccnet_buckets
-                             # (r6 window); python-replay + property
-                             # pytest are the evidence
-    "docs_curation_drift",  # new in r6 (per-language before/after
-                            # quality-gate share drift, integer ppm);
-                            # composes in-cap docs_curation_pipeline's
-                            # gate stage; planted emptied-language
-                            # pytest is the evidence
+    # --- r7 rotation: the 13 never-driver-green TPC-H keys
+    # (q4/q5/q7/q8/q11/q13/q14/q15/q17/q18/q19/q20/q22), the BPE
+    # train/apply flagship pair, dedup_span_exact,
+    # docs_hybrid_search_rrf, events_interval_join,
+    # docs_temperature_mix, docs_curation_drift, and
+    # docs_quality_cutoff_calibration (its wired plan changed to the
+    # two-phase distributed rank this round) moved INTO the 50-slot
+    # driver window for their first driver-green rows; the twenty-one
+    # keys below — every one driver-green in 1–6 prior rounds — park
+    # in exchange, each with an in-cap family representative.
+    "text_bpe_pair_counts",  # driver-green r2–r6; its aggregate IS the
+                             # inner loop of in-cap text_bpe_merge_train
+    "text_lang_id",         # driver-green r1–r6; per-lang plane rep
+                            # in-cap: docs_ccnet_buckets (per-lang LM
+                            # scoring over the same lang column)
+    "text_tfidf_topk",      # driver-green r1–r6; ranked-retrieval rep
+                            # in-cap: docs_hybrid_search_rrf (fuses the
+                            # same shingle text arm)
+    "dedup_graph_pagerank",  # driver-green r2–r6; pairs-backed family
+                             # head dedup_minhash_lsh stays in-cap
+    "dedup_incremental",    # driver-green r2–r6; same pairs-backed
+                            # family (dedup_minhash_lsh in-cap)
+    "dedup_prefix_join",    # driver-green r5–r6; candidate-pair family
+                            # reps in-cap: dedup_minhash_lsh +
+                            # dedup_span_exact (r7 window)
+    "knn_recall_at_k",      # driver-green r1–r6; gate over in-cap
+                            # knn_ivf/knn_ivf_multiprobe rails
+    "knn_ivfpq_adc",        # driver-green r2–r6; learned-quantizer
+                            # family rep in-cap: knn_ivf
+    "events_session_attribution",  # driver-green r1–r6; event-join
+                                   # family rep in-cap:
+                                   # events_interval_join (r7 window)
+    "pii_mask_accounts",    # driver-green r1–r6 (P9 masking); the
+                            # reference plane's in-cap reps are the
+                            # 10 views + view_summary's P5/P6 path
+    "docs_block_dedup",     # driver-green r1–r6; block-segmenter
+                            # family rep in-cap: dedup_minhash_lsh
+                            # (docs_boilerplate_topk parked with it)
+    "kmeans_assign",        # driver-green r1–r6; cluster-plane rep
+                            # in-cap: semdedup_pairs (same cell index)
+    "media_feature_extract",  # driver-green r1–r6; media mapInPandas
+                              # family rep in-cap: media_phash_dedup
+    "events_hll_merge",     # driver-green r5–r6; sketch-merge family
+                            # reps in-cap: events_hll_distinct +
+                            # docs_kmv_distinct_union
+    "tpch_q1",              # driver-green r6; TPC-H family in-cap
+    "tpch_q2",              # driver-green r5–r6; reps this round are
+    "tpch_q3",              # driver-green r6; the 13 rotated-in
+    "tpch_q6",              # driver-green r6; queries plus q12/q16
+    "tpch_q9",              # driver-green r5–r6; (kept from the r6
+    "tpch_q10",             # driver-green r6; window); pandas-replay
+    "tpch_q21",             # driver-green r5–r6; pytest on q1 remains
 )
 
 
@@ -876,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")
     q["docs_pack_bins"] = _pack_bins_query
+    q["docs_pack_efficiency"] = _pack_efficiency_query
+    q["docs_quality_cutoff_calibration"] = _cutoff_calibration_query
     q["docs_ccnet_buckets"] = _ccnet_buckets_query
     q["text_bpe_merge_train"] = _bpe_train_query
     q["text_bpe_tokenize_count"] = _bpe_tokenize_query

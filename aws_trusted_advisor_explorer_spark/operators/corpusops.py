@@ -530,6 +530,26 @@ SELECT cast(count(*) as bigint) AS n_bins,
 FROM b"""
 
 
+def docs_pack_efficiency_df(spark):
+    """Distributed twin of :func:`docs_pack_efficiency`: the identical
+    bins rollup computed over :func:`docs_pack_bins_df` (the wired
+    two-phase cumsum) instead of over the SQL form, whose embedded
+    global cumsum window would single-partition the full doc relation
+    — the SQL form stays the DuckDB oracle only. Exact long
+    arithmetic; bit-equal to the window form."""
+    from pyspark.sql import functions as F
+
+    b = (docs_pack_bins_df(spark)
+         .groupBy("bin_id").agg(F.sum("n_toks").alias("fill")))
+    return b.agg(
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.min("fill").cast("bigint").alias("min_fill"),
+        F.max("fill").cast("bigint").alias("max_fill"),
+        F.sum("fill").cast("bigint").alias("total_tokens"),
+        (F.sum("fill").cast("double")
+         / (F.count("*") * PACK_BUDGET)).alias("mean_utilization"))
+
+
 BLOCK_N = 4       # tokens per non-overlapping block
 BLOCK_MAX_DF = 4  # keep blocks seen in <= this many distinct docs
 

@@ -234,8 +234,10 @@ def events_cms_heavy_hitters(d: Dialect) -> str:
     point vs the exact per-user groupBy, which this query also runs as
     its ground truth (at real scale the probe side is a small candidate
     list, not every user; the relative threshold needs only the stream
-    total, a 1-row aggregate). Two deliberate scans of events (sketch +
-    exact), both partial-aggregating."""
+    total, a 1-row SCALAR-SUBQUERY aggregate — never a global window
+    over the user-cardinality estimate relation, which would
+    single-partition it). Three deliberate distributed scans of events
+    (sketch + exact + total), all partial-aggregating."""
     return f"""WITH e AS (
   SELECT user_id, {_mix(d, 'user_id')} AS hv
   FROM events WHERE user_id IS NOT NULL
@@ -258,16 +260,12 @@ est AS (
     min(sk.c) AS cms_est
   FROM probe p JOIN sk ON sk.code = p.code
   GROUP BY p.user_id
-),
-tot AS (
-  SELECT user_id, n_exact, cms_est,
-    cast(sum(n_exact) OVER () as bigint) AS n_total
-  FROM est
 )
 SELECT user_id, n_exact, cms_est,
   cms_est - n_exact AS overcount
-FROM tot
-WHERE cms_est * {HEAVY_DEN} >= n_total * {HEAVY_NUM}"""
+FROM est
+WHERE cms_est * {HEAVY_DEN} >=
+  (SELECT cast(count(*) as bigint) FROM e) * {HEAVY_NUM}"""
 
 
 # --- KMV / theta sketch --------------------------------------------------

@@ -483,17 +483,22 @@ def tpch_q11(d: Dialect) -> str:
     quantity x retail price observed in lineitem for suppliers of one
     nation, standing in for ps_availqty x ps_supplycost): parts whose
     value exceeds {Q11_MEAN_MULT}x the MEAN part value for the nation
-    — the global-total scalar subquery shape, decorrelated as an
-    unpartitioned window over the PART-cardinality aggregate (one pass;
-    the single-partition window is safe because parts are a bounded
-    dimension, and a cross-joined one-row total would re-evaluate the
-    lineitem aggregate per CTE reference under Spark inlining). The
+    — the global-total scalar subquery shape, the tpch_q22 pattern:
+    a one-row (total, count) stats relation cross-joined back into the
+    part rows. The part-cardinality relation GROWS with SF (200k x SF
+    parts), so the earlier unpartitioned-window form was a
+    single-partition sort at scale; the cross join keeps every pass
+    distributed at the cost of the value CTE evaluating twice under
+    Spark inlining — and the second evaluation re-aggregates from the
+    SAME l_partkey shuffle, which Spark's exchange reuse serves from
+    the first pass (DuckDB materializes the CTE via cte_as). The
     mean-relative threshold is scale-free
     (the spec's fixed 0.0001/SF fraction would empty out or flood as
     SF moves); the compare is integer cross-multiplication, no
     division."""
     val = _micros("l.l_quantity * p.p_retailprice")
-    return f"""WITH v AS (
+    ca = d.cte_as()
+    return f"""WITH v {ca} (
   SELECT l.l_partkey AS p_partkey, sum({val}) AS value_us
   FROM lineitem l
   JOIN part p ON p.p_partkey = l.l_partkey
@@ -502,15 +507,12 @@ def tpch_q11(d: Dialect) -> str:
   WHERE n.n_name = '{Q11_NATION}'
   GROUP BY l.l_partkey
 ),
-w AS (
-  SELECT p_partkey, value_us,
-    sum(value_us) OVER () AS total_us,
-    count(*) OVER () AS np
-  FROM v
+tot {ca} (
+  SELECT sum(value_us) AS total_us, count(*) AS np FROM v
 )
-SELECT p_partkey, cast(value_us as double) / {_US} AS value
-FROM w
-WHERE value_us * np > {Q11_MEAN_MULT} * total_us"""
+SELECT v.p_partkey, cast(v.value_us as double) / {_US} AS value
+FROM v CROSS JOIN tot t
+WHERE v.value_us * t.np > {Q11_MEAN_MULT} * t.total_us"""
 
 
 Q12_LATE_DAYS = 30
@@ -563,27 +565,32 @@ Q15_TO = "1996-04-01 00:00:00"
 def tpch_q15(d: Dialect) -> str:
     """Q15 top supplier: suppliers whose one-quarter revenue equals
     the maximum over all suppliers — the scalar-max subquery shape,
-    decorrelated as an unpartitioned window over the SUPPLIER-
-    cardinality revenue aggregate (one pass over lineitem; a
-    join-back would re-run the revenue aggregate per CTE reference
-    under Spark inlining; exact micro revenue makes the max
-    and its tie set deterministic, and ties keep ALL top suppliers
-    like the spec query)."""
+    the tpch_q22 pattern: a one-row max relation cross-joined back
+    into the supplier-revenue rows. The revenue relation grows with SF
+    (10k x SF suppliers), so the earlier unpartitioned-window form was
+    a single-partition sort at scale; the cross join keeps every pass
+    distributed — the max re-aggregates from the SAME l_suppkey
+    shuffle under Spark inlining (exchange reuse), and DuckDB
+    materializes the CTE. Exact micro revenue makes the max and its
+    tie set deterministic, and ties keep ALL top suppliers like the
+    spec query."""
     rev = _micros("l_extendedprice * (1 - l_discount)")
-    return f"""WITH sr AS (
+    ca = d.cte_as()
+    return f"""WITH sr {ca} (
   SELECT l_suppkey, sum({rev}) AS rev_us
   FROM lineitem
   WHERE l_shipdate >= timestamp '{Q15_FROM}'
     AND l_shipdate < timestamp '{Q15_TO}'
   GROUP BY l_suppkey
 ),
-w AS (
-  SELECT l_suppkey, rev_us, max(rev_us) OVER () AS mx_us FROM sr
+mx {ca} (
+  SELECT max(rev_us) AS mx_us FROM sr
 )
 SELECT s.s_suppkey, s.s_name,
-  cast(w.rev_us as double) / {_US} AS total_revenue
-FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
-WHERE w.rev_us = w.mx_us"""
+  cast(sr.rev_us as double) / {_US} AS total_revenue
+FROM sr CROSS JOIN mx
+JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+WHERE sr.rev_us = mx.mx_us"""
 
 
 Q16_EXCL_BRAND = "Brand#15"

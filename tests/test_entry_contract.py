@@ -36,14 +36,17 @@ def test_priority_head_fits_driver_cap_and_holds_reference_views():
         assert view_key in head, f"{view_key} fell out of the priority head"
     for audited in ("knn_ivf", "knn_ivf_multiprobe", "dedup_clusters"):
         assert audited in head
-    # r6 rotation: these rotated IN for their first driver-green rows —
-    # they must stay in the head at least until CORRECTNESS_r06 lands
-    for rotated in ("tpch_q1", "tpch_q3", "tpch_q6", "tpch_q10",
-                    "tpch_q12", "tpch_q16", "dedup_lsh_recall",
-                    "text_nb_quality_score", "docs_curation_pipeline",
-                    "media_phash_dedup", "docs_chunking",
-                    "events_disorder_audit_signal"):
-        assert rotated in head, f"{rotated} fell out of the r6 window"
+    # r7 rotation: these rotated IN for their first driver-green rows —
+    # they must stay in the head at least until CORRECTNESS_r07 lands
+    for rotated in ("tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8",
+                    "tpch_q11", "tpch_q13", "tpch_q14", "tpch_q15",
+                    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+                    "tpch_q22", "text_bpe_merge_train",
+                    "text_bpe_tokenize_count", "dedup_span_exact",
+                    "docs_hybrid_search_rrf", "events_interval_join",
+                    "docs_temperature_mix", "docs_curation_drift",
+                    "docs_quality_cutoff_calibration"):
+        assert rotated in head, f"{rotated} fell out of the r7 window"
 
 
 def _comment_and_docstring_text(path):

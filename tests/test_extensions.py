@@ -349,6 +349,17 @@ def test_quality_cutoff_calibration_semantics(spark):
     assert row.realized_keep_pct == n_keep * 100 / len(scores)
 
 
+def test_quality_cutoff_calibration_df_matches_sql_window(spark):
+    """Mode equality: the wired two-phase distributed exact-rank twin
+    (docs_quality_cutoff_calibration_df — range shuffle + bounded
+    offsets window, no single-partition corpus sort) returns the
+    identical one-row result as the SQL global-window oracle form."""
+    [sql_row] = spark.sql(
+        textops.docs_quality_cutoff_calibration(SPARK)).collect()
+    [df_row] = textops.docs_quality_cutoff_calibration_df(spark).collect()
+    assert df_row.asDict() == sql_row.asDict()
+
+
 def test_cross_lingual_pairs_account_for_every_pair(spark):
     """Every MinHash pair lands in exactly one canonical lang-pair
     bucket matching a direct replay."""
@@ -806,6 +817,14 @@ def test_pack_bins_distributed_cumsum_matches_sql_window(spark):
     df_rows = {r.doc_id: (r.n_toks, r.bin_id)
                for r in corpusops.docs_pack_bins_df(spark).collect()}
     assert sql_rows == df_rows
+
+
+def test_pack_efficiency_df_matches_sql_window(spark):
+    """The wired bins rollup over docs_pack_bins_df equals the SQL
+    form that embeds the global cumsum window (oracle only)."""
+    [sql_row] = spark.sql(corpusops.docs_pack_efficiency(SPARK)).collect()
+    [df_row] = corpusops.docs_pack_efficiency_df(spark).collect()
+    assert df_row.asDict() == sql_row.asDict()
 
 
 def test_split_assign_proportions_and_determinism(spark):

@@ -65,6 +65,14 @@ BNLJ_ALLOWED = {
     #            evaluation is cheaper than a single-partition window
     #            over the pool would be)
     "tpch_q22",
+    # tpch_q11 / tpch_q15 — single-row (total, count) / (max) stats
+    #            relation cross-joined back into the SF-scaled grouped
+    #            value/revenue relation (the q22 pattern; replaced the
+    #            earlier unpartitioned-window form, which
+    #            single-partitioned a dimension-times-SF relation —
+    #            the second CTE evaluation re-aggregates from the same
+    #            shuffle under exchange reuse)
+    "tpch_q11", "tpch_q15",
     # docs_kmv_distinct_union — five single-row sketch-stat relations
     #            (direct/merged kth-min, exact count, source count,
     #            disagreement count) cross-joined for the one-row
@@ -86,18 +94,66 @@ BNLJ_ALLOWED = {
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
+# Unpartitioned WindowExec (Spark's own "No Partition Defined ... Moving
+# all data to a single partition" warning) is allowed ONLY where the
+# windowed relation is BOUNDED by construction — never corpus-sized:
+#   text_vocab_topk        — ranks only the <=100 ORDER BY+LIMIT
+#                            survivors (corpusops.py, text_vocab_topk)
+#   events_key_skew_audit  — ranks only the post-LIMIT top-N key rows
+#                            (eventops.py, events_key_skew_audit)
+#   docs_pack_bins         — the two-phase cumsum's offsets window runs
+#                            over ONE ROW PER RANGE PARTITION
+#                            (corpusops.docs_pack_bins_df), O(partitions)
+#   docs_quality_cutoff_calibration — same offsets-window shape
+#                            (textops.docs_quality_cutoff_calibration_df)
+#   docs_pack_efficiency   — rolls up docs_pack_bins_df, so it carries
+#                            the same O(partitions) offsets window
+#   docs_kmv_distinct_union — every windowed relation is sketch-sized
+#                            by construction (<= KMV_SHARDS x KMV_K =
+#                            4096 rows: per-shard k-minima and their
+#                            union), never corpus-sized
+WINDOW_UNPART_ALLOWED = {
+    "text_vocab_topk", "events_key_skew_audit", "docs_pack_bins",
+    "docs_quality_cutoff_calibration", "docs_pack_efficiency",
+    "docs_kmv_distinct_union",
+}
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count WindowExec nodes with an empty partitionSpec in the
+    (initial, pre-AQE) physical plan, walking the JVM tree."""
+    plan = df._jdf.queryExecution().executedPlan()
+    n = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        if cls == "WindowExec" and node.partitionSpec().isEmpty():
+            n += 1
+        kids = node.children()
+        for i in range(kids.length()):
+            stack.append(kids.apply(i))
+    return n
+
 
 def test_no_scale_antipatterns_in_any_query_plan(spark):
     import __spark_entry__ as entrymod
 
     failures = []
     for name, fn in entrymod.queries().items():
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         for node in FORBIDDEN:
             if node in plan:
                 failures.append(f"{name}: {node}")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if name not in WINDOW_UNPART_ALLOWED and _unpartitioned_windows(df):
+            failures.append(f"{name}: unpartitioned WindowExec over a "
+                            f"non-allowlisted relation")
     assert not failures, "\n".join(failures)
 
 
