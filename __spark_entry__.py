@@ -824,6 +824,14 @@ _PARKED_TAIL = (
     "tpch_q9",              # driver-green r5–r6; (kept from the r6
     "tpch_q10",             # driver-green r6; window); pandas-replay
     "tpch_q21",             # driver-green r5–r6; pytest on q1 remains
+    "events_disorder_audit_sharded",  # new in r7: the implemented
+                            # 100 TB form of the disorder audit
+                            # (arrival-slice shards + per-shard
+                            # running-max merge); its driver oracle is
+                            # the UNSHARDED events_disorder_audit_signal
+                            # SQL (cross-algorithm) and the family's
+                            # in-cap rep is events_disorder_audit_signal
+                            # via the r6 window; equality pytest
 )
 
 
@@ -928,6 +936,10 @@ def oracle_sql() -> dict[str, str]:
     # join — same cross-algorithm pattern
     from aws_trusted_advisor_explorer_spark.operators import eventops
     o["events_interval_join"] = eventops.events_interval_join_naive(DUCK)
+    # the two-phase sharded running-max merge must equal the unsharded
+    # window-per-type form — same cross-algorithm pattern
+    o["events_disorder_audit_sharded"] = \
+        eventops.events_disorder_audit_signal(DUCK)
     # IVF uses the same planes/buckets as sign-LSH -> identical results
     o["knn_ivf"] = similarity.knn_lsh(DUCK)
     o["knn_ivf_multiprobe"] = similarity.knn_multiprobe(DUCK)

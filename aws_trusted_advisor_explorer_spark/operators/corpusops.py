@@ -131,9 +131,14 @@ def text_vocab_topk(d: Dialect) -> str:
     global row_number window), which Spark executes as a distributed
     TakeOrderedAndProject — per-partition heaps merged on the driver —
     so the full vocabulary is never sorted on one partition. The rank
-    column is then a window over only the 100 survivors. At 100 TB swap
-    the exact count for a count-min/approx-heavy-hitter sketch and keep
-    this as the sample-scale oracle."""
+    column is then a window over only the 100 survivors. The exact
+    form is already 100 TB-shaped: the explode feeds a map-side-
+    combining groupBy (Zipf head tokens partial-aggregate before the
+    exchange), the shuffle output is VOCAB-sized not corpus-sized, and
+    the top-k never global-sorts — a count-min rung would only shrink
+    the vocab-sized shuffle tail, and that sketch machinery is
+    implemented and oracle-verified in events_cms_heavy_hitters
+    (sketchops) if a deployment wants it."""
     toks = d.tokens("text")
     return f"""WITH e AS (SELECT doc_id, {d.explode(toks)} AS tok FROM documents),
 g AS (

@@ -325,9 +325,11 @@ def text_commonness_score(d: Dialect, base: str | None = None) -> str:
 
     Scale posture: the vocabulary relation is heavy-hitter-sized, so
     at 100 TB the doc-side join is a broadcast of the (capped) vocab —
-    AQE already picks broadcast here; swap exact counts for count-min
-    estimates to cap vocab memory, keeping this as the sample-scale
-    oracle. The token CTE is referenced twice (vocab build + probe);
+    AQE already picks broadcast here; the vocab build itself is the
+    text_vocab_topk shape (map-side-combining groupBy, vocab-sized
+    output), and the count-min rung that would bound it further is
+    implemented in events_cms_heavy_hitters (sketchops). The token CTE
+    is referenced twice (vocab build + probe);
     the driver path reads the session-materialized positional token
     plane (``base`` = dedup.ensure_span_views' TOKEN_POS_VIEW), and
     the inlined oracle form's repeated scan is DELIBERATE: both

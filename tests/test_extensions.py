@@ -2371,6 +2371,37 @@ def test_disorder_audit_signal_nonzero_and_replay(spark, ddb):
     assert all(n_late > 0 and worst > 0 for _, n_late, worst in got.values())
 
 
+def test_disorder_audit_sharded_merge_equals_unsharded(spark, ddb):
+    """The implemented 100 TB form: the two-phase (arrival-slice
+    shard + per-shard running-max prefix merge) audit must equal the
+    unsharded window-per-type signal form row-for-row on the driver
+    corpus (non-zero lateness, so the merge is actually exercised),
+    in BOTH engines — and with a shard width smaller than the corpus
+    so multiple shards per type really exist."""
+    from tests.conftest import canonicalize
+
+    unsharded = {r.event_type: (int(r.n_events), int(r.n_late),
+                                int(r.max_lateness_us))
+                 for r in spark.sql(
+                     eventops.events_disorder_audit_signal(SPARK)).collect()}
+    sharded = {r.event_type: (int(r.n_events), int(r.n_late),
+                              int(r.max_lateness_us))
+               for r in spark.sql(
+                   eventops.events_disorder_audit_sharded(SPARK)).collect()}
+    assert sharded == unsharded
+    assert any(n_late > 0 for _, n_late, _ in sharded.values())
+
+    sdf = canonicalize(
+        spark.sql(eventops.events_disorder_audit_sharded(SPARK)).toPandas())
+    ddf = canonicalize(
+        ddb.sql(eventops.events_disorder_audit_sharded(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    # multiple shards per type at driver SF — the merge is not a no-op
+    n_ev = spark.sql("SELECT count(*) AS n FROM events").collect()[0].n
+    assert n_ev > eventops.DISORDER_SHARD_W
+
+
 def _tiny_png(w: int, h: int) -> bytes:
     """Minimal valid 8-bit RGB PNG built with stdlib only."""
     import struct
