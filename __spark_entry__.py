@@ -189,6 +189,18 @@ def _pack_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusops.docs_pack_bins_df(spark)
 
 
+def _kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV source-overlap matrix materializes its ~5x-referenced
+    distinct (source, hv) relation once per run (lazy localCheckpoint
+    inside the query — AS MATERIALIZED is DuckDB-only, so Spark CTE
+    inlining re-ran the DISTINCT shuffle per reference)."""
+    from aws_trusted_advisor_explorer_spark.operators import dedup, sketchops
+
+    _prepare_ext(spark, sf_dir)
+    base = dedup.ensure_shingle_view(spark, key=sf_dir)
+    return sketchops.docs_kmv_source_overlap_df(spark, base)
+
+
 def _pack_efficiency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing QA rolls up the distributed two-phase cumsum twin (the
     SQL form embeds the global cumsum window — oracle only)."""
@@ -868,8 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_bloom_prefilter"] = _dochash_backed_query("dedup_bloom_prefilter")
     q["docs_kmv_distinct_union"] = _dochash_backed_query(
         "docs_kmv_distinct_union", "sketchops")
-    q["docs_kmv_source_overlap"] = _shingle_backed_query(
-        "docs_kmv_source_overlap", "sketchops")
+    q["docs_kmv_source_overlap"] = _kmv_overlap_query
     q["media_phash_dedup"] = _phash_backed_query
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",

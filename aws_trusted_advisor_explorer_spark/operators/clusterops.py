@@ -50,42 +50,55 @@ _ESCALE = 1_000_000_000          # element scale: val * 1e9 -> bigint
 _DSCALE = 1_000_000_000_000      # distance-term scale: (v-c)^2 * 1e12
 
 
-def _assign(elems: str, cents: str, out_prefix: str) -> tuple[str, str]:
+def _assign(elems: str, cents: str, out_prefix: str,
+            sub: bool = False) -> tuple[str, str]:
     """(assign, argmin) CTE pair: scaled-integer squared-L2 per
-    (vec, centroid), then the deterministic per-vec argmin."""
+    (vec, centroid), then the deterministic per-vec argmin. With
+    ``sub`` the centroid relation carries a subspace column ``s`` and
+    the argmin is per (vec_id, s) — the PQ variant; ONE body for both
+    so the exactness discipline (scale constant, rounding, cast chain)
+    lives in one place."""
     a, m = f"{out_prefix}a", f"{out_prefix}m"
+    sc = "c.s, " if sub else ""
+    so = "s, " if sub else ""
     assign = f"""{a} AS (
-  SELECT e.vec_id, c.cid,
+  SELECT e.vec_id, {sc}c.cid,
     cast(sum(cast(round((e.val - c.val) * (e.val - c.val) * {_DSCALE})
                   as bigint)) as bigint) AS dist
   FROM {elems} e JOIN {cents} c ON c.pos = e.pos
-  GROUP BY e.vec_id, c.cid
+  GROUP BY e.vec_id, {sc}c.cid
 )"""
     argmin = f"""{m} AS (
-  SELECT vec_id, cid, dist FROM (
-    SELECT vec_id, cid, dist,
-      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+  SELECT vec_id, {so}cid, dist FROM (
+    SELECT vec_id, {so}cid, dist,
+      row_number() OVER (PARTITION BY vec_id{', s' if sub else ''}
+                         ORDER BY dist, cid) AS rk
     FROM {a}
   ) r WHERE rk = 1
 )"""
     return assign, argmin
 
 
-def _update(elems: str, members: str, out: str) -> str:
+def _update(elems: str, members: str, out: str, sub: bool = False) -> str:
     """Centroid update CTE: per-(cid, pos) exact integer mean, one
-    bigint→double cast + one division back to coordinate space."""
+    bigint→double cast + one division back to coordinate space. With
+    ``sub`` the member relation carries the subspace key (PQ)."""
+    ms = "m.s, " if sub else ""
+    js = " AND m.s = e.s" if sub else ""
     return f"""{out} AS (
-  SELECT m.cid, e.pos,
+  SELECT {ms}m.cid, e.pos,
     cast(cast(sum(cast(round(e.val * {_ESCALE}) as bigint)) as bigint)
          as double) / (cast(count(*) as bigint) * {_ESCALE}) AS val
-  FROM {elems} e JOIN {members} m ON m.vec_id = e.vec_id
-  GROUP BY m.cid, e.pos
+  FROM {elems} e JOIN {members} m ON m.vec_id = e.vec_id{js}
+  GROUP BY {ms}m.cid, e.pos
 )"""
 
 
 def kmeans_assign(d: Dialect, asg: str | None = None) -> str:
     """KMeans cluster assignment after KMEANS_ITERS unrolled Lloyd
-    iterations, K = KMEANS_K, init = the K lowest vec_ids (simple and
+    iterations, K = KMEANS_K, init = the K lowest vec_ids (selected by
+    ORDER BY + LIMIT — a distributed TakeOrdered, robust to any id
+    layout, not a `vec_id < K` fixture assumption; simple and
     deterministic; KMeans|| is the production init, orthogonal to the
     per-iteration plan shape this operator demonstrates). Output one
     row per vector: (vec_id, cluster_id, dist_scaled) where
@@ -97,14 +110,15 @@ def kmeans_assign(d: Dialect, asg: str | None = None) -> str:
     the full training CTE chain (the self-contained oracle form)."""
     if asg is not None:
         return f"SELECT vec_id, cluster_id, dist_scaled FROM {asg}"
-    seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
-           else f"range(1, {KMEANS_DIM} + 1)")
+    seq = d.seq("1", str(KMEANS_DIM))
     parts = [f"""dims AS (SELECT {d.explode(seq)} AS pos),
 elems AS (
   SELECT vec_id, pos, cast({d.elem('embedding', 'pos')} as double) AS val
   FROM embeddings CROSS JOIN dims
 ),
-c0 AS (SELECT vec_id AS cid, pos, val FROM elems WHERE vec_id < {KMEANS_K})"""]
+seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}),
+c0 AS (SELECT e.vec_id AS cid, e.pos, e.val
+       FROM elems e JOIN seeds sd ON sd.vec_id = e.vec_id)"""]
     cents = "c0"
     members = None
     for i in range(1, KMEANS_ITERS + 1):
@@ -270,26 +284,26 @@ PQ_ITERS = 2     # unrolled Lloyd iterations per subspace (trained jointly)
 
 
 def _pq_assign(elems: str, cents: str, out_prefix: str) -> tuple[str, str]:
-    """(assign, argmin) CTE pair over ALL subspaces at once: the
+    """The PQ (assign, argmin) pair over ALL subspaces at once: the
     centroid relation carries (s, cid, pos, val) with pos GLOBAL (so
     the pos equi-join lands each element in its own subspace), and the
-    argmin is per (vec_id, s)."""
-    a, m = f"{out_prefix}a", f"{out_prefix}m"
-    assign = f"""{a} AS (
-  SELECT e.vec_id, c.s, c.cid,
-    cast(sum(cast(round((e.val - c.val) * (e.val - c.val) * {_DSCALE})
-                  as bigint)) as bigint) AS dist
-  FROM {elems} e JOIN {cents} c ON c.pos = e.pos
-  GROUP BY e.vec_id, c.s, c.cid
+    argmin is per (vec_id, s). Thin wrapper over the shared
+    :func:`_assign` body (sub=True) — one copy of the scaled-integer
+    arithmetic."""
+    return _assign(elems, cents, out_prefix, sub=True)
+
+
+def _pq_elems_ctes(d: Dialect) -> str:
+    """The subspaced element relation ``elems(vec_id, pos, s, val)``
+    (plus its dims generator) — shared by the PQ training chain and
+    the assign-only path that reads a materialized codebook."""
+    seq = d.seq("1", str(KMEANS_DIM))
+    return f"""dims AS (SELECT {d.explode(seq)} AS pos),
+elems AS (
+  SELECT vec_id, pos, {d.idiv('(pos - 1)', str(PQ_SUBDIM))} AS s,
+    cast({d.elem('embedding', 'pos')} as double) AS val
+  FROM embeddings CROSS JOIN dims
 )"""
-    argmin = f"""{m} AS (
-  SELECT vec_id, s, cid, dist FROM (
-    SELECT vec_id, s, cid, dist,
-      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
-    FROM {a}
-  ) r WHERE rk = 1
-)"""
-    return assign, argmin
 
 
 def _pq_train_ctes(d: Dialect) -> tuple[str, str, str]:
@@ -297,15 +311,10 @@ def _pq_train_ctes(d: Dialect) -> tuple[str, str, str]:
     elems carries a subspace column s = (pos-1) div PQ_SUBDIM; codebook
     init = subvectors of the PQ_K lowest vec_ids (deterministic, like
     kmeans_assign's seeding)."""
-    seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
-           else f"range(1, {KMEANS_DIM} + 1)")
-    parts = [f"""dims AS (SELECT {d.explode(seq)} AS pos),
-elems AS (
-  SELECT vec_id, pos, {d.idiv('(pos - 1)', str(PQ_SUBDIM))} AS s,
-    cast({d.elem('embedding', 'pos')} as double) AS val
-  FROM embeddings CROSS JOIN dims
-),
-pc0 AS (SELECT s, vec_id AS cid, pos, val FROM elems WHERE vec_id < {PQ_K})"""]
+    parts = [f"""{_pq_elems_ctes(d)},
+pseeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K}),
+pc0 AS (SELECT e.s, e.vec_id AS cid, e.pos, e.val
+        FROM elems e JOIN pseeds sd ON sd.vec_id = e.vec_id)"""]
     cents = "pc0"
     members = None
     for i in range(1, PQ_ITERS + 1):
@@ -314,13 +323,7 @@ pc0 AS (SELECT s, vec_id AS cid, pos, val FROM elems WHERE vec_id < {PQ_K})"""]
         members = f"p{i}m"
         if i < PQ_ITERS:
             cents = f"pc{i}"
-            parts.append(f"""{cents} AS (
-  SELECT m.s, m.cid, e.pos,
-    cast(cast(sum(cast(round(e.val * {_ESCALE}) as bigint)) as bigint)
-         as double) / (cast(count(*) as bigint) * {_ESCALE}) AS val
-  FROM elems e JOIN {members} m ON m.vec_id = e.vec_id AND m.s = e.s
-  GROUP BY m.s, m.cid, e.pos
-)""")
+            parts.append(_update("elems", members, cents, sub=True))
     return ",\n".join(parts), members, cents
 
 
@@ -367,8 +370,7 @@ def knn_ivfpq_adc(d: Dialect, asg: str | None = None,
     and only the query vectors are exploded — the search-time plan a
     cluster actually runs."""
     if members is not None:
-        seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
-               else f"range(1, {KMEANS_DIM} + 1)")
+        seq = d.seq("1", str(KMEANS_DIM))
         prefix = f"""dims AS (SELECT {d.explode(seq)} AS pos),
 qsub AS (
   SELECT vec_id, {d.idiv('(pos - 1)', str(PQ_SUBDIM))} AS s, pos,
@@ -381,9 +383,13 @@ coarse AS (
 )"""
         return _adc_suffix(d, prefix, members, cents)
     ctes, tr_members, tr_cents = _pq_train_ctes(d)
+    # asg passes through: a caller holding a materialized coarse
+    # assignment must not retrain the coarse quantizer inside the
+    # inline-PQ branch (review finding — output-identical but the
+    # whole unrolled KMeans chain re-ran per CTE reference)
     prefix = f"""{ctes},
 coarse AS (
-{kmeans_assign(d)}
+{kmeans_assign(d, asg)}
 ),
 qsub AS (
   SELECT e.vec_id, e.s, e.pos, e.val FROM elems e
@@ -443,8 +449,7 @@ def pq_recall_report(d: Dialect, asg: str | None = None,
     only, run on a query sample; both rankings are top-k relations,
     so the comparison join is query-set-sized."""
     adc = knn_ivfpq_adc(d, asg, members, cents)
-    seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
-           else f"range(1, {KMEANS_DIM} + 1)")
+    seq = d.seq("1", str(KMEANS_DIM))
     return f"""WITH d2 AS (SELECT {d.explode(seq)} AS pos),
 el AS (
   SELECT vec_id, pos, cast({d.elem('embedding', 'pos')} as double) AS val
@@ -509,17 +514,25 @@ def ensure_cluster_views(spark, key: object = None) -> None:
         asg = spark.sql(kmeans_assign(SPARK)).localCheckpoint(eager=True)
         asg.createOrReplaceTempView(ASG_VIEW)
         dfs.append(asg)
-        ctes, members, cents = _pq_train_ctes(SPARK)
-        m = spark.sql(
-            f"WITH {ctes}\nSELECT vec_id, s, cid, dist FROM {members}"
-        ).localCheckpoint(eager=True)
-        m.createOrReplaceTempView(PQ_MEMBERS_VIEW)
-        dfs.append(m)
+        ctes, _members, cents = _pq_train_ctes(SPARK)
+        # codebook FIRST: the training chain runs exactly once; the
+        # member table is then ONE assign stage against the
+        # materialized codebook — identical rows by construction (the
+        # chain's final members ARE the assign of elems to the final
+        # cents), but the chain no longer executes twice (review
+        # finding: ~2x one-time index-build cost per (session, dataset))
         c = spark.sql(
             f"WITH {ctes}\nSELECT s, cid, pos, val FROM {cents}"
         ).localCheckpoint(eager=True)
         c.createOrReplaceTempView(PQ_CENTS_VIEW)
         dfs.append(c)
+        assign, argmin = _pq_assign("elems", PQ_CENTS_VIEW, "pf")
+        m = spark.sql(
+            f"WITH {_pq_elems_ctes(SPARK)},\n{assign},\n{argmin}\n"
+            f"SELECT vec_id, s, cid, dist FROM pfm"
+        ).localCheckpoint(eager=True)
+        m.createOrReplaceTempView(PQ_MEMBERS_VIEW)
+        dfs.append(m)
         return dfs
 
     ensure_session_plane(_CLUSTER_STATE, spark, key, build)
@@ -541,8 +554,15 @@ def semdedup_pairs_df(spark):
         pair_cosine,
     )
 
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
     asg = spark.table(ASG_VIEW).select("vec_id", "cluster_id")
-    emb = spark.table("embeddings").select("vec_id", "embedding")
+    # zero-norm exclusion, same rule as the SQL twin's _member_cte
+    # (nrm > 0): without it the pandas kernel yields NaN cosines for
+    # zero-vector pairs, and Spark's NaN ordering makes
+    # `NaN >= threshold` TRUE — rows the SQL/oracle form excludes
+    emb = (spark.table("embeddings").select("vec_id", "embedding")
+           .where(F.expr(f"{SPARK.dot('embedding', 'embedding')} > 0")))
     mv = asg.join(emb, "vec_id")
     a, b = mv.alias("a"), mv.alias("b")
     return (
@@ -682,8 +702,7 @@ def knn_index_upsert(d: Dialect, asg: str | None = None) -> str:
     corpus-scale moves except one pass over the assignment view.
     """
     base = kmeans_assign(d, asg)
-    seq = (f"sequence(1, {KMEANS_DIM})" if d.name == "spark"
-           else f"range(1, {KMEANS_DIM} + 1)")
+    seq = d.seq("1", str(KMEANS_DIM))
     assign, argmin = _assign("batch", "cellc", "u")
     return f"""WITH asg AS (
 {base}

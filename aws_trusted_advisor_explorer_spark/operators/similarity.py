@@ -76,8 +76,7 @@ def _bucket_expr(d: Dialect, emb: str) -> str:
         # dot with the deterministic plane: fold over the dimension index
         idx_dot = d.fold(
             d.transform(
-                ("sequence(1, " + str(DIM) + ")") if d.name == "spark"
-                else f"range(1, {DIM + 1})",
+                d.seq("1", str(DIM)),
                 "i",
                 f"cast({d.elem(emb, 'i')} as double) * {hyperplane_weight(j, 'i')}"),
             "cast(0 as double)", "s", "v", "s + v")

@@ -293,9 +293,19 @@ def docs_kmv_distinct_union(d: Dialect, base: str | None = None) -> str:
     side the content-hash relation comes from the session-materialized
     dochash view (:func:`~.dedup.ensure_dochash_view`); self-contained
     chain for the DuckDB oracle."""
-    k_body = (f"SELECT doc_id, source, hv FROM {base}" if base is not None
+    # NULL-text docs are excluded from the content-hash sketch domain:
+    # NULL content has no hash, and the engines disagree on what it
+    # would otherwise become (Spark's char-fold yields NULL — and NULL
+    # hv ORDERS differently per engine inside the sketch windows —
+    # while DuckDB folds the empty char list to the HASH_INIT
+    # constant, a real value). The self-contained form filters the
+    # text, the plane-backed form the (Spark-)NULL hv; NULL-text docs
+    # themselves are kept by every pipeline tier — they just occupy no
+    # sketch slot.
+    k_body = (f"SELECT doc_id, source, hv FROM {base} "
+              f"WHERE hv IS NOT NULL" if base is not None
               else f"SELECT doc_id, source, {d.poly_hash('text')} AS hv "
-                   f"FROM documents")
+                   f"FROM documents WHERE text IS NOT NULL")
 
     def est(rel: str) -> str:
         return (f"CASE WHEN {rel}.n_k < {KMV_K} "
@@ -468,7 +478,8 @@ FROM (
 ) q2"""
 
 
-def docs_kmv_source_overlap(d: Dialect, base: str | None = None) -> str:
+def docs_kmv_source_overlap(d: Dialect, base: str | None = None,
+                            esrc_view: str | None = None) -> str:
     """Source-pair resemblance audit via KMV/theta sketch
     INTERSECTION (Beyer et al. 2007's KMV set operations — the
     companion of docs_kmv_distinct_union's union/merge proof): for
@@ -498,7 +509,15 @@ def docs_kmv_source_overlap(d: Dialect, base: str | None = None) -> str:
     shingle vocabulary, quadratic only in the source count — and is
     the small-scale oracle column, not the product path. On Spark
     ``sh`` reads the session shingle plane; self-contained chain for
-    the DuckDB oracle."""
+    the DuckDB oracle.
+
+    ``esrc_view``: name of a PRE-MATERIALIZED distinct (source, hv)
+    relation — the wired Spark path
+    (:func:`docs_kmv_source_overlap_df`). The esrc CTE is referenced
+    ~5x downstream (sketch build, source list, both sides of the
+    exact arm) and ``AS MATERIALIZED`` is DuckDB-only, so under Spark
+    CTE inlining the shingle-scan + documents-join + DISTINCT shuffle
+    would re-run per reference."""
     from aws_trusted_advisor_explorer_spark.operators.dedup import _shingle_cte
 
     ca = d.cte_as()
@@ -511,11 +530,17 @@ def docs_kmv_source_overlap(d: Dialect, base: str | None = None) -> str:
     # hint as a plain comment.
     bhint = "/*+ BROADCAST(a) */ " if d.name == "spark" else ""
     kth = f"{KMV_K - 1} * cast({P_MOD} as bigint)"
-    return f"""{_shingle_cte(d, base)},
+    if esrc_view is not None:
+        head = f"""WITH esrc AS (
+  SELECT source, hv FROM {esrc_view}
+),"""
+    else:
+        head = f"""{_shingle_cte(d, base)},
 esrc {ca} (
   SELECT DISTINCT dd.source, s.hv
   FROM sh s JOIN documents dd ON dd.doc_id = s.doc_id
-),
+),"""
+    return f"""{head}
 ps AS (
   SELECT source, hv,
     row_number() OVER (PARTITION BY source ORDER BY hv) AS r
@@ -569,6 +594,29 @@ SELECT es.s1 AS source_a, es.s2 AS source_b,
   es.est_union AS est_union_shingles,
   {d.idiv('es.matches * es.est_union', 'es.n_u')} AS est_shared_shingles
 FROM es LEFT JOIN ex ON ex.s1 = es.s1 AND ex.s2 = es.s2"""
+
+
+KMV_ESRC_VIEW = "__kmv_esrc"
+
+
+def docs_kmv_source_overlap_df(spark, base: str):
+    """Wired Spark path of :func:`docs_kmv_source_overlap`: compute
+    the distinct (source, hv) relation ONCE (lazy localCheckpoint —
+    materialized inside this query's own execution, not a session
+    plane, so the bench row still pays for it), then run the identical
+    sketch/exact tail SQL over the materialized view. Same rows as the
+    self-contained form (the tail SQL is the same builder text)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators.dedup import (
+        _shingle_cte,
+    )
+
+    esrc = spark.sql(f"""{_shingle_cte(SPARK, base)}
+SELECT DISTINCT dd.source, s.hv
+FROM sh s JOIN documents dd ON dd.doc_id = s.doc_id""") \
+        .localCheckpoint(eager=False)
+    esrc.createOrReplaceTempView(KMV_ESRC_VIEW)
+    return spark.sql(docs_kmv_source_overlap(SPARK, esrc_view=KMV_ESRC_VIEW))
 
 
 BUILDERS = {

@@ -1172,6 +1172,38 @@ def test_kmeans_matches_independent_numpy(spark):
     assert got == exp
 
 
+def test_kmeans_seeding_robust_to_noncontiguous_vec_ids(spark):
+    """Regression (review finding): the 'K lowest vec_ids' init must
+    hold for ANY id layout — pre-fix it was `WHERE vec_id < K`, which
+    trains fewer (or zero) centroids the moment ids don't start at 0.
+    Offsetting every id by 1000 must yield exactly KMEANS_K clusters
+    and the same clustering as the unshifted corpus (ids are labels,
+    not features)."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import clusterops as C
+
+    rng = np.random.RandomState(7)
+    n = 40
+    vecs = rng.rand(n, C.KMEANS_DIM).round(3)
+    for offset in (0, 1000):
+        pdf = pd.DataFrame({
+            "vec_id": [int(i) + offset for i in range(n)],
+            "embedding": [v.tolist() for v in vecs],
+        })
+        ns = spark.newSession()
+        ns.createDataFrame(pdf).createOrReplaceTempView("embeddings")
+        rows = ns.sql(C.kmeans_assign(SPARK)).collect()
+        assert len(rows) == n
+        got = {r.vec_id - offset: r.cluster_id - offset for r in rows}
+        if offset == 0:
+            base = got
+        else:
+            assert got == base
+        assert len({r.cluster_id for r in rows}) == C.KMEANS_K
+
+
 def test_sq_int8_matches_independent_numpy(spark):
     """embeddings_sq_int8 must equal a from-scratch numpy replay of the
     affine 256-level quantizer (scaled-integer elements, per-dimension
@@ -2032,6 +2064,30 @@ def test_semdedup_df_twin_bit_matches_sql(spark):
     df_rep = {r.cluster_id: (r.n_vecs, r.n_dropped, r.n_kept)
               for r in clusterops.semdedup_prune_report_df(spark).collect()}
     assert sql_rep == df_rep
+
+
+def test_semdedup_df_twin_excludes_zero_norm_vectors(spark):
+    """Regression (review finding): a zero-norm embedding must be
+    excluded by the DF twin exactly as the SQL twin's _member_cte
+    (nrm > 0) does — the pandas kernel yields NaN cosine for its
+    pairs, and Spark's NaN ordering makes `NaN >= threshold` TRUE, so
+    pre-fix the twin emitted pairs the oracle form excludes."""
+    import math
+
+    import pandas as pd
+
+    ns = spark.newSession()
+    emb = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 0.0]],
+    })
+    ns.createDataFrame(emb).createOrReplaceTempView("embeddings")
+    asg = pd.DataFrame({"vec_id": [0, 1, 2], "cluster_id": [0, 0, 0]})
+    ns.createDataFrame(asg).createOrReplaceTempView(clusterops.ASG_VIEW)
+    rows = clusterops.semdedup_pairs_df(ns).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in rows}
+    assert pairs == {(0, 1)}  # no pair touches the zero vector
+    assert all(not math.isnan(r.cosine) for r in rows)
 
 
 def test_span_scrub_planted_fixture(spark):

@@ -126,6 +126,37 @@ def test_kmv_exact_mode_below_k(spark):
     assert row["err_milli"] == 0
 
 
+def test_kmv_null_text_doc_excluded_from_sketch_domain(spark):
+    """Regression (review finding): a NULL-text document hashes to a
+    NULL hv, which the engines ORDER differently (Spark NULLS FIRST
+    would hand it r=1 and a sketch slot; DuckDB NULLS LAST pushes it
+    out of a full sketch) — it must be excluded from the content-hash
+    sketch domain in BOTH engines, leaving counts/estimates equal to
+    the same corpus without the NULL doc."""
+    base = pd.DataFrame({
+        "doc_id": range(10),
+        "source": ["a"] * 5 + ["b"] * 5,
+        "text": [f"doc number {i}" for i in range(10)],
+    })
+    with_null = pd.concat([base, pd.DataFrame(
+        {"doc_id": [99], "source": ["a"], "text": [None]})],
+        ignore_index=True)
+
+    out = {}
+    for name, pdf in (("base", base), ("with_null", with_null)):
+        ns = spark.newSession()
+        ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        sdf = canonicalize(
+            ns.sql(sketchops.docs_kmv_distinct_union(SPARK)).toPandas())
+        ddf = canonicalize(
+            con.sql(sketchops.docs_kmv_distinct_union(DUCK)).df())
+        assert sdf.equals(ddf), name
+        out[name] = sdf
+    assert out["base"].equals(out["with_null"])
+
+
 def test_hist_quantiles_parity_and_error_bound(spark, ddb):
     """Both engines agree bit-for-bit and the histogram estimate's
     error stays within one bin width of the value range (the true
