@@ -88,6 +88,10 @@ def _byte_stats_batches(batches: "Iterator") -> "Iterator":
     import pandas as pd
 
     for pdf in batches:
+        # NULL payloads carry no bytes to profile — skipped here AND
+        # filtered by the oracle's text IS NOT NULL (np.frombuffer
+        # would otherwise TypeError and fail the task on one NULL row)
+        pdf = pdf[pdf["payload"].notna()]
         payloads = pdf["payload"]
         arrs = [np.frombuffer(p, dtype=np.uint8).astype(np.int64)
                 for p in payloads]
@@ -115,12 +119,18 @@ def media_byte_stats_oracle(d: Dialect) -> str:
     numpy float64 division bit-for-bit."""
     codes = d.transform(d.chars("text"), "ch", "cast(ascii(ch) as bigint)")
     total = d.fold(codes, "cast(0 as bigint)", "a", "b", "a + b")
+    # empty text matches the kernel's zero-fill (mean 0.0, min/max 0)
+    # instead of NULL/DIVIDE_BY_ZERO; NULL text matches the kernel's
+    # skip — the same empty/NULL rules as the sibling oracles
     return f"""SELECT doc_id,
   cast(length(text) as bigint) AS n_bytes,
-  cast({total} as double) / length(text) AS byte_mean,
-  cast({d.arr_min(codes)} as bigint) AS byte_min,
-  cast({d.arr_max(codes)} as bigint) AS byte_max
-FROM documents"""
+  CASE WHEN length(text) = 0 THEN cast(0 as double)
+       ELSE cast({total} as double) / length(text) END AS byte_mean,
+  CASE WHEN length(text) = 0 THEN cast(0 as bigint)
+       ELSE cast({d.arr_min(codes)} as bigint) END AS byte_min,
+  CASE WHEN length(text) = 0 THEN cast(0 as bigint)
+       ELSE cast({d.arr_max(codes)} as bigint) END AS byte_max
+FROM documents WHERE text IS NOT NULL"""
 
 
 # --- decoders ---------------------------------------------------------------
@@ -153,10 +163,17 @@ def decode_image(payload: bytes) -> dict:
     if Image is not None:
         import io
 
-        with Image.open(io.BytesIO(payload)) as im:
-            return {"format": (im.format or "?").lower(),
-                    "width": im.width, "height": im.height,
-                    "channels": len(im.getbands())}
+        # normalize PIL's damage signals (UnidentifiedImageError and
+        # truncated-read OSErrors) to the module's ValueError contract
+        # — otherwise one damaged asset escapes the ValueError-only
+        # quarantine and fails the whole mapInPandas task
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return {"format": (im.format or "?").lower(),
+                        "width": im.width, "height": im.height,
+                        "channels": len(im.getbands())}
+        except OSError as exc:
+            raise ValueError(f"undecodable image: {exc}") from exc
     # a recognized signature with a truncated header must still raise
     # the contract's ValueError, not a low-level struct.error/IndexError
     # that kills the whole mapInPandas task on one damaged asset
@@ -185,25 +202,36 @@ def decode_audio(payload: bytes) -> dict:
     """Audio metadata decode -> {format, n_channels, sample_rate,
     n_frames}. Uses soundfile when importable (any libsndfile format);
     otherwise the stdlib ``wave`` module decodes RIFF/WAV — a real
-    parse, not a stub."""
+    parse, not a stub. Damage is normalized to the module's ValueError
+    contract on BOTH tiers (soundfile raises LibsndfileError, a
+    RuntimeError; wave raises wave.Error/EOFError — neither is a
+    ValueError subclass, so an unnormalized raise would escape the
+    quarantine and fail the task on one truncated asset)."""
     import io
+    import struct
 
     try:
         import soundfile  # optional dependency
     except ImportError:
         soundfile = None
     if soundfile is not None:
-        info = soundfile.info(io.BytesIO(payload))
+        try:
+            info = soundfile.info(io.BytesIO(payload))
+        except RuntimeError as exc:  # LibsndfileError
+            raise ValueError(f"undecodable audio: {exc}") from exc
         return {"format": info.format.lower(),
                 "n_channels": info.channels,
                 "sample_rate": int(info.samplerate),
                 "n_frames": int(info.frames)}
     import wave
 
-    with wave.open(io.BytesIO(payload)) as w:
-        return {"format": "wav", "n_channels": w.getnchannels(),
-                "sample_rate": w.getframerate(),
-                "n_frames": w.getnframes()}
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            return {"format": "wav", "n_channels": w.getnchannels(),
+                    "sample_rate": w.getframerate(),
+                    "n_frames": w.getnframes()}
+    except (wave.Error, EOFError, struct.error) as exc:
+        raise ValueError(f"undecodable audio: {exc}") from exc
 
 
 def sample_video_frames(payload: bytes, every_n: int = 30) -> list:
@@ -326,6 +354,8 @@ def _feature_batches(batches: "Iterator") -> "Iterator":
     for pdf in batches:
         ids, bins, ns, fracs = [], [], [], []
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            if p is None:  # same NULL rule as _byte_stats_batches
+                continue
             a = np.frombuffer(p, dtype=np.uint8)
             if not len(a):
                 continue
@@ -372,6 +402,8 @@ def _frame_batches(batches: "Iterator") -> "Iterator":
     for pdf in batches:
         ids, fnos, vals = [], [], []
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            if p is None:  # same NULL rule as _byte_stats_batches
+                continue
             a = np.frombuffer(p, dtype=np.uint8)[::FRAME_STRIDE]
             ids.extend([int(doc_id)] * len(a))
             fnos.extend(range(len(a)))
@@ -405,7 +437,8 @@ def media_frame_sample_oracle(d: Dialect) -> str:
   FROM documents WHERE length(text) > 0
 )
 SELECT doc_id, frame_no,
-  {d.elem('codes', f'frame_no * {FRAME_STRIDE} + 1')} AS frame_val
+  {d.elem('codes', f'cast(frame_no * {FRAME_STRIDE} + 1 as int)')}
+    AS frame_val
 FROM c"""
 
 

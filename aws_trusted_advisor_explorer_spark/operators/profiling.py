@@ -28,35 +28,57 @@ ALLOWED_LANGS = ("en", "de", "fr", "es", "zh")
 def docs_column_profile(d: Dialect, table: str = "documents") -> str:
     """Per-column corpus profile (the df.describe()/Deequ profiler):
     row count, non-null count, exact distinct count, min/max rendered
-    as (truncated) strings for a uniform report schema. One aggregate
-    pass per column over a single scan stage — Catalyst/DuckDB fuse
-    the UNION ALL branches' scans; distinct counts are the only
-    shuffles, each keyed on its own column — and the wide ``text``
-    column's distinct is keyed on md5(text) so the exchange never
-    carries document bodies (same count, same hash-key rule as exact
-    dedup; min/max need no such guard — partial aggregation moves one
-    value per partition). Content here is ASCII so string min/max
-    agree across engines (binary collation both sides)."""
-    branches = []
+    as (truncated) strings for a uniform report schema. ONE aggregate
+    over ONE scan: all five columns' stats land in a single one-row
+    aggregate, unpivoted to the report rows by exploding an array of
+    structs over that row (a UNION-ALL-per-column form — or a
+    multiply-referenced one-row CTE — re-scans the corpus once per
+    column under BOTH engines' CTE inlining; measured 5 Scan nodes
+    pre-rewrite). The distinct counts share the scan via the engines'
+    multi-distinct expansion, and the wide ``text`` column's distinct
+    is keyed on md5(text) so the exchange never carries document
+    bodies (same count, same hash-key rule as exact dedup; min/max
+    need no such guard — partial aggregation moves one value per
+    partition). Content here is ASCII so string min/max agree across
+    engines (binary collation both sides)."""
+    aggs = ["cast(count(*) as bigint) AS n_rows"]
+    entries = []
     for col in _DOC_COLUMNS:
         dkey = f"md5({col})" if col in _WIDE_COLUMNS else col
-        branches.append(f"""SELECT '{col}' AS column_name,
-  cast(count(*) as bigint) AS n_rows,
-  cast(count({col}) as bigint) AS n_nonnull,
-  cast(count(DISTINCT {dkey}) as bigint) AS n_distinct,
-  substr(cast(min({col}) as string), 1, {PROFILE_VALUE_TRUNC}) AS min_value,
-  substr(cast(max({col}) as string), 1, {PROFILE_VALUE_TRUNC}) AS max_value
-FROM {table}""")
-    return "\nUNION ALL\n".join(branches)
+        aggs += [
+            f"cast(count({col}) as bigint) AS nn_{col}",
+            f"cast(count(DISTINCT {dkey}) as bigint) AS nd_{col}",
+            f"substr(cast(min({col}) as string), 1, {PROFILE_VALUE_TRUNC})"
+            f" AS mn_{col}",
+            f"substr(cast(max({col}) as string), 1, {PROFILE_VALUE_TRUNC})"
+            f" AS mx_{col}",
+        ]
+        entries.append(d.struct_(
+            ("column_name", f"'{col}'"), ("n_nonnull", f"nn_{col}"),
+            ("n_distinct", f"nd_{col}"), ("min_value", f"mn_{col}"),
+            ("max_value", f"mx_{col}")))
+    cols = ",\n    ".join(aggs)
+    return f"""WITH a AS (
+  SELECT {cols}
+  FROM {table}
+),
+x AS (SELECT n_rows, {d.explode(d.arr_lit(entries))} AS s FROM a)
+SELECT s.column_name AS column_name, n_rows,
+  s.n_nonnull AS n_nonnull, s.n_distinct AS n_distinct,
+  s.min_value AS min_value, s.max_value AS max_value
+FROM x"""
 
 
 def docs_expectations_report(d: Dialect, table: str = "documents") -> str:
     """Expectation-suite run (the pre-training data contract): each
     named expectation reports its violation count and verdict in ONE
     aggregate pass — uniqueness via count-minus-distinct, the rest as
-    CASE-counts. Adding an expectation adds a column to the inner
-    aggregate and a row to the report (constant-size) — never another
-    scan.
+    CASE-counts — unpivoted by exploding an array of structs over the
+    one-row aggregate (a UNION ALL per expectation re-evaluated the
+    aggregate CTE once per reference under BOTH engines' CTE inlining
+    — measured 5 Scan nodes pre-rewrite). Adding an expectation adds
+    a column to the inner aggregate and an array entry — never
+    another scan.
 
     Expectations: doc_id non-null, doc_id unique, text non-empty,
     lang within the allowed set, n_chars consistent with length(text).
@@ -81,11 +103,13 @@ def docs_expectations_report(d: Dialect, table: str = "documents") -> str:
         ("lang_allowed", "v_bad_lang"),
         ("n_chars_consistent", "v_chars_drift"),
     ]
-    union = "\nUNION ALL\n".join(
-        f"SELECT '{name}' AS expectation, n_rows, {col} AS n_violations, "
-        f"{col} = 0 AS passed FROM a"
-        for name, col in rows)
-    return f"WITH {checks}\n{union}"
+    entries = [d.struct_(("expectation", f"'{name}'"), ("nv", col))
+               for name, col in rows]
+    return f"""WITH {checks},
+x AS (SELECT n_rows, {d.explode(d.arr_lit(entries))} AS s FROM a)
+SELECT s.expectation AS expectation, n_rows, s.nv AS n_violations,
+  s.nv = 0 AS passed
+FROM x"""
 
 
 REFRESH_MOD = 20   # doc_id % 20 == REFRESH_REM -> the delta batch
@@ -115,6 +139,18 @@ def docs_agg_refresh(d: Dialect) -> str:
     tok_n = f"cast({d.arr_len(d.tokens('text'))} as bigint)"
     agg = (f"cast(count(*) as bigint) AS n_docs, "
            f"cast(sum({tok_n}) as bigint) AS n_tokens")
+
+    # null-safe group-key equality: a NULL source forms a real rollup
+    # group in every aggregate here, but plain `=` never matches NULL
+    # — the merge would emit two unmerged half-rows and the final join
+    # would silently DROP the NULL-source totals (the exact drift the
+    # audit column exists to surface). Spark spells it <=>; DuckDB
+    # IS NOT DISTINCT FROM. Both remain hash-join keys.
+    def nse(a: str, b: str) -> str:
+        if d.name == "spark":
+            return f"{a} <=> {b}"
+        return f"{a} IS NOT DISTINCT FROM {b}"
+
     return f"""WITH stored AS (
   SELECT source, {agg} FROM documents
   WHERE doc_id % {REFRESH_MOD} <> {REFRESH_REM}
@@ -134,11 +170,11 @@ merged AS (
     coalesce(s.n_tokens, 0) + coalesce(dl.n_tokens, 0) AS n_tokens,
     coalesce(s.n_docs, 0) AS n_docs_stored,
     coalesce(dl.n_docs, 0) AS n_docs_delta
-  FROM stored s FULL OUTER JOIN delta dl ON dl.source = s.source
+  FROM stored s FULL OUTER JOIN delta dl ON {nse('dl.source', 's.source')}
 )
 SELECT m.source, m.n_docs, m.n_tokens, m.n_docs_stored, m.n_docs_delta,
   (m.n_docs = f.n_docs AND m.n_tokens = f.n_tokens) AS matches_recompute
-FROM merged m JOIN full_rc f ON f.source = m.source"""
+FROM merged m JOIN full_rc f ON {nse('f.source', 'm.source')}"""
 
 
 BUILDERS = {

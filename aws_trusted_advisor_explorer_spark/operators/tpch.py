@@ -292,29 +292,34 @@ def tpch_q17(d: Dialect) -> str:
     """Q17 small-quantity-order revenue: average yearly revenue lost if
     tiny orders (quantity below {Q17_FRACTION_NUM}/{Q17_FRACTION_DEN}
     of that part's average order quantity) were not filled — the
-    CORRELATED-scalar-aggregate shape, written DECORRELATED: the
-    per-part average is one groupBy over the SAME brand-filtered
-    lineitem slice, broadcast back by partkey (exactly what Catalyst's
-    decorrelation would produce, stated explicitly). The threshold
-    compare is exact integer cross-multiplication (qty*den*cnt <
-    num*sum) — no division, no doubles in the predicate."""
+    CORRELATED-scalar-aggregate shape, written DECORRELATED as a
+    per-part WINDOW over the brand-filtered slice (sum/count OVER
+    (PARTITION BY l_partkey)) — the repo's rewrite-as-window rule for
+    group-subquery join-backs: the earlier groupBy + join-back
+    evaluated the brand-filtered lineitem⋈part CTE twice under BOTH
+    engines' CTE inlining, and the window partitions on l_partkey so
+    nothing lands on a single partition. The threshold compare is
+    exact integer cross-multiplication (qty*den*cnt < num*sum) — no
+    division, no doubles in the predicate."""
     return f"""WITH pl AS (
   SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
     {_micros('l_quantity')} AS qty_us
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
   WHERE p.p_brand = '{Q17_BRAND}'
 ),
-avgq AS (
-  SELECT l_partkey, cast(sum(qty_us) as bigint) AS sum_qty_us,
-    cast(count(*) as bigint) AS cnt
-  FROM pl GROUP BY l_partkey
+w AS (
+  SELECT l_extendedprice, qty_us,
+    cast(sum(qty_us) OVER (PARTITION BY l_partkey) as bigint)
+      AS sum_qty_us,
+    cast(count(*) OVER (PARTITION BY l_partkey) as bigint) AS cnt
+  FROM pl
 )
 SELECT
   cast(count(*) as bigint) AS n_small_orders,
-  cast(sum({_micros('pl.l_extendedprice')}) as {_money_t()}) AS revenue_us
-FROM pl JOIN avgq a ON a.l_partkey = pl.l_partkey
-WHERE pl.qty_us * {Q17_FRACTION_DEN} * a.cnt
-      < cast({Q17_FRACTION_NUM} as bigint) * a.sum_qty_us"""
+  cast(sum({_micros('l_extendedprice')}) as {_money_t()}) AS revenue_us
+FROM w
+WHERE qty_us * {Q17_FRACTION_DEN} * cnt
+      < cast({Q17_FRACTION_NUM} as bigint) * sum_qty_us"""
 
 
 Q2_SIZE = 15
@@ -524,11 +529,17 @@ def tpch_q12(d: Dialect) -> str:
     dates, so lineitems bucket by order->ship lag months, capped at
     2+): per lag bucket, how many lineitems belong to high-priority
     (1-URGENT / 2-HIGH) vs lower-priority orders — the CASE-sum
-    pivot aggregate. Lag arithmetic is integer microseconds."""
+    pivot aggregate. Lag arithmetic is integer microseconds. The
+    bucket is CLAMPED to [0, 2]: the fixture contains ship-before-
+    order lineitems (negative gaps down to thousands of days), and
+    without the floor they fanned out into dozens of meaningless
+    negative buckets instead of the documented 0/1/2+ domain."""
     gap_days = d.idiv(
         f"({d.epoch_us('l.l_shipdate')} - {d.epoch_us('o.o_orderdate')})",
         str(_DAY_US))
-    bucket = f"least({d.idiv(gap_days, str(Q12_LATE_DAYS))}, cast(2 as bigint))"
+    bucket = (f"greatest(cast(0 as bigint), "
+              f"least({d.idiv(gap_days, str(Q12_LATE_DAYS))}, "
+              f"cast(2 as bigint)))")
     return f"""SELECT
   cast({bucket} as bigint) AS lag_bucket,
   cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -34,6 +34,40 @@ def test_media_byte_stats_udf_matches_sql_oracle(spark, ddb):
         multimodal.media_byte_stats_oracle(DUCK))
 
 
+def test_media_kernels_handle_null_and_empty_payloads(spark):
+    """Regression (review finding): a NULL text row becomes a NULL
+    binary payload, which np.frombuffer crashed on; an empty text row
+    divided by zero in the oracle. NULL rows are skipped by kernel AND
+    oracle; empty rows zero-fill in both — Spark UDF == DuckDB oracle
+    on a corpus planting both."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["abc", "", None],
+    })
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sdf = canonicalize(multimodal.media_byte_stats_df(ns).toPandas())
+    ddf = canonicalize(
+        con.sql(multimodal.media_byte_stats_oracle(DUCK)).df())
+    assert sdf.equals(ddf)
+    got = {int(r.doc_id): (int(r.n_bytes), float(r.byte_mean))
+           for _, r in sdf.iterrows()}
+    assert set(got) == {1, 2}          # NULL row skipped both sides
+    assert got[2] == (0, 0.0)          # empty row zero-fills
+    # the 1-to-many kernels skip NULL payloads the same way
+    assert multimodal.media_feature_extract_df(ns) \
+        .where("doc_id = 3").count() == 0
+    assert multimodal.media_frame_sample_df(ns) \
+        .where("doc_id = 3").count() == 0
+
+
 def test_minhash_candidates_subset_of_exact_jaccard(spark):
     """MinHash+LSH output (jaccard-verified candidates) is a subset of
     the exact shared-shingle join at the same threshold; recall on the
@@ -204,6 +238,44 @@ def test_expectations_report_counts_planted_violations(spark):
     assert prof["doc_id"].n_nonnull == 5
     assert prof["doc_id"].n_distinct == 4
     assert prof["text"].n_nonnull == 5
+
+
+def test_profilers_scan_documents_once(spark):
+    """Regression (review finding): both profilers must read the
+    corpus in ONE scan — the UNION-ALL-per-column/expectation forms
+    inlined the aggregate CTE per reference and scanned documents 5x.
+    Counted from the executed plan's parquet scan nodes."""
+    import re
+
+    for builder in (profiling.docs_column_profile,
+                    profiling.docs_expectations_report):
+        plan = spark.sql(builder(SPARK))._jdf.queryExecution() \
+            .executedPlan().toString()
+        n_scans = len(re.findall(r"Scan parquet|FileScan", plan))
+        assert n_scans == 1, (builder.__name__, n_scans)
+
+
+def test_agg_refresh_keeps_null_source_group(spark):
+    """Regression (review finding): a NULL source is a real rollup
+    group — the null-safe join keys must merge its stored+delta halves
+    and reconcile it against the recompute instead of silently
+    dropping the group."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        # doc_id % 20 == 3 -> delta batch: ids 3, 23 (NULL source), 43
+        "doc_id": [1, 2, 3, 23, 43],
+        "text": ["one two", "three four", "five", "six seven", "eight"],
+        "source": ["s1", None, None, None, "s1"],
+    })
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    rows = {r.source: r for r in ns.sql(
+        profiling.docs_agg_refresh(SPARK)).collect()}
+    assert set(rows) == {"s1", None}
+    nul = rows[None]
+    assert (nul.n_docs, nul.n_docs_stored, nul.n_docs_delta) == (3, 1, 2)
+    assert all(r.matches_recompute for r in rows.values())
 
 
 def test_lsh_recall_gate_matches_set_arithmetic(spark):
