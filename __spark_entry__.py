@@ -292,36 +292,23 @@ def _pairs_backed_query(builder_name: str):
     return run
 
 
-def _pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_trusted_advisor_explorer_spark.operators import dedup
+def _pairs_df_query(fn_name: str):
+    """Factory for the iterative DataFrame twins (pagerank, connected
+    components, the drop-list and its rollup) that consume ONLY the
+    per-session materialized pair relation — one shape, four
+    consumers, so the ensure discipline lives in one place (unlike the
+    SQL-builder analog _pairs_backed_query, these twins take no
+    shingle `base`, so no shingle re-point is needed here)."""
 
-    _prepare_ext(spark, sf_dir)
-    return dedup.dedup_graph_pagerank_df(
-        spark, pairs_view=dedup.ensure_minhash_pairs_view(spark, key=sf_dir))
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.operators import dedup
 
+        _prepare_ext(spark, sf_dir)
+        return getattr(dedup, fn_name)(
+            spark,
+            pairs_view=dedup.ensure_minhash_pairs_view(spark, key=sf_dir))
 
-def _dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_trusted_advisor_explorer_spark.operators import dedup
-
-    _prepare_ext(spark, sf_dir)
-    return dedup.dedup_clusters_df(
-        spark, pairs_view=dedup.ensure_minhash_pairs_view(spark, key=sf_dir))
-
-
-def _near_dedup_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_trusted_advisor_explorer_spark.operators import dedup
-
-    _prepare_ext(spark, sf_dir)
-    return dedup.docs_near_dedup_apply_df(
-        spark, pairs_view=dedup.ensure_minhash_pairs_view(spark, key=sf_dir))
-
-
-def _dedup_savings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_trusted_advisor_explorer_spark.operators import dedup
-
-    _prepare_ext(spark, sf_dir)
-    return dedup.docs_dedup_savings_df(
-        spark, pairs_view=dedup.ensure_minhash_pairs_view(spark, key=sf_dir))
+    return run
 
 
 def _dochash_backed_query(builder_name: str, module: str = "dedup"):
@@ -512,21 +499,24 @@ def _view_query(name: str, with_tags: bool | None):
 # with-tags parent row is green (same plan minus the broadcast join).
 # All remain fully verified in CORRECTNESS_FULL.json / pytest.
 _PARKED_TAIL = (
-    "pq_recall_report",      # same top-k-intersection shape as in-cap
-                             # knn_recall_at_k; components in-cap
-                             # (knn_ivfpq_adc); set-intersection pytest
-    "events_daily_active",   # exact-distinct family stays in-cap via
-                             # events_value_quantiles' n_users column;
+    "pq_recall_report",      # top-k-intersection gate; the learned-
+                             # quantizer family's in-cap reps are
+                             # knn_ivf + knn_ivf_multiprobe;
+                             # set-intersection pytest
+    "events_daily_active",   # exact-distinct family rep in-cap:
+                             # events_hll_distinct (in-row exact gate);
                              # HLL twin is error-bound pytested
     "events_rollup",         # GROUP BY ROLLUP subtotal shape; the
                              # events agg family keeps 4 in-cap rows
-    "events_retention",      # hour-cohort shape; the funnel family's
-                             # in-cap row is events_funnel (ordered
-                             # multi-step generalization of the same
-                             # co-partitioned join chain)
-    "docs_source_mix",       # same banding-aggregate shape as parked
-                             # docs_length_histogram; mixture weights
-                             # remain pytest+FULL-verified
+    "events_retention",      # hour-cohort shape; the ordered event-
+                             # join family's in-cap rep is
+                             # events_interval_join (same
+                             # co-partitioned join rails)
+    "docs_source_mix",       # share-rollup family rep in-cap (r7):
+                             # docs_curation_drift (per-lang before/
+                             # after token shares, same integer-ppm
+                             # rollup); mixture weights remain
+                             # pytest+FULL-verified
     "docs_embedding_integrity", # reconciliation audit (full-outer-join
                                 # counts); algorithmically thin, FULL-
                                 # verified
@@ -536,42 +526,59 @@ _PARKED_TAIL = (
     "text_fingerprint",         # min-shingle anchor; its machinery
                                 # (shingle view, poly-hash) backs many
                                 # in-cap dedup rows
-    "pii_scrub_text",        # regex-scrub projection; PII family's
-                             # in-cap row is pii_mask_accounts (P9)
-    "media_frame_sample",    # same mapInPandas plumbing family as the
-                             # in-cap media_feature_extract (1-to-many
+    "pii_scrub_text",        # regex-scrub projection; PII family
+                             # head pii_mask_accounts parked r7
+                             # (driver-green r1-r6); reference-plane
+                             # reps in-cap are the 10 views
+    "media_frame_sample",    # same mapInPandas plumbing family as
+                             # in-cap media_phash_dedup (1-to-many
                              # shape); SQL-oracle pytest is the evidence
-    "text_commonness_score", # shingle-DF-derived signal; family stays
-                             # in-cap via text_repetition
-    "pq_codes",              # index-build artifact of in-cap knn_ivfpq_adc
-                             # (the searcher re-runs the same train+encode
-                             # CTEs); numpy-replay pytest is the evidence
+    "text_commonness_score", # shingle-DF-derived signal; the shingle
+                             # rails' in-cap reps are dedup_minhash_lsh
+                             # + docs_hybrid_search_rrf
+    "pq_codes",              # index-build artifact of the ADC searcher
+                             # (knn_ivfpq_adc, parked r7); quantizer
+                             # family rep in-cap: knn_ivf; numpy-replay
+                             # pytest is the evidence
     "media_inventory",       # per-type count rollup; the media plane's
-                             # in-cap row is media_byte_stats (mapInPandas)
+                             # in-cap row is media_phash_dedup
     "semdedup_prune_report", # per-cluster rollup of in-cap semdedup_pairs
     "docs_dedup_rate_by_source",  # per-source rollup of in-cap
                                   # dedup_minhash_lsh pairs
-    "docs_stratified_sample", # same deterministic hash-mod sampler shape
-                              # as in-cap docs_split_assign
-    "docs_quality_gate",     # threshold filter over in-cap text_quality
+    "docs_stratified_sample", # deterministic hash-mod sampler; rep
+                              # in-cap: docs_curation_pipeline (its
+                              # split/cap stages run the same id-hash)
+    "docs_quality_gate",     # threshold filter over the quality score;
+                             # rep in-cap: text_nb_quality_score +
+                             # docs_curation_pipeline's gate stage
     "docs_rejected",         # complement row of the quality gate
-    "docs_decontaminated",   # anti-join complement of in-cap
-                             # docs_contamination (same shingle probe)
-    "docs_pack_efficiency",  # bins-rollup of in-cap docs_pack_bins
-    "kmeans_report",         # per-cluster rollup of in-cap kmeans_assign
-    "knn_lsh",               # its SQL is embedded verbatim in in-cap
-                             # knn_recall_at_k; DF twin pytest-bit-matched
-    "text_vocab_topk",       # top-k ranking shape stays in-cap via
-                             # text_tfidf_topk + the knn ranked family
-    "events_sliding_window", # hopping twin of in-cap events_hourly_by_type;
+    "docs_decontaminated",   # anti-join complement of parked
+                             # docs_contamination; the shingle-probe
+                             # family rep in-cap is
+                             # docs_curation_pipeline
+    "docs_pack_efficiency",  # bins-rollup of parked docs_pack_bins;
+                             # the two-phase-cumsum family rep in-cap
+                             # is docs_quality_cutoff_calibration
+    "kmeans_report",         # per-cluster rollup of the KMeans index;
+                             # cell-plane rep in-cap: semdedup_pairs
+    "knn_lsh",               # bucket rails identical to in-cap knn_ivf
+                             # (same planes/buckets); DF twin
+                             # pytest-bit-matched
+    "text_vocab_topk",       # top-k ranking shape rep in-cap:
+                             # docs_hybrid_search_rrf + the knn ranked
+                             # family (knn_ivf)
+    "events_sliding_window", # hopping-window twin; tumbling-agg family
+                             # rep in-cap: events_hist_quantiles;
                              # stream==batch pytest-verified
     "dedup_exact_normalized", # 0 rows at driver SF (no planted variants);
                               # planted-fixture pytest is the evidence
     "media_dedup_exact",      # same: 0 rows at driver SF, planted pytest
-    "docs_length_histogram", # same banding-aggregate shape as in-cap
-                             # docs_source_mix
+    "docs_length_histogram", # integer-banding family rep in-cap:
+                             # docs_ccnet_buckets (CDF-banded terciles
+                             # over the same per-doc integer keys)
     "view_low_util_ec2_no_tags",
-    "dedup_exact_groups",  # keeper semantics stay in-cap via dedup_exact_flags
+    "dedup_exact_groups",  # keeper semantics re-exercised in-cap by
+                           # docs_curation_pipeline's exact_dup stage
     "knn_bruteforce",      # its SQL is embedded verbatim in knn_recall_at_k's
                            # green row; DF twin bit-matched by pytest
     "docs_top_quality",    # top-k ranking shape; covered in-cap by
@@ -587,7 +594,7 @@ _PARKED_TAIL = (
     "events_purchase_click_pairs",  # new in r2: batch twin of the
                                     # stream-stream join (pair set tested
                                     # equal); range-join family's in-cap
-                                    # row is events_session_attribution
+                                    # row is events_interval_join
     "view_underutil_ebs_no_tags",
     "view_idle_elb_no_tags",
     "view_rds_idle_no_tags",
@@ -595,15 +602,18 @@ _PARKED_TAIL = (
     "view_route53_latency_no_tags",
     "embeddings_sq_int8",  # new in r2: SQ rung of the quantization
                            # family; in-cap representative is
-                           # knn_ivfpq_adc (PQ train+encode+search)
+                           # knn_ivf (the learned-quantizer rails)
     "text_unicode_sanitize",  # new in r2: unicode-hygiene projection;
-                              # scrub family's in-cap representative is
-                              # pii_mask_accounts (P9)
-    "docs_boilerplate_topk",  # new in r2: top-k report twin of in-cap
-                              # docs_block_dedup (same segmenter)
+                              # scrub family head pii_mask_accounts is
+                              # parked (driver-green r1-r6); the gate
+                              # family's in-cap rep is
+                              # docs_curation_pipeline
+    "docs_boilerplate_topk",  # new in r2: top-k report twin of parked
+                              # docs_block_dedup; segment-dedup family
+                              # rep in-cap: dedup_span_exact
     "docs_dataset_card",   # new in r2: one-row datasheet rollup; the
-                           # composition family's in-cap row is
-                           # docs_contamination (corpus reports)
+                           # corpus-report family's in-cap row is
+                           # docs_curation_drift
     "events_disorder_audit",   # new in r2: watermark-sizing lateness
                                # audit; zero-signal at driver SF by
                                # data construction — planted-fixture
@@ -617,33 +627,38 @@ _PARKED_TAIL = (
     "docs_boolean_search", # new in r2: conjunctive inverted-index AND
                            # query; retrieval family shares the
                            # filter-before-aggregate posting shape with
-                           # in-cap text_tfidf_topk; python-replay pytest
+                           # in-cap docs_hybrid_search_rrf;
+                           # python-replay pytest
     "docs_bm25_topk",      # new in r2: integer-exact Okapi BM25 top-k
                            # (cleared-denominator rationals); ranked
                            # retrieval family, in-cap representative
-                           # text_tfidf_topk; python-replay pytest
+                           # docs_hybrid_search_rrf (its text arm);
+                           # python-replay pytest
     "docs_kanon_release",  # new in r2: k-anonymity suppression for
-                           # released group stats; privacy family's
-                           # in-cap row is pii_mask_accounts
+                           # released group stats; privacy family head
+                           # pii_mask_accounts parked r7 after 6 green
+                           # rounds; reference reps are the 10 views
     "docs_domain_cap",     # new in r2: per-source cap (CCNet balance
-                           # rule); ranked-within-group family's in-cap
-                           # row is text_tfidf_topk (same dense-rank
-                           # window shape); semantics pytest
+                           # rule); its cap stage runs in-cap inside
+                           # docs_curation_pipeline; semantics pytest
     "docs_language_balance_plan",  # new in r2: per-lang keep-rate
                                    # plan; rollup family in-cap row is
-                                   # docs_source_mix; invariant pytest
+                                   # docs_curation_drift; invariant
+                                   # pytest
     "events_top_paths",    # new in r2: sequential-pattern top-k; the
                            # ordered-per-user family's in-cap row is
-                           # events_funnel; python-replay pytest
+                           # events_interval_join; python-replay pytest
     "docs_column_profile",  # new in r2: per-column profiler (deequ
                             # shape); one-pass aggregate family's
-                            # in-cap row is docs_dataset_card
+                            # in-cap rows are the TPC-H aggregates
+                            # (tpch_q13/q16 in-cap)
     "docs_expectations_report",  # new in r2: expectation suite (data
                                  # contract); same one-pass family;
                                  # all-green invariant pytest
     "docs_agg_refresh",    # new in r2: incremental aggregate refresh
-                           # (IVM); the merge family's in-cap analog
-                           # is docs_merge_cdc; in-row recompute audit
+                           # (IVM); merge family head docs_merge_cdc
+                           # also parked — the in-row recompute audit
+                           # + action-semantics pytest are the evidence
     "docs_near_dedup_apply",   # new in r2: the near-dup drop list
                                # (keep-lowest per component of in-cap
                                # dedup_clusters); invariant pytest
@@ -652,15 +667,16 @@ _PARKED_TAIL = (
     "text_tokenizer_coverage",  # new in r2: lossy-tokenization audit
                                 # over the sanitize plane's planted
                                 # dirty text; audit family
-    "docs_split_token_budget",  # new in r2: per-split rollup of
-                                # in-cap docs_split_assign (token
-                                # budget); source-mix family
+    "docs_split_token_budget",  # new in r2: per-split token budget;
+                                # the shared _split_case fragment runs
+                                # in-cap via docs_curation_pipeline's
+                                # split stage
     "docs_span_coverage",      # new in r2: one-row rollup of parked
                                # dedup_span_exact (is-scrub-worth-it)
     "events_user_rate_topk",   # new in r2: bot-hunt rate report; the
                                # per-user rollup family's in-cap row
-                               # is events_session_attribution (r5:
-                               # events_sessionize rotated out)
+                               # is events_cms_heavy_hitters (same
+                               # per-user aggregate + gate shape)
     "docs_cross_lingual_pairs",  # new in r2: lang-pair rollup of the
                                  # in-cap minhash pairs (translation-
                                  # candidate mining); same shape as
@@ -668,56 +684,56 @@ _PARKED_TAIL = (
     "knn_index_upsert",    # new in r2: IVF maintenance (assign batch
                            # to frozen cells + growth audit); the
                            # learned-quantizer family's in-cap row is
-                           # knn_ivfpq_adc, incremental family's is
-                           # dedup_incremental; replay pytest
-    "knn_range_search",    # new in r2: radius variant of in-cap
-                           # knn_lsh (same bucket equi-join rails,
-                           # threshold filter instead of the top-k
-                           # window); superset-invariant pytest
+                           # knn_ivf; replay pytest
+    "knn_range_search",    # new in r2: radius variant of the LSH
+                           # bucket rails (in-cap rep knn_ivf — same
+                           # planes/buckets); superset-invariant pytest
     "embeddings_norm_audit",  # new in r2: one-row embedding hygiene
                               # rollup; the audit family's in-cap row
-                              # is events_key_skew_audit; numpy-replay
-                              # pytest
+                              # is events_disorder_audit_signal;
+                              # numpy-replay pytest
     "text_bpe_fertility_by_lang",  # new in r2: per-lang rollup of
                                    # text_bpe_tokenize_count (the BPE
                                    # train/apply family heads rotated
                                    # in-cap in r7)
     "docs_cross_split_contamination",  # new in r2: train/test leakage
                                        # rollup of in-cap
-                                       # dedup_minhash_lsh x in-cap
-                                       # docs_split_assign
+                                       # dedup_minhash_lsh x the shared
+                                       # split fragment (in-cap via
+                                       # docs_curation_pipeline)
     "docs_merge_cdc",      # new in r2: batch MERGE (upsert/delete
-                           # apply); the id-equi-join family's in-cap
-                           # row is docs_embedding_integrity, and the
-                           # CDC family's streaming twin is
-                           # events_latest_state; action-semantics pytest
+                           # apply); the id-equi-join shape runs in-cap
+                           # in every reference view's tag join;
+                           # action-semantics pytest
     # --- r5 rotation: the r3 sketch plane, dedup_prefix_join, and
     # representative r3 TPC-H keys moved INTO the 50-slot driver
     # window (they had only FULL/pytest evidence); the nine keys
     # below — driver-green in CORRECTNESS_r01–r04 — park in exchange,
     # each with an in-cap family representative.
-    "dedup_ngram_jaccard",  # driver-green r1–r4; exact shared-shingle
-                            # pair family's in-cap row is now
-                            # dedup_prefix_join, whose driver oracle
-                            # is THIS query's SQL (cross-algorithm)
+    "dedup_ngram_jaccard",  # driver-green r1–r4; it remains the
+                            # driver ORACLE of parked dedup_prefix_join
+                            # (cross-algorithm); shingle-pair family
+                            # rep in-cap: dedup_minhash_lsh
     "dedup_containment",    # driver-green r1–r4; shared-shingle pair
-                            # family reps in-cap: dedup_prefix_join +
-                            # dedup_minhash_lsh
+                            # family rep in-cap: dedup_minhash_lsh
     "dedup_simhash",        # driver-green r1–r4; banded-candidate
                             # family rep in-cap: dedup_minhash_lsh
-    "events_hourly_anomaly",  # driver-green r1–r4; hourly-agg family
-                              # head events_hourly_by_type stays in-cap
-    "events_sessionize",    # driver-green r1–r4; session family rep
-                            # in-cap: events_session_attribution
+    "events_hourly_anomaly",  # driver-green r1–r4; per-type agg
+                              # family rep in-cap: events_hist_quantiles
+    "events_sessionize",    # driver-green r1–r4; session/event-join
+                            # family rep in-cap: events_interval_join
     "events_latest_state",  # driver-green r1–r4; ordered-per-key
-                            # window family rep in-cap: events_asof_join
-    "text_bigram_surprise", # driver-green r1–r4; vocab-window family
-                            # rep in-cap: text_tfidf_topk
+                            # window family rep in-cap:
+                            # events_disorder_audit_signal
+    "text_bigram_surprise", # driver-green r1–r4; vocab-aggregate
+                            # family rep in-cap: text_lm_score_ref
+                            # (same bigram occurrence relation)
     "docs_importance_sample",  # driver-green r1–r4; deterministic-hash
                                # sampler family rep in-cap:
-                               # docs_split_assign
+                               # docs_curation_pipeline (same id-hash
+                               # decision stream)
     "knn_ivf_kmeans",       # driver-green r1–r4; learned-quantizer
-                            # family reps in-cap: knn_ivf + knn_ivfpq_adc
+                            # family rep in-cap: knn_ivf
     # --- r6 rotation: tpch_q1/q3/q6/q10/q12/q16, dedup_lsh_recall,
     # text_nb_quality_score, docs_curation_pipeline, media_phash_dedup,
     # docs_chunking moved INTO the 50-slot driver window (never
@@ -726,8 +742,8 @@ _PARKED_TAIL = (
     # driver-green in 4–5 consecutive rounds — park in exchange, each
     # with an in-cap family representative.
     "text_repetition",      # driver-green r1–r5; shingle-signal family
-                            # reps in-cap: text_tfidf_topk +
-                            # dedup_minhash_lsh hold the shingle rails
+                            # rep in-cap: dedup_minhash_lsh (holds the
+                            # shingle rails)
     "events_props_json",    # driver-green r1–r5; JSON-projection shape;
                             # the events plane keeps 6+ in-cap rows
     "events_asof_join",     # driver-green r1–r5; ordered-window family
@@ -752,13 +768,12 @@ _PARKED_TAIL = (
                             # in-cap: dedup_minhash_lsh +
                             # docs_curation_pipeline's exact_dup stage
     "dedup_embedding_cosine",  # driver-green r1–r5; embedding family
-                               # reps in-cap: semdedup_pairs +
-                               # kmeans_assign (same cell blocking)
+                               # rep in-cap: semdedup_pairs (same
+                               # cell blocking)
     "media_byte_stats",     # driver-green r1–r5; media mapInPandas
-                            # family reps in-cap: media_feature_extract
-                            # + media_phash_dedup (r6 rotated in)
+                            # family rep in-cap: media_phash_dedup
     "events_funnel",        # driver-green r2–r5; ordered-funnel family
-                            # rep in-cap: events_session_attribution
+                            # rep in-cap: events_interval_join
     "docs_kmv_source_overlap",  # new in r6 (KMV sketch INTERSECTION:
                                 # source-pair shingle-resemblance
                                 # matrix with in-row exact truth);
@@ -780,7 +795,7 @@ _PARKED_TAIL = (
     "text_token_stats",  # driver-green r1-r5 (5 rounds) — parked to
                          # free cap slots for the never-driver-green
                          # r6 CCNet keys; token-plane family rep
-                         # in-cap is text_tfidf_topk
+                         # in-cap is text_lm_score_ref
     "text_quality",  # driver-green r1-r5 (5 rounds) — parked with
                      # text_token_stats; quality-family rep in-cap is
                      # text_nb_quality_score (r6 window)
@@ -859,7 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sat at positions 50-52; run them right after the views
     q["knn_ivf"] = _knn_ivf_query
     q["knn_ivf_multiprobe"] = _knn_ivf_multiprobe_query
-    q["dedup_clusters"] = _dedup_clusters_query
+    q["dedup_clusters"] = _pairs_df_query("dedup_clusters_df")
     for key, build in _ext_builders().items():
         q[key] = _ext_query(build)
     q["media_byte_stats"] = _media_udf_query("media_byte_stats_df")
@@ -890,9 +905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the SQL fold; ~5x at sf0.1's 250k candidate pairs)
     q["semdedup_pairs"] = _cluster_df_query("semdedup_pairs_df")
     q["semdedup_prune_report"] = _cluster_df_query("semdedup_prune_report_df")
-    q["dedup_graph_pagerank"] = _pagerank_query
-    q["docs_near_dedup_apply"] = _near_dedup_apply_query
-    q["docs_dedup_savings"] = _dedup_savings_query
+    q["dedup_graph_pagerank"] = _pairs_df_query("dedup_graph_pagerank_df")
+    q["docs_near_dedup_apply"] = _pairs_df_query("docs_near_dedup_apply_df")
+    q["docs_dedup_savings"] = _pairs_df_query("docs_dedup_savings_df")
     q["dedup_span_exact"] = _span_backed_query("dedup_span_exact")
     q["docs_span_coverage"] = _span_backed_query("docs_span_coverage")
     q["docs_span_scrub"] = _span_backed_query("docs_span_scrub")

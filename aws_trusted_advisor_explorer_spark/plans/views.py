@@ -197,11 +197,6 @@ def _specs() -> dict[str, ViewSpec]:
 VIEWS: dict[str, ViewSpec] = _specs()
 
 
-def _boundary(col: Column, dtype) -> Column:
-    """Cast decimal outputs to double at the query boundary (see module doc)."""
-    return col.cast("double") if isinstance(dtype, str) and dtype == "decimal" else col
-
-
 def view_df(spark: SparkSession, name: str, with_tags: bool | None = None,
             boundary_double: bool = True, broadcast_tags: bool = False) -> DataFrame:
     """Build the view as a DataFrame plan over the registered raw tables.

@@ -120,7 +120,13 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         if not parts:
             return []
         path = parts[0]
-    return [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+    # match the tz-aware variant too ("timestamp[ns, tz=UTC]"): Spark's
+    # nanosAsLong reads BOTH as bigint, so missing the tz form here
+    # would leave the column a raw long with no timestamp rebuild
+    import pyarrow as pa
+
+    return [f.name for f in pq.read_schema(path)
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
 
 
 def ensure_session_plane(state: dict, spark: SparkSession, key: object,

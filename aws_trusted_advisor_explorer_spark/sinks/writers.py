@@ -51,20 +51,14 @@ def write_raw_table(df: DataFrame, path: str, fmt: str = "parquet",
     rewrites old ones); each run's partition values are distinct, so
     append adds partitions without touching history."""
     out = with_run_partitions(df) if partitioned else df
-    if fmt == "parquet":
+    if fmt in ("parquet", "orc"):
+        # one shared path: ORC field names share parquet's
+        # no-special-chars restriction, so both get the safe rename
         out = out.toDF(*[parquet_safe(c) for c in out.columns])
         w = out.write.mode(mode)
         if partitioned:
             w = w.partitionBy("year", "month", "day")
-        w.parquet(path)
-    elif fmt == "orc":
-        # same safe-rename policy as parquet: ORC field names share
-        # the no-special-chars restriction
-        out = out.toDF(*[parquet_safe(c) for c in out.columns])
-        w = out.write.mode(mode)
-        if partitioned:
-            w = w.partitionBy("year", "month", "day")
-        w.orc(path)
+        getattr(w, fmt)(path)
     elif fmt == "csv":
         w = out.write.mode(mode).option("header", True)
         if partitioned:
@@ -156,11 +150,23 @@ def compact_table(spark: SparkSession, path: str,
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, -(-total // target_file_bytes))  # ceil, >= 1
-    df = spark.read.format(fmt).load(path)
+    # CSV tables carry a header row per part file: read it as a header
+    # (not data) and write it back, matching write_raw_table/
+    # read_raw_table — a headerless round-trip would fold each part
+    # file's header line into the data and shift the columns
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    df = reader.load(path)
     cur = df.rdd.getNumPartitions()
-    out = df.coalesce(n_files) if n_files < cur else df.repartition(n_files)
+    # n_files == cur takes the narrow no-op coalesce, never a full
+    # round-robin shuffle that rewrites identical partitioning
+    out = df.coalesce(n_files) if n_files <= cur else df.repartition(n_files)
     tmp = path.rstrip("/") + "._compact_tmp"
-    out.write.mode("overwrite").format(fmt).save(tmp)
+    writer = out.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(tmp)
     # atomic-ish swap: the window with no live directory is one rename
     import shutil
 
@@ -201,8 +207,18 @@ def zorder_key_expr(col_a: str, col_b: str,
     span_a = max(hi_a - lo_a, 1)
     span_b = max(hi_b - lo_b, 1)
     grid = (1 << bits) - 1
-    sa = f"cast(((cast(`{col_a}` as bigint) - {lo_a}) * {grid}) div {span_a} as bigint)"
-    sb = f"cast(((cast(`{col_b}` as bigint) - {lo_b}) * {grid}) div {span_b} as bigint)"
+    # divide-by-stride, never multiply-by-grid: (v - lo) * grid
+    # overflows int64 once the span passes ~1.4e14 (e.g. nanosecond
+    # epochs) — ANSI mode would kill the write, non-ANSI would wrap
+    # into garbage z-keys. The stride is computed here in unbounded
+    # Python ints; least() clamps the one cell of integer-division
+    # slack at the top of the range. Same locality, no overflow.
+    stride_a = max(span_a // grid, 1)
+    stride_b = max(span_b // grid, 1)
+    sa = (f"least(cast((cast(`{col_a}` as bigint) - {lo_a})"
+          f" div {stride_a} as bigint), {grid})")
+    sb = (f"least(cast((cast(`{col_b}` as bigint) - {lo_b})"
+          f" div {stride_b} as bigint), {grid})")
     parts = []
     for i in range(bits):
         parts.append(f"(shiftleft(shiftright({sa}, {i}) & 1, {2 * i + 1}))")

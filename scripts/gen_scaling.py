@@ -174,6 +174,34 @@ the scale path working as designed. The substring plane (r6 rows):
 sample — its wall growing visibly slower than the span join's on the
 same corpus is the measured form of the winnowing claim ("downstream
 joins run on the thinned relation, never the full gram relation").""")
+    lm_path = os.path.join(root, "bench_results", "lm_stretch.json")
+    if os.path.exists(lm_path):
+        with open(lm_path) as f:
+            lm = json.load(f)["keys"]
+        out.append("""
+## sf0.2 stretch point (LM/CCNet plane + interval join)
+
+`scripts/bench_lm_stretch.py` (r7): the r6 heavyweights pinned past
+the 3-SF sweep — documents 2x (perturbed near-dup copy) for the
+reference-LM scorer and the CCNet tercile bucketing, events 2x (a
+DISJOINT second epoch, so the interval join's output pair set grows
+with the input instead of quadratically within buckets):
+
+| query | sf0.1 | 2x input | wall growth | output growth |
+|---|---|---|---|---|""")
+        for key, d in lm.items():
+            out.append(
+                f"| `{key}` | {d['sf0.1']['sec']:.2f}s "
+                f"({d['sf0.1']['rows']} rows) | {d['sf0.2x']['sec']:.2f}s "
+                f"({d['sf0.2x']['rows']} rows) | {d['growth']:.2f}x "
+                f"| {d['row_growth']:.2f}x |")
+        out.append("""
+Reading: `text_lm_score_ref`'s occurrence relation and
+`docs_ccnet_buckets`'s score plane are corpus-linear with vocab-sized
+model dims, so wall growth ~= input growth is the claim; the interval
+join's wall tracking its ~2x output (buckets double, per-bucket
+density is unchanged) is the bucketization working — a naive range
+join would have grown ~4x in candidate pairs.""")
     out.append("""
 The absolute numbers are NOT cluster predictions; they are regression
 anchors — a future change that pushes a normalized ratio well past 1

@@ -49,6 +49,33 @@ def test_priority_head_fits_driver_cap_and_holds_reference_views():
         assert rotated in head, f"{rotated} fell out of the r7 window"
 
 
+def test_parked_tail_incap_citations_are_actually_incap():
+    """Every parked-tail comment that justifies a parked key by naming
+    an 'in-cap' family representative must name a key ACTUALLY inside
+    the 50-row head — rotations kept silently invalidating these
+    (r7 review found a circular pair and a dozen stale cites), and
+    test_cited_names_resolve only checks existence, not cap status."""
+    import re
+
+    src = open("/root/repo/__spark_entry__.py", encoding="utf-8").read()
+    region = src[src.index("_PARKED_TAIL = ("):]
+    head = set(list(ent.queries())[:50])
+    keys = set(ent.queries())
+    cited = set()
+    # "in-cap X", "in-cap: X", "in-cap rep is X", "in-cap via X",
+    # spanning comment-line breaks (strip the comment prefix first)
+    prose = re.sub(r"\n\s*#\s*", " ", region)
+    for m in re.finditer(
+            r"in-cap(?: row| rep| reps| analog| representative)?"
+            r"(?: is| are|:| via)?\s+([a-z0-9_]+(?:\s*\+\s*[a-z0-9_]+)*)",
+            prose):
+        for tok in re.split(r"\s*\+\s*", m.group(1)):
+            if tok in keys:
+                cited.add(tok)
+    stale = sorted(k for k in cited if k not in head)
+    assert not stale, f"parked comments cite non-in-cap reps: {stale}"
+
+
 def _comment_and_docstring_text(path):
     """(prose, code) split of a python file: prose is #-comments plus
     docstrings, code is everything else (incl. SQL string literals)."""

@@ -1021,14 +1021,15 @@ def test_approx_quantiles_near_exact(spark):
 
 
 def test_decoders_reject_garbage(spark):
-    """Non-media bytes must fail loudly in every decoder tier (header
-    parsers raise ValueError/wave.Error; the video path raises
-    NotImplementedError without PyAV or av.* with it)."""
-    import wave
-
+    """Non-media bytes must fail loudly in every decoder tier — and as
+    the module contract's ValueError specifically (review finding: the
+    low-level errors — PIL UnidentifiedImageError, LibsndfileError,
+    wave.Error — must be normalized so the quarantine catches them);
+    the video path raises NotImplementedError without PyAV or av.*
+    with it."""
     with pytest.raises(ValueError):
         multimodal.decode_image(b"x" * 64)
-    with pytest.raises((wave.Error, EOFError, RuntimeError)):
+    with pytest.raises(ValueError):
         multimodal.decode_audio(b"x" * 64)
     with pytest.raises(Exception):
         multimodal.sample_video_frames(b"x" * 64)

@@ -178,3 +178,45 @@ def test_zorder_layout_boxes_both_dims(spark, tmp_path):
     assert back.count() == src.count()
     assert ({(r.doc_id, r.n_chars) for r in back.collect()} ==
             {(r.doc_id, r.n_chars) for r in src.collect()})
+
+
+def test_compact_table_csv_preserves_header_and_rows(spark, tmp_path):
+    """Regression (review finding): CSV compaction must treat part-file
+    header lines as headers on read AND write them back — pre-fix the
+    headerless round-trip folded each part file's header into the data
+    and shifted every column to _c0.._cN."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.sinks import writers
+
+    pdf = pd.DataFrame({"k": list(range(20)),
+                        "v": [f"val{i}" for i in range(20)]})
+    src = spark.createDataFrame(pdf)
+    path = str(tmp_path / "csv_frag")
+    src.repartition(8).write.option("header", True).csv(path)
+
+    writers.compact_table(spark, path, fmt="csv")
+    back = spark.read.option("header", True).csv(path)
+    assert back.columns == ["k", "v"]
+    assert back.count() == 20
+    assert {(int(r.k), r.v) for r in back.collect()} == \
+        {(int(r.k), f"val{int(r.k)}") for _, r in pdf.iterrows()}
+
+
+def test_zorder_key_survives_nanosecond_spans(spark):
+    """Regression (review finding): (v - lo) * grid overflowed int64
+    for spans past ~1.4e14 (nanosecond epochs); the divide-by-stride
+    key must evaluate under ANSI, stay within the grid, and remain
+    monotone in each input."""
+    from aws_trusted_advisor_explorer_spark.sinks import writers
+
+    lo, hi = 1_700_000_000_000_000_000, 1_760_000_000_000_000_000  # ns
+    vals = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], ["ts_ns", "k"])
+    key = writers.zorder_key_expr("ts_ns", "k", (lo, hi, 0, 3))
+    rows = df.select("ts_ns", key.alias("z")).orderBy("ts_ns").collect()
+    zs = [r.z for r in rows]
+    assert all(z >= 0 for z in zs)
+    assert zs == sorted(zs)        # monotone along the a-axis (b fixed-ish)
+    assert zs[-1] < 1 << 34        # interleave of two 16-bit grids

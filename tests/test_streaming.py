@@ -660,3 +660,81 @@ def test_sliding_window_negative_epoch_twin_parity(spark, tmp_path):
     got = {(r.event_type, r.win_start_sec, r.n_events, r.total_value)
            for r in spark.table("neg_sliding").collect()}
     assert got == batch
+
+
+def test_stateful_twins_survive_multi_batch_boundaries(spark, tmp_path):
+    """r6 verdict stretch ask: the availableNow drains at driver SF are
+    single-batch (one staged file), so this splits the sf0.001 events
+    into FOUR chronologically ordered part files and re-runs the three
+    stateful twins with maxFilesPerTrigger=1 — state must carry across
+    real micro-batch boundaries and still reproduce the batch answers.
+    The update-mode emission counts prove multiple batches actually
+    ran (more emissions than users for sessionize)."""
+    import collections
+    import os
+
+    import pandas as pd
+
+    pdf = (pd.read_parquet(f"{SF_DIR}/events.parquet")
+           .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    evdir = tmp_path / "events.parquet"
+    os.makedirs(evdir)
+    n = len(pdf)
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4:(i + 1) * n // 4]
+        p = evdir / f"part-{i:05d}.parquet"
+        chunk.astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    ns.read.parquet(str(evdir)).createOrReplaceTempView("events")
+
+    # sessionize: last state per user == batch
+    structured.run_stream_to_memory(
+        structured.sessionize_stream(ns, str(tmp_path)), "mb_sessions",
+        output_mode="update")
+    emissions = ns.table("mb_sessions").count()
+    n_users = ns.sql("SELECT count(DISTINCT user_id) AS n FROM events") \
+        .first().n
+    assert emissions > n_users, "expected >1 micro-batch of emissions"
+    got_s = (ns.table("mb_sessions")
+             .groupBy("user_id")
+             .agg(F.max("n_sessions").alias("n_sessions"),
+                  F.max("n_events").alias("n_events")))
+    want_s = ns.sql(eventops.events_sessionize(SPARK)) \
+        .select("user_id", "n_sessions", "n_events")
+    assert canonicalize(got_s.toPandas()).equals(
+        canonicalize(want_s.toPandas()))
+
+    # funnel: per-step user counts from the final per-user states
+    structured.run_stream_to_memory(
+        structured.funnel_stream(ns, str(tmp_path)), "mb_funnel",
+        output_mode="update")
+    final = ns.sql("""
+        SELECT user_id, max(step_reached) AS step_reached
+        FROM mb_funnel GROUP BY user_id""")
+    got_f = {s: 0 for s in (1, 2, 3)}
+    for r in final.collect():
+        for s in range(1, int(r.step_reached) + 1):
+            got_f[s] += 1
+    want_f = {r.step: r.n_users
+              for r in ns.sql(eventops.events_funnel(SPARK)).collect()}
+    assert got_f == want_f
+
+    # top paths: summed per-batch gram emissions == exact gram counts
+    structured.run_stream_to_memory(
+        structured.top_paths_stream(ns, str(tmp_path)), "mb_paths",
+        output_mode="update")
+    got_p: collections.Counter = collections.Counter()
+    for r in ns.table("mb_paths").collect():
+        got_p[r.path] += r.n
+    byu: dict = {}
+    for r in ns.sql("SELECT * FROM events").collect():
+        byu.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    expect: collections.Counter = collections.Counter()
+    for seq in byu.values():
+        types = [t for _, _, t in sorted(seq)]
+        for i in range(len(types) - eventops.PATH_N + 1):
+            expect[" ".join(types[i:i + eventops.PATH_N])] += 1
+    assert got_p == expect
