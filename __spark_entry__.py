@@ -201,6 +201,21 @@ def _kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketchops.docs_kmv_source_overlap_df(spark, base)
 
 
+def _eventops_df_query(fn_name: str):
+    """Event-plane DF twins (retention's shared DISTINCT relation,
+    the funnel's step chain) that materialize their multiply-referenced
+    intermediate once per run instead of re-evaluating it per CTE
+    reference under Spark inlining; the SQL forms stay the oracles."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.operators import eventops
+
+        _prepare_ext(spark, sf_dir)
+        return getattr(eventops, fn_name)(spark)
+
+    return run
+
+
 def _pack_efficiency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing QA rolls up the distributed two-phase cumsum twin (the
     SQL form embeds the global cumsum window — oracle only)."""
@@ -375,6 +390,18 @@ def _cluster_backed_query(builder_name: str):
         return spark.sql(sql)
 
     return run
+
+
+def _winnow_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnow-overlap self-join materializes its DF-capped
+    fingerprint relation once per run (lazy localCheckpoint inside the
+    query) — the SQL form's two self-join references re-ran the whole
+    winnow window pass per side under Spark CTE inlining."""
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    _prepare_ext(spark, sf_dir)
+    base = dedup.ensure_span_views(spark, key=sf_dir)
+    return dedup.dedup_winnow_overlap_df(spark, base)
 
 
 def _span_backed_query(builder_name: str):
@@ -913,7 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_span_scrub"] = _span_backed_query("docs_span_scrub")
     q["docs_winnow_fingerprints"] = _span_backed_query(
         "docs_winnow_fingerprints")
-    q["dedup_winnow_overlap"] = _span_backed_query("dedup_winnow_overlap")
+    q["dedup_winnow_overlap"] = _winnow_overlap_query
     for key in ("text_tfidf_topk", "text_commonness_score",
                 "docs_bm25_topk", "docs_boolean_search"):
         q[key] = _token_backed_query(key)
@@ -924,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query
     q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")
+    q["events_retention"] = _eventops_df_query("events_retention_df")
+    q["events_funnel"] = _eventops_df_query("events_funnel_df")
     q["docs_pack_bins"] = _pack_bins_query
     q["docs_pack_efficiency"] = _pack_efficiency_query
     q["docs_quality_cutoff_calibration"] = _cutoff_calibration_query

@@ -1699,7 +1699,8 @@ SELECT doc_id,
 FROM fp GROUP BY doc_id"""
 
 
-def dedup_winnow_overlap(d: Dialect, base: str | None = None) -> str:
+def dedup_winnow_overlap(d: Dialect, base: str | None = None,
+                         fpc_view: str | None = None) -> str:
     """Substring-overlap CANDIDATE pairs via shared winnowing
     fingerprints — the sub-linear companion of
     :func:`dedup_span_exact`: where the span operator localizes every
@@ -1724,9 +1725,19 @@ def dedup_winnow_overlap(d: Dialect, base: str | None = None) -> str:
     DF cap under CTE inlining). The full gram relation is never
     self-joined. Every shared fingerprint makes a candidate — the
     Schleimer guarantee needs exactly one, so there is no min-shared
-    knob to tune."""
+    knob to tune.
+
+    ``fpc_view``: name of a PRE-MATERIALIZED capped fingerprint
+    relation (the wired Spark path, :func:`dedup_winnow_overlap_df`) —
+    ``AS MATERIALIZED`` is DuckDB-only, so without it Spark's CTE
+    inlining re-ran the winnow chain once per self-join side."""
     ca = d.cte_as()
-    return f"""WITH {_winnow_fp_cte(d, base)},
+    if fpc_view is not None:
+        head = f"""WITH fpc AS (
+  SELECT doc_id, hv, nfp FROM {fpc_view}
+)"""
+    else:
+        head = f"""WITH {_winnow_fp_cte(d, base)},
 fpd {ca} (SELECT DISTINCT doc_id, hv FROM fp),
 keep AS (SELECT hv FROM fpd GROUP BY hv
          HAVING count(*) <= {WINNOW_DF_CAP}),
@@ -1734,13 +1745,39 @@ fpc {ca} (
   SELECT f.doc_id, f.hv,
     cast(count(*) OVER (PARTITION BY f.doc_id) as bigint) AS nfp
   FROM fpd f JOIN keep k ON k.hv = f.hv
-)
+)"""
+    return f"""{head}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   cast(count(*) as bigint) AS n_shared_fp,
   a.nfp AS n_fp_a, b.nfp AS n_fp_b,
   cast(count(*) as double) / (a.nfp + b.nfp - count(*)) AS fp_jaccard
 FROM fpc a JOIN fpc b ON b.hv = a.hv AND b.doc_id > a.doc_id
 GROUP BY a.doc_id, b.doc_id, a.nfp, b.nfp"""
+
+
+WINNOW_FPC_VIEW = "__winnow_fpc"
+
+
+def dedup_winnow_overlap_df(spark, base: str):
+    """Wired Spark path of :func:`dedup_winnow_overlap`: compute the
+    DF-capped winnowed fingerprint relation ONCE (lazy localCheckpoint
+    — materialized inside this query's own execution, not a session
+    plane, so the bench row still pays for the winnow pass), then run
+    the identical self-join tail over the materialized view. Same rows
+    as the self-contained form (the tail SQL is the same builder
+    text)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    ca = SPARK.cte_as()
+    fpc = spark.sql(f"""WITH {_winnow_fp_cte(SPARK, base)},
+fpd {ca} (SELECT DISTINCT doc_id, hv FROM fp),
+keep AS (SELECT hv FROM fpd GROUP BY hv
+         HAVING count(*) <= {WINNOW_DF_CAP})
+SELECT f.doc_id, f.hv,
+  cast(count(*) OVER (PARTITION BY f.doc_id) as bigint) AS nfp
+FROM fpd f JOIN keep k ON k.hv = f.hv""").localCheckpoint(eager=False)
+    fpc.createOrReplaceTempView(WINNOW_FPC_VIEW)
+    return spark.sql(dedup_winnow_overlap(SPARK, fpc_view=WINNOW_FPC_VIEW))
 
 
 BUILDERS = {

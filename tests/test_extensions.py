@@ -1680,6 +1680,36 @@ def test_cluster_view_backed_matches_inline(spark):
         assert viewed == inline, name
 
 
+def test_winnow_overlap_df_matches_self_contained_sql(spark):
+    """The wired per-run-checkpoint winnow overlap (fingerprint
+    relation materialized once) equals the self-contained SQL form
+    that re-evaluates the winnow chain per self-join side."""
+    from tests.conftest import canonicalize
+
+    base = dedup.ensure_span_views(spark, key="test")
+    got = canonicalize(dedup.dedup_winnow_overlap_df(spark, base).toPandas())
+    want = canonicalize(
+        spark.sql(dedup.dedup_winnow_overlap(SPARK)).toPandas())
+    assert got.equals(want)
+
+
+def test_eventops_df_twins_match_sql_forms(spark):
+    """The wired retention/funnel DF twins (multiply-referenced
+    relation materialized once per run) must equal their SQL forms
+    row-for-row — the SQL re-evaluated the DISTINCT (user, hour)
+    relation per join side and step i's aggregate once per later
+    step/union branch under Spark CTE inlining."""
+    from tests.conftest import canonicalize
+
+    for df, sql in ((eventops.events_retention_df(spark),
+                     eventops.events_retention(SPARK)),
+                    (eventops.events_funnel_df(spark),
+                     eventops.events_funnel(SPARK))):
+        got = canonicalize(df.toPandas())
+        want = canonicalize(spark.sql(sql).toPandas())
+        assert got.equals(want)
+
+
 def test_funnel_steps_monotone_and_match_pandas(spark):
     """Funnel invariants: step populations never increase, and every
     count matches an independent pandas replay of sequential
