@@ -97,8 +97,13 @@ def docs_pack_bins_df(spark):
     t = spark.sql(
         f"SELECT doc_id, cast({SPARK.arr_len(SPARK.tokens('text'))} "
         f"as bigint) AS n_toks FROM documents")
+    # materialize once: the ranged relation feeds both the per-partition
+    # totals and the final join, and without the checkpoint the
+    # tokenize fold + range shuffle re-ran per consumer (no
+    # ReusedExchange under AQE); 2 longs + pid per row
     ranged = (t.repartitionByRange(32, "doc_id")
-              .withColumn("pid", F.spark_partition_id()))
+              .withColumn("pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
     # phase 1: per-partition totals (rows = #partitions, driver-safe)
     totals = ranged.groupBy("pid").agg(F.sum("n_toks").alias("part_sum"))
     # unpartitioned window is BOUNDED: `totals` has one row per range

@@ -785,9 +785,15 @@ def docs_quality_cutoff_calibration_df(spark):
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
 
     q = spark.sql(text_quality(SPARK)).select("doc_id", "quality_score")
+    # the ranged relation feeds three consumers (per-partition counts,
+    # the global total, the rank join); without materialization the
+    # scoring chain + range shuffle re-ran per consumer (measured 3
+    # parquet scans, 0 ReusedExchange under AQE) — the checkpoint is
+    # (doc_id, score, pid), 2 longs + a double per row
     ranged = (q.repartitionByRange(
                   32, F.col("quality_score").desc(), F.col("doc_id").asc())
-              .withColumn("pid", F.spark_partition_id()))
+              .withColumn("pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
     totals = ranged.groupBy("pid").agg(F.count("*").alias("part_n"))
     # unpartitioned window is BOUNDED: `totals` has one row per range
     # partition (<= 32 here, O(partitions) on a cluster)

@@ -78,7 +78,7 @@ def main() -> None:
     totals = {sf: runs[sf]["value"] for sf in SFS}
     n = len(rows)
 
-    out = [f"""# SCALING — measured growth across scale factors (round 6)
+    out = [f"""# SCALING — measured growth across scale factors (round 7)
 
 Method: `bench.py` (1 warm pass + min of 2 timed passes per query, noop
 sink) at each driver scale factor on the same local[32] session
