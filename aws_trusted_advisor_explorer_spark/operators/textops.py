@@ -775,10 +775,13 @@ def docs_quality_cutoff_calibration_df(spark):
        single-partition window over the corpus.
 
     Identical output to the SQL window form (exact rank, same
-    deterministic total order, long arithmetic), verified by
-    mode-equality test at driver SF. Defined for non-empty corpora
-    (n_keep >= 1; the driver tables always are — the SQL oracle is the
-    authority for the degenerate empty input)."""
+    deterministic total order, long arithmetic; the cutoff rank is
+    least(n_keep, #non-NULL) because the oracle's conditional min
+    skips NULL-score docs, and the degenerate no-fetchable-rank cases
+    — NULL-only kept band, n_keep = 0, empty corpus — emit the SQL
+    form's one NULL-cutoff row via a union branch), verified by
+    mode-equality tests at driver SF and on planted NULL-heavy
+    corpora."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -794,30 +797,51 @@ def docs_quality_cutoff_calibration_df(spark):
                   32, F.col("quality_score").desc(), F.col("doc_id").asc())
               .withColumn("pid", F.spark_partition_id())
               .localCheckpoint(eager=False))
-    totals = ranged.groupBy("pid").agg(F.count("*").alias("part_n"))
+    totals = ranged.groupBy("pid").agg(
+        F.count("*").alias("part_n"),
+        F.count("quality_score").alias("part_nn"))
     # unpartitioned window is BOUNDED: `totals` has one row per range
     # partition (<= 32 here, O(partitions) on a cluster)
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "offset", F.coalesce(F.sum("part_n").over(w_off), F.lit(0)))
-    glob = (offsets.agg(F.sum("part_n").alias("n"))
+    # the oracle's cutoff is min(score) over the kept rows SKIPPING
+    # NULLs (zero-token docs score NULL and sort last under DESC), so
+    # the rank to fetch is r* = least(n_keep, #non-NULL) — picking the
+    # rank-n_keep row verbatim would return NULL the moment NULL-score
+    # docs cross into the kept band (review finding)
+    glob = (offsets.agg(F.sum("part_n").alias("n"),
+                        F.sum("part_nn").alias("n_nonnull"))
             .withColumn("n_keep",
                         F.expr(f"cast((n * {CALIB_KEEP_PCT}) div 100"
-                               f" as bigint)")))
+                               f" as bigint)"))
+            .withColumn("rstar", F.least(F.col("n_keep"),
+                                         F.col("n_nonnull"))))
     w_in = (Window.partitionBy("pid")
             .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc()))
     ranked = (ranged.join(F.broadcast(offsets.select("pid", "offset")), "pid")
               .withColumn("rn",
                           F.row_number().over(w_in).cast("bigint")
                           + F.col("offset")))
-    cut = ranked.join(F.broadcast(glob), F.col("rn") == F.col("n_keep"))
-    return cut.select(
+    out_cols = [
         F.col("n").cast("bigint").alias("n_docs"),
         F.lit(CALIB_KEEP_PCT).cast("bigint").alias("target_keep_pct"),
         F.col("n_keep").cast("bigint").alias("n_kept"),
-        F.col("quality_score").alias("cutoff_score"),
+        F.col("cutoff_score").cast("double").alias("cutoff_score"),
         (F.col("n_keep").cast("double") * 100 / F.col("n"))
-        .alias("realized_keep_pct"))
+        .alias("realized_keep_pct"),
+    ]
+    cut = (ranked.join(F.broadcast(glob), F.col("rn") == F.col("rstar"))
+           .withColumn("cutoff_score", F.col("quality_score"))
+           .select(*out_cols))
+    # degenerate branch (the SQL form still emits its one row): no
+    # fetchable cutoff rank — every kept slot is NULL-score, n_keep=0,
+    # or the corpus is empty (rstar NULL) — cutoff is NULL
+    degenerate = (glob.where(F.coalesce(F.col("rstar"), F.lit(0)) == 0)
+                  .withColumn("cutoff_score",
+                              F.lit(None).cast("double"))
+                  .select(*out_cols))
+    return cut.unionAll(degenerate)
 
 
 BPE_ROUNDS = 8       # selection rounds (= driver round-trips, DF twin)

@@ -211,10 +211,15 @@ def zorder_key_expr(col_a: str, col_b: str,
     # overflows int64 once the span passes ~1.4e14 (e.g. nanosecond
     # epochs) — ANSI mode would kill the write, non-ANSI would wrap
     # into garbage z-keys. The stride is computed here in unbounded
-    # Python ints; least() clamps the one cell of integer-division
-    # slack at the top of the range. Same locality, no overflow.
-    stride_a = max(span_a // grid, 1)
-    stride_b = max(span_b // grid, 1)
+    # Python ints and must be the CEILING of span/grid: a floor stride
+    # maps up to half the value domain onto the single top cell for
+    # spans just past the grid (e.g. span 100k, grid 65535 -> floor
+    # stride 1 clamps 34% of values to cell 65535 and their files all
+    # share one z-coordinate — no skipping). With ceil,
+    # span // stride <= grid always holds, so least() is only a belt.
+    # Same locality, no overflow.
+    stride_a = max(-(-span_a // grid), 1)
+    stride_b = max(-(-span_b // grid), 1)
     sa = (f"least(cast((cast(`{col_a}` as bigint) - {lo_a})"
           f" div {stride_a} as bigint), {grid})")
     sb = (f"least(cast((cast(`{col_b}` as bigint) - {lo_b})"

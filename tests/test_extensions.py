@@ -431,6 +431,29 @@ def test_quality_cutoff_calibration_df_matches_sql_window(spark):
     [df_row] = textops.docs_quality_cutoff_calibration_df(spark).collect()
     assert df_row.asDict() == sql_row.asDict()
 
+    # NULL-heavy corpora (review finding): zero-token docs score NULL
+    # and sort last; once they cross into the kept band the cutoff is
+    # the lowest NON-NULL kept score (the oracle's conditional min
+    # skips NULLs) — and an all-NULL corpus still yields the one
+    # NULL-cutoff row in both modes
+    import pandas as pd
+
+    good = [f"one two three four five six seven eight doc {i}"
+            for i in range(4)]
+    corpora = {
+        "null_heavy": good + ["你好"] * 6,   # 60% NULL-score
+        "all_null": ["你好", "世界", "再见"],
+        "single_doc": good[:1],              # n_keep = 0
+    }
+    for name, texts in corpora.items():
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ns = spark.newSession()
+        ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+        [want] = ns.sql(
+            textops.docs_quality_cutoff_calibration(SPARK)).collect()
+        [got] = textops.docs_quality_cutoff_calibration_df(ns).collect()
+        assert got.asDict() == want.asDict(), name
+
 
 def test_cross_lingual_pairs_account_for_every_pair(spark):
     """Every MinHash pair lands in exactly one canonical lang-pair

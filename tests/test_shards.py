@@ -220,3 +220,24 @@ def test_zorder_key_survives_nanosecond_spans(spark):
     assert all(z >= 0 for z in zs)
     assert zs == sorted(zs)        # monotone along the a-axis (b fixed-ish)
     assert zs[-1] < 1 << 34        # interleave of two 16-bit grids
+
+
+def test_zorder_stride_is_ceiling_for_spans_just_past_grid(spark):
+    """Regression (review finding): a FLOOR stride maps up to half the
+    domain onto the single top grid cell for spans in (grid, 2*grid)
+    — e.g. span 100000 with grid 65535 clamped every value past 65535
+    into cell 65535. With the ceiling stride, values spread across
+    distinct cells over the whole range and the key stays monotone."""
+    from aws_trusted_advisor_explorer_spark.sinks import writers
+
+    lo, hi = 0, 100_000             # span 100000, grid 65535 -> stride 2
+    vals = [0, 65_000, 70_000, 80_000, 90_000, 100_000]
+    df = spark.createDataFrame(
+        [(v, 0) for v in vals], ["a", "b"])
+    key = writers.zorder_key_expr("a", "b", (lo, hi, 0, 1))
+    rows = df.select("a", key.alias("z")).orderBy("a").collect()
+    zs = [r.z for r in rows]
+    assert zs == sorted(zs)
+    # the top-region values must land in DISTINCT cells, not one
+    # clamped top cell (pre-fix zs[2:] were all identical)
+    assert len(set(zs[2:])) == len(zs[2:])
