@@ -302,3 +302,54 @@ def test_temperature_mix_property(docs):
     got = {src: tuple(rest) for src, *rest in
            con.sql(corpusops.docs_temperature_mix(DUCK)).fetchall()}
     assert got == _py_temperature_mix(rows)
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(("a", "b", "c")),     # event_type
+              st.integers(0, 10 ** 6)),             # epoch seconds
+    min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_disorder_sharded_merge_property(evs):
+    """events_disorder_audit_sharded == the unsharded signal form ==
+    a pure-Python running-max replay on ARBITRARY event times — the
+    prefix-max merge must be exact for any arrival pattern, not just
+    the driver corpus (shards here are tiny: DISORDER_SHARD_W=256 vs
+    event_ids 1..60, so single-shard; a second pass widens ids past
+    the shard width to force multi-shard merges)."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+
+    for id_stride in (1, 97):  # 97*60 > DISORDER_SHARD_W -> multi-shard
+        rows = [(i * id_stride + 1, pd.Timestamp(sec, unit="s"), 1, et,
+                 0.0, "{}")
+                for i, (et, sec) in enumerate(evs)]
+        pdf = pd.DataFrame(rows, columns=[
+            "event_id", "ts", "user_id", "event_type", "value", "props"])
+        pdf = pdf.astype({"ts": "datetime64[us]"})
+        con = duckdb.connect()
+        con.register("events", pdf)
+
+        sharded = {r[0]: r[1:] for r in con.sql(
+            eventops.events_disorder_audit_sharded(DUCK)).fetchall()}
+        unsharded = {r[0]: r[1:] for r in con.sql(
+            eventops.events_disorder_audit_signal(DUCK)).fetchall()}
+        assert sharded == unsharded
+
+        # python replay of the modeled disordered ingest
+        byt: dict = {}
+        for eid, ts, _, et, _, _ in rows:
+            delay = (eventops.LATE_SHIFT
+                     if eid % eventops.LATE_MOD == 0 else 0)
+            ep = int(pd.Timestamp(ts).value // 1000)
+            byt.setdefault(et, []).append((eid + delay, eid, ep))
+        expect = {}
+        for et, rs in byt.items():
+            hw, n_late, worst = None, 0, 0
+            for _, _, ep in sorted(rs):
+                hw = ep if hw is None else max(hw, ep)
+                if ep < hw:
+                    n_late += 1
+                    worst = max(worst, hw - ep)
+            expect[et] = (len(rs), n_late, worst)
+        assert sharded == expect
