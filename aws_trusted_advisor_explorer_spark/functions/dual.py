@@ -151,9 +151,21 @@ class Dialect:
 
     def re_replace(self, c: str, pat: str, rep: str) -> str:
         """Replace ALL matches of ``pat`` — Spark's 3-arg form is
-        global already; DuckDB needs the explicit 'g' flag."""
+        global already; DuckDB needs the explicit 'g' flag.
+
+        ``pat`` is the RAW regex (single backslashes). Spark's
+        single-quoted SQL literals consume one level of backslash
+        escaping ('\\d' becomes the regex `d`, silently matching the
+        LETTER d) while DuckDB's do not — so the Spark branch doubles
+        backslashes HERE instead of every caller hand-rolling it
+        (review finding: three call sites each carried their own
+        dialect-split doubling; the next caller passing a '\\d'-style
+        pattern would have silently diverged cross-engine). ``rep`` is
+        passed through verbatim (backreference syntax is
+        dialect-split at the caller: Spark $1 vs DuckDB \\1)."""
         if self.name == "spark":
-            return f"regexp_replace({c}, '{pat}', '{rep}')"
+            spat = pat.replace("\\", "\\\\")
+            return f"regexp_replace({c}, '{spat}', '{rep}')"
         return f"regexp_replace({c}, '{pat}', '{rep}', 'g')"
 
     def split(self, c: str, sep: str) -> str:

@@ -14,9 +14,15 @@ expressions — JVM-side, whole-stage-codegen'd; no Python UDFs.
 | F5  | CAST(x AS decimal(p,s))               | .cast(DecimalType(p,s))    |
 | F8  | replace(CAST(x AS varchar),'0','1')   | zero_guard_decimal         |
 
-CAST policy: Presto CAST throws on malformed input; Spark (non-ANSI)
-yields NULL. Fixture values are well-formed by construction, so both
-agree; we keep Spark's default (NULL) and document the divergence.
+CAST policy: Presto CAST throws on malformed input, and so does the
+Spark these shims actually run under — ANSI mode is ON by default in
+Spark 4 and this repo's session never disables it (review-verified:
+``cast('$bad' as decimal(10,2))`` raises CAST_INVALID_INPUT). That
+throw-on-malformed behavior is the FAITHFUL reproduction of the
+reference's Athena semantics, not a divergence: a dirty cell fails
+the view query in both systems. A deployment preferring
+land-NULL-and-continue would swap these casts for ``try_cast`` —
+a deliberate loosening vs the reference, so it is not the default.
 """
 
 from __future__ import annotations

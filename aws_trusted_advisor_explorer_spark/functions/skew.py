@@ -30,6 +30,15 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    # a pre-existing column named SALT_COL would be silently
+    # OVERWRITTEN by withColumn and then dropped from the output —
+    # data loss vs the documented plain-join contract; refuse loudly
+    for side, df in (("big", big), ("small", small)):
+        if SALT_COL in df.columns:
+            raise ValueError(
+                f"salted_join: {side} side already has a {SALT_COL!r} "
+                f"column — rename it; the helper would overwrite and "
+                f"drop it")
     salted_big = big.withColumn(
         SALT_COL, (F.rand(seed) * n_salts).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

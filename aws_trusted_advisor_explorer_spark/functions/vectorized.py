@@ -67,7 +67,15 @@ def make_lsh_bucket(n_planes: int):
     """Sign-LSH bucket UDF: bit j set iff dot(v, plane_j) > 0, planes
     from the deterministic integer formula shared with the SQL side
     (dual.hyperplane_weight); the plane dot accumulates over the
-    1-based dimension index in ascending order, like the SQL fold."""
+    1-based dimension index in ascending order, like the SQL fold.
+
+    NaN rule (review finding): both engines' SQL `dot > 0` evaluates
+    TRUE for NaN (Spark and DuckDB order NaN as the largest double),
+    while numpy's ``NaN > 0`` is False — so a NaN-component embedding
+    (which passes the zero-norm guard: its dot is NaN, and NaN > 0 is
+    TRUE there too) would land in a DIFFERENT bucket than the SQL
+    twins. The kernel replicates the engines' NaN-is-largest rule
+    explicitly."""
 
     @pandas_udf(IntegerType())
     def lsh_bucket(e: pd.Series) -> pd.Series:
@@ -78,7 +86,7 @@ def make_lsh_bucket(n_planes: int):
             acc = np.zeros(n)
             for i in range(1, dim + 1):
                 acc += v[:, i - 1] * hyperplane_weight_value(j, i)
-            out += (acc > 0) * (1 << j)
+            out += ((acc > 0) | np.isnan(acc)) * (1 << j)
         return pd.Series(out.astype(np.int32))
 
     return lsh_bucket

@@ -44,8 +44,14 @@ def flagged_resources_table(results: DataFrame, check_id: str,
     cols: list[Column] = [F.col("Date"), F.col("DateTime"), F.col("CheckName")]
     for header, entry in zip(headers, schema):
         if entry.isdigit():
-            # 1-based element_at; None metadata cells pass through untouched
-            cell = F.element_at("fr.metadata", int(entry) + 1)
+            # 1-based, NULL-on-out-of-range (try_element_at): real TA
+            # responses return short/variable metadata arrays, and the
+            # plain element_at THROWS under ANSI (default-on in Spark
+            # 4) — one short array would kill the whole ingest batch
+            # where the reference lambda's IndexError failed only that
+            # one (account, check) extract. None metadata cells pass
+            # through untouched.
+            cell = F.try_element_at("fr.metadata", F.lit(int(entry) + 1))
             cell = F.when(cell.isNull(), cell).otherwise(
                 F.replace(cell, F.lit(","), F.lit("")))
         else:

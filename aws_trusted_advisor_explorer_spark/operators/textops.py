@@ -695,7 +695,8 @@ def text_tokenizer_coverage(d: Dialect) -> str:
     tok_chars = d.fold(
         d.transform(toks, "x", "cast(length(x) as bigint)"),
         "cast(0 as bigint)", "a", "b", "a + b")
-    ws_pat = "[ \\\\t\\\\n\\\\r]" if d.name == "spark" else "[ \\t\\n\\r]"
+    # raw regex — Dialect.re_replace owns the Spark literal doubling
+    ws_pat = "[ \\t\\n\\r]"
     n_space = (f"cast(length(raw) - "
                f"length({d.re_replace('raw', ws_pat, '')}) as bigint)")
     return f"""WITH r AS (
@@ -1519,8 +1520,8 @@ def sanitize_parts(d: Dialect) -> tuple[str, str, str, str, str]:
     count, zero-width count, control count, cleaned text) — all over a
     ``raw`` column. Consumed by :func:`text_unicode_sanitize` and the
     streaming ingest twin (streaming/structured.sanitize_stream)."""
-    cpat = (CTRL_PATTERN.replace("\\", "\\\\") if d.name == "spark"
-            else CTRL_PATTERN)
+    # raw regex — Dialect.re_replace owns the Spark literal doubling
+    cpat = CTRL_PATTERN
     raw = (f"CASE WHEN doc_id % 5 = 0 THEN '{REPL_CH}{REPL_CH}' || text || "
            f"'{REPL_CH}'\n"
            f"         WHEN doc_id % 5 = 1 THEN '{ZW_CHARS[0]}' || text || "

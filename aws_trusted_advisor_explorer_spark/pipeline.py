@@ -48,7 +48,7 @@ def run_ingest(spark: SparkSession, check_result_docs, out_dir: str,
                   .groupBy("check_id").count().collect())
     }
 
-    for check_id in registry.SUPPORTED_CHECKS + ["cX3c2R1chu"]:
+    for check_id in registry.SUPPORTED_CHECKS + registry.EXTRACT_ONLY_CHECKS:
         try:
             detail = X.flagged_resources_table(results, check_id)
         except KeyError:
@@ -80,10 +80,15 @@ def run_tag_ingest(spark: SparkSession, long_tags: DataFrame,
     the reference's dict accumulation deterministically."""
     ordered = long_tags.withColumn("_ingest_ord", F.monotonically_increasing_id())
     wide = TG.pivot_tags(ordered, customer_keys, order_col="_ingest_ord")
+    # normalize BEFORE landing, like run_ingest's glue_normalize pass:
+    # pre-fix the raw tags layer landed CamelCase and only the re-read
+    # view was lowercased, so a fresh session reading the landed
+    # dataset saw columns no view could resolve (review finding — the
+    # two entry points modeled the crawler inconsistently)
+    wide = wide.toDF(*[c.lower() for c in wide.columns])
     path = os.path.join(out_dir, "tags")
     writers.write_raw_table(wide, path, fmt=fmt)
     df = writers.read_raw_table(spark, path, fmt=fmt)
-    df = df.toDF(*[c.lower() for c in df.columns])
     df.createOrReplaceTempView("tags")
     return df
 

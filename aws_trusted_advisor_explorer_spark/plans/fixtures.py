@@ -453,7 +453,8 @@ _ARN_SEP = {
     "route53:hostedzone": ":hostedzone/",
 }
 
-# check table name -> (fixture SQL builder, tag-join key column or None)
+# fixture table name -> common-dialect SQL text (rendered lazily by
+# raw_table_sql; tag-join keys live in plans/views.ViewSpec.join_key)
 RAW_TABLES: dict[str, str] = {}
 
 

@@ -26,6 +26,14 @@ SUPPORTED_CHECKS = [
     "Ti39halfu8", "51fC20e7I2", "G31sQ1E9U", "1e93e4c0b5",
 ]
 
+# extract-only checks: configured (Header_/Schema_ present) and landed
+# by the ingest, but their view is defined-not-executed in the
+# reference (EC2ReservedInstancesOptimization —
+# create-athena-views-lambda.py:153-160). Kept here so the check-set
+# configuration lives in ONE layer; pipeline.run_ingest consumes
+# SUPPORTED_CHECKS + EXTRACT_ONLY_CHECKS.
+EXTRACT_ONLY_CHECKS = ["cX3c2R1chu"]
+
 HEADERS: dict[str, list[str]] = {
     "1e93e4c0b5": "Status,Zone,Instance Type,Platform,Instance Count,Current Monthly Cost,Estimated Monthly Savings,Expiration Date,Reserved Instance Id,Reason".split(","),
     "51fC20e7I2": "Status,Hosted Zone Name,Hosted Zone Id,Resource Record Set Name,Resource Record Set Type".split(","),

@@ -3682,3 +3682,37 @@ def test_knn_zero_norm_vectors_excluded(spark):
     qids = {int(q) for q in sdf.query_id.astype(int)}
     nids = {int(n) for n in sdf.neighbor_id.astype(int)}
     assert 200 not in qids and 5 not in nids and qids == {0, 100}
+
+
+def test_lsh_bucket_kernel_nan_matches_sql_rule(spark):
+    """Regression (review finding): both engines evaluate `NaN > 0` as
+    TRUE (NaN orders largest), numpy as False — a NaN-component
+    embedding must land in the SAME bucket under the Arrow kernel as
+    under the SQL sign test."""
+    from aws_trusted_advisor_explorer_spark.functions import vectorized as V
+    from aws_trusted_advisor_explorer_spark.operators import similarity as S
+
+    ns = spark.newSession()
+    # true SQL NaNs (a pandas fixture would turn NaN into NULL during
+    # conversion, which is a different — all-bits-unset — case)
+    ns.sql("""
+        SELECT 0 AS vec_id,
+          transform(sequence(1, 64),
+                    i -> CASE WHEN i <= 8 THEN cast(1.0 as double)
+                         ELSE cast(0.0 as double) END) AS embedding
+        UNION ALL
+        SELECT 1, transform(sequence(1, 64),
+                    i -> CASE WHEN i <= 8 THEN double('NaN')
+                         ELSE cast(1.0 as double) END)
+        UNION ALL
+        SELECT 2, transform(sequence(1, 64),
+                    i -> CASE WHEN i <= 32 THEN cast(-1.0 as double)
+                         ELSE double('NaN') END)
+    """).createOrReplaceTempView("embeddings")
+    bucket = V.make_lsh_bucket(S.N_PLANES)
+    got = {r.vec_id: r.b for r in ns.table("embeddings")
+           .select("vec_id", bucket("embedding").alias("b")).collect()}
+    want = {r.vec_id: r.b for r in ns.sql(
+        f"SELECT vec_id, {S._bucket_expr(SPARK, 'embedding')} AS b "
+        f"FROM embeddings").collect()}
+    assert got == want

@@ -45,6 +45,27 @@ EIP_FLAGGED = [
 ]
 
 
+def test_flagged_resources_short_metadata_array_yields_null(spark):
+    """Regression (review finding): a metadata array SHORTER than the
+    registry schema's max index must land NULL for the missing cell
+    (try_element_at) instead of throwing INVALID_ARRAY_INDEX under
+    ANSI and killing the whole ingest batch — the reference lambda's
+    IndexError failed only that one (account, check) extract."""
+    flagged = [
+        {"status": "warning", "region": "us-east-1",
+         "metadata": ["us-east-1"]},          # index 1 missing
+        {"status": "warning", "region": "us-east-1",
+         "metadata": []},                     # both missing
+    ]
+    results = ta_api.check_results_df(spark, [_doc(flagged=flagged)])
+    rows = sorted(X.flagged_resources_table(results, "Z4AUBRNSmz").collect(),
+                  key=lambda r: str(r["region"]))
+    assert len(rows) == 2
+    assert rows[0]["region"] is None and rows[0]["ip address"] is None
+    assert rows[1]["region"] == "us-east-1"
+    assert rows[1]["ip address"] is None
+
+
 def test_flagged_resources_p1_p2_p3_p4(spark):
     results = ta_api.check_results_df(spark, [_doc(flagged=EIP_FLAGGED)])
     df = X.flagged_resources_table(results, "Z4AUBRNSmz")

@@ -353,3 +353,27 @@ def test_disorder_sharded_merge_property(evs):
                     worst = max(worst, hw - ep)
             expect[et] = (len(rs), n_late, worst)
         assert sharded == expect
+
+
+@given(st.text(alphabet=st.sampled_from("ab9 d\\x"), min_size=0,
+               max_size=20))
+@settings(**SETTINGS)
+def test_re_replace_backslash_pattern_parity(spark, s):
+    """Regression (review finding): Dialect.re_replace takes the RAW
+    regex and owns the Spark literal doubling — '\\d' must delete
+    digits in BOTH engines (pre-fix Spark's single-quoted literal
+    consumed the backslash and the regex matched the LETTER d)."""
+    import re as _re
+
+    # the VALUE literal is dialect-escaped here (Spark single-quoted
+    # literals process backslashes, DuckDB's do not) — the point under
+    # test is that the PATTERN needs no such caller-side splitting
+    spark_lit = "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    duck_lit = "'" + s.replace("'", "''") + "'"
+    pat = chr(92) + "d"
+    spark_val = spark.sql(
+        "SELECT " + SPARK.re_replace(spark_lit, pat, "") + " AS v"
+    ).collect()[0].v
+    duck_val = _duck("SELECT " + DUCK.re_replace(duck_lit, pat, ""))
+    expect = _re.sub(r"\d", "", s)
+    assert spark_val == duck_val == expect
