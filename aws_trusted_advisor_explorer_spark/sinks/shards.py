@@ -16,9 +16,11 @@ Scale posture (100 TB):
 - Tar shards write ``samples_per_shard`` samples per ``.tar`` from
   each input partition (``repartition`` upstream controls shard count
   and size; data loaders want shards of O(100 MB)–O(1 GB)). Shard
-  names embed (partition id, chunk no) so concurrent tasks never
-  collide and retries overwrite their own outputs idempotently
-  (task-level speculative execution stays safe).
+  names embed (partition id, chunk no) so distinct tasks never
+  collide; a retried/speculative attempt stages under an
+  attempt-unique temp name and atomically renames on completion, so
+  two attempts at the same partition never interleave bytes in one
+  file.
 - The reader lists shards as a DataFrame of paths and expands them
   with ``mapPartitions`` — each task streams whole tar files, the
   natural unit of locality for shard-based loaders.
@@ -60,19 +62,36 @@ def write_webdataset_shards(df: DataFrame, path: str,
     via ``mapPartitions`` (shard parallelism == task parallelism; the
     driver never sees a payload). Shards are named
     ``shard-<partition>-<chunk>.tar`` — unique per task AND stable
-    across retries, so speculative/retried tasks overwrite rather
-    than duplicate."""
+    across retries; each shard is staged under an attempt-unique temp
+    name and PUBLISHED with an atomic rename, so a speculative twin
+    and the original never interleave writes into one file (the
+    last complete shard wins). NULL payloads are skipped (the media
+    kernels' rule — no bytes, no member). ``path`` must be storage
+    every executor can reach (shared FS / object-store mount); on
+    local[n] any directory works."""
     os.makedirs(path, exist_ok=True)
     cols = [key_col, payload_col]
 
     def write_partition(idx: int, rows):
+        from pyspark import TaskContext
+
+        attempt = TaskContext.get().taskAttemptId() \
+            if TaskContext.get() else 0
         n_shards = 0
         tar, chunk, count = None, 0, 0
+        tmp_name = final_name = None
+
+        def publish():
+            os.replace(tmp_name, final_name)
+
         for row in rows:
+            if row[1] is None:
+                continue
             if tar is None:
-                tar = tarfile.open(
-                    os.path.join(path, f"shard-{idx:05d}-{chunk:04d}.tar"),
-                    "w")
+                final_name = os.path.join(
+                    path, f"shard-{idx:05d}-{chunk:04d}.tar")
+                tmp_name = f"{final_name}.inprogress-{attempt}"
+                tar = tarfile.open(tmp_name, "w")
             payload = bytes(row[1])
             info = tarfile.TarInfo(name=f"{row[0]}.{ext}")
             info.size = len(payload)
@@ -81,10 +100,12 @@ def write_webdataset_shards(df: DataFrame, path: str,
             count += 1
             if count >= samples_per_shard:
                 tar.close()
+                publish()
                 n_shards += 1
                 tar, chunk, count = None, chunk + 1, 0
         if tar is not None:
             tar.close()
+            publish()
             n_shards += 1
         yield n_shards
 
