@@ -164,9 +164,16 @@ class Dialect:
         passed through verbatim (backreference syntax is
         dialect-split at the caller: Spark $1 vs DuckDB \\1)."""
         if self.name == "spark":
-            spat = pat.replace("\\", "\\\\")
-            return f"regexp_replace({c}, '{spat}', '{rep}')"
+            return f"regexp_replace({c}, '{self.re_pat(pat)}', '{rep}')"
         return f"regexp_replace({c}, '{pat}', '{rep}', 'g')"
+
+    def re_pat(self, pat: str) -> str:
+        """A RAW regex made safe for this dialect's single-quoted SQL
+        literal (Spark literals consume one level of backslashes;
+        DuckDB's do not). The ONE copy of the escaping rule — used by
+        re_replace and by callers that embed patterns in other regexp
+        functions (regexp_extract_all etc.)."""
+        return pat.replace("\\", "\\\\") if self.name == "spark" else pat
 
     def split(self, c: str, sep: str) -> str:
         """Split on a literal separator (Spark's split takes a regex —

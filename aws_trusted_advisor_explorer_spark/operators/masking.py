@@ -20,12 +20,10 @@ from aws_trusted_advisor_explorer_spark.operators.extract import (
 
 
 def _mask_id(d: Dialect, col: str) -> str:
-    if d.name == "spark":
-        # Spark SQL string literals consume single backslashes — the
-        # regex needs them doubled inside the SQL text
-        pat = _ID_PATTERN.replace("\\", "\\\\")
-        return f"regexp_replace({col}, '{pat}', '$1XXXXXXX$2')"
-    return f"regexp_replace({col}, '{_ID_PATTERN}', '\\1XXXXXXX\\2')"
+    # pattern escaping is Dialect.re_pat's (one copy of the rule);
+    # only the backreference syntax stays dialect-split here
+    rep = "$1XXXXXXX$2" if d.name == "spark" else "\\1XXXXXXX\\2"
+    return d.re_replace(col, _ID_PATTERN, rep)
 
 
 def _mask_text(col: str) -> str:
@@ -60,17 +58,13 @@ PHONE_PATTERN = r"\d{2}-\d{3}-\d{3}-\d{4}"
 EMAIL_PATTERN = r"[a-z0-9.]+@[a-z0-9.-]+"
 
 
-def _scrub(d: Dialect, col: str, pat: str, repl: str) -> str:
-    """Replace-ALL semantics in both dialects: Spark's regexp_replace
-    is global; DuckDB needs the explicit 'g' flag."""
-    if d.name == "spark":
-        return f"regexp_replace({col}, '{pat.replace(chr(92), chr(92) * 2)}', '{repl}')"
-    return f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
-
-
 def _count_matches(d: Dialect, col: str, pat: str) -> str:
+    """Match count via regexp_extract_all; the pattern escaping is
+    Dialect.re_pat's (replace-all scrubbing itself is plain
+    d.re_replace — this module's private copies of the escaping rule
+    were removed when dual.py centralized it)."""
     if d.name == "spark":
-        return f"size(regexp_extract_all({col}, '{pat.replace(chr(92), chr(92) * 2)}', 0))"
+        return f"size(regexp_extract_all({col}, '{d.re_pat(pat)}', 0))"
     return f"len(regexp_extract_all({col}, '{pat}'))"
 
 
@@ -89,8 +83,8 @@ def pii_scrub_text(d: Dialect) -> str:
              "lpad(" + d.str_cast("(c_custkey * 13) % 9000 + 1000") + ", 4, '0') END")
     text = ("'contact ' || c_name || ' at ' || (" + phone + ") || ' or acct' || "
             + d.str_cast("c_custkey % 50") + " || '@example.com'")
-    scrubbed = _scrub(d, _scrub(d, "text", PHONE_PATTERN, "[PHONE]"),
-                      EMAIL_PATTERN, "[EMAIL]")
+    scrubbed = d.re_replace(d.re_replace("text", PHONE_PATTERN, "[PHONE]"),
+                            EMAIL_PATTERN, "[EMAIL]")
     return f"""WITH t AS (
   SELECT c_custkey, {text} AS text FROM customer
 )

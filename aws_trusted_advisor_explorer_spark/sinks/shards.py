@@ -70,6 +70,15 @@ def write_webdataset_shards(df: DataFrame, path: str,
     every executor can reach (shared FS / object-store mount); on
     local[n] any directory works."""
     os.makedirs(path, exist_ok=True)
+    # stale-temp sweep: a killed speculative/failed attempt from a
+    # PRIOR run may have orphaned its staged file (the attempt can die
+    # between open and the finally) — a fresh write owns the directory
+    for f in os.listdir(path):
+        if ".inprogress-" in f:
+            try:
+                os.unlink(os.path.join(path, f))
+            except OSError:
+                pass
     cols = [key_col, payload_col]
 
     def write_partition(idx: int, rows):
@@ -84,29 +93,40 @@ def write_webdataset_shards(df: DataFrame, path: str,
         def publish():
             os.replace(tmp_name, final_name)
 
-        for row in rows:
-            if row[1] is None:
-                continue
-            if tar is None:
-                final_name = os.path.join(
-                    path, f"shard-{idx:05d}-{chunk:04d}.tar")
-                tmp_name = f"{final_name}.inprogress-{attempt}"
-                tar = tarfile.open(tmp_name, "w")
-            payload = bytes(row[1])
-            info = tarfile.TarInfo(name=f"{row[0]}.{ext}")
-            info.size = len(payload)
-            info.mtime = 0  # deterministic shard bytes
-            tar.addfile(info, io.BytesIO(payload))
-            count += 1
-            if count >= samples_per_shard:
+        try:
+            for row in rows:
+                if row[1] is None:
+                    continue
+                if tar is None:
+                    final_name = os.path.join(
+                        path, f"shard-{idx:05d}-{chunk:04d}.tar")
+                    tmp_name = f"{final_name}.inprogress-{attempt}"
+                    tar = tarfile.open(tmp_name, "w")
+                payload = bytes(row[1])
+                info = tarfile.TarInfo(name=f"{row[0]}.{ext}")
+                info.size = len(payload)
+                info.mtime = 0  # deterministic shard bytes
+                tar.addfile(info, io.BytesIO(payload))
+                count += 1
+                if count >= samples_per_shard:
+                    tar.close()
+                    publish()
+                    n_shards += 1
+                    tar, chunk, count = None, chunk + 1, 0
+            if tar is not None:
                 tar.close()
                 publish()
+                tar = None
                 n_shards += 1
-                tar, chunk, count = None, chunk + 1, 0
-        if tar is not None:
-            tar.close()
-            publish()
-            n_shards += 1
+        finally:
+            # a failing attempt removes its own staged file instead of
+            # leaking one '.inprogress-*' per in-flight shard per retry
+            if tar is not None:
+                try:
+                    tar.close()
+                    os.unlink(tmp_name)
+                except OSError:
+                    pass
         yield n_shards
 
     (df.select(*cols).rdd
