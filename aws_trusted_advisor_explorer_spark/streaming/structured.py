@@ -1307,3 +1307,74 @@ def hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                       f"CASE WHEN w = 0 THEN {SK.HLL_RHO_MAX} "
                       f"ELSE {SK.HLL_W + 1} - length(bin(w)) END AS rho"))
     return ev.groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
+
+
+DISORDER_STATE_SCHEMA = StructType([
+    StructField("high_water", LongType()),
+    StructField("n_events", LongType()),
+    StructField("n_late", LongType()),
+    StructField("max_lateness_us", LongType()),
+])
+
+DISORDER_OUTPUT_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("n_events", LongType()),
+    StructField("n_late", LongType()),
+    StructField("max_lateness_us", LongType()),
+])
+
+
+def _disorder_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    """Stateful lateness audit (streaming twin of
+    eventops.events_disorder_audit): per event type, carry the running
+    event-time high-water mark and count arrivals behind it — the
+    EXACT bookkeeping Structured Streaming's own watermark tracker
+    performs, surfaced as a queryable relation. Chunks are
+    concatenated BEFORE the one event_id sort (the _session_update
+    hazard: a type spanning multiple Arrow chunks arrives in arbitrary
+    chunk order, and per-chunk replay would misorder cross-chunk
+    stragglers). Within a batch the arrival order is event_id (the
+    monotone ingest sequence); across batches the delivery order IS
+    the arrival order — equal to the batch audit whenever files land
+    in ingest order (the landed layout; the multi-batch test splits
+    that way)."""
+    (event_type,) = key
+    if state.exists:
+        hw, n_events, n_late, worst = state.get
+    else:
+        hw, n_events, n_late, worst = None, 0, 0, 0
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        allpdf = (pd.concat(chunks, ignore_index=True)
+                  if len(chunks) > 1 else chunks[0])
+        for r in allpdf.sort_values("event_id").itertuples():
+            ep = int(r.ep)
+            hw = ep if hw is None else max(hw, ep)
+            if ep < hw:
+                n_late += 1
+                worst = max(worst, hw - ep)
+            n_events += 1
+    state.update((hw, n_events, n_late, worst))
+    yield pd.DataFrame({
+        "event_type": [event_type], "n_events": [n_events],
+        "n_late": [n_late], "max_lateness_us": [worst]})
+
+
+def disorder_audit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState lateness audit (streaming twin of
+    eventops.events_disorder_audit — THE measurement that sizes
+    ``withWatermark`` delays, run AT INGEST instead of on a landed
+    sample). State is four longs per event type — fixed size no
+    matter how long the stream runs; per-batch work sorts only that
+    batch's rows per type."""
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "event_type", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ep"))
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _disorder_update,
+        outputStructType=DISORDER_OUTPUT_SCHEMA,
+        stateStructType=DISORDER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -738,3 +738,75 @@ def test_stateful_twins_survive_multi_batch_boundaries(spark, tmp_path):
         for i in range(len(types) - eventops.PATH_N + 1):
             expect[" ".join(types[i:i + eventops.PATH_N])] += 1
     assert got_p == expect
+
+
+def test_disorder_audit_stream_equals_batch(spark, tmp_path):
+    """The stateful lateness audit must equal the batch
+    events_disorder_audit on a PLANTED disordered corpus delivered
+    across multiple micro-batches (files split in ingest/event_id
+    order, maxFilesPerTrigger=1) — non-zero n_late, state carried
+    across batch boundaries, and on the real sf0.001 corpus (in time
+    order) every count is legitimately zero in both forms."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    # event_id = ingest order; several events arrive with OLDER
+    # timestamps than the running max (late), spread across both types
+    rows = [
+        (1, ts(100), 1, "click", 0.0, "{}"),
+        (2, ts(50), 1, "click", 0.0, "{}"),    # 50us-class late
+        (3, ts(200), 1, "view", 0.0, "{}"),
+        (4, ts(300), 1, "click", 0.0, "{}"),
+        (5, ts(120), 1, "view", 0.0, "{}"),    # late vs 200
+        (6, ts(400), 1, "view", 0.0, "{}"),
+        (7, ts(90), 1, "click", 0.0, "{}"),    # late vs 300
+        (8, ts(500), 1, "click", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    evdir = tmp_path / "events.parquet"
+    os.makedirs(evdir)
+    for i in range(4):  # 2 events per file, ingest order across files
+        chunk = pdf.iloc[i * 2:(i + 1) * 2]
+        p = evdir / f"part-{i:05d}.parquet"
+        chunk.astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    ns.read.parquet(str(evdir)).createOrReplaceTempView("events")
+    structured.run_stream_to_memory(
+        structured.disorder_audit_stream(ns, str(tmp_path)), "mb_disorder",
+        output_mode="update")
+    # update mode: final state per type = row with the max n_events
+    got = {}
+    for r in ns.table("mb_disorder").collect():
+        cur = got.get(r.event_type)
+        if cur is None or r.n_events > cur[0]:
+            got[r.event_type] = (r.n_events, r.n_late, r.max_lateness_us)
+    want = {r.event_type: (r.n_events, r.n_late, r.max_lateness_us)
+            for r in ns.sql(eventops.events_disorder_audit(SPARK)).collect()}
+    assert got == want
+    assert all(v[1] > 0 for v in got.values())  # lateness really fired
+
+    # real corpus (generated in time order): all-zero in both forms
+    structured.run_stream_to_memory(
+        structured.disorder_audit_stream(spark, SF_DIR), "sf_disorder",
+        output_mode="update")
+    got_sf = {}
+    for r in spark.table("sf_disorder").collect():
+        cur = got_sf.get(r.event_type)
+        if cur is None or r.n_events > cur[0]:
+            got_sf[r.event_type] = (r.n_events, r.n_late, r.max_lateness_us)
+    want_sf = {r.event_type: (r.n_events, r.n_late, r.max_lateness_us)
+               for r in spark.sql(
+                   eventops.events_disorder_audit(SPARK)).collect()}
+    assert got_sf == want_sf
+    assert all(v[1] == 0 for v in got_sf.values())
