@@ -829,7 +829,9 @@ def docs_quality_cutoff_calibration_df(spark):
         F.lit(CALIB_KEEP_PCT).cast("bigint").alias("target_keep_pct"),
         F.col("n_keep").cast("bigint").alias("n_kept"),
         F.col("cutoff_score").cast("double").alias("cutoff_score"),
-        (F.col("n_keep").cast("double") * 100 / F.col("n"))
+        # try_divide: the degenerate empty-corpus row has n=0, and ANSI
+        # division would throw where the DuckDB oracle emits NULL
+        F.try_divide(F.col("n_keep").cast("double") * 100, F.col("n"))
         .alias("realized_keep_pct"),
     ]
     cut = (ranked.join(F.broadcast(glob), F.col("rn") == F.col("rstar"))

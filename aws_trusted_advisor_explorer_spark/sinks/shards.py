@@ -36,6 +36,11 @@ from pyspark.sql import DataFrame, Row, SparkSession
 
 JSONL_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING"
 
+# '.inprogress-*' staging files older than this are orphans of a
+# crashed prior run and safe to reclaim; younger ones may belong to a
+# live attempt and are left alone (see write_webdataset_shards)
+STALE_TEMP_AGE_S = 3600.0
+
 
 def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None:
     """Land a corpus as line-delimited JSON (one object per line, one
@@ -68,15 +73,31 @@ def write_webdataset_shards(df: DataFrame, path: str,
     last complete shard wins). NULL payloads are skipped (the media
     kernels' rule — no bytes, no member). ``path`` must be storage
     every executor can reach (shared FS / object-store mount); on
-    local[n] any directory works."""
+    local[n] any directory works.
+
+    Concurrency contract: ONE writer job per ``path`` at a time (the
+    WebDataset convention — a shard directory is produced by a single
+    job, then consumed read-only). The stale-temp sweep below enforces
+    it conservatively: it only removes ``.inprogress-*`` files older
+    than ``STALE_TEMP_AGE_S``, so the live staging files of a writer
+    that violates the contract (or of THIS job's own just-launched
+    tasks on a shared-FS relisting) are never swept — only orphans
+    from a prior crashed run are."""
     os.makedirs(path, exist_ok=True)
     # stale-temp sweep: a killed speculative/failed attempt from a
     # PRIOR run may have orphaned its staged file (the attempt can die
-    # between open and the finally) — a fresh write owns the directory
+    # between open and the finally). Age-gated (ADVICE r7): a fresh
+    # run reclaims old orphans without racing any concurrent writer's
+    # seconds-old staging files.
+    import time
+
+    now = time.time()
     for f in os.listdir(path):
         if ".inprogress-" in f:
+            full = os.path.join(path, f)
             try:
-                os.unlink(os.path.join(path, f))
+                if now - os.path.getmtime(full) > STALE_TEMP_AGE_S:
+                    os.unlink(full)
             except OSError:
                 pass
     cols = [key_col, payload_col]

@@ -1314,6 +1314,8 @@ DISORDER_STATE_SCHEMA = StructType([
     StructField("n_events", LongType()),
     StructField("n_late", LongType()),
     StructField("max_lateness_us", LongType()),
+    StructField("max_event_id", LongType()),
+    StructField("n_id_regressions", LongType()),
 ])
 
 DISORDER_OUTPUT_SCHEMA = StructType([
@@ -1321,6 +1323,7 @@ DISORDER_OUTPUT_SCHEMA = StructType([
     StructField("n_events", LongType()),
     StructField("n_late", LongType()),
     StructField("max_lateness_us", LongType()),
+    StructField("n_id_regressions", LongType()),
 ])
 
 
@@ -1338,36 +1341,51 @@ def _disorder_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
     monotone ingest sequence); across batches the delivery order IS
     the arrival order — equal to the batch audit whenever files land
     in ingest order (the landed layout; the multi-batch test splits
-    that way)."""
+    that way). Because that cross-batch assumption is the ONE thing
+    this audit cannot reconstruct after the fact, the state also
+    carries the max event_id consumed so far and counts ingest-order
+    regressions (an event arriving in a LATER micro-batch with a
+    SMALLER event_id than one already folded in): when
+    ``n_id_regressions`` is non-zero the source delivered files out of
+    ingest order and ``n_late`` is an UNDERCOUNT relative to the batch
+    oracle — detectable, not silently divergent (ADVICE r7)."""
     (event_type,) = key
     if state.exists:
-        hw, n_events, n_late, worst = state.get
+        hw, n_events, n_late, worst, max_eid, n_regr = state.get
     else:
-        hw, n_events, n_late, worst = None, 0, 0, 0
+        hw, n_events, n_late, worst, max_eid, n_regr = (
+            None, 0, 0, 0, None, 0)
     chunks = [pdf for pdf in pdfs]
     if chunks:
         allpdf = (pd.concat(chunks, ignore_index=True)
                   if len(chunks) > 1 else chunks[0])
         for r in allpdf.sort_values("event_id").itertuples():
+            eid = int(r.event_id)
+            if max_eid is not None and eid <= max_eid:
+                n_regr += 1
+            max_eid = eid if max_eid is None else max(max_eid, eid)
             ep = int(r.ep)
             hw = ep if hw is None else max(hw, ep)
             if ep < hw:
                 n_late += 1
                 worst = max(worst, hw - ep)
             n_events += 1
-    state.update((hw, n_events, n_late, worst))
+    state.update((hw, n_events, n_late, worst, max_eid, n_regr))
     yield pd.DataFrame({
         "event_type": [event_type], "n_events": [n_events],
-        "n_late": [n_late], "max_lateness_us": [worst]})
+        "n_late": [n_late], "max_lateness_us": [worst],
+        "n_id_regressions": [n_regr]})
 
 
 def disorder_audit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState lateness audit (streaming twin of
     eventops.events_disorder_audit — THE measurement that sizes
     ``withWatermark`` delays, run AT INGEST instead of on a landed
-    sample). State is four longs per event type — fixed size no
+    sample). State is six longs per event type — fixed size no
     matter how long the stream runs; per-batch work sorts only that
-    batch's rows per type."""
+    batch's rows per type. ``n_id_regressions`` > 0 flags out-of-order
+    micro-batch delivery (see :func:`_disorder_update`), the regime
+    where ``n_late`` undercounts the batch oracle."""
     ev = events_stream(spark, sf_dir)
     keyed = ev.select(
         "event_type", "event_id",

@@ -454,6 +454,18 @@ def test_quality_cutoff_calibration_df_matches_sql_window(spark):
         [got] = textops.docs_quality_cutoff_calibration_df(ns).collect()
         assert got.asDict() == want.asDict(), name
 
+    # empty corpus (ADVICE r7): the degenerate branch must survive
+    # n = 0/NULL under ANSI (try_divide) and emit the SQL form's
+    # all-NULL one-row shape rather than throwing DIVIDE_BY_ZERO
+    ns = spark.newSession()
+    ns.createDataFrame([], "doc_id bigint, text string") \
+        .createOrReplaceTempView("documents")
+    [want] = ns.sql(
+        textops.docs_quality_cutoff_calibration(SPARK)).collect()
+    [got] = textops.docs_quality_cutoff_calibration_df(ns).collect()
+    assert got.asDict() == want.asDict(), "empty"
+    assert got.cutoff_score is None and got.realized_keep_pct is None
+
 
 def test_cross_lingual_pairs_account_for_every_pair(spark):
     """Every MinHash pair lands in exactly one canonical lang-pair

@@ -52,6 +52,30 @@ def test_webdataset_round_trip_and_shard_sizing(spark, tmp_path):
     assert a == b
 
 
+def test_webdataset_stale_temp_sweep_is_age_gated(spark, tmp_path):
+    """ADVICE r7: the stale-temp sweep must reclaim ONLY orphans older
+    than STALE_TEMP_AGE_S — a fresh '.inprogress-*' (a live attempt's
+    staging file under the single-writer contract's edge cases) is
+    left alone; a prior crashed run's old orphan is removed."""
+    import time
+
+    out = tmp_path / "wds_sweep"
+    os.makedirs(out)
+    old = out / "shard-00000-0000.tar.inprogress-1"
+    fresh = out / "shard-00001-0000.tar.inprogress-2"
+    old.write_bytes(b"stale")
+    fresh.write_bytes(b"live")
+    stale_t = time.time() - shards.STALE_TEMP_AGE_S - 60
+    os.utime(old, (stale_t, stale_t))
+
+    src = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+           .select("doc_id", F.expr("cast(text as binary)").alias("payload"))
+           .limit(2))
+    shards.write_webdataset_shards(src, str(out), samples_per_shard=10)
+    assert not old.exists(), "old orphan must be swept"
+    assert fresh.exists(), "fresh staging file must survive the sweep"
+
+
 def test_webdataset_empty_partitions_ok(spark, tmp_path):
     src = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
            .select("doc_id", F.expr("cast(text as binary)").alias("payload"))

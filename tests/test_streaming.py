@@ -739,6 +739,28 @@ def test_stateful_twins_survive_multi_batch_boundaries(spark, tmp_path):
             expect[" ".join(types[i:i + eventops.PATH_N])] += 1
     assert got_p == expect
 
+    # disorder audit (r7 twin, added per the r7 verdict): the running
+    # high-water mark must carry across the four micro-batch
+    # boundaries — final per-type counts equal the batch audit, and
+    # per-type emission counts prove state visited multiple batches
+    structured.run_stream_to_memory(
+        structured.disorder_audit_stream(ns, str(tmp_path)), "mb_dis",
+        output_mode="update")
+    rows_d = ns.table("mb_dis").collect()
+    got_d = {}
+    for r in rows_d:
+        cur = got_d.get(r.event_type)
+        if cur is None or r.n_events > cur[0]:
+            got_d[r.event_type] = (r.n_events, r.n_late,
+                                   r.max_lateness_us, r.n_id_regressions)
+    want_d = {r.event_type: (r.n_events, r.n_late, r.max_lateness_us, 0)
+              for r in ns.sql(
+                  eventops.events_disorder_audit(SPARK)).collect()}
+    assert got_d == want_d
+    n_types = ns.sql(
+        "SELECT count(DISTINCT event_type) AS n FROM events").first().n
+    assert len(rows_d) > n_types, "expected >1 micro-batch of emissions"
+
 
 def test_disorder_audit_stream_equals_batch(spark, tmp_path):
     """The stateful lateness audit must equal the batch
@@ -787,14 +809,43 @@ def test_disorder_audit_stream_equals_batch(spark, tmp_path):
         output_mode="update")
     # update mode: final state per type = row with the max n_events
     got = {}
+    regr = {}
     for r in ns.table("mb_disorder").collect():
         cur = got.get(r.event_type)
         if cur is None or r.n_events > cur[0]:
             got[r.event_type] = (r.n_events, r.n_late, r.max_lateness_us)
+            regr[r.event_type] = r.n_id_regressions
     want = {r.event_type: (r.n_events, r.n_late, r.max_lateness_us)
             for r in ns.sql(eventops.events_disorder_audit(SPARK)).collect()}
     assert got == want
     assert all(v[1] > 0 for v in got.values())  # lateness really fired
+    # in-ingest-order delivery: the out-of-order-delivery detector
+    # (ADVICE r7) must stay silent
+    assert all(v == 0 for v in regr.values())
+
+    # OUT-OF-ORDER file delivery (reversed modtimes => the file source
+    # consumes the last-ingested file first): n_late silently diverges
+    # from the batch oracle here, and the state's max-event_id guard
+    # must make that DETECTABLE via n_id_regressions > 0
+    rdir = tmp_path / "rev_sf" / "events.parquet"
+    os.makedirs(rdir)
+    for i in range(4):
+        chunk = pdf.iloc[i * 2:(i + 1) * 2]
+        p = rdir / f"part-{i:05d}.parquet"
+        chunk.astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (1_700_000_000 - i * 60, 1_700_000_000 - i * 60))
+    rs = spark.newSession()
+    rs.conf.set("spark.sql.session.timeZone", "UTC")
+    rs.read.parquet(str(rdir)).createOrReplaceTempView("events")
+    structured.run_stream_to_memory(
+        structured.disorder_audit_stream(rs, str(tmp_path / "rev_sf")),
+        "mb_disorder_rev", output_mode="update")
+    finals = {}
+    for r in rs.table("mb_disorder_rev").collect():
+        cur = finals.get(r.event_type)
+        if cur is None or r.n_events > cur.n_events:
+            finals[r.event_type] = r
+    assert sum(r.n_id_regressions for r in finals.values()) > 0
 
     # real corpus (generated in time order): all-zero in both forms
     structured.run_stream_to_memory(
