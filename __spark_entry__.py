@@ -526,30 +526,16 @@ def _view_query(name: str, with_tags: bool | None):
 # with-tags parent row is green (same plan minus the broadcast join).
 # All remain fully verified in CORRECTNESS_FULL.json / pytest.
 _PARKED_TAIL = (
-    "pq_recall_report",      # top-k-intersection gate; the learned-
-                             # quantizer family's in-cap reps are
-                             # knn_ivf + knn_ivf_multiprobe;
-                             # set-intersection pytest
-    "events_daily_active",   # exact-distinct family rep in-cap:
-                             # events_hll_distinct (in-row exact gate);
-                             # HLL twin is error-bound pytested
     "events_rollup",         # GROUP BY ROLLUP subtotal shape; the
                              # events agg family keeps 4 in-cap rows
-    "events_retention",      # hour-cohort shape; the ordered event-
-                             # join family's in-cap rep is
-                             # events_interval_join (same
-                             # co-partitioned join rails)
-    "docs_source_mix",       # share-rollup family rep in-cap (r7):
-                             # docs_curation_drift (per-lang before/
-                             # after token shares, same integer-ppm
-                             # rollup); mixture weights remain
+    "docs_source_mix",       # share-rollup family rep in-cap (r8):
+                             # docs_dataset_card (the corpus-report
+                             # rollup over the same per-source token
+                             # shares); mixture weights remain
                              # pytest+FULL-verified
     "docs_embedding_integrity", # reconciliation audit (full-outer-join
                                 # counts); algorithmically thin, FULL-
                                 # verified
-    "events_key_skew_audit",    # pre-shuffle diagnostics rollup; the
-                                # skew HANDLING itself is pytest-proven
-                                # (functions/skew.py, hot-band fixture)
     "text_fingerprint",         # min-shingle anchor; its machinery
                                 # (shingle view, poly-hash) backs many
                                 # in-cap dedup rows
@@ -561,15 +547,9 @@ _PARKED_TAIL = (
                              # in-cap media_phash_dedup (1-to-many
                              # shape); SQL-oracle pytest is the evidence
     "text_commonness_score", # shingle-DF-derived signal; the shingle
-                             # rails' in-cap reps are dedup_minhash_lsh
-                             # + docs_hybrid_search_rrf
-    "pq_codes",              # index-build artifact of the ADC searcher
-                             # (knn_ivfpq_adc, parked r7); quantizer
-                             # family rep in-cap: knn_ivf; numpy-replay
-                             # pytest is the evidence
+                             # rails' in-cap rep is dedup_minhash_lsh
     "media_inventory",       # per-type count rollup; the media plane's
                              # in-cap row is media_phash_dedup
-    "semdedup_prune_report", # per-cluster rollup of in-cap semdedup_pairs
     "docs_dedup_rate_by_source",  # per-source rollup of in-cap
                                   # dedup_minhash_lsh pairs
     "docs_stratified_sample", # deterministic hash-mod sampler; rep
@@ -592,11 +572,7 @@ _PARKED_TAIL = (
                              # (same planes/buckets); DF twin
                              # pytest-bit-matched
     "text_vocab_topk",       # top-k ranking shape rep in-cap:
-                             # docs_hybrid_search_rrf + the knn ranked
-                             # family (knn_ivf)
-    "events_sliding_window", # hopping-window twin; tumbling-agg family
-                             # rep in-cap: events_hist_quantiles;
-                             # stream==batch pytest-verified
+                             # knn_ivf (the ranked top-k family)
     "dedup_exact_normalized", # 0 rows at driver SF (no planted variants);
                               # planted-fixture pytest is the evidence
     "media_dedup_exact",      # same: 0 rows at driver SF, planted pytest
@@ -608,20 +584,14 @@ _PARKED_TAIL = (
                            # docs_curation_pipeline's exact_dup stage
     "knn_bruteforce",      # its SQL is embedded verbatim in knn_recall_at_k's
                            # green row; DF twin bit-matched by pytest
-    "docs_top_quality",    # top-k ranking shape; covered in-cap by
-    "events_user_topk",    # text_vocab_topk + the knn ranked top-k family
-    "text_lang_confusion", # new in r2; all 50 slots were allocated —
-                           # verified in CORRECTNESS_FULL.json + pytest
+    "docs_top_quality",    # top-k ranking shape; the ranked top-k
+    "events_user_topk",    # family's rep in-cap is knn_ivf
     "dedup_bloom_prefilter",  # new in r2 (mergeable membership sketch);
                               # no-false-negative property pytest-pinned,
                               # FULL-verified
     "docs_span_scrub",     # new in r2: the keep-one-copy span CUT action
-                           # (report twin dedup_span_exact rotated
-                           # in-cap in r7); planted pytest + FULL
-    "events_purchase_click_pairs",  # new in r2: batch twin of the
-                                    # stream-stream join (pair set tested
-                                    # equal); range-join family's in-cap
-                                    # row is events_interval_join
+                           # (report twin dedup_span_exact driver-green
+                           # r7, parked r8); planted pytest + FULL
     "view_underutil_ebs_no_tags",
     "view_idle_elb_no_tags",
     "view_rds_idle_no_tags",
@@ -637,10 +607,7 @@ _PARKED_TAIL = (
                               # docs_curation_pipeline
     "docs_boilerplate_topk",  # new in r2: top-k report twin of parked
                               # docs_block_dedup; segment-dedup family
-                              # rep in-cap: dedup_span_exact
-    "docs_dataset_card",   # new in r2: one-row datasheet rollup; the
-                           # corpus-report family's in-cap row is
-                           # docs_curation_drift
+                              # rep in-cap: dedup_minhash_lsh
     "events_disorder_audit",   # new in r2: watermark-sizing lateness
                                # audit; zero-signal at driver SF by
                                # data construction — planted-fixture
@@ -652,40 +619,22 @@ _PARKED_TAIL = (
                                # disordered arrival order so the
                                # oracle row actually fires
     "docs_boolean_search", # new in r2: conjunctive inverted-index AND
-                           # query; retrieval family shares the
-                           # filter-before-aggregate posting shape with
-                           # in-cap docs_hybrid_search_rrf;
-                           # python-replay pytest
+                           # query; the retrieval family's posting
+                           # rails are in-cap via dedup_minhash_lsh's
+                           # shingle plane; python-replay pytest
     "docs_bm25_topk",      # new in r2: integer-exact Okapi BM25 top-k
                            # (cleared-denominator rationals); ranked
-                           # retrieval family, in-cap representative
-                           # docs_hybrid_search_rrf (its text arm);
+                           # top-k family rep in-cap: knn_ivf;
                            # python-replay pytest
-    "docs_kanon_release",  # new in r2: k-anonymity suppression for
-                           # released group stats; privacy family head
-                           # pii_mask_accounts parked r7 after 6 green
-                           # rounds; reference reps are the 10 views
-    "docs_domain_cap",     # new in r2: per-source cap (CCNet balance
-                           # rule); its cap stage runs in-cap inside
-                           # docs_curation_pipeline; semantics pytest
     "docs_language_balance_plan",  # new in r2: per-lang keep-rate
                                    # plan; rollup family in-cap row is
-                                   # docs_curation_drift; invariant
+                                   # docs_curation_pipeline; invariant
                                    # pytest
-    "events_top_paths",    # new in r2: sequential-pattern top-k; the
-                           # ordered-per-user family's in-cap row is
-                           # events_interval_join; python-replay pytest
-    "docs_column_profile",  # new in r2: per-column profiler (deequ
-                            # shape); one-pass aggregate family's
-                            # in-cap rows are the TPC-H aggregates
-                            # (tpch_q13/q16 in-cap)
-    "docs_expectations_report",  # new in r2: expectation suite (data
-                                 # contract); same one-pass family;
-                                 # all-green invariant pytest
     "docs_agg_refresh",    # new in r2: incremental aggregate refresh
                            # (IVM); merge family head docs_merge_cdc
-                           # also parked — the in-row recompute audit
-                           # + action-semantics pytest are the evidence
+                           # rotated in-cap r8 — the in-row recompute
+                           # audit + action-semantics pytest remain
+                           # the evidence
     "docs_near_dedup_apply",   # new in r2: the near-dup drop list
                                # (keep-lowest per component of in-cap
                                # dedup_clusters); invariant pytest
@@ -708,30 +657,19 @@ _PARKED_TAIL = (
                                  # in-cap minhash pairs (translation-
                                  # candidate mining); same shape as
                                  # parked docs_cross_split_contamination
-    "knn_index_upsert",    # new in r2: IVF maintenance (assign batch
-                           # to frozen cells + growth audit); the
-                           # learned-quantizer family's in-cap row is
-                           # knn_ivf; replay pytest
-    "knn_range_search",    # new in r2: radius variant of the LSH
-                           # bucket rails (in-cap rep knn_ivf — same
-                           # planes/buckets); superset-invariant pytest
     "embeddings_norm_audit",  # new in r2: one-row embedding hygiene
                               # rollup; the audit family's in-cap row
                               # is events_disorder_audit_signal;
                               # numpy-replay pytest
     "text_bpe_fertility_by_lang",  # new in r2: per-lang rollup of
                                    # text_bpe_tokenize_count (the BPE
-                                   # train/apply family heads rotated
-                                   # in-cap in r7)
+                                   # train/apply family heads were
+                                   # driver-green r7 and park r8)
     "docs_cross_split_contamination",  # new in r2: train/test leakage
                                        # rollup of in-cap
                                        # dedup_minhash_lsh x the shared
                                        # split fragment (in-cap via
                                        # docs_curation_pipeline)
-    "docs_merge_cdc",      # new in r2: batch MERGE (upsert/delete
-                           # apply); the id-equi-join shape runs in-cap
-                           # in every reference view's tag join;
-                           # action-semantics pytest
     # --- r5 rotation: the r3 sketch plane, dedup_prefix_join, and
     # representative r3 TPC-H keys moved INTO the 50-slot driver
     # window (they had only FULL/pytest evidence); the nine keys
@@ -748,7 +686,7 @@ _PARKED_TAIL = (
     "events_hourly_anomaly",  # driver-green r1–r4; per-type agg
                               # family rep in-cap: events_hist_quantiles
     "events_sessionize",    # driver-green r1–r4; session/event-join
-                            # family rep in-cap: events_interval_join
+                            # family rep in-cap: events_retention
     "events_latest_state",  # driver-green r1–r4; ordered-per-key
                             # window family rep in-cap:
                             # events_disorder_audit_signal
@@ -786,8 +724,7 @@ _PARKED_TAIL = (
                             # in-cap reps: docs_curation_pipeline (same
                             # corpus gates) + dedup_minhash_lsh
     "events_hourly_by_type",  # driver-green r1–r5; tumbling-agg family
-                              # rep in-cap: events_hist_quantiles +
-                              # the TPC-H aggregates
+                              # rep in-cap: events_hist_quantiles
     "events_value_quantiles",  # driver-green r1–r5; rank-selection
                                # quantile family rep in-cap:
                                # events_hist_quantiles (r5-green)
@@ -800,25 +737,7 @@ _PARKED_TAIL = (
     "media_byte_stats",     # driver-green r1–r5; media mapInPandas
                             # family rep in-cap: media_phash_dedup
     "events_funnel",        # driver-green r2–r5; ordered-funnel family
-                            # rep in-cap: events_interval_join
-    "docs_kmv_source_overlap",  # new in r6 (KMV sketch INTERSECTION:
-                                # source-pair shingle-resemblance
-                                # matrix with in-row exact truth);
-                                # the sketch family's in-cap rep is
-                                # docs_kmv_distinct_union (same sketch
-                                # build, union/merge side); FULL +
-                                # python-replay pytest are the evidence
-    "docs_winnow_fingerprints",  # new in r6 (robust-winnowing
-                                 # fingerprint selection + density
-                                 # audit, Schleimer et al. 2003);
-                                 # span-plane family rep in-cap via
-                                 # the r6 window is docs_chunking;
-                                 # python-replay pytest is evidence
-    "dedup_winnow_overlap",  # new in r6: substring-overlap candidate
-                             # rung on the winnowed fingerprints; the
-                             # candidates-then-verify family rep
-                             # in-cap is dedup_lsh_recall (r6 window);
-                             # planted-guarantee pytest is evidence
+                            # rep in-cap: events_top_paths
     "text_token_stats",  # driver-green r1-r5 (5 rounds) — parked to
                          # free cap slots for the never-driver-green
                          # r6 CCNet keys; token-plane family rep
@@ -836,28 +755,27 @@ _PARKED_TAIL = (
     # driver window for their first driver-green rows; the twenty-one
     # keys below — every one driver-green in 1–6 prior rounds — park
     # in exchange, each with an in-cap family representative.
-    "text_bpe_pair_counts",  # driver-green r2–r6; its aggregate IS the
-                             # inner loop of in-cap text_bpe_merge_train
+    "text_bpe_pair_counts",  # driver-green r2–r6; its aggregate IS
+                             # the inner loop of text_bpe_merge_train
+                             # (driver-green r7, parked r8)
     "text_lang_id",         # driver-green r1–r6; per-lang plane rep
                             # in-cap: docs_ccnet_buckets (per-lang LM
                             # scoring over the same lang column)
-    "text_tfidf_topk",      # driver-green r1–r6; ranked-retrieval rep
-                            # in-cap: docs_hybrid_search_rrf (fuses the
-                            # same shingle text arm)
+    "text_tfidf_topk",      # driver-green r1–r6; ranked top-k family
+                            # rep in-cap: knn_ivf
     "dedup_graph_pagerank",  # driver-green r2–r6; pairs-backed family
                              # head dedup_minhash_lsh stays in-cap
     "dedup_incremental",    # driver-green r2–r6; same pairs-backed
                             # family (dedup_minhash_lsh in-cap)
     "dedup_prefix_join",    # driver-green r5–r6; candidate-pair family
-                            # reps in-cap: dedup_minhash_lsh +
-                            # dedup_span_exact (r7 window)
+                            # rep in-cap: dedup_minhash_lsh
     "knn_recall_at_k",      # driver-green r1–r6; gate over in-cap
                             # knn_ivf/knn_ivf_multiprobe rails
     "knn_ivfpq_adc",        # driver-green r2–r6; learned-quantizer
                             # family rep in-cap: knn_ivf
     "events_session_attribution",  # driver-green r1–r6; event-join
                                    # family rep in-cap:
-                                   # events_interval_join (r7 window)
+                                   # events_retention (r8 window)
     "pii_mask_accounts",    # driver-green r1–r6 (P9 masking); the
                             # reference plane's in-cap reps are the
                             # 10 views + view_summary's P5/P6 path
@@ -871,21 +789,65 @@ _PARKED_TAIL = (
     "events_hll_merge",     # driver-green r5–r6; sketch-merge family
                             # reps in-cap: events_hll_distinct +
                             # docs_kmv_distinct_union
-    "tpch_q1",              # driver-green r6; TPC-H family in-cap
-    "tpch_q2",              # driver-green r5–r6; reps this round are
-    "tpch_q3",              # driver-green r6; the 13 rotated-in
-    "tpch_q6",              # driver-green r6; queries plus q12/q16
-    "tpch_q9",              # driver-green r5–r6; (kept from the r6
-    "tpch_q10",             # driver-green r6; window); pandas-replay
-    "tpch_q21",             # driver-green r5–r6; pytest on q1 remains
-    "events_disorder_audit_sharded",  # new in r7: the implemented
-                            # 100 TB form of the disorder audit
-                            # (arrival-slice shards + per-shard
-                            # running-max merge); its driver oracle is
-                            # the UNSHARDED events_disorder_audit_signal
-                            # SQL (cross-algorithm) and the family's
-                            # in-cap rep is events_disorder_audit_signal
-                            # via the r6 window; equality pytest
+    "tpch_q1",              # driver-green r6; with the r8 parking of
+    "tpch_q2",              # driver-green r5–r6; q4-q22 below, every
+    "tpch_q3",              # driver-green r6; one of the 22 TPC-H
+    "tpch_q6",              # driver-green r6; keys now holds a direct
+    "tpch_q9",              # driver-green r5–r6; driver-green row —
+    "tpch_q10",             # driver-green r6; stronger evidence than
+    "tpch_q21",             # driver-green r5–r6; any family rep; the
+                            # pandas-replay pytest on q1 remains
+    # --- r8 rotation: the last 22 never-driver-green keys' largest
+    # coherent families moved INTO the 50-slot driver window — PQ
+    # (pq_codes, pq_recall_report), range/upsert ANN (knn_range_search,
+    # knn_index_upsert), the events report plane (events_top_paths,
+    # events_retention, events_sliding_window,
+    # events_purchase_click_pairs, events_daily_active,
+    # events_key_skew_audit), docs governance (docs_merge_cdc,
+    # docs_domain_cap, docs_expectations_report, docs_column_profile,
+    # docs_dataset_card, docs_kanon_release), winnowing
+    # (docs_winnow_fingerprints, dedup_winnow_overlap), the sharded
+    # disorder audit (events_disorder_audit_sharded), plus
+    # docs_kmv_source_overlap, semdedup_prune_report, and
+    # text_lang_confusion. The twenty-two keys below — every one
+    # driver-green in CORRECTNESS_r07 (q12/q16 in r6 too) — park in
+    # exchange.
+    "tpch_q4",              # driver-green r7; all 22 TPC-H keys now
+    "tpch_q5",              # driver-green r7; hold direct driver-green
+    "tpch_q7",              # driver-green r7; rows (r5-r7), so the
+    "tpch_q8",              # driver-green r7; family parks whole; the
+    "tpch_q11",             # driver-green r7; q1 pandas-replay pytest,
+    "tpch_q12",             # driver-green r6-r7; the q17/q20 decimal
+    "tpch_q13",             # driver-green r7; fixtures, and FULL keep
+    "tpch_q14",             # driver-green r7; the suite oracle-pinned
+    "tpch_q15",             # driver-green r7; every round; the
+    "tpch_q16",             # driver-green r6-r7; aggregate/join rails
+    "tpch_q17",             # driver-green r7; stay exercised in-cap
+    "tpch_q18",             # driver-green r7; by the 10 reference
+    "tpch_q19",             # driver-green r7; views' typed-cast
+    "tpch_q20",             # driver-green r7; broadcast joins
+    "tpch_q22",             # driver-green r7
+    "text_bpe_merge_train",   # driver-green r7; its per-round pair
+                              # aggregate stays pytest-pinned
+                              # (iterative trainer equality test)
+    "text_bpe_tokenize_count",  # driver-green r7; apply path re-
+                                # exercised by parked fertility rollup's
+                                # pytest + FULL every round
+    "dedup_span_exact",     # driver-green r7; span-plane family rep
+                            # in-cap: docs_winnow_fingerprints (r8
+                            # window, same span rails)
+    "docs_hybrid_search_rrf",  # driver-green r7; ranked top-k family
+                               # rep in-cap: knn_ivf; RRF fusion
+                               # pytest remains
+    "events_interval_join",  # driver-green r7; event-join family rep
+                             # in-cap: events_retention (r8 window);
+                             # brute-force-equality property pytest
+    "docs_temperature_mix",  # driver-green r7; share-rollup family
+                             # rep in-cap: docs_dataset_card (r8
+                             # window); replay property pytest
+    "docs_curation_drift",   # driver-green r7; rollup family rep
+                             # in-cap: docs_curation_pipeline (the
+                             # gate whose before/after it reports)
 )
 
 

@@ -36,17 +36,21 @@ def test_priority_head_fits_driver_cap_and_holds_reference_views():
         assert view_key in head, f"{view_key} fell out of the priority head"
     for audited in ("knn_ivf", "knn_ivf_multiprobe", "dedup_clusters"):
         assert audited in head
-    # r7 rotation: these rotated IN for their first driver-green rows —
-    # they must stay in the head at least until CORRECTNESS_r07 lands
-    for rotated in ("tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8",
-                    "tpch_q11", "tpch_q13", "tpch_q14", "tpch_q15",
-                    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
-                    "tpch_q22", "text_bpe_merge_train",
-                    "text_bpe_tokenize_count", "dedup_span_exact",
-                    "docs_hybrid_search_rrf", "events_interval_join",
-                    "docs_temperature_mix", "docs_curation_drift",
-                    "docs_quality_cutoff_calibration"):
-        assert rotated in head, f"{rotated} fell out of the r7 window"
+    # r8 rotation: these rotated IN for their first driver-green rows —
+    # they must stay in the head at least until CORRECTNESS_r08 lands
+    for rotated in ("pq_codes", "pq_recall_report", "knn_range_search",
+                    "knn_index_upsert", "events_top_paths",
+                    "events_retention", "events_sliding_window",
+                    "events_purchase_click_pairs", "events_daily_active",
+                    "events_key_skew_audit", "docs_merge_cdc",
+                    "docs_domain_cap", "docs_expectations_report",
+                    "docs_column_profile", "docs_dataset_card",
+                    "docs_kanon_release", "docs_winnow_fingerprints",
+                    "dedup_winnow_overlap",
+                    "events_disorder_audit_sharded",
+                    "docs_kmv_source_overlap", "semdedup_prune_report",
+                    "text_lang_confusion"):
+        assert rotated in head, f"{rotated} fell out of the r8 window"
 
 
 def test_parked_tail_incap_citations_are_actually_incap():

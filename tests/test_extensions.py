@@ -2526,6 +2526,83 @@ def test_disorder_audit_planted_lateness(spark):
     assert got == {"click": (1, 90_000_000), "view": (0, 0)}
 
 
+def test_disorder_sharded_empty_shard_gap_and_multishard_jump(spark):
+    """r7 verdict ask: the prefix-max merge's two edge cases, each
+    planted explicitly rather than left to the hypothesis sweep —
+
+    * a late event whose high-water mark was set MORE than one shard
+      earlier, with the intervening shards EMPTY for that type (the
+      prior-max must propagate across the gap: shard 0 -> shard 4 of
+      type 'a' with shards 1..3 holding no 'a' rows past shard 1);
+    * a type ('b') whose FIRST populated shard is not shard 0 (the
+      exclusive prefix window sees no earlier rows -> NULL prior_max
+      -> the coalesce branch).
+
+    event_ids avoid multiples of LATE_MOD so arrival_key == event_id
+    and the shard layout is exactly id div DISORDER_SHARD_W (=256).
+    Asserted cross-engine (Spark + DuckDB), cross-algorithm (sharded
+    == unsharded signal form), and against hand-computed integers."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    t0 = dt.datetime(2025, 6, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # type a: shard 0 sets a huge high-water mark (10_000s)
+        (1, s(10_000), 1, "a", 0.0, "{}"),
+        # shard 1: late vs the shard-0 mark (single-boundary cross)
+        (300, s(1), 1, "a", 0.0, "{}"),
+        # shards 2-3: EMPTY for type a
+        # shard 4: late vs the mark set 4 shards earlier, across the
+        # empty gap (multi-shard jump) — 9_998s behind
+        (1100, s(2), 1, "a", 0.0, "{}"),
+        (1101, s(20_000), 1, "a", 0.0, "{}"),  # new mark, in order
+        # type b: first populated shard is 2 (shards 0-1 empty for b);
+        # one within-shard late arrival
+        (600, s(100), 2, "b", 0.0, "{}"),
+        (601, s(50), 2, "b", 0.0, "{}"),
+    ]
+    assert all(eid % eventops.LATE_MOD != 0 for eid, *_ in rows)
+    shard = {eid: eid // eventops.DISORDER_SHARD_W for eid, *_ in rows}
+    assert shard[1] == 0 and shard[300] == 1 and shard[1100] == 4
+    assert shard[600] == shard[601] == 2
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"])
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    ns.createDataFrame(pdf).createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    sdf = canonicalize(
+        ns.sql(eventops.events_disorder_audit_sharded(SPARK)).toPandas())
+    ddf = canonicalize(
+        con.sql(eventops.events_disorder_audit_sharded(DUCK)).df())
+    assert sdf.equals(ddf)
+    # cross-algorithm: the unsharded window form agrees
+    udf = canonicalize(
+        ns.sql(eventops.events_disorder_audit_signal(SPARK)).toPandas())
+    assert sdf.equals(udf)
+
+    got = {r.event_type: (int(r.n_events), int(r.n_late),
+                          int(r.max_lateness_us))
+           for r in ns.sql(
+               eventops.events_disorder_audit_sharded(SPARK)).collect()}
+    # type a: ids 300 and 1100 are late vs the shard-0 mark; the worst
+    # gap is id 300's 9_999s. A merge that failed to carry prior_max
+    # across the empty shards 2-3 would report id 1100 as ON TIME
+    # (n_late=1) — the planted jump distinguishes that bug.
+    assert got["a"] == (4, 2, 9_999 * 1_000_000)
+    # type b: NULL prior_max branch; one within-shard late arrival
+    assert got["b"] == (2, 1, 50 * 1_000_000)
+
+
 def test_disorder_audit_signal_nonzero_and_replay(spark, ddb):
     """The non-zero-signal twin: (a) cross-engine equal on the real
     sf0.001 corpus, (b) every event type reports n_late > 0 (the twin
