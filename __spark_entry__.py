@@ -915,6 +915,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")
     q["events_retention"] = _eventops_df_query("events_retention_df")
     q["events_funnel"] = _eventops_df_query("events_funnel_df")
+    # attribution pair join: DF twin so the join can route through
+    # salted_join under eventops.set_skew_mode("salted"); default
+    # "aqe" mode plans the SQL form's join exactly
+    q["events_purchase_click_pairs"] = _eventops_df_query(
+        "events_purchase_click_pairs_df")
     q["docs_pack_bins"] = _pack_bins_query
     q["docs_pack_efficiency"] = _pack_efficiency_query
     q["docs_quality_cutoff_calibration"] = _cutoff_calibration_query

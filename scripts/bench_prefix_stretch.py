@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/spark_graft_sf0.2_stretch"
 KEYS = ("dedup_prefix_join", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_span_exact", "dedup_winnow_overlap")
+        "dedup_span_exact", "dedup_winnow_overlap", "dedup_containment")
 
 
 def build_stretch_dir() -> None:

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Three-sweep variance adjudication for the r7 bench risers
+(round-7 verdict ask #2).
+
+BENCH_r06 -> BENCH_r07 showed five queries rising 10-16% with no
+plan-shape change: dedup_ngram_jaccard, knn_lsh, docs_curation_drift,
+docs_dedup_savings, dedup_containment. The round-3 variance protocol
+(three back-to-back sf0.1 sweeps of IDENTICAL code, nothing else
+running) measured a ~±10% resident-JVM band on totals; this script
+applies the same protocol per-query: if a riser's three-sweep spread
+at HEAD covers the r6->r7 delta (or a sweep lands at/below the r6
+number), the rise is run-to-run noise, not a regression.
+
+Runs bench.py three times via subprocess (each run is the full
+1-warm + 2-timed-min protocol over all queries), collects the five
+risers' per-query seconds from bench_results/last_bench_sf0.1.json,
+and writes bench_results/variance.json with a per-key verdict;
+scripts/gen_scaling.py folds it into SCALING.md when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.1"
+N_SWEEPS = 3
+RISERS = {
+    # key: (r6 seconds, r7 seconds) from BENCH_r06/BENCH_r07 tails
+    "dedup_ngram_jaccard": (0.6686, 0.7743),
+    "knn_lsh": (0.6827, 0.7859),
+    "docs_curation_drift": (0.6435, 0.7324),
+    "docs_dedup_savings": (0.5475, 0.6084),
+    "dedup_containment": (0.672, 0.741),
+}
+
+
+def main() -> None:
+    sweeps: list[dict] = []
+    totals: list[float] = []
+    for i in range(N_SWEEPS):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py")],
+            env=env, cwd=ROOT, capture_output=True, text=True, check=True)
+        line = json.loads(out.stdout.strip().splitlines()[-1])
+        totals.append(line["value"])
+        with open(os.path.join(ROOT, "bench_results",
+                               "last_bench_sf0.1.json")) as f:
+            sweeps.append(json.load(f)["queries"])
+        print(f"sweep {i + 1}/{N_SWEEPS}: total {line['value']}s",
+              file=sys.stderr)
+
+    result: dict = {"protocol": f"{N_SWEEPS} back-to-back sf0.1 sweeps, "
+                    "identical code, nothing else running",
+                    "totals_sec": totals, "keys": {}}
+    for key, (r6, r7) in RISERS.items():
+        vals = [round(s[key], 3) for s in sweeps]
+        lo, hi = min(vals), max(vals)
+        spread = round(hi - lo, 3)
+        delta = round(r7 - r6, 3)
+        # noise if the same-code spread covers the r6->r7 delta, or a
+        # sweep lands at/below the r6 number (the "rise" reproduces as
+        # plain run-to-run variance)
+        noise = spread >= delta or lo <= r6 + 0.01
+        result["keys"][key] = {
+            "sweeps_sec": vals, "min": lo, "max": hi, "spread": spread,
+            "r6_sec": r6, "r7_sec": r7, "r6_to_r7_delta": delta,
+            "verdict": "noise" if noise else "investigate"}
+    path = os.path.join(ROOT, "bench_results", "variance.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

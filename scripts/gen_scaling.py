@@ -173,7 +173,15 @@ the scale path working as designed. The substring plane (r6 rows):
 `dedup_winnow_overlap` joins only the winnowed ~2/(w+1) fingerprint
 sample — its wall growing visibly slower than the span join's on the
 same corpus is the measured form of the winnowing claim ("downstream
-joins run on the thinned relation, never the full gram relation").""")
+joins run on the thinned relation, never the full gram relation").
+`dedup_containment` (r8 row, stretch-tested per the r7 verdict: at
+0.90 normalized growth it was the closest operator to super-linear in
+the 3-SF window) rides the same DF-capped shared-shingle pair join as
+`dedup_ngram_jaccard` — like the full Jaccard join it is pair-set-
+bound, so its wall growing far below the pair explosion is the DF cap
+bounding its pair mass; it remains the documented exact ORACLE form
+beside the scalable rungs (`dedup_minhash_lsh`, `dedup_prefix_join`),
+not the 100 TB path.""")
     lm_path = os.path.join(root, "bench_results", "lm_stretch.json")
     if os.path.exists(lm_path):
         with open(lm_path) as f:
@@ -202,6 +210,33 @@ model dims, so wall growth ~= input growth is the claim; the interval
 join's wall tracking its ~2x output (buckets double, per-bucket
 density is unchanged) is the bucketization working — a naive range
 join would have grown ~4x in candidate pairs.""")
+    var_path = os.path.join(root, "bench_results", "variance.json")
+    if os.path.exists(var_path):
+        with open(var_path) as f:
+            var = json.load(f)
+        tot = " / ".join(f"{t:.1f}s" for t in var["totals_sec"])
+        out.append(f"""
+## r7 riser adjudication ({var['protocol']})
+
+`scripts/bench_variance.py`: BENCH_r06 → BENCH_r07 showed five
+queries rising 10–16% with no plan-shape change. Per-query spread
+across three same-code sweeps (totals {tot}) vs the r6→r7 delta —
+"noise" means the same-code spread covers the delta or a sweep lands
+at/below the r6 number:
+
+| query | r6 | r7 | 3 sweeps @ HEAD | spread | r6→r7 delta | verdict |
+|---|---|---|---|---|---|---|""")
+        for key, d in var["keys"].items():
+            sw = " / ".join(f"{v:.2f}" for v in d["sweeps_sec"])
+            out.append(
+                f"| `{key}` | {d['r6_sec']:.2f}s | {d['r7_sec']:.2f}s "
+                f"| {sw} | {d['spread']:.2f}s "
+                f"| {d['r6_to_r7_delta']:.2f}s | **{d['verdict']}** |")
+        out.append("""
+A key verdicted "investigate" reproduces its rise outside the
+same-code variance band and needs a bisect (the r7 candidate is the
+shingle-plane regex-escaping centralization); "noise" keys are pinned
+here and their r7 deltas need no further chasing.""")
     out.append("""
 The absolute numbers are NOT cluster predictions; they are regression
 anchors — a future change that pushes a normalized ratio well past 1
