@@ -202,10 +202,12 @@ def _kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _eventops_df_query(fn_name: str):
-    """Event-plane DF twins (retention's shared DISTINCT relation,
-    the funnel's step chain) that materialize their multiply-referenced
-    intermediate once per run instead of re-evaluating it per CTE
-    reference under Spark inlining; the SQL forms stay the oracles."""
+    """Event-plane DF twins: retention/funnel materialize their
+    multiply-referenced intermediate once per run instead of
+    re-evaluating it per CTE reference under Spark inlining; the
+    attribution pair join is a DF twin so its equi-join can route
+    through salted_join under eventops.set_skew_mode. The SQL forms
+    stay the oracles."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from aws_trusted_advisor_explorer_spark.operators import eventops
@@ -848,6 +850,18 @@ _PARKED_TAIL = (
     "docs_curation_drift",   # driver-green r7; rollup family rep
                              # in-cap: docs_curation_pipeline (the
                              # gate whose before/after it reports)
+    "events_scd2_history",   # new in r8: SCD Type-2 validity-interval
+                             # history (gaps-and-islands run
+                             # compaction); ordered-per-key window
+                             # family rep in-cap:
+                             # events_disorder_audit_signal (same
+                             # one-exchange stacked-window rail);
+                             # planted run-compaction pytest + FULL
+    "embeddings_matryoshka_audit",  # new in r8: MRL truncation
+                             # retention audit (one-pass unpivoted
+                             # aggregate); the embedding index
+                             # family's in-cap reps are knn_ivf +
+                             # semdedup_pairs; numpy-replay pytest
 )
 
 

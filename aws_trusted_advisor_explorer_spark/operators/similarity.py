@@ -399,6 +399,63 @@ SELECT
 FROM v"""
 
 
+MRL_DIMS = (8, 16, 32)      # audited truncation widths (full DIM = 64)
+MRL_SCALE = 1_000_000       # retention reported as integer ppm
+MRL_BAND_PPM = 950_000      # "usable truncation" band: >= 95% norm mass
+
+
+def embeddings_matryoshka_audit(d: Dialect) -> str:
+    """Matryoshka truncation audit (Kusupati et al. 2022, MRL): for
+    each truncation width k in {MRL_DIMS}, how much of every vector's
+    squared-norm mass the k-dim PREFIX retains — the acceptance check
+    before serving truncated embeddings (the standard
+    memory/recall trade at scale: an index over 8 of 64 dims is 8x
+    smaller, usable only if prefixes carry the mass, which is exactly
+    what MRL training promises and this audit verifies). Per vector:
+    retention_ppm = floor(1e6 * ||x[1..k]||² / ||x||²) — the prefix
+    and full sums are fixed-order array folds (d.dot) and the
+    floor-of-double-division is IEEE-deterministic, so the ppm is an
+    exact cross-engine integer; zero-norm vectors have no direction,
+    audit as NULL retention and are counted separately (ANSI guard).
+    Per k: vector count, zero-norm count, exact integer mean ppm
+    (floored), min ppm, and the count below the {MRL_BAND_PPM} band.
+
+    ONE scan: all three prefix sums land in one projection, unpivoted
+    by exploding an array of structs (the docs_column_profile pattern
+    — a UNION-ALL-per-k form would re-scan per k under both engines'
+    CTE inlining); the aggregate is map-side-combining over a
+    3-row-per-vector relation grouped by the 3-value k_dims key. No
+    join, no window — survives 100 TB as a single pass."""
+    ss_cols = []
+    entries = []
+    for k in MRL_DIMS:
+        sl = (f"slice(embedding, 1, {k})" if d.name == "spark"
+              else f"list_slice(embedding, 1, {k})")
+        ss_cols.append(f"{d.dot(sl, sl)} AS ss{k}")
+        entries.append(d.struct_(
+            ("k_dims", f"cast({k} as bigint)"),
+            ("ret", f"CASE WHEN tss = cast(0 as double) THEN NULL "
+                    f"ELSE cast(floor(cast({MRL_SCALE} as double) "
+                    f"* ss{k} / tss) as bigint) END")))
+    cols = ",\n    ".join(ss_cols)
+    return f"""WITH v AS (
+  SELECT vec_id, {d.dot('embedding', 'embedding')} AS tss,
+    {cols}
+  FROM embeddings
+),
+x AS (SELECT {d.explode(d.arr_lit(entries))} AS s FROM v)
+SELECT s.k_dims AS k_dims,
+  cast(count(s.ret) as bigint) AS n_vectors,
+  cast(count(CASE WHEN s.ret IS NULL THEN 1 END) as bigint)
+    AS n_zero_norm,
+  cast({d.idiv('sum(s.ret)', 'count(s.ret)')} as bigint)
+    AS mean_retention_ppm,
+  min(s.ret) AS min_retention_ppm,
+  cast(count(CASE WHEN s.ret < {MRL_BAND_PPM} THEN 1 END) as bigint)
+    AS n_below_band
+FROM x GROUP BY s.k_dims"""
+
+
 RRF_K = 60          # the standard reciprocal-rank-fusion constant
 HYBRID_TOP_T = 10   # text-arm candidates per query
 HYBRID_K = 10       # fused results per query
@@ -484,5 +541,6 @@ BUILDERS = {
     "knn_recall_at_k": knn_recall_at_k,
     "knn_range_search": knn_range_search,
     "embeddings_norm_audit": embeddings_norm_audit,
+    "embeddings_matryoshka_audit": embeddings_matryoshka_audit,
     "docs_hybrid_search_rrf": docs_hybrid_search_rrf,
 }

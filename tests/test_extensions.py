@@ -616,6 +616,70 @@ def test_norm_audit_matches_numpy_replay(spark):
     assert row.max_norm == max(norms.values())
 
 
+def test_matryoshka_audit_matches_numpy_replay(spark, ddb):
+    """embeddings_matryoshka_audit (r8): cross-engine equal, and every
+    per-k stat matches an independent numpy replay of the prefix
+    squared-norm retention (fixed-order fold == left-to-right sum);
+    a planted zero-norm vector must land in n_zero_norm with NULL
+    retention, not throw under ANSI."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(similarity.embeddings_matryoshka_audit(SPARK)).toPandas())
+    ddf = canonicalize(
+        ddb.sql(similarity.embeddings_matryoshka_audit(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    vecs = [list(r.embedding) for r in
+            spark.sql("SELECT embedding FROM embeddings").collect()]
+
+    def fold(xs):
+        s = 0.0
+        for x in xs:
+            s += float(x) * float(x)
+        return s
+
+    got = {int(r.k_dims): r for r in spark.sql(
+        similarity.embeddings_matryoshka_audit(SPARK)).collect()}
+    assert set(got) == set(similarity.MRL_DIMS)
+    for k in similarity.MRL_DIMS:
+        rets = []
+        for v in vecs:
+            tss = fold(v)
+            if tss == 0.0:
+                continue
+            rets.append(int(np.floor(
+                similarity.MRL_SCALE * fold(v[:k]) / tss)))
+        r = got[k]
+        assert r.n_vectors == len(rets)
+        assert r.n_zero_norm == len(vecs) - len(rets)
+        assert r.mean_retention_ppm == sum(rets) // len(rets)
+        assert r.min_retention_ppm == min(rets)
+        assert r.n_below_band == sum(
+            x < similarity.MRL_BAND_PPM for x in rets)
+        # truncation monotonicity: wider prefixes retain more mass
+    assert (got[8].mean_retention_ppm <= got[16].mean_retention_ppm
+            <= got[32].mean_retention_ppm <= similarity.MRL_SCALE)
+
+    # planted zero-norm vector: NULL retention, counted, no ANSI throw
+    ns = spark.newSession()
+    pdf = pd.DataFrame({
+        "vec_id": [1, 2],
+        "embedding": [[0.0] * 64, [1.0] + [0.0] * 63],
+        "label": [0, 0]})
+    ns.createDataFrame(pdf).createOrReplaceTempView("embeddings")
+    rows = {int(r.k_dims): r for r in ns.sql(
+        similarity.embeddings_matryoshka_audit(SPARK)).collect()}
+    for k in similarity.MRL_DIMS:
+        assert rows[k].n_zero_norm == 1
+        assert rows[k].n_vectors == 1
+        # the unit vector's mass is entirely in dim 1 -> full retention
+        assert rows[k].mean_retention_ppm == similarity.MRL_SCALE
+
+
 def bpe_batched_replay(words: list[tuple[list[str], int]]):
     """Pure-Python replay of the BATCHED trainer spec: per round, rank
     pairs (count DESC, pair ASC), greedily select up to BPE_ROUND_K
@@ -2524,6 +2588,61 @@ def test_disorder_audit_planted_lateness(spark):
     got = {r.event_type: (int(r.n_late), int(r.max_lateness_us))
            for r in ns.sql(eventops.events_disorder_audit(SPARK)).collect()}
     assert got == {"click": (1, 90_000_000), "view": (0, 0)}
+
+
+def test_scd2_history_run_compaction(spark, ddb):
+    """events_scd2_history: cross-engine equal on the driver corpus,
+    and on a planted fixture the gaps-and-islands compaction must
+    produce exactly the hand-computed runs — including a same-ts tie
+    broken by event_id (zero-width leading interval), an A->B->A
+    reopen (Type-2: a RE-visited state gets a NEW row, never an
+    update), and the open current run with NULL valid_to."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(spark.sql(eventops.events_scd2_history(SPARK))
+                       .toPandas())
+    ddf = canonicalize(ddb.sql(eventops.events_scd2_history(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    t0 = dt.datetime(2025, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    us = lambda sec: int(pd.Timestamp(s(sec)).value // 1000)
+    rows = [
+        (1, s(0), 1, "a", 0.0, "{}"),
+        (2, s(0), 1, "b", 0.0, "{}"),    # same-ts tie: event_id orders it
+        (3, s(10), 1, "b", 0.0, "{}"),
+        (4, s(20), 1, "a", 0.0, "{}"),   # state A re-opened -> new row
+        (5, s(0), 2, "x", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    ns.createDataFrame(pdf).createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    got_s = canonicalize(ns.sql(eventops.events_scd2_history(SPARK))
+                         .toPandas())
+    got_d = canonicalize(con.sql(eventops.events_scd2_history(DUCK)).df())
+    assert got_s.equals(got_d)
+
+    got = {(r.user_id, int(r.run_no)):
+           (r.state, int(r.valid_from_us),
+            None if r.valid_to_us is None else int(r.valid_to_us),
+            int(r.n_events), int(r.is_current))
+           for r in ns.sql(eventops.events_scd2_history(SPARK)).collect()}
+    assert got == {
+        (1, 1): ("a", us(0), us(0), 1, 0),   # zero-width: tie at t0
+        (1, 2): ("b", us(0), us(20), 2, 0),
+        (1, 3): ("a", us(20), None, 1, 1),   # reopened state, open run
+        (2, 1): ("x", us(0), None, 1, 1),
+    }
 
 
 def test_purchase_click_pairs_skew_mode_equality(spark):
