@@ -1396,3 +1396,80 @@ def disorder_audit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateStructType=DISORDER_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+SCD2_STATE_SCHEMA = StructType([
+    StructField("cur_state", StringType()),
+    StructField("valid_from_us", LongType()),
+    StructField("run_no", LongType()),
+    StructField("n_events", LongType()),
+])
+
+SCD2_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("state", StringType()),
+    StructField("run_no", LongType()),
+    StructField("valid_from_us", LongType()),
+    StructField("valid_to_us", LongType()),
+    StructField("n_events", LongType()),
+    StructField("is_current", LongType()),
+])
+
+
+def _scd2_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    """Stateful SCD Type-2 compaction (streaming twin of
+    eventops.events_scd2_history): per user, carry the OPEN run's
+    (state, valid_from, run number, event count) — four fields, fixed
+    size no matter how long the stream runs — and emit a closed
+    interval row the moment the state changes, exactly what a
+    dimension-history sink wants at ingest instead of as a nightly
+    window job. Chunks concatenate BEFORE the one (ep, event_id) sort
+    (the _session_update hazard); cross-batch correctness needs files
+    delivered in event-time order, the landed layout (same contract
+    the other stateful twins document). Each batch also re-emits the
+    open run's running snapshot (is_current=1), so in update mode the
+    last emission per (user, run_no) IS the batch relation's row."""
+    (user_id,) = key
+    if state.exists:
+        cur, vfrom, run_no, n_ev = state.get
+    else:
+        cur, vfrom, run_no, n_ev = None, None, 0, 0
+    out_rows = []
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        allpdf = (pd.concat(chunks, ignore_index=True)
+                  if len(chunks) > 1 else chunks[0])
+        for r in allpdf.sort_values(["ep", "event_id"]).itertuples():
+            ep, et = int(r.ep), r.event_type
+            if cur is None:
+                cur, vfrom, run_no, n_ev = et, ep, 1, 1
+            elif et == cur:
+                n_ev += 1
+            else:
+                out_rows.append((user_id, cur, run_no, vfrom, ep,
+                                 n_ev, 0))  # closed interval
+                cur, vfrom, run_no, n_ev = et, ep, run_no + 1, 1
+    state.update((cur, vfrom, run_no, n_ev))
+    if cur is not None:
+        out_rows.append((user_id, cur, run_no, vfrom, None, n_ev, 1))
+    yield pd.DataFrame(out_rows, columns=[
+        "user_id", "state", "run_no", "valid_from_us", "valid_to_us",
+        "n_events", "is_current"])
+
+
+def scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState SCD Type-2 history (streaming twin of
+    eventops.events_scd2_history): closed validity intervals emit the
+    moment a user's state changes; the open run re-emits its running
+    snapshot each batch. State is one open-run record per user."""
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ep"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _scd2_update,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

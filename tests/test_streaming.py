@@ -761,6 +761,56 @@ def test_stateful_twins_survive_multi_batch_boundaries(spark, tmp_path):
         "SELECT count(DISTINCT event_type) AS n FROM events").first().n
     assert len(rows_d) > n_types, "expected >1 micro-batch of emissions"
 
+    # SCD2 (r8 twin): open-run state must carry across the four
+    # micro-batch boundaries — runs spanning a boundary keep their run
+    # number and accumulate their event count; final rows == batch
+    structured.run_stream_to_memory(
+        structured.scd2_stream(ns, str(tmp_path)), "mb_scd2",
+        output_mode="update")
+    got_s2 = _scd2_final_rows(ns.table("mb_scd2").collect())
+    want_s2 = {(r.user_id, int(r.run_no)):
+               (r.state, int(r.valid_from_us),
+                None if r.valid_to_us is None else int(r.valid_to_us),
+                int(r.n_events), int(r.is_current))
+               for r in ns.sql(
+                   eventops.events_scd2_history(SPARK)).collect()}
+    assert got_s2 == want_s2
+
+
+def _scd2_final_rows(rows):
+    """In update mode the open run re-emits per batch: per
+    (user, run_no) the FINAL row is the closed one if present, else
+    the open snapshot with the most events."""
+    final = {}
+    for r in rows:
+        k = (r.user_id, int(r.run_no))
+        cur = final.get(k)
+        if (cur is None or int(r.is_current) < int(cur.is_current)
+                or (int(r.is_current) == int(cur.is_current)
+                    and r.n_events > cur.n_events)):
+            final[k] = r
+    return {k: (r.state, int(r.valid_from_us),
+                None if r.valid_to_us is None else int(r.valid_to_us),
+                int(r.n_events), int(r.is_current))
+            for k, r in final.items()}
+
+
+def test_scd2_stream_equals_batch(spark, tmp_path):
+    """The stateful SCD2 twin must reproduce the batch
+    events_scd2_history relation on the real corpus: closed intervals
+    emitted at state-change time + the open run's last snapshot ==
+    the batch gaps-and-islands rows."""
+    structured.run_stream_to_memory(
+        structured.scd2_stream(spark, SF_DIR), "scd2_rows",
+        output_mode="update")
+    got = _scd2_final_rows(spark.table("scd2_rows").collect())
+    want = {(r.user_id, int(r.run_no)):
+            (r.state, int(r.valid_from_us),
+             None if r.valid_to_us is None else int(r.valid_to_us),
+             int(r.n_events), int(r.is_current))
+            for r in spark.sql(eventops.events_scd2_history(SPARK)).collect()}
+    assert got == want
+
 
 def test_disorder_audit_stream_equals_batch(spark, tmp_path):
     """The stateful lateness audit must equal the batch
