@@ -829,8 +829,11 @@ def docs_quality_cutoff_calibration_df(spark):
         F.lit(CALIB_KEEP_PCT).cast("bigint").alias("target_keep_pct"),
         F.col("n_keep").cast("bigint").alias("n_kept"),
         F.col("cutoff_score").cast("double").alias("cutoff_score"),
-        # try_divide: the degenerate empty-corpus row has n=0, and ANSI
-        # division would throw where the DuckDB oracle emits NULL
+        # On an empty corpus n is NULL (sum over zero rows), never 0 —
+        # plain division already yields NULL there; try_divide is a
+        # defensive guard so no future refactor that coalesces n to 0
+        # can turn the degenerate row into an ANSI DIVIDE_BY_ZERO
+        # (empty-corpus behavior pinned by the mode-equality test)
         F.try_divide(F.col("n_keep").cast("double") * 100, F.col("n"))
         .alias("realized_keep_pct"),
     ]

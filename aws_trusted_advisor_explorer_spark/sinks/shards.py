@@ -31,6 +31,7 @@ from __future__ import annotations
 import io
 import os
 import tarfile
+import time
 
 from pyspark.sql import DataFrame, Row, SparkSession
 
@@ -89,8 +90,6 @@ def write_webdataset_shards(df: DataFrame, path: str,
     # between open and the finally). Age-gated (ADVICE r7): a fresh
     # run reclaims old orphans without racing any concurrent writer's
     # seconds-old staging files.
-    import time
-
     now = time.time()
     for f in os.listdir(path):
         if ".inprogress-" in f:

@@ -1361,7 +1361,12 @@ def _disorder_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                   if len(chunks) > 1 else chunks[0])
         for r in allpdf.sort_values("event_id").itertuples():
             eid = int(r.event_id)
-            if max_eid is not None and eid <= max_eid:
+            # STRICT <: an exact re-delivered event_id (at-least-once
+            # duplicate) is a different anomaly class — it makes
+            # n_late OVERcount, not undercount — and is not folded
+            # into the out-of-ORDER counter (dedupe duplicates
+            # upstream; dedup_stream is the first-seen-wins tool)
+            if max_eid is not None and eid < max_eid:
                 n_regr += 1
             max_eid = eid if max_eid is None else max(max_eid, eid)
             ep = int(r.ep)

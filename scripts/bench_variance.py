@@ -41,15 +41,27 @@ RISERS = {
 def main() -> None:
     sweeps: list[dict] = []
     totals: list[float] = []
+    per_query = os.path.join(ROOT, "bench_results", "last_bench_sf0.1.json")
     for i in range(N_SWEEPS):
+        # bench.py deliberately survives an unwritable bench_results/
+        # (OSError -> pass), which would make this loop re-read a STALE
+        # per-query file three times and compute a zero-spread verdict
+        # from old numbers — remove the file first and fail loudly if
+        # the fresh sweep didn't produce a new one
+        if os.path.exists(per_query):
+            os.unlink(per_query)
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR)
         out = subprocess.run(
             [sys.executable, os.path.join(ROOT, "bench.py")],
             env=env, cwd=ROOT, capture_output=True, text=True, check=True)
         line = json.loads(out.stdout.strip().splitlines()[-1])
         totals.append(line["value"])
-        with open(os.path.join(ROOT, "bench_results",
-                               "last_bench_sf0.1.json")) as f:
+        if not os.path.exists(per_query):
+            raise RuntimeError(
+                f"sweep {i + 1} did not write {per_query} — bench.py "
+                f"swallowed a write failure; fix bench_results/ "
+                f"permissions before trusting any variance verdict")
+        with open(per_query) as f:
             sweeps.append(json.load(f)["queries"])
         print(f"sweep {i + 1}/{N_SWEEPS}: total {line['value']}s",
               file=sys.stderr)
