@@ -862,6 +862,12 @@ _PARKED_TAIL = (
                              # aggregate); the embedding index
                              # family's in-cap reps are knn_ivf +
                              # semdedup_pairs; numpy-replay pytest
+    "embeddings_matryoshka_recall",  # new in r8: prefix-vs-full
+                             # exact recall gate; the recall-gate
+                             # family's in-cap rep is
+                             # pq_recall_report (r8 window, same
+                             # top-k-intersection shape over exact
+                             # truth); numpy-replay pytest
 )
 
 

@@ -456,6 +456,74 @@ SELECT s.k_dims AS k_dims,
 FROM x GROUP BY s.k_dims"""
 
 
+MRL_RECALL_DIM = 16  # the served-truncation width the recall gate rates
+
+
+def embeddings_matryoshka_recall(d: Dialect) -> str:
+    """Truncation acceptance gate (the recall half of the MRL story —
+    :func:`embeddings_matryoshka_audit` rates retained norm MASS, this
+    rates retained NEIGHBORS): per query, recall@{TOP_K} of the exact
+    top-k computed on the {MRL_RECALL_DIM}-dim PREFIX against the exact
+    top-k on the full {DIM} dims. This is the number that decides
+    whether a {MRL_RECALL_DIM}/{DIM} truncated serving index (4x
+    smaller, 4x cheaper dot products) actually ships.
+
+    Deliberately EXACT on both arms (two brute-force rankings — the
+    gate family's rule: quality gates measure against exact truth, so
+    the cross join is the labeled oracle form, query-set x corpus like
+    knn_bruteforce/knn_recall_at_k, never the serving path). One pair
+    pass computes both cosines (full + prefix folds); both rank
+    windows partition by query. Vectors whose PREFIX norm is zero have
+    no direction under truncation — their prefix cosine is NULL and
+    sorts last (explicit NULLS LAST, both engines), mirroring
+    _vec_base's zero-full-norm exclusion one level down.
+
+    Expectation setting: on the synthetic test corpus (random
+    directions, NOT Matryoshka-trained) prefix recall is genuinely low
+    — that IS the gate working; MRL training exists precisely to make
+    prefixes rank like the full vector, and this gate is how you
+    verify a model delivers it before shrinking the index."""
+    sl = lambda col: (f"slice({col}, 1, {MRL_RECALL_DIM})"
+                      if d.name == "spark"
+                      else f"list_slice({col}, 1, {MRL_RECALL_DIM})")
+    pn = f"sqrt({d.dot(sl('embedding'), sl('embedding'))})"
+    cos = f"{d.dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    pcos = (f"CASE WHEN q.pnrm * c.pnrm = cast(0 as double) THEN NULL "
+            f"ELSE {d.dot(sl('q.embedding'), sl('c.embedding'))}"
+            f" / (q.pnrm * c.pnrm) END")
+    return f"""WITH b AS ({_vec_base(d)}),
+v AS (SELECT vec_id, embedding, nrm, {pn} AS pnrm FROM b),
+q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} <> 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {cos} AS cosine, {pcos} AS pcosine
+  FROM q CROSS JOIN c
+),
+rf AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+rp AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY pcosine DESC NULLS LAST, neighbor_id)
+      AS rank
+  FROM scored
+)
+SELECT rf.query_id,
+  cast({MRL_RECALL_DIM} as bigint) AS k_dims,
+  cast(count(rp.neighbor_id) as bigint) AS n_hits,
+  cast(count(rp.neighbor_id) as double) / {TOP_K} AS recall_at_k
+FROM rf LEFT JOIN rp
+  ON rp.query_id = rf.query_id AND rp.neighbor_id = rf.neighbor_id
+  AND rp.rank <= {TOP_K}
+WHERE rf.rank <= {TOP_K}
+GROUP BY rf.query_id"""
+
+
 RRF_K = 60          # the standard reciprocal-rank-fusion constant
 HYBRID_TOP_T = 10   # text-arm candidates per query
 HYBRID_K = 10       # fused results per query
@@ -542,5 +610,6 @@ BUILDERS = {
     "knn_range_search": knn_range_search,
     "embeddings_norm_audit": embeddings_norm_audit,
     "embeddings_matryoshka_audit": embeddings_matryoshka_audit,
+    "embeddings_matryoshka_recall": embeddings_matryoshka_recall,
     "docs_hybrid_search_rrf": docs_hybrid_search_rrf,
 }

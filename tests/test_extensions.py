@@ -680,6 +680,63 @@ def test_matryoshka_audit_matches_numpy_replay(spark, ddb):
         assert rows[k].mean_retention_ppm == similarity.MRL_SCALE
 
 
+def test_matryoshka_recall_matches_numpy_replay(spark, ddb):
+    """embeddings_matryoshka_recall (r8): cross-engine equal, and the
+    per-query recall matches an independent numpy replay of both exact
+    rankings (full-dim vs {MRL_RECALL_DIM}-dim prefix, identical
+    (cosine DESC, id) tiebreak); every recall is in [0, 1]."""
+    import numpy as np
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(similarity.embeddings_matryoshka_recall(SPARK)).toPandas())
+    ddf = canonicalize(
+        ddb.sql(similarity.embeddings_matryoshka_recall(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in spark.sql(
+                "SELECT vec_id, embedding FROM embeddings").collect()}
+
+    def fold_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def topk(width):
+        out = {}
+        for qid, qv in vecs.items():
+            if qid % similarity.QUERY_MOD != 0:
+                continue
+            qn = np.sqrt(fold_dot(qv[:width], qv[:width]))
+            scored = []
+            for cid, cv in vecs.items():
+                if cid % similarity.QUERY_MOD == 0:
+                    continue
+                if np.sqrt(fold_dot(cv, cv)) == 0.0:  # _vec_base drop
+                    continue
+                cn = np.sqrt(fold_dot(cv[:width], cv[:width]))
+                if qn * cn == 0.0:
+                    continue  # NULL prefix cosine sorts last
+                scored.append((-(fold_dot(qv[:width], cv[:width])
+                                 / (qn * cn)), cid))
+            scored.sort()
+            out[qid] = {cid for _, cid in scored[:similarity.TOP_K]}
+        return out
+
+    full, pref = topk(similarity.DIM), topk(similarity.MRL_RECALL_DIM)
+    got = {r.query_id: (int(r.n_hits), r.recall_at_k)
+           for r in spark.sql(
+               similarity.embeddings_matryoshka_recall(SPARK)).collect()}
+    assert set(got) == set(full)
+    for qid in full:
+        hits = len(full[qid] & pref[qid])
+        assert got[qid] == (hits, hits / similarity.TOP_K), qid
+        assert 0.0 <= got[qid][1] <= 1.0
+
+
 def bpe_batched_replay(words: list[tuple[list[str], int]]):
     """Pure-Python replay of the BATCHED trainer spec: per round, rank
     pairs (count DESC, pair ASC), greedily select up to BPE_ROUND_K

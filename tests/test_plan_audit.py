@@ -50,6 +50,9 @@ from tests.conftest import SF_DIR
 BNLJ_ALLOWED = {
     "knn_bruteforce", "knn_recall_at_k", "knn_ivfpq_adc",
     "pq_recall_report", "events_funnel", "events_key_skew_audit",
+    # embeddings_matryoshka_recall — exact-truth gate, same broadcast
+    #     query-probe cross join as knn_bruteforce/knn_recall_at_k
+    "embeddings_matryoshka_recall",
     "embeddings_sq_int8", "docs_bm25_topk", "docs_merge_cdc",
     "docs_language_balance_plan", "knn_index_upsert",
     # docs_span_coverage — two single-row aggregate relations cross-
