@@ -868,6 +868,17 @@ _PARKED_TAIL = (
                              # pq_recall_report (r8 window, same
                              # top-k-intersection shape over exact
                              # truth); numpy-replay pytest
+    "events_watermark_plan", # new in r8: p95/p99 lateness + suggested
+                             # withWatermark delay; the lateness-rail
+                             # family's in-cap reps are
+                             # events_disorder_audit_signal +
+                             # events_disorder_audit_sharded (r8
+                             # window); python-replay pytest
+    "docs_blocklist_score",  # new in r8: banned-words lexicon filter
+                             # (zero-shuffle fold projection); the
+                             # per-doc gate family's in-cap rep is
+                             # text_nb_quality_score +
+                             # docs_curation_pipeline; replay pytest
 )
 
 

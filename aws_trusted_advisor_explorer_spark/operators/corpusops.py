@@ -799,6 +799,59 @@ FROM top JOIN txt ON txt.hv = top.hv"""
 CARD_SHORT_DOC_TOKENS = 16  # docs under this token count are "short"
 
 
+# Weighted blocklist (the C4/Gopher "banned words" curation rule).
+# The terms here are DEMO entries chosen to exist in the synthetic
+# corpus vocabulary so the signal is non-zero at every driver SF; a
+# production run swaps the dict for its policy list — the mechanism
+# (severity-weighted token matching, ppm rate, threshold verdict) is
+# what this operator is.
+BLOCKLIST = {"slow": 2, "dup": 1, "big": 1}
+BLOCK_PPM = 60_000  # block a doc when >= 6% of tokens are listed
+
+
+def docs_blocklist_score(d: Dialect) -> str:
+    """Blocklist (banned-words) safety/curation scoring — the missing
+    sibling of the quality gate: per doc, how many tokens match a
+    severity-weighted lexicon, the integer hit rate (ppm of tokens),
+    the severity sum, and the block verdict (hit rate >=
+    {BLOCK_PPM} ppm). This is the C4-style lexicon filter every
+    production curation pipeline runs before quality scoring.
+
+    The lexicon is tiny by nature, so it inlines as a CASE expression
+    INSIDE a per-doc array fold — a pure scan projection with ZERO
+    shuffles/joins/windows (the broadcast-join form only wins when the
+    lexicon outgrows a plan literal; same two-tier rule as the BPE
+    apply's {'{'}literal | broadcast{'}'} ladder). Counts and ppm are
+    exact integers; zero-token docs get NULL rate and are never
+    blocked (ANSI guard)."""
+    toks = d.tokens("text")
+    sev_case = "CASE " + " ".join(
+        f"WHEN t = '{w}' THEN {sv}" for w, sv in sorted(BLOCKLIST.items())
+    ) + " ELSE 0 END"
+    sev_arr = d.transform(toks, "t", sev_case)
+    sev_sum = d.fold("sevs", "cast(0 as bigint)", "s", "v",
+                     "s + cast(v as bigint)")
+    hit_sum = d.fold("sevs", "cast(0 as bigint)", "s", "v",
+                     "s + CASE WHEN v > 0 THEN 1 ELSE 0 END")
+    ppm = d.idiv("(n_hits * 1000000)", "n_tokens")
+    return f"""WITH s AS (
+  SELECT doc_id, {d.arr_len(toks)} AS n_tokens, {sev_arr} AS sevs
+  FROM documents
+),
+h AS (
+  SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+    {hit_sum} AS n_hits, {sev_sum} AS severity_sum
+  FROM s
+)
+SELECT doc_id, n_tokens, n_hits, severity_sum,
+  CASE WHEN n_tokens = 0 THEN NULL
+       ELSE cast({ppm} as bigint) END AS hit_ppm,
+  cast(CASE WHEN n_tokens = 0 THEN 0
+            WHEN {ppm} >= {BLOCK_PPM} THEN 1
+            ELSE 0 END as bigint) AS blocked
+FROM h"""
+
+
 def docs_dataset_card(d: Dialect) -> str:
     """The dataset-card summary (the one-row datasheet a corpus release
     ships): document/token/char totals, language and source
@@ -1033,4 +1086,5 @@ BUILDERS = {
     "docs_block_dedup": docs_block_dedup,
     "docs_boilerplate_topk": docs_boilerplate_topk,
     "docs_dataset_card": docs_dataset_card,
+    "docs_blocklist_score": docs_blocklist_score,
 }

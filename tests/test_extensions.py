@@ -2702,6 +2702,108 @@ def test_scd2_history_run_compaction(spark, ddb):
     }
 
 
+def test_watermark_plan_matches_python_replay(spark, ddb):
+    """events_watermark_plan (r8): cross-engine equal, and every
+    per-type row matches a python replay of the modeled disordered
+    ingest — running-max lateness per arrival, exact rank-selection
+    p95/p99 over ALL arrivals (on-time = 0), suggested watermark =
+    p99 * 5 div 4. Late counts must agree with the signal audit's."""
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(eventops.events_watermark_plan(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(eventops.events_watermark_plan(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    ev = spark.sql(
+        "SELECT event_type, event_id, "
+        f"{SPARK.epoch_us('ts')} AS ep FROM events").collect()
+    byt: dict = {}
+    for r in ev:
+        delay = (eventops.LATE_SHIFT
+                 if r.event_id % eventops.LATE_MOD == 0 else 0)
+        byt.setdefault(r.event_type, []).append(
+            (r.event_id + delay, r.event_id, r.ep))
+    expect = {}
+    for t, rows in byt.items():
+        hw, lates = None, []
+        for _, _, ep in sorted(rows):
+            hw = ep if hw is None else max(hw, ep)
+            lates.append(hw - ep)
+        lates.sort()
+        n = len(lates)
+        p95 = lates[(95 * n + 99) // 100 - 1]
+        p99 = lates[(99 * n + 99) // 100 - 1]
+        expect[t] = (n, sum(1 for x in lates if x > 0), p95, p99,
+                     p99 * eventops.WM_MARGIN_NUM // eventops.WM_MARGIN_DEN)
+    got = {r.event_type: (int(r.n_events), int(r.n_late),
+                          int(r.p95_late_us), int(r.p99_late_us),
+                          int(r.suggested_watermark_us))
+           for r in spark.sql(eventops.events_watermark_plan(SPARK))
+           .collect()}
+    assert got == expect
+    assert all(v[1] > 0 for v in got.values())  # signal model fires
+    sig = {r.event_type: int(r.n_late) for r in spark.sql(
+        eventops.events_disorder_audit_signal(SPARK)).collect()}
+    assert {t: v[1] for t, v in got.items()} == sig
+
+
+def test_blocklist_score_matches_python_replay(spark, ddb):
+    """docs_blocklist_score (r8): cross-engine equal, every row
+    matches a python replay of the severity-weighted lexicon over the
+    tokenizer's token set, verdicts respect the ppm threshold, and a
+    planted zero-token doc gets NULL rate / blocked=0 (no ANSI
+    throw)."""
+    import re
+
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(corpusops.docs_blocklist_score(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(corpusops.docs_blocklist_score(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    docs = {r.doc_id: r.text for r in
+            spark.sql("SELECT doc_id, text FROM documents").collect()}
+    got = {r.doc_id: (int(r.n_tokens), int(r.n_hits),
+                      int(r.severity_sum),
+                      None if r.hit_ppm is None else int(r.hit_ppm),
+                      int(r.blocked))
+           for r in spark.sql(
+               corpusops.docs_blocklist_score(SPARK)).collect()}
+    assert set(got) == set(docs)
+    n_blocked = n_hits_total = 0
+    for doc_id, text in docs.items():
+        toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+        hits = [corpusops.BLOCKLIST[t] for t in toks
+                if t in corpusops.BLOCKLIST]
+        n = len(toks)
+        ppm = len(hits) * 1_000_000 // n if n else None
+        blocked = 1 if n and ppm >= corpusops.BLOCK_PPM else 0
+        assert got[doc_id] == (n, len(hits), sum(hits), ppm, blocked), \
+            doc_id
+        n_blocked += blocked
+        n_hits_total += len(hits)
+    assert n_hits_total > 0, "lexicon must fire on the driver corpus"
+
+    # planted zero-token doc (CJK-only -> no [a-z0-9] tokens)
+    ns = spark.newSession()
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["你好世界", "slow slow slow big dup scan"],
+        "lang": ["zh", "en"], "source": ["s", "s"],
+        "n_chars": [4, 27]})
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    rows = {r.doc_id: r for r in ns.sql(
+        corpusops.docs_blocklist_score(SPARK)).collect()}
+    assert rows[1].hit_ppm is None and int(rows[1].blocked) == 0
+    # 5 of 6 tokens listed (severity 2+2+2+1+1) -> way past 6%
+    assert (int(rows[2].n_hits), int(rows[2].severity_sum),
+            int(rows[2].blocked)) == (5, 8, 1)
+
+
 def test_purchase_click_pairs_skew_mode_equality(spark):
     """r7 verdict stretch ask: salted_join wired into a real query
     behind a mode. The attribution pair join's DF twin must return the
