@@ -193,6 +193,26 @@ def test_reference_view_plan_shape(spark):
         assert "Exchange" not in plan_nt, f"{key}_no_tags"
 
 
+def test_scd2_single_exchange_serves_stacked_windows(spark):
+    """POSITIVE plan assertion for events_scd2_history (r8): the
+    docstring's scale claim is that ONE user_id hash exchange serves
+    the lag window, the running-sum window, the per-run aggregate and
+    the lead window (all partition by user_id, so Spark stacks them on
+    one shuffle). A refactor that breaks the shared partitioning would
+    add exchanges silently — this pins the executed count at exactly
+    one hashpartitioning exchange and zero broadcast exchanges."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    df = q["events_scd2_history"](spark, SF_DIR)
+    # executedPlan().toString() prints "Exchange hashpartitioning(...)"
+    # inline; formatted mode hides the arguments on a separate line
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_scan_pushdown_reaches_parquet(spark):
     """Predicate pushdown regression gate: tpch_q6's selective filters
     (date range, discount band, quantity cap) must surface as
