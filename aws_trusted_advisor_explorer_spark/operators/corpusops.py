@@ -17,6 +17,8 @@ explorer) has no corpus plane; scope directed by BASELINE.json
 
 from __future__ import annotations
 
+import re
+
 from aws_trusted_advisor_explorer_spark.functions.dual import Dialect
 
 TRAIN_PCT = 80
@@ -823,8 +825,20 @@ def docs_blocklist_score(d: Dialect) -> str:
     lexicon outgrows a plan literal; same two-tier rule as the BPE
     apply's {'{'}literal | broadcast{'}'} ladder). Counts and ppm are
     exact integers; zero-token docs get NULL rate and are never
-    blocked (ANSI guard)."""
-    toks = d.tokens("text")
+    blocked (ANSI guard). NULL-text docs tokenize via coalesce(text,
+    '') so they take the documented zero-token branch (0 hits, NULL
+    rate, not blocked) instead of propagating NULL through the fold.
+    Terms are validated at render time: anything outside [a-z0-9]+
+    could never match the tokenizer's token set AND would break (or
+    inject into) the generated CASE literal — a swapped-in production
+    policy list fails loudly here rather than silently matching
+    nothing."""
+    bad = [w for w in BLOCKLIST if not re.fullmatch(r"[a-z0-9]+", w)]
+    if bad:
+        raise ValueError(
+            f"BLOCKLIST terms must match [a-z0-9]+ (the tokenizer's "
+            f"token alphabet); invalid: {bad!r}")
+    toks = d.tokens("coalesce(text, '')")
     sev_case = "CASE " + " ".join(
         f"WHEN t = '{w}' THEN {sv}" for w, sv in sorted(BLOCKLIST.items())
     ) + " ELSE 0 END"

@@ -475,8 +475,11 @@ def embeddings_matryoshka_recall(d: Dialect) -> str:
     pass computes both cosines (full + prefix folds); both rank
     windows partition by query. Vectors whose PREFIX norm is zero have
     no direction under truncation — their prefix cosine is NULL and
-    sorts last (explicit NULLS LAST, both engines), mirroring
-    _vec_base's zero-full-norm exclusion one level down.
+    they are EXCLUDED from the prefix ranking (a NULL similarity is
+    not a rankable neighbor: in a degenerate corpus where a query has
+    fewer than {TOP_K} non-zero-prefix candidates, NULLS-LAST ranking
+    would count undefined-similarity rows as prefix-top-k "hits"),
+    mirroring _vec_base's zero-full-norm exclusion one level down.
 
     Expectation setting: on the synthetic test corpus (random
     directions, NOT Matryoshka-trained) prefix recall is genuinely low
@@ -509,9 +512,8 @@ rf AS (
 rp AS (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id
-                       ORDER BY pcosine DESC NULLS LAST, neighbor_id)
-      AS rank
-  FROM scored
+                       ORDER BY pcosine DESC, neighbor_id) AS rank
+  FROM scored WHERE pcosine IS NOT NULL
 )
 SELECT rf.query_id,
   cast({MRL_RECALL_DIM} as bigint) AS k_dims,

@@ -1390,7 +1390,18 @@ def disorder_audit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how long the stream runs; per-batch work sorts only that
     batch's rows per type. ``n_id_regressions`` > 0 flags out-of-order
     micro-batch delivery (see :func:`_disorder_update`), the regime
-    where ``n_late`` undercounts the batch oracle."""
+    where ``n_late`` undercounts the batch oracle.
+
+    COMPATIBILITY NOTE (state-schema evolution): r8 grew
+    ``DISORDER_STATE_SCHEMA`` from 4 to 6 fields (the ingest-order
+    regression counter pair). ``applyInPandasWithState`` state schemas
+    are checkpoint-incompatible — a consumer resuming this query from
+    a pre-r8 checkpoint fails at state deserialization and must start
+    a NEW checkpoint directory (replaying the source, as for any
+    stateful-schema break; the reference framework likewise treats
+    stateful schema evolution as a breaking change). The repo's own
+    availableNow test drains use fresh checkpoints per run and are
+    unaffected."""
     ev = events_stream(spark, sf_dir)
     keyed = ev.select(
         "event_type", "event_id",

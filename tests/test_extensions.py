@@ -737,6 +737,30 @@ def test_matryoshka_recall_matches_numpy_replay(spark, ddb):
         assert 0.0 <= got[qid][1] <= 1.0
 
 
+def test_matryoshka_recall_degenerate_prefix_corpus(spark):
+    """r8 ADVICE fix: when a query has FEWER than TOP_K candidates
+    with non-zero prefix norm, the undefined-similarity (NULL pcosine)
+    candidates must be excluded from the prefix ranking — not assigned
+    ranks <= TOP_K by NULLS-LAST ordering and counted as prefix-top-k
+    hits. Planted corpus: 1 rankable prefix candidate + 3 zero-prefix
+    candidates; correct n_hits is exactly 1 (the buggy form said 3)."""
+    W, P = similarity.DIM, similarity.MRL_RECALL_DIM
+    ones = [1.0] * W
+    zero_prefix = [0.0] * P + [1.0] * (W - P)
+    rows = [(similarity.QUERY_MOD, ones),  # the query vector
+            (1, ones), (2, zero_prefix), (3, zero_prefix),
+            (4, zero_prefix)]
+    ns = spark.newSession()
+    ns.createDataFrame(rows, "vec_id bigint, embedding array<double>") \
+        .createOrReplaceTempView("embeddings")
+    out = ns.sql(similarity.embeddings_matryoshka_recall(SPARK)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # full top-3 = {1, 2, 3}; prefix ranking holds ONLY vec 1 -> 1 hit
+    assert (int(r.query_id), int(r.n_hits)) == (similarity.QUERY_MOD, 1)
+    assert r.recall_at_k == 1 / similarity.TOP_K
+
+
 def bpe_batched_replay(words: list[tuple[list[str], int]]):
     """Pure-Python replay of the BATCHED trainer spec: per round, rank
     pairs (count DESC, pair ASC), greedily select up to BPE_ROUND_K
@@ -2788,13 +2812,16 @@ def test_blocklist_score_matches_python_replay(spark, ddb):
         n_hits_total += len(hits)
     assert n_hits_total > 0, "lexicon must fire on the driver corpus"
 
-    # planted zero-token doc (CJK-only -> no [a-z0-9] tokens)
+    # planted zero-token doc (CJK-only -> no [a-z0-9] tokens) and a
+    # NULL-text doc: both take the zero-token branch (0 hits, NULL
+    # rate, not blocked) — the NULL-text case is the r8 ADVICE fix
+    # (tokens over NULL would otherwise propagate NULL counts).
     ns = spark.newSession()
     pdf = pd.DataFrame({
-        "doc_id": [1, 2],
-        "text": ["你好世界", "slow slow slow big dup scan"],
-        "lang": ["zh", "en"], "source": ["s", "s"],
-        "n_chars": [4, 27]})
+        "doc_id": [1, 2, 3],
+        "text": ["你好世界", "slow slow slow big dup scan", None],
+        "lang": ["zh", "en", "en"], "source": ["s", "s", "s"],
+        "n_chars": [4, 27, 0]})
     ns.createDataFrame(pdf).createOrReplaceTempView("documents")
     rows = {r.doc_id: r for r in ns.sql(
         corpusops.docs_blocklist_score(SPARK)).collect()}
@@ -2802,6 +2829,20 @@ def test_blocklist_score_matches_python_replay(spark, ddb):
     # 5 of 6 tokens listed (severity 2+2+2+1+1) -> way past 6%
     assert (int(rows[2].n_hits), int(rows[2].severity_sum),
             int(rows[2].blocked)) == (5, 8, 1)
+    assert (int(rows[3].n_tokens), int(rows[3].n_hits),
+            int(rows[3].severity_sum), rows[3].hit_ppm,
+            int(rows[3].blocked)) == (0, 0, 0, None, 0)
+
+    # lexicon validation: a term outside [a-z0-9]+ (would never match
+    # the tokenizer, and could break the generated CASE) fails loudly.
+    import pytest as _pytest
+    orig = corpusops.BLOCKLIST
+    try:
+        corpusops.BLOCKLIST = {"o'brien": 1}
+        with _pytest.raises(ValueError, match=r"\[a-z0-9\]\+"):
+            corpusops.docs_blocklist_score(SPARK)
+    finally:
+        corpusops.BLOCKLIST = orig
 
 
 def test_purchase_click_pairs_skew_mode_equality(spark):
