@@ -523,362 +523,148 @@ def _view_query(name: str, with_tags: bool | None):
     return run
 
 
-# keys deliberately parked PAST the driver's 50-row correctness cap,
-# least-information-first from the end: degraded `_no_tags` twins whose
-# with-tags parent row is green (same plan minus the broadcast join).
-# All remain fully verified in CORRECTNESS_FULL.json / pytest.
+# keys deliberately parked PAST the driver's 50-row correctness cap.
+#
+# r9 rotation (the verification-finishing window): after r8, exactly 34
+# of the then-171 keys had never had a driver-green CORRECTNESS row --
+# every other key had at least one direct green row in r1-r8. This
+# round parks ALL of those already-green keys (each annotated with its
+# green rounds below; all remain verified every round by
+# CORRECTNESS_FULL.json and the pytest suite) and moves ALL 34
+# never-driver-green keys into the 50-slot head, alongside the 13
+# pinned keys (the 10 reference views + knn_ivf / knn_ivf_multiprobe /
+# dedup_clusters, held in-head by tests/test_entry_contract.py), the
+# r9-new events_watermark_plan_sharded (first driver row this round),
+# and the disorder-audit twins events_disorder_audit_signal /
+# events_disorder_audit_sharded -- kept in-cap so the whole
+# disorder -> watermark -> SCD2 lateness chain (base audit, signal
+# twin, sharded merge, watermark plan + its sharded form, SCD2
+# history) is driver-verified together in one window.
 _PARKED_TAIL = (
-    "events_rollup",         # GROUP BY ROLLUP subtotal shape; the
-                             # events agg family keeps 4 in-cap rows
-    "docs_source_mix",       # share-rollup family rep in-cap (r8):
-                             # docs_dataset_card (the corpus-report
-                             # rollup over the same per-source token
-                             # shares); mixture weights remain
-                             # pytest+FULL-verified
-    "docs_embedding_integrity", # reconciliation audit (full-outer-join
-                                # counts); algorithmically thin, FULL-
-                                # verified
-    "text_fingerprint",         # min-shingle anchor; its machinery
-                                # (shingle view, poly-hash) backs many
-                                # in-cap dedup rows
-    "pii_scrub_text",        # regex-scrub projection; PII family
-                             # head pii_mask_accounts parked r7
-                             # (driver-green r1-r6); reference-plane
-                             # reps in-cap are the 10 views
-    "media_frame_sample",    # same mapInPandas plumbing family as
-                             # in-cap media_phash_dedup (1-to-many
-                             # shape); SQL-oracle pytest is the evidence
-    "text_commonness_score", # shingle-DF-derived signal; the shingle
-                             # rails' in-cap rep is dedup_minhash_lsh
-    "media_inventory",       # per-type count rollup; the media plane's
-                             # in-cap row is media_phash_dedup
-    "docs_dedup_rate_by_source",  # per-source rollup of in-cap
-                                  # dedup_minhash_lsh pairs
-    "docs_stratified_sample", # deterministic hash-mod sampler; rep
-                              # in-cap: docs_curation_pipeline (its
-                              # split/cap stages run the same id-hash)
-    "docs_quality_gate",     # threshold filter over the quality score;
-                             # rep in-cap: text_nb_quality_score +
-                             # docs_curation_pipeline's gate stage
-    "docs_rejected",         # complement row of the quality gate
-    "docs_decontaminated",   # anti-join complement of parked
-                             # docs_contamination; the shingle-probe
-                             # family rep in-cap is
-                             # docs_curation_pipeline
-    "docs_pack_efficiency",  # bins-rollup of parked docs_pack_bins;
-                             # the two-phase-cumsum family rep in-cap
-                             # is docs_quality_cutoff_calibration
-    "kmeans_report",         # per-cluster rollup of the KMeans index;
-                             # cell-plane rep in-cap: semdedup_pairs
-    "knn_lsh",               # bucket rails identical to in-cap knn_ivf
-                             # (same planes/buckets); DF twin
-                             # pytest-bit-matched
-    "text_vocab_topk",       # top-k ranking shape rep in-cap:
-                             # knn_ivf (the ranked top-k family)
-    "dedup_exact_normalized", # 0 rows at driver SF (no planted variants);
-                              # planted-fixture pytest is the evidence
-    "media_dedup_exact",      # same: 0 rows at driver SF, planted pytest
-    "docs_length_histogram", # integer-banding family rep in-cap:
-                             # docs_ccnet_buckets (CDF-banded terciles
-                             # over the same per-doc integer keys)
-    "view_low_util_ec2_no_tags",
-    "dedup_exact_groups",  # keeper semantics re-exercised in-cap by
-                           # docs_curation_pipeline's exact_dup stage
-    "knn_bruteforce",      # its SQL is embedded verbatim in knn_recall_at_k's
-                           # green row; DF twin bit-matched by pytest
-    "docs_top_quality",    # top-k ranking shape; the ranked top-k
-    "events_user_topk",    # family's rep in-cap is knn_ivf
-    "dedup_bloom_prefilter",  # new in r2 (mergeable membership sketch);
-                              # no-false-negative property pytest-pinned,
-                              # FULL-verified
-    "docs_span_scrub",     # new in r2: the keep-one-copy span CUT action
-                           # (report twin dedup_span_exact driver-green
-                           # r7, parked r8); planted pytest + FULL
-    "view_underutil_ebs_no_tags",
-    "view_idle_elb_no_tags",
-    "view_rds_idle_no_tags",
-    "view_underutil_redshift_no_tags",
-    "view_route53_latency_no_tags",
-    "embeddings_sq_int8",  # new in r2: SQ rung of the quantization
-                           # family; in-cap representative is
-                           # knn_ivf (the learned-quantizer rails)
-    "text_unicode_sanitize",  # new in r2: unicode-hygiene projection;
-                              # scrub family head pii_mask_accounts is
-                              # parked (driver-green r1-r6); the gate
-                              # family's in-cap rep is
-                              # docs_curation_pipeline
-    "docs_boilerplate_topk",  # new in r2: top-k report twin of parked
-                              # docs_block_dedup; segment-dedup family
-                              # rep in-cap: dedup_minhash_lsh
-    "events_disorder_audit",   # new in r2: watermark-sizing lateness
-                               # audit; zero-signal at driver SF by
-                               # data construction — planted-fixture
-                               # pytest pins the arithmetic, and the
-                               # r6 non-zero-signal twin
-                               # events_disorder_audit_signal (IN-CAP,
-                               # eventops.py) runs the same running-max
-                               # window on a deterministically
-                               # disordered arrival order so the
-                               # oracle row actually fires
-    "docs_boolean_search", # new in r2: conjunctive inverted-index AND
-                           # query; the retrieval family's posting
-                           # rails are in-cap via dedup_minhash_lsh's
-                           # shingle plane; python-replay pytest
-    "docs_bm25_topk",      # new in r2: integer-exact Okapi BM25 top-k
-                           # (cleared-denominator rationals); ranked
-                           # top-k family rep in-cap: knn_ivf;
-                           # python-replay pytest
-    "docs_language_balance_plan",  # new in r2: per-lang keep-rate
-                                   # plan; rollup family in-cap row is
-                                   # docs_curation_pipeline; invariant
-                                   # pytest
-    "docs_agg_refresh",    # new in r2: incremental aggregate refresh
-                           # (IVM); merge family head docs_merge_cdc
-                           # rotated in-cap r8 — the in-row recompute
-                           # audit + action-semantics pytest remain
-                           # the evidence
-    "docs_near_dedup_apply",   # new in r2: the near-dup drop list
-                               # (keep-lowest per component of in-cap
-                               # dedup_clusters); invariant pytest
-    "docs_dedup_savings",      # new in r2: one-row rollup of the
-                               # drop list (docs/tokens saved)
-    "text_tokenizer_coverage",  # new in r2: lossy-tokenization audit
-                                # over the sanitize plane's planted
-                                # dirty text; audit family
-    "docs_split_token_budget",  # new in r2: per-split token budget;
-                                # the shared _split_case fragment runs
-                                # in-cap via docs_curation_pipeline's
-                                # split stage
-    "docs_span_coverage",      # new in r2: one-row rollup of parked
-                               # dedup_span_exact (is-scrub-worth-it)
-    "events_user_rate_topk",   # new in r2: bot-hunt rate report; the
-                               # per-user rollup family's in-cap row
-                               # is events_cms_heavy_hitters (same
-                               # per-user aggregate + gate shape)
-    "docs_cross_lingual_pairs",  # new in r2: lang-pair rollup of the
-                                 # in-cap minhash pairs (translation-
-                                 # candidate mining); same shape as
-                                 # parked docs_cross_split_contamination
-    "embeddings_norm_audit",  # new in r2: one-row embedding hygiene
-                              # rollup; the audit family's in-cap row
-                              # is events_disorder_audit_signal;
-                              # numpy-replay pytest
-    "text_bpe_fertility_by_lang",  # new in r2: per-lang rollup of
-                                   # text_bpe_tokenize_count (the BPE
-                                   # train/apply family heads were
-                                   # driver-green r7 and park r8)
-    "docs_cross_split_contamination",  # new in r2: train/test leakage
-                                       # rollup of in-cap
-                                       # dedup_minhash_lsh x the shared
-                                       # split fragment (in-cap via
-                                       # docs_curation_pipeline)
-    # --- r5 rotation: the r3 sketch plane, dedup_prefix_join, and
-    # representative r3 TPC-H keys moved INTO the 50-slot driver
-    # window (they had only FULL/pytest evidence); the nine keys
-    # below — driver-green in CORRECTNESS_r01–r04 — park in exchange,
-    # each with an in-cap family representative.
-    "dedup_ngram_jaccard",  # driver-green r1–r4; it remains the
-                            # driver ORACLE of parked dedup_prefix_join
-                            # (cross-algorithm); shingle-pair family
-                            # rep in-cap: dedup_minhash_lsh
-    "dedup_containment",    # driver-green r1–r4; shared-shingle pair
-                            # family rep in-cap: dedup_minhash_lsh
-    "dedup_simhash",        # driver-green r1–r4; banded-candidate
-                            # family rep in-cap: dedup_minhash_lsh
-    "events_hourly_anomaly",  # driver-green r1–r4; per-type agg
-                              # family rep in-cap: events_hist_quantiles
-    "events_sessionize",    # driver-green r1–r4; session/event-join
-                            # family rep in-cap: events_retention
-    "events_latest_state",  # driver-green r1–r4; ordered-per-key
-                            # window family rep in-cap:
-                            # events_disorder_audit_signal
-    "text_bigram_surprise", # driver-green r1–r4; vocab-aggregate
-                            # family rep in-cap: text_lm_score_ref
-                            # (same bigram occurrence relation)
-    "docs_importance_sample",  # driver-green r1–r4; deterministic-hash
-                               # sampler family rep in-cap:
-                               # docs_curation_pipeline (same id-hash
-                               # decision stream)
-    "knn_ivf_kmeans",       # driver-green r1–r4; learned-quantizer
-                            # family rep in-cap: knn_ivf
-    # --- r6 rotation: tpch_q1/q3/q6/q10/q12/q16, dedup_lsh_recall,
-    # text_nb_quality_score, docs_curation_pipeline, media_phash_dedup,
-    # docs_chunking moved INTO the 50-slot driver window (never
-    # driver-verified before), plus the new in-cap
-    # events_disorder_audit_signal; the twelve keys below — all
-    # driver-green in 4–5 consecutive rounds — park in exchange, each
-    # with an in-cap family representative.
-    "text_repetition",      # driver-green r1–r5; shingle-signal family
-                            # rep in-cap: dedup_minhash_lsh (holds the
-                            # shingle rails)
-    "events_props_json",    # driver-green r1–r5; JSON-projection shape;
-                            # the events plane keeps 6+ in-cap rows
-    "events_asof_join",     # driver-green r1–r5; ordered-window family
-                            # rep in-cap: events_disorder_audit_signal
-                            # (same running-max rail)
-    "docs_split_assign",    # driver-green r1–r5; deterministic-hash
-                            # splitter re-exercised in-cap by
-                            # docs_curation_pipeline's split stage
-    "docs_pack_bins",       # driver-green r1–r5; bin-packing family's
-                            # rollup docs_pack_efficiency also parked;
-                            # two-phase shard pattern pytest-pinned
-    "docs_contamination",   # driver-green r1–r5; shingle-probe family;
-                            # in-cap reps: docs_curation_pipeline (same
-                            # corpus gates) + dedup_minhash_lsh
-    "events_hourly_by_type",  # driver-green r1–r5; tumbling-agg family
-                              # rep in-cap: events_hist_quantiles
-    "events_value_quantiles",  # driver-green r1–r5; rank-selection
-                               # quantile family rep in-cap:
-                               # events_hist_quantiles (r5-green)
-    "dedup_exact_flags",    # driver-green r1–r5; exact-dup family reps
-                            # in-cap: dedup_minhash_lsh +
-                            # docs_curation_pipeline's exact_dup stage
-    "dedup_embedding_cosine",  # driver-green r1–r5; embedding family
-                               # rep in-cap: semdedup_pairs (same
-                               # cell blocking)
-    "media_byte_stats",     # driver-green r1–r5; media mapInPandas
-                            # family rep in-cap: media_phash_dedup
-    "events_funnel",        # driver-green r2–r5; ordered-funnel family
-                            # rep in-cap: events_top_paths
-    "text_token_stats",  # driver-green r1-r5 (5 rounds) — parked to
-                         # free cap slots for the never-driver-green
-                         # r6 CCNet keys; token-plane family rep
-                         # in-cap is text_lm_score_ref
-    "text_quality",  # driver-green r1-r5 (5 rounds) — parked with
-                     # text_token_stats; quality-family rep in-cap is
-                     # text_nb_quality_score (r6 window)
-    # --- r7 rotation: the 13 never-driver-green TPC-H keys
-    # (q4/q5/q7/q8/q11/q13/q14/q15/q17/q18/q19/q20/q22), the BPE
-    # train/apply flagship pair, dedup_span_exact,
-    # docs_hybrid_search_rrf, events_interval_join,
-    # docs_temperature_mix, docs_curation_drift, and
-    # docs_quality_cutoff_calibration (its wired plan changed to the
-    # two-phase distributed rank this round) moved INTO the 50-slot
-    # driver window for their first driver-green rows; the twenty-one
-    # keys below — every one driver-green in 1–6 prior rounds — park
-    # in exchange, each with an in-cap family representative.
-    "text_bpe_pair_counts",  # driver-green r2–r6; its aggregate IS
-                             # the inner loop of text_bpe_merge_train
-                             # (driver-green r7, parked r8)
-    "text_lang_id",         # driver-green r1–r6; per-lang plane rep
-                            # in-cap: docs_ccnet_buckets (per-lang LM
-                            # scoring over the same lang column)
-    "text_tfidf_topk",      # driver-green r1–r6; ranked top-k family
-                            # rep in-cap: knn_ivf
-    "dedup_graph_pagerank",  # driver-green r2–r6; pairs-backed family
-                             # head dedup_minhash_lsh stays in-cap
-    "dedup_incremental",    # driver-green r2–r6; same pairs-backed
-                            # family (dedup_minhash_lsh in-cap)
-    "dedup_prefix_join",    # driver-green r5–r6; candidate-pair family
-                            # rep in-cap: dedup_minhash_lsh
-    "knn_recall_at_k",      # driver-green r1–r6; gate over in-cap
-                            # knn_ivf/knn_ivf_multiprobe rails
-    "knn_ivfpq_adc",        # driver-green r2–r6; learned-quantizer
-                            # family rep in-cap: knn_ivf
-    "events_session_attribution",  # driver-green r1–r6; event-join
-                                   # family rep in-cap:
-                                   # events_retention (r8 window)
-    "pii_mask_accounts",    # driver-green r1–r6 (P9 masking); the
-                            # reference plane's in-cap reps are the
-                            # 10 views + view_summary's P5/P6 path
-    "docs_block_dedup",     # driver-green r1–r6; block-segmenter
-                            # family rep in-cap: dedup_minhash_lsh
-                            # (docs_boilerplate_topk parked with it)
-    "kmeans_assign",        # driver-green r1–r6; cluster-plane rep
-                            # in-cap: semdedup_pairs (same cell index)
-    "media_feature_extract",  # driver-green r1–r6; media mapInPandas
-                              # family rep in-cap: media_phash_dedup
-    "events_hll_merge",     # driver-green r5–r6; sketch-merge family
-                            # reps in-cap: events_hll_distinct +
-                            # docs_kmv_distinct_union
-    "tpch_q1",              # driver-green r6; with the r8 parking of
-    "tpch_q2",              # driver-green r5–r6; q4-q22 below, every
-    "tpch_q3",              # driver-green r6; one of the 22 TPC-H
-    "tpch_q6",              # driver-green r6; keys now holds a direct
-    "tpch_q9",              # driver-green r5–r6; driver-green row —
-    "tpch_q10",             # driver-green r6; stronger evidence than
-    "tpch_q21",             # driver-green r5–r6; any family rep; the
-                            # pandas-replay pytest on q1 remains
-    # --- r8 rotation: the last 22 never-driver-green keys' largest
-    # coherent families moved INTO the 50-slot driver window — PQ
-    # (pq_codes, pq_recall_report), range/upsert ANN (knn_range_search,
-    # knn_index_upsert), the events report plane (events_top_paths,
-    # events_retention, events_sliding_window,
-    # events_purchase_click_pairs, events_daily_active,
-    # events_key_skew_audit), docs governance (docs_merge_cdc,
-    # docs_domain_cap, docs_expectations_report, docs_column_profile,
-    # docs_dataset_card, docs_kanon_release), winnowing
-    # (docs_winnow_fingerprints, dedup_winnow_overlap), the sharded
-    # disorder audit (events_disorder_audit_sharded), plus
-    # docs_kmv_source_overlap, semdedup_prune_report, and
-    # text_lang_confusion. The twenty-two keys below — every one
-    # driver-green in CORRECTNESS_r07 (q12/q16 in r6 too) — park in
-    # exchange.
-    "tpch_q4",              # driver-green r7; all 22 TPC-H keys now
-    "tpch_q5",              # driver-green r7; hold direct driver-green
-    "tpch_q7",              # driver-green r7; rows (r5-r7), so the
-    "tpch_q8",              # driver-green r7; family parks whole; the
-    "tpch_q11",             # driver-green r7; q1 pandas-replay pytest,
-    "tpch_q12",             # driver-green r6-r7; the q17/q20 decimal
-    "tpch_q13",             # driver-green r7; fixtures, and FULL keep
-    "tpch_q14",             # driver-green r7; the suite oracle-pinned
-    "tpch_q15",             # driver-green r7; every round; the
-    "tpch_q16",             # driver-green r6-r7; aggregate/join rails
-    "tpch_q17",             # driver-green r7; stay exercised in-cap
-    "tpch_q18",             # driver-green r7; by the 10 reference
-    "tpch_q19",             # driver-green r7; views' typed-cast
-    "tpch_q20",             # driver-green r7; broadcast joins
-    "tpch_q22",             # driver-green r7
-    "text_bpe_merge_train",   # driver-green r7; its per-round pair
-                              # aggregate stays pytest-pinned
-                              # (iterative trainer equality test)
-    "text_bpe_tokenize_count",  # driver-green r7; apply path re-
-                                # exercised by parked fertility rollup's
-                                # pytest + FULL every round
-    "dedup_span_exact",     # driver-green r7; span-plane family rep
-                            # in-cap: docs_winnow_fingerprints (r8
-                            # window, same span rails)
-    "docs_hybrid_search_rrf",  # driver-green r7; ranked top-k family
-                               # rep in-cap: knn_ivf; RRF fusion
-                               # pytest remains
-    "events_interval_join",  # driver-green r7; event-join family rep
-                             # in-cap: events_retention (r8 window);
-                             # brute-force-equality property pytest
-    "docs_temperature_mix",  # driver-green r7; share-rollup family
-                             # rep in-cap: docs_dataset_card (r8
-                             # window); replay property pytest
-    "docs_curation_drift",   # driver-green r7; rollup family rep
-                             # in-cap: docs_curation_pipeline (the
-                             # gate whose before/after it reports)
-    "events_scd2_history",   # new in r8: SCD Type-2 validity-interval
-                             # history (gaps-and-islands run
-                             # compaction); ordered-per-key window
-                             # family rep in-cap:
-                             # events_disorder_audit_signal (same
-                             # one-exchange stacked-window rail);
-                             # planted run-compaction pytest + FULL
-    "embeddings_matryoshka_audit",  # new in r8: MRL truncation
-                             # retention audit (one-pass unpivoted
-                             # aggregate); the embedding index
-                             # family's in-cap reps are knn_ivf +
-                             # semdedup_pairs; numpy-replay pytest
-    "embeddings_matryoshka_recall",  # new in r8: prefix-vs-full
-                             # exact recall gate; the recall-gate
-                             # family's in-cap rep is
-                             # pq_recall_report (r8 window, same
-                             # top-k-intersection shape over exact
-                             # truth); numpy-replay pytest
-    "events_watermark_plan", # new in r8: p95/p99 lateness + suggested
-                             # withWatermark delay; the lateness-rail
-                             # family's in-cap reps are
-                             # events_disorder_audit_signal +
-                             # events_disorder_audit_sharded (r8
-                             # window); python-replay pytest
-    "docs_blocklist_score",  # new in r8: banned-words lexicon filter
-                             # (zero-shuffle fold projection); the
-                             # per-doc gate family's in-cap rep is
-                             # text_nb_quality_score +
-                             # docs_curation_pipeline; replay pytest
+    "text_nb_quality_score",  # driver-green r6-r8
+    "docs_quality_cutoff_calibration",  # driver-green r7-r8
+    "text_lang_confusion",  # driver-green r8
+    "text_lm_score_ref",  # driver-green r6-r8
+    "docs_ccnet_buckets",  # driver-green r6-r8
+    "dedup_minhash_lsh",  # driver-green r1-r8
+    "dedup_lsh_recall",  # driver-green r6-r8
+    "docs_winnow_fingerprints",  # driver-green r8
+    "dedup_winnow_overlap",  # driver-green r8
+    "knn_range_search",  # driver-green r8
+    "events_top_paths",  # driver-green r8
+    "events_purchase_click_pairs",  # driver-green r8
+    "events_daily_active",  # driver-green r8
+    "events_key_skew_audit",  # driver-green r8
+    "events_sliding_window",  # driver-green r8
+    "events_retention",  # driver-green r8
+    "media_phash_dedup",  # driver-green r6-r8
+    "docs_kanon_release",  # driver-green r8
+    "docs_chunking",  # driver-green r6-r8
+    "docs_curation_pipeline",  # driver-green r6-r8
+    "docs_domain_cap",  # driver-green r8
+    "docs_merge_cdc",  # driver-green r8
+    "docs_dataset_card",  # driver-green r8
+    "pq_recall_report",  # driver-green r8
+    "semdedup_pairs",  # driver-green r2-r8
+    "semdedup_prune_report",  # driver-green r8
+    "knn_index_upsert",  # driver-green r8
+    "pq_codes",  # driver-green r8
+    "docs_column_profile",  # driver-green r8
+    "docs_expectations_report",  # driver-green r8
+    "events_hll_distinct",  # driver-green r5-r8
+    "events_cms_heavy_hitters",  # driver-green r5-r8
+    "events_hist_quantiles",  # driver-green r5-r8
+    "docs_kmv_distinct_union",  # driver-green r5-r8
+    "docs_kmv_source_overlap",  # driver-green r8
+    "events_rollup",  # driver-green r1
+    "docs_source_mix",  # driver-green r1
+    "text_fingerprint",  # driver-green r1
+    "media_inventory",  # driver-green r1
+    "docs_stratified_sample",  # driver-green r1
+    "docs_quality_gate",  # driver-green r1
+    "docs_rejected",  # driver-green r1
+    "docs_decontaminated",  # driver-green r1
+    "knn_lsh",  # driver-green r1
+    "text_vocab_topk",  # driver-green r1
+    "docs_length_histogram",  # driver-green r1
+    "view_low_util_ec2_no_tags",  # driver-green r1
+    "dedup_exact_groups",  # driver-green r1
+    "knn_bruteforce",  # driver-green r1
+    "docs_top_quality",  # driver-green r1
+    "events_user_topk",  # driver-green r1
+    "view_underutil_ebs_no_tags",  # driver-green r1
+    "view_idle_elb_no_tags",  # driver-green r1
+    "view_rds_idle_no_tags",  # driver-green r1
+    "view_underutil_redshift_no_tags",  # driver-green r1
+    "view_route53_latency_no_tags",  # driver-green r1
+    "dedup_ngram_jaccard",  # driver-green r1-r4; stays the
+                            # driver ORACLE of parked
+                            # dedup_prefix_join (cross-algorithm)
+    "dedup_containment",  # driver-green r2-r4
+    "dedup_simhash",  # driver-green r1-r4
+    "events_hourly_anomaly",  # driver-green r2-r4
+    "events_sessionize",  # driver-green r1-r4
+    "events_latest_state",  # driver-green r2-r4
+    "text_bigram_surprise",  # driver-green r2-r4
+    "docs_importance_sample",  # driver-green r2-r4
+    "knn_ivf_kmeans",  # driver-green r2-r4
+    "text_repetition",  # driver-green r1-r5
+    "events_props_json",  # driver-green r1-r5
+    "events_asof_join",  # driver-green r1-r5
+    "docs_split_assign",  # driver-green r1-r5
+    "docs_pack_bins",  # driver-green r1-r5
+    "docs_contamination",  # driver-green r1-r5
+    "events_hourly_by_type",  # driver-green r1-r5
+    "events_value_quantiles",  # driver-green r1-r5
+    "dedup_exact_flags",  # driver-green r1-r5
+    "dedup_embedding_cosine",  # driver-green r1-r5
+    "media_byte_stats",  # driver-green r1-r5
+    "events_funnel",  # driver-green r2-r5
+    "text_token_stats",  # driver-green r1-r5
+    "text_quality",  # driver-green r1-r5
+    "text_bpe_pair_counts",  # driver-green r2-r6
+    "text_lang_id",  # driver-green r1-r6
+    "text_tfidf_topk",  # driver-green r2-r6
+    "dedup_graph_pagerank",  # driver-green r2-r6
+    "dedup_incremental",  # driver-green r2-r6
+    "dedup_prefix_join",  # driver-green r5-r6
+    "knn_recall_at_k",  # driver-green r2-r6
+    "knn_ivfpq_adc",  # driver-green r2-r6
+    "events_session_attribution",  # driver-green r2-r6
+    "pii_mask_accounts",  # driver-green r1-r6
+    "docs_block_dedup",  # driver-green r2-r6
+    "kmeans_assign",  # driver-green r2-r6
+    "media_feature_extract",  # driver-green r2-r6
+    "events_hll_merge",  # driver-green r5-r6
+    "tpch_q1",  # driver-green r6
+    "tpch_q2",  # driver-green r5-r6
+    "tpch_q3",  # driver-green r6
+    "tpch_q6",  # driver-green r6
+    "tpch_q9",  # driver-green r5-r6
+    "tpch_q10",  # driver-green r6
+    "tpch_q21",  # driver-green r5-r6
+    "tpch_q4",  # driver-green r7
+    "tpch_q5",  # driver-green r7
+    "tpch_q7",  # driver-green r7
+    "tpch_q8",  # driver-green r7
+    "tpch_q11",  # driver-green r7
+    "tpch_q12",  # driver-green r6-r7
+    "tpch_q13",  # driver-green r7
+    "tpch_q14",  # driver-green r7
+    "tpch_q15",  # driver-green r7
+    "tpch_q16",  # driver-green r6-r7
+    "tpch_q17",  # driver-green r7
+    "tpch_q18",  # driver-green r7
+    "tpch_q19",  # driver-green r7
+    "tpch_q20",  # driver-green r7
+    "tpch_q22",  # driver-green r7
+    "text_bpe_merge_train",  # driver-green r7
+    "text_bpe_tokenize_count",  # driver-green r7
+    "dedup_span_exact",  # driver-green r7
+    "docs_hybrid_search_rrf",  # driver-green r7
+    "events_interval_join",  # driver-green r7
+    "docs_temperature_mix",  # driver-green r7
+    "docs_curation_drift",  # driver-green r7
 )
 
 
@@ -993,6 +779,9 @@ def oracle_sql() -> dict[str, str]:
     # window-per-type form — same cross-algorithm pattern
     o["events_disorder_audit_sharded"] = \
         eventops.events_disorder_audit_signal(DUCK)
+    # the sharded watermark plan (two-phase running max + compacted-CDF
+    # rank) must equal the unsharded window-per-type form
+    o["events_watermark_plan_sharded"] = eventops.events_watermark_plan(DUCK)
     # IVF uses the same planes/buckets as sign-LSH -> identical results
     o["knn_ivf"] = similarity.knn_lsh(DUCK)
     o["knn_ivf_multiprobe"] = similarity.knn_multiprobe(DUCK)

@@ -36,21 +36,32 @@ def test_priority_head_fits_driver_cap_and_holds_reference_views():
         assert view_key in head, f"{view_key} fell out of the priority head"
     for audited in ("knn_ivf", "knn_ivf_multiprobe", "dedup_clusters"):
         assert audited in head
-    # r8 rotation: these rotated IN for their first driver-green rows —
-    # they must stay in the head at least until CORRECTNESS_r08 lands
-    for rotated in ("pq_codes", "pq_recall_report", "knn_range_search",
-                    "knn_index_upsert", "events_top_paths",
-                    "events_retention", "events_sliding_window",
-                    "events_purchase_click_pairs", "events_daily_active",
-                    "events_key_skew_audit", "docs_merge_cdc",
-                    "docs_domain_cap", "docs_expectations_report",
-                    "docs_column_profile", "docs_dataset_card",
-                    "docs_kanon_release", "docs_winnow_fingerprints",
-                    "dedup_winnow_overlap",
-                    "events_disorder_audit_sharded",
-                    "docs_kmv_source_overlap", "semdedup_prune_report",
-                    "text_lang_confusion"):
-        assert rotated in head, f"{rotated} fell out of the r8 window"
+    # r9 rotation (the verification-finishing window): ALL 34 keys that
+    # had never had a driver-green CORRECTNESS row through r8, plus the
+    # r9-new sharded watermark plan and the disorder twins (so the full
+    # lateness chain lands together) — they must stay in the head at
+    # least until CORRECTNESS_r09 lands
+    for rotated in ("docs_embedding_integrity", "pii_scrub_text",
+                    "media_frame_sample", "text_commonness_score",
+                    "docs_dedup_rate_by_source", "docs_pack_efficiency",
+                    "kmeans_report", "dedup_exact_normalized",
+                    "media_dedup_exact", "dedup_bloom_prefilter",
+                    "docs_span_scrub", "embeddings_sq_int8",
+                    "text_unicode_sanitize", "docs_boilerplate_topk",
+                    "events_disorder_audit", "docs_boolean_search",
+                    "docs_bm25_topk", "docs_language_balance_plan",
+                    "docs_agg_refresh", "docs_near_dedup_apply",
+                    "docs_dedup_savings", "text_tokenizer_coverage",
+                    "docs_split_token_budget", "docs_span_coverage",
+                    "events_user_rate_topk", "docs_cross_lingual_pairs",
+                    "embeddings_norm_audit", "text_bpe_fertility_by_lang",
+                    "docs_cross_split_contamination", "events_scd2_history",
+                    "embeddings_matryoshka_audit",
+                    "embeddings_matryoshka_recall", "events_watermark_plan",
+                    "docs_blocklist_score", "events_watermark_plan_sharded",
+                    "events_disorder_audit_signal",
+                    "events_disorder_audit_sharded"):
+        assert rotated in head, f"{rotated} fell out of the r9 window"
 
 
 def test_parked_tail_incap_citations_are_actually_incap():

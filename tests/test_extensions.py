@@ -3059,6 +3059,63 @@ def test_disorder_audit_sharded_merge_equals_unsharded(spark, ddb):
     assert n_ev > eventops.DISORDER_SHARD_W
 
 
+def test_watermark_plan_sharded_equals_unsharded(spark, ddb):
+    """events_watermark_plan_sharded (r9, the §2.9 ledger close): the
+    two-phase form (arrival-slice running-max merge + compacted-CDF
+    exact rank) must equal the unsharded window-per-type
+    events_watermark_plan row-for-row — cross-algorithm, in BOTH
+    engines, on the driver corpus (multiple shards per type, non-zero
+    lateness) AND on the planted empty-shard-gap / multi-shard-jump
+    fixture the disorder merge test uses (the prior-max propagation
+    edge cases flow into the lateness CDF here)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(eventops.events_watermark_plan_sharded(SPARK)).toPandas())
+    ddf = canonicalize(
+        ddb.sql(eventops.events_watermark_plan_sharded(DUCK)).df())
+    assert sdf.equals(ddf)
+    udf = canonicalize(
+        spark.sql(eventops.events_watermark_plan(SPARK)).toPandas())
+    assert sdf.equals(udf)
+    rows = spark.sql(eventops.events_watermark_plan_sharded(SPARK)).collect()
+    assert all(int(r.n_late) > 0 for r in rows)  # signal model fires
+    for r in rows:  # margin arithmetic holds on every row
+        assert int(r.suggested_watermark_us) == (
+            int(r.p99_late_us) * eventops.WM_MARGIN_NUM
+            // eventops.WM_MARGIN_DEN)
+
+    # planted fixture: shard-gap + multi-shard-jump (see
+    # test_disorder_sharded_empty_shard_gap_and_multishard_jump)
+    t0 = dt.datetime(2025, 6, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    pdf = pd.DataFrame(
+        [(1, s(10_000), 1, "a", 0.0, "{}"),
+         (300, s(1), 1, "a", 0.0, "{}"),
+         (1100, s(2), 1, "a", 0.0, "{}"),
+         (1101, s(20_000), 1, "a", 0.0, "{}"),
+         (600, s(100), 2, "b", 0.0, "{}"),
+         (601, s(50), 2, "b", 0.0, "{}")],
+        columns=["event_id", "ts", "user_id", "event_type",
+                 "value", "props"])
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    ns.createDataFrame(pdf).createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.register("events", pdf)
+    psh = canonicalize(
+        ns.sql(eventops.events_watermark_plan_sharded(SPARK)).toPandas())
+    assert psh.equals(canonicalize(
+        ns.sql(eventops.events_watermark_plan(SPARK)).toPandas()))
+    assert psh.equals(canonicalize(
+        con.sql(eventops.events_watermark_plan_sharded(DUCK)).df()))
+
+
 def _tiny_png(w: int, h: int) -> bytes:
     """Minimal valid 8-bit RGB PNG built with stdlib only."""
     import struct
