@@ -73,7 +73,17 @@ def main() -> None:
     # standard steady-state estimate (timeit's rule) and is what a
     # resident session reproduces
     timings: dict[str, float] = {}
+    first_fn = next(iter(queries.values()))
     for _ in range(2):
+        # throwaway settle execution (r8 verdict ask): in the driver's
+        # environment the FIRST timed query of a pass absorbed ~0.7 s
+        # of one-time cost (BENCH_r08: view_low_util_ec2 1.34 s vs the
+        # 0.66 s committed anchor) even after the full warm pass — run
+        # one untimed execution at the top of each pass so pass-start
+        # effects (GC settle after the previous sweep, re-JITted noop
+        # write path) never land in a recorded number
+        first_fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()
         for name, fn in queries.items():
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)

@@ -69,6 +69,21 @@ def main() -> None:
     result: dict = {"protocol": f"{N_SWEEPS} back-to-back sf0.1 sweeps, "
                     "identical code, nothing else running",
                     "totals_sec": totals, "keys": {}}
+    # the accepted full-sweep noise band (r8 verdict ask #3): the
+    # driver's BENCH_r08 total read 28% above the committed same-code
+    # anchor purely from machine load; committing the three same-code
+    # totals as a band makes the next driver total self-adjudicating
+    result["band"] = {
+        "min_total_sec": min(totals),
+        "max_total_sec": max(totals),
+        "n_queries": len(sweeps[0]),
+        "rule": ("a full-sweep total inside [min, max] is same-code "
+                 "run-to-run noise; a total ABOVE max is adjudicated "
+                 "per-query against the committed "
+                 "bench_results/bench_sf0.1.json anchor — normalized "
+                 "per-query growth is the regression signal, never the "
+                 "total (measured cross-session machine drift on "
+                 "identical code has reached ~16-28%)")}
     for key, (r6, r7) in RISERS.items():
         vals = [round(s[key], 3) for s in sweeps]
         lo, hi = min(vals), max(vals)

@@ -237,6 +237,14 @@ A key verdicted "investigate" reproduces its rise outside the
 same-code variance band and needs a bisect (the r7 candidate is the
 shingle-plane regex-escaping centralization); "noise" keys are pinned
 here and their r7 deltas need no further chasing.""")
+        if "band" in var:
+            b = var["band"]
+            out.append(f"""
+## Accepted full-sweep noise band (r9)
+
+Three same-code sf0.1 sweeps at HEAD ({b['n_queries']} queries)
+totalled **{b['min_total_sec']:.1f}–{b['max_total_sec']:.1f} s**.
+Adjudication rule: {b['rule']}.""")
     out.append("""
 The absolute numbers are NOT cluster predictions; they are regression
 anchors — a future change that pushes a normalized ratio well past 1
