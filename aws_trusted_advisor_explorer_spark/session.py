@@ -163,18 +163,73 @@ def ensure_session_plane(state: dict, spark: SparkSession, key: object,
     return True
 
 
+# Session-plane materialization mode (the set_money_mode/set_skew_mode
+# precedent): "local" = localCheckpoint(eager=True) — the single-JVM
+# optimization (executor-local blocks, lineage cut; right on local[32],
+# NOT fault-tolerant on a cluster, SCALE.md policy table); "table" =
+# the documented production swap: write the plane once to a bucketed
+# warehouse table and read it back — restart-safe, shareable across
+# sessions/jobs, and the bucketed layout removes downstream join
+# exchanges on the bucket key (BUCKETING.md). Governs every plane that
+# funnels through register_session_plane; the multi-view shingle plane
+# documents the same swap at its own build site.
+_PLANE_MODE = "local"
+
+
+def set_plane_mode(mode: str) -> None:
+    """Select session-plane materialization: "local" (localCheckpoint,
+    the single-JVM default) or "table" (bucketed warehouse table — the
+    production fault-tolerance swap named in SCALE.md). Takes effect on
+    the next plane build; the mode is part of the plane cache key, so
+    switching modes rebuilds the plane rather than silently reusing the
+    other mode's materialization."""
+    global _PLANE_MODE
+    if mode not in ("local", "table"):
+        raise ValueError(f"plane mode must be 'local' or 'table', got {mode!r}")
+    _PLANE_MODE = mode
+
+
 def register_session_plane(state: dict, spark: SparkSession, key: object,
-                           view_name: str, df_factory) -> str:
+                           view_name: str, df_factory,
+                           bucket_cols: list[str] | None = None) -> str:
     """The common single-view plane shape: build a DataFrame once per
-    (session, dataset), localCheckpoint it, register it under
-    ``view_name``, pin it in ``state``. The multi-view planes (shingle
-    + its ride-alongs) keep their custom ``build``; everything else
-    collapses to one call of this."""
+    (session, dataset, plane mode), materialize it per ``_PLANE_MODE``
+    (localCheckpoint | bucketed table), register it under
+    ``view_name``, pin it in ``state``. ``bucket_cols`` names the
+    dominant downstream join/group key for the "table" mode's bucketed
+    layout (first column when omitted — bucketing never changes
+    semantics, only which downstream exchanges disappear). The
+    multi-view planes (shingle + its ride-alongs) keep their custom
+    ``build``; everything else collapses to one call of this."""
 
     def build(spark):
-        df = df_factory(spark).localCheckpoint(eager=True)
+        df = df_factory(spark)
+        if _PLANE_MODE == "table":
+            from aws_trusted_advisor_explorer_spark.sinks.writers import (
+                write_bucketed_table,
+            )
+
+            tbl = f"plane_{view_name.strip('_')}"
+            # external table at the warehouse location: a MANAGED
+            # saveAsTable refuses a leftover directory from a previous
+            # process (LOCATION_ALREADY_EXISTS — the local derby
+            # catalog is per-JVM but the warehouse dir persists),
+            # while an external overwrite replaces it
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            loc = spark.conf.get(
+                "spark.sql.warehouse.dir").rstrip("/") + "/" + tbl
+            write_bucketed_table(df, tbl,
+                                 list(bucket_cols or df.columns[:1]),
+                                 path=loc)
+            df = spark.table(tbl)
+        else:
+            df = df.localCheckpoint(eager=True)
         df.createOrReplaceTempView(view_name)
         return [df]
 
-    ensure_session_plane(state, spark, key, build)
+    # key=None keeps its wildcard meaning ("any registered plane for
+    # this session counts" — ensure_session_plane's contract); an
+    # explicit key is paired with the mode so switching modes rebuilds
+    ensure_session_plane(state, spark,
+                         None if key is None else (key, _PLANE_MODE), build)
     return view_name

@@ -2845,6 +2845,41 @@ def test_blocklist_score_matches_python_replay(spark, ddb):
         corpusops.BLOCKLIST = orig
 
 
+def test_plane_mode_table_equality(spark):
+    """r8 verdict ask #4: the localCheckpoint session-plane production
+    swap is a MODE, not prose (the set_money_mode/set_skew_mode
+    precedent). set_plane_mode("table") must materialize the plane as
+    a bucketed warehouse table (restart-safe, the SCALE.md policy
+    table's named swap) and the plane-consuming query must return the
+    identical result in both modes. Exercised on media_phash_dedup —
+    the phash signature plane is a register_session_plane site."""
+    from aws_trusted_advisor_explorer_spark import session as sess
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+    from tests.conftest import canonicalize
+
+    view = multimodal.ensure_phash_view(spark, key="plane-mode-test")
+    local = canonicalize(spark.sql(
+        multimodal.media_phash_dedup(SPARK, base=view)).toPandas())
+    sess.set_plane_mode("table")
+    try:
+        view = multimodal.ensure_phash_view(spark, key="plane-mode-test")
+        tabled = canonicalize(spark.sql(
+            multimodal.media_phash_dedup(SPARK, base=view)).toPandas())
+    finally:
+        sess.set_plane_mode("local")
+        # restore a local-mode plane so later tests reuse the default
+        multimodal.ensure_phash_view(spark, key="plane-mode-test")
+    assert local.equals(tabled)
+    # the table mode really went through the warehouse: the backing
+    # table exists and its scan is bucketed (the exchange-elimination
+    # layout BUCKETING.md measures)
+    assert spark.catalog.tableExists("plane_media_phash_sig")
+    desc = {r.col_name: r.data_type for r in spark.sql(
+        "DESCRIBE FORMATTED plane_media_phash_sig").collect()}
+    assert desc.get("Num Buckets") == "32", desc
+    assert "doc_id" in desc.get("Bucket Columns", ""), desc
+
+
 def test_purchase_click_pairs_skew_mode_equality(spark):
     """r7 verdict stretch ask: salted_join wired into a real query
     behind a mode. The attribution pair join's DF twin must return the
