@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""Measured evidence for the streaming plane (r8): micro-batch
-throughput and state behavior of three representative twins — one
+"""Measured evidence for the streaming plane (r8-r9): micro-batch
+throughput and state behavior of four representative twins — one
 stateless (dedup_stream), one windowed-aggregate
-(hourly_counts_stream), one custom-stateful (sessionize_stream) —
-drained over a MULTI-FILE staging of the sf0.1 corpus with
+(hourly_counts_stream), one custom-stateful (sessionize_stream), and
+the watermarked stream-stream join (purchase_click_join_stream, with
+its per-batch state-eviction series) — drained over a MULTI-FILE
+staging of the sf0.1 corpus with
 maxFilesPerTrigger=1, so every number comes from real micro-batch
 boundaries, not a single-batch drain.
 
@@ -66,7 +68,12 @@ def drain(spark, stream_df, name: str, output_mode: str):
     n_batches = sum(1 for p in q.recentProgress
                     if p["numInputRows"] > 0)
     rows_in = sum(p["numInputRows"] for p in q.recentProgress)
-    return wall, n_batches, rows_in
+    # per-batch state-store row totals (first state operator) for the
+    # stateful twins — the eviction/plateau evidence
+    state = [p["stateOperators"][0]["numRowsTotal"]
+             for p in q.recentProgress
+             if p.get("stateOperators") and p["numInputRows"] > 0]
+    return wall, n_batches, rows_in, state
 
 
 def main() -> None:
@@ -85,7 +92,7 @@ def main() -> None:
     rows = []
 
     # stateless: content-hash first-seen dedup over documents
-    wall, nb, rin = drain(
+    wall, nb, rin, _ = drain(
         spark, structured.dedup_stream(spark, stage), "st_dedup", "append")
     got = spark.table("st_dedup").count()
     # count(DISTINCT) excludes NULL; dropDuplicates keeps the NULL-hash
@@ -100,7 +107,7 @@ def main() -> None:
                  "documents", rin, nb, wall))
 
     # windowed aggregate: tumbling hourly counts
-    wall, nb, rin = drain(
+    wall, nb, rin, _ = drain(
         spark, structured.hourly_counts_stream(spark, stage),
         "st_hourly", "complete")
     got = spark.table("st_hourly").agg(
@@ -112,7 +119,7 @@ def main() -> None:
                  "events", rin, nb, wall))
 
     # custom stateful: per-user gap sessionization
-    wall, nb, rin = drain(
+    wall, nb, rin, _ = drain(
         spark, structured.sessionize_stream(spark, stage),
         "st_sess", "update")
     final = (spark.table("st_sess").groupBy("user_id")
@@ -123,9 +130,43 @@ def main() -> None:
     rows.append(("`sessionize_stream` (applyInPandasWithState)",
                  "events", rin, nb, wall))
 
-    out = ["""# STREAMING — measured micro-batch evidence (r8)
+    # stream-stream join: the twin whose 100 TB story is state
+    # EVICTION — both sides watermarked (12h) with a two-sided
+    # event-time bound (6h window), so buffered rows become droppable
+    # once the watermark passes; over a 30-day corpus split into 8
+    # chronological batches the join-state series must PLATEAU at the
+    # retention bound, not grow with the stream
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import eventops
 
-`scripts/bench_streaming.py`: three representative twins drained over
+    wall, nb, rin, state = drain(
+        spark, structured.purchase_click_join_stream(spark, stage),
+        "st_pairjoin", "append")
+    assert nb > 1, "purchase_click_join_stream ran a single batch"
+    assert len(state) == nb, (len(state), nb)
+    bat = spark.sql(eventops.events_purchase_click_pairs(SPARK)) \
+        .agg(F.count("*").alias("n"),
+             F.sum("us_before_purchase").alias("s")).first()
+    strm = spark.table("st_pairjoin").agg(
+        F.count("*").alias("n"),
+        F.sum("us_before_purchase").alias("s")).first()
+    assert (strm.n, strm.s) == (bat.n, bat.s), ((strm.n, strm.s),
+                                                (bat.n, bat.s))
+    sides_total = spark.sql(
+        "SELECT count(*) AS n FROM events "
+        "WHERE event_type IN ('click', 'purchase')").first().n
+    # eviction proof: buffered state never approaches all-rows-ever,
+    # and the tail of the series is flat (plateau), not monotone
+    assert max(state) < sides_total // 2, (max(state), sides_total)
+    tail = state[len(state) // 2:]
+    assert max(tail) - min(tail) <= max(tail) // 4, state
+    rows.append(("`purchase_click_join_stream` (watermarked "
+                 "stream-stream join)", "events", rin, nb, wall))
+
+    out = ["""# STREAMING — measured micro-batch evidence (r8-r9)
+
+`scripts/bench_streaming.py`: four representative twins — stateless,
+windowed-aggregate, custom-stateful, stream-stream join — drained over
 an %d-file chronological staging of the sf0.1 corpus with
 `maxFilesPerTrigger=1` — every run crosses REAL micro-batch
 boundaries (batch counts below come from the query's own progress
@@ -152,7 +193,32 @@ overhead, not work ({rows[0][2]} rows over {N_FILES} triggers — each
 trigger's listing/commit costs ~0.1-0.5s); all three amortize at
 production batch sizes. These are LOCAL single-JVM anchors — the
 scale lever is partition parallelism within each batch (state is
-hash-partitioned by key), not batch count.""")
+hash-partitioned by key), not batch count.
+
+## Stream-stream join state EVICTION (r9)
+
+`purchase_click_join_stream` is the twin whose 100 TB story depends
+on watermark state eviction: both sides carry a 12 h watermark and
+the join condition bounds event time in BOTH directions (6 h
+attribution window), so Spark drops a buffered click once the
+watermark passes its time + window and an unmatched purchase once the
+watermark passes its time. Per-batch join-state rows
+(`stateOperators[0].numRowsTotal` from the query's own progress
+events) over the {N_FILES} chronological batches of the 30-day
+corpus ({sides_total} click/purchase rows total):
+
+| batch | state rows |
+|---|---|""")
+    for i, s in enumerate(state):
+        out.append(f"| {i + 1} | {s} |")
+    out.append(f"""
+The series PLATEAUS (peak {max(state)} rows = {100 * max(state)
+// sides_total}% of all click/purchase rows ever seen; tail spread
+{max(state[len(state) // 2:]) - min(state[len(state) // 2:])} rows)
+instead of growing with the stream — the two-sided event-time bound
+is doing the eviction, which is what makes at-ingest attribution
+viable against an unbounded stream. The drain re-asserts the pair
+set equal to the batch join (count + exact lag-sum checksum).""")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_results", "STREAMING.md")
     with open(path, "w") as f:
