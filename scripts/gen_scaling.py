@@ -210,6 +210,38 @@ model dims, so wall growth ~= input growth is the claim; the interval
 join's wall tracking its ~2x output (buckets double, per-bucket
 density is unchanged) is the bucketization working — a naive range
 join would have grown ~4x in candidate pairs.""")
+    scd2_path = os.path.join(root, "bench_results", "scd2_stretch.json")
+    if os.path.exists(scd2_path):
+        with open(scd2_path) as f:
+            sc = json.load(f)
+        v, base = sc["variants"], sc["variants"]["sf0.1"]
+        out.append(f"""
+## sf0.2 stretch points (SCD2 window stack)
+
+`scripts/bench_scd2_stretch.py` (r9): `events_scd2_history` pinned
+with TWO different 2x-events variants — "2x users" (copy offsets
+user_id: twice the window partitions, per-user work unchanged) and
+"2x events/user" (same users, a second disjoint epoch: run count and
+the lead() relation double per user — the variant that would expose
+super-linear degradation in the stacked windows). Both re-assert the
+non-overlap/one-open-run invariants at stretch scale:
+
+| variant | wall | history rows | wall growth | row growth |
+|---|---|---|---|---|
+| sf0.1 baseline | {base['sec']:.2f}s | {base['rows']} | — | — |
+| 2x users | {v['2x_users']['sec']:.2f}s | {v['2x_users']['rows']} \
+| {v['2x_users']['growth']:.2f}x | {v['2x_users']['row_growth']:.2f}x |
+| 2x events/user | {v['2x_events_per_user']['sec']:.2f}s \
+| {v['2x_events_per_user']['rows']} \
+| {v['2x_events_per_user']['growth']:.2f}x \
+| {v['2x_events_per_user']['row_growth']:.2f}x |
+
+Reading: both variants grow the input 2x and the wall grows
+sub-linearly ({v['2x_users']['growth']:.2f}x / \
+{v['2x_events_per_user']['growth']:.2f}x — fixed per-job overhead
+still dominates at this scale), and the depth variant tracks the
+population variant — run depth does not degrade the one-exchange
+stacked-window plan.""")
     var_path = os.path.join(root, "bench_results", "variance.json")
     if os.path.exists(var_path):
         with open(var_path) as f:
