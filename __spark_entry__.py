@@ -665,6 +665,16 @@ _PARKED_TAIL = (
     "events_interval_join",  # driver-green r7
     "docs_temperature_mix",  # driver-green r7
     "docs_curation_drift",  # driver-green r7
+    # --- new in r9 (never driver-green yet — the r10 window rotates
+    # these three in; FULL + pytest evidence meanwhile):
+    "docs_epoch_shuffle_plan",   # new in r9: per-epoch deterministic
+                                 # shuffle plan (shard + rank, no
+                                 # global sort); replay pytest
+    "docs_ngram_novelty",        # new in r9: first-introducer novelty
+                                 # ppm over the shingle plane; replay
+                                 # pytest
+    "events_transition_matrix",  # new in r9: 2-gram journey matrix
+                                 # with exact ppm rates; replay pytest
 )
 
 
@@ -727,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_hybrid_search_rrf"] = _shingle_backed_query(
         "docs_hybrid_search_rrf", "similarity")
     q["text_repetition"] = _shingle_backed_query("text_repetition", "textops")
+    q["docs_ngram_novelty"] = _shingle_backed_query(
+        "docs_ngram_novelty", "textops")
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query
     q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")

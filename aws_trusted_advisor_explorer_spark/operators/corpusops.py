@@ -1078,6 +1078,74 @@ SELECT doc_id, action, lang, source,
 FROM m WHERE action <> 'delete'"""
 
 
+SHUFFLE_EPOCHS = 2   # epochs planned per pass (constant; a run plans
+                     # each epoch it will train)
+SHUFFLE_SHARDS = 16  # output shards per epoch — sized so one shard's
+                     # rows fit a reader task; at 100 TB this constant
+                     # grows to thousands (corpus/shard stays bounded),
+                     # exactly like DISORDER_SHARD_W
+
+
+def docs_epoch_shuffle_plan(d: Dialect) -> str:
+    """Per-EPOCH global shuffle plan — the data-ORDERING operator a
+    training run needs beside packing/splitting: every (doc, epoch)
+    gets a deterministic pseudo-random position, different every
+    epoch, WITHOUT a global sort. The terasort-free construction:
+    salted hash of (epoch, doc_id) → shard = hash mod
+    {SHUFFLE_SHARDS} (the reader's file unit), within-(epoch, shard)
+    rank by (hash, doc_id), and global_pos = shard offset + rank,
+    offsets from the epoch's cumulative shard sizes. A reader
+    consuming shards in order at each epoch sees a full deterministic
+    permutation that reshuffles across epochs — resumable (no rand()),
+    and epoch k+1's order is uncorrelated with epoch k's because the
+    epoch salts the hash (the independent-decision-stream rule of
+    id_hash_pct).
+
+    Scale posture (100 TB): the only data-sized work is one window
+    partitioned by (epoch, shard) — {SHUFFLE_EPOCHS}x{SHUFFLE_SHARDS}
+    partitions of corpus/{SHUFFLE_SHARDS} rows each, i.e. the
+    per-shard sort every shuffled-dataset writer (WebDataset, tfrecord
+    shuffling) performs, never a single global order-by; the offset
+    relation is epochs x shards rows (window + broadcast join back).
+    Ranks and offsets are exact bigints; hash ties break on doc_id —
+    fully deterministic cross-engine."""
+    eps = d.arr_lit([str(e) for e in range(SHUFFLE_EPOCHS)])
+    hv = d.poly_hash(
+        f"('shuf:' || {d.str_cast('epoch')} || ':' || "
+        f"{d.str_cast('doc_id')})")
+    return f"""WITH e AS (
+  SELECT doc_id, {d.explode(eps)} AS epoch FROM documents
+),
+h AS (
+  SELECT doc_id, cast(epoch as bigint) AS epoch, {hv} AS hv FROM e
+),
+s AS (
+  SELECT doc_id, epoch, hv, hv % {SHUFFLE_SHARDS} AS shard FROM h
+),
+r AS (
+  SELECT doc_id, epoch, shard, hv,
+    row_number() OVER (PARTITION BY epoch, shard ORDER BY hv, doc_id)
+      AS shard_pos
+  FROM s
+),
+sz AS (
+  SELECT epoch, shard, cast(count(*) as bigint) AS n
+  FROM s GROUP BY epoch, shard
+),
+off AS (
+  SELECT epoch, shard,
+    coalesce(sum(n) OVER (PARTITION BY epoch ORDER BY shard
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING),
+             cast(0 as bigint)) AS base
+  FROM sz
+)
+SELECT r.doc_id, r.epoch, cast(r.shard as bigint) AS shard,
+  cast(r.shard_pos as bigint) AS shard_pos,
+  cast(off.base + r.shard_pos as bigint) AS global_pos
+FROM r JOIN off ON off.epoch = r.epoch AND off.shard = r.shard"""
+
+
 BUILDERS = {
     "docs_chunking": docs_chunking,
     "docs_split_token_budget": docs_split_token_budget,
@@ -1101,4 +1169,5 @@ BUILDERS = {
     "docs_boilerplate_topk": docs_boilerplate_topk,
     "docs_dataset_card": docs_dataset_card,
     "docs_blocklist_score": docs_blocklist_score,
+    "docs_epoch_shuffle_plan": docs_epoch_shuffle_plan,
 }

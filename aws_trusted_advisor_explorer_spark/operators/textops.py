@@ -1801,6 +1801,58 @@ SELECT doc_id, n_tokens, cast(sum_w as bigint) AS sum_w,
 FROM s"""
 
 
+def docs_ngram_novelty(d: Dialect, base: str | None = None) -> str:
+    """Per-doc n-gram NOVELTY vs the corpus prefix — the
+    diversity/memorization curation signal: of a document's distinct
+    3-gram shingles, how many were INTRODUCED by this document (no doc
+    with a lower doc_id — the ingestion-order proxy — carries the
+    shingle) vs inherited from earlier corpus. A low-novelty tail is
+    boilerplate/recombination; sorting a corpus report by novelty is
+    how curation finds both the valuable long-tail and the
+    template-stamped spam. Emits distinct-shingle count, novel count,
+    and exact integer novelty ppm; short docs (< 3 tokens, no
+    shingles) keep a row with NULL ppm (the gate family's
+    row-preserving rule).
+
+    Scale posture (100 TB): first-introducer is min(doc_id) OVER
+    (PARTITION BY hv) on the DISTINCT shingle relation — ONE
+    hv-keyed exchange (high-cardinality partitions, never
+    one-per-anything), then one doc_id groupBy; with ``base`` the
+    distinct relation derives from the session shingle plane, so the
+    explode+hash prefix is not re-run. No self-join, no pair
+    explosion — this is corpus-linear where the overlap REPORTS
+    (dedup_*) are pair-bound."""
+    from aws_trusted_advisor_explorer_spark.operators.dedup import (
+        shingle_hash_sql,
+    )
+
+    src = base if base is not None else "__nv_inline"
+    inline = ("" if base is not None else
+              f"__nv_inline {d.cte_as()} ({shingle_hash_sql(d)}),\n")
+    ppm = d.idiv("(n_novel * 1000000)", "n_shingles")
+    return f"""WITH {inline}sd AS (
+  SELECT DISTINCT doc_id, hv FROM {src}
+),
+w AS (
+  SELECT doc_id, hv,
+    min(doc_id) OVER (PARTITION BY hv) AS first_doc
+  FROM sd
+),
+p AS (
+  SELECT doc_id,
+    cast(count(*) as bigint) AS n_shingles,
+    cast(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) as bigint)
+      AS n_novel
+  FROM w GROUP BY doc_id
+)
+SELECT docs.doc_id,
+  coalesce(p.n_shingles, cast(0 as bigint)) AS n_shingles,
+  coalesce(p.n_novel, cast(0 as bigint)) AS n_novel,
+  CASE WHEN p.n_shingles IS NULL THEN NULL
+       ELSE cast({ppm} as bigint) END AS novelty_ppm
+FROM documents docs LEFT JOIN p ON p.doc_id = docs.doc_id"""
+
+
 BUILDERS = {
     "docs_boolean_search": docs_boolean_search,
     "docs_bm25_topk": docs_bm25_topk,
@@ -1829,6 +1881,7 @@ BUILDERS = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_bigram_surprise": text_bigram_surprise,
     "text_lm_score_ref": text_lm_score_ref,
+    "docs_ngram_novelty": docs_ngram_novelty,
     # docs_ccnet_buckets is here for the ORACLE; the wired Spark path
     # is the distributed twin docs_ccnet_buckets_df (compacted-CDF +
     # broadcast tercile map), overridden in __spark_entry__.

@@ -3151,6 +3151,142 @@ def test_watermark_plan_sharded_equals_unsharded(spark, ddb):
         con.sql(eventops.events_watermark_plan_sharded(DUCK)).df()))
 
 
+def _py_poly_hash(s: str) -> int:
+    """Python replay of Dialect.poly_hash (char fold)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        HASH_INIT, HASH_MULT, P_MOD,
+    )
+
+    a = HASH_INIT
+    for ch in s:
+        a = (a * HASH_MULT + ord(ch)) % P_MOD
+    return a
+
+
+def test_epoch_shuffle_plan_matches_python_replay(spark, ddb):
+    """docs_epoch_shuffle_plan (r9): cross-engine equal; every (doc,
+    epoch) row matches an independent python replay of the salted-hash
+    shard + rank + offset construction; each epoch's global_pos is a
+    PERMUTATION of 1..N; and the two epochs order differently (the
+    salt decorrelates them)."""
+    import collections
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(corpusops.docs_epoch_shuffle_plan(SPARK)).toPandas())
+    ddf = canonicalize(
+        ddb.sql(corpusops.docs_epoch_shuffle_plan(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    doc_ids = [r.doc_id for r in
+               spark.sql("SELECT doc_id FROM documents").collect()]
+    expect = {}
+    for e in range(corpusops.SHUFFLE_EPOCHS):
+        byshard: dict[int, list] = collections.defaultdict(list)
+        for d_ in doc_ids:
+            h = _py_poly_hash(f"shuf:{e}:{d_}")
+            byshard[h % corpusops.SHUFFLE_SHARDS].append((h, d_))
+        base = 0
+        for s in sorted(byshard):
+            for pos, (h, d_) in enumerate(sorted(byshard[s]), 1):
+                expect[(d_, e)] = (s, pos, base + pos)
+            base += len(byshard[s])
+    got = {(r.doc_id, int(r.epoch)):
+           (int(r.shard), int(r.shard_pos), int(r.global_pos))
+           for r in spark.sql(
+               corpusops.docs_epoch_shuffle_plan(SPARK)).collect()}
+    assert got == expect
+    per_epoch = collections.defaultdict(list)
+    for (_, e), (_, _, g) in got.items():
+        per_epoch[e].append(g)
+    for e, gs in per_epoch.items():
+        assert sorted(gs) == list(range(1, len(doc_ids) + 1)), e
+    assert any(got[(d_, 0)][2] != got[(d_, 1)][2] for d_ in doc_ids)
+
+
+def test_ngram_novelty_matches_python_replay(spark, ddb):
+    """docs_ngram_novelty (r9): cross-engine equal (self-contained
+    form), the shingle-plane-backed Spark wiring returns the identical
+    rows, and every row matches an independent python replay of the
+    first-introducer rule (min doc_id per distinct shingle hash);
+    zero-shingle docs keep a NULL-ppm row."""
+    from aws_trusted_advisor_explorer_spark.operators import dedup as dd
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(textops.docs_ngram_novelty(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(textops.docs_ngram_novelty(DUCK)).df())
+    assert sdf.equals(ddf)
+    base = dd.ensure_shingle_view(spark, key=None)
+    bdf = canonicalize(spark.sql(
+        textops.docs_ngram_novelty(SPARK, base=base)).toPandas())
+    assert sdf.equals(bdf)
+
+    import re
+
+    docs = {r.doc_id: r.text for r in
+            spark.sql("SELECT doc_id, text FROM documents").collect()}
+    doc_hvs = {}
+    for doc_id, text in docs.items():
+        toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+        doc_hvs[doc_id] = {
+            _py_poly_hash(" ".join(toks[i:i + 3]))
+            for i in range(len(toks) - 2)}
+    first = {}
+    for doc_id in sorted(doc_hvs):
+        for hv in doc_hvs[doc_id]:
+            first.setdefault(hv, doc_id)
+    got = {r.doc_id: (int(r.n_shingles), int(r.n_novel),
+                      None if r.novelty_ppm is None else int(r.novelty_ppm))
+           for r in spark.sql(textops.docs_ngram_novelty(SPARK)).collect()}
+    assert set(got) == set(docs)
+    for doc_id, hvs in doc_hvs.items():
+        novel = sum(1 for hv in hvs if first[hv] == doc_id)
+        ppm = novel * 1_000_000 // len(hvs) if hvs else None
+        assert got[doc_id] == (len(hvs), novel, ppm), doc_id
+
+
+def test_transition_matrix_matches_python_replay(spark, ddb):
+    """events_transition_matrix (r9): cross-engine equal; counts and
+    ppm rates match an independent python replay of the per-user
+    (ts, event_id)-ordered adjacency; every prev row's transitions sum
+    to its n_from."""
+    import collections
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(eventops.events_transition_matrix(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(eventops.events_transition_matrix(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    ev = spark.sql(
+        "SELECT user_id, event_type, "
+        f"{SPARK.epoch_us('ts')} AS us, event_id FROM events").collect()
+    byu: dict = collections.defaultdict(list)
+    for r in ev:
+        byu[r.user_id].append((r.us, r.event_id, r.event_type))
+    cnt: dict = collections.Counter()
+    for rows in byu.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            cnt[(a, b)] += 1
+    n_from = collections.Counter()
+    for (a, _), n in cnt.items():
+        n_from[a] += n
+    got = {(r.prev_type, r.next_type):
+           (int(r.n), int(r.n_from), int(r.rate_ppm))
+           for r in spark.sql(
+               eventops.events_transition_matrix(SPARK)).collect()}
+    assert set(got) == set(cnt)
+    for (a, b), n in cnt.items():
+        assert got[(a, b)] == (n, n_from[a],
+                               n * 1_000_000 // n_from[a]), (a, b)
+    for (a, _), (_, nf, _) in got.items():
+        assert sum(n for (x, _), (n, _, _) in got.items() if x == a) == nf
+
+
 def _tiny_png(w: int, h: int) -> bytes:
     """Minimal valid 8-bit RGB PNG built with stdlib only."""
     import struct
