@@ -1817,21 +1817,30 @@ def docs_ngram_novelty(d: Dialect, base: str | None = None) -> str:
     Scale posture (100 TB): first-introducer is min(doc_id) OVER
     (PARTITION BY hv) on the DISTINCT shingle relation — ONE
     hv-keyed exchange (high-cardinality partitions, never
-    one-per-anything), then one doc_id groupBy; with ``base`` the
-    distinct relation derives from the session shingle plane, so the
-    explode+hash prefix is not re-run. No self-join, no pair
+    one-per-anything), then one doc_id groupBy; with ``base`` (the
+    shingle plane's own view name, validated like dedup._shingle_cte)
+    the distinct relation is read from the plane's MATERIALIZED
+    distinct ride-along, so neither the explode+hash prefix nor the
+    DISTINCT exchange re-runs per query. No self-join, no pair
     explosion — this is corpus-linear where the overlap REPORTS
     (dedup_*) are pair-bound."""
     from aws_trusted_advisor_explorer_spark.operators.dedup import (
-        shingle_hash_sql,
+        SHINGLE_DISTINCT_VIEW, SHINGLE_VIEW, shingle_hash_sql,
     )
 
-    src = base if base is not None else "__nv_inline"
-    inline = ("" if base is not None else
-              f"__nv_inline {d.cte_as()} ({shingle_hash_sql(d)}),\n")
+    if base is not None:
+        if base != SHINGLE_VIEW:
+            raise ValueError(
+                f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
+                f"(the distinct ride-along is keyed to it), got {base!r}")
+        sd_body = f"SELECT doc_id, hv FROM {SHINGLE_DISTINCT_VIEW}"
+        inline = ""
+    else:
+        sd_body = "SELECT DISTINCT doc_id, hv FROM __nv_inline"
+        inline = f"__nv_inline {d.cte_as()} ({shingle_hash_sql(d)}),\n"
     ppm = d.idiv("(n_novel * 1000000)", "n_shingles")
     return f"""WITH {inline}sd AS (
-  SELECT DISTINCT doc_id, hv FROM {src}
+  {sd_body}
 ),
 w AS (
   SELECT doc_id, hv,

@@ -205,11 +205,23 @@ def register_session_plane(state: dict, spark: SparkSession, key: object,
     def build(spark):
         df = df_factory(spark)
         if _PLANE_MODE == "table":
+            import hashlib
+
             from aws_trusted_advisor_explorer_spark.sinks.writers import (
                 write_bucketed_table,
             )
 
-            tbl = f"plane_{view_name.strip('_')}"
+            # table name carries a dataset discriminator (hash of the
+            # plane key): a fixed per-view name would let a rebuild
+            # for ANOTHER dataset overwrite the table a still-pinned
+            # view resolves lazily — local mode was immune because
+            # localCheckpoint pins blocks per session. Two CONCURRENT
+            # sessions on the SAME dataset still share one table name;
+            # the production form versions table names through the
+            # model-registry pattern (SCALE.md streaming-dims row) —
+            # out of scope for the local mode demonstration.
+            disc = hashlib.md5(repr(key).encode()).hexdigest()[:8]
+            tbl = f"plane_{view_name.strip('_')}_{disc}"
             # external table at the warehouse location: a MANAGED
             # saveAsTable refuses a leftover directory from a previous
             # process (LOCATION_ALREADY_EXISTS — the local derby
@@ -228,8 +240,17 @@ def register_session_plane(state: dict, spark: SparkSession, key: object,
         return [df]
 
     # key=None keeps its wildcard meaning ("any registered plane for
-    # this session counts" — ensure_session_plane's contract); an
-    # explicit key is paired with the mode so switching modes rebuilds
-    ensure_session_plane(state, spark,
-                         None if key is None else (key, _PLANE_MODE), build)
+    # this session counts" — ensure_session_plane's contract) WITHIN a
+    # mode: a wildcard hit must still match the current plane mode, or
+    # set_plane_mode's documented rebuild-on-switch contract would be
+    # silently void for default-key callers (r9 review finding)
+    if key is None:
+        st = state.get(id(spark))
+        if (st is not None and st[0]() is spark
+                and isinstance(st[1], tuple) and len(st[1]) == 2
+                and st[1][1] == _PLANE_MODE):
+            return view_name  # wildcard hit, same mode
+        ensure_session_plane(state, spark, (None, _PLANE_MODE), build)
+        return view_name
+    ensure_session_plane(state, spark, (key, _PLANE_MODE), build)
     return view_name

@@ -45,17 +45,19 @@ KEY = "events_scd2_history"
 def build_variant(dst: str, sql_copy: str) -> None:
     import duckdb
 
-    os.makedirs(dst, exist_ok=True)
+    # rebuild unconditionally (the stage_multifile rule): a crashed or
+    # assertion-failed previous run leaves a possibly-partial
+    # events.parquet behind, and reuse would silently measure it
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "embeddings", "documents"):
-        link = os.path.join(dst, f"{t}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+        os.symlink(os.path.join(SRC, f"{t}.parquet"),
+                   os.path.join(dst, f"{t}.parquet"))
     evts = os.path.join(dst, "events.parquet")
-    if not os.path.exists(evts):
-        duckdb.connect().sql(
-            f"COPY (SELECT * FROM '{SRC}/events.parquet' "
-            f"UNION ALL {sql_copy}) TO '{evts}' (FORMAT PARQUET)")
+    duckdb.connect().sql(
+        f"COPY (SELECT * FROM '{SRC}/events.parquet' "
+        f"UNION ALL {sql_copy}) TO '{evts}' (FORMAT PARQUET)")
 
 
 def main() -> None:

@@ -190,7 +190,7 @@ keeps built-in/stateless forms for everything they can express and
 reserves custom state for what they can't (sessions, SCD2, funnels,
 disorder audits). The stateless dedup row's wall is per-batch
 overhead, not work ({rows[0][2]} rows over {N_FILES} triggers — each
-trigger's listing/commit costs ~0.1-0.5s); all three amortize at
+trigger's listing/commit costs ~0.1-0.5s); all four amortize at
 production batch sizes. These are LOCAL single-JVM anchors — the
 scale lever is partition parallelism within each batch (state is
 hash-partitioned by key), not batch count.

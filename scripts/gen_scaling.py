@@ -55,6 +55,28 @@ def input_growth(key: str) -> float:
     return GROWTH_DEFAULT
 
 
+def _scd2_reading(v: dict) -> str:
+    """Verdict prose COMPUTED from the measured growths (the evidence-
+    script convention: prose must not be able to contradict its own
+    numbers). Linear claim = wall growth at or under the 2x input
+    growth (plus a noise margin); anything past it is flagged."""
+    gu = v["2x_users"]["growth"]
+    gd = v["2x_events_per_user"]["growth"]
+    if max(gu, gd) <= 2.2:
+        verdict = (f"Reading: both variants grow the input 2x and the "
+                   f"wall stays at or under input growth ({gu:.2f}x / "
+                   f"{gd:.2f}x), and the depth variant tracks the "
+                   f"population variant — run depth does not degrade "
+                   f"the one-exchange stacked-window plan.")
+    else:
+        verdict = (f"Reading: **SUPER-LINEAR — investigate**: wall "
+                   f"growth ({gu:.2f}x users / {gd:.2f}x depth) "
+                   f"exceeds the 2x input growth; the stacked-window "
+                   f"plan is degrading and needs a bisect before the "
+                   f"linear claim can stand.")
+    return verdict
+
+
 def main() -> None:
     root = os.path.join(os.path.dirname(__file__), "..")
     runs = {}
@@ -236,12 +258,7 @@ non-overlap/one-open-run invariants at stretch scale:
 | {v['2x_events_per_user']['growth']:.2f}x \
 | {v['2x_events_per_user']['row_growth']:.2f}x |
 
-Reading: both variants grow the input 2x and the wall grows
-sub-linearly ({v['2x_users']['growth']:.2f}x / \
-{v['2x_events_per_user']['growth']:.2f}x — fixed per-job overhead
-still dominates at this scale), and the depth variant tracks the
-population variant — run depth does not degrade the one-exchange
-stacked-window plan.""")
+{_scd2_reading(v)}""")
     var_path = os.path.join(root, "bench_results", "variance.json")
     if os.path.exists(var_path):
         with open(var_path) as f:

@@ -2873,11 +2873,48 @@ def test_plane_mode_table_equality(spark):
     # the table mode really went through the warehouse: the backing
     # table exists and its scan is bucketed (the exchange-elimination
     # layout BUCKETING.md measures)
-    assert spark.catalog.tableExists("plane_media_phash_sig")
+    planes = [t.name for t in spark.catalog.listTables()
+              if t.name.startswith("plane_media_phash_sig_")]
+    assert planes, "no warehouse plane table written"
     desc = {r.col_name: r.data_type for r in spark.sql(
-        "DESCRIBE FORMATTED plane_media_phash_sig").collect()}
+        f"DESCRIBE FORMATTED {planes[0]}").collect()}
     assert desc.get("Num Buckets") == "32", desc
     assert "doc_id" in desc.get("Bucket Columns", ""), desc
+
+
+def test_plane_mode_wildcard_key_rebuilds_on_switch(spark):
+    """r9 review finding: default-key (wildcard) plane callers must
+    still honor set_plane_mode — a wildcard hit only counts within the
+    CURRENT mode, so switching modes rebuilds instead of silently
+    reusing the other mode's materialization."""
+    from aws_trusted_advisor_explorer_spark import session as sess
+
+    calls = []
+
+    def factory(s):
+        calls.append(1)
+        return s.range(3)
+
+    state: dict = {}
+    sess.set_plane_mode("local")
+    try:
+        sess.register_session_plane(state, spark, None,
+                                    "__pm_wild_test", factory)
+        sess.register_session_plane(state, spark, None,
+                                    "__pm_wild_test", factory)
+        assert len(calls) == 1  # wildcard reuse within one mode
+        sess.set_plane_mode("table")
+        sess.register_session_plane(state, spark, None,
+                                    "__pm_wild_test", factory)
+        assert len(calls) == 2  # mode switch rebuilt the plane
+        assert any(t.name.startswith("plane_pm_wild_test")
+                   for t in spark.catalog.listTables())
+        sess.set_plane_mode("local")
+        sess.register_session_plane(state, spark, None,
+                                    "__pm_wild_test", factory)
+        assert len(calls) == 3  # and back
+    finally:
+        sess.set_plane_mode("local")
 
 
 def test_purchase_click_pairs_skew_mode_equality(spark):
