@@ -213,6 +213,62 @@ def test_scd2_single_exchange_serves_stacked_windows(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_r9_operator_plan_shapes(spark):
+    """POSITIVE plan assertions for the r9 operators' scale claims —
+    exchange inventories pinned so a refactor that silently adds a
+    corpus-scale shuffle (or loses a broadcast to a shuffle join)
+    fails here:
+
+    * events_transition_matrix: exactly 3 hash exchanges — user_id
+      (the one corpus-scale shuffle feeding lag), the (prev, next)
+      aggregate, and the prev-keyed normalizing window over the
+      type²-sized relation; no broadcast, no cartesian.
+    * docs_ngram_novelty (plane-backed): exactly 2 hash exchanges —
+      the hv first-introducer window and the doc_id groupBy — and the
+      join back to documents stays a BROADCAST of the doc-count-sized
+      report side.
+    * docs_epoch_shuffle_plan: exactly 3 hash exchanges — the
+      (epoch, shard) rank window, the (epoch, shard) size aggregate,
+      and the epoch-keyed offset window over the epochs×shards
+      relation — with the offset join back a BROADCAST; no global
+      sort-without-partitioning anywhere (the no-terasort claim).
+    * events_watermark_plan_sharded: every event-scale exchange
+      carries (event_type, shard) — the whole-type exchanges are the
+      shard-maxima prefix window and the compacted-CDF rank, both
+      bounded relations — and the prefix-merge join is a BROADCAST.
+    """
+    import re
+
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+
+    def shape(key):
+        plan = q[key](spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        return plan, hashes
+
+    plan, hashes = shape("events_transition_matrix")
+    assert len(hashes) == 3 and "BroadcastExchange" not in plan, hashes
+    assert any(h.startswith("user_id") for h in hashes), hashes
+
+    plan, hashes = shape("docs_ngram_novelty")
+    assert len(hashes) == 2, hashes
+    assert any(h.startswith("hv") for h in hashes), hashes
+    assert plan.count("BroadcastExchange") == 1, plan[:2000]
+
+    plan, hashes = shape("docs_epoch_shuffle_plan")
+    assert len(hashes) == 3, hashes
+    assert sum(1 for h in hashes if "shard" in h) == 2, hashes
+    assert plan.count("BroadcastExchange") == 1, plan[:2000]
+
+    plan, hashes = shape("events_watermark_plan_sharded")
+    assert plan.count("BroadcastExchange") == 1, plan[:2000]
+    assert sum(1 for h in hashes if "shard" in h) == 2, hashes
+
+
 def test_scan_pushdown_reaches_parquet(spark):
     """Predicate pushdown regression gate: tpch_q6's selective filters
     (date range, discount band, quantity cap) must surface as
