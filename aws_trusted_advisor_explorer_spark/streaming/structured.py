@@ -1099,6 +1099,66 @@ def top_paths_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout)
 
 
+TRANSITION_STATE_SCHEMA = StructType([
+    StructField("last_type", StringType()),  # the one previous event type
+])
+
+TRANSITION_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("prev_type", StringType()),
+    StructField("next_type", StringType()),
+    StructField("n", LongType()),
+])
+
+
+def _transition_update(key, pdfs, state: GroupState):
+    """Stateful 2-gram transition emitter (streaming twin of
+    eventops.events_transition_matrix's count relation): per user, ONE
+    string of state — the last event type — and each micro-batch emits
+    its completed prev→next transitions with in-batch counts; the
+    matrix (and its row-normalized rates) is a rollup over this
+    relation, exactly as the length-{3}-path miner's top-k rolls up
+    _paths_update. Same in-order-per-user arrival assumption as
+    _funnel_update; chunks concatenated BEFORE the one sort (the
+    _session_update hazard)."""
+    (user_id,) = key
+    last = state.get[0] if state.exists else None
+    counts: dict = {}
+    pdf = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+    for r in pdf.itertuples():
+        if last is not None:
+            k2 = (last, r.event_type)
+            counts[k2] = counts.get(k2, 0) + 1
+        last = r.event_type
+    state.update((last,))
+    if counts:
+        yield pd.DataFrame({
+            "user_id": [user_id] * len(counts),
+            "prev_type": [a for a, _ in counts],
+            "next_type": [b for _, b in counts],
+            "n": list(counts.values()),
+        })
+
+
+def transition_matrix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState journey-transition mining: O(1) state per
+    user (the last event type — the smallest state any twin carries),
+    each micro-batch emits its completed prev→next transitions with
+    counts; the matrix report is a rollup over this relation (the test
+    aggregates across batches and matches the batch matrix exactly,
+    rates re-derived from the summed counts)."""
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _transition_update,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
 def _emb_stream_schema() -> StructType:
     from pyspark.sql.types import ArrayType, FloatType, IntegerType
 

@@ -248,6 +248,34 @@ def test_top_paths_stream_gram_counts_equal_batch(spark):
     assert got == expect
 
 
+def test_transition_matrix_stream_equals_batch(spark):
+    """Summing the stream's per-batch transition emissions reproduces
+    the batch events_transition_matrix exactly — counts match per
+    (prev, next) cell, and the rates re-derive from the summed counts
+    (the matrix report is a rollup of this relation)."""
+    import collections
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+
+    structured.run_stream_to_memory(
+        structured.transition_matrix_stream(spark, SF_DIR),
+        "transition_stream", output_mode="update")
+    got: collections.Counter = collections.Counter()
+    for r in spark.table("transition_stream").collect():
+        got[(r.prev_type, r.next_type)] += r.n
+    want = {}
+    for r in spark.sql(eventops.events_transition_matrix(SPARK)).collect():
+        want[(r.prev_type, r.next_type)] = (int(r.n), int(r.n_from),
+                                            int(r.rate_ppm))
+    assert dict(got) == {k: v[0] for k, v in want.items()}
+    n_from: collections.Counter = collections.Counter()
+    for (a, _), n in got.items():
+        n_from[a] += n
+    for (a, b), n in got.items():
+        assert want[(a, b)] == (n, n_from[a], n * 1_000_000 // n_from[a])
+
+
 def test_range_search_stream_equals_batch(spark):
     """Stream-static retrieval: the streamed query vectors joined
     against the static bucketed corpus must reproduce the batch
@@ -775,6 +803,21 @@ def test_stateful_twins_survive_multi_batch_boundaries(spark, tmp_path):
                for r in ns.sql(
                    eventops.events_scd2_history(SPARK)).collect()}
     assert got_s2 == want_s2
+
+    # transition matrix (r9 twin): the last-type state must carry
+    # across the four boundaries — a transition whose prev event sits
+    # in batch k and next event in batch k+1 is emitted exactly once;
+    # summed emissions == the batch matrix counts
+    structured.run_stream_to_memory(
+        structured.transition_matrix_stream(ns, str(tmp_path)),
+        "mb_trans", output_mode="update")
+    got_t: collections.Counter = collections.Counter()
+    for r in ns.table("mb_trans").collect():
+        got_t[(r.prev_type, r.next_type)] += r.n
+    want_t = {(r.prev_type, r.next_type): int(r.n)
+              for r in ns.sql(
+                  eventops.events_transition_matrix(SPARK)).collect()}
+    assert dict(got_t) == want_t
 
 
 def _scd2_final_rows(rows):
