@@ -122,6 +122,18 @@ def ensure_shingle_view(spark, key: object = None) -> str:
     return SHINGLE_VIEW
 
 
+def _require_shingle_base(base: str, what: str) -> None:
+    """The ONE wrong-relation guard for every shingle-plane consumer:
+    ``base`` must be the shingle plane's own view name because the
+    ride-along views (distinct/capped/prefix) are keyed to it — an
+    arbitrary relation would silently read the wrong corpus. ``what``
+    names the ride-along(s) the caller reads, for the error message."""
+    if base != SHINGLE_VIEW:
+        raise ValueError(
+            f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
+            f"({what}), got {base!r}")
+
+
 def _shingle_cte(d: Dialect, base: str | None = None) -> str:
     """Distinct 3-gram shingle hashes per doc, with the per-doc shingle
     count attached by a window (``sh2``) so pair queries don't need
@@ -132,11 +144,8 @@ def _shingle_cte(d: Dialect, base: str | None = None) -> str:
     view name — the distinct/capped ride-alongs are keyed to it, so an
     arbitrary relation here would silently read the wrong corpus."""
     if base is not None:
-        if base != SHINGLE_VIEW:
-            raise ValueError(
-                f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
-                f"(its distinct/capped ride-along views are keyed to "
-                f"it), got {base!r}")
+        _require_shingle_base(base, "its distinct/capped ride-along "
+                                    "views are keyed to it")
         return f"""WITH sh AS (SELECT doc_id, hv FROM {SHINGLE_DISTINCT_VIEW}),
 sh2 AS (SELECT doc_id, hv, n FROM {SHINGLE_DISTINCT_VIEW})"""
     toks = d.tokens("text")
@@ -159,11 +168,8 @@ def _capped_shingle_cte(d: Dialect, base: str | None = None) -> str:
     shingle plane's own view name (the capped ride-along is keyed to
     it)."""
     if base is not None:
-        if base != SHINGLE_VIEW:
-            raise ValueError(
-                f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
-                f"(the capped ride-along view is keyed to it), "
-                f"got {base!r}")
+        _require_shingle_base(base, "the capped ride-along view is "
+                                    "keyed to it")
         return (f"WITH fs2 AS "
                 f"(SELECT doc_id, hv, n FROM {SHINGLE_CAPPED_VIEW})")
     return f"""{_shingle_cte(d, None)},
@@ -470,14 +476,8 @@ def dedup_prefix_join(d: Dialect, base: str | None = None,
     pl = (f"n - {d.idiv(f'(n * {PREFIX_T_NUM} + {PREFIX_T_DEN} - 1)', str(PREFIX_T_DEN))} + 1")
     ca = d.cte_as()
     if base is not None:
-        if base != SHINGLE_VIEW:
-            # the prefix/sets planes are keyed to the shingle plane —
-            # an arbitrary base here would silently read the wrong
-            # corpus (same contract as _shingle_cte/_capped_shingle_cte)
-            raise ValueError(
-                f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
-                f"(the prefix/sets ride-along views are keyed to it), "
-                f"got {base!r}")
+        _require_shingle_base(base, "the prefix/sets ride-along views "
+                                    "are keyed to it")
         # the multiply-referenced pref/sets relations come from the
         # checkpoint-backed prefix plane (ensure_prefix_views) — each
         # would otherwise re-evaluate per join side under inlining
@@ -1033,14 +1033,10 @@ def dedup_simhash(d: Dialect, base: str | None = None) -> str:
         band_arr = "[" + ", ".join(band_strs) + "]"
     hamming = f"bit_count({d.xor('a.sh', 'b.sh')})"
     if base is not None:
-        # same wrong-relation guard as _shingle_cte: the weighting
-        # needs the OCCURRENCE-level plane — a distinct-shingle view
-        # would silently drop the frequency weights and desync the
-        # Spark signature from the always-occurrence-weighted oracle
-        if base != SHINGLE_VIEW:
-            raise ValueError(
-                f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
-                f"(occurrence-level), got {base!r}")
+        # the weighting needs the OCCURRENCE-level plane — a
+        # distinct-shingle view would silently drop the frequency
+        # weights and desync the signature from the oracle
+        _require_shingle_base(base, "occurrence-level")
         prefix = f"WITH th AS (SELECT doc_id, hv FROM {base})"
     else:
         prefix = f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),

@@ -1825,14 +1825,12 @@ def docs_ngram_novelty(d: Dialect, base: str | None = None) -> str:
     explosion — this is corpus-linear where the overlap REPORTS
     (dedup_*) are pair-bound."""
     from aws_trusted_advisor_explorer_spark.operators.dedup import (
-        SHINGLE_DISTINCT_VIEW, SHINGLE_VIEW, shingle_hash_sql,
+        SHINGLE_DISTINCT_VIEW, _require_shingle_base, shingle_hash_sql,
     )
 
     if base is not None:
-        if base != SHINGLE_VIEW:
-            raise ValueError(
-                f"base must be ensure_shingle_view's {SHINGLE_VIEW!r} "
-                f"(the distinct ride-along is keyed to it), got {base!r}")
+        _require_shingle_base(base, "the distinct ride-along is keyed "
+                                    "to it")
         sd_body = f"SELECT doc_id, hv FROM {SHINGLE_DISTINCT_VIEW}"
         inline = ""
     else:

@@ -130,7 +130,7 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
 
 def ensure_session_plane(state: dict, spark: SparkSession, key: object,
-                         build) -> bool:
+                         build, key_ok=None) -> bool:
     """Build-once-per-(session, dataset) cache for localCheckpoint-backed
     temp views ("session planes": the shingle, span, cluster, and
     semdedup-pair relations).
@@ -148,13 +148,21 @@ def ensure_session_plane(state: dict, spark: SparkSession, key: object,
     is GC'd. Dead-session entries are swept on every rebuild so the
     dict does not grow with session churn. Returns True iff the plane
     was (re)built.
+
+    ``key_ok`` (optional) replaces the hit predicate: when given, a
+    live entry hits iff ``key_ok(stored_key)`` — the hook callers with
+    structured keys (register_session_plane's (key, mode) pairs) use
+    to express "any dataset, but only my mode" without this function
+    having to know their key layout, and without them reaching into
+    the state-tuple layout this function owns.
     """
     import weakref
 
     st = state.get(id(spark))
     if st is not None and st[0]() is not spark:
         st = None  # dead session's id was recycled — never trust it
-    if st is not None and (key is None or st[1] == key):
+    if st is not None and (key_ok(st[1]) if key_ok is not None
+                           else (key is None or st[1] == key)):
         return False
     dfs = build(spark)
     for sid in [sid for sid, s in state.items() if s[0]() is None]:
@@ -212,15 +220,20 @@ def register_session_plane(state: dict, spark: SparkSession, key: object,
             )
 
             # table name carries a dataset discriminator (hash of the
-            # plane key): a fixed per-view name would let a rebuild
-            # for ANOTHER dataset overwrite the table a still-pinned
-            # view resolves lazily — local mode was immune because
-            # localCheckpoint pins blocks per session. Two CONCURRENT
-            # sessions on the SAME dataset still share one table name;
-            # the production form versions table names through the
-            # model-registry pattern (SCALE.md streaming-dims row) —
-            # out of scope for the local mode demonstration.
-            disc = hashlib.md5(repr(key).encode()).hexdigest()[:8]
+            # plane key — driver keys are sf_dir strings, so repr is
+            # stable): a fixed per-view name would let a rebuild for
+            # ANOTHER dataset overwrite the table a still-pinned view
+            # resolves lazily — local mode was immune because
+            # localCheckpoint pins blocks per session. key=None has no
+            # dataset identity, so it discriminates by SESSION id
+            # instead (per-session table; a concurrent sibling session
+            # can't overwrite it). Two CONCURRENT sessions on the SAME
+            # explicit key still share one table name; the production
+            # form versions table names through the model-registry
+            # pattern (SCALE.md streaming-dims row) — out of scope for
+            # the local mode demonstration.
+            ident = repr(key) if key is not None else f"nokey-{id(spark)}"
+            disc = hashlib.md5(ident.encode()).hexdigest()[:8]
             tbl = f"plane_{view_name.strip('_')}_{disc}"
             # external table at the warehouse location: a MANAGED
             # saveAsTable refuses a leftover directory from a previous
@@ -243,14 +256,13 @@ def register_session_plane(state: dict, spark: SparkSession, key: object,
     # this session counts" — ensure_session_plane's contract) WITHIN a
     # mode: a wildcard hit must still match the current plane mode, or
     # set_plane_mode's documented rebuild-on-switch contract would be
-    # silently void for default-key callers (r9 review finding)
-    if key is None:
-        st = state.get(id(spark))
-        if (st is not None and st[0]() is spark
-                and isinstance(st[1], tuple) and len(st[1]) == 2
-                and st[1][1] == _PLANE_MODE):
-            return view_name  # wildcard hit, same mode
-        ensure_session_plane(state, spark, (None, _PLANE_MODE), build)
-        return view_name
-    ensure_session_plane(state, spark, (key, _PLANE_MODE), build)
+    # silently void for default-key callers (r9 review finding). The
+    # (key, mode) pair layout is owned HERE, so the wildcard predicate
+    # matching it is passed to ensure_session_plane rather than this
+    # function re-implementing its cache-hit/liveness logic.
+    mode = _PLANE_MODE
+    ensure_session_plane(
+        state, spark, (key, mode), build,
+        key_ok=(lambda sk: isinstance(sk, tuple) and len(sk) == 2
+                and sk[1] == mode) if key is None else None)
     return view_name

@@ -58,22 +58,35 @@ def input_growth(key: str) -> float:
 def _scd2_reading(v: dict) -> str:
     """Verdict prose COMPUTED from the measured growths (the evidence-
     script convention: prose must not be able to contradict its own
-    numbers). Linear claim = wall growth at or under the 2x input
-    growth (plus a noise margin); anything past it is flagged."""
+    numbers). Each claim gets its own computed condition: "at or
+    under" only when growth <= the 2.0x input growth, "within noise
+    of" for (2.0, 2.2], flagged past that; the depth-tracks-population
+    sentence is emitted only when the two growths actually agree."""
     gu = v["2x_users"]["growth"]
     gd = v["2x_events_per_user"]["growth"]
-    if max(gu, gd) <= 2.2:
+    worst = max(gu, gd)
+    if worst <= 2.0:
         verdict = (f"Reading: both variants grow the input 2x and the "
                    f"wall stays at or under input growth ({gu:.2f}x / "
-                   f"{gd:.2f}x), and the depth variant tracks the "
-                   f"population variant — run depth does not degrade "
-                   f"the one-exchange stacked-window plan.")
+                   f"{gd:.2f}x).")
+    elif worst <= 2.2:
+        verdict = (f"Reading: both variants grow the input 2x and the "
+                   f"wall stays within run-to-run noise of input "
+                   f"growth ({gu:.2f}x / {gd:.2f}x vs 2x).")
     else:
         verdict = (f"Reading: **SUPER-LINEAR — investigate**: wall "
                    f"growth ({gu:.2f}x users / {gd:.2f}x depth) "
                    f"exceeds the 2x input growth; the stacked-window "
                    f"plan is degrading and needs a bisect before the "
                    f"linear claim can stand.")
+    if worst <= 2.2 and abs(gu - gd) <= 0.3:
+        verdict += (" The depth variant tracks the population variant"
+                    " — run depth does not degrade the one-exchange"
+                    " stacked-window plan.")
+    elif worst <= 2.2:
+        verdict += (f" The two variants DIVERGE ({abs(gu - gd):.2f}x "
+                    f"apart) — whichever is higher is the axis to "
+                    f"watch at the next stretch.")
     return verdict
 
 
