@@ -74,7 +74,7 @@ def main() -> None:
 
     from aws_trusted_advisor_explorer_spark.functions import vectorized as V
     from aws_trusted_advisor_explorer_spark.operators.similarity import (
-        QUERY_MOD, TOP_K, build_ivf_index,
+        N_PLANES, QUERY_MOD, TOP_K, build_ivf_index,
     )
     from aws_trusted_advisor_explorer_spark.session import (
         get_spark, load_tables,
@@ -120,6 +120,22 @@ def main() -> None:
         n_files_flat = files_read(probe(flat_path))
         total_files = len(part.inputFiles())
 
+        # multi-probe widening: own cell + the N_PLANES hamming-1
+        # cells — the PartitionFilters set grows to O(probes), still
+        # never the corpus
+        probes = [int(qrow.bucket)] + [int(qrow.bucket) ^ (1 << j)
+                                       for j in range(N_PLANES)]
+        mp = (spark.read.parquet(idx)
+              .where(F.col("bucket").isin(probes))
+              .where(f"vec_id % {QUERY_MOD} != 0")
+              .crossJoin(F.broadcast(qdf))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      V.pair_cosine("q_emb", "embedding").alias("cosine"))
+              .orderBy(F.desc("cosine"), "neighbor_id").limit(TOP_K))
+        n_files_multi = files_read(mp)
+        assert n_files_pruned <= n_files_multi <= len(probes), \
+            (n_files_pruned, n_files_multi, probes)
+
         pruned_q, flat_q = probe(idx), probe(flat_path)
         got_p = [(int(r.neighbor_id), float(r.cosine))
                  for r in pruned_q.collect()]
@@ -139,6 +155,8 @@ def main() -> None:
         "sf_dir": SF_DIR, "bucket": int(qrow.bucket),
         "n_buckets": n_buckets,
         "files_pruned": n_files_pruned, "files_flat": n_files_flat,
+        "files_multiprobe": n_files_multi,
+        "n_probes": len(probes),
         "files_total": total_files,
         "sec_pruned": round(t_pruned, 3), "sec_flat": round(t_flat, 3),
     }
@@ -157,17 +175,18 @@ between layouts.
 |---|---|---|
 | flat parquet (bucket filter after full scan) | {n_files_flat} | {t_flat:.2f}s |
 | bucket-partitioned index (PartitionFilters prune) | {n_files_pruned} of {total_files} | {t_pruned:.2f}s |
+| same index, multi-probe (own + {len(probes) - 1} hamming-1 cells) | {n_files_multi} of {total_files} | — |
 
 Reading: the serving probe opens only its cell's partition
 ({n_files_pruned} file(s) of {total_files} across {n_buckets}
 buckets) — the directory tree IS the coarse quantizer, which is what
 lets a single ANN lookup against a 100 TB corpus read
-corpus/{n_buckets} bytes instead of the corpus. The batch bench rows
-(`knn_ivf`, `knn_ivf_multiprobe`) time the all-queries evaluation
-join, which legitimately touches every cell; this artifact pins the
-per-query serving shape the index exists for. Multi-probe widens the
-PartitionFilters set to the hamming-1 neighbor cells — still
-O(probes), never the corpus.
+corpus/{n_buckets} bytes instead of the corpus. Multi-probe widens
+the PartitionFilters set to the hamming-1 neighbor cells and the scan
+grows to {n_files_multi} files — O(probes), never the corpus. The
+batch bench rows (`knn_ivf`, `knn_ivf_multiprobe`) time the
+all-queries evaluation join, which legitimately touches every cell;
+this artifact pins the per-query serving shape the index exists for.
 """)
     print(json.dumps(result))
     spark.stop()
