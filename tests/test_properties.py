@@ -377,3 +377,142 @@ def test_re_replace_backslash_pattern_parity(spark, s):
     duck_val = _duck("SELECT " + DUCK.re_replace(duck_lit, pat, ""))
     expect = _re.sub(r"\d", "", s)
     assert spark_val == duck_val == expect
+
+
+def _pph(s: str) -> int:
+    """Python replay of Dialect.poly_hash (char fold)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        HASH_INIT, HASH_MULT, P_MOD,
+    )
+
+    a = HASH_INIT
+    for ch in s:
+        a = (a * HASH_MULT + ord(ch)) % P_MOD
+    return a
+
+
+def _docs_frame(texts):
+    import pandas as pd
+
+    return pd.DataFrame({
+        "doc_id": list(range(1, len(texts) + 1)),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": [len(t) for t in texts]})
+
+
+@given(st.lists(st.integers(0, 10**9), unique=True,
+                min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_epoch_shuffle_plan_property(doc_ids):
+    """docs_epoch_shuffle_plan invariants on arbitrary id sets: each
+    epoch's global_pos is a PERMUTATION of 1..N; global order ==
+    (shard, shard_pos) lexicographic order; every (shard, pos) matches
+    the python replay of the salted hash construction."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+
+    pdf = _docs_frame(["t"] * len(doc_ids))
+    pdf["doc_id"] = doc_ids
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    rows = con.sql(corpusops.docs_epoch_shuffle_plan(DUCK)).fetchall()
+    got = {(d, e): (s, p, g) for d, e, s, p, g in rows}
+    assert len(got) == len(doc_ids) * corpusops.SHUFFLE_EPOCHS
+    for e in range(corpusops.SHUFFLE_EPOCHS):
+        ep_rows = sorted((g, s, p, d) for (d, ee), (s, p, g) in got.items()
+                         if ee == e)
+        assert [g for g, *_ in ep_rows] == list(range(1, len(doc_ids) + 1))
+        # global order is (shard, shard_pos) lexicographic
+        assert [(s, p) for _, s, p, _ in ep_rows] == sorted(
+            (s, p) for _, s, p, _ in ep_rows)
+        # replay: shard + within-shard rank by (hash, doc_id)
+        byshard: dict = {}
+        for d in doc_ids:
+            h = _pph(f"shuf:{e}:{d}")
+            byshard.setdefault(h % corpusops.SHUFFLE_SHARDS, []).append(
+                (h, d))
+        for s, members in byshard.items():
+            for p, (h, d) in enumerate(sorted(members), 1):
+                assert got[(d, e)][:2] == (s, p), (d, e)
+
+
+@given(st.lists(st.text(alphabet=st.sampled_from("ab c"), min_size=0,
+                        max_size=24), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_ngram_novelty_conservation_property(texts):
+    """docs_ngram_novelty invariants on arbitrary corpora: Σ n_novel
+    == the number of DISTINCT shingle hashes in the corpus (every
+    shingle has exactly ONE first introducer), 0 <= n_novel <=
+    n_shingles per doc, and the lowest doc_id owning a shingle set is
+    100% novel."""
+    import re as _re
+
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    con = duckdb.connect()
+    con.register("documents", _docs_frame(texts))
+    rows = {r[0]: (r[1], r[2], r[3]) for r in con.sql(
+        textops.docs_ngram_novelty(DUCK)).fetchall()}
+    doc_hvs = {}
+    for i, t in enumerate(texts, 1):
+        toks = _re.findall(r"[a-z0-9]+", t.lower())
+        doc_hvs[i] = {_pph(" ".join(toks[j:j + 3]))
+                      for j in range(len(toks) - 2)}
+    all_hvs = set().union(*doc_hvs.values()) if doc_hvs else set()
+    assert sum(n for _, n, _ in rows.values()) == len(all_hvs)
+    for i, (n_sh, n_nov, ppm) in rows.items():
+        assert 0 <= n_nov <= n_sh
+        assert n_sh == len(doc_hvs[i])
+        assert (ppm is None) == (n_sh == 0)
+    with_shingles = [i for i in sorted(doc_hvs) if doc_hvs[i]]
+    if with_shingles:
+        first = with_shingles[0]
+        assert rows[first][1] == rows[first][0]  # all novel
+        assert rows[first][2] == 1_000_000
+
+
+@given(st.lists(
+    st.tuples(st.integers(1, 3),                       # user_id
+              st.sampled_from(["a", "b", "c"])),       # event_type
+    min_size=1, max_size=24))
+@settings(**SETTINGS)
+def test_transition_matrix_property(evs):
+    """events_transition_matrix invariants on arbitrary streams: cell
+    counts match the python replay of per-user (ts, event_id)-ordered
+    adjacency, row sums equal n_from, rates are exact integer ppm, and
+    Σ n == Σ_user max(len-1, 0)."""
+    import collections
+
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+
+    rows = [(i + 1, pd.Timestamp(1_700_000_000 + i * 7, unit="s"),
+             u, et, 0.0, "{}") for i, (u, et) in enumerate(evs)]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf = pdf.astype({"ts": "datetime64[us]"})
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got = {(r[0], r[1]): (r[2], r[3], r[4]) for r in con.sql(
+        eventops.events_transition_matrix(DUCK)).fetchall()}
+
+    byu: dict = collections.defaultdict(list)
+    for eid, ts, u, et, _, _ in rows:
+        byu[u].append((ts, eid, et))
+    cnt: collections.Counter = collections.Counter()
+    for seq in byu.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            cnt[(a, b)] += 1
+    n_from: collections.Counter = collections.Counter()
+    for (a, _), n in cnt.items():
+        n_from[a] += n
+    assert {k: v[0] for k, v in got.items()} == dict(cnt)
+    for (a, b), (n, nf, ppm) in got.items():
+        assert nf == n_from[a] and ppm == n * 1_000_000 // nf
+    assert (sum(n for n, _, _ in got.values())
+            == sum(max(len(s) - 1, 0) for s in byu.values()))
