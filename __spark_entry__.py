@@ -675,6 +675,9 @@ _PARKED_TAIL = (
                                  # pytest
     "events_transition_matrix",  # new in r9: 2-gram journey matrix
                                  # with exact ppm rates; replay pytest
+    "docs_dsir_importance",      # new in r9: DSIR hashed-feature
+                                 # importance ratios (target = the LM
+                                 # reference slice); replay pytest
 )
 
 

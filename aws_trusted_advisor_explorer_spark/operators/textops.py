@@ -497,6 +497,88 @@ vl AS (
 )"""
 
 
+DSIR_BUCKETS = 1024   # hashed-feature dimensionality (DSIR's memory
+                      # bound: counts live in a FIXED-size vector no
+                      # matter the vocabulary)
+DSIR_SCALE = 1000     # milli units for the integer importance ratio
+
+
+def docs_dsir_importance(d: Dialect) -> str:
+    """DSIR importance weighting (Xie et al. 2023, Data Selection via
+    Importance Resampling): per doc, how much more likely its tokens
+    are under the TARGET distribution than under the raw-corpus
+    distribution, over HASHED features — the data-selection score a
+    pipeline samples against to skew a raw crawl toward a trusted
+    slice. The target here is the same {LM_REF_PCT}%-by-salted-id-hash
+    reference slice the CCNet LM scorer trains on (one corpus-wide
+    notion of "reference"), so the two selection signals are directly
+    comparable.
+
+    Arithmetic (cross-engine exact): tokens hash into
+    {DSIR_BUCKETS} fixed buckets (DSIR's hashed n-gram memory bound);
+    per-feature Laplace-smoothed probabilities pt=(ct+1)/(Rt+B),
+    pr=(cr+1)/(Rr+B) become ONE cleared-denominator integer milli
+    ratio w = ((ct+1)(Rr+B)·{DSIR_SCALE}) div ((cr+1)(Rt+B)); the doc
+    score is the integer MEAN of its occurrences' feature weights (the
+    text_nb_quality_score / text_commonness_score precedent — the
+    paper's log-sum becomes an arithmetic mean of odds so the score
+    stays an exact bigint; the RANKING a sampler consumes is what
+    matters, not the units). int64 headroom: (ct+1)(Rr+B)·1000 must
+    stay under 2^63 — safe while per-feature target count × raw total
+    < ~9.2e15 (e.g. 1e6 × 1e9); past that the production swap is
+    doubles, exactly the BM25 bound note. Zero-token docs keep a
+    NULL-score row (the gate family's row-preserving rule).
+
+    Scale posture (100 TB): one token explode feeds a map-side-
+    combining groupBy into the {DSIR_BUCKETS}-row feature relation;
+    the totals are an unpartitioned window over THAT bounded relation
+    (plan-audit allowlisted, the docs_kmv_distinct_union class); the
+    weight table broadcasts back to the token stream; one doc_id
+    groupBy. Nothing downstream of the explode is corpus-scale."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        id_hash_pct,
+    )
+
+    toks = d.tokens("text")
+    pct = id_hash_pct(d, "doc_id", "lm")
+    feat = f"({d.poly_hash('tok')} % {DSIR_BUCKETS})"
+    w = d.idiv(f"((ct + 1) * (rr + {DSIR_BUCKETS}) * {DSIR_SCALE})",
+               f"((cr + 1) * (rt + {DSIR_BUCKETS}))")
+    return f"""WITH t AS (
+  SELECT doc_id, {toks} AS toks, ({pct} < {LM_REF_PCT}) AS is_target
+  FROM documents
+),
+tok0 AS (SELECT doc_id, is_target, {d.explode('toks')} AS tok FROM t),
+tok AS (SELECT doc_id, is_target, {feat} AS f FROM tok0),
+cf AS (
+  SELECT f,
+    cast(sum(CASE WHEN is_target THEN 1 ELSE 0 END) as bigint) AS ct,
+    cast(sum(CASE WHEN is_target THEN 0 ELSE 1 END) as bigint) AS cr
+  FROM tok GROUP BY f
+),
+ft AS (
+  SELECT f, ct, cr,
+    sum(ct) OVER () AS rt,
+    sum(cr) OVER () AS rr
+  FROM cf
+),
+w AS (SELECT f, cast({w} as bigint) AS w_milli FROM ft),
+p AS (
+  SELECT tok.doc_id,
+    cast(count(*) as bigint) AS n_tokens,
+    cast(sum(w.w_milli) as bigint) AS total_w
+  FROM tok JOIN w ON w.f = tok.f
+  GROUP BY tok.doc_id
+)
+SELECT docs.doc_id,
+  coalesce(p.n_tokens, cast(0 as bigint)) AS n_tokens,
+  CASE WHEN p.n_tokens IS NULL THEN NULL
+       ELSE cast({d.idiv('p.total_w', 'p.n_tokens')} as bigint)
+  END AS dsir_milli,
+  ({id_hash_pct(d, 'docs.doc_id', 'lm')} < {LM_REF_PCT}) AS is_target
+FROM documents docs LEFT JOIN p ON p.doc_id = docs.doc_id"""
+
+
 def _lm_score_sql(d: Dialect) -> str:
     """Shared body of :func:`text_lm_score_ref` (also consumed by
     docs_ccnet_buckets and the _df twin)."""
@@ -1889,6 +1971,7 @@ BUILDERS = {
     "text_bigram_surprise": text_bigram_surprise,
     "text_lm_score_ref": text_lm_score_ref,
     "docs_ngram_novelty": docs_ngram_novelty,
+    "docs_dsir_importance": docs_dsir_importance,
     # docs_ccnet_buckets is here for the ORACLE; the wired Spark path
     # is the distributed twin docs_ccnet_buckets_df (compacted-CDF +
     # broadcast tercile map), overridden in __spark_entry__.

@@ -3284,6 +3284,62 @@ def test_ngram_novelty_matches_python_replay(spark, ddb):
         assert got[doc_id] == (len(hvs), novel, ppm), doc_id
 
 
+def test_dsir_importance_matches_python_replay(spark, ddb):
+    """docs_dsir_importance (r9): cross-engine equal; every row
+    matches an independent python replay of the hashed-feature
+    importance construction (target = the lm-salted {LM_REF_PCT}%
+    slice, Laplace-smoothed cleared-denominator milli ratios,
+    per-occurrence mean); zero-token docs keep a NULL-score row; and
+    the target slice matches text_lm_score_ref's is_ref flag exactly
+    (one corpus-wide notion of reference)."""
+    import re
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(textops.docs_dsir_importance(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(textops.docs_dsir_importance(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    docs = {r.doc_id: r.text for r in
+            spark.sql("SELECT doc_id, text FROM documents").collect()}
+    B = textops.DSIR_BUCKETS
+    is_t = {d: _py_poly_hash(f"lm:{d}") % 100 < textops.LM_REF_PCT
+            for d in docs}
+    feats = {d: [_py_poly_hash(t) % B for t in
+                 re.findall(r"[a-z0-9]+", (txt or "").lower())]
+             for d, txt in docs.items()}
+    ct: dict = {}
+    cr: dict = {}
+    for d, fs in feats.items():
+        for f in fs:
+            (ct if is_t[d] else cr)[f] = (ct if is_t[d] else cr).get(f, 0) + 1
+    rt, rr = sum(ct.values()), sum(cr.values())
+    w = {f: ((ct.get(f, 0) + 1) * (rr + B) * textops.DSIR_SCALE)
+         // ((cr.get(f, 0) + 1) * (rt + B))
+         for fs in feats.values() for f in fs}
+    got = {r.doc_id: (int(r.n_tokens),
+                      None if r.dsir_milli is None else int(r.dsir_milli),
+                      bool(r.is_target))
+           for r in spark.sql(textops.docs_dsir_importance(SPARK)).collect()}
+    assert set(got) == set(docs)
+    for d, fs in feats.items():
+        score = sum(w[f] for f in fs) // len(fs) if fs else None
+        assert got[d] == (len(fs), score, is_t[d]), d
+    # the target slice IS the LM scorer's reference slice
+    lm_ref = {r.doc_id: bool(r.is_ref) for r in
+              spark.sql(textops.text_lm_score_ref(SPARK)).collect()}
+    for d in lm_ref:
+        assert got[d][2] == lm_ref[d], d
+    # target docs should score higher on average than raw docs (the
+    # signal exists on the fixture corpus — the whole point of DSIR)
+    t_scores = [s for _, (n, s, t) in got.items() if t and s is not None]
+    r_scores = [s for _, (n, s, t) in got.items() if not t and s is not None]
+    if t_scores and r_scores:
+        assert (sum(t_scores) / len(t_scores)
+                > sum(r_scores) / len(r_scores))
+
+
 def test_transition_matrix_matches_python_replay(spark, ddb):
     """events_transition_matrix (r9): cross-engine equal; counts and
     ppm rates match an independent python replay of the per-user

@@ -119,6 +119,9 @@ WINDOW_UNPART_ALLOWED = {
     "text_vocab_topk", "events_key_skew_audit", "docs_pack_bins",
     "docs_quality_cutoff_calibration", "docs_pack_efficiency",
     "docs_kmv_distinct_union",
+    # totals window over the DSIR_BUCKETS-row (<=1024) hashed-feature
+    # relation — bounded by construction, never corpus-scale
+    "docs_dsir_importance",
 }
 
 
