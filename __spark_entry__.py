@@ -678,6 +678,17 @@ _PARKED_TAIL = (
     "docs_dsir_importance",      # new in r9: DSIR hashed-feature
                                  # importance ratios (target = the LM
                                  # reference slice); replay pytest
+    "events_pit_features",       # new in r9: leakage-safe point-in-time
+                                 # trailing features (value-range
+                                 # frames); replay pytest
+    "knn_hamming_rerank",        # new in r9: sign-bit Hamming preselect
+                                 # + exact cosine rerank; replay pytest
+    "knn_filtered",              # new in r9: filtered vector search on
+                                 # the composite (bucket, label) key;
+                                 # replay pytest
+    "embeddings_covariance",     # new in r9: exact-integer Gram matrix
+                                 # (numpy partial twin vs SQL oracle);
+                                 # replay pytest
 )
 
 
@@ -745,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = _dedup_embedding_cosine_query
     q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")
+    # the Gram matrix runs the Arrow/numpy partial-accumulation twin
+    # (same integers as the SQL explode form, which stays the oracle)
+    q["embeddings_covariance"] = _similarity_df_query(
+        "embeddings_covariance_df")
     q["events_retention"] = _eventops_df_query("events_retention_df")
     q["events_funnel"] = _eventops_df_query("events_funnel_df")
     # attribution pair join: DF twin so the join can route through

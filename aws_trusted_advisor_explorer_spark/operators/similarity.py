@@ -526,6 +526,195 @@ WHERE rf.rank <= {TOP_K}
 GROUP BY rf.query_id"""
 
 
+HAMMING_POOL = 10   # sign-signature preselect depth before exact rerank
+
+
+def _sig_expr(d: Dialect, lo: int) -> str:
+    """Pack sign bits of dims [lo, lo+31] into one bigint (bit k set
+    when embedding[lo+k] >= 0). Two 32-bit halves instead of one
+    64-bit word: bit 63 of a signed bigint flips the sign, and the
+    engines disagree on shift-overflow behavior there."""
+    bit = (f"CASE WHEN cast({d.elem('embedding', 'i')} as double) >= 0 "
+           f"THEN {d.shl('cast(1 as bigint)', f'i - {lo}')} "
+           f"ELSE cast(0 as bigint) END")
+    bits = d.transform(d.seq(str(lo), str(lo + 31)), "i", bit)
+    return d.fold(bits, "cast(0 as bigint)", "s", "v", "s + v")
+
+
+def knn_hamming_rerank(d: Dialect) -> str:
+    """Two-stage ANN via binary sign quantization (Charikar 2002 /
+    the 'binary embeddings' serving trick): stage 1 ranks the corpus
+    by Hamming distance between 64-bit sign signatures (XOR +
+    popcount — 16 bytes and ~4 integer ops per pair instead of a
+    64-float dot product), stage 2 re-ranks only the top
+    {HAMMING_POOL} candidates per query with the exact cosine. The
+    coarsest, cheapest rung of the quantization ladder (sq_int8 ->
+    PQ/ADC -> Matryoshka prefix -> sign bits); ties on hamming break
+    on neighbor_id, so the pool and therefore the rerank are
+    deterministic in both engines.
+
+    Scale posture (100 TB): the preselect cross join moves ONLY the
+    16-byte signatures (the 512-byte vectors stay in the scan — the
+    rerank fetches them by vec_id equi-join for pool-sized relations,
+    broadcast-able), so signature preselect costs 1/32 the bytes of a
+    brute-force pass; in serving form the signature relation is the
+    in-memory index. Full vectors are touched for query_count x
+    {HAMMING_POOL} rows only."""
+    ham = (f"cast(bit_count({d.xor('q.sig_lo', 'c.sig_lo')}) + "
+           f"bit_count({d.xor('q.sig_hi', 'c.sig_hi')}) as bigint)")
+    cos = f"{d.dot('qv.embedding', 'cv.embedding')} / (qv.nrm * cv.nrm)"
+    return f"""WITH v AS ({_vec_base(d)}),
+s AS (SELECT vec_id, {_sig_expr(d, 1)} AS sig_lo,
+             {_sig_expr(d, 33)} AS sig_hi FROM v),
+q AS (SELECT vec_id, sig_lo, sig_hi FROM s WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id, sig_lo, sig_hi FROM s WHERE vec_id % {QUERY_MOD} <> 0),
+pool AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {ham} AS hamming,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {ham}, c.vec_id) AS hrank
+    FROM q CROSS JOIN c
+  ) h WHERE hrank <= {HAMMING_POOL}
+),
+rer AS (
+  SELECT pool.query_id, pool.neighbor_id, pool.hamming, {cos} AS cosine
+  FROM pool
+  JOIN v qv ON qv.vec_id = pool.query_id
+  JOIN v cv ON cv.vec_id = pool.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, hamming, cosine FROM (
+  SELECT query_id, neighbor_id, hamming, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rer
+) r WHERE rank <= {TOP_K}"""
+
+
+def knn_filtered(d: Dialect) -> str:
+    """FILTERED vector search (the vector-DB staple: ANN constrained
+    by a metadata predicate — here 'same label as the query', the
+    label-constrained retrieval case): candidates must match the
+    query's sign-LSH bucket AND its label, so the equi-join key is
+    the composite (bucket, label) and the filter prunes candidates
+    BEFORE any cosine is computed — never post-filtering an
+    unconstrained top-k, which silently returns < k (or zero) rows
+    exactly when the predicate is selective.
+
+    Scale posture (100 TB): the composite key multiplies the
+    partition count (2^planes x |labels|), shrinking each candidate
+    block ~|labels|-fold vs knn_lsh; in the IVF layout the label
+    becomes a second physical partition column and the probe prunes
+    on both. Same recall caveats as any single-probe LSH — the
+    multi-probe rail composes unchanged."""
+    cos = f"{d.dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    base = (f"SELECT * FROM (SELECT vec_id, cast(label as bigint) AS label, "
+            f"embedding, {_norm(d)} AS nrm, "
+            f"{_bucket_expr(d, 'embedding')} AS bucket FROM embeddings) i0 "
+            f"WHERE nrm > 0")
+    return f"""WITH h AS ({base}),
+q AS (SELECT * FROM h WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT * FROM h WHERE vec_id % {QUERY_MOD} <> 0),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+    {cos} AS cosine
+  FROM q JOIN c ON c.bucket = q.bucket AND c.label = q.label
+)
+SELECT query_id, label, rank, neighbor_id, cosine FROM (
+  SELECT query_id, label, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) r WHERE rank <= {TOP_K}"""
+
+
+COV_SCALE = 1_000_000  # covariance terms quantized to integer micros
+
+
+def embeddings_covariance(d: Dialect) -> str:
+    """Upper-triangle Gram/second-moment matrix of the embedding
+    corpus — the input to whitening, PCA and embedding-drift checks:
+    for every dim pair i <= j, sum over vectors of
+    floor((x_i * x_j) * {COV_SCALE}) as an exact bigint (per-row
+    floor THEN integer sum — a raw double sum over corpus rows is
+    partition-order-dependent, the one thing a cross-engine or
+    cross-run-deterministic aggregate cannot be), plus the vector
+    count and the mean term (one bigint/bigint division — correctly
+    rounded IEEE, so identical doubles). Output is dim^2/2 rows
+    (2080 at dim {DIM}) regardless of corpus size.
+
+    Scale posture (100 TB): the explode inflates rows {DIM}^2/2-fold
+    but entirely INSIDE each task — Catalyst's partial hash aggregate
+    collapses every partition to 2080 (dim_i, dim_j) groups before
+    the one tiny shuffle, so network cost is O(partitions x dim^2)
+    integers, never O(rows). The registered Spark form is the
+    Arrow/numpy twin (:func:`embeddings_covariance_df`) computing the
+    same integers with vectorized outer products; this SQL form is
+    its cross-engine oracle and plans the same aggregate shape."""
+    ei = f"cast({d.elem('embedding', 'i')} as double)"
+    ej = f"cast({d.elem('embedding', 'j')} as double)"
+    term = (f"cast(floor(({ei} * {ej}) * cast({COV_SCALE} as double)) "
+            f"as bigint)")
+    inner = d.transform(d.seq("i", str(DIM)), "j", d.struct_(
+        ("i", "cast(i as bigint)"), ("j", "cast(j as bigint)"),
+        ("t", term)))
+    nested = d.transform(d.seq("1", str(DIM)), "i", inner)
+    return f"""WITH x AS (
+  SELECT {d.explode(f'flatten({nested})')} AS p FROM embeddings
+)
+SELECT p.i AS dim_i, p.j AS dim_j,
+  cast(count(*) as bigint) AS n_vectors,
+  cast(sum(p.t) as bigint) AS sum_micro,
+  cast(sum(p.t) as double) / cast(count(*) as double) AS mean_micro
+FROM x GROUP BY p.i, p.j"""
+
+
+def embeddings_covariance_df(spark):
+    """Arrow/numpy twin of :func:`embeddings_covariance`: each input
+    batch contributes one 2080-row partial frame of (dim_i, dim_j,
+    n, s) computed with float64 outer products + per-term floor —
+    bit-identical integers to the SQL fold — and the builtin hash
+    aggregate merges partials. The mapInPandas stage emits
+    O(batches x dim^2) rows, so the shuffle is constant-width like
+    the SQL form's partial aggregate, with ~dim-fold less per-row
+    lambda interpretation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    iu = np.triu_indices(DIM)
+    out_schema = ("dim_i long, dim_j long, n long, s long")
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            acc = np.zeros((DIM, DIM), dtype=np.int64)
+            # chunk the einsum: n_chunk x dim^2 float64 intermediates
+            # stay ~32 MB instead of scaling with the Arrow batch
+            for lo in range(0, len(pdf), 1024):
+                m = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf["embedding"].iloc[lo:lo + 1024]])
+                # per-row floor BEFORE the sum (the determinism rule);
+                # the int64-dtype sum truncates each already-integral
+                # floored term exactly
+                acc += np.floor(
+                    np.einsum("ni,nj->nij", m, m) * float(COV_SCALE)
+                ).sum(axis=0, dtype=np.int64)
+            yield pd.DataFrame({
+                "dim_i": iu[0] + 1, "dim_j": iu[1] + 1,
+                "n": np.int64(len(pdf)), "s": acc[iu]})
+
+    v = spark.table("embeddings").select("embedding")
+    part = v.mapInPandas(partial, schema=out_schema)
+    return (part.groupBy("dim_i", "dim_j")
+            .agg(F.sum("n").alias("n_vectors"),
+                 F.sum("s").alias("sum_micro"))
+            .select("dim_i", "dim_j", "n_vectors", "sum_micro",
+                    (F.col("sum_micro").cast("double")
+                     / F.col("n_vectors").cast("double"))
+                    .alias("mean_micro")))
+
+
 RRF_K = 60          # the standard reciprocal-rank-fusion constant
 HYBRID_TOP_T = 10   # text-arm candidates per query
 HYBRID_K = 10       # fused results per query
@@ -610,6 +799,9 @@ BUILDERS = {
     "knn_lsh": knn_lsh,
     "knn_recall_at_k": knn_recall_at_k,
     "knn_range_search": knn_range_search,
+    "knn_hamming_rerank": knn_hamming_rerank,
+    "knn_filtered": knn_filtered,
+    "embeddings_covariance": embeddings_covariance,
     "embeddings_norm_audit": embeddings_norm_audit,
     "embeddings_matryoshka_audit": embeddings_matryoshka_audit,
     "embeddings_matryoshka_recall": embeddings_matryoshka_recall,

@@ -4512,3 +4512,218 @@ def test_lsh_bucket_kernel_nan_matches_sql_rule(spark):
         f"SELECT vec_id, {S._bucket_expr(SPARK, 'embedding')} AS b "
         f"FROM embeddings").collect()}
     assert got == want
+
+
+def test_pit_features_matches_python_replay(spark, ddb):
+    """events_pit_features (r9): cross-engine equal; every feature
+    matches an independent python replay of the strictly-before
+    trailing windows (exact integer-cents sums), proving the frames
+    are leakage-safe — nothing at or after the purchase microsecond
+    ever counts."""
+    import collections
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(eventops.events_pit_features(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(eventops.events_pit_features(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    ev = spark.sql(
+        "SELECT user_id, event_id, event_type, value, "
+        f"{SPARK.epoch_us('ts')} AS us FROM events").collect()
+    byu = collections.defaultdict(list)
+    for r in ev:
+        byu[r.user_id].append(r)
+    got = {r.purchase_id: r for r in spark.sql(
+        eventops.events_pit_features(SPARK)).collect()}
+    n_checked = 0
+    for rows in byu.values():
+        for p in rows:
+            if p.event_type != "purchase":
+                continue
+            r = got[p.event_id]
+            for lb, nc, nv, cv in (
+                    (eventops.PIT_SHORT_US, r.n_clicks_1d, r.n_views_1d,
+                     r.click_value_1d),):
+                w = [e for e in rows if p.us - lb <= e.us <= p.us - 1]
+                assert nc == sum(e.event_type == "click" for e in w)
+                assert nv == sum(e.event_type == "view" for e in w)
+                cents = sum(round(e.value * 100) for e in w
+                            if e.event_type == "click")
+                assert abs(cv - cents / 100.0) < 1e-9
+            w7 = [e for e in rows
+                  if p.us - eventops.PIT_LONG_US <= e.us <= p.us - 1]
+            assert r.n_events_7d == len(w7)
+            assert r.n_purchases_7d == sum(
+                e.event_type == "purchase" for e in w7)
+            cents7 = sum(round(e.value * 100) for e in w7
+                         if e.event_type == "purchase")
+            assert abs(r.purchase_value_7d - cents7 / 100.0) < 1e-9
+            n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_pit_features_frame_boundaries(spark):
+    """Planted fixture pins the three frame edges: an event at the
+    purchase's exact microsecond is EXCLUDED (leakage guard), one at
+    exactly lookback microseconds earlier is INCLUDED, and one a
+    microsecond before that is out of the 1-day frame but still in
+    the 7-day frame."""
+    ns = spark.newSession()
+    lb = eventops.PIT_SHORT_US
+    base = 10_000_000_000_000
+    rows = [
+        (1, base - lb - 1, "click", 1.0),   # outside 1d, inside 7d
+        (2, base - lb, "click", 2.0),       # exactly on the 1d edge: in
+        (3, base - 1, "view", 3.0),         # strictly before: in
+        (4, base, "click", 4.0),            # same microsecond: OUT
+        (5, base, "purchase", 9.0),
+    ]
+    vals = ", ".join(
+        f"({i}, 7, timestamp_micros({us}), '{t}', cast({v} as double), '')"
+        for i, us, t, v in rows)
+    ns.sql(f"SELECT * FROM VALUES {vals} AS "
+           "t(event_id, user_id, ts, event_type, value, props)"
+           ).createOrReplaceTempView("events")
+    [r] = ns.sql(eventops.events_pit_features(SPARK)).collect()
+    assert r.purchase_id == 5
+    assert r.n_clicks_1d == 1          # only the edge click (id 2)
+    assert r.n_views_1d == 1           # id 3
+    assert r.click_value_1d == 2.0
+    assert r.n_events_7d == 3          # ids 1-3; id 4 leaks nothing
+    assert r.n_purchases_7d == 0
+
+
+def test_hamming_rerank_matches_numpy_replay(spark, ddb):
+    """knn_hamming_rerank (r9): cross-engine equal; signatures,
+    Hamming pool, and the exact-cosine rerank all match an
+    independent python replay (left-to-right fold == SQL fold)."""
+    import numpy as np
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(similarity.knn_hamming_rerank(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(similarity.knn_hamming_rerank(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in spark.sql(
+                "SELECT vec_id, embedding FROM embeddings").collect()}
+
+    def fold_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    # _vec_base drop + sign signatures
+    live = {k: v for k, v in vecs.items() if fold_dot(v, v) > 0.0}
+    sig = {k: [x >= 0.0 for x in v] for k, v in live.items()}
+    want = {}
+    for qid in live:
+        if qid % similarity.QUERY_MOD != 0:
+            continue
+        ham = sorted(
+            (sum(a != b for a, b in zip(sig[qid], sig[cid])), cid)
+            for cid in live if cid % similarity.QUERY_MOD != 0)
+        pool = ham[:similarity.HAMMING_POOL]
+        qn = np.sqrt(fold_dot(live[qid], live[qid]))
+        rer = sorted(
+            (-(fold_dot(live[qid], live[cid])
+               / (qn * np.sqrt(fold_dot(live[cid], live[cid])))), cid, h)
+            for h, cid in pool)
+        for rank, (negcos, cid, h) in enumerate(rer[:similarity.TOP_K], 1):
+            want[(qid, rank)] = (cid, h, -negcos)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.hamming, r.cosine)
+           for r in spark.sql(
+               similarity.knn_hamming_rerank(SPARK)).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_knn_filtered_matches_numpy_replay(spark):
+    """knn_filtered (r9): matches a python replay of the composite
+    (bucket, label) candidate restriction + exact cosine rank, and
+    every returned neighbor carries the query's label by
+    construction."""
+    import numpy as np
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        hyperplane_weight_value,
+    )
+
+    rows = spark.sql(
+        "SELECT vec_id, label, embedding FROM embeddings").collect()
+
+    def fold_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def bucket(v):
+        b = 0
+        for j in range(similarity.N_PLANES):
+            d = 0.0
+            for i, x in enumerate(v, start=1):
+                d += float(x) * hyperplane_weight_value(j, i)
+            if d > 0:
+                b += 1 << j
+        return b
+
+    live = [(r.vec_id, int(r.label), np.array(r.embedding, np.float64))
+            for r in rows]
+    live = [(i, l, v) for i, l, v in live if fold_dot(v, v) > 0.0]
+    info = {i: (l, bucket(v), v, np.sqrt(fold_dot(v, v)))
+            for i, l, v in live}
+    want = {}
+    for qid, (ql, qb, qv, qn) in info.items():
+        if qid % similarity.QUERY_MOD != 0:
+            continue
+        scored = sorted(
+            (-(fold_dot(qv, cv) / (qn * cn)), cid)
+            for cid, (cl, cb, cv, cn) in info.items()
+            if cid % similarity.QUERY_MOD != 0 and cl == ql and cb == qb)
+        for rank, (negcos, cid) in enumerate(
+                scored[:similarity.TOP_K], 1):
+            want[(qid, rank)] = (ql, cid, -negcos)
+    got = {(r.query_id, r.rank): (r.label, r.neighbor_id, r.cosine)
+           for r in spark.sql(similarity.knn_filtered(SPARK)).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_covariance_df_twin_matches_sql_and_numpy(spark, ddb):
+    """embeddings_covariance (r9): the Arrow/numpy partial-sum twin,
+    the Spark SQL explode form, and the DuckDB oracle are all
+    bit-equal, and the integer sums match one global numpy
+    recomputation (per-row floor then exact int64 sum — partitioning
+    cannot change the answer)."""
+    import numpy as np
+
+    from tests.conftest import canonicalize
+
+    sql_s = canonicalize(
+        spark.sql(similarity.embeddings_covariance(SPARK)).toPandas())
+    sql_d = canonicalize(ddb.sql(similarity.embeddings_covariance(DUCK)).df())
+    twin = canonicalize(similarity.embeddings_covariance_df(spark).toPandas())
+    assert sql_s.equals(sql_d)
+    assert twin.equals(sql_d)
+
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                  for r in spark.sql(
+                      "SELECT embedding FROM embeddings").collect()])
+    full = np.floor(
+        np.einsum("ni,nj->nij", m, m) * float(similarity.COV_SCALE)
+    ).sum(axis=0, dtype=np.int64)
+    got = {(r.dim_i, r.dim_j): (r.n_vectors, r.sum_micro, r.mean_micro)
+           for r in similarity.embeddings_covariance_df(spark).collect()}
+    assert len(got) == similarity.DIM * (similarity.DIM + 1) // 2
+    for (i, j), (n, s, mean) in got.items():
+        assert i <= j and n == len(m)
+        assert s == int(full[i - 1, j - 1]), (i, j)
+        assert mean == s / n
+    # diagonal terms are sums of floored squares: each >= -1 per row
+    # (floor of a non-negative product), so the total is > -n
+    for i in range(1, similarity.DIM + 1):
+        assert got[(i, i)][1] >= -len(m)

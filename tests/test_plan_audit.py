@@ -87,6 +87,12 @@ BNLJ_ALLOWED = {
     #            makes the histogram counts mergeable) and onto the
     #            one-row-per-type report
     "events_hist_quantiles",
+    # knn_hamming_rerank — the sign-signature preselect cross join:
+    #            query-probe set x corpus like knn_bruteforce, but the
+    #            joined rows carry ONLY the two 8-byte signature words
+    #            (the 512-byte vectors re-enter by vec_id equi-join for
+    #            pool-sized relations afterwards)
+    "knn_hamming_rerank",
     # docs_kmv_source_overlap — the source-PAIR generator (srcs a
     #            JOIN srcs b ON a.source < b.source) is an inequality
     #            join of two source-count-sized relations (tens of
