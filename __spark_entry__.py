@@ -683,6 +683,8 @@ _PARKED_TAIL = (
                                  # frames); replay pytest
     "knn_hamming_rerank",        # new in r9: sign-bit Hamming preselect
                                  # + exact cosine rerank; replay pytest
+    "knn_hamming_recall",        # new in r9: the sign-bit rung's
+                                 # acceptance gate vs exact brute force
     "knn_filtered",              # new in r9: filtered vector search on
                                  # the composite (bucket, label) key;
                                  # replay pytest

@@ -627,6 +627,34 @@ SELECT query_id, label, rank, neighbor_id, cosine FROM (
 ) r WHERE rank <= {TOP_K}"""
 
 
+def knn_hamming_recall(d: Dialect) -> str:
+    """Acceptance gate for the sign-bit rung (the knn_recall_at_k
+    family rule: every approximate index ships with its recall
+    measured against exact truth): per query, recall@{TOP_K} of
+    :func:`knn_hamming_rerank` against the exact brute-force top-k.
+    Quantifies what 1 bit per dimension costs on THIS corpus — the
+    number that decides whether the 32x-smaller signature index is
+    the right serving rung or the pool must widen.
+
+    Scale posture: both inputs are top-k relations (k rows per
+    query), so the gate join and aggregate are query-set-sized —
+    negligible next to the searches themselves."""
+    bf = knn_bruteforce(d)
+    hr = knn_hamming_rerank(d)
+    return f"""WITH bf AS (
+{bf}
+),
+hr AS (
+{hr}
+)
+SELECT bf.query_id,
+  cast(count(hr.neighbor_id) as bigint) AS n_hits,
+  cast(count(hr.neighbor_id) as double) / {TOP_K} AS recall_at_k
+FROM bf LEFT JOIN hr
+  ON hr.query_id = bf.query_id AND hr.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id"""
+
+
 COV_SCALE = 1_000_000  # covariance terms quantized to integer micros
 
 
@@ -800,6 +828,7 @@ BUILDERS = {
     "knn_recall_at_k": knn_recall_at_k,
     "knn_range_search": knn_range_search,
     "knn_hamming_rerank": knn_hamming_rerank,
+    "knn_hamming_recall": knn_hamming_recall,
     "knn_filtered": knn_filtered,
     "embeddings_covariance": embeddings_covariance,
     "embeddings_norm_audit": embeddings_norm_audit,

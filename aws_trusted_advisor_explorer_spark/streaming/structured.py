@@ -28,7 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 SESSION_GAP_US = 1_800_000_000  # mirrors operators/eventops.SESSION_GAP_US
@@ -1547,5 +1548,111 @@ def scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scd2_update,
         outputStructType=SCD2_OUTPUT_SCHEMA,
         stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+PIT_STATE_SCHEMA = StructType([
+    StructField("us", ArrayType(LongType())),
+    StructField("typ", ArrayType(StringType())),
+    StructField("cents", ArrayType(LongType())),
+])
+
+PIT_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("purchase_id", LongType()),
+    StructField("label_value", DoubleType()),
+    StructField("n_clicks_1d", LongType()),
+    StructField("n_views_1d", LongType()),
+    StructField("click_value_1d", DoubleType()),
+    StructField("n_events_7d", LongType()),
+    StructField("n_purchases_7d", LongType()),
+    StructField("purchase_value_7d", DoubleType()),
+])
+
+
+def _pit_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    """Online point-in-time features (streaming twin of
+    eventops.events_pit_features — the on/offline feature-store
+    consistency story: the serving path must compute EXACTLY what the
+    batch training join computed, or the model trains on features it
+    never sees in production). State per user is the rolling 7-day
+    event buffer (us, type, integer cents), evicted by event time as
+    the stream's high-water mark advances — bounded by the window, not
+    the stream length. A purchase's features are computed from the
+    buffer BEFORE the purchase itself is appended, restricted to
+    strictly-earlier microseconds — same-microsecond peers are
+    excluded exactly as the batch frame's `1 PRECEDING` bound does.
+    Chunks concatenate BEFORE the one (us, event_id) sort (the
+    _session_update hazard); cross-batch correctness needs files
+    delivered in event-time order (the landed layout, the other
+    stateful twins' contract). Value sums stay integer cents in state
+    and convert once at emission (cents/100 correctly rounded ==
+    the batch decimal->double cast)."""
+    from aws_trusted_advisor_explorer_spark.operators.eventops import (
+        PIT_LONG_US, PIT_SHORT_US,
+    )
+
+    (user_id,) = key
+    if state.exists:
+        b_us, b_typ, b_cents = (list(x) for x in state.get)
+    else:
+        b_us, b_typ, b_cents = [], [], []
+    out = []
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        allpdf = (pd.concat(chunks, ignore_index=True)
+                  if len(chunks) > 1 else chunks[0])
+        for r in allpdf.sort_values(["us", "event_id"]).itertuples():
+            us, typ = int(r.us), r.event_type
+            cents = int(round(float(r.value) * 100))
+            if typ == "purchase":
+                lo1, lo7, hi = us - PIT_SHORT_US, us - PIT_LONG_US, us - 1
+                n_c1 = n_v1 = c_cents = n_e7 = n_p7 = p_cents = 0
+                for bu, bt, bc in zip(b_us, b_typ, b_cents):
+                    if bu > hi or bu < lo7:
+                        continue
+                    n_e7 += 1
+                    if bt == "purchase":
+                        n_p7 += 1
+                        p_cents += bc
+                    if bu >= lo1:
+                        if bt == "click":
+                            n_c1 += 1
+                            c_cents += bc
+                        elif bt == "view":
+                            n_v1 += 1
+                out.append((user_id, int(r.event_id), float(r.value),
+                            n_c1, n_v1, c_cents / 100.0,
+                            n_e7, n_p7, p_cents / 100.0))
+            b_us.append(us)
+            b_typ.append(typ)
+            b_cents.append(cents)
+        # event-time eviction: nothing older than the high-water mark
+        # minus the widest lookback can enter a future frame
+        cut = max(b_us) - PIT_LONG_US
+        keep = [i for i, u in enumerate(b_us) if u >= cut]
+        b_us = [b_us[i] for i in keep]
+        b_typ = [b_typ[i] for i in keep]
+        b_cents = [b_cents[i] for i in keep]
+    state.update((b_us, b_typ, b_cents))
+    yield pd.DataFrame(out, columns=[f.name for f in PIT_OUTPUT_SCHEMA])
+
+
+def pit_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState point-in-time features (streaming twin
+    of eventops.events_pit_features): each purchase's leakage-safe
+    trailing-window features emit the moment the purchase arrives —
+    the online serving path of the feature store whose offline
+    training path is the batch query; tested feature-identical."""
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _pit_update,
+        outputStructType=PIT_OUTPUT_SCHEMA,
+        stateStructType=PIT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)

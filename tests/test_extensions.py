@@ -4727,3 +4727,30 @@ def test_covariance_df_twin_matches_sql_and_numpy(spark, ddb):
     # (floor of a non-negative product), so the total is > -n
     for i in range(1, similarity.DIM + 1):
         assert got[(i, i)][1] >= -len(m)
+
+
+def test_hamming_recall_is_set_intersection_of_constituents(spark, ddb):
+    """knn_hamming_recall (r9): cross-engine equal (the dual-op
+    parametrized test also covers this), and every per-query recall
+    equals |bruteforce-top-k ∩ hamming-top-k| / k computed from the
+    two constituent queries independently."""
+    import collections
+
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark.sql(similarity.knn_hamming_recall(SPARK)), ddb,
+        similarity.knn_hamming_recall(DUCK))
+    bf = collections.defaultdict(set)
+    for r in spark.sql(similarity.knn_bruteforce(SPARK)).collect():
+        bf[r.query_id].add(r.neighbor_id)
+    hr = collections.defaultdict(set)
+    for r in spark.sql(similarity.knn_hamming_rerank(SPARK)).collect():
+        hr[r.query_id].add(r.neighbor_id)
+    got = {r.query_id: (int(r.n_hits), r.recall_at_k) for r in
+           spark.sql(similarity.knn_hamming_recall(SPARK)).collect()}
+    assert set(got) == set(bf)
+    for qid in bf:
+        hits = len(bf[qid] & hr[qid])
+        assert got[qid] == (hits, hits / similarity.TOP_K), qid
+        assert 0.0 <= got[qid][1] <= 1.0

@@ -93,6 +93,10 @@ BNLJ_ALLOWED = {
     #            (the 512-byte vectors re-enter by vec_id equi-join for
     #            pool-sized relations afterwards)
     "knn_hamming_rerank",
+    # knn_hamming_recall — embeds knn_bruteforce + knn_hamming_rerank
+    #            (both allowlisted above); the gate join itself is
+    #            top-k-relation-sized
+    "knn_hamming_recall",
     # docs_kmv_source_overlap — the source-PAIR generator (srcs a
     #            JOIN srcs b ON a.source < b.source) is an inequality
     #            join of two source-count-sized relations (tens of

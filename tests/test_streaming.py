@@ -954,3 +954,83 @@ def test_disorder_audit_stream_equals_batch(spark, tmp_path):
                    eventops.events_disorder_audit(SPARK)).collect()}
     assert got_sf == want_sf
     assert all(v[1] == 0 for v in got_sf.values())
+
+
+def test_pit_features_stream_equals_batch(spark):
+    """The online point-in-time feature path must compute EXACTLY the
+    batch training join's features on the real corpus (the feature
+    store's on/offline consistency contract)."""
+    structured.run_stream_to_memory(
+        structured.pit_features_stream(spark, SF_DIR), "pit_stream",
+        output_mode="update")
+    got = canonicalize(spark.table("pit_stream").toPandas())
+    want = canonicalize(
+        spark.sql(eventops.events_pit_features(SPARK)).toPandas())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) > 0
+    assert got.equals(want)
+
+
+def test_pit_features_stream_multi_batch_state(spark, tmp_path):
+    """State must carry the rolling event buffer across micro-batch
+    boundaries AND evict by event time: purchases whose lookback
+    windows straddle file boundaries (maxFilesPerTrigger=1) still see
+    exactly the batch frames, and events older than 7 days before a
+    later purchase have been evicted without changing its features."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 10)
+    h = 3600
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    day = 24 * h
+    rows = [
+        # file 0: old activity
+        (1, ts(0), 1, "click", 10.00, "{}"),
+        (2, ts(100), 1, "view", 0.00, "{}"),
+        # file 1: purchase sees file-0 events across the batch boundary
+        (3, ts(200), 1, "purchase", 50.00, "{}"),
+        (4, ts(300), 1, "click", 5.25, "{}"),
+        # file 2: second purchase 1d+ later - 1d frame holds only the
+        # click at +300s? no: that is > 1d earlier; only file-2's view
+        (5, ts(day + 250), 1, "view", 0.00, "{}"),
+        (6, ts(day + 400), 1, "purchase", 75.00, "{}"),
+        # file 3: third purchase 9 days in - everything before is
+        # > 7d older, EVICTED from state, frames must be empty
+        (7, ts(9 * day + 100), 1, "purchase", 20.00, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    evdir = tmp_path / "events.parquet"
+    os.makedirs(evdir)
+    bounds = [(0, 2), (2, 4), (4, 6), (6, 7)]
+    for i, (lo, hi) in enumerate(bounds):
+        p = evdir / f"part-{i:05d}.parquet"
+        pdf.iloc[lo:hi].astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    ns.read.parquet(str(evdir)).createOrReplaceTempView("events")
+    structured.run_stream_to_memory(
+        structured.pit_features_stream(ns, str(tmp_path)), "pit_mb",
+        output_mode="update")
+    got = canonicalize(ns.table("pit_mb").toPandas())
+    want = canonicalize(ns.sql(eventops.events_pit_features(SPARK)).toPandas())
+    assert len(got) == 3
+    assert got.equals(want)
+    feats = {r.purchase_id: r for r in ns.table("pit_mb").collect()}
+    # cross-boundary frame: purchase 3 sees both file-0 events
+    assert feats[3].n_clicks_1d == 1 and feats[3].n_views_1d == 1
+    assert feats[3].click_value_1d == 10.0 and feats[3].n_events_7d == 2
+    # 1d frame rolled past the old click; 7d frame still holds it
+    assert feats[6].n_clicks_1d == 0 and feats[6].n_views_1d == 1
+    assert feats[6].n_events_7d == 5 and feats[6].n_purchases_7d == 1
+    assert feats[6].purchase_value_7d == 50.0
+    # post-eviction purchase: empty frames
+    assert feats[7].n_events_7d == 0 and feats[7].n_purchases_7d == 0
