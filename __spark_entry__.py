@@ -144,6 +144,16 @@ def _knn_ivf_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf_multiprobe_df(spark, sf_dir)
 
 
+def _knn_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN runs over the two-level (bucket, label) IVF layout
+    (partition-pruned probe on both the coarse cell and the metadata
+    predicate); the composite-equi-join SQL form is the oracle."""
+    from aws_trusted_advisor_explorer_spark.operators import similarity
+
+    _prepare_ext(spark, sf_dir)
+    return similarity.knn_filtered_df(spark, sf_dir)
+
+
 def _bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training runs the iterative twin (one dictionary-sized
     top-pair job per round); the unrolled SQL stays as the oracle."""
@@ -762,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (same integers as the SQL explode form, which stays the oracle)
     q["embeddings_covariance"] = _similarity_df_query(
         "embeddings_covariance_df")
+    q["knn_filtered"] = _knn_filtered_query
     q["events_retention"] = _eventops_df_query("events_retention_df")
     q["events_funnel"] = _eventops_df_query("events_funnel_df")
     # attribution pair join: DF twin so the join can route through

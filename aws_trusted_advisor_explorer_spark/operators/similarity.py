@@ -314,6 +314,89 @@ def knn_ivf_df(spark, sf_dir: str):
     return _rank_topk(scored)
 
 
+def filtered_ivf_index_path(sf_dir: str) -> str:
+    """Content-keyed scratch location for the two-level (bucket, label)
+    IVF layout — the filtered-search serving index. Same invalidation
+    key discipline as :func:`ivf_index_path`."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        stamp = "missing"
+    key = hashlib.md5(
+        f"{sf_dir}|{stamp}|planes={N_PLANES}|label|v1".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "spark_ivf_cache", key)
+
+
+def build_filtered_ivf_index(spark, sf_dir: str) -> str:
+    """Write the embeddings partitioned by (bucket, label) — the IVF
+    layout for FILTERED search, where the metadata predicate prunes
+    physical directories exactly like the coarse cell does (a probe of
+    (bucket=b, label=l) touches only that one leaf). This is the
+    implemented form of knn_filtered's docstring claim; the measured
+    file-count evidence is bench_results/IVF_PRUNING.md. Idempotent
+    per (sf_dir, plane count)."""
+    import os
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    path = filtered_ivf_index_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    df = spark.sql(
+        f"SELECT vec_id, cast(label as bigint) AS label, embedding, bucket "
+        f"FROM (SELECT vec_id, label, embedding, {_norm(SPARK)} AS nrm, "
+        f"{_bucket_expr(SPARK, 'embedding')} AS bucket FROM embeddings) i0 "
+        f"WHERE nrm > 0")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    df.write.mode("overwrite").partitionBy("bucket", "label").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
+    return path
+
+
+def knn_filtered_df(spark, sf_dir: str):
+    """Filtered ANN over the two-level (bucket, label) IVF layout: the
+    composite equi-join becomes a two-column partition-pruned probe —
+    each (query bucket, query label) touches exactly one leaf
+    directory of the index. Cosines via the vectorized kernel;
+    results are IDENTICAL to :func:`knn_filtered` (same planes, same
+    composite candidate restriction), so its DuckDB rendering is the
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions import vectorized as V
+
+    v = spark.read.parquet(build_filtered_ivf_index(spark, sf_dir))
+    q = (v.filter(F.col("vec_id") % QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"), "label",
+                 F.col("embedding").alias("q_emb"), "bucket"))
+    c = (v.filter(F.col("vec_id") % QUERY_MOD != 0)
+         .select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("label").alias("c_label"),
+                 F.col("embedding").alias("c_emb"), "bucket"))
+    scored = (q.join(c, (q.bucket == c.bucket) & (q.label == c.c_label))
+              .select("query_id", "label", "neighbor_id",
+                      V.pair_cosine("q_emb", "c_emb").alias("cosine")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "label", "rank", "neighbor_id", "cosine"))
+
+
 def knn_recall_at_k(d: Dialect) -> str:
     """ANN quality evaluation: recall@k of the sign-LSH path against
     the exact brute-force top-k, per query. The standard acceptance
@@ -602,10 +685,12 @@ def knn_filtered(d: Dialect) -> str:
 
     Scale posture (100 TB): the composite key multiplies the
     partition count (2^planes x |labels|), shrinking each candidate
-    block ~|labels|-fold vs knn_lsh; in the IVF layout the label
-    becomes a second physical partition column and the probe prunes
-    on both. Same recall caveats as any single-probe LSH — the
-    multi-probe rail composes unchanged."""
+    block ~|labels|-fold vs knn_lsh; the IMPLEMENTED serving form is
+    :func:`knn_filtered_df` over the two-level (bucket, label)
+    physical layout of :func:`build_filtered_ivf_index`, where the
+    probe partition-prunes on both columns (measured file counts in
+    bench_results/IVF_PRUNING.md). Same recall caveats as any
+    single-probe LSH — the multi-probe rail composes unchanged."""
     cos = f"{d.dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
     base = (f"SELECT * FROM (SELECT vec_id, cast(label as bigint) AS label, "
             f"embedding, {_norm(d)} AS nrm, "

@@ -74,7 +74,8 @@ def main() -> None:
 
     from aws_trusted_advisor_explorer_spark.functions import vectorized as V
     from aws_trusted_advisor_explorer_spark.operators.similarity import (
-        N_PLANES, QUERY_MOD, TOP_K, build_ivf_index,
+        N_PLANES, QUERY_MOD, TOP_K, build_filtered_ivf_index,
+        build_ivf_index,
     )
     from aws_trusted_advisor_explorer_spark.session import (
         get_spark, load_tables,
@@ -151,6 +152,25 @@ def main() -> None:
         t_pruned = _time_noop(pruned_q)
         t_flat = _time_noop(flat_q)
 
+    # FILTERED search (r9): the two-level (bucket, label) layout —
+    # one (bucket=b, label=l) probe must touch strictly fewer files
+    # than the bucket-only probe touches for the same cell
+    fidx = build_filtered_ivf_index(spark, SF_DIR)
+    fpart = spark.read.parquet(fidx)
+    total_files_f = len(fpart.inputFiles())
+    frow = (fpart.where(f"vec_id % {QUERY_MOD} = 0")
+            .orderBy("vec_id").limit(1).collect()[0])
+    fprobe = (fpart
+              .where((F.col("bucket") == int(frow.bucket))
+                     & (F.col("label") == int(frow.label)))
+              .where(f"vec_id % {QUERY_MOD} != 0"))
+    n_files_filtered = files_read(fprobe.select("vec_id"))
+    n_files_cell_only = files_read(
+        fpart.where(F.col("bucket") == int(frow.bucket))
+        .select("vec_id"))
+    assert n_files_filtered <= n_files_cell_only, (
+        n_files_filtered, n_files_cell_only)
+
     result = {
         "sf_dir": SF_DIR, "bucket": int(qrow.bucket),
         "n_buckets": n_buckets,
@@ -159,6 +179,9 @@ def main() -> None:
         "n_probes": len(probes),
         "files_total": total_files,
         "sec_pruned": round(t_pruned, 3), "sec_flat": round(t_flat, 3),
+        "files_filtered_probe": n_files_filtered,
+        "files_cell_only_probe": n_files_cell_only,
+        "files_total_filtered_index": total_files_f,
     }
     os.makedirs(os.path.dirname(OUT_MD), exist_ok=True)
     with open(OUT_MD, "w") as f:
@@ -176,6 +199,8 @@ between layouts.
 | flat parquet (bucket filter after full scan) | {n_files_flat} | {t_flat:.2f}s |
 | bucket-partitioned index (PartitionFilters prune) | {n_files_pruned} of {total_files} | {t_pruned:.2f}s |
 | same index, multi-probe (own + {len(probes) - 1} hamming-1 cells) | {n_files_multi} of {total_files} | — |
+| two-level (bucket, label) index: whole-cell scan | {n_files_cell_only} of {total_files_f} | — |
+| two-level index: FILTERED (bucket, label) probe | {n_files_filtered} of {total_files_f} | — |
 
 Reading: the serving probe opens only its cell's partition
 ({n_files_pruned} file(s) of {total_files} across {n_buckets}
@@ -187,6 +212,13 @@ grows to {n_files_multi} files — O(probes), never the corpus. The
 batch bench rows (`knn_ivf`, `knn_ivf_multiprobe`) time the
 all-queries evaluation join, which legitimately touches every cell;
 this artifact pins the per-query serving shape the index exists for.
+FILTERED search (r9, `knn_filtered_df`): the two-level
+(bucket, label) layout turns the metadata predicate into a second
+PartitionFilters column — the filtered probe reads
+{n_files_filtered} of {total_files_f} files where the whole-cell
+scan of the same index reads {n_files_cell_only}; at 100 TB the
+predicate prunes data the way the coarse cell does, instead of
+post-filtering an unconstrained candidate read.
 """)
     print(json.dumps(result))
     spark.stop()

@@ -4754,3 +4754,32 @@ def test_hamming_recall_is_set_intersection_of_constituents(spark, ddb):
         hits = len(bf[qid] & hr[qid])
         assert got[qid] == (hits, hits / similarity.TOP_K), qid
         assert 0.0 <= got[qid][1] <= 1.0
+
+
+def test_knn_filtered_df_twin_equals_sql_form(spark, ddb):
+    """The two-level (bucket, label) IVF serving twin must produce
+    exactly the composite-equi-join SQL form's rows (same planes, same
+    candidate restriction, kernel cosine bit-matching the fold) — and
+    its scan must actually be partition-pruned to one leaf per
+    (bucket, label) probe."""
+    from tests.conftest import canonicalize
+
+    twin = canonicalize(
+        similarity.knn_filtered_df(spark, "/root/testdata/sf0.001")
+        .toPandas())
+    want = canonicalize(ddb.sql(similarity.knn_filtered(DUCK)).df())
+    assert twin.equals(want)
+
+    # pruning proof: a single (bucket, label) probe reads a strict
+    # subset of the index files
+    from pyspark.sql import functions as F
+
+    path = similarity.build_filtered_ivf_index(
+        spark, "/root/testdata/sf0.001")
+    idx = spark.read.parquet(path)
+    total = idx.select(F.input_file_name()).distinct().count()
+    [probe] = idx.limit(1).select("bucket", "label").collect()
+    one = (idx.filter((F.col("bucket") == probe.bucket)
+                      & (F.col("label") == probe.label))
+           .select(F.input_file_name()).distinct().count())
+    assert one < total
