@@ -701,6 +701,13 @@ _PARKED_TAIL = (
     "embeddings_covariance",     # new in r9: exact-integer Gram matrix
                                  # (numpy partial twin vs SQL oracle);
                                  # replay pytest
+    "events_training_labels",    # new in r9: forward-horizon label
+                                 # generation (strictly-after frames) —
+                                 # the label half of the training
+                                 # example; replay pytest
+    "dedup_minhash_estimate",    # new in r9: signature-agreement
+                                 # Jaccard estimator vs exact, integer
+                                 # ppm error; replay pytest
 )
 
 
@@ -728,7 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_prefix_join"] = _prefix_backed_query
     for key in ("dedup_incremental", "docs_dedup_rate_by_source",
                 "dedup_lsh_recall", "docs_cross_split_contamination",
-                "docs_cross_lingual_pairs"):
+                "docs_cross_lingual_pairs", "dedup_minhash_estimate"):
         q[key] = _pairs_backed_query(key)
     for key in ("docs_block_dedup", "docs_boilerplate_topk"):
         q[key] = _block_backed_query(key)

@@ -1548,6 +1548,66 @@ SELECT
 FROM m"""
 
 
+MH_EST_SCALE = 1_000_000  # estimator audit reports integer ppm
+
+
+def dedup_minhash_estimate(d: Dialect, base: str | None = None,
+                           pairs_view: str | None = None) -> str:
+    """MinHash ESTIMATOR-error audit (the signature-level complement
+    of :func:`dedup_lsh_recall`'s pair-level gate): for every verified
+    near-dup pair, the signature-agreement Jaccard estimate
+    (matching permutation minima / {N_PERM} — the textbook unbiased
+    MinHash estimator) against the pair's exact verified Jaccard, as
+    exact integer ppm with the absolute error. This is how you size
+    n_perm: the estimator's observed error at the corpus's real
+    similarity levels decides whether {N_PERM} permutations are
+    enough to TRUST signatures where exact verification is too
+    expensive (estimator stdev ~ sqrt(J(1-J)/n_perm)).
+
+    Integer discipline: agreement count and ppm are exact bigints;
+    the exact side ppm is floor(1e6 * jaccard) of the pair relation's
+    verified double — floor-of-IEEE-division, cross-engine exact.
+
+    Scale posture (100 TB): the signature relation is one map-side-
+    combining groupBy ({N_PERM} ints per doc — dedup_minhash_lsh's mh
+    stage verbatim); the audit joins it to the PAIR-GRAPH-sized
+    verified relation twice on doc_id — near-dup-pairs-sized work,
+    never corpus x corpus; on Spark both arms read the session-
+    materialized planes."""
+    params = minhash_params(N_PERM)
+    mins = ",\n    ".join(
+        f"min(({a} * hv + {b}) % {P_MOD}) AS m{j}"
+        for j, (a, b) in enumerate(params))
+    match_sum = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)"
+        for j in range(N_PERM))
+    pairs = _pairs_cte(d, base, pairs_view)
+    est_ppm = d.idiv(f"({MH_EST_SCALE} * n_match)", str(N_PERM))
+    return f"""WITH pairs AS (
+{pairs}
+),
+mh AS (
+  {_shingle_cte(d, base)}
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+    cast({match_sum} as bigint) AS n_match
+  FROM pairs p
+  JOIN mh a ON a.doc_id = p.doc_a
+  JOIN mh b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, n_match,
+  cast({est_ppm} as bigint) AS est_ppm,
+  cast(floor({MH_EST_SCALE} * jaccard) as bigint) AS exact_ppm,
+  cast(abs({est_ppm}
+       - cast(floor({MH_EST_SCALE} * jaccard) as bigint)) as bigint)
+    AS abs_err_ppm
+FROM est"""
+
+
 def docs_cross_split_contamination(d: Dialect, base: str | None = None,
                                    pairs_view: str | None = None) -> str:
     """Train/test LEAKAGE audit: MinHash near-dup pairs whose endpoints
@@ -1793,6 +1853,7 @@ BUILDERS = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "docs_dedup_rate_by_source": docs_dedup_rate_by_source,
     "dedup_lsh_recall": dedup_lsh_recall,
+    "dedup_minhash_estimate": dedup_minhash_estimate,
     "docs_cross_split_contamination": docs_cross_split_contamination,
     "docs_cross_lingual_pairs": docs_cross_lingual_pairs,
     "docs_span_coverage": docs_span_coverage,

@@ -163,10 +163,38 @@ def main() -> None:
     rows.append(("`purchase_click_join_stream` (watermarked "
                  "stream-stream join)", "events", rin, nb, wall))
 
+    # online point-in-time features (r9): state payload is the rolling
+    # 7-day per-user buffer — numRowsTotal is one row per user; the
+    # payload bound is the corpus's own max 7-day per-user event count
+    wall, nb, rin, pit_state = drain(
+        spark, structured.pit_features_stream(spark, stage),
+        "st_pit", "update")
+    assert nb > 1, "pit_features_stream ran a single batch"
+    got = spark.table("st_pit")
+    want_df = spark.sql(eventops.events_pit_features(SPARK))
+    gs = got.agg(F.count("*").alias("n"),
+                 F.sum("n_events_7d").alias("s")).first()
+    ws = want_df.agg(F.count("*").alias("n"),
+                     F.sum("n_events_7d").alias("s")).first()
+    assert (gs.n, gs.s) == (ws.n, ws.s), ((gs.n, gs.s), (ws.n, ws.s))
+    n_users = spark.sql(
+        "SELECT count(DISTINCT user_id) AS n FROM events").first().n
+    assert max(pit_state) <= n_users, (max(pit_state), n_users)
+    max_buf = spark.sql(f"""
+        SELECT max(n) AS m FROM (
+          SELECT count(*) OVER (PARTITION BY user_id
+            ORDER BY unix_micros(cast(ts as timestamp))
+            RANGE BETWEEN {eventops.PIT_LONG_US} PRECEDING
+            AND CURRENT ROW) AS n
+          FROM events)""").first().m
+    rows.append(("`pit_features_stream` (stateful point-in-time "
+                 "features)", "events", rin, nb, wall))
+
     out = ["""# STREAMING — measured micro-batch evidence (r8-r9)
 
-`scripts/bench_streaming.py`: four representative twins — stateless,
-windowed-aggregate, custom-stateful, stream-stream join — drained over
+`scripts/bench_streaming.py`: five representative twins — stateless,
+windowed-aggregate, custom-stateful, stream-stream join, and the
+online feature buffer — drained over
 an %d-file chronological staging of the sf0.1 corpus with
 `maxFilesPerTrigger=1` — every run crosses REAL micro-batch
 boundaries (batch counts below come from the query's own progress
@@ -218,7 +246,20 @@ The series PLATEAUS (peak {max(state)} rows = {100 * max(state)
 instead of growing with the stream — the two-sided event-time bound
 is doing the eviction, which is what makes at-ingest attribution
 viable against an unbounded stream. The drain re-asserts the pair
-set equal to the batch join (count + exact lag-sum checksum).""")
+set equal to the batch join (count + exact lag-sum checksum).
+
+## Point-in-time feature state (r9)
+
+`pit_features_stream` keeps one state row per user whose payload is
+the rolling 7-DAY event buffer, evicted by event time as the user's
+high-water mark advances. Measured over the same {N_FILES}-batch
+drain: state rows plateau at {max(pit_state)} (= the corpus's
+{n_users} active users, one row each, never event-count-shaped), and
+the payload bound is the corpus's own max 7-day per-user burst —
+{max_buf} events (the batch window's RANGE frame measures it) — so
+state is O(users x 7-day activity), independent of stream length.
+The drain re-asserts feature equality with the batch
+`events_pit_features` (count + exact n_events_7d checksum).""")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_results", "STREAMING.md")
     with open(path, "w") as f:

@@ -4783,3 +4783,101 @@ def test_knn_filtered_df_twin_equals_sql_form(spark, ddb):
                       & (F.col("label") == probe.label))
            .select(F.input_file_name()).distinct().count())
     assert one < total
+
+
+def test_training_labels_matches_python_replay(spark):
+    """events_training_labels (r9): every forward-horizon label
+    matches an independent python replay of the strictly-after window
+    — the anchor purchase never labels itself, same-microsecond peers
+    are excluded, and time_to_next is the exact min-gap in micros."""
+    import collections
+
+    ev = spark.sql(
+        "SELECT user_id, event_id, value, "
+        f"{SPARK.epoch_us('ts')} AS us FROM events "
+        "WHERE event_type = 'purchase'").collect()
+    byu = collections.defaultdict(list)
+    for r in ev:
+        byu[r.user_id].append(r)
+    got = {r.purchase_id: (int(r.n_purchases_30d_fwd),
+                           int(r.label_repeat),
+                           None if r.time_to_next_us is None
+                           else int(r.time_to_next_us))
+           for r in spark.sql(
+               eventops.events_training_labels(SPARK)).collect()}
+    n = 0
+    for rows in byu.values():
+        for p in rows:
+            fwd = [e.us for e in rows
+                   if p.us + 1 <= e.us <= p.us + eventops.LABEL_HORIZON_US]
+            want = (len(fwd), 1 if fwd else 0,
+                    min(fwd) - p.us if fwd else None)
+            assert got[p.event_id] == want, p.event_id
+            n += 1
+    assert n == len(got) > 0
+
+
+def test_training_labels_horizon_boundaries(spark):
+    """Planted fixture pins the label frame edges: a purchase at the
+    anchor's exact microsecond does NOT label it, one at exactly the
+    horizon bound does, one a microsecond past the horizon does not."""
+    ns = spark.newSession()
+    h = eventops.LABEL_HORIZON_US
+    base = 10_000_000_000_000
+    rows = [(1, base, 9.0), (2, base, 1.0),          # same-us peer
+            (3, base + h, 2.0),                       # exactly on bound
+            (4, base + h + 1, 3.0)]                   # past the bound
+    vals = ", ".join(
+        f"({i}, 7, timestamp_micros({us}), 'purchase', "
+        f"cast({v} as double), '')" for i, us, v in rows)
+    ns.sql(f"SELECT * FROM VALUES {vals} AS "
+           "t(event_id, user_id, ts, event_type, value, props)"
+           ).createOrReplaceTempView("events")
+    got = {r.purchase_id: (int(r.n_purchases_30d_fwd),
+                           None if r.time_to_next_us is None
+                           else int(r.time_to_next_us))
+           for r in ns.sql(eventops.events_training_labels(SPARK)).collect()}
+    assert got[1] == (1, h)      # sees 3 (on-bound), not 2 (same us)
+    assert got[2] == (1, h)
+    assert got[3] == (1, 1)      # sees 4 (1us later, within horizon)
+    assert got[4] == (0, None)
+
+
+def test_minhash_estimate_matches_python_replay(spark, ddb):
+    """dedup_minhash_estimate (r9): per verified pair, the signature
+    agreement count matches an independent python recomputation of
+    the 16 permutation minima over the doc's shingle-hash set, and the
+    ppm arithmetic is the exact integer form."""
+    import math
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        minhash_params,
+    )
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(dedup.dedup_minhash_estimate(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(dedup.dedup_minhash_estimate(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    # doc -> distinct shingle hv set, from the same sh relation
+    hvs = {}
+    for r in spark.sql(f"""{dedup._shingle_cte(SPARK)}
+                       SELECT doc_id, hv FROM sh""").collect():
+        hvs.setdefault(r.doc_id, set()).add(int(r.hv))
+    params = minhash_params(dedup.N_PERM)
+
+    def sig(doc):
+        return [min((a * h + b) % 1_000_000_007 for h in hvs[doc])
+                for a, b in params]
+
+    rows = spark.sql(dedup.dedup_minhash_estimate(SPARK)).collect()
+    assert len(rows) > 0
+    for r in rows:
+        m = sum(x == y for x, y in zip(sig(r.doc_a), sig(r.doc_b)))
+        assert int(r.n_match) == m, (r.doc_a, r.doc_b)
+        assert int(r.est_ppm) == (1_000_000 * m) // dedup.N_PERM
+        inter = len(hvs[r.doc_a] & hvs[r.doc_b])
+        union = len(hvs[r.doc_a] | hvs[r.doc_b])
+        assert int(r.exact_ppm) == math.floor(1_000_000 * inter / union)
+        assert int(r.abs_err_ppm) == abs(int(r.est_ppm) - int(r.exact_ppm))
