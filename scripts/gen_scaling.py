@@ -272,6 +272,39 @@ non-overlap/one-open-run invariants at stretch scale:
 | {v['2x_events_per_user']['row_growth']:.2f}x |
 
 {_scd2_reading(v)}""")
+    pit_path = os.path.join(root, "bench_results", "pit_stretch.json")
+    if os.path.exists(pit_path):
+        with open(pit_path) as f:
+            ps = json.load(f)
+        pv, pbase = ps["variants"], ps["variants"]["sf0.1"]
+        prow = []
+        for key in ps["keys"]:
+            prow.append(
+                f"| `{key}` | {pbase[key]['sec']:.2f}s "
+                f"| {pv['2x_users'][key]['sec']:.2f}s "
+                f"({pv['2x_users'][key]['growth']:.2f}x) "
+                f"| {pv['2x_events_per_user'][key]['sec']:.2f}s "
+                f"({pv['2x_events_per_user'][key]['growth']:.2f}x) |")
+        prows = "\n".join(prow)
+        out.append(f"""
+## sf0.2 stretch points (training-example window pair, r9)
+
+`scripts/bench_pit_stretch.py`: `events_pit_features` (backward
+feature frames) and `events_training_labels` (forward label frames)
+pinned with the SCD2 stretch's two 2x-events variants — "2x users"
+(twice the window partitions) and "2x events/user" (same population,
+second epoch: every RANGE frame scans deeper per partition — the
+variant that would expose super-linear frame degradation). Output
+rows double exactly in both (one row per purchase, asserted):
+
+| query | sf0.1 wall | 2x users | 2x events/user |
+|---|---|---|---|
+{prows}
+
+Reading: both growths track at-or-below the 2x row growth — the
+value-range frames stay linear in partition depth (one exchange, one
+sort, frame evaluation is a running scan), so the pair holds the
+same linear claim as the SCD2 stack it shares rails with.""")
     var_path = os.path.join(root, "bench_results", "variance.json")
     if os.path.exists(var_path):
         with open(var_path) as f:
