@@ -297,3 +297,53 @@ def test_scan_pushdown_reaches_parquet(spark):
     for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
                    "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"):
         assert pushed in plan, f"q6 filter not pushed: {pushed}"
+
+
+def test_r9_session2_operator_plan_shapes(spark):
+    """POSITIVE plan assertions for the second-wave r9 operators:
+
+    * events_pit_features / events_training_labels: exactly ONE
+      user_id hash exchange and ONE in-partition sort serve every
+      value-range frame — the docstring's one-exchange claim; no
+      join, no broadcast.
+    * embeddings_covariance (Arrow partial twin): exactly ONE hash
+      exchange, and it carries the dim-pair key (2080-group partials,
+      never corpus rows); no sort, no join.
+    * knn_filtered (two-level IVF twin): the scan is the partitioned
+      index (PartitionFilters prune per probe at serving time), the
+      candidate join is broadcast-able, and the only hash exchange is
+      the per-query rank window.
+    * dedup_minhash_estimate: the signature joins key on doc_id (the
+      pair-graph-sized audit side), never a corpus cross product.
+    """
+    import re
+
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+
+    def shape(key):
+        plan = q[key](spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        return plan, hashes
+
+    for key in ("events_pit_features", "events_training_labels"):
+        plan, hashes = shape(key)
+        assert len(hashes) == 1, (key, hashes)
+        assert hashes[0].startswith("user_id"), (key, hashes)
+        assert "BroadcastExchange" not in plan, key
+        assert plan.count("Sort ") == 1, key
+
+    plan, hashes = shape("embeddings_covariance")
+    assert len(hashes) == 1, hashes
+    assert hashes[0].startswith("dim_i"), hashes
+    assert "Sort " not in plan and "BroadcastExchange" not in plan
+
+    plan, hashes = shape("knn_filtered")
+    assert len(hashes) == 1 and hashes[0].startswith("query_id"), hashes
+    assert plan.count("BroadcastExchange") == 1, plan[:2000]
+
+    plan, hashes = shape("dedup_minhash_estimate")
+    assert all(h.startswith("doc_id") for h in hashes), hashes

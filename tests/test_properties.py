@@ -516,3 +516,70 @@ def test_transition_matrix_property(evs):
         assert nf == n_from[a] and ppm == n * 1_000_000 // nf
     assert (sum(n for n, _, _ in got.values())
             == sum(max(len(s) - 1, 0) for s in byu.values()))
+
+
+pit_evs_st = st.lists(
+    st.tuples(st.integers(1, 3),                      # user_id
+              st.sampled_from(["click", "view", "purchase", "error"]),
+              st.integers(0, 40),                     # 6h grid slot (ties!)
+              st.integers(0, 9999)),                  # value cents
+    min_size=1, max_size=40)
+
+
+@given(pit_evs_st)
+@settings(**SETTINGS)
+def test_pit_features_and_labels_property(evs):
+    """events_pit_features + events_training_labels invariants on
+    arbitrary streams with FORCED timestamp ties (6h grid): every
+    backward frame excludes the anchor's microsecond and everything
+    after; every forward frame excludes the anchor and its peers;
+    value sums are exact cents; one output row per purchase in both."""
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.operators import eventops
+
+    step = 21_600_000_000  # 6h in micros
+    base = 1_700_000_000_000_000
+    rows = [(i + 1, pd.Timestamp((base + slot * step) // 1_000_000,
+                                 unit="s"),
+             u, et, cents / 100.0, "{}")
+            for i, (u, et, slot, cents) in enumerate(evs)]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf = pdf.astype({"ts": "datetime64[us]"})
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    # pandas Timestamp.value is NANOS; events are us-aligned
+    ev = [(u, eid, et, int(round(v * 100)), int(ts.value) // 1000)
+          for eid, ts, u, et, v, _ in rows]
+
+    got = {r[1]: r for r in con.sql(
+        eventops.events_pit_features(DUCK)).fetchall()}
+    purchases = [e for e in ev if e[2] == "purchase"]
+    assert len(got) == len(purchases)
+    for (u, eid, _, cents, us) in purchases:
+        mine = [e for e in ev if e[0] == u]
+        w1 = [e for e in mine
+              if us - eventops.PIT_SHORT_US <= e[4] <= us - 1]
+        w7 = [e for e in mine
+              if us - eventops.PIT_LONG_US <= e[4] <= us - 1]
+        r = got[eid]
+        assert r[3] == sum(e[2] == "click" for e in w1)
+        assert r[4] == sum(e[2] == "view" for e in w1)
+        assert abs(r[5] - sum(e[3] for e in w1
+                              if e[2] == "click") / 100.0) < 1e-9
+        assert r[6] == len(w7)
+        assert r[7] == sum(e[2] == "purchase" for e in w7)
+
+    lab = {r[1]: r for r in con.sql(
+        eventops.events_training_labels(DUCK)).fetchall()}
+    assert len(lab) == len(purchases)
+    for (u, eid, _, _, us) in purchases:
+        fwd = [e[4] for e in purchases
+               if e[0] == u
+               and us + 1 <= e[4] <= us + eventops.LABEL_HORIZON_US]
+        r = lab[eid]
+        assert r[3] == len(fwd)
+        assert r[4] == (1 if fwd else 0)
+        assert r[5] == (min(fwd) - us if fwd else None)
