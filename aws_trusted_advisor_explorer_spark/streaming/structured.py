@@ -1606,7 +1606,11 @@ def _pit_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                   if len(chunks) > 1 else chunks[0])
         for r in allpdf.sort_values(["us", "event_id"]).itertuples():
             us, typ = int(r.us), r.event_type
-            cents = int(round(float(r.value) * 100))
+            # NULL value contributes nothing to a conditional decimal
+            # sum in the batch form; 0 cents is the identical effect
+            # (the row still COUNTS toward its type's frame count)
+            cents = (0 if pd.isna(r.value)
+                     else int(round(float(r.value) * 100)))
             if typ == "purchase":
                 lo1, lo7, hi = us - PIT_SHORT_US, us - PIT_LONG_US, us - 1
                 n_c1 = n_v1 = c_cents = n_e7 = n_p7 = p_cents = 0

@@ -305,6 +305,28 @@ Reading: both growths track at-or-below the 2x row growth — the
 value-range frames stay linear in partition depth (one exchange, one
 sort, frame evaluation is a running scan), so the pair holds the
 same linear claim as the SCD2 stack it shares rails with.""")
+    cov_path = os.path.join(root, "bench_results", "covariance_twin.json")
+    if os.path.exists(cov_path):
+        with open(cov_path) as f:
+            cv = json.load(f)
+        out.append(f"""
+## Covariance twin justification (r9)
+
+`scripts/bench_covariance_twin.py`: `embeddings_covariance`'s two
+forms compute the SAME exact integers (asserted per run) over
+{cv['n_vectors']} vectors — the SQL explode form pays a dim²/2-fold
+interpreted-lambda row inflation before its partial aggregate, the
+registered Arrow/numpy twin computes the floored terms with
+vectorized einsum outer products and ships 2080-row partials:
+
+| form | wall | vs twin |
+|---|---|---|
+| SQL explode (the oracle) | {cv['sql_explode_sec']:.2f}s | {cv['speedup']:.2f}x |
+| Arrow/numpy partial twin (registered) | {cv['arrow_twin_sec']:.2f}s | 1x |
+
+Both shuffle O(partitions x dim²) integers; the twin's advantage is
+pure per-row compute, which is the term that scales with corpus
+size.""")
     var_path = os.path.join(root, "bench_results", "variance.json")
     if os.path.exists(var_path):
         with open(var_path) as f:
