@@ -205,6 +205,17 @@ SELECT doc_id,
 FROM k"""
 
 
+def _minhash_mins_sql(n_perm: int) -> str:
+    """The per-permutation signature minima SELECT fragment
+    (``min((a*hv + b) % P) AS m{{j}}``) — the ONE definition of the
+    MinHash signature scheme, shared by the LSH candidate stage and
+    the estimator audit so the audit can never drift onto a stale
+    scheme."""
+    return ",\n    ".join(
+        f"min(({a} * hv + {b}) % {P_MOD}) AS m{j}"
+        for j, (a, b) in enumerate(minhash_params(n_perm)))
+
+
 def dedup_minhash_lsh(d: Dialect, base: str | None = None,
                       n_perm: int = N_PERM,
                       n_bands: int = N_BANDS) -> str:
@@ -238,10 +249,7 @@ def dedup_minhash_lsh(d: Dialect, base: str | None = None,
         raise ValueError(
             f"n_perm {n_perm} must be divisible by n_bands {n_bands} "
             f"(bands are contiguous equal-width signature slices)")
-    params = minhash_params(n_perm)
-    mins = ",\n    ".join(
-        f"min(({a} * hv + {b}) % {P_MOD}) AS m{j}"
-        for j, (a, b) in enumerate(params))
+    mins = _minhash_mins_sql(n_perm)
     rows_per_band = n_perm // n_bands
     band_strs = []
     for band in range(n_bands):
@@ -1574,10 +1582,7 @@ def dedup_minhash_estimate(d: Dialect, base: str | None = None,
     verified relation twice on doc_id — near-dup-pairs-sized work,
     never corpus x corpus; on Spark both arms read the session-
     materialized planes."""
-    params = minhash_params(N_PERM)
-    mins = ",\n    ".join(
-        f"min(({a} * hv + {b}) % {P_MOD}) AS m{j}"
-        for j, (a, b) in enumerate(params))
+    mins = _minhash_mins_sql(N_PERM)
     match_sum = " + ".join(
         f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)"
         for j in range(N_PERM))

@@ -237,11 +237,12 @@ def knn_lsh_df(spark):
     return _rank_topk(scored)
 
 
-def ivf_index_path(sf_dir: str) -> str:
-    """Content-keyed scratch location for the IVF layout of ``sf_dir``'s
-    embeddings (bucket id as a physical partition column). The key
-    includes the source parquet's size+mtime so a regenerated dataset
-    at the same path invalidates the cache."""
+def ivf_index_path(sf_dir: str, variant: str = "v2") -> str:
+    """Content-keyed scratch location for an IVF layout of ``sf_dir``'s
+    embeddings. The key includes the source parquet's size+mtime so a
+    regenerated dataset at the same path invalidates the cache;
+    ``variant`` keeps differently-partitioned layouts (bucket-only vs
+    the filtered two-level form) in distinct cache entries."""
     import hashlib
     import os
     import tempfile
@@ -253,31 +254,24 @@ def ivf_index_path(sf_dir: str) -> str:
     except OSError:
         stamp = "missing"
     key = hashlib.md5(
-        f"{sf_dir}|{stamp}|planes={N_PLANES}|v2".encode()).hexdigest()[:12]
+        f"{sf_dir}|{stamp}|planes={N_PLANES}|{variant}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "spark_ivf_cache", key)
 
 
-def build_ivf_index(spark, sf_dir: str) -> str:
-    """Write the embeddings with their sign-LSH bucket as a PARTITION
-    column — IVF in data-lake form: a probe of bucket b touches only
-    bucket=b files (partition pruning), which is how the ANN path
-    scales past what a bucket equi-join over one big file can do.
-    Idempotent per (sf_dir, plane count)."""
+def _build_ivf(spark, sf_dir: str, path: str, select: str,
+               partition_cols: tuple) -> str:
+    """The ONE index-landing implementation (cache probe, tmp write,
+    rename with the concurrent-builder race guard) shared by every
+    IVF layout — a fix to the invalidation or race handling cannot
+    silently miss a variant."""
     import os
 
-    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-
-    path = ivf_index_path(sf_dir)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    # same filtered relation as the SQL forms (_vec_base), WITHOUT the
-    # norm column — no index consumer reads it (the pair kernel
-    # recomputes both norms in its fixed IEEE op order), so persisting
-    # it only inflated every partition file
-    df = spark.sql(
-        f"SELECT vec_id, embedding, bucket FROM ({_vec_base(SPARK, True)}) b")
+    df = spark.sql(select)
     tmp = f"{path}.tmp-{os.getpid()}"
-    df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
     try:
         os.rename(tmp, path)
     except OSError:
@@ -288,6 +282,24 @@ def build_ivf_index(spark, sf_dir: str) -> str:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             raise
     return path
+
+
+def build_ivf_index(spark, sf_dir: str) -> str:
+    """Write the embeddings with their sign-LSH bucket as a PARTITION
+    column — IVF in data-lake form: a probe of bucket b touches only
+    bucket=b files (partition pruning), which is how the ANN path
+    scales past what a bucket equi-join over one big file can do.
+    Idempotent per (sf_dir, plane count)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    # same filtered relation as the SQL forms (_vec_base), WITHOUT the
+    # norm column — no index consumer reads it (the pair kernel
+    # recomputes both norms in its fixed IEEE op order), so persisting
+    # it only inflated every partition file
+    return _build_ivf(
+        spark, sf_dir, ivf_index_path(sf_dir),
+        f"SELECT vec_id, embedding, bucket FROM ({_vec_base(SPARK, True)}) b",
+        ("bucket",))
 
 
 def knn_ivf_df(spark, sf_dir: str):
@@ -314,24 +326,15 @@ def knn_ivf_df(spark, sf_dir: str):
     return _rank_topk(scored)
 
 
-def filtered_ivf_index_path(sf_dir: str) -> str:
-    """Content-keyed scratch location for the two-level (bucket, label)
-    IVF layout — the filtered-search serving index. Same invalidation
-    key discipline as :func:`ivf_index_path`."""
-    import hashlib
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        stamp = "missing"
-    key = hashlib.md5(
-        f"{sf_dir}|{stamp}|planes={N_PLANES}|label|v1".encode()
-    ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "spark_ivf_cache", key)
+def _labeled_vec_base(d: Dialect) -> str:
+    """:func:`_vec_base`'s relation with the label carried through
+    (bigint — int32 vs int64 must not differ cross-engine) and the
+    bucket attached — the base of BOTH knn_filtered's SQL form and
+    the two-level physical index, defined once."""
+    return (f"SELECT * FROM (SELECT vec_id, cast(label as bigint) AS label,"
+            f" embedding, {_norm(d)} AS nrm,"
+            f" {_bucket_expr(d, 'embedding')} AS bucket FROM embeddings) i0"
+            f" WHERE nrm > 0")
 
 
 def build_filtered_ivf_index(spark, sf_dir: str) -> str:
@@ -342,28 +345,13 @@ def build_filtered_ivf_index(spark, sf_dir: str) -> str:
     implemented form of knn_filtered's docstring claim; the measured
     file-count evidence is bench_results/IVF_PRUNING.md. Idempotent
     per (sf_dir, plane count)."""
-    import os
-
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
 
-    path = filtered_ivf_index_path(sf_dir)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return path
-    df = spark.sql(
-        f"SELECT vec_id, cast(label as bigint) AS label, embedding, bucket "
-        f"FROM (SELECT vec_id, label, embedding, {_norm(SPARK)} AS nrm, "
-        f"{_bucket_expr(SPARK, 'embedding')} AS bucket FROM embeddings) i0 "
-        f"WHERE nrm > 0")
-    tmp = f"{path}.tmp-{os.getpid()}"
-    df.write.mode("overwrite").partitionBy("bucket", "label").parquet(tmp)
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            raise
-    return path
+    return _build_ivf(
+        spark, sf_dir, ivf_index_path(sf_dir, variant="label-v1"),
+        f"SELECT vec_id, label, embedding, bucket "
+        f"FROM ({_labeled_vec_base(SPARK)}) b",
+        ("bucket", "label"))
 
 
 def knn_filtered_df(spark, sf_dir: str):
@@ -692,11 +680,7 @@ def knn_filtered(d: Dialect) -> str:
     bench_results/IVF_PRUNING.md). Same recall caveats as any
     single-probe LSH — the multi-probe rail composes unchanged."""
     cos = f"{d.dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
-    base = (f"SELECT * FROM (SELECT vec_id, cast(label as bigint) AS label, "
-            f"embedding, {_norm(d)} AS nrm, "
-            f"{_bucket_expr(d, 'embedding')} AS bucket FROM embeddings) i0 "
-            f"WHERE nrm > 0")
-    return f"""WITH h AS ({base}),
+    return f"""WITH h AS ({_labeled_vec_base(d)}),
 q AS (SELECT * FROM h WHERE vec_id % {QUERY_MOD} = 0),
 c AS (SELECT * FROM h WHERE vec_id % {QUERY_MOD} <> 0),
 scored AS (
@@ -771,8 +755,13 @@ def embeddings_covariance(d: Dialect) -> str:
         ("i", "cast(i as bigint)"), ("j", "cast(j as bigint)"),
         ("t", term)))
     nested = d.transform(d.seq("1", str(DIM)), "i", inner)
+    # well-formed vectors only (NULL/ragged rows would otherwise be
+    # COUNTED with NULL terms here while crashing the numpy twin —
+    # the two forms must agree on malformed input; the hygiene count
+    # for such rows is embeddings_norm_audit's job)
     return f"""WITH x AS (
-  SELECT {d.explode(f'flatten({nested})')} AS p FROM embeddings
+  SELECT {d.explode(f'flatten({nested})')} AS p
+  FROM embeddings WHERE {d.arr_len('embedding')} = {DIM}
 )
 SELECT p.i AS dim_i, p.j AS dim_j,
   cast(count(*) as bigint) AS n_vectors,
@@ -801,12 +790,19 @@ def embeddings_covariance_df(spark):
         for pdf in batches:
             if not len(pdf):
                 continue
+            # the SQL form's well-formedness filter, mirrored: NULL or
+            # ragged vectors are excluded (np.stack would crash on
+            # them where the SQL WHERE drops them)
+            vs = [np.asarray(v, dtype=np.float64)
+                  for v in pdf["embedding"]
+                  if v is not None and len(v) == DIM]
+            if not vs:
+                continue
             acc = np.zeros((DIM, DIM), dtype=np.int64)
             # chunk the einsum: n_chunk x dim^2 float64 intermediates
             # stay ~32 MB instead of scaling with the Arrow batch
-            for lo in range(0, len(pdf), 1024):
-                m = np.stack([np.asarray(v, dtype=np.float64)
-                              for v in pdf["embedding"].iloc[lo:lo + 1024]])
+            for lo in range(0, len(vs), 1024):
+                m = np.stack(vs[lo:lo + 1024])
                 # per-row floor BEFORE the sum (the determinism rule);
                 # the int64-dtype sum truncates each already-integral
                 # floored term exactly
@@ -815,7 +811,7 @@ def embeddings_covariance_df(spark):
                 ).sum(axis=0, dtype=np.int64)
             yield pd.DataFrame({
                 "dim_i": iu[0] + 1, "dim_j": iu[1] + 1,
-                "n": np.int64(len(pdf)), "s": acc[iu]})
+                "n": np.int64(len(vs)), "s": acc[iu]})
 
     v = spark.table("embeddings").select("embedding")
     part = v.mapInPandas(partial, schema=out_schema)

@@ -1552,6 +1552,15 @@ def scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout)
 
 
+def _half_up_cents(v: float) -> int:
+    """value -> integer cents with HALF-AWAY-FROM-ZERO ties, the
+    rounding cast(double as decimal(18,2)) applies in Spark and
+    DuckDB alike; shared by the pit kernel's state and emissions."""
+    import math
+
+    return int(math.copysign(math.floor(abs(v) * 100 + 0.5), v))
+
+
 PIT_STATE_SCHEMA = StructType([
     StructField("us", ArrayType(LongType())),
     StructField("typ", ArrayType(StringType())),
@@ -1608,9 +1617,13 @@ def _pit_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
             us, typ = int(r.us), r.event_type
             # NULL value contributes nothing to a conditional decimal
             # sum in the batch form; 0 cents is the identical effect
-            # (the row still COUNTS toward its type's frame count)
+            # (the row still COUNTS toward its type's frame count).
+            # Rounding is HALF-AWAY-FROM-ZERO to match the batch
+            # cast(value as decimal(18,2)) in BOTH engines — python's
+            # round() is half-EVEN and would diverge on exact .xx5
+            # doubles (0.125 -> batch 0.13, round() 0.12)
             cents = (0 if pd.isna(r.value)
-                     else int(round(float(r.value) * 100)))
+                     else _half_up_cents(float(r.value)))
             if typ == "purchase":
                 lo1, lo7, hi = us - PIT_SHORT_US, us - PIT_LONG_US, us - 1
                 n_c1 = n_v1 = c_cents = n_e7 = n_p7 = p_cents = 0
@@ -1627,7 +1640,11 @@ def _pit_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                             c_cents += bc
                         elif bt == "view":
                             n_v1 += 1
-                out.append((user_id, int(r.event_id), float(r.value),
+                # label_value passes through as NULL (not NaN) for a
+                # NULL-valued purchase — the batch column is NULL and
+                # NaN diverges under IS NULL filters and JSON sinks
+                out.append((user_id, int(r.event_id),
+                            None if pd.isna(r.value) else float(r.value),
                             n_c1, n_v1, c_cents / 100.0,
                             n_e7, n_p7, p_cents / 100.0))
             b_us.append(us)

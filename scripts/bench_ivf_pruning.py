@@ -168,7 +168,10 @@ def main() -> None:
     n_files_cell_only = files_read(
         fpart.where(F.col("bucket") == int(frow.bucket))
         .select("vec_id"))
-    assert n_files_filtered <= n_files_cell_only, (
+    # STRICTLY fewer — the generated prose claims the label prunes
+    # within the cell; a degenerate single-label cell must fail the
+    # run loudly rather than publish evidence the run didn't show
+    assert n_files_filtered < n_files_cell_only, (
         n_files_filtered, n_files_cell_only)
 
     result = {

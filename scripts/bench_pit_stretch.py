@@ -9,11 +9,13 @@ SCD2 stretch established:
   twice the window partitions, per-user frame work unchanged; wall
   ~2x is the linear claim, and the feature/label row count doubles
   exactly (purchases double).
-- "2x events/user": same user_ids, a second epoch shifted past the
-  original horizon — population unchanged, per-user event depth
-  doubles, so every RANGE frame scans deeper per partition. This is
-  the variant that would expose super-linear degradation in the
-  value-range frames.
+- "2x events/user": same user_ids, a second epoch shifted a full 31
+  days past the original span — STRICTLY beyond the 30-day label
+  horizon and the 7-day lookback, so no frame crosses epochs and the
+  variant isolates per-partition depth (the in-partition sort and
+  frame scan see 2x rows per user while per-purchase frame work is
+  unchanged). This is the variant that would expose super-linear
+  degradation in the value-range frames.
 
 Both variants re-assert invariants at stretch scale: one output row
 per purchase, label_repeat binary, and (2x users) exact row doubling.
@@ -67,11 +69,13 @@ def main() -> None:
                           FROM '{SRC}/events.parquet') AS user_id,
                event_type, value, props
         FROM '{SRC}/events.parquet'""")
+    # 31-day gap: past LABEL_HORIZON_US (30 d) and PIT_LONG_US (7 d),
+    # so no backward or forward frame crosses the epoch boundary
     build_variant(DST_DEPTH, f"""
         SELECT event_id + (SELECT max(event_id) + 1
                            FROM '{SRC}/events.parquet') AS event_id,
                ts + ((SELECT max(ts) - min(ts)
-                      FROM '{SRC}/events.parquet') + INTERVAL 1 DAY) AS ts,
+                      FROM '{SRC}/events.parquet') + INTERVAL 31 DAY) AS ts,
                user_id, event_type, value, props
         FROM '{SRC}/events.parquet'""")
 

@@ -179,7 +179,12 @@ def main() -> None:
     assert (gs.n, gs.s) == (ws.n, ws.s), ((gs.n, gs.s), (ws.n, ws.s))
     n_users = spark.sql(
         "SELECT count(DISTINCT user_id) AS n FROM events").first().n
-    assert max(pit_state) <= n_users, (max(pit_state), n_users)
+    # EQUALITY, not <=: the generated prose prints "plateau at X (=
+    # the corpus's Y active users, one row each)" — every user has at
+    # least one event by construction (n_users is computed from the
+    # same drained table), so the final state row count must BE the
+    # user count or the artifact would state a false identity
+    assert max(pit_state) == n_users, (max(pit_state), n_users)
     max_buf = spark.sql(f"""
         SELECT max(n) AS m FROM (
           SELECT count(*) OVER (PARTITION BY user_id

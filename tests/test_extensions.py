@@ -4549,7 +4549,7 @@ def test_pit_features_matches_python_replay(spark, ddb):
                 w = [e for e in rows if p.us - lb <= e.us <= p.us - 1]
                 assert nc == sum(e.event_type == "click" for e in w)
                 assert nv == sum(e.event_type == "view" for e in w)
-                cents = sum(round(e.value * 100) for e in w
+                cents = sum(int(e.value * 100 + 0.5) for e in w
                             if e.event_type == "click")
                 assert abs(cv - cents / 100.0) < 1e-9
             w7 = [e for e in rows
@@ -4557,7 +4557,7 @@ def test_pit_features_matches_python_replay(spark, ddb):
             assert r.n_events_7d == len(w7)
             assert r.n_purchases_7d == sum(
                 e.event_type == "purchase" for e in w7)
-            cents7 = sum(round(e.value * 100) for e in w7
+            cents7 = sum(int(e.value * 100 + 0.5) for e in w7
                          if e.event_type == "purchase")
             assert abs(r.purchase_value_7d - cents7 / 100.0) < 1e-9
             n_checked += 1
@@ -4881,3 +4881,28 @@ def test_minhash_estimate_matches_python_replay(spark, ddb):
         union = len(hvs[r.doc_a] | hvs[r.doc_b])
         assert int(r.exact_ppm) == math.floor(1_000_000 * inter / union)
         assert int(r.abs_err_ppm) == abs(int(r.est_ppm) - int(r.exact_ppm))
+
+
+def test_covariance_forms_agree_on_malformed_vectors(spark):
+    """Review fix pinned: a NULL embedding and a ragged (wrong-length)
+    embedding are EXCLUDED by both covariance forms — the SQL form
+    would otherwise count them with NULL terms while the numpy twin
+    crashed on np.stack. n_vectors counts only well-formed rows and
+    the two forms stay bit-equal."""
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    ns = spark.newSession()
+    pdf = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4],
+        "embedding": [[0.5] * 64, None, [1.0] * 8, [0.25] * 64],
+        "label": [0, 1, 2, 3]})
+    ns.createDataFrame(pdf).createOrReplaceTempView("embeddings")
+    sql_form = canonicalize(
+        ns.sql(similarity.embeddings_covariance(SPARK)).toPandas())
+    twin = canonicalize(
+        similarity.embeddings_covariance_df(ns).toPandas())
+    assert twin.equals(sql_form)
+    rows = similarity.embeddings_covariance_df(ns).collect()
+    assert all(r.n_vectors == 2 for r in rows)

@@ -1034,3 +1034,42 @@ def test_pit_features_stream_multi_batch_state(spark, tmp_path):
     assert feats[6].purchase_value_7d == 50.0
     # post-eviction purchase: empty frames
     assert feats[7].n_events_7d == 0 and feats[7].n_purchases_7d == 0
+
+
+def test_pit_features_stream_tie_rounding_and_null_value(spark, tmp_path):
+    """Review fixes pinned: (a) a value whose cents land exactly on a
+    half (0.125 -> 12.5 cents) must round HALF-UP in the stream kernel
+    exactly as the batch decimal(18,2) cast does — python round()'s
+    half-even would emit 0.12 vs batch 0.13; (b) a NULL-valued
+    purchase emits label_value NULL (not NaN) and its NULL click
+    peers contribute 0 cents but still count."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, base, 1, "click", 0.125, "{}"),               # half-cent
+        (2, base + dt.timedelta(seconds=60), 1, "click", None, "{}"),
+        (3, base + dt.timedelta(seconds=120), 1, "purchase", None, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    evdir = tmp_path / "events.parquet"
+    os.makedirs(evdir)
+    pdf.astype({"ts": "datetime64[us]"}).to_parquet(
+        evdir / "part-00000.parquet")
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    ns.read.parquet(str(evdir)).createOrReplaceTempView("events")
+    structured.run_stream_to_memory(
+        structured.pit_features_stream(ns, str(tmp_path)), "pit_tie",
+        output_mode="update")
+    [got] = ns.table("pit_tie").collect()
+    [want] = ns.sql(eventops.events_pit_features(SPARK)).collect()
+    assert got.n_clicks_1d == want.n_clicks_1d == 2
+    # 0.125 -> decimal(18,2) HALF_UP -> 0.13; NULL click adds nothing
+    assert got.click_value_1d == want.click_value_1d == 0.13
+    assert got.label_value is None and want.label_value is None
