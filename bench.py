@@ -89,6 +89,13 @@ def main() -> None:
         # write path) never land in a recorded number
         first_fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save()
+        # explicit GC at the pass boundary (the JMH rule): a full
+        # 183-query pass leaves the heap loaded with collectable
+        # garbage, and whichever query allocates into it first absorbs
+        # a multi-second major GC — measured r9: the 2nd timed query
+        # read 3.1 s in every sweep vs 0.2 s after an explicit gc;
+        # the pause must happen here, not inside a recorded number
+        spark._jvm.System.gc()
         for name, fn in queries.items():
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
