@@ -1677,3 +1677,107 @@ def pit_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateStructType=PIT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+LABELS_STATE_SCHEMA = StructType([
+    StructField("p_us", ArrayType(LongType())),      # pending purchases
+    StructField("p_id", ArrayType(LongType())),
+    StructField("p_val", ArrayType(DoubleType())),   # NaN = NULL value
+    StructField("ptimes", ArrayType(LongType())),    # purchase times <= H old
+])
+
+LABELS_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("purchase_id", LongType()),
+    StructField("label_value", DoubleType()),
+    StructField("n_purchases_30d_fwd", LongType()),
+    StructField("label_repeat", LongType()),
+    StructField("time_to_next_us", LongType()),
+])
+
+
+def _labels_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """The DELAYED-LABEL problem at ingest (streaming twin of
+    eventops.events_training_labels): a forward-horizon label is not
+    knowable when its anchor arrives — it FINALIZES when the user's
+    event-time high-water mark passes anchor + horizon, and only then
+    may it ship to training (emitting earlier would train on
+    provisional negatives that flip positive). State per user: the
+    pending (unresolved-horizon) purchases plus the purchase-time
+    buffer of the last horizon window (both event-time-bounded — the
+    pit twin's eviction rule, so state is O(horizon activity), not
+    stream length). A pending purchase resolves exactly when
+    max_us > p_us + H: ordered delivery means every future event has
+    us >= max_us, so nothing can still land inside (p_us, p_us + H].
+    Purchases whose horizon is still open when a finite drain ends
+    are deliberately NOT emitted — the stream cannot know the future;
+    the equality test covers the closed-horizon subset and accounts
+    for the pending remainder."""
+    from aws_trusted_advisor_explorer_spark.operators.eventops import (
+        LABEL_HORIZON_US,
+    )
+
+    import math
+
+    (user_id,) = key
+    if state.exists:
+        p_us, p_id, p_val, ptimes = (list(x) for x in state.get)
+    else:
+        p_us, p_id, p_val, ptimes = [], [], [], []
+    out = []
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        allpdf = (pd.concat(chunks, ignore_index=True)
+                  if len(chunks) > 1 else chunks[0])
+        purch = allpdf[allpdf["event_type"] == "purchase"]
+        max_us = int(allpdf["us"].max())
+        for r in purch.sort_values(["us", "event_id"]).itertuples():
+            p_us.append(int(r.us))
+            p_id.append(int(r.event_id))
+            # label_value passes through RAW (the batch column is the
+            # raw double); NaN is the in-array NULL sentinel — a real
+            # money value is never NaN
+            p_val.append(math.nan if pd.isna(r.value)
+                         else float(r.value))
+            ptimes.append(int(r.us))
+        # resolve every pending purchase whose horizon has CLOSED
+        keep = []
+        for i, us in enumerate(p_us):
+            if max_us > us + LABEL_HORIZON_US:
+                fwd = sorted(t for t in ptimes
+                             if us + 1 <= t <= us + LABEL_HORIZON_US)
+                out.append((user_id, p_id[i],
+                            None if math.isnan(p_val[i]) else p_val[i],
+                            len(fwd), 1 if fwd else 0,
+                            fwd[0] - us if fwd else None))
+            else:
+                keep.append(i)
+        p_us = [p_us[i] for i in keep]
+        p_id = [p_id[i] for i in keep]
+        p_val = [p_val[i] for i in keep]
+        # purchase-time buffer: the oldest pending anchor's frame
+        # starts strictly after its own us >= max_us - H, so times
+        # before max_us - H can never enter a future frame
+        ptimes = [t for t in ptimes if t >= max_us - LABEL_HORIZON_US]
+    state.update((p_us, p_id, p_val, ptimes))
+    yield pd.DataFrame(out, columns=[f.name for f in LABELS_OUTPUT_SCHEMA])
+
+
+def training_labels_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState delayed-label emission (streaming twin
+    of eventops.events_training_labels): each purchase's forward-
+    horizon label ships the moment the user's event-time high-water
+    mark closes its horizon — the at-ingest labeler whose offline
+    twin is the batch query; closed-horizon labels are pinned equal
+    to batch, open-horizon anchors stay pending by design."""
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _labels_update,
+        outputStructType=LABELS_OUTPUT_SCHEMA,
+        stateStructType=LABELS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -1073,3 +1073,65 @@ def test_pit_features_stream_tie_rounding_and_null_value(spark, tmp_path):
     # 0.125 -> decimal(18,2) HALF_UP -> 0.13; NULL click adds nothing
     assert got.click_value_1d == want.click_value_1d == 0.13
     assert got.label_value is None and want.label_value is None
+
+
+def test_training_labels_stream_resolves_closed_horizons(spark, tmp_path):
+    """The delayed-label twin emits a purchase's forward-horizon label
+    exactly when a later event closes the horizon (possibly batches
+    later), equal to the batch events_training_labels row; anchors
+    whose horizon is still open at drain end stay pending (never a
+    provisional emission). NULL-valued anchor passes label_value
+    through as NULL."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    day = 86400
+
+    def ts(d):
+        return base + dt.timedelta(seconds=d * day)
+
+    rows = [
+        # file 0: two purchases 5 days apart (p2 inside p1's horizon)
+        (1, ts(0), 7, "purchase", 10.0, "{}"),
+        (2, ts(5), 7, "purchase", None, "{}"),
+        # file 1: a purchase at day 40 closes BOTH horizons on arrival
+        (3, ts(40), 7, "purchase", 30.0, "{}"),
+        # file 2: day-80 purchase closes p3; day-81 click advances the
+        # watermark but leaves p4's own horizon open
+        (4, ts(80), 7, "purchase", 40.0, "{}"),
+        (5, ts(81), 7, "click", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    evdir = tmp_path / "events.parquet"
+    os.makedirs(evdir)
+    for i, (lo, hi) in enumerate(((0, 2), (2, 3), (3, 5))):
+        p = evdir / f"part-{i:05d}.parquet"
+        pdf.iloc[lo:hi].astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    ns.read.parquet(str(evdir)).createOrReplaceTempView("events")
+    structured.run_stream_to_memory(
+        structured.training_labels_stream(ns, str(tmp_path)), "lab_mb",
+        output_mode="update")
+    got = {r.purchase_id: r for r in ns.table("lab_mb").collect()}
+    want = {r.purchase_id: r for r in
+            ns.sql(eventops.events_training_labels(SPARK)).collect()}
+    # p4's horizon (day 110) never closes -> pending, not emitted
+    assert set(got) == {1, 2, 3} and set(want) == {1, 2, 3, 4}
+    for pid in got:
+        g, w = got[pid], want[pid]
+        assert (g.label_value, g.n_purchases_30d_fwd, g.label_repeat,
+                g.time_to_next_us) == \
+               (w.label_value, w.n_purchases_30d_fwd, w.label_repeat,
+                w.time_to_next_us), pid
+    assert got[1].n_purchases_30d_fwd == 1
+    assert got[1].time_to_next_us == 5 * 86400 * 1_000_000
+    assert got[2].label_value is None       # NULL anchor passes through
+    assert got[2].n_purchases_30d_fwd == 0  # day 40 is past day 35
+    assert got[3].n_purchases_30d_fwd == 0
