@@ -708,6 +708,9 @@ _PARKED_TAIL = (
     "dedup_minhash_estimate",    # new in r9: signature-agreement
                                  # Jaccard estimator vs exact, integer
                                  # ppm error; replay pytest
+    "embeddings_drift_audit",    # new in r9: split-half second-moment
+                                 # drift detection over the Gram pairs;
+                                 # replay pytest
 )
 
 

@@ -747,6 +747,25 @@ def embeddings_covariance(d: Dialect) -> str:
     Arrow/numpy twin (:func:`embeddings_covariance_df`) computing the
     same integers with vectorized outer products; this SQL form is
     its cross-engine oracle and plans the same aggregate shape."""
+    return f"""WITH x AS (
+  {_gram_pairs_select(d)}
+)
+SELECT p.i AS dim_i, p.j AS dim_j,
+  cast(count(*) as bigint) AS n_vectors,
+  cast(sum(p.t) as bigint) AS sum_micro,
+  cast(sum(p.t) as double) / cast(count(*) as double) AS mean_micro
+FROM x GROUP BY p.i, p.j"""
+
+
+def _gram_pairs_select(d: Dialect, extra_col: str = "") -> str:
+    """The exploded upper-triangle Gram-term relation ``p(i, j, t)``
+    with per-row integer quantization — the ONE definition shared by
+    the covariance matrix and the drift audit (``extra_col`` rides
+    along for split/grouping keys). Well-formed vectors only
+    (NULL/ragged rows would otherwise be COUNTED with NULL terms in
+    SQL while crashing the numpy twin — the forms must agree on
+    malformed input; the hygiene count for such rows is
+    embeddings_norm_audit's job)."""
     ei = f"cast({d.elem('embedding', 'i')} as double)"
     ej = f"cast({d.elem('embedding', 'j')} as double)"
     term = (f"cast(floor(({ei} * {ej}) * cast({COV_SCALE} as double)) "
@@ -755,19 +774,61 @@ def embeddings_covariance(d: Dialect) -> str:
         ("i", "cast(i as bigint)"), ("j", "cast(j as bigint)"),
         ("t", term)))
     nested = d.transform(d.seq("1", str(DIM)), "i", inner)
-    # well-formed vectors only (NULL/ragged rows would otherwise be
-    # COUNTED with NULL terms here while crashing the numpy twin —
-    # the two forms must agree on malformed input; the hygiene count
-    # for such rows is embeddings_norm_audit's job)
+    sel = f", {extra_col}" if extra_col else ""
+    return (f"SELECT {d.explode(f'flatten({nested})')} AS p{sel}\n"
+            f"  FROM embeddings WHERE {d.arr_len('embedding')} = {DIM}")
+
+
+DRIFT_TOP_K = 20  # drifted dim pairs reported
+
+
+def embeddings_drift_audit(d: Dialect) -> str:
+    """Embedding-distribution DRIFT detection (the production-ML
+    monitoring check the Gram matrix exists to feed): split the
+    corpus into two deterministic halves (vec_id parity — in
+    production the two sides are yesterday's snapshot vs today's
+    batch) and compare the per-dim-pair second-moment means; the top
+    {DRIFT_TOP_K} most-drifted pairs ship with both sides' exact
+    integer sums so the verdict is auditable. A drifting embedding
+    model (retrain, quantization change, corrupted encoder) moves
+    these moments long before downstream recall gates catch it.
+
+    Determinism: both sides' sums are per-row-floored exact bigints
+    (the covariance rule); each mean is ONE bigint/bigint division
+    and the drift their single subtraction — IEEE-exact cross-engine.
+    Ranking ties break on (dim_i, dim_j).
+
+    Scale posture (100 TB): same shape as embeddings_covariance —
+    the explode is task-local, the partial aggregate collapses every
+    partition to dim^2/2 groups x 2 conditional sums, ONE tiny
+    exchange; the rank window runs on the 2080-row aggregate, never
+    corpus rows."""
     return f"""WITH x AS (
-  SELECT {d.explode(f'flatten({nested})')} AS p
-  FROM embeddings WHERE {d.arr_len('embedding')} = {DIM}
+  {_gram_pairs_select(d, "vec_id % 2 AS side")}
+),
+g AS (
+  SELECT p.i AS dim_i, p.j AS dim_j,
+    cast(count(CASE WHEN side = 0 THEN 1 END) as bigint) AS n_a,
+    cast(count(CASE WHEN side = 1 THEN 1 END) as bigint) AS n_b,
+    cast(coalesce(sum(CASE WHEN side = 0 THEN p.t END), 0) as bigint)
+      AS sum_a_micro,
+    cast(coalesce(sum(CASE WHEN side = 1 THEN p.t END), 0) as bigint)
+      AS sum_b_micro
+  FROM x GROUP BY p.i, p.j
+),
+m AS (
+  SELECT dim_i, dim_j, n_a, n_b, sum_a_micro, sum_b_micro,
+    abs(cast(sum_a_micro as double) / cast(n_a as double)
+        - cast(sum_b_micro as double) / cast(n_b as double))
+      AS drift_micro
+  FROM g WHERE n_a > 0 AND n_b > 0
 )
-SELECT p.i AS dim_i, p.j AS dim_j,
-  cast(count(*) as bigint) AS n_vectors,
-  cast(sum(p.t) as bigint) AS sum_micro,
-  cast(sum(p.t) as double) / cast(count(*) as double) AS mean_micro
-FROM x GROUP BY p.i, p.j"""
+SELECT dim_i, dim_j, n_a, n_b, sum_a_micro, sum_b_micro, drift_micro
+FROM (
+  SELECT *, row_number() OVER (ORDER BY drift_micro DESC, dim_i, dim_j)
+    AS rk
+  FROM m
+) r WHERE rk <= {DRIFT_TOP_K}"""
 
 
 def embeddings_covariance_df(spark):
@@ -912,6 +973,7 @@ BUILDERS = {
     "knn_hamming_recall": knn_hamming_recall,
     "knn_filtered": knn_filtered,
     "embeddings_covariance": embeddings_covariance,
+    "embeddings_drift_audit": embeddings_drift_audit,
     "embeddings_norm_audit": embeddings_norm_audit,
     "embeddings_matryoshka_audit": embeddings_matryoshka_audit,
     "embeddings_matryoshka_recall": embeddings_matryoshka_recall,

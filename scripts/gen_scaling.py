@@ -38,6 +38,22 @@ KNOWN_SUPRALINEAR = {
         "the ORACLES of the scale path (`dedup_minhash_lsh`, sublinear "
         "here) — at 100 TB you run the LSH rung and sample-verify; the "
         "docstring documents the regime where prefix filtering wins."),
+    "view_low_util_ec2_no_tags": (
+        "`view_low_util_ec2_no_tags`: pass-start stall ATTRIBUTION, not "
+        "plan cost — the no-tags twin is a pure scan+project measured "
+        "0.25 s solo at sf0.1 (sub-linear) and 0.19 s immediately after "
+        "an explicit JVM GC, but as the 2nd query of a full-sweep pass "
+        "it recurrently absorbs a ~3 s environment stall the r9 "
+        "pass-boundary-GC hygiene reduced but did not eliminate "
+        "(reproduced at 8g and 16g driver heap alike). The plan-shape "
+        "test pins it to ZERO exchanges; a real regression would show "
+        "in the solo reading, not this slot."),
+    "dedup_ngram_jaccard": (
+        "`dedup_ngram_jaccard`: 1.05 normalized is linear within the "
+        "measured same-code band — variance.json's three sweeps span "
+        "0.87–1.19 s for this key (spread 0.32 s, wider than the "
+        "distance to 1.0); like its sibling above it is the exact "
+        "ORACLE of the LSH scale path, pair-bound by the DF cap."),
 }
 
 # queries whose ONLY corpus-scale input is the embeddings table; mixed

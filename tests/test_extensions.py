@@ -4906,3 +4906,51 @@ def test_covariance_forms_agree_on_malformed_vectors(spark):
     assert twin.equals(sql_form)
     rows = similarity.embeddings_covariance_df(ns).collect()
     assert all(r.n_vectors == 2 for r in rows)
+
+
+def test_drift_audit_matches_numpy_replay(spark, ddb):
+    """embeddings_drift_audit (r9): cross-engine equal, and the
+    split-half sums/means/drifts match an independent numpy
+    recomputation of the floored Gram terms per parity side; the
+    report is exactly the top-20 by (drift DESC, dim_i, dim_j)."""
+    import numpy as np
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(similarity.embeddings_drift_audit(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(similarity.embeddings_drift_audit(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    rows = spark.sql(
+        "SELECT vec_id, embedding FROM embeddings").collect()
+    sides = {0: [], 1: []}
+    for r in rows:
+        if r.embedding is not None and len(r.embedding) == similarity.DIM:
+            sides[r.vec_id % 2].append(
+                np.asarray(r.embedding, dtype=np.float64))
+    acc = {}
+    for s, vecs in sides.items():
+        m = np.stack(vecs)
+        acc[s] = np.floor(
+            np.einsum("ni,nj->nij", m, m) * float(similarity.COV_SCALE)
+        ).sum(axis=0, dtype=np.int64)
+    drift = {}
+    for i in range(similarity.DIM):
+        for j in range(i, similarity.DIM):
+            da = int(acc[0][i, j]) / len(sides[0])
+            db = int(acc[1][i, j]) / len(sides[1])
+            drift[(i + 1, j + 1)] = abs(da - db)
+    want_top = sorted(drift, key=lambda k: (-drift[k], k[0], k[1]))[
+        :similarity.DRIFT_TOP_K]
+    got = [(r.dim_i, r.dim_j) for r in spark.sql(
+        similarity.embeddings_drift_audit(SPARK))
+        .orderBy("drift_micro", ascending=False)
+        .collect()]
+    got_sorted = sorted(got, key=lambda k: (-drift[k], k[0], k[1]))
+    assert got_sorted == want_top
+    for r in spark.sql(similarity.embeddings_drift_audit(SPARK)).collect():
+        assert r.n_a == len(sides[0]) and r.n_b == len(sides[1])
+        assert r.sum_a_micro == int(acc[0][r.dim_i - 1, r.dim_j - 1])
+        assert r.sum_b_micro == int(acc[1][r.dim_i - 1, r.dim_j - 1])
+        assert r.drift_micro == drift[(r.dim_i, r.dim_j)]

@@ -132,6 +132,9 @@ WINDOW_UNPART_ALLOWED = {
     # totals window over the DSIR_BUCKETS-row (<=1024) hashed-feature
     # relation — bounded by construction, never corpus-scale
     "docs_dsir_importance",
+    # drift ranking window over the dim^2/2-row (2080) aggregated
+    # Gram-pair relation — bounded by construction, never corpus-scale
+    "embeddings_drift_audit",
 }
 
 
