@@ -535,21 +535,16 @@ def _view_query(name: str, with_tags: bool | None):
 
 # keys deliberately parked PAST the driver's 50-row correctness cap.
 #
-# r9 rotation (the verification-finishing window): after r8, exactly 34
-# of the then-171 keys had never had a driver-green CORRECTNESS row --
-# every other key had at least one direct green row in r1-r8. This
-# round parks ALL of those already-green keys (each annotated with its
-# green rounds below; all remain verified every round by
-# CORRECTNESS_FULL.json and the pytest suite) and moves ALL 34
-# never-driver-green keys into the 50-slot head, alongside the 13
-# pinned keys (the 10 reference views + knn_ivf / knn_ivf_multiprobe /
-# dedup_clusters, held in-head by tests/test_entry_contract.py), the
-# r9-new events_watermark_plan_sharded (first driver row this round),
-# and the disorder-audit twins events_disorder_audit_signal /
-# events_disorder_audit_sharded -- kept in-cap so the whole
-# disorder -> watermark -> SCD2 lateness chain (base audit, signal
-# twin, sharded merge, watermark plan + its sharded form, SCD2
-# history) is driver-verified together in one window.
+# r10 rotation: CORRECTNESS_r09 went 50/50 green, retiring the entire
+# never-driver-checked backlog. This round parks those 37 freshly-green
+# r9-window keys (each annotated with its green rounds below; all stay
+# verified every round by CORRECTNESS_FULL.json and the pytest suite)
+# and moves the 12 operators ADDED during r9 -- which were parked past
+# the cap the round they were born -- into the head for their first
+# driver rows, alongside the 13 pinned keys (the 10 reference views +
+# knn_ivf / knn_ivf_multiprobe / dedup_clusters, held in-head by
+# tests/test_entry_contract.py). Remaining head slots go to r10-new
+# operators so the verification loop closes the same round it opens.
 _PARKED_TAIL = (
     "text_nb_quality_score",  # driver-green r6-r8
     "docs_quality_cutoff_calibration",  # driver-green r7-r8
@@ -675,42 +670,45 @@ _PARKED_TAIL = (
     "events_interval_join",  # driver-green r7
     "docs_temperature_mix",  # driver-green r7
     "docs_curation_drift",  # driver-green r7
-    # --- new in r9 (never driver-green yet — the r10 window rotates
-    # these three in; FULL + pytest evidence meanwhile):
-    "docs_epoch_shuffle_plan",   # new in r9: per-epoch deterministic
-                                 # shuffle plan (shard + rank, no
-                                 # global sort); replay pytest
-    "docs_ngram_novelty",        # new in r9: first-introducer novelty
-                                 # ppm over the shingle plane; replay
-                                 # pytest
-    "events_transition_matrix",  # new in r9: 2-gram journey matrix
-                                 # with exact ppm rates; replay pytest
-    "docs_dsir_importance",      # new in r9: DSIR hashed-feature
-                                 # importance ratios (target = the LM
-                                 # reference slice); replay pytest
-    "events_pit_features",       # new in r9: leakage-safe point-in-time
-                                 # trailing features (value-range
-                                 # frames); replay pytest
-    "knn_hamming_rerank",        # new in r9: sign-bit Hamming preselect
-                                 # + exact cosine rerank; replay pytest
-    "knn_hamming_recall",        # new in r9: the sign-bit rung's
-                                 # acceptance gate vs exact brute force
-    "knn_filtered",              # new in r9: filtered vector search on
-                                 # the composite (bucket, label) key;
-                                 # replay pytest
-    "embeddings_covariance",     # new in r9: exact-integer Gram matrix
-                                 # (numpy partial twin vs SQL oracle);
-                                 # replay pytest
-    "events_training_labels",    # new in r9: forward-horizon label
-                                 # generation (strictly-after frames) —
-                                 # the label half of the training
-                                 # example; replay pytest
-    "dedup_minhash_estimate",    # new in r9: signature-agreement
-                                 # Jaccard estimator vs exact, integer
-                                 # ppm error; replay pytest
-    "embeddings_drift_audit",    # new in r9: split-half second-moment
-                                 # drift detection over the Gram pairs;
-                                 # replay pytest
+    # --- the r9 rotation window, retired: all 37 went driver-green in
+    # CORRECTNESS_r09 (50/50):
+    "docs_boolean_search",  # driver-green r9
+    "docs_bm25_topk",  # driver-green r9
+    "text_unicode_sanitize",  # driver-green r9
+    "text_tokenizer_coverage",  # driver-green r9
+    "text_commonness_score",  # driver-green r9
+    "dedup_exact_normalized",  # driver-green r9
+    "dedup_bloom_prefilter",  # driver-green r9
+    "docs_span_scrub",  # driver-green r9
+    "docs_dedup_rate_by_source",  # driver-green r9
+    "docs_cross_split_contamination",  # driver-green r9
+    "docs_cross_lingual_pairs",  # driver-green r9
+    "docs_span_coverage",  # driver-green r9
+    "embeddings_norm_audit",  # driver-green r9
+    "embeddings_matryoshka_audit",  # driver-green r9
+    "embeddings_matryoshka_recall",  # driver-green r9
+    "events_user_rate_topk",  # driver-green r9
+    "events_disorder_audit",  # driver-green r9
+    "events_disorder_audit_signal",  # driver-green r6-r9
+    "events_disorder_audit_sharded",  # driver-green r8-r9
+    "events_scd2_history",  # driver-green r9
+    "events_watermark_plan",  # driver-green r9
+    "events_watermark_plan_sharded",  # driver-green r9
+    "media_dedup_exact",  # driver-green r9
+    "pii_scrub_text",  # driver-green r9
+    "docs_split_token_budget",  # driver-green r9
+    "docs_language_balance_plan",  # driver-green r9
+    "docs_embedding_integrity",  # driver-green r9
+    "docs_pack_efficiency",  # driver-green r9
+    "docs_boilerplate_topk",  # driver-green r9
+    "docs_blocklist_score",  # driver-green r9
+    "kmeans_report",  # driver-green r9
+    "embeddings_sq_int8",  # driver-green r9
+    "docs_agg_refresh",  # driver-green r9
+    "media_frame_sample",  # driver-green r9
+    "docs_near_dedup_apply",  # driver-green r9
+    "docs_dedup_savings",  # driver-green r9
+    "text_bpe_fertility_by_lang",  # driver-green r9
 )
 
 

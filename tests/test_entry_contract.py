@@ -36,32 +36,17 @@ def test_priority_head_fits_driver_cap_and_holds_reference_views():
         assert view_key in head, f"{view_key} fell out of the priority head"
     for audited in ("knn_ivf", "knn_ivf_multiprobe", "dedup_clusters"):
         assert audited in head
-    # r9 rotation (the verification-finishing window): ALL 34 keys that
-    # had never had a driver-green CORRECTNESS row through r8, plus the
-    # r9-new sharded watermark plan and the disorder twins (so the full
-    # lateness chain lands together) — they must stay in the head at
-    # least until CORRECTNESS_r09 lands
-    for rotated in ("docs_embedding_integrity", "pii_scrub_text",
-                    "media_frame_sample", "text_commonness_score",
-                    "docs_dedup_rate_by_source", "docs_pack_efficiency",
-                    "kmeans_report", "dedup_exact_normalized",
-                    "media_dedup_exact", "dedup_bloom_prefilter",
-                    "docs_span_scrub", "embeddings_sq_int8",
-                    "text_unicode_sanitize", "docs_boilerplate_topk",
-                    "events_disorder_audit", "docs_boolean_search",
-                    "docs_bm25_topk", "docs_language_balance_plan",
-                    "docs_agg_refresh", "docs_near_dedup_apply",
-                    "docs_dedup_savings", "text_tokenizer_coverage",
-                    "docs_split_token_budget", "docs_span_coverage",
-                    "events_user_rate_topk", "docs_cross_lingual_pairs",
-                    "embeddings_norm_audit", "text_bpe_fertility_by_lang",
-                    "docs_cross_split_contamination", "events_scd2_history",
-                    "embeddings_matryoshka_audit",
-                    "embeddings_matryoshka_recall", "events_watermark_plan",
-                    "docs_blocklist_score", "events_watermark_plan_sharded",
-                    "events_disorder_audit_signal",
-                    "events_disorder_audit_sharded"):
-        assert rotated in head, f"{rotated} fell out of the r9 window"
+    # r10 rotation: the 12 operators ADDED during r9 (parked past the
+    # cap the round they were born; CORRECTNESS_r09 retired every other
+    # never-driver-green key) — they must stay in the head at least
+    # until CORRECTNESS_r10 lands
+    for rotated in ("events_pit_features", "events_training_labels",
+                    "knn_hamming_rerank", "knn_hamming_recall",
+                    "knn_filtered", "embeddings_covariance",
+                    "embeddings_drift_audit", "dedup_minhash_estimate",
+                    "docs_dsir_importance", "docs_epoch_shuffle_plan",
+                    "docs_ngram_novelty", "events_transition_matrix"):
+        assert rotated in head, f"{rotated} fell out of the r10 window"
 
 
 def test_parked_tail_incap_citations_are_actually_incap():
