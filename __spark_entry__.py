@@ -780,6 +780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (same integers as the SQL explode form, which stays the oracle)
     q["embeddings_covariance"] = _similarity_df_query(
         "embeddings_covariance_df")
+    # the drift audit reuses the covariance twin's partial-Gram kernel
+    # per parity side (same integers as the SQL fold, ~4.8x measured on
+    # the identical shape); the SQL split-half form stays the oracle
+    q["embeddings_drift_audit"] = _similarity_df_query(
+        "embeddings_drift_audit_df")
     q["knn_filtered"] = _knn_filtered_query
     q["events_retention"] = _eventops_df_query("events_retention_df")
     q["events_funnel"] = _eventops_df_query("events_funnel_df")

@@ -4954,3 +4954,49 @@ def test_drift_audit_matches_numpy_replay(spark, ddb):
         assert r.sum_a_micro == int(acc[0][r.dim_i - 1, r.dim_j - 1])
         assert r.sum_b_micro == int(acc[1][r.dim_i - 1, r.dim_j - 1])
         assert r.drift_micro == drift[(r.dim_i, r.dim_j)]
+
+
+def test_drift_audit_df_twin_matches_sql_and_oracle(spark, ddb):
+    """embeddings_drift_audit (r10, VERDICT r9 task 2): the Arrow twin
+    (per-side partial-Gram kernel shared with the covariance twin via
+    _gram_acc), the Spark SQL explode form, and the DuckDB oracle are
+    all bit-equal — three ways, one answer."""
+    from tests.conftest import canonicalize
+
+    sql_s = canonicalize(
+        spark.sql(similarity.embeddings_drift_audit(SPARK)).toPandas())
+    sql_d = canonicalize(
+        ddb.sql(similarity.embeddings_drift_audit(DUCK)).df())
+    twin = canonicalize(
+        similarity.embeddings_drift_audit_df(spark).toPandas())
+    assert sql_s.equals(sql_d)
+    assert twin.equals(sql_d)
+    assert len(twin) == similarity.DRIFT_TOP_K
+
+
+def test_drift_forms_agree_on_malformed_vectors(spark):
+    """The covariance malformed-vector rule, inherited by the drift
+    twin: NULL and ragged embeddings are excluded by BOTH forms, and a
+    batch whose sides are unevenly populated still merges to the right
+    per-side counts (n_a/n_b count well-formed rows per parity)."""
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    ns = spark.newSession()
+    pdf = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4, 5, 6],
+        "embedding": [[0.5] * 64, [0.1] * 64, [1.0] * 8,
+                      [0.25] * 64, None, [-0.5] * 64],
+        "label": [0, 1, 2, 3, 4, 5]})
+    ns.createDataFrame(pdf).createOrReplaceTempView("embeddings")
+    sql_form = canonicalize(
+        ns.sql(similarity.embeddings_drift_audit(SPARK)).toPandas())
+    twin = canonicalize(
+        similarity.embeddings_drift_audit_df(ns).toPandas())
+    assert twin.equals(sql_form)
+    rows = similarity.embeddings_drift_audit_df(ns).collect()
+    # side 0 (even ids) = {2, 4, 6}, all well-formed; side 1 (odd ids)
+    # keeps only {1} — 3 is ragged, 5 is NULL
+    assert len(rows) > 0
+    assert all(r.n_a == 3 and r.n_b == 1 for r in rows)
