@@ -838,6 +838,10 @@ def oracle_sql() -> dict[str, str]:
     # the sharded watermark plan (two-phase running max + compacted-CDF
     # rank) must equal the unsharded window-per-type form
     o["events_watermark_plan_sharded"] = eventops.events_watermark_plan(DUCK)
+    # the fused one-exchange training-example assembly must equal the
+    # feature-store join of its two standalone halves — cross-algorithm
+    o["events_training_examples"] = \
+        eventops.events_training_examples_joined(DUCK)
     # IVF uses the same planes/buckets as sign-LSH -> identical results
     o["knn_ivf"] = similarity.knn_lsh(DUCK)
     o["knn_ivf_multiprobe"] = similarity.knn_multiprobe(DUCK)

@@ -350,3 +350,26 @@ def test_r9_session2_operator_plan_shapes(spark):
 
     plan, hashes = shape("dedup_minhash_estimate")
     assert all(h.startswith("doc_id") for h in hashes), hashes
+
+
+def test_training_examples_fused_plan_shape(spark):
+    """POSITIVE plan assertion for events_training_examples (r10): the
+    fused assembly's whole point is that ONE user_id exchange and ONE
+    in-partition sort serve BOTH window stacks (trailing features over
+    all events, forward labels over the purchase-filtered relation —
+    the filter preserves partitioning and order) and the feature-store
+    join disappears entirely. Pinned: exactly 1 hashpartitioning
+    exchange on user_id, exactly 2 Window nodes stacked on it, exactly
+    1 Sort, no join of any kind."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["events_training_examples"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1 and hashes[0].startswith("user_id"), hashes
+    assert len(re.findall(r"(?m)^\s*\+?- Window \[", plan)) == 2, plan[:3000]
+    assert plan.count("Sort ") == 1, plan[:3000]
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastExchange" not in plan
