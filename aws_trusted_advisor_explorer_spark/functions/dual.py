@@ -309,6 +309,19 @@ class Dialect:
     def str_cast(self, c: str) -> str:
         return f"cast({c} as string)" if self.name == "spark" else f"CAST({c} AS varchar)"
 
+    def check(self, cond: str, msg: str) -> str:
+        """Loud in-plan guard: an expression that is NULL when ``cond``
+        holds and RAISES ``msg`` when it does not — consume it as
+        ``WHERE {check(...)} IS NULL`` on a bounded (dimension-sized)
+        relation so the predicate costs nothing but still fires per
+        run. This is how integer-headroom bounds documented in
+        docstrings become enforced code (VERDICT r9 task 6): silent
+        int64 wraparound would corrupt rankings; this fails the query
+        instead, naming the production swap."""
+        if self.name == "spark":
+            return f"assert_true({cond}, '{msg}')"
+        return f"(CASE WHEN {cond} THEN NULL ELSE error('{msg}') END)"
+
 
 def id_hash_pct(d: Dialect, col: str = "doc_id", salt: str = "") -> str:
     """Deterministic 0-99 bucket from the polynomial hash of the id

@@ -502,6 +502,29 @@ DSIR_BUCKETS = 1024   # hashed-feature dimensionality (DSIR's memory
                       # matter the vocabulary)
 DSIR_SCALE = 1000     # milli units for the integer importance ratio
 
+INT64_MAX = 9_223_372_036_854_775_807
+
+
+def _dsir_headroom_guard(d: Dialect) -> str:
+    """The DSIR docstring's int64 bound as enforced code (VERDICT r9
+    task 6): the cleared-denominator ratio multiplies
+    (ct+1)(rr+B)·{DSIR_SCALE} and (cr+1)(rt+B); with ct ≤ rt and
+    cr ≤ rr the conservative corpus-total conditions are
+    (rt+1)(rr+B)·scale ≤ 2^63-1 and (rr+1)(rt+B) ≤ 2^63-1, each
+    rewritten divide-first (rt+1 ≤ MAX div scale div (rr+B)) so the
+    guard's own arithmetic cannot overflow. Evaluated on the
+    ≤{DSIR_BUCKETS}-row weight relation — free — and raises with the
+    production swap named."""
+    b = DSIR_BUCKETS
+    cap_num = d.idiv(d.idiv(str(INT64_MAX), str(DSIR_SCALE)),
+                     f"(rr + {b})")
+    cap_den = d.idiv(str(INT64_MAX), f"(rt + {b})")
+    return d.check(
+        f"(rt + 1) <= {cap_num} AND (rr + 1) <= {cap_den}",
+        "docs_dsir_importance: int64 headroom exceeded for the "
+        "cleared-denominator milli ratio; swap to double scores at "
+        "this corpus scale")
+
 
 def docs_dsir_importance(d: Dialect) -> str:
     """DSIR importance weighting (Xie et al. 2023, Data Selection via
@@ -526,8 +549,14 @@ def docs_dsir_importance(d: Dialect) -> str:
     matters, not the units). int64 headroom: (ct+1)(Rr+B)·1000 must
     stay under 2^63 — safe while per-feature target count × raw total
     < ~9.2e15 (e.g. 1e6 × 1e9); past that the production swap is
-    doubles, exactly the BM25 bound note. Zero-token docs keep a
-    NULL-score row (the gate family's row-preserving rule).
+    doubles, exactly the BM25 bound note. The bound is ENFORCED
+    in-plan (d.check on the {DSIR_BUCKETS}-row weight relation, both
+    engines): conservative conditions (Rt+1)(Rr+B)·{DSIR_SCALE} ≤
+    2^63-1 and (Rr+1)(Rt+B) ≤ 2^63-1 — each evaluated divide-first so
+    the guard itself cannot overflow — fail the query loudly instead
+    of letting a wrapped bigint silently corrupt the sampler's
+    ranking. Zero-token docs keep a NULL-score row (the gate family's
+    row-preserving rule).
 
     Scale posture (100 TB): one token explode feeds a map-side-
     combining groupBy into the {DSIR_BUCKETS}-row feature relation;
@@ -562,7 +591,10 @@ ft AS (
     sum(cr) OVER () AS rr
   FROM cf
 ),
-w AS (SELECT f, cast({w} as bigint) AS w_milli FROM ft),
+w AS (
+  SELECT f, cast({w} as bigint) AS w_milli FROM ft
+  WHERE {_dsir_headroom_guard(d)} IS NULL
+),
 p AS (
   SELECT tok.doc_id,
     cast(count(*) as bigint) AS n_tokens,
@@ -1703,6 +1735,28 @@ SELECT doc_id, cast(count(*) as bigint) AS n_terms_matched,
 FROM q GROUP BY doc_id HAVING count(*) = {n_terms}"""
 
 
+def _bm25_headroom_guard(d: Dialect) -> str:
+    """The BM25 docstring's int64 bound as enforced code (VERDICT r9
+    task 6), evaluated once on the one-row corpus stats relation
+    ``c0(n_docs, sum_dl, mx_dl)``: the largest intermediate is
+    numer = idf_milli·tf·44·sum_dl with idf_milli ≤ (1000(2N-1)) div 3
+    (df ≥ 1) and tf ≤ mx_dl, so the check is mx_dl ≤ MAX div
+    (44·sum_dl) div idf_max — divide-first, conservative (integer
+    division only shrinks the cap). greatest(...) keeps the guard's
+    own divisors positive on an empty corpus, which passes trivially
+    (mx_dl = 0)."""
+    idf_max = f"greatest({d.idiv('(1000 * (2 * c0.n_docs - 1))', '3')}, 1)"
+    cap = d.idiv(
+        d.idiv(str(INT64_MAX), "greatest(44 * coalesce(c0.sum_dl, 0), 1)"),
+        idf_max)
+    return d.check(
+        f"coalesce(c0.sum_dl, 0) <= 200000000000000000 "
+        f"AND c0.mx_dl <= {cap}",
+        "docs_bm25_topk: int64 headroom exceeded for the cleared-"
+        "denominator milli score; swap to double arithmetic at this "
+        "corpus scale")
+
+
 def docs_bm25_topk(d: Dialect, base: str | None = None) -> str:
     """BM25 top-{BM25_TOP_K} ranking for the fixed conjunctive-free
     query (Robertson/Sparck Jones probabilistic retrieval; the
@@ -1721,6 +1775,13 @@ def docs_bm25_topk(d: Dialect, base: str | None = None) -> str:
     docs x ~100-token average length; 1e5 x 1000-token or 1e6-doc
     corpora overflow); the production swap at 100 TB is double
     arithmetic, where cross-engine bit-equality is no longer required.
+    That bound is ENFORCED in-plan (d.check on the one-row corpus
+    relation, both engines): with idf_max = (1000(2N-1)) div 3 and
+    tf ≤ max_dl, the guard requires max_dl ≤ MAX div (44·sum_dl) div
+    idf_max (divide-first, so the guard itself cannot overflow; the
+    sum_dl < 2e17 precondition keeps 44·sum_dl in range) and raises
+    with the double swap named instead of silently wrapping the
+    ranking.
 
     Scale posture: tf is computed only for query-term rows (filter
     before aggregate); df/N/sum_dl are constant-size dimensions
@@ -1738,8 +1799,11 @@ def docs_bm25_topk(d: Dialect, base: str | None = None) -> str:
   SELECT doc_id, cast(count(*) as bigint) AS dl FROM {base} GROUP BY doc_id
 ),
 corpus AS (
-  SELECT (SELECT cast(count(*) as bigint) FROM documents) AS n_docs,
-    (SELECT cast(count(*) as bigint) FROM {base}) AS sum_dl
+  SELECT n_docs, sum_dl FROM (
+    SELECT (SELECT cast(count(*) as bigint) FROM documents) AS n_docs,
+      (SELECT cast(count(*) as bigint) FROM {base}) AS sum_dl,
+      (SELECT cast(coalesce(max(dl), 0) as bigint) FROM docstats) AS mx_dl
+  ) c0 WHERE {_bm25_headroom_guard(d)} IS NULL
 ),
 e AS (
   SELECT doc_id, tok AS term FROM {base}
@@ -1749,8 +1813,12 @@ e AS (
   SELECT doc_id, cast({dl} as bigint) AS dl FROM documents
 ),
 corpus AS (
-  SELECT cast(count(*) as bigint) AS n_docs,
-    cast(sum(dl) as bigint) AS sum_dl FROM docstats
+  SELECT n_docs, sum_dl FROM (
+    SELECT cast(count(*) as bigint) AS n_docs,
+      cast(sum(dl) as bigint) AS sum_dl,
+      cast(coalesce(max(dl), 0) as bigint) AS mx_dl
+    FROM docstats
+  ) c0 WHERE {_bm25_headroom_guard(d)} IS NULL
 ),
 e AS (
   SELECT doc_id, {d.explode('toks')} AS term

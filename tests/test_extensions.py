@@ -3340,6 +3340,57 @@ def test_dsir_importance_matches_python_replay(spark, ddb):
                 > sum(r_scores) / len(r_scores))
 
 
+def test_int64_headroom_guards_fire_and_pass(spark, ddb):
+    """VERDICT r9 task 6: the DSIR and BM25 int64 bounds are enforced
+    in-plan, not prose. On planted corpus totals past the bound, both
+    engines raise the named error; on in-bound totals the guard passes
+    rows through. (The real-corpus queries exercising the guard on the
+    hot path stay green — covered by the replay/oracle tests.)"""
+    import pytest as _pt
+
+    dsir_g = textops._dsir_headroom_guard
+    bm25_g = textops._bm25_headroom_guard
+
+    def run(engine, sql):
+        if engine == "spark":
+            return spark.sql(sql).collect()
+        return ddb.sql(sql).df()
+
+    for engine, d in (("spark", SPARK), ("duck", DUCK)):
+        ok = run(engine, f"""SELECT 1 AS x FROM (
+            SELECT cast(1000000 as bigint) AS rt,
+                   cast(9000000 as bigint) AS rr) ft
+            WHERE {dsir_g(d)} IS NULL""")
+        assert len(ok) == 1, engine
+        with _pt.raises(Exception, match="dsir_importance: int64"):
+            run(engine, f"""SELECT 1 AS x FROM (
+                SELECT cast(4000000000000000 as bigint) AS rt,
+                       cast(4000000000000000 as bigint) AS rr) ft
+                WHERE {dsir_g(d)} IS NULL""")
+
+        ok = run(engine, f"""SELECT 1 AS x FROM (
+            SELECT cast(10000 as bigint) AS n_docs,
+                   cast(1000000 as bigint) AS sum_dl,
+                   cast(200 as bigint) AS mx_dl) c0
+            WHERE {bm25_g(d)} IS NULL""")
+        assert len(ok) == 1, engine
+        # 1e6 docs x 1e3-token average with a 1e5-token max doc — the
+        # docstring's named overflow regime
+        with _pt.raises(Exception, match="bm25_topk: int64"):
+            run(engine, f"""SELECT 1 AS x FROM (
+                SELECT cast(1000000 as bigint) AS n_docs,
+                       cast(1000000000 as bigint) AS sum_dl,
+                       cast(100000 as bigint) AS mx_dl) c0
+                WHERE {bm25_g(d)} IS NULL""")
+        # empty corpus passes trivially (mx_dl = 0, guarded divisors)
+        ok = run(engine, f"""SELECT 1 AS x FROM (
+            SELECT cast(0 as bigint) AS n_docs,
+                   cast(null as bigint) AS sum_dl,
+                   cast(0 as bigint) AS mx_dl) c0
+            WHERE {bm25_g(d)} IS NULL""")
+        assert len(ok) == 1, engine
+
+
 def test_transition_matrix_matches_python_replay(spark, ddb):
     """events_transition_matrix (r9): cross-engine equal; counts and
     ppm rates match an independent python replay of the per-user
