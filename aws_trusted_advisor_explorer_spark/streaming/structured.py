@@ -1696,8 +1696,21 @@ LABELS_OUTPUT_SCHEMA = StructType([
 ])
 
 
-def _labels_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
-                   state: GroupState) -> Iterator[pd.DataFrame]:
+def _make_labels_update(horizon_us: int):
+    """Bind the horizon into the state-update closure (the default is
+    the batch query's 30-day LABEL_HORIZON_US; measurement drains pass
+    a shorter horizon so the corpus span exceeds it and horizons
+    actually close — scripts/bench_streaming.py)."""
+
+    def _labels_update(key, pdfs, state):
+        return _labels_update_impl(key, pdfs, state, horizon_us)
+
+    return _labels_update
+
+
+def _labels_update_impl(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                        state: GroupState,
+                        horizon_us: int) -> Iterator[pd.DataFrame]:
     """The DELAYED-LABEL problem at ingest (streaming twin of
     eventops.events_training_labels): a forward-horizon label is not
     knowable when its anchor arrives — it FINALIZES when the user's
@@ -1714,11 +1727,9 @@ def _labels_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
     are deliberately NOT emitted — the stream cannot know the future;
     the equality test covers the closed-horizon subset and accounts
     for the pending remainder."""
-    from aws_trusted_advisor_explorer_spark.operators.eventops import (
-        LABEL_HORIZON_US,
-    )
-
     import math
+
+    LABEL_HORIZON_US = horizon_us
 
     (user_id,) = key
     if state.exists:
@@ -1764,19 +1775,27 @@ def _labels_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
     yield pd.DataFrame(out, columns=[f.name for f in LABELS_OUTPUT_SCHEMA])
 
 
-def training_labels_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def training_labels_stream(spark: SparkSession, sf_dir: str,
+                           horizon_us: int | None = None) -> DataFrame:
     """applyInPandasWithState delayed-label emission (streaming twin
     of eventops.events_training_labels): each purchase's forward-
     horizon label ships the moment the user's event-time high-water
     mark closes its horizon — the at-ingest labeler whose offline
     twin is the batch query; closed-horizon labels are pinned equal
-    to batch, open-horizon anchors stay pending by design."""
+    to batch, open-horizon anchors stay pending by design.
+    ``horizon_us`` overrides the 30-day default (measurement drains
+    pair it with the batch form's matching override)."""
+    from aws_trusted_advisor_explorer_spark.operators.eventops import (
+        LABEL_HORIZON_US,
+    )
+
     ev = events_stream(spark, sf_dir)
     keyed = ev.select(
         "user_id", "event_id", "event_type", "value",
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
     return keyed.groupBy("user_id").applyInPandasWithState(
-        _labels_update,
+        _make_labels_update(
+            LABEL_HORIZON_US if horizon_us is None else horizon_us),
         outputStructType=LABELS_OUTPUT_SCHEMA,
         stateStructType=LABELS_STATE_SCHEMA,
         outputMode="update",
