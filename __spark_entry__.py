@@ -785,6 +785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the identical shape); the SQL split-half form stays the oracle
     q["embeddings_drift_audit"] = _similarity_df_query(
         "embeddings_drift_audit_df")
+    # the serving report materializes the truth top-k once (the SQL
+    # form's five bf references re-evaluate under Spark CTE inlining;
+    # DuckDB materializes them and keeps the self-contained oracle)
+    q["knn_serving_report"] = _similarity_df_query("knn_serving_report_df")
     q["knn_filtered"] = _knn_filtered_query
     q["events_retention"] = _eventops_df_query("events_retention_df")
     q["events_funnel"] = _eventops_df_query("events_funnel_df")

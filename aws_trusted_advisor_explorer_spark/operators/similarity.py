@@ -724,6 +724,240 @@ FROM bf LEFT JOIN hr
 GROUP BY bf.query_id"""
 
 
+VEC_BYTES = DIM * 8              # full-vector payload per candidate
+SIG_BYTES = 16                   # two 8-byte sign-signature words
+
+
+def _mrl_prefix_topk(d: Dialect) -> str:
+    """Exact top-k on the {MRL_RECALL_DIM}-dim PREFIX cosine — the
+    Matryoshka serving arm as a standalone ranking (the rp arm of
+    :func:`embeddings_matryoshka_recall`, needed separately by the
+    serving report). Zero-prefix-norm candidates are excluded from the
+    ranking (the recall gate's NULL-similarity rule)."""
+    sl = lambda col: (f"slice({col}, 1, {MRL_RECALL_DIM})"
+                      if d.name == "spark"
+                      else f"list_slice({col}, 1, {MRL_RECALL_DIM})")
+    pn = f"sqrt({d.dot(sl('embedding'), sl('embedding'))})"
+    pcos = (f"CASE WHEN q.pnrm * c.pnrm = cast(0 as double) THEN NULL "
+            f"ELSE {d.dot(sl('q.embedding'), sl('c.embedding'))}"
+            f" / (q.pnrm * c.pnrm) END")
+    return f"""WITH b AS ({_vec_base(d)}),
+v AS (SELECT vec_id, embedding, {pn} AS pnrm FROM b),
+q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} <> 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {pcos} AS pcosine
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY pcosine DESC, neighbor_id) AS rank
+  FROM scored WHERE pcosine IS NOT NULL
+) r WHERE rank <= {TOP_K}"""
+
+
+def _serving_counts_sql(d: Dialect) -> str:
+    """The serving report's candidate-count relation — ONE row
+    (nq, nc, lsh_cand, mp_cand), computed from bucket HISTOGRAMS
+    rather than the pair relations themselves: the number of
+    bucket-join candidates is Σ_b nq_b·nc_b and the multi-probe count
+    is the same sum over the probe fan-out, so the counts cost two
+    corpus scans and a ≤(2^{N_PLANES}·(1+{N_PLANES}))-row join —
+    never a re-run of any rung's candidate generation. The probe
+    relation carries its own-bucket flag so one join aggregate yields
+    both counts (single reference per CTE — no re-evaluation under
+    Spark inlining)."""
+    entries = [d.struct_(("probe", "bucket"),
+                         ("is_own", "cast(1 as bigint)"))]
+    entries += [d.struct_(("probe", d.xor("bucket", str(1 << j))),
+                          ("is_own", "cast(0 as bigint)"))
+                for j in range(N_PLANES)]
+    return f"""WITH b AS ({_vec_base(d, with_bucket=True)}),
+q AS (SELECT vec_id, bucket FROM b WHERE vec_id % {QUERY_MOD} = 0),
+c AS (SELECT vec_id, bucket FROM b WHERE vec_id % {QUERY_MOD} <> 0),
+pr AS (SELECT {d.explode(d.arr_lit(entries))} AS s FROM q),
+ph AS (SELECT s.probe AS probe, s.is_own AS is_own,
+         cast(count(*) as bigint) AS n
+       FROM pr GROUP BY s.probe, s.is_own),
+ch AS (SELECT bucket, cast(count(*) as bigint) AS n
+       FROM c GROUP BY bucket)
+SELECT q1.nq, q2.nc, pa.lsh_cand, pa.mp_cand
+FROM (SELECT cast(count(*) as bigint) AS nq FROM q) q1
+CROSS JOIN (SELECT cast(count(*) as bigint) AS nc FROM c) q2
+CROSS JOIN (
+  SELECT
+    cast(coalesce(sum(CASE WHEN ph.is_own = 1 THEN ph.n * ch.n END), 0)
+      as bigint) AS lsh_cand,
+    cast(coalesce(sum(ph.n * ch.n), 0) as bigint) AS mp_cand
+  FROM ph JOIN ch ON ch.bucket = ph.probe
+) pa"""
+
+
+def knn_serving_report(d: Dialect) -> str:
+    """The ANN plane's CAPSTONE decision table (VERDICT r9 task 7 —
+    the measured per-corpus analog of the dedup plane's rung-selection
+    table, SCALE.md): run the SAME query set through every inline
+    serving rung — sign-bit Hamming rerank, single-probe sign-LSH
+    (the IVF layout's logical plan: knn_ivf returns identical results
+    by construction), multi-probe LSH, the {MRL_RECALL_DIM}-dim
+    Matryoshka prefix — and emit per rung the recall@{TOP_K} against
+    exact truth, the candidate rows actually scored with full vectors,
+    and a bytes-touched model (signatures {SIG_BYTES} B, prefixes
+    {MRL_RECALL_DIM}x8 B, full vectors {DIM}x8 B). The exact row
+    anchors the table (recall 1.0, the full corpus as candidates).
+    The PQ/ADC rung is deliberately absent: it requires the trained
+    codebook views (clusterops.ensure_cluster_views) and already ships
+    its own gate (pq_recall_report); this report covers the
+    training-free inline rungs.
+
+    Candidate counts come from bucket histograms
+    (:func:`_serving_counts_sql`), never from re-counting pair
+    relations. Integer-exact: hit counts are bigints, recall_ppm is
+    one integer division; recall_at_k is the single IEEE division.
+
+    Scale posture (100 TB): this is a REPORT — each rung runs once
+    (exactly its own serving cost; the cross-join arms are the
+    allowlisted query-probe-broadcast shapes), the truth arm is the
+    same labeled-oracle brute force every recall gate uses, and all
+    joins downstream of the rungs are top-k-relation-sized. The
+    REGISTERED Spark form is :func:`knn_serving_report_df`, which
+    materializes the truth top-k once (lazy localCheckpoint — the
+    docs_kmv_source_overlap rule: this SQL form's five bf references
+    re-evaluate per reference under Spark CTE inlining and are
+    MATERIALIZED-hinted for DuckDB, where this form is the oracle)."""
+    pool = f"least(cast({HAMMING_POOL} as bigint), cnt.nc)"
+    rows = f"""  SELECT 'sign_hamming' AS rung, cast(1 as bigint) AS rung_order,
+    cnt.nq AS n_queries,
+    cnt.nq * {pool} AS cand_rows,
+    cnt.nq * cnt.nc * {SIG_BYTES} + cnt.nq * {pool} * {VEC_BYTES}
+      AS bytes_touched,
+    h_sg.n AS n_hits
+  FROM cnt CROSS JOIN h_sg
+  UNION ALL
+  SELECT 'lsh', cast(2 as bigint), cnt.nq, cnt.lsh_cand,
+    cnt.lsh_cand * {VEC_BYTES}, h_ls.n
+  FROM cnt CROSS JOIN h_ls
+  UNION ALL
+  SELECT 'lsh_multiprobe', cast(3 as bigint), cnt.nq, cnt.mp_cand,
+    cnt.mp_cand * {VEC_BYTES}, h_mp.n
+  FROM cnt CROSS JOIN h_mp
+  UNION ALL
+  SELECT 'matryoshka_prefix{MRL_RECALL_DIM}', cast(4 as bigint), cnt.nq,
+    cnt.nq * cnt.nc, cnt.nq * cnt.nc * {MRL_RECALL_DIM * 8}, h_mr.n
+  FROM cnt CROSS JOIN h_mr
+  UNION ALL
+  SELECT 'exact', cast(5 as bigint), cnt.nq, cnt.nq * cnt.nc,
+    cnt.nq * cnt.nc * {VEC_BYTES}, h_bf.n
+  FROM cnt CROSS JOIN h_bf"""
+    return f"""WITH bf {d.cte_as()} (
+{knn_bruteforce(d)}
+),
+sg AS (
+{knn_hamming_rerank(d)}
+),
+ls AS (
+{knn_lsh(d)}
+),
+mp AS (
+{knn_multiprobe(d)}
+),
+mr AS (
+{_mrl_prefix_topk(d)}
+),
+cnt AS (
+{_serving_counts_sql(d)}
+),
+h_sg AS (SELECT cast(count(*) as bigint) AS n FROM sg
+         JOIN bf ON bf.query_id = sg.query_id
+                AND bf.neighbor_id = sg.neighbor_id),
+h_ls AS (SELECT cast(count(*) as bigint) AS n FROM ls
+         JOIN bf ON bf.query_id = ls.query_id
+                AND bf.neighbor_id = ls.neighbor_id),
+h_mp AS (SELECT cast(count(*) as bigint) AS n FROM mp
+         JOIN bf ON bf.query_id = mp.query_id
+                AND bf.neighbor_id = mp.neighbor_id),
+h_mr AS (SELECT cast(count(*) as bigint) AS n FROM mr
+         JOIN bf ON bf.query_id = mr.query_id
+                AND bf.neighbor_id = mr.neighbor_id),
+h_bf AS (SELECT cast(count(*) as bigint) AS n FROM bf)
+SELECT rung, rung_order, n_queries, cand_rows, bytes_touched, n_hits,
+  cast({d.idiv('(1000000 * n_hits)',
+               f'greatest(n_queries * {TOP_K}, 1)')} as bigint)
+    AS recall_ppm,
+  cast(n_hits as double)
+    / cast(greatest(n_queries * {TOP_K}, 1) as double) AS recall_at_k
+FROM (
+{rows}
+) r
+ORDER BY rung_order"""
+
+
+def knn_serving_report_df(spark):
+    """Registered Spark form of :func:`knn_serving_report`: the truth
+    top-k materializes ONCE (lazy localCheckpoint inside the query —
+    the docs_kmv_source_overlap pattern; the SQL form's five bf
+    references would re-run the brute-force cross join per reference
+    under Spark CTE inlining), each rung's candidate generation runs
+    exactly once, per-rung hit counts are global aggregates (one row
+    even for a rung that returned nothing), and the candidate/bytes
+    columns compute in-plan from the one-row histogram-count relation
+    — no driver collect anywhere."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    bf = (spark.sql(knn_bruteforce(SPARK))
+          .select("query_id", "neighbor_id")
+          .localCheckpoint(eager=False))
+    bf_hit = bf.withColumn("hit", F.lit(1))
+    rungs = [
+        ("sign_hamming", 1, spark.sql(knn_hamming_rerank(SPARK))),
+        ("lsh", 2, spark.sql(knn_lsh(SPARK))),
+        ("lsh_multiprobe", 3, spark.sql(knn_multiprobe(SPARK))),
+        (f"matryoshka_prefix{MRL_RECALL_DIM}", 4,
+         spark.sql(_mrl_prefix_topk(SPARK))),
+        ("exact", 5, bf),
+    ]
+    hits = reduce(
+        lambda a, b: a.unionByName(b),
+        [df.select("query_id", "neighbor_id")
+         .join(bf_hit, ["query_id", "neighbor_id"], "left")
+         .agg(F.count("hit").alias("n_hits"))
+         .withColumn("rung", F.lit(name))
+         .withColumn("rung_order", F.lit(order).cast("long"))
+         for name, order, df in rungs])
+    cnt = spark.sql(_serving_counts_sql(SPARK))
+    pool = f"least(cast({HAMMING_POOL} as bigint), nc)"
+    return (
+        hits.crossJoin(cnt)
+        .withColumn("cand_rows", F.expr(
+            f"CASE rung WHEN 'sign_hamming' THEN nq * {pool} "
+            f"WHEN 'lsh' THEN lsh_cand "
+            f"WHEN 'lsh_multiprobe' THEN mp_cand "
+            f"ELSE nq * nc END"))
+        .withColumn("bytes_touched", F.expr(
+            f"CASE rung WHEN 'sign_hamming' "
+            f"THEN nq * nc * {SIG_BYTES} + nq * {pool} * {VEC_BYTES} "
+            f"WHEN 'lsh' THEN lsh_cand * {VEC_BYTES} "
+            f"WHEN 'lsh_multiprobe' THEN mp_cand * {VEC_BYTES} "
+            f"WHEN 'matryoshka_prefix{MRL_RECALL_DIM}' "
+            f"THEN nq * nc * {MRL_RECALL_DIM * 8} "
+            f"ELSE nq * nc * {VEC_BYTES} END"))
+        .withColumn("recall_ppm", F.expr(
+            f"cast((1000000 * n_hits) div greatest(nq * {TOP_K}, 1) "
+            f"as bigint)"))
+        .withColumn("recall_at_k",
+                    F.col("n_hits").cast("double")
+                    / F.expr(f"greatest(nq * {TOP_K}, 1)").cast("double"))
+        .select("rung", "rung_order", F.col("nq").alias("n_queries"),
+                "cand_rows", "bytes_touched", "n_hits", "recall_ppm",
+                "recall_at_k"))
+
+
 COV_SCALE = 1_000_000  # covariance terms quantized to integer micros
 
 
@@ -1047,6 +1281,7 @@ BUILDERS = {
     "knn_hamming_rerank": knn_hamming_rerank,
     "knn_hamming_recall": knn_hamming_recall,
     "knn_filtered": knn_filtered,
+    "knn_serving_report": knn_serving_report,
     "embeddings_covariance": embeddings_covariance,
     "embeddings_drift_audit": embeddings_drift_audit,
     "embeddings_norm_audit": embeddings_norm_audit,

@@ -5033,6 +5033,51 @@ def test_drift_audit_matches_numpy_replay(spark, ddb):
         assert r.drift_micro == drift[(r.dim_i, r.dim_j)]
 
 
+def test_knn_serving_report_three_ways_and_gate_consistency(spark, ddb):
+    """knn_serving_report (r10, VERDICT r9 task 7): the registered DF
+    form (truth top-k materialized once), the self-contained Spark SQL
+    form, and the DuckDB oracle agree exactly; the per-rung hit counts
+    equal the standalone recall gates' sums (hamming/lsh/matryoshka —
+    one answer whether you read the capstone table or the individual
+    gates); the exact row anchors at recall 1.0 with the full corpus
+    as candidates; and the candidate/bytes ladder is ordered the way
+    the serving story claims."""
+    from tests.conftest import canonicalize
+
+    sql_d = canonicalize(ddb.sql(similarity.knn_serving_report(DUCK)).df())
+    sql_s = canonicalize(
+        spark.sql(similarity.knn_serving_report(SPARK)).toPandas())
+    twin = canonicalize(similarity.knn_serving_report_df(spark).toPandas())
+    assert sql_s.equals(sql_d)
+    assert twin.equals(sql_d)
+
+    rows = {r.rung: r for r in similarity.knn_serving_report_df(
+        spark).collect()}
+    assert set(rows) == {"sign_hamming", "lsh", "lsh_multiprobe",
+                         f"matryoshka_prefix{similarity.MRL_RECALL_DIM}",
+                         "exact"}
+    ex = rows["exact"]
+    assert ex.recall_ppm == 1_000_000 and ex.recall_at_k == 1.0
+    assert ex.n_hits == ex.n_queries * similarity.TOP_K
+    # gate consistency: the report's hit counts ARE the gates' sums
+    ham = sum(r.n_hits for r in spark.sql(
+        similarity.knn_hamming_recall(SPARK)).collect())
+    lsh = sum(r.n_hits for r in spark.sql(
+        similarity.knn_recall_at_k(SPARK)).collect())
+    mrl = sum(r.n_hits for r in spark.sql(
+        similarity.embeddings_matryoshka_recall(SPARK)).collect())
+    assert rows["sign_hamming"].n_hits == ham
+    assert rows["lsh"].n_hits == lsh
+    assert rows[f"matryoshka_prefix{similarity.MRL_RECALL_DIM}"] \
+        .n_hits == mrl
+    # ladder shape: multiprobe widens lsh's candidate set, both prune
+    # the corpus; the signature scan is the cheapest bytes rung
+    assert (rows["lsh"].cand_rows <= rows["lsh_multiprobe"].cand_rows
+            <= ex.cand_rows)
+    assert rows["lsh"].n_hits <= rows["lsh_multiprobe"].n_hits
+    assert rows["sign_hamming"].bytes_touched < ex.bytes_touched
+
+
 def test_drift_audit_df_twin_matches_sql_and_oracle(spark, ddb):
     """embeddings_drift_audit (r10, VERDICT r9 task 2): the Arrow twin
     (per-side partial-Gram kernel shared with the covariance twin via

@@ -103,6 +103,13 @@ BNLJ_ALLOWED = {
     #            rows by construction; sources are corpus feeds, not
     #            data rows) — everything downstream is sketch-sized
     "docs_kmv_source_overlap",
+    # knn_serving_report — embeds the allowlisted query-probe-broadcast
+    #            arms (knn_bruteforce's exact truth, the hamming
+    #            signature preselect, the matryoshka prefix arm) plus
+    #            one-row count relations cross-joined into the 5-row
+    #            report; every join downstream of the rungs is
+    #            top-k-relation-sized
+    "knn_serving_report",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
