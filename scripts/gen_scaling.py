@@ -321,6 +321,45 @@ Reading: both growths track at-or-below the 2x row growth — the
 value-range frames stay linear in partition depth (one exchange, one
 sort, frame evaluation is a running scan), so the pair holds the
 same linear claim as the SCD2 stack it shares rails with.""")
+    tn_path = os.path.join(root, "bench_results",
+                           "transition_novelty_stretch.json")
+    if os.path.exists(tn_path):
+        with open(tn_path) as f:
+            tn = json.load(f)
+        tv, tb = tn["variants"], tn["variants"]["sf0.1"]
+        trow = []
+        for key, axes in (("events_transition_matrix",
+                           ("2x_users", "2x_events_per_user")),
+                          ("docs_ngram_novelty", ("2x_docs",))):
+            for axis in axes:
+                v = tv[axis][key]
+                trow.append(f"| `{key}` | {tb[key]['sec']:.2f}s "
+                            f"| {axis.replace('_', ' ')} "
+                            f"| {v['sec']:.2f}s | {v['growth']:.2f}x |")
+        trows = "\n".join(trow)
+        out.append(f"""
+## sf0.2 stretch points (transition matrix + ngram novelty, r10)
+
+`scripts/bench_transition_novelty_stretch.py`: the two r9 operators
+whose growth story previously rested on prose, pinned with doubled
+fixtures. `events_transition_matrix` rides both events axes (2x lag
+partitions / 2x chain depth); `docs_ngram_novelty` gets a verbatim
+2x-docs corpus, where the per-doc distinct shingle relation — the
+timed query's input — doubles exactly while corpus-wide novelty mass
+is INVARIANT (every copy's shingle was introduced by its original;
+sum(n_novel) equal and copies all score 0, asserted — the
+first-introducer semantics pinned at stretch scale). Conservation
+asserted everywhere: transitions == total_events - n_users at every
+point:
+
+| query | sf0.1 wall | axis | 2x wall | growth |
+|---|---|---|---|---|
+{trows}
+
+Reading: all points land at-or-under the 2x input growth — the
+transition matrix is one user_id exchange + a type²-sized aggregate
+(cells constant at 2x), and novelty is one hv exchange + one doc_id
+groupBy; neither has a pair-shaped term to go super-linear.""")
     cov_path = os.path.join(root, "bench_results", "covariance_twin.json")
     if os.path.exists(cov_path):
         with open(cov_path) as f:
