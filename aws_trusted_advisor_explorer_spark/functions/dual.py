@@ -342,6 +342,8 @@ def id_hash_pct(d: Dialect, col: str = "doc_id", salt: str = "") -> str:
 SPARK = Dialect("spark")
 DUCK = Dialect("duck")
 
+INT64_MAX = 9_223_372_036_854_775_807  # Dialect.check headroom bounds
+
 
 def minhash_params(n_perm: int) -> list[tuple[int, int]]:
     """Fixed (a, b) parameters for the permutation hashes

@@ -1194,6 +1194,67 @@ def embeddings_drift_audit_df(spark):
                     "sum_a_micro", "sum_b_micro", "drift_micro"))
 
 
+CLIP_LO_PCT = 0.01   # robust clip bounds: p1 / p99 per dimension
+CLIP_HI_PCT = 0.99
+CLIP_SCALE = 1_000_000  # values quantized to integer micros
+
+
+def embeddings_clip_calibration(d: Dialect) -> str:
+    """Per-dimension CLIP-bound calibration for symmetric int8
+    quantization — the missing input of embeddings_sq_int8's story:
+    naive max-abs scaling lets one outlier coordinate blow up the
+    quantization step for the whole dimension, so production
+    quantizers clip at robust percentiles first. Per dim: exact
+    p{int(CLIP_LO_PCT * 100)}/p{int(CLIP_HI_PCT * 100)} of the
+    micro-quantized values, the symmetric clip bound
+    max(|p1|, |p99|), and the implied int8 step (clip/127) — all
+    exact integers, rank-selected (the events_value_quantiles index
+    rule: no interpolation, no approx drift).
+
+    Computed on the COMPACTED (dim, micro-value) histogram: the
+    explode is task-local, the histogram groupBy map-side-combines,
+    and the rank-selection windows run per dim over histogram rows —
+    bounded by the value DOMAIN (≤ ~2·{CLIP_SCALE} distinct micros
+    per dim for unit-normed data), never by corpus rows; partitioned
+    by dim, so no single-partition funnel. 64-row output.
+
+    Malformed vectors (NULL / ragged) are excluded by the covariance
+    rule; NULL elements inside a well-formed vector are skipped (they
+    carry no value to clip)."""
+    ei = f"cast({d.elem('embedding', 'i')} as double)"
+    pair = d.struct_(("i", "cast(i as bigint)"),
+                     ("vm", f"cast(floor({ei} * {CLIP_SCALE}) as bigint)"))
+    arr = d.transform(d.seq("1", str(DIM)), "i", pair)
+    rank = lambda p: (f"cast(floor((n - 1) * {p}) as bigint) + 1")
+    return f"""WITH x AS (
+  SELECT {d.explode(arr)} AS p FROM embeddings
+  WHERE {d.arr_len('embedding')} = {DIM}
+),
+h AS (
+  SELECT p.i AS i, p.vm AS vm, cast(count(*) as bigint) AS m
+  FROM x WHERE p.vm IS NOT NULL GROUP BY p.i, p.vm
+),
+cdf AS (
+  SELECT i, vm, m,
+    sum(m) OVER (PARTITION BY i ORDER BY vm
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(m) OVER (PARTITION BY i) AS n
+  FROM h
+),
+sel AS (
+  SELECT i, cast(max(n) as bigint) AS n_values,
+    min(CASE WHEN cum >= {rank(CLIP_LO_PCT)} THEN vm END) AS p_lo,
+    min(CASE WHEN cum >= {rank(CLIP_HI_PCT)} THEN vm END) AS p_hi
+  FROM cdf GROUP BY i
+)
+SELECT i AS dim_i, n_values,
+  p_lo AS p01_micro, p_hi AS p99_micro,
+  greatest(abs(p_lo), abs(p_hi)) AS clip_abs_micro,
+  cast({d.idiv('greatest(abs(p_lo), abs(p_hi))', '127')} as bigint)
+    AS int8_step_micro
+FROM sel"""
+
+
 RRF_K = 60          # the standard reciprocal-rank-fusion constant
 HYBRID_TOP_T = 10   # text-arm candidates per query
 HYBRID_K = 10       # fused results per query
@@ -1282,6 +1343,7 @@ BUILDERS = {
     "knn_hamming_recall": knn_hamming_recall,
     "knn_filtered": knn_filtered,
     "knn_serving_report": knn_serving_report,
+    "embeddings_clip_calibration": embeddings_clip_calibration,
     "embeddings_covariance": embeddings_covariance,
     "embeddings_drift_audit": embeddings_drift_audit,
     "embeddings_norm_audit": embeddings_norm_audit,

@@ -14,7 +14,9 @@ compose (quality gate -> dedup -> ...) without materialization.
 
 from __future__ import annotations
 
-from aws_trusted_advisor_explorer_spark.functions.dual import Dialect, P_MOD
+from aws_trusted_advisor_explorer_spark.functions.dual import (
+    Dialect, INT64_MAX, P_MOD,
+)
 
 # Per-language discriminator token profiles for the n-gram/stopword
 # language-ID heuristic. Fixed vocabulary, fixed priority order for
@@ -501,8 +503,6 @@ DSIR_BUCKETS = 1024   # hashed-feature dimensionality (DSIR's memory
                       # bound: counts live in a FIXED-size vector no
                       # matter the vocabulary)
 DSIR_SCALE = 1000     # milli units for the integer importance ratio
-
-INT64_MAX = 9_223_372_036_854_775_807
 
 
 def _dsir_headroom_guard(d: Dialect) -> str:
@@ -1951,6 +1951,85 @@ SELECT doc_id, n_tokens, cast(sum_w as bigint) AS sum_w,
 FROM s"""
 
 
+HEAPS_BUCKETS = 10  # corpus-prefix checkpoints (doc_id deciles)
+
+
+def text_heaps_vocab_growth(d: Dialect, base: str | None = None) -> str:
+    """Vocabulary GROWTH curve (Heaps' law, the tokenizer-sizing /
+    corpus-diversity diagnostic): split the corpus into {HEAPS_BUCKETS}
+    prefixes by doc_id (the ingestion-order proxy docs_ngram_novelty
+    uses) and report, per checkpoint, the token occurrences added, the
+    NEW types introduced (first-occurrence bucket = bucket of the
+    type's min doc_id — monotone in doc_id, so bucket-min equals
+    doc-min), and the cumulative tokens / types / exact
+    types-per-million-tokens. A flattening curve says the corpus is
+    recombining a closed vocabulary (template spam, crawl loops); a
+    Heaps-straight curve says new material is still arriving — the
+    corpus-level complement of the per-doc novelty score.
+
+    Exact integers throughout (cumulative sums + one integer ppm
+    division). With ``base`` (the session token plane) the occurrence
+    relation reads the materialized view; the self-contained form —
+    also the DuckDB oracle — re-tokenizes inline, so the driver check
+    cross-verifies the plane against a plane-free derivation.
+
+    Scale posture (100 TB): one token explode feeds TWO map-side-
+    combining aggregates (per-bucket occurrence counts; per-type min
+    bucket — vocab-sized, the same key the tfidf family groups on);
+    the cumulative window runs over the {HEAPS_BUCKETS}-row checkpoint
+    relation (plan-audit allowlisted as bounded) and the 1-row id-span
+    relation broadcast is the docs_bm25_topk corpus-stats shape."""
+    if base is not None:
+        occ = f"SELECT doc_id, tok FROM {base}"
+    else:
+        occ = (f"SELECT doc_id, {d.explode('toks')} AS tok FROM "
+               f"(SELECT doc_id, {d.tokens('text')} AS toks "
+               f"FROM documents) t0")
+    bucket = (f"least(cast({HEAPS_BUCKETS} as bigint), "
+              f"{d.idiv('(e.doc_id - ids.lo) * ' + str(HEAPS_BUCKETS), 'greatest(ids.hi - ids.lo + 1, 1)')}"
+              f" + 1)")
+    cum = ("OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING "
+           "AND CURRENT ROW)")
+    ppm = d.idiv("(cum_types * 1000000)", "greatest(cum_tokens, 1)")
+    return f"""WITH e AS (
+  {occ}
+),
+ids AS (
+  SELECT cast(min(doc_id) as bigint) AS lo,
+    cast(max(doc_id) as bigint) AS hi
+  FROM documents
+),
+b AS (
+  SELECT e.tok, {bucket} AS decile
+  FROM e CROSS JOIN ids
+),
+occ AS (
+  SELECT decile, cast(count(*) as bigint) AS n_tokens
+  FROM b GROUP BY decile
+),
+intro AS (
+  SELECT tok, cast(min(decile) as bigint) AS decile FROM b GROUP BY tok
+),
+nv AS (
+  SELECT decile, cast(count(*) as bigint) AS n_new_types
+  FROM intro GROUP BY decile
+),
+g AS (
+  SELECT occ.decile, occ.n_tokens,
+    coalesce(nv.n_new_types, cast(0 as bigint)) AS n_new_types
+  FROM occ LEFT JOIN nv ON nv.decile = occ.decile
+),
+c AS (
+  SELECT decile, n_tokens, n_new_types,
+    cast(sum(n_tokens) {cum} as bigint) AS cum_tokens,
+    cast(sum(n_new_types) {cum} as bigint) AS cum_types
+  FROM g
+)
+SELECT decile, n_tokens, n_new_types, cum_tokens, cum_types,
+  cast({ppm} as bigint) AS types_ppm
+FROM c"""
+
+
 def docs_ngram_novelty(d: Dialect, base: str | None = None) -> str:
     """Per-doc n-gram NOVELTY vs the corpus prefix — the
     diversity/memorization curation signal: of a document's distinct
@@ -2013,6 +2092,7 @@ FROM documents docs LEFT JOIN p ON p.doc_id = docs.doc_id"""
 BUILDERS = {
     "docs_boolean_search": docs_boolean_search,
     "docs_bm25_topk": docs_bm25_topk,
+    "text_heaps_vocab_growth": text_heaps_vocab_growth,
     "text_nb_quality_score": text_nb_quality_score,
     "text_unicode_sanitize": text_unicode_sanitize,
     "text_bpe_pair_counts": text_bpe_pair_counts,

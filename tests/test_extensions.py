@@ -4894,6 +4894,184 @@ def test_training_labels_horizon_boundaries(spark):
     assert got[4] == (0, None)
 
 
+def test_heaps_vocab_growth_matches_python_replay(spark, ddb):
+    """text_heaps_vocab_growth (r10): the plane-backed Spark form
+    equals the inline DuckDB oracle, and every checkpoint row matches
+    a python replay (bucket by doc_id span, first-introducer bucket =
+    bucket of the type's min doc_id, exact cumulative ppm)."""
+    import re
+
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    from tests.conftest import canonicalize
+
+    base = dedup.ensure_token_view(spark, key=None)
+    sdf = canonicalize(spark.sql(
+        textops.text_heaps_vocab_growth(SPARK, base=base)).toPandas())
+    ddf = canonicalize(
+        ddb.sql(textops.text_heaps_vocab_growth(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    docs = {r.doc_id: r.text for r in
+            spark.sql("SELECT doc_id, text FROM documents").collect()}
+    lo, hi = min(docs), max(docs)
+    nb = textops.HEAPS_BUCKETS
+
+    def bucket(doc_id):
+        return min(nb, (doc_id - lo) * nb // max(hi - lo + 1, 1) + 1)
+
+    occ: dict = {}
+    intro: dict = {}
+    for did, txt in docs.items():
+        b = bucket(did)
+        for tok in re.findall(r"[a-z0-9]+", (txt or "").lower()):
+            occ[b] = occ.get(b, 0) + 1
+            intro[tok] = min(intro.get(tok, b), b)
+    new_types: dict = {}
+    for tok, b in intro.items():
+        new_types[b] = new_types.get(b, 0) + 1
+    got = {r.decile: r for r in spark.sql(
+        textops.text_heaps_vocab_growth(SPARK, base=base)).collect()}
+    assert set(got) == set(occ)
+    cum_t = cum_v = 0
+    for b in sorted(occ):
+        cum_t += occ[b]
+        cum_v += new_types.get(b, 0)
+        r = got[b]
+        assert (r.n_tokens, r.n_new_types, r.cum_tokens, r.cum_types) \
+            == (occ[b], new_types.get(b, 0), cum_t, cum_v)
+        assert r.types_ppm == (cum_v * 1_000_000) // max(cum_t, 1)
+    # the curve's invariant: final cum_types is the corpus vocabulary
+    assert got[max(occ)].cum_types == len(intro)
+
+
+def test_clip_calibration_matches_numpy_replay(spark, ddb):
+    """embeddings_clip_calibration (r10): cross-engine equal; per-dim
+    p1/p99 micro bounds match a numpy replay of the rank-selection
+    rule (index floor((n-1)·p)+1 over the sorted micro values), and
+    the int8 step is the exact integer division of the symmetric clip
+    bound."""
+    import numpy as np
+
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(spark.sql(
+        similarity.embeddings_clip_calibration(SPARK)).toPandas())
+    ddf = canonicalize(
+        ddb.sql(similarity.embeddings_clip_calibration(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    vecs = [np.asarray(r.embedding, dtype=np.float64)
+            for r in spark.sql(
+                "SELECT embedding FROM embeddings").collect()
+            if r.embedding is not None
+            and len(r.embedding) == similarity.DIM]
+    m = np.floor(np.stack(vecs) * similarity.CLIP_SCALE).astype(np.int64)
+    got = {r.dim_i: r for r in spark.sql(
+        similarity.embeddings_clip_calibration(SPARK)).collect()}
+    assert set(got) == set(range(1, similarity.DIM + 1))
+    for i in range(similarity.DIM):
+        col = np.sort(m[:, i])
+        n = len(col)
+        lo = int(col[int((n - 1) * similarity.CLIP_LO_PCT)])
+        hi = int(col[int((n - 1) * similarity.CLIP_HI_PCT)])
+        r = got[i + 1]
+        assert (r.n_values, r.p01_micro, r.p99_micro) == (n, lo, hi), i
+        clip = max(abs(lo), abs(hi))
+        assert r.clip_abs_micro == clip
+        assert r.int8_step_micro == clip // 127
+
+
+def test_user_gini_matches_python_replay(spark, ddb):
+    """events_user_gini (r10): cross-engine equal, and the compacted-
+    histogram closed form equals a direct python Gini over the sorted
+    per-user counts (both the exact milli integer and the double)."""
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(eventops.events_user_gini(SPARK)).toPandas())
+    ddf = canonicalize(ddb.sql(eventops.events_user_gini(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    counts = sorted(r.c for r in spark.sql(
+        "SELECT count(*) AS c FROM events GROUP BY user_id").collect())
+    n, t = len(counts), sum(counts)
+    wsum = sum((i + 1) * c for i, c in enumerate(counts))
+    row = spark.sql(eventops.events_user_gini(SPARK)).collect()[0]
+    assert row.n_users == n and row.total_events == t
+    assert row.gini_milli == (1000 * (2 * wsum - (n + 1) * t)) // (n * t)
+    assert row.gini == (2 * wsum - (n + 1) * t) / (n * t)
+    assert 0 <= row.gini < 1
+
+
+def test_bot_cadence_audit_matches_python_replay(spark, ddb):
+    """events_bot_cadence_audit (r10): cross-engine equal; every
+    leaderboard row's min/median/max gap and sub-second count match a
+    python replay of the per-user gap series (median = exact rank
+    selection, the events_value_quantiles index rule), and the
+    leaderboard is exactly the BOT_TOP_K fastest medians among
+    qualified users."""
+    from tests.conftest import canonicalize
+
+    sdf = canonicalize(
+        spark.sql(eventops.events_bot_cadence_audit(SPARK)).toPandas())
+    ddf = canonicalize(
+        ddb.sql(eventops.events_bot_cadence_audit(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    evs = spark.sql(
+        "SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, "
+        "event_id FROM events").collect()
+    series: dict = {}
+    for r in evs:
+        series.setdefault(r.user_id, []).append((r.us, r.event_id))
+    stats = {}
+    for u, rows in series.items():
+        rows.sort()
+        gaps = sorted(b[0] - a[0] for a, b in zip(rows, rows[1:]))
+        if len(rows) < eventops.BOT_MIN_EVENTS or not gaps:
+            continue
+        med = gaps[(len(gaps) - 1) // 2]
+        stats[u] = (len(rows), gaps[0], med, gaps[-1],
+                    sum(1 for g in gaps if g < 1_000_000))
+    want = sorted(stats, key=lambda u: (stats[u][2], u))[
+        :eventops.BOT_TOP_K]
+    got = spark.sql(eventops.events_bot_cadence_audit(SPARK)).collect()
+    assert [r.user_id for r in got] == want
+    for r in got:
+        n, mn, med, mx, sub = stats[r.user_id]
+        assert (r.n_events, r.min_gap_us, r.median_gap_us,
+                r.max_gap_us, r.n_subsecond) == (n, mn, med, mx, sub)
+        assert bool(r.is_bot) == (med < eventops.BOT_MEDIAN_US)
+
+
+def test_bot_cadence_flags_planted_bot(spark):
+    """A planted metronomic user (100 events, fixed 200 ms gaps) is
+    flagged is_bot with the exact sub-second count, while a planted
+    human-cadence user is not."""
+    import datetime as dt
+
+    ns = spark.newSession()
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(100):  # bot: fixed 200ms cadence
+        rows.append(f"({i}, 1, timestamp_micros("
+                    f"{1_700_000_000_000_000 + i * 200_000}), "
+                    f"'click', 1.0, '')")
+    for i in range(30):   # human: 1h cadence
+        rows.append(f"({1000 + i}, 2, timestamp_micros("
+                    f"{1_700_000_000_000_000 + i * 3_600_000_000}), "
+                    f"'view', 1.0, '')")
+    ns.sql("SELECT * FROM VALUES " + ", ".join(rows) +
+           " AS t(event_id, user_id, ts, event_type, value, props)"
+           ).createOrReplaceTempView("events")
+    got = {r.user_id: r for r in
+           ns.sql(eventops.events_bot_cadence_audit(SPARK)).collect()}
+    assert bool(got[1].is_bot) and got[1].n_subsecond == 99
+    assert got[1].median_gap_us == 200_000
+    assert not bool(got[2].is_bot)
+
+
 def test_training_examples_fused_equals_joined_halves(spark, ddb):
     """events_training_examples (r10, VERDICT r9 task 4): the fused
     one-exchange assembly equals the feature-store equi-join of the

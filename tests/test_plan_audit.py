@@ -103,6 +103,10 @@ BNLJ_ALLOWED = {
     #            rows by construction; sources are corpus feeds, not
     #            data rows) — everything downstream is sketch-sized
     "docs_kmv_source_overlap",
+    # text_heaps_vocab_growth — the 1-row (min_id, max_id) span
+    #            relation cross-joined into the bucket projection (the
+    #            docs_bm25 corpus-stats shape)
+    "text_heaps_vocab_growth",
     # knn_serving_report — embeds the allowlisted query-probe-broadcast
     #            arms (knn_bruteforce's exact truth, the hamming
     #            signature preselect, the matryoshka prefix arm) plus
@@ -133,6 +137,13 @@ FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 #                            4096 rows: per-shard k-minima and their
 #                            union), never corpus-sized
 WINDOW_UNPART_ALLOWED = {
+    # events_user_gini — the prefix window runs over the COMPACTED
+    #                    per-count histogram (≤ |distinct per-user
+    #                    count values| rows), never per-user rows
+    "events_user_gini",
+    # text_heaps_vocab_growth — the cumulative window runs over the
+    #                    10-row checkpoint relation
+    "text_heaps_vocab_growth",
     "text_vocab_topk", "events_key_skew_audit", "docs_pack_bins",
     "docs_quality_cutoff_calibration", "docs_pack_efficiency",
     "docs_kmv_distinct_union",
