@@ -790,6 +790,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # form's five bf references re-evaluate under Spark CTE inlining;
     # DuckDB materializes them and keeps the self-contained oracle)
     q["knn_serving_report"] = _similarity_df_query("knn_serving_report_df")
+    # power iteration runs the Arrow-kernel twin over the dim²-row
+    # Gram relation (one task after the corpus aggregate); the
+    # unrolled MATERIALIZED-hinted chain is the DuckDB oracle (not in
+    # BUILDERS — Spark CTE inlining would expand it exponentially, the
+    # BPE-trainer rule)
+    q["embeddings_power_iteration"] = _similarity_df_query(
+        "embeddings_power_iteration_df")
     q["knn_filtered"] = _knn_filtered_query
     q["events_retention"] = _eventops_df_query("events_retention_df")
     q["events_funnel"] = _eventops_df_query("events_funnel_df")
@@ -858,6 +865,10 @@ def oracle_sql() -> dict[str, str]:
     # unrolled chain is MATERIALIZED-hinted — Spark's CTE inlining
     # would re-evaluate it exponentially, so the Spark forms are the
     # iterative/batched twins above)
+    # power iteration: the unrolled 48-round chain is MATERIALIZED-
+    # hinted DuckDB-only (the same rule as the BPE oracles below)
+    o["embeddings_power_iteration"] = \
+        similarity.embeddings_power_iteration(DUCK)
     from aws_trusted_advisor_explorer_spark.operators import textops
     o["text_bpe_merge_train"] = textops.text_bpe_merge_train(DUCK)
     o["text_bpe_tokenize_count"] = textops.text_bpe_tokenize_count(DUCK)

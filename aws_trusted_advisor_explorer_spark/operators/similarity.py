@@ -1194,6 +1194,159 @@ def embeddings_drift_audit_df(spark):
                     "sum_a_micro", "sum_b_micro", "drift_micro"))
 
 
+PI_ITERS = 48         # convergence rate is (λ2/λ1)^k — the synthetic
+                      # corpus is near-isotropic (λ2/λ1 ≈ 0.93) and
+                      # needs ~48 rounds for cos ≥ 0.996 with truth;
+                      # real embedding corpora have far larger gaps
+PI_SCALE = 100_000    # eigenvector components rescaled to max-norm 1e5
+
+
+def _power_guard(d: Dialect) -> str:
+    """int64 headroom for the power step (the DSIR/BM25 enforcement
+    rule): w_i = Σ_j G_ij·v_j with |v| ≤ {PI_SCALE} bounds |w| by
+    {DIM}·max|G|·{PI_SCALE}, so max|G| must stay under
+    INT64_MAX div ({DIM}·{PI_SCALE}) ≈ 1.4e12 micro units — holds to
+    ~1e8 typical unit-normed vectors; past that rescale G (drop
+    COV_SCALE) or swap to doubles. Evaluated on the one-row max|G|
+    relation."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import INT64_MAX
+
+    cap = INT64_MAX // (DIM * PI_SCALE)
+    return d.check(
+        f"coalesce(mxg, 0) <= {cap}",
+        "embeddings_power_iteration: int64 headroom exceeded for the "
+        "Gram-vector product; rescale the Gram quantization or swap "
+        "to double arithmetic at this corpus scale")
+
+
+def embeddings_power_iteration(d: Dialect) -> str:
+    """TOP PRINCIPAL DIRECTION of the embedding second-moment (Gram)
+    matrix by POWER ITERATION — the dominant eigenvector that
+    whitening, drift attribution (WHICH direction moved), and
+    low-rank debugging read off the covariance plane the Gram family
+    already computes. {PI_ITERS} rounds of v ← G·v with a per-round
+    max-norm rescale to {PI_SCALE}; the Rayleigh-style estimate
+    λ = max|G·v| / max|v| ships alongside (micro units, G's scale).
+
+    Determinism: G is the covariance plane's exact per-row-floored
+    integers (shared :func:`_gram_pairs_select` definition,
+    symmetrized); each product-sum is pure bigint (headroom ENFORCED
+    by :func:`_power_guard`); the rescale is
+    floor(w/max|w| · {PI_SCALE}) — one IEEE division, one multiply,
+    one floor, identical on both engines. v₀ = all-{PI_SCALE} (fixed
+    sign, so the eigenvector's sign ambiguity is pinned by
+    construction).
+
+    Scale posture (100 TB): corpus rows are touched ONCE (the Gram
+    partial aggregate — the covariance twin's one tiny exchange);
+    every iteration is a join/aggregate over the dim²-row G and the
+    dim-row v — driver-scale-free. The REGISTERED Spark form is the
+    iterative twin :func:`embeddings_power_iteration_df` (per-round
+    64-row localCheckpoints — the BPE-trainer rule; THIS unrolled
+    chain re-references each round's relation twice, which DuckDB
+    MATERIALIZED-hints and Spark CTE inlining would re-evaluate
+    exponentially, so the SQL form is oracle-only)."""
+    rounds = []
+    prev = "v0"
+    for k in range(1, PI_ITERS + 1):
+        rounds.append(f"""w{k} {d.cte_as()} (
+  SELECT g.i AS dim, cast(sum(g.s * {prev}.v) as bigint) AS w
+  FROM g JOIN {prev} ON {prev}.dim = g.j GROUP BY g.i
+),
+n{k} {d.cte_as()} (SELECT max(abs(w)) AS mx FROM w{k}),
+v{k} {d.cte_as()} (
+  SELECT dim, cast(floor(cast(w as double)
+    / cast(greatest(mx, 1) as double) * {PI_SCALE}) as bigint) AS v
+  FROM w{k} CROSS JOIN n{k}
+)""")
+        prev = f"v{k}"
+    chain = ",\n".join(rounds)
+    return f"""WITH x AS (
+  {_gram_pairs_select(d)}
+),
+cov {d.cte_as()} (
+  SELECT p.i AS i, p.j AS j, cast(sum(p.t) as bigint) AS s
+  FROM x GROUP BY p.i, p.j
+),
+gchk {d.cte_as()} (SELECT max(abs(s)) AS mxg FROM cov),
+g {d.cte_as()} (
+  SELECT i, j, s FROM (
+    SELECT i, j, s FROM cov
+    UNION ALL
+    SELECT j AS i, i AS j, s FROM cov WHERE i <> j
+  ) m CROSS JOIN gchk WHERE {_power_guard(d)} IS NULL
+),
+v0 {d.cte_as()} (
+  SELECT cast(dim as bigint) AS dim, cast({PI_SCALE} as bigint) AS v
+  FROM (SELECT {d.explode(d.seq('1', str(DIM)))} AS dim) d0
+),
+{chain}
+SELECT v{PI_ITERS}.dim AS dim_i, v{PI_ITERS}.v AS eig_scaled,
+  cast({d.idiv('n' + str(PI_ITERS) + '.mx', str(PI_SCALE))} as bigint)
+    AS lambda_micro
+FROM v{PI_ITERS} CROSS JOIN n{PI_ITERS}"""
+
+
+def embeddings_power_iteration_df(spark):
+    """Arrow-kernel twin of :func:`embeddings_power_iteration` (the
+    registered Spark form): G comes from the covariance plane's Arrow
+    partial twin (same integers as the SQL fold) symmetrized and
+    guard-checked IN-PLAN, then the {PI_ITERS}-round iteration runs
+    as ONE numpy task over the coalesced dim²-row relation — after
+    the corpus-scale Gram aggregate, the problem is dim²-sized by
+    construction, so a single vectorized task (int64 matmul + the
+    same floor(w/max·scale) float64 rescale the SQL form computes) is
+    the right physical shape; per-round distributed joins would pay
+    ~50 job round-trips to move 64-row relations (measured 12-24 s vs
+    ~1 s for this kernel at sf0.01). Bit-equal to the DuckDB oracle's
+    unrolled chain."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    cov = (embeddings_covariance_df(spark)
+           .select("dim_i", "dim_j", F.col("sum_micro").alias("s")))
+    mirror = (cov.filter("dim_i <> dim_j")
+              .select(F.col("dim_j").alias("dim_i"),
+                      F.col("dim_i").alias("dim_j"), "s"))
+    gchk = cov.agg(F.max(F.abs(F.col("s"))).alias("mxg"))
+    g = (cov.unionByName(mirror).crossJoin(gchk)
+         .filter(F.expr(f"{_power_guard(SPARK)} IS NULL"))
+         .select("dim_i", "dim_j", "s"))
+
+    def iterate(batches):
+        G = np.zeros((DIM, DIM), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            G[pdf["dim_i"].to_numpy() - 1,
+              pdf["dim_j"].to_numpy() - 1] = pdf["s"].to_numpy()
+        if not seen:
+            return
+        v = np.full(DIM, PI_SCALE, dtype=np.int64)
+        mx = np.int64(0)
+        for _ in range(PI_ITERS):
+            w = G @ v  # exact int64 — headroom enforced by the guard
+            mx = np.abs(w).max()
+            # the SQL form's rescale verbatim: one IEEE division, one
+            # multiply, one floor — identical doubles, identical ints
+            v = np.floor(w.astype(np.float64) / float(max(mx, 1))
+                         * PI_SCALE).astype(np.int64)
+        yield pd.DataFrame({
+            "dim_i": np.arange(1, DIM + 1, dtype=np.int64),
+            "eig_scaled": v,
+            "lambda_micro": np.int64(int(mx) // PI_SCALE)})
+
+    # dim²-row relation -> one task holds all of G (the bounded-
+    # single-partition justification: 4160 rows at dim 64)
+    return g.coalesce(1).mapInPandas(
+        iterate, schema="dim_i long, eig_scaled long, lambda_micro long")
+
+
 CLIP_LO_PCT = 0.01   # robust clip bounds: p1 / p99 per dimension
 CLIP_HI_PCT = 0.99
 CLIP_SCALE = 1_000_000  # values quantized to integer micros
@@ -1343,6 +1496,11 @@ BUILDERS = {
     "knn_hamming_recall": knn_hamming_recall,
     "knn_filtered": knn_filtered,
     "knn_serving_report": knn_serving_report,
+    # embeddings_power_iteration is deliberately NOT here (the BPE-
+    # trainer rule: its unrolled SQL chain is DuckDB-oracle-only —
+    # Spark CTE inlining re-evaluates the per-round double references
+    # exponentially); __spark_entry__ registers the Arrow-kernel twin
+    # and wires the oracle manually.
     "embeddings_clip_calibration": embeddings_clip_calibration,
     "embeddings_covariance": embeddings_covariance,
     "embeddings_drift_audit": embeddings_drift_audit,

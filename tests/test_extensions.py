@@ -4982,6 +4982,85 @@ def test_clip_calibration_matches_numpy_replay(spark, ddb):
         assert r.int8_step_micro == clip // 127
 
 
+def test_power_iteration_matches_numpy_replay(spark, ddb):
+    """embeddings_power_iteration (r10): the Arrow-kernel twin equals
+    the DuckDB unrolled-chain oracle exactly (the SQL form is oracle-
+    only — Spark CTE inlining would re-evaluate the per-round double
+    references exponentially, the BPE-trainer rule), and both equal an
+    independent numpy replay of the integer power iteration (exact
+    Gram, int64 matmul, the floor(w/max·scale) rescale)."""
+    import numpy as np
+
+    from tests.conftest import canonicalize
+
+    ddf = canonicalize(
+        ddb.sql(similarity.embeddings_power_iteration(DUCK)).df())
+    twin = canonicalize(
+        similarity.embeddings_power_iteration_df(spark).toPandas())
+    assert twin.equals(ddf)
+
+    vecs = [np.asarray(r.embedding, dtype=np.float64)
+            for r in spark.sql("SELECT embedding FROM embeddings")
+            .collect()
+            if r.embedding is not None
+            and len(r.embedding) == similarity.DIM]
+    m = np.stack(vecs)
+    G = np.floor(np.einsum("ni,nj->nij", m, m)
+                 * float(similarity.COV_SCALE)).sum(axis=0) \
+        .astype(np.int64)
+    v = np.full(similarity.DIM, similarity.PI_SCALE, dtype=np.int64)
+    mx = 0
+    for _ in range(similarity.PI_ITERS):
+        w = G @ v
+        mx = int(np.abs(w).max())
+        v = np.floor(w.astype(np.float64) / max(mx, 1)
+                     * similarity.PI_SCALE).astype(np.int64)
+    got = {r.dim_i: (r.eig_scaled, r.lambda_micro) for r in
+           similarity.embeddings_power_iteration_df(spark).collect()}
+    assert len(got) == similarity.DIM
+    lam = mx // similarity.PI_SCALE
+    for i in range(similarity.DIM):
+        assert got[i + 1] == (int(v[i]), lam), i
+    # on this corpus the estimate must sit at/below the true top
+    # eigenvalue (Rayleigh from inside the spectrum)
+    top = float(np.linalg.eigvalsh((G + G.T) / 2.0)[-1])
+    assert lam <= top / similarity.PI_SCALE * similarity.PI_SCALE
+    assert lam >= 0.9 * top
+
+
+def test_power_iteration_recovers_planted_direction(spark):
+    """A corpus with a PLANTED dominant direction (u + small noise)
+    must converge to u: cosine(result, u) > 0.99 and the eigenvalue
+    estimate within 2% of numpy's truth — the operator does what its
+    name claims, not just what its replay repeats."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    u = rng.randn(similarity.DIM)
+    u /= np.linalg.norm(u)
+    vecs = [(u * rng.choice([-2.0, 2.0])
+             + 0.2 * rng.randn(similarity.DIM)).round(4)
+            for _ in range(300)]
+    ns = spark.newSession()
+    ns.createDataFrame(pd.DataFrame({
+        "vec_id": range(1, 301),
+        "embedding": [list(map(float, x)) for x in vecs],
+        "label": [0] * 300})).createOrReplaceTempView("embeddings")
+    rows = similarity.embeddings_power_iteration_df(ns).collect()
+    v = np.zeros(similarity.DIM)
+    for r in rows:
+        v[r.dim_i - 1] = r.eig_scaled
+    cos = abs(v @ u) / np.linalg.norm(v)
+    assert cos > 0.99, cos
+    G = np.floor(np.einsum("ni,nj->nij", np.stack(vecs), np.stack(vecs))
+                 * float(similarity.COV_SCALE)).sum(axis=0)
+    top = float(np.linalg.eigvalsh((G + G.T) / 2.0)[-1])
+    # lambda_micro = max|G·v| / max|v| is already in G's micro units
+    lam = rows[0].lambda_micro
+    assert abs(lam - top) / top < 0.02, (lam, top)
+
+
 def test_user_gini_matches_python_replay(spark, ddb):
     """events_user_gini (r10): cross-engine equal, and the compacted-
     histogram closed form equals a direct python Gini over the sorted

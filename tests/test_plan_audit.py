@@ -107,6 +107,10 @@ BNLJ_ALLOWED = {
     #            relation cross-joined into the bucket projection (the
     #            docs_bm25 corpus-stats shape)
     "text_heaps_vocab_growth",
+    # embeddings_power_iteration — per-round 1-row max relations (the
+    #            rescale normalizer and the headroom guard) cross-
+    #            joined into dim-row / dim²-row relations
+    "embeddings_power_iteration",
     # knn_serving_report — embeds the allowlisted query-probe-broadcast
     #            arms (knn_bruteforce's exact truth, the hamming
     #            signature preselect, the matryoshka prefix arm) plus
