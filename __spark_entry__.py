@@ -404,6 +404,18 @@ def _cluster_backed_query(builder_name: str):
     return run
 
 
+def _band_tuning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band-tuning report materializes the exact truth pair set
+    once and runs each band config's LSH pipeline exactly once off the
+    session shingle plane (the self-contained SQL form re-references
+    truth per config under Spark CTE inlining — oracle-only)."""
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    _prepare_ext(spark, sf_dir)
+    base = dedup.ensure_shingle_view(spark, key=sf_dir)
+    return dedup.dedup_band_tuning_df(spark, base)
+
+
 def _winnow_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The winnow-overlap self-join materializes its DF-capped
     fingerprint relation once per run (lazy localCheckpoint inside the
@@ -734,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "dedup_containment", "dedup_simhash"):
         q[key] = _shingle_backed_query(key)
     q["dedup_prefix_join"] = _prefix_backed_query
+    q["dedup_band_tuning"] = _band_tuning_query
     for key in ("dedup_incremental", "docs_dedup_rate_by_source",
                 "dedup_lsh_recall", "docs_cross_split_contamination",
                 "docs_cross_lingual_pairs", "dedup_minhash_estimate"):

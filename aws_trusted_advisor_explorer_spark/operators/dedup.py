@@ -218,7 +218,9 @@ def _minhash_mins_sql(n_perm: int) -> str:
 
 def dedup_minhash_lsh(d: Dialect, base: str | None = None,
                       n_perm: int = N_PERM,
-                      n_bands: int = N_BANDS) -> str:
+                      n_bands: int = N_BANDS,
+                      with_cand_count: bool = False,
+                      mh_view: str | None = None) -> str:
     """MinHash(``n_perm`` perms) -> ``n_bands``-band LSH candidate
     join -> exact Jaccard verify on candidates only. Output:
     (doc_a, doc_b, jaccard).
@@ -244,6 +246,19 @@ def dedup_minhash_lsh(d: Dialect, base: str | None = None,
     re-evaluate the whole minhash pipeline once per band (CTEs inline).
     Band buckets larger than BAND_CAP emit STAR candidates (hub =
     bucket min doc_id) instead of all pairs — see the BAND_CAP note.
+
+    ``with_cand_count=True`` (the band-tuning report's cost metric)
+    rides a pre-verify candidate count along every output row via ONE
+    unpartitioned count window over the candidate relation — bounded:
+    candidates are near-dup-pair-sized with BAND_CAP capping per-
+    bucket fan-out — so the candidate pipeline still evaluates
+    exactly once (a separate COUNT reference would re-run it under
+    Spark CTE inlining). ``mh_view`` reads the {n_perm}-column
+    signature relation from a pre-materialized view instead of
+    re-aggregating it — the band-tuning twin computes signatures ONCE
+    for its whole config ladder (bandings differ, signatures don't).
+    Defaults leave the SQL byte-identical to the committed form every
+    pairs-plane consumer hashes against.
     """
     if n_perm % n_bands != 0:
         raise ValueError(
@@ -260,11 +275,21 @@ def dedup_minhash_lsh(d: Dialect, base: str | None = None,
         band_arr = "array(" + ", ".join(band_strs) + ")"
     else:
         band_arr = "[" + ", ".join(band_strs) + "]"
+    if with_cand_count:
+        cand_tail = ",\ncc AS (SELECT ia, ib, count(*) OVER () AS n_cand FROM cand)"
+        cand_src = "cc"
+        cc_common = ", max(c.n_cand) AS n_cand"
+        cc_out = ", cast(n_cand as bigint) AS n_cand"
+    else:
+        cand_tail = ""
+        cand_src = "cand"
+        cc_common = ""
+        cc_out = ""
+    mh_body = (f"SELECT * FROM {mh_view}" if mh_view is not None
+               else f"SELECT doc_id,\n    {mins}\n  FROM sh GROUP BY doc_id")
     return f"""{_shingle_cte(d, base)},
 mh AS (
-  SELECT doc_id,
-    {mins}
-  FROM sh GROUP BY doc_id
+  {mh_body}
 ),
 bands AS (
   SELECT doc_id, {d.explode(band_arr)} AS band_sig FROM mh
@@ -285,16 +310,16 @@ cand AS (
     JOIN bs ON bs.band_sig = x.band_sig AND bs.bn > {BAND_CAP}
     WHERE x.doc_id <> bs.hub
   ) u
-),
+){cand_tail},
 common AS (
-  SELECT c.ia, c.ib, count(*) AS n_common, max(a.n) AS na, max(b.n) AS nb
-  FROM cand c
+  SELECT c.ia, c.ib, count(*) AS n_common, max(a.n) AS na, max(b.n) AS nb{cc_common}
+  FROM {cand_src} c
   JOIN sh2 a ON a.doc_id = c.ia
   JOIN sh2 b ON b.doc_id = c.ib AND b.hv = a.hv
   GROUP BY c.ia, c.ib
 )
 SELECT ia AS doc_a, ib AS doc_b,
-  cast(n_common as double) / (na + nb - n_common) AS jaccard
+  cast(n_common as double) / (na + nb - n_common) AS jaccard{cc_out}
 FROM common
 WHERE cast(n_common as double) / (na + nb - n_common) >= {JACCARD_THRESHOLD}"""
 
@@ -1556,6 +1581,130 @@ SELECT
 FROM m"""
 
 
+BAND_LADDER = (2, 4, 8, 16)  # n_bands grid at N_PERM perms (r = 8,4,2,1)
+
+
+def _band_tuning_summary_sql(b: int, lsh_rel: str, truth_rel: str) -> str:
+    """One config row of the band-tuning report: LSH pairs (carrying
+    the pre-verify candidate count) left-joined to truth, collapsed to
+    a single aggregate row — shared text so the self-contained oracle
+    and the DF twin's SQL arms cannot drift."""
+    return f"""SELECT cast({b} as bigint) AS n_bands,
+    cast({N_PERM // b} as bigint) AS rows_per_band,
+    cast(coalesce(max(l.n_cand), 0) as bigint) AS n_candidates,
+    cast(count(*) as bigint) AS n_pairs,
+    cast(count(t.doc_a) as bigint) AS n_hits
+  FROM {lsh_rel} l LEFT JOIN {truth_rel} t
+    ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b"""
+
+
+def dedup_band_tuning(d: Dialect, base: str | None = None) -> str:
+    """The dedup plane's measured RUNG-TUNING table (the
+    knn_serving_report counterpart; SCALE.md's rung-selection table
+    holds the analytic S-curve — this measures it on THIS corpus):
+    run the SAME {N_PERM}-perm MinHash signatures through the band
+    ladder {BAND_LADDER} (rows-per-band 8/4/2/1) and emit per config
+    the pre-verify candidate-pair count (the cost the banding
+    controls), the verified pair count, and exact-integer-ppm
+    recall/precision against the exact shared-shingle truth at the
+    same threshold. More bands at fixed perms is the recall knob
+    (1-(1-J^r)^b monotone in b), paid for in candidates — this table
+    is the per-corpus price list.
+
+    n_candidates is read off the verified rows (the count rides the
+    candidate relation as one window — dedup_minhash_lsh's
+    with_cand_count rule), so a config whose candidates ALL fail
+    verification reports 0 for both — a dead rung's cost column is
+    moot. Zero-truth corpora report NULL-free integer ppm against a
+    floor of 1.
+
+    Scale posture (100 TB): each config is one banded candidate join
+    (never all-pairs); truth and the per-config pair sets are
+    pair-graph-sized, so the summary joins are negligible. The
+    REGISTERED Spark form is :func:`dedup_band_tuning_df` — this
+    self-contained SQL references truth once per config, which DuckDB
+    MATERIALIZED-hints and Spark CTE inlining would re-evaluate
+    (docs_kmv_source_overlap rule), so it is the oracle."""
+    truth = dedup_ngram_jaccard(d, base)
+    ctes = [f"truth {d.cte_as()} (\n{truth}\n)"]
+    summaries = []
+    for b in BAND_LADDER:
+        lsh = dedup_minhash_lsh(d, base, n_perm=N_PERM, n_bands=b,
+                                with_cand_count=True)
+        ctes.append(f"l{b} AS (\n{lsh}\n)")
+        summaries.append(f"  {_band_tuning_summary_sql(b, f'l{b}', 'truth')}")
+    union = "\n  UNION ALL\n".join(summaries)
+    cte_block = ",\n".join(ctes)
+    return f"""WITH {cte_block},
+tn AS (SELECT cast(count(*) as bigint) AS n_truth FROM truth),
+s AS (
+{union}
+)
+SELECT s.n_bands, s.rows_per_band, s.n_candidates, s.n_pairs, s.n_hits,
+  tn.n_truth,
+  cast({d.idiv('(s.n_hits * 1000000)', 'greatest(tn.n_truth, 1)')}
+    as bigint) AS recall_ppm,
+  cast({d.idiv('(s.n_hits * 1000000)', 'greatest(s.n_pairs, 1)')}
+    as bigint) AS precision_ppm
+FROM s CROSS JOIN tn"""
+
+
+def dedup_band_tuning_df(spark, base: str):
+    """Registered Spark form of :func:`dedup_band_tuning`: the exact
+    truth pair set materializes ONCE (lazy localCheckpoint — the
+    oracle's per-config truth references re-evaluate under Spark CTE
+    inlining), each band config's LSH pipeline runs exactly once off
+    the session shingle plane, and the per-config summaries assemble
+    in-plan (global aggregates — one row per config even when a
+    config returns nothing; no driver collect)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    truth = (spark.sql(dedup_ngram_jaccard(SPARK, base))
+             .select("doc_a", "doc_b")
+             .localCheckpoint(eager=False))
+    t_hit = truth.withColumn("hit", F.lit(1))
+    # the signature relation is banding-independent: compute the
+    # N_PERM minima ONCE and let every config read the materialized
+    # view (4x the signature groupBy otherwise — measured 6.5 s -> ~3 s
+    # at sf0.1)
+    mh_view = "__band_tuning_mh"
+    mh = spark.sql(
+        f"{_shingle_cte(SPARK, base)}\n"
+        f"SELECT doc_id,\n    {_minhash_mins_sql(N_PERM)}\n"
+        f"FROM sh GROUP BY doc_id").localCheckpoint(eager=False)
+    mh.createOrReplaceTempView(mh_view)
+    summaries = []
+    for b in BAND_LADDER:
+        lsh = spark.sql(dedup_minhash_lsh(
+            SPARK, base, n_perm=N_PERM, n_bands=b, with_cand_count=True,
+            mh_view=mh_view))
+        summaries.append(
+            lsh.join(t_hit, ["doc_a", "doc_b"], "left")
+            .agg(F.coalesce(F.max("n_cand"), F.lit(0)).cast("long")
+                 .alias("n_candidates"),
+                 F.count("*").alias("n_pairs"),
+                 F.count("hit").alias("n_hits"))
+            .withColumn("n_bands", F.lit(b).cast("long"))
+            .withColumn("rows_per_band",
+                        F.lit(N_PERM // b).cast("long")))
+    s = reduce(lambda a, c: a.unionByName(c), summaries)
+    tn = truth.agg(F.count("*").alias("n_truth"))
+    return (s.crossJoin(tn)
+            .withColumn("recall_ppm", F.expr(
+                "cast((n_hits * 1000000) div greatest(n_truth, 1) "
+                "as bigint)"))
+            .withColumn("precision_ppm", F.expr(
+                "cast((n_hits * 1000000) div greatest(n_pairs, 1) "
+                "as bigint)"))
+            .select("n_bands", "rows_per_band", "n_candidates",
+                    "n_pairs", "n_hits", "n_truth", "recall_ppm",
+                    "precision_ppm"))
+
+
 MH_EST_SCALE = 1_000_000  # estimator audit reports integer ppm
 
 
@@ -1851,6 +2000,7 @@ BUILDERS = {
     "docs_span_scrub": docs_span_scrub,
     "dedup_incremental": dedup_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_band_tuning": dedup_band_tuning,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_prefix_join": dedup_prefix_join,

@@ -4982,6 +4982,38 @@ def test_clip_calibration_matches_numpy_replay(spark, ddb):
         assert r.int8_step_micro == clip // 127
 
 
+def test_band_tuning_three_ways_and_gate_consistency(spark, ddb):
+    """dedup_band_tuning (r10): the DF form (truth materialized once)
+    equals the DuckDB self-contained oracle; the default-config row
+    (4 bands) agrees exactly with the standalone dedup_lsh_recall
+    gate's counts; recall is monotone in the band count at fixed
+    perms (the S-curve's b-knob, measured); and the r=1 rung pays a
+    visibly larger candidate bill than the default."""
+    from tests.conftest import canonicalize
+
+    base = dedup.ensure_shingle_view(spark, key=None)
+    twin = canonicalize(
+        dedup.dedup_band_tuning_df(spark, base).toPandas())
+    ddf = canonicalize(ddb.sql(dedup.dedup_band_tuning(DUCK)).df())
+    assert twin.equals(ddf)
+
+    rows = {r.n_bands: r for r in
+            dedup.dedup_band_tuning_df(spark, base).collect()}
+    assert set(rows) == set(dedup.BAND_LADDER)
+    gate = ddb.sql(dedup.dedup_lsh_recall(DUCK)).df().iloc[0]
+    r4 = rows[dedup.N_BANDS]
+    assert (r4.n_truth, r4.n_pairs, r4.n_hits) == (
+        int(gate.n_true_pairs), int(gate.n_lsh_pairs),
+        int(gate.n_hit_pairs))
+    recalls = [rows[b].recall_ppm for b in sorted(rows)]
+    assert recalls == sorted(recalls), recalls
+    assert rows[16].n_candidates > rows[4].n_candidates
+    for r in rows.values():
+        assert r.rows_per_band == dedup.N_PERM // r.n_bands
+        assert r.precision_ppm <= 1_000_000
+        assert r.n_hits <= min(r.n_pairs, r.n_truth)
+
+
 def test_power_iteration_matches_numpy_replay(spark, ddb):
     """embeddings_power_iteration (r10): the Arrow-kernel twin equals
     the DuckDB unrolled-chain oracle exactly (the SQL form is oracle-

@@ -107,6 +107,10 @@ BNLJ_ALLOWED = {
     #            relation cross-joined into the bucket projection (the
     #            docs_bm25 corpus-stats shape)
     "text_heaps_vocab_growth",
+    # dedup_band_tuning — the 1-row truth-count relation cross-joined
+    #            into the 4-row config summary (the docs_bm25_topk
+    #            corpus-stats shape)
+    "dedup_band_tuning",
     # embeddings_power_iteration — per-round 1-row max relations (the
     #            rescale normalizer and the headroom guard) cross-
     #            joined into dim-row / dim²-row relations
@@ -148,6 +152,10 @@ WINDOW_UNPART_ALLOWED = {
     # text_heaps_vocab_growth — the cumulative window runs over the
     #                    10-row checkpoint relation
     "text_heaps_vocab_growth",
+    # dedup_band_tuning — per-config candidate-count window over the
+    #                    near-dup-pair-sized candidate relation
+    #                    (BAND_CAP bounds per-bucket fan-out)
+    "dedup_band_tuning",
     "text_vocab_topk", "events_key_skew_audit", "docs_pack_bins",
     "docs_quality_cutoff_calibration", "docs_pack_efficiency",
     "docs_kmv_distinct_union",
