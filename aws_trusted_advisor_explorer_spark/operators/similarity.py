@@ -1306,8 +1306,13 @@ def embeddings_power_iteration_df(spark):
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
 
+    # materialize the Gram ONCE (lazy localCheckpoint): three
+    # references fan out below (upper triangle, mirror, guard max) and
+    # would otherwise re-run the corpus-scale covariance kernel per
+    # reference (measured: 4 MapInPandas subtrees in the executed plan)
     cov = (embeddings_covariance_df(spark)
-           .select("dim_i", "dim_j", F.col("sum_micro").alias("s")))
+           .select("dim_i", "dim_j", F.col("sum_micro").alias("s"))
+           .localCheckpoint(eager=False))
     mirror = (cov.filter("dim_i <> dim_j")
               .select(F.col("dim_j").alias("dim_i"),
                       F.col("dim_i").alias("dim_j"), "s"))

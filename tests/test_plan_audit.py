@@ -382,6 +382,65 @@ def test_r9_session2_operator_plan_shapes(spark):
     assert all(h.startswith("doc_id") for h in hashes), hashes
 
 
+def test_r10_operator_plan_shapes(spark):
+    """POSITIVE plan assertions for the r10 operators' scale claims —
+    exchange inventories pinned (the r9-wave rule):
+
+    * events_user_gini: exactly 2 hash exchanges — the user_id groupBy
+      (the one corpus-scale shuffle) and the compacted count-histogram
+      groupBy; the prefix window's single partition holds only the
+      compacted histogram (allowlisted); no broadcast, no join.
+    * events_bot_cadence_audit: exactly ONE user_id hash exchange
+      serves the lag window, the gap-rank window, and the per-user
+      aggregate; no broadcast, no join.
+    * embeddings_clip_calibration: exactly 2 hash exchanges (the
+      (dim, micro-value) histogram partial and the per-dim window) and
+      ZERO single-partition funnels — the rank windows are PARTITIONED
+      by dim.
+    * embeddings_power_iteration: exactly ONE MapInPandas (the
+      iteration kernel; the Gram feeds it from one lazy checkpoint —
+      a refactor that drops the checkpoint re-expands the covariance
+      kernel per reference and fails here) and no hash exchange
+      downstream of the checkpointed Gram.
+    * text_heaps_vocab_growth (plane-backed): the id-span relation and
+      the checkpoint joins stay BROADCAST; no cartesian.
+    """
+    import re
+
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+
+    def shape(key):
+        plan = q[key](spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        return plan, hashes
+
+    plan, hashes = shape("events_user_gini")
+    assert len(hashes) == 2, hashes
+    assert any(h.startswith("user_id") for h in hashes), hashes
+    assert "BroadcastExchange" not in plan and "Join" not in plan
+
+    plan, hashes = shape("events_bot_cadence_audit")
+    assert len(hashes) == 1 and hashes[0].startswith("user_id"), hashes
+    assert "BroadcastExchange" not in plan and "Join" not in plan
+
+    plan, hashes = shape("embeddings_clip_calibration")
+    assert len(hashes) == 2, hashes
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "BroadcastExchange" not in plan
+
+    plan, hashes = shape("embeddings_power_iteration")
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+    assert len(hashes) == 0, hashes
+
+    plan, hashes = shape("text_heaps_vocab_growth")
+    assert plan.count("BroadcastExchange") >= 1
+    assert "CartesianProduct" not in plan
+
+
 def test_training_examples_fused_plan_shape(spark):
     """POSITIVE plan assertion for events_training_examples (r10): the
     fused assembly's whole point is that ONE user_id exchange and ONE
