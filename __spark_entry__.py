@@ -779,7 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_winnow_overlap"] = _winnow_overlap_query
     for key in ("text_tfidf_topk", "text_commonness_score",
                 "docs_bm25_topk", "docs_boolean_search",
-                "text_heaps_vocab_growth"):
+                "text_heaps_vocab_growth", "text_zipf_profile"):
         q[key] = _token_backed_query(key)
     q["text_fingerprint"] = _shingle_backed_query("text_fingerprint", "textops")
     q["docs_hybrid_search_rrf"] = _shingle_backed_query(

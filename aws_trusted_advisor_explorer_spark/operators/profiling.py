@@ -116,6 +116,60 @@ REFRESH_MOD = 20   # doc_id % 20 == REFRESH_REM -> the delta batch
 REFRESH_REM = 3
 
 
+MAD_K = 5        # flag docs beyond K·MAD from the median
+MAD_TOP_K = 50   # review-queue size
+
+
+def docs_length_mad_outliers(d: Dialect) -> str:
+    """Robust LENGTH-outlier detection (the median/MAD rule — the
+    column-profile family's anomaly arm: mean/stddev profiles are
+    themselves dragged by the outliers they should flag, median/MAD
+    are not): exact median of n_chars and exact MAD (median absolute
+    deviation), both by rank selection over COMPACTED value
+    histograms (the events_value_quantiles index rule — no
+    interpolation, no approx drift; deviations re-compact before the
+    second rank pass), then the {MAD_TOP_K} most-deviant docs beyond
+    {MAD_K}·MAD — truncation bugs, concatenation blowups, and
+    mis-parsed documents surface here before they skew training
+    mixes. All integers; ties deterministic (abs_dev DESC, doc_id).
+
+    Scale posture (100 TB): two histogram aggregates (map-side-
+    combining, bounded by the value DOMAIN, never corpus rows), two
+    prefix windows over those compacted relations (allowlisted), the
+    1-row median/MAD relations broadcast back onto the scan (the
+    docs_bm25_topk corpus-stats shape), final leaderboard is
+    ORDER BY + LIMIT → TakeOrdered."""
+    def rank_sel(src: str, alias: str) -> str:
+        # min value whose cumulative multiplicity reaches the median
+        # index (lower median at even n — the value_quantiles rule)
+        return f"""(
+  SELECT min(CASE WHEN cum >= cast(floor((n - 1) * 0.5) as bigint) + 1
+             THEN v END) AS {alias}
+  FROM (
+    SELECT v, sum(m) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      sum(m) OVER () AS n
+    FROM {src}
+  ) cdf0
+)"""
+    return f"""WITH h AS (
+  SELECT cast(n_chars as bigint) AS v, cast(count(*) as bigint) AS m
+  FROM documents GROUP BY n_chars
+),
+med AS (SELECT med FROM {rank_sel('h', 'med')} m0),
+dh AS (
+  SELECT abs(h.v - med.med) AS v, cast(sum(h.m) as bigint) AS m
+  FROM h CROSS JOIN med GROUP BY abs(h.v - med.med)
+),
+mad AS (SELECT mad FROM {rank_sel('dh', 'mad')} m1)
+SELECT doc_id, cast(n_chars as bigint) AS n_chars,
+  abs(cast(n_chars as bigint) - med.med) AS abs_dev,
+  med.med AS median_chars, mad.mad AS mad_chars
+FROM documents CROSS JOIN med CROSS JOIN mad
+WHERE abs(cast(n_chars as bigint) - med.med) > {MAD_K} * mad.mad
+ORDER BY abs_dev DESC, doc_id LIMIT {MAD_TOP_K}"""
+
+
 def docs_agg_refresh(d: Dialect) -> str:
     """Incremental AGGREGATE maintenance (materialized-view refresh):
     a stored per-source rollup (docs + token totals over the previous
@@ -181,4 +235,5 @@ BUILDERS = {
     "docs_column_profile": docs_column_profile,
     "docs_expectations_report": docs_expectations_report,
     "docs_agg_refresh": docs_agg_refresh,
+    "docs_length_mad_outliers": docs_length_mad_outliers,
 }

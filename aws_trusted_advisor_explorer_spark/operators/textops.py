@@ -1951,6 +1951,78 @@ SELECT doc_id, n_tokens, cast(sum_w as bigint) AS sum_w,
 FROM s"""
 
 
+ZIPF_MAX_EXP = 16  # profile ranks 1, 2, 4, ..., 2^16
+
+
+def text_zipf_profile(d: Dialect, base: str | None = None) -> str:
+    """Zipf FREQUENCY PROFILE of the corpus vocabulary — exact token
+    frequency at every power-of-two rank (1, 2, 4, ..., 2^{ZIPF_MAX_EXP},
+    clipped to the vocabulary size) plus the integer-ppm ratio to the
+    previous checkpoint: under Zipf's law freq(2r)/freq(r) ≈ 2^−s, so
+    the ratio column reads the slope directly without a single libm
+    call (a least-squares fit needs ln() on both axes, and the two
+    engines' libm can differ in the last ulp — the module rule is
+    integer-exact oracles, so the profile IS the deliverable). A
+    corpus whose ratios sag toward 0 is template spam recombining a
+    few heads; a flat-ratio tail is diverse long-tail text — the
+    vocabulary-shape complement of text_heaps_vocab_growth's
+    growth-over-time curve.
+
+    Rank selection on the COMPACTED (freq, multiplicity) histogram
+    ordered by freq DESC (the clip-calibration pattern): freq at rank
+    r = max frequency whose cumulative type count reaches r. Exact
+    integers; the lag window runs over the ≤{ZIPF_MAX_EXP + 1}-row
+    checkpoint relation.
+
+    Scale posture (100 TB): vocab groupBy (map-side combining) →
+    frequency histogram groupBy (bounded by the frequency DOMAIN) →
+    one prefix window over the compacted histogram (allowlisted) →
+    a {ZIPF_MAX_EXP + 1}-row cross join of checkpoint ranks. With
+    ``base`` the occurrence relation reads the session token plane;
+    the self-contained form (also the DuckDB oracle) re-tokenizes
+    inline."""
+    if base is not None:
+        occ = f"SELECT tok FROM {base}"
+    else:
+        occ = (f"SELECT {d.explode('toks')} AS tok FROM "
+               f"(SELECT {d.tokens('text')} AS toks FROM documents) t0")
+    ranks = d.arr_lit([f"cast({1 << k} as bigint)"
+                       for k in range(ZIPF_MAX_EXP + 1)])
+    ppm = d.idiv("(freq * 1000000)", "prev_freq")
+    return f"""WITH vc AS (
+  SELECT tok, cast(count(*) as bigint) AS freq FROM (
+    {occ}
+  ) o GROUP BY tok
+),
+fh AS (
+  SELECT freq, cast(count(*) as bigint) AS m FROM vc GROUP BY freq
+),
+cdf AS (
+  SELECT freq, sum(m) OVER (ORDER BY freq DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(m) OVER () AS n_types
+  FROM fh
+),
+rk AS (SELECT {d.explode(ranks)} AS rank FROM (SELECT 1 AS one) o1),
+sel AS (
+  SELECT rk.rank,
+    cast(max(CASE WHEN cdf.cum >= rk.rank THEN cdf.freq END) as bigint)
+      AS freq,
+    cast(max(cdf.n_types) as bigint) AS n_types
+  FROM rk CROSS JOIN cdf
+  GROUP BY rk.rank
+  HAVING rk.rank <= max(cdf.n_types)
+)
+SELECT rank, freq, n_types,
+  CASE WHEN prev_freq IS NULL OR prev_freq = 0 THEN NULL
+       ELSE cast({ppm} as bigint) END AS ratio_ppm
+FROM (
+  SELECT rank, freq, n_types,
+    lag(freq) OVER (ORDER BY rank) AS prev_freq
+  FROM sel
+) x"""
+
+
 HEAPS_BUCKETS = 10  # corpus-prefix checkpoints (doc_id deciles)
 
 
@@ -2093,6 +2165,7 @@ BUILDERS = {
     "docs_boolean_search": docs_boolean_search,
     "docs_bm25_topk": docs_bm25_topk,
     "text_heaps_vocab_growth": text_heaps_vocab_growth,
+    "text_zipf_profile": text_zipf_profile,
     "text_nb_quality_score": text_nb_quality_score,
     "text_unicode_sanitize": text_unicode_sanitize,
     "text_bpe_pair_counts": text_bpe_pair_counts,

@@ -4982,6 +4982,82 @@ def test_clip_calibration_matches_numpy_replay(spark, ddb):
         assert r.int8_step_micro == clip // 127
 
 
+def test_zipf_profile_matches_python_replay(spark, ddb):
+    """text_zipf_profile (r10): plane-backed Spark form equals the
+    inline DuckDB oracle; every checkpoint row matches a python replay
+    (freq at rank r = the r-th frequency in descending order; ratio =
+    exact integer ppm vs the previous checkpoint, NULL at rank 1)."""
+    import re
+
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    from tests.conftest import canonicalize
+
+    base = dedup.ensure_token_view(spark, key=None)
+    sdf = canonicalize(spark.sql(
+        textops.text_zipf_profile(SPARK, base=base)).toPandas())
+    ddf = canonicalize(ddb.sql(textops.text_zipf_profile(DUCK)).df())
+    assert sdf.equals(ddf)
+
+    freq: dict = {}
+    for r in spark.sql("SELECT text FROM documents").collect():
+        for tok in re.findall(r"[a-z0-9]+", (r.text or "").lower()):
+            freq[tok] = freq.get(tok, 0) + 1
+    desc = sorted(freq.values(), reverse=True)
+    got = {r.rank: r for r in spark.sql(
+        textops.text_zipf_profile(SPARK, base=base)).collect()}
+    want_ranks = [1 << k for k in range(textops.ZIPF_MAX_EXP + 1)
+                  if (1 << k) <= len(desc)]
+    assert sorted(got) == want_ranks
+    prev = None
+    for rk in want_ranks:
+        r = got[rk]
+        assert r.freq == desc[rk - 1], rk
+        assert r.n_types == len(desc)
+        if prev is None:
+            assert r.ratio_ppm is None
+        else:
+            assert r.ratio_ppm == (r.freq * 1_000_000) // prev
+        prev = r.freq
+
+
+def test_length_mad_outliers_planted(spark):
+    """docs_length_mad_outliers (r10): zero rows on the tightly-
+    distributed driver corpus (covered cross-engine by the dual-op
+    oracle test), so a planted corpus pins the semantics: exact lower
+    median and MAD by rank selection, only docs beyond K·MAD emitted,
+    deterministic (abs_dev DESC, doc_id) order, and the two planted
+    monsters surface first."""
+    import pandas as pd
+
+    ns = spark.newSession()
+    lens = ([100] * 5 + [110] * 5 + [90] * 5   # tight core: med 100
+            + [1000, 5000, 2])                 # two monsters + a runt
+    pdf = pd.DataFrame({
+        "doc_id": range(1, len(lens) + 1),
+        "text": ["x" * n for n in lens],
+        "lang": ["en"] * len(lens),
+        "source": ["s"] * len(lens),
+        "n_chars": lens})
+    ns.createDataFrame(pdf).createOrReplaceTempView("documents")
+    from aws_trusted_advisor_explorer_spark.operators import profiling
+
+    rows = ns.sql(profiling.docs_length_mad_outliers(SPARK)).collect()
+    # python replay: lower median of 18 values, MAD of deviations
+    svals = sorted(lens)
+    med = svals[(len(svals) - 1) // 2]
+    dev = sorted(abs(v - med) for v in lens)
+    mad = dev[(len(dev) - 1) // 2]
+    want = sorted(
+        ((abs(n - med), i + 1, n) for i, n in enumerate(lens)
+         if abs(n - med) > profiling.MAD_K * mad),
+        key=lambda t: (-t[0], t[1]))
+    assert [(r.abs_dev, r.doc_id, r.n_chars) for r in rows] == want
+    assert len(rows) >= 2  # the monsters are flagged
+    for r in rows:
+        assert r.median_chars == med and r.mad_chars == mad
+
+
 def test_band_tuning_three_ways_and_gate_consistency(spark, ddb):
     """dedup_band_tuning (r10): the DF form (truth materialized once)
     equals the DuckDB self-contained oracle; the default-config row

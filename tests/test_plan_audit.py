@@ -105,8 +105,16 @@ BNLJ_ALLOWED = {
     "docs_kmv_source_overlap",
     # text_heaps_vocab_growth — the 1-row (min_id, max_id) span
     #            relation cross-joined into the bucket projection (the
-    #            docs_bm25 corpus-stats shape)
+    #            docs_bm25_topk corpus-stats shape)
     "text_heaps_vocab_growth",
+    # docs_length_mad_outliers — the 1-row median and MAD relations
+    #            cross-joined back onto the scan (the docs_bm25_topk
+    #            corpus-stats shape)
+    "docs_length_mad_outliers",
+    # text_zipf_profile — the 17-row power-of-two checkpoint relation
+    #            cross-joined to the compacted frequency histogram
+    #            (both bounded by construction)
+    "text_zipf_profile",
     # dedup_band_tuning — the 1-row truth-count relation cross-joined
     #            into the 4-row config summary (the docs_bm25_topk
     #            corpus-stats shape)
@@ -156,6 +164,14 @@ WINDOW_UNPART_ALLOWED = {
     #                    near-dup-pair-sized candidate relation
     #                    (BAND_CAP bounds per-bucket fan-out)
     "dedup_band_tuning",
+    # docs_length_mad_outliers — two prefix windows over COMPACTED
+    #                    value histograms (bounded by the n_chars /
+    #                    deviation value domains, never corpus rows)
+    "docs_length_mad_outliers",
+    # text_zipf_profile — prefix window over the compacted frequency
+    #                    histogram + a lag window over the ≤17-row
+    #                    checkpoint relation
+    "text_zipf_profile",
     "text_vocab_topk", "events_key_skew_audit", "docs_pack_bins",
     "docs_quality_cutoff_calibration", "docs_pack_efficiency",
     "docs_kmv_distinct_union",
