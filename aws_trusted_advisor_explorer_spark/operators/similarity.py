@@ -1158,7 +1158,11 @@ def embeddings_drift_audit_df(spark):
             # vectors — the covariance twin's filter, per side
             sides = {0: [], 1: []}
             for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
-                if v is not None and len(v) == DIM:
+                # NULL vec_id has no parity side (the SQL form's CASE
+                # counts it on neither side); NULL/ragged vectors are
+                # the covariance twin's filter
+                if vid is not None and not pd.isna(vid) \
+                        and v is not None and len(v) == DIM:
                     sides[int(vid) % 2].append(
                         np.asarray(v, dtype=np.float64))
             if not sides[0] and not sides[1]:

@@ -5472,10 +5472,10 @@ def test_drift_forms_agree_on_malformed_vectors(spark):
 
     ns = spark.newSession()
     pdf = pd.DataFrame({
-        "vec_id": [1, 2, 3, 4, 5, 6],
+        "vec_id": [1, 2, 3, 4, 5, 6, None],
         "embedding": [[0.5] * 64, [0.1] * 64, [1.0] * 8,
-                      [0.25] * 64, None, [-0.5] * 64],
-        "label": [0, 1, 2, 3, 4, 5]})
+                      [0.25] * 64, None, [-0.5] * 64, [0.75] * 64],
+        "label": [0, 1, 2, 3, 4, 5, 6]})
     ns.createDataFrame(pdf).createOrReplaceTempView("embeddings")
     sql_form = canonicalize(
         ns.sql(similarity.embeddings_drift_audit(SPARK)).toPandas())
@@ -5484,6 +5484,7 @@ def test_drift_forms_agree_on_malformed_vectors(spark):
     assert twin.equals(sql_form)
     rows = similarity.embeddings_drift_audit_df(ns).collect()
     # side 0 (even ids) = {2, 4, 6}, all well-formed; side 1 (odd ids)
-    # keeps only {1} — 3 is ragged, 5 is NULL
+    # keeps only {1} — 3 is ragged, 5 is NULL; the NULL-vec_id row has
+    # no parity side and lands on neither (SQL CASE and twin agree)
     assert len(rows) > 0
     assert all(r.n_a == 3 and r.n_b == 1 for r in rows)
