@@ -211,6 +211,17 @@ def _kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketchops.docs_kmv_source_overlap_df(spark, base)
 
 
+def _release_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release capstone: the composed detect→drop→decontaminate→split→
+    pack→shard manifest (corpusops.docs_release_manifest_df) off the
+    session MinHash-pair / contamination / dochash planes; the
+    self-contained recursive-CTE composition is the DuckDB oracle."""
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+
+    _prepare_ext(spark, sf_dir)
+    return corpusops.docs_release_manifest_df(spark, key=sf_dir)
+
+
 def _eventops_df_query(fn_name: str):
     """Event-plane DF twins: retention/funnel materialize their
     multiply-referenced intermediate once per run instead of
@@ -279,6 +290,31 @@ def _phash_backed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prepare_ext(spark, sf_dir)
     return spark.sql(multimodal.media_phash_dedup(
         SPARK, base=multimodal.ensure_phash_view(spark, key=sf_dir)))
+
+
+def _caption_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-modality relation off the session phash plane; the
+    inline gradient pipeline is the DuckDB oracle."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    _prepare_ext(spark, sf_dir)
+    return spark.sql(multimodal.media_caption_pairs(
+        SPARK, base=multimodal.ensure_phash_view(spark, key=sf_dir)))
+
+
+def _pairs_near_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style pair-level dedup: media side off the session phash
+    plane, caption side off the session MinHash pair plane; the
+    oracle inlines both pipelines self-contained."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup, multimodal
+
+    _prepare_ext(spark, sf_dir)
+    pv = dedup.ensure_minhash_pairs_view(spark, key=sf_dir)
+    return spark.sql(multimodal.pairs_near_dedup(
+        SPARK, base=multimodal.ensure_phash_view(spark, key=sf_dir),
+        pairs_view=pv))
 
 
 def _prefix_backed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_kmv_distinct_union", "sketchops")
     q["docs_kmv_source_overlap"] = _kmv_overlap_query
     q["media_phash_dedup"] = _phash_backed_query
+    q["media_caption_pairs"] = _caption_pairs_query
+    q["pairs_near_dedup"] = _pairs_near_dedup_query
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",
                 "pq_recall_report"):
@@ -818,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # "aqe" mode plans the SQL form's join exactly
     q["events_purchase_click_pairs"] = _eventops_df_query(
         "events_purchase_click_pairs_df")
+    q["docs_release_manifest"] = _release_manifest_query
     q["docs_pack_bins"] = _pack_bins_query
     q["docs_pack_efficiency"] = _pack_efficiency_query
     q["docs_quality_cutoff_calibration"] = _cutoff_calibration_query
@@ -847,6 +886,8 @@ def oracle_sql() -> dict[str, str]:
     for key, build in _ext_builders().items():
         o[key] = build(DUCK)
     o["media_byte_stats"] = multimodal.media_byte_stats_oracle(DUCK)
+    o["media_caption_pairs"] = multimodal.media_caption_pairs(DUCK)
+    o["pairs_near_dedup"] = multimodal.pairs_near_dedup(DUCK)
     o["media_feature_extract"] = multimodal.media_feature_extract_oracle(DUCK)
     o["media_frame_sample"] = multimodal.media_frame_sample_oracle(DUCK)
     # the prefix-filtered exact join must equal the full shared-shingle
@@ -882,6 +923,10 @@ def oracle_sql() -> dict[str, str]:
     # hinted DuckDB-only (the same rule as the BPE oracles below)
     o["embeddings_power_iteration"] = \
         similarity.embeddings_power_iteration(DUCK)
+    # release capstone: recursive-CTE near-dup closure inside -> the
+    # composed SQL is DuckDB-only; the Spark form is the DF composition
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+    o["docs_release_manifest"] = corpusops.docs_release_manifest_oracle(DUCK)
     from aws_trusted_advisor_explorer_spark.operators import textops
     o["text_bpe_merge_train"] = textops.text_bpe_merge_train(DUCK)
     o["text_bpe_tokenize_count"] = textops.text_bpe_tokenize_count(DUCK)

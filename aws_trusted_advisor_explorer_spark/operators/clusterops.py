@@ -535,6 +535,7 @@ def ensure_cluster_views(spark, key: object = None) -> None:
         dfs.append(m)
         return dfs
 
+    build.plane_label = "cluster_index"
     ensure_session_plane(_CLUSTER_STATE, spark, key, build)
 
 
@@ -594,6 +595,7 @@ def ensure_semdedup_pairs(spark, key: object = None):
         df.createOrReplaceTempView(SEM_PAIRS_VIEW)
         return [df]
 
+    build.plane_label = "semdedup_pairs"
     ensure_session_plane(_PAIRS_STATE, spark, key, build)
     return spark.table(SEM_PAIRS_VIEW)
 

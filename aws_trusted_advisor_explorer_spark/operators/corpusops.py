@@ -1146,6 +1146,223 @@ SELECT r.doc_id, r.epoch, cast(r.shard as bigint) AS shard,
 FROM r JOIN off ON off.epoch = r.epoch AND off.shard = r.shard"""
 
 
+# --- release capstone (r10 verdict task 4): detect -> drop ->
+#     decontaminate -> split -> pack -> shard -> manifest -------------------
+RELEASE_SHARD_TOKENS = 2048  # token budget per release shard
+
+
+def docs_release_manifest_oracle(d: Dialect) -> str:
+    """DuckDB oracle for the release capstone — the ONE artifact a
+    training-data team hands off: compose every existing rail (exact
+    dedup + quality gate + domain cap + split from
+    :func:`docs_curation_pipeline`; the MinHash near-dup drop list
+    from ``docs_near_dedup_apply``; benchmark decontamination from
+    :func:`docs_decontaminated`), pack the survivors into
+    token-budget shards per split (the :func:`docs_pack_bins`
+    exclusive-cumsum rule, PARTITIONed BY split), and emit one
+    manifest row per shard: path, doc/token/byte counts, an
+    order-independent content checksum (bit_xor of the per-doc
+    poly-hash), and the id range.
+
+    DuckDB-only (the near-dup component closure is a recursive CTE —
+    the embeddings_power_iteration rule); the registered Spark form
+    is :func:`docs_release_manifest_df`, which composes the same
+    rails as DataFrames with the distributed two-phase cumsum."""
+    from aws_trusted_advisor_explorer_spark.operators.dedup import (
+        docs_near_dedup_apply_oracle,
+    )
+
+    n_toks = d.arr_len(d.tokens("text"))
+    nbytes = ("octet_length(text)" if d.name == "spark"
+              else "strlen(text)")  # both count BYTES (tar member size)
+    return f"""WITH pipe AS (
+{docs_curation_pipeline(d)}
+),
+nd AS (
+{docs_near_dedup_apply_oracle(d)}
+),
+ship AS (
+{docs_decontaminated(d)}
+),
+tok AS (
+  SELECT doc_id, cast({n_toks} as bigint) AS n_toks,
+    cast({nbytes} as bigint) AS n_bytes,
+    {d.poly_hash('text')} AS h
+  FROM documents
+),
+rel AS (
+  SELECT p.doc_id, p.split, t.n_toks, t.n_bytes, t.h
+  FROM pipe p
+  JOIN nd ON nd.doc_id = p.doc_id
+  JOIN ship s ON s.doc_id = p.doc_id
+  JOIN tok t ON t.doc_id = p.doc_id
+  WHERE p.keep = 1 AND nd.keep
+),
+c AS (
+  SELECT doc_id, split, n_toks, n_bytes, h,
+    sum(n_toks) OVER (PARTITION BY split ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prior
+  FROM rel
+),
+sh AS (
+  SELECT doc_id, split, n_toks, n_bytes, h,
+    cast(floor(coalesce(prior, 0) / {RELEASE_SHARD_TOKENS}) as bigint)
+      AS shard_id
+  FROM c
+)
+SELECT split, shard_id,
+  'release/' || split || '/shard-'
+    || lpad(cast(shard_id as varchar), 5, '0') || '.tar' AS path,
+  cast(count(*) as bigint) AS n_docs,
+  cast(sum(n_toks) as bigint) AS n_tokens,
+  cast(sum(n_bytes) as bigint) AS n_bytes,
+  cast(bit_xor(h) as bigint) AS checksum_xor,
+  cast(min(doc_id) as bigint) AS first_doc_id,
+  cast(max(doc_id) as bigint) AS last_doc_id
+FROM sh GROUP BY split, shard_id"""
+
+
+def _release_assignments_df(spark, key: object = None,
+                            with_text: bool = False):
+    """Doc-level release relation (doc_id, split, shard_id, n_toks,
+    n_bytes, h [, text]) behind both the manifest aggregate and the
+    shard writer — every gate is an existing rail, composed:
+
+    - pipeline verdicts (exact dedup + quality + domain cap + split)
+      keep=1 survivors — docs_curation_pipeline, 2 exchanges;
+    - near-dup keepers — docs_near_dedup_apply_df off the session
+      MinHash pair plane (broadcast-sized cluster relation);
+    - decontaminated ship list — docs_decontaminated off the session
+      contamination plane (broadcast anti-join);
+    - content hash from the session dochash plane (no re-fold);
+    - per-split token packing — the docs_pack_bins_df two-phase
+      cumsum GENERALIZED to PARTITION BY split: range-partition by
+      (split, doc_id), per-(split, pid) totals become prefix offsets
+      (a bounded partitions-per-split-sized window), broadcast back.
+
+    Scale posture (100 TB): every join is id-keyed and skinny (text
+    rides along only for the shard writer, and never shuffles wider
+    than its own range partition); the cumsum never global-sorts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    pipe = (spark.sql(docs_curation_pipeline(SPARK))
+            .filter("keep = 1").select("doc_id", "split"))
+    nd = (dedup.docs_near_dedup_apply_df(
+        spark, pairs_view=dedup.ensure_minhash_pairs_view(spark, key=key))
+        .filter("keep").select("doc_id"))
+    ship = spark.sql(docs_decontaminated(
+        SPARK, base=ensure_contam_view(spark, key=key))).select("doc_id")
+    hv = (spark.table(dedup.ensure_dochash_view(spark, key=key))
+          .select("doc_id", F.col("hv").alias("h")))
+    cols = ["doc_id",
+            f"cast({SPARK.arr_len(SPARK.tokens('text'))} as bigint)"
+            " AS n_toks",
+            "cast(octet_length(text) as bigint) AS n_bytes"]
+    if with_text:
+        cols.append("text")
+    tok = spark.table("documents").selectExpr(*cols)
+    rel = (pipe.join(nd, "doc_id").join(ship, "doc_id")
+           .join(tok, "doc_id").join(hv, "doc_id"))
+    # two-phase per-split exclusive cumsum (docs_pack_bins_df pattern)
+    ranged = (rel.repartitionByRange(32, "split", "doc_id")
+              .withColumn("pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
+    totals = (ranged.groupBy("split", "pid")
+              .agg(F.sum("n_toks").alias("part_sum")))
+    # bounded window: one row per (split, range partition) — the
+    # two-phase-cumsum allowlist justification
+    w_off = (Window.partitionBy("split").orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (totals.withColumn(
+        "offset", F.coalesce(F.sum("part_sum").over(w_off), F.lit(0)))
+        .select("split", "pid", "offset"))
+    w_in = (Window.partitionBy("split", "pid").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    return (ranged.join(F.broadcast(offsets), ["split", "pid"])
+            .withColumn("prior",
+                        F.col("offset")
+                        + F.coalesce(F.sum("n_toks").over(w_in), F.lit(0)))
+            .withColumn("shard_id",
+                        F.floor(F.col("prior") / RELEASE_SHARD_TOKENS)
+                        .cast("bigint")))
+
+
+def docs_release_manifest_df(spark, key: object = None):
+    """The release manifest as a DataFrame (the registered Spark form
+    of :func:`docs_release_manifest_oracle`): one row per (split,
+    shard) with the shard path, exact doc/token/byte counts, the
+    order-independent bit_xor content checksum, and the id range.
+    ONE map-side-combining aggregate over the doc-level assignment
+    relation."""
+    from pyspark.sql import functions as F
+
+    a = _release_assignments_df(spark, key=key)
+    return (a.groupBy("split", "shard_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_toks").cast("bigint").alias("n_tokens"),
+                 F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+                 F.expr("cast(bit_xor(h) as bigint)")
+                 .alias("checksum_xor"),
+                 F.min("doc_id").cast("bigint").alias("first_doc_id"),
+                 F.max("doc_id").cast("bigint").alias("last_doc_id"))
+            .select("split", "shard_id",
+                    F.format_string("release/%s/shard-%05d.tar",
+                                    F.col("split"), F.col("shard_id"))
+                    .alias("path"),
+                    "n_docs", "n_tokens", "n_bytes", "checksum_xor",
+                    "first_doc_id", "last_doc_id"))
+
+
+def docs_release_write_shards(spark, out_dir: str, key: object = None):
+    """Materialize the release as WebDataset text shards — one tar per
+    manifest row (``release/<split>/shard-<id>.tar``, members
+    ``<doc_id>.txt`` in id order, mtime pinned to 0 for byte-stable
+    output), written via ``applyInPandas`` over (split, shard_id)
+    groups so shard production parallelism == task parallelism and no
+    payload passes through the driver (the sinks/shards.py staging
+    rule: attempt-unique temp name + atomic rename). Returns the
+    written rows for reconciliation against the manifest."""
+    import io
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    out_schema = ("split string, shard_id long, path string, "
+                  "n_docs long, n_bytes long")
+
+    def write_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        split = pdf["split"].iloc[0]
+        sid = int(pdf["shard_id"].iloc[0])
+        rel_path = f"release/{split}/shard-{sid:05d}.tar"
+        full = os.path.join(out_dir, rel_path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pdf = pdf.sort_values("doc_id")
+        tmp = f"{full}.inprogress-{os.getpid()}"
+        n_bytes = 0
+        with tarfile.open(tmp, "w") as tf:
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                data = ("" if txt is None else txt).encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(did):012d}.txt")
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+                n_bytes += len(data)
+        os.replace(tmp, full)
+        return pd.DataFrame([{"split": split, "shard_id": sid,
+                              "path": rel_path, "n_docs": len(pdf),
+                              "n_bytes": n_bytes}])
+
+    a = _release_assignments_df(spark, key=key, with_text=True)
+    return (a.groupBy("split", "shard_id")
+            .applyInPandas(write_group, out_schema))
+
+
 BUILDERS = {
     "docs_chunking": docs_chunking,
     "docs_split_token_budget": docs_split_token_budget,

@@ -118,6 +118,7 @@ def ensure_shingle_view(spark, key: object = None) -> str:
         cdf.createOrReplaceTempView(SHINGLE_CAPPED_VIEW)
         return [df, ddf, cdf]
 
+    build.plane_label = "shingle"
     ensure_session_plane(_SHINGLE_STATE, spark, key, build)
     return SHINGLE_VIEW
 
@@ -429,6 +430,7 @@ def ensure_prefix_views(spark, key: object = None) -> tuple[str, str]:
         sets.createOrReplaceTempView(SETS_VIEW)
         return [pref, sets]
 
+    build.plane_label = "prefix"
     ensure_session_plane(_PREFIX_STATE, spark, key, build)
     return PREFIX_VIEW, SETS_VIEW
 
@@ -728,6 +730,7 @@ def ensure_token_view(spark, key: object = None) -> str:
         tp.createOrReplaceTempView(TOKEN_POS_VIEW)
         return [tp]
 
+    build.plane_label = "token"
     ensure_session_plane(_TOKEN_STATE, spark, key, build)
     return TOKEN_POS_VIEW
 
@@ -756,6 +759,7 @@ def ensure_span_views(spark, key: object = None) -> str:
         g.createOrReplaceTempView(SPAN_GRAM_VIEW)
         return [g]
 
+    build.plane_label = "span"
     ensure_session_plane(_SPAN_STATE, spark, key, build)
     return SPAN_GRAM_VIEW
 

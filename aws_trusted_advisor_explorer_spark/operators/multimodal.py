@@ -504,6 +504,122 @@ def ensure_phash_view(spark, key: object = None) -> str:
             _phash_sig_cte(SPARK) + "\nSELECT doc_id, ph FROM s"))
 
 
+def _phash_band_cands(d: Dialect, rel: str = "s",
+                      idc: str = "doc_id") -> str:
+    """The phash band-join candidate CTEs (``bands`` + ``cand``) over
+    any (id, ph) relation — shared by :func:`media_phash_dedup` (media
+    assets) and :func:`pairs_near_dedup` (the media side of pair-level
+    dedup): candidates share one of {PHASH_BITS}//{PHASH_BAND_BITS}
+    exact bands (pigeonhole catches hamming <= {PHASH_MAX_HAMMING})
+    and verify popcount(xor). Metadata-only join — payloads never
+    shuffle."""
+    n_bands = PHASH_BITS // PHASH_BAND_BITS
+    mask = (1 << PHASH_BAND_BITS) - 1
+    band_strs = [
+        f"concat_ws(':', '{b}', "
+        f"cast({d.bitslice('ph', b * PHASH_BAND_BITS, mask)} as string))"
+        for b in range(n_bands)]
+    if d.name == "spark":
+        band_arr = "array(" + ", ".join(band_strs) + ")"
+    else:
+        band_arr = "[" + ", ".join(band_strs) + "]"
+    hamming = f"bit_count({d.xor('a.ph', 'b.ph')})"
+    return f"""bands AS (
+  SELECT {idc} AS bid, ph, {d.explode(band_arr)} AS band_sig FROM {rel}
+),
+cand AS (
+  SELECT DISTINCT a.bid AS ia, b.bid AS ib,
+    cast({hamming} as bigint) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_sig = b.band_sig AND a.bid < b.bid
+  WHERE {hamming} <= {PHASH_MAX_HAMMING}
+)"""
+
+
+def media_caption_pairs(d: Dialect, base: str | None = None) -> str:
+    """The paired-modality relation (the LAION shape): one (media,
+    caption) pair per asset in the perceptual-hash plane, pairing
+    deterministically on the shared key — ``caption_id = media_id %
+    {PHASH_VARIANT_OFFSET}``, so a planted noisy media twin (id
+    offset by {PHASH_VARIANT_OFFSET}) shares its ORIGINAL's caption
+    document. Emits the pair with the media-side hash and the
+    caption's metadata (lang, source, char length) — the relation
+    pair-level curation (:func:`pairs_near_dedup`) and CLIP-style
+    training both consume.
+
+    Scale posture (100 TB): the media side is the stored per-asset
+    hash plane (ids + 8-byte hashes), the caption side joins on
+    doc_id and carries metadata only — neither payloads nor text
+    shuffle."""
+    prefix = (f"WITH s AS (SELECT doc_id, ph FROM {base})"
+              if base is not None else _phash_sig_cte(d))
+    return f"""{prefix}
+SELECT s.doc_id AS pair_id, s.doc_id AS media_id,
+  cast(s.doc_id % {PHASH_VARIANT_OFFSET} as bigint) AS caption_id,
+  cast(s.ph as bigint) AS media_phash,
+  dd.lang, dd.source,
+  cast(length(dd.text) as bigint) AS caption_chars
+FROM s JOIN documents dd
+  ON dd.doc_id = s.doc_id % {PHASH_VARIANT_OFFSET}"""
+
+
+def pairs_near_dedup(d: Dialect, base: str | None = None,
+                     pairs_view: str | None = None,
+                     shingle_base: str | None = None) -> str:
+    """PAIR-level near-dedup — the LAION-style rule: two (media,
+    caption) pairs are duplicates only when BOTH modalities agree —
+    the media sides share a phash band and verify hamming <=
+    {PHASH_MAX_HAMMING}, AND the caption sides are the same document
+    or share a MinHash band (the text near-dup pair graph). A
+    media-only match (re-encoded image, different caption) or a
+    caption-only match (same text, different image) survives — that
+    is the paired-modality contract.
+
+    Emits one row per duplicate pair-of-pairs: both pair ids, the
+    media hamming, whether the captions are identical, and the
+    caption jaccard (1.0 for identical captions, the MinHash-graph
+    estimate otherwise).
+
+    Expected on the fixture corpus: exactly the planted noisy twins —
+    each twin pair (media d+{PHASH_VARIANT_OFFSET}, caption d) vs its
+    original (media d, caption d) matches on the media side by
+    construction (<= 4 flipped bits) and shares caption d literally.
+
+    Scale posture (100 TB): the media band join carries (id, ph,
+    band) only; the caption check is an id-equality expression plus
+    one equi-join against the near-dup-sized MinHash pair relation
+    (broadcast). Payloads and text never shuffle — hashes only.
+
+    Ref parity note: no reference analog (extension plane) — the
+    composition mirrors the LAION/DataComp pair-curation recipe."""
+    from aws_trusted_advisor_explorer_spark.operators.dedup import _pairs_cte
+
+    prefix = (f"WITH s AS (SELECT doc_id, ph FROM {base})"
+              if base is not None else _phash_sig_cte(d))
+    return f"""{prefix},
+pair AS (
+  SELECT doc_id AS media_id,
+    cast(doc_id % {PHASH_VARIANT_OFFSET} as bigint) AS caption_id, ph
+  FROM s
+),
+{_phash_band_cands(d, rel="pair", idc="media_id")},
+tp AS (
+{_pairs_cte(d, shingle_base, pairs_view)}
+)
+SELECT c.ia AS pair_a, c.ib AS pair_b, c.hamming AS media_hamming,
+  cast(CASE WHEN pa.caption_id = pb.caption_id THEN 1 ELSE 0 END
+       as bigint) AS caption_identical,
+  cast(CASE WHEN pa.caption_id = pb.caption_id THEN 1.0
+            ELSE tp.jaccard END as double) AS caption_jaccard
+FROM cand c
+JOIN pair pa ON pa.media_id = c.ia
+JOIN pair pb ON pb.media_id = c.ib
+LEFT JOIN tp
+  ON tp.doc_a = least(pa.caption_id, pb.caption_id)
+ AND tp.doc_b = greatest(pa.caption_id, pb.caption_id)
+WHERE pa.caption_id = pb.caption_id OR tp.doc_a IS NOT NULL"""
+
+
 def media_phash_dedup(d: Dialect, base: str | None = None) -> str:
     """Perceptual-hash near-dup detection for media payloads — the
     dHash shape: the sign of the gradient between {PHASH_BITS}+1
@@ -534,28 +650,10 @@ def media_phash_dedup(d: Dialect, base: str | None = None) -> str:
     char-code hash is the oracle twin of that path. The band join is
     metadata-only (doc_id, ph, band) — payloads never shuffle — and
     verification is a popcount on the joined 8-byte keys."""
-    n_bands = PHASH_BITS // PHASH_BAND_BITS
-    mask = (1 << PHASH_BAND_BITS) - 1
-    band_strs = [
-        f"concat_ws(':', '{b}', "
-        f"cast({d.bitslice('ph', b * PHASH_BAND_BITS, mask)} as string))"
-        for b in range(n_bands)]
-    if d.name == "spark":
-        band_arr = "array(" + ", ".join(band_strs) + ")"
-    else:
-        band_arr = "[" + ", ".join(band_strs) + "]"
-    hamming = f"bit_count({d.xor('a.ph', 'b.ph')})"
     prefix = (f"WITH s AS (SELECT doc_id, ph FROM {base})"
               if base is not None else _phash_sig_cte(d))
     return f"""{prefix},
-bands AS (SELECT doc_id, ph, {d.explode(band_arr)} AS band_sig FROM s),
-cand AS (
-  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
-    cast({hamming} as bigint) AS hamming
-  FROM bands a JOIN bands b
-    ON a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-  WHERE {hamming} <= {PHASH_MAX_HAMMING}
-)
+{_phash_band_cands(d)}
 SELECT ia AS doc_a, ib AS doc_b, hamming FROM cand"""
 
 

@@ -1160,11 +1160,18 @@ def embeddings_drift_audit_df(spark):
             for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
                 # NULL vec_id has no parity side (the SQL form's CASE
                 # counts it on neither side); NULL/ragged vectors are
-                # the covariance twin's filter
+                # the covariance twin's filter. SQL modulo TRUNCATES
+                # toward zero: a negative odd vec_id yields -1 in
+                # Spark/DuckDB and matches neither CASE side, where
+                # Python's floored % would say 1 — mirror the
+                # truncated remainder and drop r == -1 rows
                 if vid is not None and not pd.isna(vid) \
                         and v is not None and len(v) == DIM:
-                    sides[int(vid) % 2].append(
-                        np.asarray(v, dtype=np.float64))
+                    iv = int(vid)
+                    r = iv % 2 if iv >= 0 else -((-iv) % 2)
+                    if r in sides:
+                        sides[r].append(
+                            np.asarray(v, dtype=np.float64))
             if not sides[0] and not sides[1]:
                 continue
             acc = {s: (_gram_acc(vs)[iu] if vs

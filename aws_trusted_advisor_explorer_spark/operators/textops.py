@@ -1400,6 +1400,7 @@ def ensure_bpe_dict_view(spark, key: object = None) -> str:
         df.createOrReplaceTempView(BPE_DICT_VIEW)
         return [df]
 
+    build.plane_label = "bpe_dict"
     ensure_session_plane(_BPE_DICT_STATE, spark, key, build)
     return BPE_DICT_VIEW
 
@@ -1509,8 +1510,14 @@ def ensure_bpe_merges(spark, key: object = None,
         st = None
     if st is not None and (key is None or st[1] == key):
         return st[2]
+    import time
+
+    from aws_trusted_advisor_explorer_spark.session import record_plane
+
+    t0 = time.perf_counter()
     merges = [[(left, right) for left, right, _ in rnd]
               for rnd in _bpe_train_rounds(spark, base=base)]
+    record_plane("bpe_merges", time.perf_counter() - t0)
     for sid in [sid for sid, s in _BPE_MERGE_STATE.items() if s[0]() is None]:
         del _BPE_MERGE_STATE[sid]
     _BPE_MERGE_STATE[id(spark)] = (weakref.ref(spark), key, merges)

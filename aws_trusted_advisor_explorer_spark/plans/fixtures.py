@@ -536,9 +536,17 @@ def register_raw_tables(spark: SparkSession, sf_dir: str,
     for name, sql in sqls.items():
         path = os.path.join(base, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            import time
+
+            from aws_trusted_advisor_explorer_spark.session import (
+                record_plane,
+            )
+
+            t0 = time.perf_counter()
             tmp = f"{path}.tmp-{os.getpid()}"
             spark.sql(to_spark_sql(sql)).repartition(n_files) \
                 .write.mode("overwrite").parquet(tmp)
+            record_plane(f"fixture_land:{name}", time.perf_counter() - t0)
             try:
                 os.rename(tmp, path)
             except OSError:

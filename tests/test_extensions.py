@@ -5488,3 +5488,31 @@ def test_drift_forms_agree_on_malformed_vectors(spark):
     # no parity side and lands on neither (SQL CASE and twin agree)
     assert len(rows) > 0
     assert all(r.n_a == 3 and r.n_b == 1 for r in rows)
+
+
+def test_drift_twin_negative_vec_id_truncated_modulo(spark):
+    """ADVICE r10: SQL modulo truncates toward zero, so a NEGATIVE odd
+    vec_id yields -1 — matching neither CASE side — where Python's
+    floored % says 1. The twin must mirror the truncated semantics:
+    -3 lands on NEITHER side, -4 lands on side a (even)."""
+    import pandas as pd
+
+    from tests.conftest import canonicalize
+
+    ns = spark.newSession()
+    pdf = pd.DataFrame({
+        "vec_id": [-3, -4, 1, 2, -7, 0],
+        "embedding": [[0.5] * 64, [0.1] * 64, [0.25] * 64,
+                      [-0.5] * 64, [0.75] * 64, [0.9] * 64],
+        "label": [0, 1, 2, 3, 4, 5]})
+    ns.createDataFrame(pdf).createOrReplaceTempView("embeddings")
+    sql_form = canonicalize(
+        ns.sql(similarity.embeddings_drift_audit(SPARK)).toPandas())
+    twin = canonicalize(
+        similarity.embeddings_drift_audit_df(ns).toPandas())
+    assert twin.equals(sql_form)
+    rows = similarity.embeddings_drift_audit_df(ns).collect()
+    # side a (rem 0): {-4, 2, 0}; side b (rem 1): {1}; rem -1 rows
+    # {-3, -7} land on neither side in BOTH the SQL CASE and the twin
+    assert len(rows) > 0
+    assert all(r.n_a == 3 and r.n_b == 1 for r in rows)

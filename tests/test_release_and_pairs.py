@@ -1,0 +1,208 @@
+"""Round-11 operators: the CUBE aggregate shape, the release
+capstone (detect→drop→decontaminate→split→pack→shard→manifest), and
+the LAION-style paired-modality curation (media_caption_pairs +
+pairs_near_dedup)."""
+
+import os
+import tarfile
+
+import pandas as pd
+import pytest
+
+from aws_trusted_advisor_explorer_spark.functions.dual import DUCK, SPARK
+from aws_trusted_advisor_explorer_spark.operators import (
+    corpusops as CO,
+    dedup,
+    eventops as EO,
+    multimodal as M,
+)
+from tests.conftest import assert_matches_oracle, canonicalize
+
+
+# --- events_cube ------------------------------------------------------------
+
+def test_events_cube_matches_oracle(spark, ddb):
+    """Spark CUBE == DuckDB explicit GROUPING SETS — two syntactic
+    paths, one lattice."""
+    assert_matches_oracle(spark.sql(EO.events_cube(SPARK)), ddb,
+                          EO.events_cube(DUCK))
+
+
+def test_events_cube_lattice_structure(spark):
+    rows = spark.sql(EO.events_cube(SPARK)).toPandas()
+    assert set(rows["gid"]) == {0, 1, 2, 3}
+    grand = rows[rows["gid"] == 3]
+    assert len(grand) == 1
+    full = rows[rows["gid"] == 0]
+    # every margin reconciles with the full matrix
+    assert int(full["n_events"].sum()) == int(grand["n_events"].iloc[0])
+    by_type = rows[rows["gid"] == 1]
+    assert int(by_type["n_events"].sum()) == int(grand["n_events"].iloc[0])
+    by_hour = rows[rows["gid"] == 2]
+    assert int(by_hour["n_events"].sum()) == int(grand["n_events"].iloc[0])
+
+
+def test_events_cube_null_key_vs_subtotal(spark):
+    """The gid pin: a GENUINE NULL group key keeps grouping()=0 (it is
+    a real data group), a subtotal row sets the bit — the only
+    portable way to tell them apart, identical in both engines."""
+    import duckdb
+
+    pdf = pd.DataFrame({
+        "event_type": ["click", None, "click", None],
+        "ts": pd.to_datetime(["2024-01-01 05:00", "2024-01-01 05:30",
+                              "2024-01-01 06:00", "2024-01-01 05:45"]),
+        "value": [1.0, 2.0, 3.0, 4.0]})
+    ns = spark.newSession()
+    ns.createDataFrame(pdf).createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.register("events", pdf)
+    s = canonicalize(ns.sql(EO.events_cube(SPARK)).toPandas())
+    d = canonicalize(con.sql(EO.events_cube(DUCK)).df())
+    assert s.equals(d)
+    rows = ns.sql(EO.events_cube(SPARK)).toPandas()
+    # genuine NULL event_type at hod 5 is a gid=0 cell (2 events);
+    # the per-hour margin for hod 5 is gid=2 and covers 3 events
+    null_cell = rows[(rows["gid"] == 0) & rows["event_type"].isna()
+                     & (rows["hod"] == 5)]
+    assert len(null_cell) == 1 and int(null_cell["n_events"].iloc[0]) == 2
+    margin5 = rows[(rows["gid"] == 2) & (rows["hod"] == 5)]
+    assert len(margin5) == 1 and int(margin5["n_events"].iloc[0]) == 3
+
+
+# --- docs_release_manifest ---------------------------------------------------
+
+def test_release_manifest_matches_oracle(spark, ddb):
+    """The composed capstone (pipeline ∩ near-dup keepers ∩
+    decontaminated, packed per split) == the self-contained
+    recursive-CTE DuckDB composition."""
+    assert_matches_oracle(CO.docs_release_manifest_df(spark), ddb,
+                          CO.docs_release_manifest_oracle(DUCK))
+
+
+def test_release_manifest_reconciles_with_rails(spark):
+    """Manifest totals must equal the independently-computed release
+    set: pipeline keep=1 ∩ near-dup keep ∩ decontaminated ship list —
+    and shards within a split must tile the id range."""
+    man = CO.docs_release_manifest_df(spark).toPandas()
+    pipe = (spark.sql(CO.docs_curation_pipeline(SPARK)).toPandas())
+    keep_pipe = set(pipe[pipe["keep"] == 1]["doc_id"])
+    nd = dedup.docs_near_dedup_apply_df(
+        spark, pairs_view=dedup.ensure_minhash_pairs_view(spark)).toPandas()
+    keep_nd = set(nd[nd["keep"]]["doc_id"])
+    ship = set(spark.sql(CO.docs_decontaminated(
+        SPARK, base=CO.ensure_contam_view(spark))).toPandas()["doc_id"])
+    released = keep_pipe & keep_nd & ship
+    assert int(man["n_docs"].sum()) == len(released)
+    for split, g in man.groupby("split"):
+        g = g.sort_values("shard_id")
+        assert list(g["shard_id"]) == list(range(len(g)))
+        # shards partition the split's id order: ranges never overlap
+        assert (g["first_doc_id"].iloc[1:].values
+                > g["last_doc_id"].iloc[:-1].values).all()
+
+
+def test_release_shards_roundtrip(spark, tmp_path):
+    """Write the WebDataset shards, re-read every tar, and reconcile
+    member counts / byte totals / id ranges against the manifest —
+    the capstone's sink round-trip."""
+    out = str(tmp_path)
+    written = CO.docs_release_write_shards(spark, out).toPandas()
+    man = CO.docs_release_manifest_df(spark).toPandas()
+    w = written.set_index(["split", "shard_id"]).sort_index()
+    m = man.set_index(["split", "shard_id"]).sort_index()
+    assert list(w.index) == list(m.index)
+    assert (w["path"] == m["path"]).all()
+    assert (w["n_docs"] == m["n_docs"]).all()
+    assert (w["n_bytes"] == m["n_bytes"]).all()
+    for (_, _), row in m.iterrows():
+        full = os.path.join(out, row["path"])
+        with tarfile.open(full) as tf:
+            members = tf.getmembers()
+            ids = [int(mm.name.split(".")[0]) for mm in members]
+            assert len(members) == row["n_docs"]
+            assert sum(mm.size for mm in members) == row["n_bytes"]
+            assert min(ids) == row["first_doc_id"]
+            assert max(ids) == row["last_doc_id"]
+            assert ids == sorted(ids)  # id-ordered members
+
+
+# --- paired modality ---------------------------------------------------------
+
+def test_caption_pairs_matches_oracle(spark, ddb):
+    view = M.ensure_phash_view(spark)
+    assert_matches_oracle(
+        spark.sql(M.media_caption_pairs(SPARK, base=view)), ddb,
+        M.media_caption_pairs(DUCK))
+
+
+def test_caption_pairs_twins_share_caption(spark):
+    rows = spark.sql(M.media_caption_pairs(
+        SPARK, base=M.ensure_phash_view(spark))).toPandas()
+    twins = rows[rows["media_id"] >= M.PHASH_VARIANT_OFFSET]
+    assert len(twins) > 0
+    assert (twins["caption_id"]
+            == twins["media_id"] - M.PHASH_VARIANT_OFFSET).all()
+    originals = rows[rows["media_id"] < M.PHASH_VARIANT_OFFSET]
+    assert (originals["caption_id"] == originals["media_id"]).all()
+
+
+def test_pairs_near_dedup_matches_oracle(spark, ddb):
+    pv = dedup.ensure_minhash_pairs_view(spark)
+    base = M.ensure_phash_view(spark)
+    assert_matches_oracle(
+        spark.sql(M.pairs_near_dedup(SPARK, base=base, pairs_view=pv)),
+        ddb, M.pairs_near_dedup(DUCK))
+
+
+def test_pairs_near_dedup_finds_planted_twin_pairs(spark):
+    """On the fixture corpus the duplicate pair-of-pairs set is
+    exactly the planted noisy twins: media within hamming 4 by
+    construction, captions literally shared."""
+    from tests.conftest import SF_DIR
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    eligible = docs[(docs["doc_id"] % M.PHASH_VARIANT_EVERY == 0)
+                    & (docs["text"].str.len() > M.PHASH_BITS)]["doc_id"]
+    expected = {(int(i), int(i) + M.PHASH_VARIANT_OFFSET) for i in eligible}
+    rows = spark.sql(M.pairs_near_dedup(
+        SPARK, base=M.ensure_phash_view(spark),
+        pairs_view=dedup.ensure_minhash_pairs_view(spark))).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(rows["pair_a"], rows["pair_b"])}
+    assert got == expected
+    assert (rows["caption_identical"] == 1).all()
+    assert (rows["caption_jaccard"] == 1.0).all()
+
+
+def test_pairs_near_dedup_requires_both_modalities(spark):
+    """The AND contract: a media-side match whose captions neither
+    coincide nor appear in the text pair graph is NOT a pair dup;
+    wiring the caption pair into the graph admits it (with the
+    graph's jaccard)."""
+    ns = spark.newSession()
+    text = ("the quick brown fox jumps over the lazy dog again and "
+            "again until the fence falls over completely")
+    # identical payloads -> phash hamming 0 (media match), distinct ids
+    ns.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": [text, text],
+        "lang": ["en", "en"], "source": ["a", "b"],
+    })).createOrReplaceTempView("documents")
+    # empty text pair graph -> excluded despite the media match
+    ns.createDataFrame(pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "jaccard": pd.Series([], dtype="float64"),
+    })).createOrReplaceTempView("empty_pairs")
+    got = ns.sql(M.pairs_near_dedup(
+        SPARK, pairs_view="empty_pairs")).toPandas()
+    assert len(got) == 0
+    # the same captions wired into the pair graph -> admitted
+    ns.createDataFrame(pd.DataFrame({
+        "doc_a": [1], "doc_b": [2], "jaccard": [0.93],
+    })).createOrReplaceTempView("wired_pairs")
+    got = ns.sql(M.pairs_near_dedup(
+        SPARK, pairs_view="wired_pairs")).toPandas()
+    assert len(got) == 1
+    assert int(got["media_hamming"].iloc[0]) == 0
+    assert int(got["caption_identical"].iloc[0]) == 0
+    assert got["caption_jaccard"].iloc[0] == pytest.approx(0.93)
