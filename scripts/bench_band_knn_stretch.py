@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""2x / 4x stretch points for the two most expensive measured keys
+(r10 verdict task 6): dedup_band_tuning and knn_serving_report — their
+growth story previously rested on the single sf0.1 point.
+
+dedup_band_tuning rides a "k x docs" axis (verbatim doc_id-offset
+copies of the corpus, the transition/novelty protocol). Invariants
+asserted at every scale:
+- EXACT truth combinatorics: a verbatim copy has an identical shingle
+  set, so each original truth pair (a, b) expands to the k x k copy
+  cross pairs and each shingled doc gains C(k,2) identity pairs:
+      T_k = k^2 * T_1 + C(k,2) * E
+  with E (the self-pair-eligible doc count) INFERRED from the 2x
+  point (T_2 = 4*T_1 + E) and then REQUIRED to reconcile at 4x
+  (T_4 = 16*T_1 + 6*E) — a cross-scale consistency check no timing
+  noise can satisfy by accident.
+- band recall MONOTONE in n_bands within each scale (more bands =
+  fewer rows per band = more permissive buckets).
+- candidate counts grow with the predicted ~quadratic exponent
+  (identical signatures multiply every band bucket by k, so
+  within-bucket pairs grow ~k^2): ratio > 3 per doubling.
+
+knn_serving_report rides a "k x corpus" axis that duplicates ONLY
+non-query vectors (copy offset is a multiple of {QUERY_MOD}, so a
+copy's residue class is preserved and never becomes a query): the
+query set stays FIXED while the searched corpus scales. Invariants:
+- n_queries identical at every scale;
+- the exact rung's recall_ppm == 1e6 at every scale (it IS the truth
+  computation);
+- the exact rung's cand_rows/bytes_touched scale EXACTLY k x (nq * nc
+  with nc = k * nc_1);
+- the serving-ladder orderings hold at every scale: lsh hits <=
+  multiprobe hits, sign-hamming bytes < exact bytes.
+
+Writes one JSON line to stdout (redirect to
+bench_results/band_knn_stretch.json); scripts/gen_scaling.py folds it
+into SCALING.md when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DOC_DST = {2: "/tmp/spark_graft_band_docs_2x", 4: "/tmp/spark_graft_band_docs_4x"}
+EMB_DST = {2: "/tmp/spark_graft_knn_emb_2x", 4: "/tmp/spark_graft_knn_emb_4x"}
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _link_except(dst: str, replaced: str) -> None:
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for t in TABLES:
+        if t != replaced:
+            os.symlink(os.path.join(SRC, f"{t}.parquet"),
+                       os.path.join(dst, f"{t}.parquet"))
+
+
+def build_docs_variant(dst: str, k: int) -> None:
+    import duckdb
+
+    _link_except(dst, "documents")
+    copies = "\nUNION ALL\n".join(
+        f"SELECT doc_id + {i} * (SELECT max(doc_id) + 1 FROM "
+        f"'{SRC}/documents.parquet') AS doc_id, text, lang, source, "
+        f"n_chars FROM '{SRC}/documents.parquet'"
+        for i in range(1, k))
+    duckdb.connect().sql(
+        f"COPY (SELECT * FROM '{SRC}/documents.parquet' UNION ALL "
+        f"{copies}) TO '{os.path.join(dst, 'documents.parquet')}' "
+        f"(FORMAT PARQUET)")
+
+
+def build_emb_variant(dst: str, k: int) -> None:
+    import duckdb
+
+    from aws_trusted_advisor_explorer_spark.operators.similarity import (
+        QUERY_MOD,
+    )
+
+    _link_except(dst, "embeddings")
+    # copy offset is the next multiple of QUERY_MOD above max id, so a
+    # copy keeps its residue class: non-query rows stay non-query and
+    # the query set is IDENTICAL at every scale
+    off = (f"(cast(ceil((SELECT max(vec_id) + 1 FROM "
+           f"'{SRC}/embeddings.parquet') / {QUERY_MOD}.0) as bigint) "
+           f"* {QUERY_MOD})")
+    copies = "\nUNION ALL\n".join(
+        f"SELECT vec_id + {i} * {off} AS vec_id, embedding, label "
+        f"FROM '{SRC}/embeddings.parquet' "
+        f"WHERE vec_id % {QUERY_MOD} <> 0"
+        for i in range(1, k))
+    duckdb.connect().sql(
+        f"COPY (SELECT * FROM '{SRC}/embeddings.parquet' UNION ALL "
+        f"{copies}) TO '{os.path.join(dst, 'embeddings.parquet')}' "
+        f"(FORMAT PARQUET)")
+
+
+def timed(qs, key, spark, sf_dir, reps=3):
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        qs[key](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        el = time.perf_counter() - t0
+        best = el if best is None or el < best else best
+    return best
+
+
+def main() -> None:
+    import __spark_entry__ as ent
+    from aws_trusted_advisor_explorer_spark.session import get_spark
+
+    for k, dst in DOC_DST.items():
+        build_docs_variant(dst, k)
+    for k, dst in EMB_DST.items():
+        build_emb_variant(dst, k)
+
+    spark = get_spark("band_knn_stretch")
+    qs = ent.queries()
+    result: dict = {"keys": ["dedup_band_tuning", "knn_serving_report"],
+                    "variants": {}}
+
+    # --- dedup_band_tuning over the docs axis -------------------------
+    bt = "dedup_band_tuning"
+    bt_rows: dict[str, list] = {}
+    for label, sf_dir in (("sf0.1", SRC), ("2x_docs", DOC_DST[2]),
+                          ("4x_docs", DOC_DST[4])):
+        # variant-major: warm inside the variant so the shingle-plane
+        # rebuild the dataset switch forces never lands in a timed rep
+        qs[bt](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        sec = timed(qs, bt, spark, sf_dir)
+        rows = sorted((r.asDict() for r in qs[bt](spark, sf_dir)
+                       .collect()), key=lambda r: r["n_bands"])
+        bt_rows[label] = rows
+        # recall monotone in n_bands at THIS scale
+        recalls = [r["recall_ppm"] for r in rows]
+        assert recalls == sorted(recalls), (label, recalls)
+        result["variants"].setdefault(label, {})[bt] = {
+            "sec": round(sec, 4), "n_truth": int(rows[0]["n_truth"]),
+            "configs": [{kk: int(r[kk]) for kk in
+                         ("n_bands", "n_candidates", "n_pairs",
+                          "n_hits", "recall_ppm")} for r in rows]}
+    t1 = bt_rows["sf0.1"][0]["n_truth"]
+    t2 = bt_rows["2x_docs"][0]["n_truth"]
+    t4 = bt_rows["4x_docs"][0]["n_truth"]
+    e = t2 - 4 * t1  # self-pair-eligible docs, inferred at 2x
+    assert e >= 0, (t1, t2)
+    assert t4 == 16 * t1 + 6 * e, (t1, t2, t4, e)
+    result["truth_combinatorics"] = {
+        "t1": int(t1), "t2": int(t2), "t4": int(t4), "eligible": int(e),
+        "law": "T_k = k^2*T_1 + C(k,2)*E"}
+    for a, b in (("sf0.1", "2x_docs"), ("2x_docs", "4x_docs")):
+        for ra, rb in zip(bt_rows[a], bt_rows[b]):
+            # ~quadratic candidate growth per doubling
+            assert rb["n_candidates"] > 3 * ra["n_candidates"], \
+                (a, b, ra["n_bands"], ra["n_candidates"],
+                 rb["n_candidates"])
+
+    # --- knn_serving_report over the corpus axis ----------------------
+    kr = "knn_serving_report"
+    kr_rows: dict[str, dict] = {}
+    for label, sf_dir in (("sf0.1", SRC), ("2x_corpus", EMB_DST[2]),
+                          ("4x_corpus", EMB_DST[4])):
+        qs[kr](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        sec = timed(qs, kr, spark, sf_dir)
+        rows = {r["rung"]: r.asDict()
+                for r in qs[kr](spark, sf_dir).collect()}
+        kr_rows[label] = rows
+        ex = rows["exact"]
+        assert ex["recall_ppm"] == 1_000_000, (label, ex)
+        assert rows["lsh"]["n_hits"] <= rows["lsh_multiprobe"]["n_hits"]
+        assert (rows["sign_hamming"]["bytes_touched"]
+                < ex["bytes_touched"])
+        result["variants"].setdefault(label, {})[kr] = {
+            "sec": round(sec, 4), "n_queries": int(ex["n_queries"]),
+            "rungs": {name: {kk: int(r[kk]) for kk in
+                             ("cand_rows", "bytes_touched", "n_hits",
+                              "recall_ppm")}
+                      for name, r in rows.items()}}
+    nq1 = kr_rows["sf0.1"]["exact"]["n_queries"]
+    ex1 = kr_rows["sf0.1"]["exact"]["cand_rows"]
+    for label, k in (("2x_corpus", 2), ("4x_corpus", 4)):
+        exk = kr_rows[label]["exact"]
+        assert exk["n_queries"] == nq1, (label, exk["n_queries"], nq1)
+        assert exk["cand_rows"] == k * ex1, (label, exk["cand_rows"], ex1)
+
+    base = result["variants"]["sf0.1"]
+    for label, entry in result["variants"].items():
+        if label == "sf0.1":
+            continue
+        for key, v in entry.items():
+            v["growth"] = round(v["sec"] / base[key]["sec"], 2)
+    print(json.dumps(result))
+    spark.stop()
+    for d in (*DOC_DST.values(), *EMB_DST.values()):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,13 @@ def run_sweep(root: str, tag: str, i: int) -> tuple[float, dict]:
     per_query = os.path.join(root, "bench_results", "last_bench_sf0.1.json")
     if os.path.exists(per_query):
         os.unlink(per_query)
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR)
+    # pin BOTH driver and executor-worker module resolution to this
+    # sweep's worktree: the committed __spark_entry__ hardcodes
+    # /root/repo on sys.path (patched in the worktrees to
+    # self-reference), and local-mode python workers resolve pickled
+    # closures via PYTHONPATH — without the pin an r9 sweep unpickles
+    # r10 modules (observed: AttributeError _gram_acc)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, PYTHONPATH=root)
     env.pop("SPARK_GRAFT_BENCH_COMMIT", None)
     out = subprocess.run(
         [sys.executable, os.path.join(root, "bench.py")],

@@ -294,11 +294,90 @@ def main() -> None:
     rows.append(("`training_labels_stream` (delayed-label emission, "
                  "3-day horizon)", "events", lab_rin, lab_nb, lab_wall))
 
-    out = ["""# STREAMING — measured micro-batch evidence (r8-r10)
+    # --- the three stateful twins with equality pytests but no
+    # measured state series (r10 verdict task 7): scd2 (state = one
+    # open-run record per user), transition matrix (one string per
+    # user — the smallest state any twin carries), and the
+    # length-3-path miner (a 2-type tail per user). Each series must
+    # PLATEAU at the corpus's user count — per-user state, never
+    # event-count-shaped — and each drain re-asserts its rollup
+    # equality with the batch form.
+    per_user: list = []
 
-`scripts/bench_streaming.py`: six representative twins — stateless,
+    wall, nb, rin, st = drain(
+        spark, structured.scd2_stream(spark, stage), "st_scd2", "update")
+    assert nb > 1, "scd2_stream ran a single batch"
+    assert max(st) == n_users, (max(st), n_users)
+    # rollup checksum vs the batch gaps-and-islands relation: final
+    # (user, run) snapshot row count and exact n_events mass
+    # a run's n_events grows monotonically across its re-emitted
+    # snapshots, so max() per (user, run) IS the final snapshot — no
+    # sink-order assumption needed
+    final = spark.sql("""
+        SELECT user_id, run_no, max(n_events) AS n_events
+        FROM st_scd2 GROUP BY user_id, run_no""")
+    bat = spark.sql(eventops.events_scd2_history(SPARK)) \
+        .agg(F.count("*").alias("n"),
+             F.sum("n_events").alias("s")).first()
+    gs = final.agg(F.count("*").alias("n"),
+                   F.sum("n_events").alias("s")).first()
+    assert (gs.n, gs.s) == (bat.n, bat.s), ((gs.n, gs.s), (bat.n, bat.s))
+    rows.append(("`scd2_stream` (stateful SCD2 history)",
+                 "events", rin, nb, wall))
+    per_user.append(("scd2_stream", "one open-run record", st))
+
+    wall, nb, rin, st = drain(
+        spark, structured.transition_matrix_stream(spark, stage),
+        "st_trans", "update")
+    assert nb > 1, "transition_matrix_stream ran a single batch"
+    assert max(st) == n_users, (max(st), n_users)
+    # summed per-batch emissions == the batch matrix counts
+    mism = spark.sql(f"""
+        WITH got AS (SELECT prev_type, next_type, sum(n) AS n
+                     FROM st_trans GROUP BY prev_type, next_type),
+        want AS (SELECT prev_type, next_type, n FROM (
+          {eventops.events_transition_matrix(SPARK)}))
+        SELECT count(*) AS bad FROM got FULL OUTER JOIN want
+          USING (prev_type, next_type)
+        WHERE got.n IS NULL OR want.n IS NULL OR got.n <> want.n
+        """).first().bad
+    assert mism == 0, mism
+    rows.append(("`transition_matrix_stream` (stateful 2-gram miner)",
+                 "events", rin, nb, wall))
+    per_user.append(("transition_matrix_stream", "one last-type string",
+                     st))
+
+    wall, nb, rin, st = drain(
+        spark, structured.top_paths_stream(spark, stage),
+        "st_paths", "update")
+    assert nb > 1, "top_paths_stream ran a single batch"
+    assert max(st) == n_users, (max(st), n_users)
+    # summed per-batch path emissions == the batch sliding grams
+    mism = spark.sql("""
+        WITH o AS (SELECT concat_ws(' ', event_type,
+                     lead(event_type, 1) OVER w,
+                     lead(event_type, 2) OVER w) AS path,
+                     lead(event_type, 2) OVER w AS t2
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY
+                     unix_micros(cast(ts as timestamp)), event_id)),
+        want AS (SELECT path, count(*) AS n FROM o
+                 WHERE t2 IS NOT NULL GROUP BY path),
+        got AS (SELECT path, sum(n) AS n FROM st_paths GROUP BY path)
+        SELECT count(*) AS bad FROM got FULL OUTER JOIN want USING (path)
+        WHERE got.n IS NULL OR want.n IS NULL OR got.n <> want.n
+        """).first().bad
+    assert mism == 0, mism
+    rows.append(("`top_paths_stream` (stateful length-3 path miner)",
+                 "events", rin, nb, wall))
+    per_user.append(("top_paths_stream", "a 2-type tail", st))
+
+    out = ["""# STREAMING — measured micro-batch evidence (r8-r11)
+
+`scripts/bench_streaming.py`: nine representative twins — stateless,
 windowed-aggregate, custom-stateful, stream-stream join, the
-online feature buffer, and the delayed-label emitter — drained over
+online feature buffer, the delayed-label emitter, and the three
+per-user stateful miners (SCD2 / transition matrix / path) — drained over
 an %d-file chronological staging of the sf0.1 corpus with
 `maxFilesPerTrigger=1` — every run crosses REAL micro-batch
 boundaries (batch counts below come from the query's own progress
@@ -401,6 +480,30 @@ anchor's arrival and its label shipping — is min {d_min} / median
 the global one). State rows (numRowsTotal) plateau at {n_users} —
 one per user, the pit twin's shape; the pending queue lives inside
 those rows' payloads.""")
+
+    out.append(f"""
+## Per-user stateful twins: state plateaus (r11)
+
+The three stateful twins that previously had equality pytests but no
+measured state series — `scd2_stream` (state payload: one open-run
+record), `transition_matrix_stream` (one last-type string — the
+smallest state any twin carries), `top_paths_stream` (a 2-type path
+tail). Per-batch `numRowsTotal` over the same {N_FILES}-batch
+chronological drain; each series must plateau at the corpus's
+{n_users} users and each drain re-asserts its batch rollup equality
+(SCD2 run count + exact n_events mass; transition counts equal per
+(prev, next) cell; path counts equal per gram).
+
+| batch | scd2 | transition | top_paths |
+|---|---|---|---|""")
+    for i in range(len(per_user[0][2])):
+        out.append("| {} | {} | {} | {} |".format(
+            i + 1, *(series[i] for _, _, series in per_user)))
+    out.append(f"""
+All three series reach {n_users} and stay flat — state is one row
+per ACTIVE USER with an O(1) payload (vs the pit twin's bounded
+7-day buffer payload), independent of stream length; at production
+scale the state store shards by user hash across executors.""")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_results", "STREAMING.md")
     with open(path, "w") as f:

@@ -97,6 +97,26 @@ def main() -> None:
             "sweeps_sec": vals, "min": lo, "max": hi, "spread": spread,
             "r6_sec": r6, "r7_sec": r7, "r6_to_r7_delta": delta,
             "verdict": "noise" if noise else "investigate"}
+    # per-key tracking for the TOP-30 most expensive keys of the
+    # committed anchor (r10 verdict task 1: 5 tracked keys were too
+    # thin to adjudicate a 23-key rise) — min/max/spread per sweep so
+    # the next cross-round riser adjudicates against a committed
+    # same-code band instead of a single anchor point
+    anchor_path = os.path.join(ROOT, "bench_results", "bench_sf0.1.json")
+    try:
+        with open(anchor_path) as f:
+            anchor = json.load(f)["queries"]
+    except OSError:
+        anchor = {}
+    top30 = sorted((k for k in sweeps[0] if not k.startswith("plane:")),
+                   key=lambda k: -anchor.get(k, sweeps[0][k]))[:30]
+    result["top30"] = {}
+    for key in top30:
+        vals = [round(s[key], 3) for s in sweeps]
+        result["top30"][key] = {
+            "sweeps_sec": vals, "min": min(vals), "max": max(vals),
+            "spread": round(max(vals) - min(vals), 3),
+            "anchor_sec": anchor.get(key)}
     path = os.path.join(ROOT, "bench_results", "variance.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
