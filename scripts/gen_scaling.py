@@ -116,6 +116,10 @@ def main() -> None:
     qs = runs["0.1"]["queries"]
     rows = []
     for key in qs:
+        if key.startswith("plane:"):
+            continue  # one-time session-plane builds have their own
+            # rows in bench_results (r11 bench.py attribution); the
+            # growth table reads queries only
         t0, t1, t2 = (runs[sf]["queries"].get(key) for sf in SFS)
         if t0 is None or t1 is None or t2 is None or t1 <= 0:
             continue
