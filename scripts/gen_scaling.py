@@ -364,6 +364,47 @@ Reading: all points land at-or-under the 2x input growth — the
 transition matrix is one user_id exchange + a type²-sized aggregate
 (cells constant at 2x), and novelty is one hv exchange + one doc_id
 groupBy; neither has a pair-shaped term to go super-linear.""")
+    bk_path = os.path.join(root, "bench_results", "band_knn_stretch.json")
+    if os.path.exists(bk_path):
+        with open(bk_path) as f:
+            bk = json.load(f)
+        bv, bb = bk["variants"], bk["variants"]["sf0.1"]
+        brow = []
+        for key, axes in (("dedup_band_tuning", ("2x_docs", "4x_docs")),
+                          ("knn_serving_report",
+                           ("2x_corpus", "4x_corpus"))):
+            for axis in axes:
+                v = bv[axis][key]
+                brow.append(f"| `{key}` | {bb[key]['sec']:.2f}s "
+                            f"| {axis.replace('_', ' ')} "
+                            f"| {v['sec']:.2f}s | {v['growth']:.2f}x |")
+        brows = "\n".join(brow)
+        tc = bk["truth_combinatorics"]
+        out.append(f"""
+## 2x / 4x stretch points (band tuning + ANN serving, r11)
+
+`scripts/bench_band_knn_stretch.py`: the two most expensive measured
+keys, whose growth story previously rested on the single sf0.1
+point. `dedup_band_tuning` rides verbatim doc-copy axes where the
+exact truth set obeys T_k = k²·T_1 + C(k,2)·E — measured T_1={tc['t1']},
+T_2={tc['t2']}, T_4={tc['t4']} with E={tc['eligible']} inferred at 2x and
+REQUIRED to reconcile at 4x (it does; no timing noise can fake
+that); band recall stays monotone in n_bands at every scale and
+candidate counts grow with the predicted ~quadratic exponent.
+`knn_serving_report` rides corpus-only axes (copy offsets preserve
+residue classes, so the query set is IDENTICAL at every scale):
+exact-rung recall is 1.0 everywhere, its cand_rows/bytes scale
+exactly k×, and the serving-ladder orderings hold:
+
+| query | sf0.1 wall | axis | wall | growth |
+|---|---|---|---|---|
+{brows}
+
+Reading: band tuning's wall grows with its candidate-PAIR term (the
+quadratic the ladder exists to measure — at production scale you
+pick the config from this table, not run all four); the serving
+report grows with the brute-force truth arm (nq·nc), the rung whose
+cost the LSH/IVF rungs exist to avoid.""")
     cov_path = os.path.join(root, "bench_results", "covariance_twin.json")
     if os.path.exists(cov_path):
         with open(cov_path) as f:
@@ -421,6 +462,23 @@ here and their r7 deltas need no further chasing.""")
 Three same-code sf0.1 sweeps at HEAD ({b['n_queries']} queries)
 totalled **{b['min_total_sec']:.1f}–{b['max_total_sec']:.1f} s**.
 Adjudication rule: {b['rule']}.""")
+        if "top30" in var:
+            out.append("""
+## Top-30 per-key same-code bands (r11)
+
+The r10 adjudication failed for want of per-key bands (5 tracked
+keys vs a 23-key rise). `bench_variance.py` now records the 30 most
+expensive keys' three-sweep spreads next to the committed anchor —
+the next cross-round riser adjudicates per key against ITS band:
+
+| query | anchor | 3 sweeps @ HEAD | spread |
+|---|---|---|---|""")
+            for key, d in var["top30"].items():
+                sw = " / ".join(f"{v:.2f}" for v in d["sweeps_sec"])
+                anc = (f"{d['anchor_sec']:.2f}s"
+                       if d.get("anchor_sec") is not None else "—")
+                out.append(f"| `{key}` | {anc} | {sw} "
+                           f"| {d['spread']:.2f}s |")
     out.append("""
 The absolute numbers are NOT cluster predictions; they are regression
 anchors — a future change that pushes a normalized ratio well past 1
