@@ -457,6 +457,51 @@ def test_r10_operator_plan_shapes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_r11_operator_plan_shapes(spark):
+    """POSITIVE plan assertions for the r11 operators:
+
+    * events_cube: ONE Expand (the 4-set lattice materializes per
+      input row, never a per-set rescan — exactly one scan of events)
+      feeding a partial+final hash aggregate with exactly ONE hash
+      exchange; no join, no window.
+    * docs_release_manifest: the per-split two-phase cumsum keeps its
+      RANGE repartition (never a global single-partition sort); every
+      window is partitioned; offsets come back via broadcast.
+    * pairs_near_dedup / media_caption_pairs: hash-plane joins only —
+      no cartesian anywhere.
+    """
+    import re
+
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+
+    def shape(key):
+        plan = q[key](spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        return plan, hashes
+
+    plan, hashes = shape("events_cube")
+    assert plan.count("Expand") == 1, plan[:2000]
+    assert len(hashes) == 1, hashes
+    assert plan.count("Scan") == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan
+
+    plan, hashes = shape("docs_release_manifest")
+    assert "Exchange rangepartitioning" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan
+    # every WindowExec is partitioned (the two-phase cumsum rule)
+    assert not _unpartitioned_windows(
+        q["docs_release_manifest"](spark, SF_DIR))
+
+    plan, _ = shape("pairs_near_dedup")
+    assert "BatchEvalPython" not in plan
+    plan, _ = shape("media_caption_pairs")
+    assert "BatchEvalPython" not in plan
+
+
 def test_training_examples_fused_plan_shape(spark):
     """POSITIVE plan assertion for events_training_examples (r10): the
     fused assembly's whole point is that ONE user_id exchange and ONE
