@@ -490,7 +490,11 @@ def test_r11_operator_plan_shapes(spark):
     assert "Join" not in plan and "Window" not in plan
 
     plan, hashes = shape("docs_release_manifest")
-    assert "Exchange rangepartitioning" in plan, plan[:2000]
+    # the range-partitioned doc relation is the localCheckpointed
+    # plane (lineage cut -> the final plan reads it as an RDD scan;
+    # the range exchange lives in the checkpoint's build, the
+    # docs_pack_bins_df pattern)
+    assert "Scan ExistingRDD" in plan, plan[:2000]
     assert "BroadcastExchange" in plan
     # every WindowExec is partitioned (the two-phase cumsum rule)
     assert not _unpartitioned_windows(

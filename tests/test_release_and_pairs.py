@@ -188,11 +188,9 @@ def test_pairs_near_dedup_requires_both_modalities(spark):
         "lang": ["en", "en"], "source": ["a", "b"],
     })).createOrReplaceTempView("documents")
     # empty text pair graph -> excluded despite the media match
-    ns.createDataFrame(pd.DataFrame({
-        "doc_a": pd.Series([], dtype="int64"),
-        "doc_b": pd.Series([], dtype="int64"),
-        "jaccard": pd.Series([], dtype="float64"),
-    })).createOrReplaceTempView("empty_pairs")
+    ns.createDataFrame(
+        [], "doc_a long, doc_b long, jaccard double"
+    ).createOrReplaceTempView("empty_pairs")
     got = ns.sql(M.pairs_near_dedup(
         SPARK, pairs_view="empty_pairs")).toPandas()
     assert len(got) == 0
