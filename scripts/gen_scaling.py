@@ -374,7 +374,9 @@ groupBy; neither has a pair-shaped term to go super-linear.""")
                           ("knn_serving_report",
                            ("2x_corpus", "4x_corpus"))):
             for axis in axes:
-                v = bv[axis][key]
+                v = bv.get(axis, {}).get(key)
+                if v is None or "growth" not in v:
+                    continue  # partial run (incremental flush)
                 brow.append(f"| `{key}` | {bb[key]['sec']:.2f}s "
                             f"| {axis.replace('_', ' ')} "
                             f"| {v['sec']:.2f}s | {v['growth']:.2f}x |")
