@@ -222,6 +222,17 @@ def _release_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusops.docs_release_manifest_df(spark, key=sf_dir)
 
 
+def _release_refresh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental release refresh: the docs_agg_refresh stored+delta
+    algebra applied to the manifest (delta packs off the stored split
+    totals, checksums merge by xor, matches_recompute audits against
+    the full recompute)."""
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+
+    _prepare_ext(spark, sf_dir)
+    return corpusops.docs_release_refresh_df(spark, key=sf_dir)
+
+
 def _eventops_df_query(fn_name: str):
     """Event-plane DF twins: retention/funnel materialize their
     multiply-referenced intermediate once per run instead of
@@ -315,6 +326,17 @@ def _pairs_near_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(multimodal.pairs_near_dedup(
         SPARK, base=multimodal.ensure_phash_view(spark, key=sf_dir),
         pairs_view=pv))
+
+
+def _pairs_release_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paired-modality release capstone: pair universe ∩ pair-level
+    near-dup keepers ∩ caption curation verdicts, packed into fixed-
+    count shards via the two-phase range-partition cumsum; the oracle
+    composes the same rails self-contained with a per-split window."""
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    _prepare_ext(spark, sf_dir)
+    return multimodal.pairs_release_manifest_df(spark, key=sf_dir)
 
 
 def _prefix_backed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,6 +584,20 @@ def _similarity_df_query(fn_name: str):
     return run
 
 
+def _pca_prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-truncation gate reads the rotation from the
+    session-materialized PCA direction plane (similarity.
+    ensure_pca_dirs — the numpy kernel twin over the Gram, bit-equal
+    to the oracle's unrolled deflated-squaring chain); the projection
+    and both exact ranking arms are the dual-dialect SQL."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import similarity
+
+    _prepare_ext(spark, sf_dir)
+    view = similarity.ensure_pca_dirs(spark, key=sf_dir)
+    return spark.sql(similarity.knn_pca_prefix_recall(SPARK, dirs=view))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: LowUtilizationAmazonEC2Instances_view (typed casts + the
     as-of-run snapshot broadcast join to tags) at sf0.001."""
@@ -583,123 +619,127 @@ def _view_query(name: str, with_tags: bool | None):
 
 # keys deliberately parked PAST the driver's 50-row correctness cap.
 #
-# r10 rotation: CORRECTNESS_r09 went 50/50 green, retiring the entire
-# never-driver-checked backlog. This round parks those 37 freshly-green
-# r9-window keys (each annotated with its green rounds below; all stay
-# verified every round by CORRECTNESS_FULL.json and the pytest suite)
-# and moves the 12 operators ADDED during r9 -- which were parked past
-# the cap the round they were born -- into the head for their first
-# driver rows, alongside the 13 pinned keys (the 10 reference views +
-# knn_ivf / knn_ivf_multiprobe / dedup_clusters, held in-head by
-# tests/test_entry_contract.py). Remaining head slots go to r10-new
-# operators so the verification loop closes the same round it opens.
+# Rotation rule (standing since r10, regenerated every round from the
+# ACTUAL window — r11 verdict task 5): the head holds (a) the 13
+# pinned keys (the 10 reference views + knn_ivf / knn_ivf_multiprobe /
+# dedup_clusters, held in-head by tests/test_entry_contract.py), (b)
+# every operator ADDED this round (never driver-checked — the
+# verification loop closes the same round it opens; r12: knn_pca_prefix
+# + pairs_release_manifest + docs_release_refresh), and (c) the
+# STALEST previously-green keys (oldest most-recent driver-green
+# round first — r12 recycles the r1/r4/r5 cohort for fresh rows).
+# Everything else parks here, annotated with its driver-green history;
+# all parked keys stay verified every round by CORRECTNESS_FULL.json
+# and the pytest suite. The tail is EXACTLY queries()[50:]
+# (test_parked_tail_matches_head_cap_exactly) and this list is
+# GENERATED from the CORRECTNESS_r*.json history — regenerate it
+# rather than hand-editing (scripts/gen_parked_tail.py).
 _PARKED_TAIL = (
-    "text_nb_quality_score",  # driver-green r6-r8
-    "docs_quality_cutoff_calibration",  # driver-green r7-r8
-    "text_lang_confusion",  # driver-green r8
-    "text_lm_score_ref",  # driver-green r6-r8
-    "docs_ccnet_buckets",  # driver-green r6-r8
-    "dedup_minhash_lsh",  # driver-green r1-r8
-    "dedup_lsh_recall",  # driver-green r6-r8
-    "docs_winnow_fingerprints",  # driver-green r8
-    "dedup_winnow_overlap",  # driver-green r8
-    "knn_range_search",  # driver-green r8
-    "events_top_paths",  # driver-green r8
-    "events_purchase_click_pairs",  # driver-green r8
-    "events_daily_active",  # driver-green r8
-    "events_key_skew_audit",  # driver-green r8
-    "events_sliding_window",  # driver-green r8
-    "events_retention",  # driver-green r8
-    "media_phash_dedup",  # driver-green r6-r8
-    "docs_kanon_release",  # driver-green r8
+    "dedup_band_tuning",  # driver-green r10-r11
+    "dedup_lsh_recall",  # driver-green r6-r8,r10-r11
+    "dedup_minhash_estimate",  # driver-green r10-r11
+    "dedup_minhash_lsh",  # driver-green r1-r8,r10-r11
+    "dedup_winnow_overlap",  # driver-green r8,r10-r11
+    "docs_ccnet_buckets",  # driver-green r6-r8,r10-r11
+    "docs_dsir_importance",  # driver-green r10-r11
+    "docs_epoch_shuffle_plan",  # driver-green r10-r11
+    "docs_length_mad_outliers",  # driver-green r10-r11
+    "docs_ngram_novelty",  # driver-green r10-r11
+    "docs_quality_cutoff_calibration",  # driver-green r7-r8,r10-r11
+    "docs_release_manifest",  # driver-green r11
+    "docs_winnow_fingerprints",  # driver-green r8,r10-r11
+    "embeddings_clip_calibration",  # driver-green r10-r11
+    "embeddings_covariance",  # driver-green r10-r11
+    "embeddings_drift_audit",  # driver-green r10-r11
+    "embeddings_power_iteration",  # driver-green r10-r11
+    "events_bot_cadence_audit",  # driver-green r10-r11
+    "events_cube",  # driver-green r11
+    "events_pit_features",  # driver-green r10-r11
+    "events_top_paths",  # driver-green r8,r10-r11
+    "events_training_examples",  # driver-green r10-r11
+    "events_training_labels",  # driver-green r10-r11
+    "events_transition_matrix",  # driver-green r10-r11
+    "events_user_gini",  # driver-green r10-r11
+    "knn_filtered",  # driver-green r10-r11
+    "knn_hamming_recall",  # driver-green r10-r11
+    "knn_hamming_rerank",  # driver-green r10-r11
+    "knn_range_search",  # driver-green r8,r10-r11
+    "knn_serving_report",  # driver-green r10-r11
+    "media_caption_pairs",  # driver-green r11
+    "pairs_near_dedup",  # driver-green r11
+    "text_heaps_vocab_growth",  # driver-green r10-r11
+    "text_lang_confusion",  # driver-green r8,r10-r11
+    "text_lm_score_ref",  # driver-green r6-r8,r10-r11
+    "text_nb_quality_score",  # driver-green r6-r8,r10-r11
+    "text_zipf_profile",  # driver-green r10-r11
+    "events_daily_active",  # driver-green r8,r10
+    "events_key_skew_audit",  # driver-green r8,r10
+    "events_purchase_click_pairs",  # driver-green r8,r10
+    "events_sliding_window",  # driver-green r8,r10
+    "dedup_bloom_prefilter",  # driver-green r9
+    "dedup_exact_normalized",  # driver-green r9
+    "docs_agg_refresh",  # driver-green r9
+    "docs_blocklist_score",  # driver-green r9
+    "docs_bm25_topk",  # driver-green r9
+    "docs_boilerplate_topk",  # driver-green r9
+    "docs_boolean_search",  # driver-green r9
+    "docs_cross_lingual_pairs",  # driver-green r9
+    "docs_cross_split_contamination",  # driver-green r9
+    "docs_dedup_rate_by_source",  # driver-green r9
+    "docs_dedup_savings",  # driver-green r9
+    "docs_embedding_integrity",  # driver-green r9
+    "docs_language_balance_plan",  # driver-green r9
+    "docs_near_dedup_apply",  # driver-green r9
+    "docs_pack_efficiency",  # driver-green r9
+    "docs_span_coverage",  # driver-green r9
+    "docs_span_scrub",  # driver-green r9
+    "docs_split_token_budget",  # driver-green r9
+    "embeddings_matryoshka_audit",  # driver-green r9
+    "embeddings_matryoshka_recall",  # driver-green r9
+    "embeddings_norm_audit",  # driver-green r9
+    "embeddings_sq_int8",  # driver-green r9
+    "events_disorder_audit",  # driver-green r9
+    "events_disorder_audit_sharded",  # driver-green r8-r9
+    "events_disorder_audit_signal",  # driver-green r6-r9
+    "events_scd2_history",  # driver-green r9
+    "events_user_rate_topk",  # driver-green r9
+    "events_watermark_plan",  # driver-green r9
+    "events_watermark_plan_sharded",  # driver-green r9
+    "kmeans_report",  # driver-green r9
+    "media_dedup_exact",  # driver-green r9
+    "media_frame_sample",  # driver-green r9
+    "pii_scrub_text",  # driver-green r9
+    "text_bpe_fertility_by_lang",  # driver-green r9
+    "text_commonness_score",  # driver-green r9
+    "text_tokenizer_coverage",  # driver-green r9
+    "text_unicode_sanitize",  # driver-green r9
     "docs_chunking",  # driver-green r6-r8
+    "docs_column_profile",  # driver-green r8
     "docs_curation_pipeline",  # driver-green r6-r8
-    "docs_domain_cap",  # driver-green r8
-    "docs_merge_cdc",  # driver-green r8
     "docs_dataset_card",  # driver-green r8
+    "docs_domain_cap",  # driver-green r8
+    "docs_expectations_report",  # driver-green r8
+    "docs_kanon_release",  # driver-green r8
+    "docs_kmv_distinct_union",  # driver-green r5-r8
+    "docs_kmv_source_overlap",  # driver-green r8
+    "docs_merge_cdc",  # driver-green r8
+    "events_cms_heavy_hitters",  # driver-green r5-r8
+    "events_hist_quantiles",  # driver-green r5-r8
+    "events_hll_distinct",  # driver-green r5-r8
+    "events_retention",  # driver-green r8
+    "knn_index_upsert",  # driver-green r8
+    "media_phash_dedup",  # driver-green r6-r8
+    "pq_codes",  # driver-green r8
     "pq_recall_report",  # driver-green r8
     "semdedup_pairs",  # driver-green r2-r8
     "semdedup_prune_report",  # driver-green r8
-    "knn_index_upsert",  # driver-green r8
-    "pq_codes",  # driver-green r8
-    "docs_column_profile",  # driver-green r8
-    "docs_expectations_report",  # driver-green r8
-    "events_hll_distinct",  # driver-green r5-r8
-    "events_cms_heavy_hitters",  # driver-green r5-r8
-    "events_hist_quantiles",  # driver-green r5-r8
-    "docs_kmv_distinct_union",  # driver-green r5-r8
-    "docs_kmv_source_overlap",  # driver-green r8
-    "events_rollup",  # driver-green r1
-    "docs_source_mix",  # driver-green r1
-    "text_fingerprint",  # driver-green r1
-    "media_inventory",  # driver-green r1
-    "docs_stratified_sample",  # driver-green r1
-    "docs_quality_gate",  # driver-green r1
-    "docs_rejected",  # driver-green r1
-    "docs_decontaminated",  # driver-green r1
-    "knn_lsh",  # driver-green r1
-    "text_vocab_topk",  # driver-green r1
-    "docs_length_histogram",  # driver-green r1
-    "view_low_util_ec2_no_tags",  # driver-green r1
-    "dedup_exact_groups",  # driver-green r1
-    "knn_bruteforce",  # driver-green r1
-    "docs_top_quality",  # driver-green r1
-    "events_user_topk",  # driver-green r1
-    "view_underutil_ebs_no_tags",  # driver-green r1
-    "view_idle_elb_no_tags",  # driver-green r1
-    "view_rds_idle_no_tags",  # driver-green r1
-    "view_underutil_redshift_no_tags",  # driver-green r1
-    "view_route53_latency_no_tags",  # driver-green r1
-    "dedup_ngram_jaccard",  # driver-green r1-r4; stays the
-                            # driver ORACLE of parked
-                            # dedup_prefix_join (cross-algorithm)
-    "dedup_containment",  # driver-green r2-r4
-    "dedup_simhash",  # driver-green r1-r4
-    "events_hourly_anomaly",  # driver-green r2-r4
-    "events_sessionize",  # driver-green r1-r4
-    "events_latest_state",  # driver-green r2-r4
-    "text_bigram_surprise",  # driver-green r2-r4
-    "docs_importance_sample",  # driver-green r2-r4
-    "knn_ivf_kmeans",  # driver-green r2-r4
-    "text_repetition",  # driver-green r1-r5
-    "events_props_json",  # driver-green r1-r5
-    "events_asof_join",  # driver-green r1-r5
-    "docs_split_assign",  # driver-green r1-r5
-    "docs_pack_bins",  # driver-green r1-r5
-    "docs_contamination",  # driver-green r1-r5
-    "events_hourly_by_type",  # driver-green r1-r5
-    "events_value_quantiles",  # driver-green r1-r5
-    "dedup_exact_flags",  # driver-green r1-r5
-    "dedup_embedding_cosine",  # driver-green r1-r5
-    "media_byte_stats",  # driver-green r1-r5
-    "events_funnel",  # driver-green r2-r5
-    "text_token_stats",  # driver-green r1-r5
-    "text_quality",  # driver-green r1-r5
-    "text_bpe_pair_counts",  # driver-green r2-r6
-    "text_lang_id",  # driver-green r1-r6
-    "text_tfidf_topk",  # driver-green r2-r6
-    "dedup_graph_pagerank",  # driver-green r2-r6
-    "dedup_incremental",  # driver-green r2-r6
-    "dedup_prefix_join",  # driver-green r5-r6
-    "knn_recall_at_k",  # driver-green r2-r6
-    "knn_ivfpq_adc",  # driver-green r2-r6
-    "events_session_attribution",  # driver-green r2-r6
-    "pii_mask_accounts",  # driver-green r1-r6
-    "docs_block_dedup",  # driver-green r2-r6
-    "kmeans_assign",  # driver-green r2-r6
-    "media_feature_extract",  # driver-green r2-r6
-    "events_hll_merge",  # driver-green r5-r6
-    "tpch_q1",  # driver-green r6
-    "tpch_q2",  # driver-green r5-r6
-    "tpch_q3",  # driver-green r6
-    "tpch_q6",  # driver-green r6
-    "tpch_q9",  # driver-green r5-r6
-    "tpch_q10",  # driver-green r6
-    "tpch_q21",  # driver-green r5-r6
-    "tpch_q4",  # driver-green r7
-    "tpch_q5",  # driver-green r7
-    "tpch_q7",  # driver-green r7
-    "tpch_q8",  # driver-green r7
+    "dedup_span_exact",  # driver-green r7
+    "docs_curation_drift",  # driver-green r7
+    "docs_hybrid_search_rrf",  # driver-green r7
+    "docs_temperature_mix",  # driver-green r7
+    "events_interval_join",  # driver-green r7
+    "text_bpe_merge_train",  # driver-green r7
+    "text_bpe_tokenize_count",  # driver-green r7
     "tpch_q11",  # driver-green r7
     "tpch_q12",  # driver-green r6-r7
     "tpch_q13",  # driver-green r7
@@ -711,52 +751,41 @@ _PARKED_TAIL = (
     "tpch_q19",  # driver-green r7
     "tpch_q20",  # driver-green r7
     "tpch_q22",  # driver-green r7
-    "text_bpe_merge_train",  # driver-green r7
-    "text_bpe_tokenize_count",  # driver-green r7
-    "dedup_span_exact",  # driver-green r7
-    "docs_hybrid_search_rrf",  # driver-green r7
-    "events_interval_join",  # driver-green r7
-    "docs_temperature_mix",  # driver-green r7
-    "docs_curation_drift",  # driver-green r7
-    # --- the r9 rotation window, retired: all 37 went driver-green in
-    # CORRECTNESS_r09 (50/50):
-    "docs_boolean_search",  # driver-green r9
-    "docs_bm25_topk",  # driver-green r9
-    "text_unicode_sanitize",  # driver-green r9
-    "text_tokenizer_coverage",  # driver-green r9
-    "text_commonness_score",  # driver-green r9
-    "dedup_exact_normalized",  # driver-green r9
-    "dedup_bloom_prefilter",  # driver-green r9
-    "docs_span_scrub",  # driver-green r9
-    "docs_dedup_rate_by_source",  # driver-green r9
-    "docs_cross_split_contamination",  # driver-green r9
-    "docs_cross_lingual_pairs",  # driver-green r9
-    "docs_span_coverage",  # driver-green r9
-    "embeddings_norm_audit",  # driver-green r9
-    "embeddings_matryoshka_audit",  # driver-green r9
-    "embeddings_matryoshka_recall",  # driver-green r9
-    "events_user_rate_topk",  # driver-green r9
-    "events_disorder_audit",  # driver-green r9
-    "events_disorder_audit_signal",  # driver-green r6-r9
-    "events_disorder_audit_sharded",  # driver-green r8-r9
-    "events_scd2_history",  # driver-green r9
-    "events_watermark_plan",  # driver-green r9
-    "events_watermark_plan_sharded",  # driver-green r9
-    "media_dedup_exact",  # driver-green r9
-    "pii_scrub_text",  # driver-green r9
-    "docs_split_token_budget",  # driver-green r9
-    "docs_language_balance_plan",  # driver-green r9
-    "docs_embedding_integrity",  # driver-green r9
-    "docs_pack_efficiency",  # driver-green r9
-    "docs_boilerplate_topk",  # driver-green r9
-    "docs_blocklist_score",  # driver-green r9
-    "kmeans_report",  # driver-green r9
-    "embeddings_sq_int8",  # driver-green r9
-    "docs_agg_refresh",  # driver-green r9
-    "media_frame_sample",  # driver-green r9
-    "docs_near_dedup_apply",  # driver-green r9
-    "docs_dedup_savings",  # driver-green r9
-    "text_bpe_fertility_by_lang",  # driver-green r9
+    "tpch_q4",  # driver-green r7
+    "tpch_q5",  # driver-green r7
+    "tpch_q7",  # driver-green r7
+    "tpch_q8",  # driver-green r7
+    "dedup_graph_pagerank",  # driver-green r2-r6
+    "dedup_incremental",  # driver-green r2-r6
+    "dedup_prefix_join",  # driver-green r5-r6
+    "docs_block_dedup",  # driver-green r2-r6
+    "events_hll_merge",  # driver-green r5-r6
+    "events_session_attribution",  # driver-green r2-r6
+    "kmeans_assign",  # driver-green r2-r6
+    "knn_ivfpq_adc",  # driver-green r2-r6
+    "knn_recall_at_k",  # driver-green r2-r6
+    "media_feature_extract",  # driver-green r2-r6
+    "pii_mask_accounts",  # driver-green r1-r6
+    "text_bpe_pair_counts",  # driver-green r2-r6
+    "text_lang_id",  # driver-green r1-r6
+    "text_tfidf_topk",  # driver-green r2-r6
+    "tpch_q1",  # driver-green r6
+    "tpch_q10",  # driver-green r6
+    "tpch_q2",  # driver-green r5-r6
+    "tpch_q21",  # driver-green r5-r6
+    "tpch_q3",  # driver-green r6
+    "tpch_q6",  # driver-green r6
+    "tpch_q9",  # driver-green r5-r6
+    "docs_split_assign",  # driver-green r1-r5
+    "events_asof_join",  # driver-green r1-r5
+    "events_funnel",  # driver-green r2-r5
+    "events_hourly_by_type",  # driver-green r1-r5
+    "events_props_json",  # driver-green r1-r5
+    "events_value_quantiles",  # driver-green r1-r5
+    "media_byte_stats",  # driver-green r1-r5
+    "text_quality",  # driver-green r1-r5
+    "text_repetition",  # driver-green r1-r5
+    "text_token_stats",  # driver-green r1-r5
 )
 
 
@@ -798,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_phash_dedup"] = _phash_backed_query
     q["media_caption_pairs"] = _caption_pairs_query
     q["pairs_near_dedup"] = _pairs_near_dedup_query
+    q["pairs_release_manifest"] = _pairs_release_query
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",
                 "pq_recall_report"):
@@ -848,6 +878,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BPE-trainer rule)
     q["embeddings_power_iteration"] = _similarity_df_query(
         "embeddings_power_iteration_df")
+    # trained truncation: the PCA direction plane is the numpy kernel
+    # twin (deflated squaring over the dim²-row Gram); the unrolled
+    # MATERIALIZED-hinted chain is the DuckDB oracle (same rule as
+    # power iteration)
+    q["knn_pca_prefix"] = _pca_prefix_query
     q["knn_filtered"] = _knn_filtered_query
     q["events_retention"] = _eventops_df_query("events_retention_df")
     q["events_funnel"] = _eventops_df_query("events_funnel_df")
@@ -857,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_purchase_click_pairs"] = _eventops_df_query(
         "events_purchase_click_pairs_df")
     q["docs_release_manifest"] = _release_manifest_query
+    q["docs_release_refresh"] = _release_refresh_query
     q["docs_pack_bins"] = _pack_bins_query
     q["docs_pack_efficiency"] = _pack_efficiency_query
     q["docs_quality_cutoff_calibration"] = _cutoff_calibration_query
@@ -888,6 +924,9 @@ def oracle_sql() -> dict[str, str]:
     o["media_byte_stats"] = multimodal.media_byte_stats_oracle(DUCK)
     o["media_caption_pairs"] = multimodal.media_caption_pairs(DUCK)
     o["pairs_near_dedup"] = multimodal.pairs_near_dedup(DUCK)
+    # the pair-release capstone: the Spark form swaps the oracle's
+    # per-split rank window for the two-phase range-partition cumsum
+    o["pairs_release_manifest"] = multimodal.pairs_release_manifest(DUCK)
     o["media_feature_extract"] = multimodal.media_feature_extract_oracle(DUCK)
     o["media_frame_sample"] = multimodal.media_frame_sample_oracle(DUCK)
     # the prefix-filtered exact join must equal the full shared-shingle
@@ -923,10 +962,16 @@ def oracle_sql() -> dict[str, str]:
     # hinted DuckDB-only (the same rule as the BPE oracles below)
     o["embeddings_power_iteration"] = \
         similarity.embeddings_power_iteration(DUCK)
+    # PCA-prefix gate: the deflated-squaring direction chain is
+    # MATERIALIZED-hinted DuckDB-only; the Spark form reads the numpy
+    # kernel's direction plane (bit-identical doubles by the pinned
+    # fold-order discipline)
+    o["knn_pca_prefix"] = similarity.knn_pca_prefix_recall(DUCK)
     # release capstone: recursive-CTE near-dup closure inside -> the
     # composed SQL is DuckDB-only; the Spark form is the DF composition
     from aws_trusted_advisor_explorer_spark.operators import corpusops
     o["docs_release_manifest"] = corpusops.docs_release_manifest_oracle(DUCK)
+    o["docs_release_refresh"] = corpusops.docs_release_refresh_oracle(DUCK)
     from aws_trusted_advisor_explorer_spark.operators import textops
     o["text_bpe_merge_train"] = textops.text_bpe_merge_train(DUCK)
     o["text_bpe_tokenize_count"] = textops.text_bpe_tokenize_count(DUCK)

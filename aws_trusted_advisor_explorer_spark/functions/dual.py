@@ -256,6 +256,18 @@ class Dialect:
             return f"collect_list({c})"
         return f"list({c})"
 
+    def arr_agg_ordered(self, val: str, order: str) -> str:
+        """Group-aggregate ``val`` into an array in ascending ``order``
+        — the array twin of :meth:`ordered_concat` (``order`` must be
+        unique per group). The deterministic form positional math
+        (vector/matrix rows as arrays) needs where :meth:`arr_agg`'s
+        engine-dependent order would scramble coordinates."""
+        if self.name == "spark":
+            pair = self.struct_(("o", order), ("v", val))
+            return (f"transform(array_sort(collect_list({pair})), "
+                    f"s -> s.v)")
+        return f"list({val} ORDER BY {order})"
+
     def arr_intersect_size(self, a: str, b: str) -> str:
         """|A ∩ B| for arrays of DISTINCT elements (order-independent)."""
         if self.name == "spark":

@@ -505,14 +505,20 @@ def ensure_cluster_views(spark, key: object = None) -> None:
     the builders instead of re-running the unrolled training CTE
     chains per query — on a cluster this is the train-once / persist /
     search-many index lifecycle, and the oracle keeps the inlined
-    self-contained form."""
+    self-contained form. Plane-mode aware (session.set_plane_mode):
+    under "table" the assignment and code tables bucket on vec_id (the
+    probe/search join key) and the codebook on its subspace id."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        ensure_session_plane, materialize_plane_df, plane_cache_key,
+        plane_key_ok,
+    )
 
     def build(spark):
         dfs = []
-        asg = spark.sql(kmeans_assign(SPARK)).localCheckpoint(eager=True)
-        asg.createOrReplaceTempView(ASG_VIEW)
+        asg = materialize_plane_df(
+            spark, spark.sql(kmeans_assign(SPARK)), ASG_VIEW, key,
+            ["vec_id"])
         dfs.append(asg)
         ctes, _members, cents = _pq_train_ctes(SPARK)
         # codebook FIRST: the training chain runs exactly once; the
@@ -521,22 +527,23 @@ def ensure_cluster_views(spark, key: object = None) -> None:
         # chain's final members ARE the assign of elems to the final
         # cents), but the chain no longer executes twice (review
         # finding: ~2x one-time index-build cost per (session, dataset))
-        c = spark.sql(
-            f"WITH {ctes}\nSELECT s, cid, pos, val FROM {cents}"
-        ).localCheckpoint(eager=True)
-        c.createOrReplaceTempView(PQ_CENTS_VIEW)
+        c = materialize_plane_df(
+            spark, spark.sql(
+                f"WITH {ctes}\nSELECT s, cid, pos, val FROM {cents}"),
+            PQ_CENTS_VIEW, key, ["s"])
         dfs.append(c)
         assign, argmin = _pq_assign("elems", PQ_CENTS_VIEW, "pf")
-        m = spark.sql(
-            f"WITH {_pq_elems_ctes(SPARK)},\n{assign},\n{argmin}\n"
-            f"SELECT vec_id, s, cid, dist FROM pfm"
-        ).localCheckpoint(eager=True)
-        m.createOrReplaceTempView(PQ_MEMBERS_VIEW)
+        m = materialize_plane_df(
+            spark, spark.sql(
+                f"WITH {_pq_elems_ctes(SPARK)},\n{assign},\n{argmin}\n"
+                f"SELECT vec_id, s, cid, dist FROM pfm"),
+            PQ_MEMBERS_VIEW, key, ["vec_id"])
         dfs.append(m)
         return dfs
 
     build.plane_label = "cluster_index"
-    ensure_session_plane(_CLUSTER_STATE, spark, key, build)
+    ensure_session_plane(_CLUSTER_STATE, spark, plane_cache_key(key), build,
+                         key_ok=plane_key_ok(key))
 
 
 def semdedup_pairs_df(spark):
@@ -587,16 +594,22 @@ def ensure_semdedup_pairs(spark, key: object = None):
     dataset): both the pair query and the prune report consume it, so
     the within-cluster pair join (the expensive stage) runs once —
     same build-once pattern as the cluster/PQ index views. Requires
-    ensure_cluster_views to have registered the assignment first."""
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    ensure_cluster_views to have registered the assignment first.
+    Plane-mode aware; under "table" buckets on vec_b (the drop-rule
+    join key)."""
+    from aws_trusted_advisor_explorer_spark.session import (
+        ensure_session_plane, materialize_plane_df, plane_cache_key,
+        plane_key_ok,
+    )
 
     def build(spark):
-        df = semdedup_pairs_df(spark).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(SEM_PAIRS_VIEW)
+        df = materialize_plane_df(spark, semdedup_pairs_df(spark),
+                                  SEM_PAIRS_VIEW, key, ["vec_b"])
         return [df]
 
     build.plane_label = "semdedup_pairs"
-    ensure_session_plane(_PAIRS_STATE, spark, key, build)
+    ensure_session_plane(_PAIRS_STATE, spark, plane_cache_key(key), build,
+                         key_ok=plane_key_ok(key))
     return spark.table(SEM_PAIRS_VIEW)
 
 

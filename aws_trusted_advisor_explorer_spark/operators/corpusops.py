@@ -1223,11 +1223,12 @@ SELECT split, shard_id,
 FROM sh GROUP BY split, shard_id"""
 
 
-def _release_assignments_df(spark, key: object = None,
-                            with_text: bool = False):
-    """Doc-level release relation (doc_id, split, shard_id, n_toks,
-    n_bytes, h [, text]) behind both the manifest aggregate and the
-    shard writer — every gate is an existing rail, composed:
+def _release_rel_df(spark, key: object = None,
+                    with_text: bool = False):
+    """The UNPACKED released-doc relation (doc_id, split, n_toks,
+    n_bytes, h [, text]) — every gate rail composed, before shard
+    assignment (:func:`_split_pack_df` adds prior/shard_id; the
+    incremental refresh packs stored and delta slices separately):
 
     - pipeline verdicts (exact dedup + quality + domain cap + split)
       keep=1 survivors — docs_curation_pipeline, 2 exchanges;
@@ -1235,17 +1236,12 @@ def _release_assignments_df(spark, key: object = None,
       MinHash pair plane (broadcast-sized cluster relation);
     - decontaminated ship list — docs_decontaminated off the session
       contamination plane (broadcast anti-join);
-    - content hash from the session dochash plane (no re-fold);
-    - per-split token packing — the docs_pack_bins_df two-phase
-      cumsum GENERALIZED to PARTITION BY split: range-partition by
-      (split, doc_id), per-(split, pid) totals become prefix offsets
-      (a bounded partitions-per-split-sized window), broadcast back.
+    - content hash from the session dochash plane (no re-fold).
 
     Scale posture (100 TB): every join is id-keyed and skinny (text
     rides along only for the shard writer, and never shuffles wider
-    than its own range partition); the cumsum never global-sorts."""
+    than its own range partition)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
     from aws_trusted_advisor_explorer_spark.operators import dedup
@@ -1268,7 +1264,33 @@ def _release_assignments_df(spark, key: object = None,
     tok = spark.table("documents").selectExpr(*cols)
     rel = (pipe.join(nd, "doc_id").join(ship, "doc_id")
            .join(tok, "doc_id").join(hv, "doc_id"))
-    # two-phase per-split exclusive cumsum (docs_pack_bins_df pattern)
+    return rel
+
+
+def _release_assignments_df(spark, key: object = None,
+                            with_text: bool = False):
+    """Doc-level release ASSIGNMENT relation (doc_id, split, shard_id,
+    n_toks, n_bytes, h [, text]) behind both the manifest aggregate
+    and the shard writer: the rail composition
+    (:func:`_release_rel_df`) packed per split
+    (:func:`_split_pack_df`)."""
+    return _split_pack_df(_release_rel_df(spark, key=key,
+                                          with_text=with_text))
+
+
+def _split_pack_df(rel, base_offsets=None):
+    """Per-split token packing via the two-phase exclusive cumsum
+    (docs_pack_bins_df pattern, PARTITIONed BY split): range-partition
+    by (split, doc_id), per-(split, pid) totals become prefix offsets
+    (a bounded partitions-per-split-sized window), broadcast back;
+    ``shard_id = floor(prior / {RELEASE_SHARD_TOKENS})``.
+    ``base_offsets`` (split, base) shifts every prior — the
+    incremental-refresh hook: a delta batch packs AFTER the stored
+    snapshot by starting its cumsum at the snapshot's per-split token
+    total, never rescanning the snapshot rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     ranged = (rel.repartitionByRange(32, "split", "doc_id")
               .withColumn("pid", F.spark_partition_id())
               .localCheckpoint(eager=False))
@@ -1281,6 +1303,12 @@ def _release_assignments_df(spark, key: object = None,
     offsets = (totals.withColumn(
         "offset", F.coalesce(F.sum("part_sum").over(w_off), F.lit(0)))
         .select("split", "pid", "offset"))
+    if base_offsets is not None:
+        offsets = (offsets.join(F.broadcast(base_offsets), "split",
+                                "left")
+                   .withColumn("offset", F.col("offset")
+                               + F.coalesce(F.col("base"), F.lit(0)))
+                   .select("split", "pid", "offset"))
     w_in = (Window.partitionBy("split", "pid").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, -1))
     return (ranged.join(F.broadcast(offsets), ["split", "pid"])
@@ -1292,6 +1320,30 @@ def _release_assignments_df(spark, key: object = None,
                         .cast("bigint")))
 
 
+def _manifest_agg_df(a, with_path: bool = True):
+    """The manifest aggregate over a packed assignment relation: one
+    map-side-combining groupBy — exact counts, the order-independent
+    bit_xor content checksum, the id range."""
+    from pyspark.sql import functions as F
+
+    out = (a.groupBy("split", "shard_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_toks").cast("bigint").alias("n_tokens"),
+                F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+                F.expr("cast(bit_xor(h) as bigint)")
+                .alias("checksum_xor"),
+                F.min("doc_id").cast("bigint").alias("first_doc_id"),
+                F.max("doc_id").cast("bigint").alias("last_doc_id")))
+    if not with_path:
+        return out
+    return out.select("split", "shard_id",
+                      F.format_string("release/%s/shard-%05d.tar",
+                                      F.col("split"), F.col("shard_id"))
+                      .alias("path"),
+                      "n_docs", "n_tokens", "n_bytes", "checksum_xor",
+                      "first_doc_id", "last_doc_id")
+
+
 def docs_release_manifest_df(spark, key: object = None):
     """The release manifest as a DataFrame (the registered Spark form
     of :func:`docs_release_manifest_oracle`): one row per (split,
@@ -1299,23 +1351,225 @@ def docs_release_manifest_df(spark, key: object = None):
     order-independent bit_xor content checksum, and the id range.
     ONE map-side-combining aggregate over the doc-level assignment
     relation."""
+    return _manifest_agg_df(_release_assignments_df(spark, key=key))
+
+
+# the synthetic "nightly batch": released docs above the 90th
+# percentile of the id range (append-only arrivals — new ids sort
+# after every stored id, which is exactly the regime where a packed
+# manifest refreshes incrementally: earlier shard assignments cannot
+# move)
+RELEASE_REFRESH_NUM, RELEASE_REFRESH_DEN = 9, 10
+
+
+def docs_release_refresh_oracle(d: Dialect) -> str:
+    """Incremental REFRESH of the release manifest (r11 verdict task
+    4) — the :func:`docs_agg_refresh` stored+delta algebra applied to
+    the release capstone: the stored manifest (snapshot = released
+    docs at/below the id cut) is brought current by a delta batch
+    (released docs above the cut) WITHOUT rescanning the snapshot:
+
+    - the delta packs by starting each split's cumsum at the stored
+      split's token total (one rollup-sized number per split — the
+      snapshot rows are never re-read for packing);
+    - per-shard counters merge additively; the content checksum
+      merges because bit_xor is associative/self-inverse — stored ⊕
+      delta IS the refreshed shard checksum;
+    - id ranges merge by min/max (append-only delta ⇒ stored firsts
+      never move).
+
+    Append-only is the load-bearing precondition (delta ids all sort
+    after stored ids within every split, so stored shard assignments
+    are prefix-stable); the ``matches_recompute`` audit column proves
+    the merged manifest equals a direct recompute over the full
+    released set — carried in-row, so a violated precondition (e.g.
+    backfilled ids) is visible in production, not silent. Verdict
+    rails (dedup/quality/decontamination) are upstream of this
+    operator and have their own incremental forms (dedup_incremental,
+    docs_merge_cdc); this maintains the pack/manifest layer.
+
+    DuckDB-only oracle (the near-dup rail is a recursive CTE — the
+    docs_release_manifest rule); the registered Spark form is
+    :func:`docs_release_refresh_df`."""
+    from aws_trusted_advisor_explorer_spark.operators.dedup import (
+        docs_near_dedup_apply_oracle,
+    )
+
+    n_toks = d.arr_len(d.tokens("text"))
+    nbytes = ("octet_length(text)" if d.name == "spark"
+              else "strlen(text)")
+    vc = "string" if d.name == "spark" else "varchar"
+    cut = d.idiv(f"(max(doc_id) * {RELEASE_REFRESH_NUM})",
+                 str(RELEASE_REFRESH_DEN))
+    agg = f"""cast(count(*) as bigint) AS n_docs,
+  cast(sum(n_toks) as bigint) AS n_tokens,
+  cast(sum(n_bytes) as bigint) AS n_bytes,
+  cast(bit_xor(h) as bigint) AS checksum_xor,
+  cast(min(doc_id) as bigint) AS first_doc_id,
+  cast(max(doc_id) as bigint) AS last_doc_id"""
+    prior_w = ("sum(n_toks) OVER (PARTITION BY split ORDER BY doc_id "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
+
+    def pack(src: str) -> str:
+        return f"""SELECT split, shard_id, {agg} FROM (
+  SELECT doc_id, split, n_toks, n_bytes, h,
+    cast(floor(coalesce(prior, 0) / {RELEASE_SHARD_TOKENS}) as bigint)
+      AS shard_id
+  FROM (SELECT doc_id, split, n_toks, n_bytes, h, {prior_w} AS prior
+        FROM {src}) c0
+) s0 GROUP BY split, shard_id"""
+
+    nse = (lambda a, b: f"{a} <=> {b}") if d.name == "spark" else \
+        (lambda a, b: f"{a} IS NOT DISTINCT FROM {b}")
+    eq = " AND ".join(
+        nse(f"m.{c}", f"f.{c}")
+        for c in ("n_docs", "n_tokens", "n_bytes", "checksum_xor",
+                  "first_doc_id", "last_doc_id"))
+    return f"""WITH pipe AS (
+{docs_curation_pipeline(d)}
+),
+nd AS (
+{docs_near_dedup_apply_oracle(d)}
+),
+ship AS (
+{docs_decontaminated(d)}
+),
+tok AS (
+  SELECT doc_id, cast({n_toks} as bigint) AS n_toks,
+    cast({nbytes} as bigint) AS n_bytes,
+    {d.poly_hash('text')} AS h
+  FROM documents
+),
+rel AS (
+  SELECT p.doc_id, p.split, t.n_toks, t.n_bytes, t.h
+  FROM pipe p
+  JOIN nd ON nd.doc_id = p.doc_id
+  JOIN ship s ON s.doc_id = p.doc_id
+  JOIN tok t ON t.doc_id = p.doc_id
+  WHERE p.keep = 1 AND nd.keep
+),
+cutr AS (SELECT {cut} AS cut FROM documents),
+srel AS (SELECT rel.* FROM rel CROSS JOIN cutr WHERE doc_id <= cut),
+drel0 AS (SELECT rel.* FROM rel CROSS JOIN cutr WHERE doc_id > cut),
+sman AS (
+{pack('srel')}
+),
+sbase AS (SELECT split, cast(sum(n_toks) as bigint) AS base
+          FROM srel GROUP BY split),
+dsh AS (
+  SELECT doc_id, split, n_toks, n_bytes, h,
+    cast(floor((base + coalesce(dprior, 0)) / {RELEASE_SHARD_TOKENS})
+         as bigint) AS shard_id
+  FROM (
+    SELECT d0.doc_id, d0.split, d0.n_toks, d0.n_bytes, d0.h,
+      coalesce(sb.base, 0) AS base,
+      sum(d0.n_toks) OVER (PARTITION BY d0.split ORDER BY d0.doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS dprior
+    FROM drel0 d0 LEFT JOIN sbase sb ON sb.split = d0.split
+  ) dd
+),
+dman AS (SELECT split, shard_id, {agg} FROM dsh GROUP BY split, shard_id),
+merged AS (
+  SELECT coalesce(s.split, dl.split) AS split,
+    coalesce(s.shard_id, dl.shard_id) AS shard_id,
+    coalesce(s.n_docs, 0) + coalesce(dl.n_docs, 0) AS n_docs,
+    coalesce(s.n_tokens, 0) + coalesce(dl.n_tokens, 0) AS n_tokens,
+    coalesce(s.n_bytes, 0) + coalesce(dl.n_bytes, 0) AS n_bytes,
+    {d.xor('coalesce(s.checksum_xor, 0)', 'coalesce(dl.checksum_xor, 0)')}
+      AS checksum_xor,
+    CASE WHEN s.first_doc_id IS NULL THEN dl.first_doc_id
+         WHEN dl.first_doc_id IS NULL THEN s.first_doc_id
+         ELSE least(s.first_doc_id, dl.first_doc_id) END AS first_doc_id,
+    CASE WHEN s.last_doc_id IS NULL THEN dl.last_doc_id
+         WHEN dl.last_doc_id IS NULL THEN s.last_doc_id
+         ELSE greatest(s.last_doc_id, dl.last_doc_id) END AS last_doc_id,
+    coalesce(s.n_docs, 0) AS n_docs_stored,
+    coalesce(dl.n_docs, 0) AS n_docs_delta
+  FROM sman s FULL OUTER JOIN dman dl
+    ON dl.split = s.split AND dl.shard_id = s.shard_id
+),
+full_rc AS (
+{pack('rel')}
+)
+SELECT coalesce(m.split, f.split) AS split,
+  coalesce(m.shard_id, f.shard_id) AS shard_id,
+  'release/' || coalesce(m.split, f.split) || '/shard-'
+    || lpad(cast(coalesce(m.shard_id, f.shard_id) as {vc}), 5, '0')
+    || '.tar' AS path,
+  m.n_docs, m.n_tokens, m.n_bytes, m.checksum_xor,
+  m.first_doc_id, m.last_doc_id, m.n_docs_stored, m.n_docs_delta,
+  ({eq}) AS matches_recompute
+FROM merged m FULL OUTER JOIN full_rc f
+  ON f.split = m.split AND f.shard_id = m.shard_id"""
+
+
+def docs_release_refresh_df(spark, key: object = None):
+    """The registered Spark form of :func:`docs_release_refresh_oracle`
+    — same stored+delta algebra over the DataFrame rails: the stored
+    and delta slices each pack with the two-phase range-partition
+    cumsum (:func:`_split_pack_df`; the delta's cumsum starts at the
+    stored split totals, so the snapshot rows are never re-read for
+    packing), counters merge additively, checksums by xor, and the
+    audit recompute packs the full relation once."""
     from pyspark.sql import functions as F
 
-    a = _release_assignments_df(spark, key=key)
-    return (a.groupBy("split", "shard_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                 F.sum("n_toks").cast("bigint").alias("n_tokens"),
-                 F.sum("n_bytes").cast("bigint").alias("n_bytes"),
-                 F.expr("cast(bit_xor(h) as bigint)")
-                 .alias("checksum_xor"),
-                 F.min("doc_id").cast("bigint").alias("first_doc_id"),
-                 F.max("doc_id").cast("bigint").alias("last_doc_id"))
-            .select("split", "shard_id",
-                    F.format_string("release/%s/shard-%05d.tar",
-                                    F.col("split"), F.col("shard_id"))
-                    .alias("path"),
-                    "n_docs", "n_tokens", "n_bytes", "checksum_xor",
-                    "first_doc_id", "last_doc_id"))
+    rel = (_release_rel_df(spark, key=key)
+           .localCheckpoint(eager=False))
+    cut = spark.table("documents").agg(F.expr(
+        f"cast((max(doc_id) * {RELEASE_REFRESH_NUM}) "
+        f"div {RELEASE_REFRESH_DEN} as bigint)").alias("cut"))
+    rel2 = rel.crossJoin(F.broadcast(cut))
+    srel = rel2.filter("doc_id <= cut").drop("cut")
+    drel = rel2.filter("doc_id > cut").drop("cut")
+    sman = _manifest_agg_df(_split_pack_df(srel), with_path=False)
+    sbase = srel.groupBy("split").agg(
+        F.sum("n_toks").cast("bigint").alias("base"))
+    dman = _manifest_agg_df(_split_pack_df(drel, base_offsets=sbase),
+                            with_path=False)
+    m = (sman.alias("s").join(
+        dman.alias("dl"),
+        (F.expr("dl.split = s.split")
+         & F.expr("dl.shard_id = s.shard_id")), "full_outer")
+        .selectExpr(
+            "coalesce(s.split, dl.split) AS split",
+            "coalesce(s.shard_id, dl.shard_id) AS shard_id",
+            "coalesce(s.n_docs, 0) + coalesce(dl.n_docs, 0) AS n_docs",
+            "coalesce(s.n_tokens, 0) + coalesce(dl.n_tokens, 0)"
+            " AS n_tokens",
+            "coalesce(s.n_bytes, 0) + coalesce(dl.n_bytes, 0)"
+            " AS n_bytes",
+            "coalesce(s.checksum_xor, 0) ^ coalesce(dl.checksum_xor, 0)"
+            " AS checksum_xor",
+            "CASE WHEN s.first_doc_id IS NULL THEN dl.first_doc_id"
+            " WHEN dl.first_doc_id IS NULL THEN s.first_doc_id"
+            " ELSE least(s.first_doc_id, dl.first_doc_id) END"
+            " AS first_doc_id",
+            "CASE WHEN s.last_doc_id IS NULL THEN dl.last_doc_id"
+            " WHEN dl.last_doc_id IS NULL THEN s.last_doc_id"
+            " ELSE greatest(s.last_doc_id, dl.last_doc_id) END"
+            " AS last_doc_id",
+            "coalesce(s.n_docs, 0) AS n_docs_stored",
+            "coalesce(dl.n_docs, 0) AS n_docs_delta"))
+    full = _manifest_agg_df(_split_pack_df(rel), with_path=False)
+    eq = " AND ".join(
+        f"m.{c} <=> f.{c}"
+        for c in ("n_docs", "n_tokens", "n_bytes", "checksum_xor",
+                  "first_doc_id", "last_doc_id"))
+    return (m.alias("m").join(
+        full.alias("f"),
+        (F.expr("f.split = m.split")
+         & F.expr("f.shard_id = m.shard_id")), "full_outer")
+        .selectExpr(
+            "coalesce(m.split, f.split) AS split",
+            "coalesce(m.shard_id, f.shard_id) AS shard_id",
+            "format_string('release/%s/shard-%05d.tar', "
+            "coalesce(m.split, f.split), "
+            "coalesce(m.shard_id, f.shard_id)) AS path",
+            "m.n_docs", "m.n_tokens", "m.n_bytes", "m.checksum_xor",
+            "m.first_doc_id", "m.last_doc_id",
+            "m.n_docs_stored", "m.n_docs_delta",
+            f"({eq}) AS matches_recompute"))
 
 
 def docs_release_write_shards(spark, out_dir: str, key: object = None):
@@ -1326,10 +1580,18 @@ def docs_release_write_shards(spark, out_dir: str, key: object = None):
     groups so shard production parallelism == task parallelism and no
     payload passes through the driver (the sinks/shards.py staging
     rule: attempt-unique temp name + atomic rename). Returns the
-    written rows for reconciliation against the manifest."""
+    written rows for reconciliation against the manifest.
+
+    Posture note (the sink-family rule): ``out_dir`` must be a path
+    every executor can reach — local mode or a shared filesystem
+    (NFS/FUSE-mounted object store). On a multi-node cluster with
+    node-local disks the tars would land per-executor; the production
+    swap is the same writer with ``out_dir`` on the shared store, or
+    a cloud-native tar upload inside ``write_group``."""
     import io
     import os
     import tarfile
+    import uuid
 
     import pandas as pd
 
@@ -1343,7 +1605,11 @@ def docs_release_write_shards(spark, out_dir: str, key: object = None):
         full = os.path.join(out_dir, rel_path)
         os.makedirs(os.path.dirname(full), exist_ok=True)
         pdf = pdf.sort_values("doc_id")
-        tmp = f"{full}.inprogress-{os.getpid()}"
+        # attempt-unique temp name: pid alone is only process-unique,
+        # and Spark reuses worker processes across task attempts — a
+        # retried attempt in the same worker would collide with its
+        # own zombie file (r11 advice)
+        tmp = f"{full}.inprogress-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         n_bytes = 0
         with tarfile.open(tmp, "w") as tf:
             for did, txt in zip(pdf["doc_id"], pdf["text"]):

@@ -88,38 +88,47 @@ def ensure_shingle_view(spark, key: object = None) -> str:
     checkpoint the shingle table, then every dedup query is a cheap
     join against it instead of re-running the explode+hash pipeline
     (which Spark would otherwise re-evaluate per CTE reference, since
-    CTEs are inlined)."""
+    CTEs are inlined). Materialization honors the session plane mode
+    (session.set_plane_mode): localCheckpoint locally, bucketed
+    warehouse tables under "table" — the base view bucketed on doc_id
+    (MinHash signatures group on it), the distinct/capped ride-alongs
+    on hv (the frequency-join / self-join key)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        ensure_session_plane, materialize_plane_df, plane_cache_key,
+        plane_key_ok,
+    )
 
     def build(spark):
-        df = spark.sql(shingle_hash_sql(SPARK)).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(SHINGLE_VIEW)
+        df = materialize_plane_df(
+            spark, spark.sql(shingle_hash_sql(SPARK)), SHINGLE_VIEW,
+            key, ["doc_id"])
         # the deduplicated per-doc shingle set with its count rides along —
         # MinHash / exact-Jaccard would otherwise re-run the DISTINCT +
         # window once per CTE reference (2-3x per query)
-        ddf = spark.sql(
-            f"SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n "
-            f"FROM (SELECT DISTINCT doc_id, hv FROM {SHINGLE_VIEW})"
-        ).localCheckpoint(eager=True)
-        ddf.createOrReplaceTempView(SHINGLE_DISTINCT_VIEW)
+        ddf = materialize_plane_df(
+            spark, spark.sql(
+                f"SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n "
+                f"FROM (SELECT DISTINCT doc_id, hv FROM {SHINGLE_VIEW})"),
+            SHINGLE_DISTINCT_VIEW, key, ["hv"])
         # the DF-capped relation (hot boilerplate shingles dropped, per-doc
         # counts over the SURVIVORS) rides along too: it feeds both sides
         # of the exact-Jaccard/containment self-join, which would otherwise
         # re-run the cap filter + count window once per join side under
         # CTE inlining (measured 1.11s -> 0.75s per query at sf0.1)
-        cdf = spark.sql(
-            f"SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n "
-            f"FROM (SELECT s.doc_id, s.hv FROM {SHINGLE_DISTINCT_VIEW} s "
-            f"JOIN (SELECT hv FROM {SHINGLE_DISTINCT_VIEW} "
-            f"GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}) k "
-            f"ON k.hv = s.hv)"
-        ).localCheckpoint(eager=True)
-        cdf.createOrReplaceTempView(SHINGLE_CAPPED_VIEW)
+        cdf = materialize_plane_df(
+            spark, spark.sql(
+                f"SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n "
+                f"FROM (SELECT s.doc_id, s.hv FROM {SHINGLE_DISTINCT_VIEW} s "
+                f"JOIN (SELECT hv FROM {SHINGLE_DISTINCT_VIEW} "
+                f"GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}) k "
+                f"ON k.hv = s.hv)"),
+            SHINGLE_CAPPED_VIEW, key, ["hv"])
         return [df, ddf, cdf]
 
     build.plane_label = "shingle"
-    ensure_session_plane(_SHINGLE_STATE, spark, key, build)
+    ensure_session_plane(_SHINGLE_STATE, spark, plane_cache_key(key), build,
+                         key_ok=plane_key_ok(key))
     return SHINGLE_VIEW
 
 
@@ -402,8 +411,14 @@ def ensure_prefix_views(spark, key: object = None) -> tuple[str, str]:
     aggregate + rank window per side) and the doc-level shingle-set
     dimension the verify stage intersects against (read once per
     candidate side). Layered on the shingle plane like the capped
-    ride-along."""
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    ride-along. Materialization honors the session plane mode: under
+    "table" the prefix relation buckets on hv (the candidate
+    self-join key) and the sets dimension on doc_id (the verify-join
+    key)."""
+    from aws_trusted_advisor_explorer_spark.session import (
+        ensure_session_plane, materialize_plane_df, plane_cache_key,
+        plane_key_ok,
+    )
 
     def build(spark):
         ensure_shingle_view(spark, key=key)
@@ -411,7 +426,7 @@ def ensure_prefix_views(spark, key: object = None) -> tuple[str, str]:
               f"div {PREFIX_T_DEN}) + 1")
         # r (the rank within the doc's FULL rarest-first ordering) rides
         # along — the position filter's upper bound needs it per side
-        pref = spark.sql(f"""
+        pref = materialize_plane_df(spark, spark.sql(f"""
             SELECT doc_id, hv, n, r FROM (
               SELECT f.doc_id, f.hv, f.n,
                 row_number() OVER (PARTITION BY f.doc_id
@@ -420,18 +435,17 @@ def ensure_prefix_views(spark, key: object = None) -> tuple[str, str]:
               JOIN (SELECT hv, cast(count(*) as bigint) AS df
                     FROM {SHINGLE_CAPPED_VIEW} GROUP BY hv) fr
                 ON fr.hv = f.hv
-            ) o WHERE r <= {pl}""").localCheckpoint(eager=True)
-        pref.createOrReplaceTempView(PREFIX_VIEW)
-        sets = spark.sql(
+            ) o WHERE r <= {pl}"""), PREFIX_VIEW, key, ["hv"])
+        sets = materialize_plane_df(spark, spark.sql(
             f"SELECT doc_id, collect_list(hv) AS arr, "
             f"cast(max(n) as bigint) AS n "
-            f"FROM {SHINGLE_CAPPED_VIEW} GROUP BY doc_id"
-        ).localCheckpoint(eager=True)
-        sets.createOrReplaceTempView(SETS_VIEW)
+            f"FROM {SHINGLE_CAPPED_VIEW} GROUP BY doc_id"),
+            SETS_VIEW, key, ["doc_id"])
         return [pref, sets]
 
     build.plane_label = "prefix"
-    ensure_session_plane(_PREFIX_STATE, spark, key, build)
+    ensure_session_plane(_PREFIX_STATE, spark, plane_cache_key(key), build,
+                         key_ok=plane_key_ok(key))
     return PREFIX_VIEW, SETS_VIEW
 
 
@@ -714,24 +728,29 @@ def ensure_token_view(spark, key: object = None) -> str:
     commonness) and layered under the span-gram plane
     (ensure_span_views). Split from the gram plane so token-only
     consumers don't pay for the char-fold gram hashing they never
-    read."""
+    read. Plane-mode aware; under "table" buckets on doc_id (the
+    scrub join / per-doc rollup key)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        ensure_session_plane, materialize_plane_df, plane_cache_key,
+        plane_key_ok,
+    )
 
     def build(spark):
         d = SPARK
         # ONE template (the _tpos_from_t the scrub oracle inlines) —
         # a hand-restated copy here could silently desync the
         # materialized Spark plane from the DuckDB oracle
-        tp = spark.sql(
+        tp = materialize_plane_df(spark, spark.sql(
             f"WITH t AS (SELECT doc_id, {d.tokens('text')} AS toks "
             f"FROM documents),\n{_tpos_from_t(d)}\n"
-            f"SELECT doc_id, pos, tok FROM tpos").localCheckpoint(eager=True)
-        tp.createOrReplaceTempView(TOKEN_POS_VIEW)
+            f"SELECT doc_id, pos, tok FROM tpos"),
+            TOKEN_POS_VIEW, key, ["doc_id"])
         return [tp]
 
     build.plane_label = "token"
-    ensure_session_plane(_TOKEN_STATE, spark, key, build)
+    ensure_session_plane(_TOKEN_STATE, spark, plane_cache_key(key), build,
+                         key_ok=plane_key_ok(key))
     return TOKEN_POS_VIEW
 
 
@@ -742,10 +761,14 @@ def ensure_span_views(spark, key: object = None) -> str:
     layers on (ensure_token_view). The char-fold token hashing is the
     expensive interpreted prefix shared by dedup_span_exact and
     docs_span_scrub; building it once is the same build-once-index
-    step as ensure_shingle_view (localCheckpoint locally; a persisted
-    table on a cluster)."""
+    step as ensure_shingle_view (localCheckpoint locally; a bucketed
+    table under the "table" plane mode, bucketed on hv — the
+    duplicated-gram group/join key)."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        ensure_session_plane, materialize_plane_df, plane_cache_key,
+        plane_key_ok,
+    )
 
     ensure_token_view(spark, key)
 
@@ -753,14 +776,15 @@ def ensure_span_views(spark, key: object = None) -> str:
         # ONE template — the same _span_gram_cte the oracle and the
         # standalone tests render (a restated copy here is the drift
         # hazard the dual-dialect invariant exists to prevent)
-        g = spark.sql(
+        g = materialize_plane_df(spark, spark.sql(
             f"WITH {_span_gram_cte(SPARK, None)}\n"
-            f"SELECT doc_id, pos, hv FROM g").localCheckpoint(eager=True)
-        g.createOrReplaceTempView(SPAN_GRAM_VIEW)
+            f"SELECT doc_id, pos, hv FROM g"),
+            SPAN_GRAM_VIEW, key, ["hv"])
         return [g]
 
     build.plane_label = "span"
-    ensure_session_plane(_SPAN_STATE, spark, key, build)
+    ensure_session_plane(_SPAN_STATE, spark, plane_cache_key(key), build,
+                         key_ok=plane_key_ok(key))
     return SPAN_GRAM_VIEW
 
 

@@ -449,6 +449,14 @@ PHASH_VARIANT_EVERY = 25       # plant a noisy twin for every 25th doc
 PHASH_VARIANT_OFFSET = 1_000_000
 
 
+# the planted noisy-twin payload: two 1-byte splices (length-
+# preserving) — the ONE definition shared by the phash signature
+# plane and the pair-release shard writer, which must reproduce the
+# twin's media payload byte-for-byte
+PHASH_TWIN_SPLICE = ("substr(text, 1, 9) || '#' || substr(text, 11, 6) "
+                     "|| '%' || substr(text, 18)")
+
+
 def _phash_sig_cte(d: Dialect) -> str:
     """CTE chain ending at ``s(doc_id, ph)`` — the perceptual-hash
     signature relation including the planted noisy twins. This is the
@@ -457,8 +465,7 @@ def _phash_sig_cte(d: Dialect) -> str:
     materializes it per session so the band self-join does not
     re-evaluate the whole gradient pipeline once per join side under
     CTE inlining."""
-    splice = ("substr(text, 1, 9) || '#' || substr(text, 11, 6) || '%' || "
-              "substr(text, 18)")
+    splice = PHASH_TWIN_SPLICE
     pos_k = f"1 + {d.idiv('(k * (n - 1))', str(PHASH_BITS))}"
     pos_k1 = f"1 + {d.idiv('((k + 1) * (n - 1))', str(PHASH_BITS))}"
     return f"""WITH base AS (
@@ -470,7 +477,19 @@ noisy AS (
   FROM base
   WHERE doc_id % {PHASH_VARIANT_EVERY} = 0
 ),
-m AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM noisy),
+chk AS (SELECT max(doc_id) AS mx FROM base),
+m AS (
+  SELECT b.doc_id, b.text FROM base b CROSS JOIN chk
+  WHERE {d.check(
+      f'mx < {PHASH_VARIANT_OFFSET}',
+      'phash plane: genuine doc_id must stay below '
+      'PHASH_VARIANT_OFFSET - caption pairing derives caption_id = '
+      'media_id % OFFSET, so a larger id would silently alias twins '
+      'onto wrong captions; raise the offset constant instead')} IS NULL
+  UNION ALL
+  SELECT n.doc_id, n.text FROM noisy n CROSS JOIN chk
+  WHERE mx < {PHASH_VARIANT_OFFSET}
+),
 c AS (SELECT doc_id, text, length(text) AS n FROM m),
 g AS (SELECT doc_id, text, n, {d.explode(d.seq('0', str(PHASH_BITS - 1)))} AS k
       FROM c),
@@ -618,6 +637,244 @@ LEFT JOIN tp
   ON tp.doc_a = least(pa.caption_id, pb.caption_id)
  AND tp.doc_b = greatest(pa.caption_id, pb.caption_id)
 WHERE pa.caption_id = pb.caption_id OR tp.doc_a IS NOT NULL"""
+
+
+PAIRS_PER_SHARD = 32   # samples per WebDataset pair shard (LAION-style
+                       # count packing, vs the doc capstone's token budget)
+
+
+def pairs_release_manifest(d: Dialect, base: str | None = None,
+                           pairs_view: str | None = None,
+                           shingle_base: str | None = None) -> str:
+    """The PAIRED-MODALITY release capstone (r11 verdict task 3) — the
+    LAION/DataComp handoff artifact: compose the pair universe
+    (:func:`media_caption_pairs`), the pair-level near-dup drop rule
+    (:func:`pairs_near_dedup`, keep-lowest: a pair is dropped iff it
+    is the HIGHER pair_id of any duplicate pair-of-pairs edge — the
+    semdedup drop-rule shape), and the CAPTION-side curation verdicts
+    (docs_curation_pipeline keep=1, which also assigns the split);
+    pack survivors into fixed-count shards per split ({PAIRS_PER_SHARD}
+    pairs each, the WebDataset sample-count convention), and emit one
+    manifest row per shard with exact pair/caption-token/caption-byte
+    counts, an order-independent checksum PER MODALITY (bit_xor of
+    the caption poly-hash; bit_xor of the media perceptual hash), and
+    the pair-id range.
+
+    Scale posture (100 TB): every join is id-keyed and skinny (pair
+    ids, hashes, verdicts); caption text contributes only its token/
+    byte counts and hash, computed in one scan — payloads never
+    shuffle into the manifest. The per-split rank here is a window
+    (the oracle form); the registered Spark twin
+    (:func:`pairs_release_manifest_df`) replaces it with the
+    two-phase range-partition cumsum so no split is ever globally
+    sorted on one machine.
+
+    Ref parity note: no reference analog (extension plane) — the
+    composition mirrors the LAION-5B release recipe (pair dedup +
+    caption filtering + fixed-count shards + per-shard metadata)."""
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        docs_curation_pipeline,
+    )
+
+    mcp = media_caption_pairs(d, base=base)
+    pnd = pairs_near_dedup(d, base=base, pairs_view=pairs_view,
+                           shingle_base=shingle_base)
+    n_toks = d.arr_len(d.tokens("text"))
+    nbytes = ("octet_length(text)" if d.name == "spark"
+              else "strlen(text)")
+    lp = (f"lpad(cast(shard_id as {'string' if d.name == 'spark' else 'varchar'}), 5, '0')")
+    return f"""WITH mcp AS (
+{mcp}
+),
+pnd AS (
+{pnd}
+),
+pipe AS (
+{docs_curation_pipeline(d)}
+),
+drops AS (SELECT DISTINCT pair_b AS pair_id FROM pnd),
+ctok AS (
+  SELECT doc_id, cast({n_toks} as bigint) AS n_toks,
+    cast({nbytes} as bigint) AS n_bytes, {d.poly_hash('text')} AS h
+  FROM documents
+),
+surv AS (
+  SELECT m.pair_id, m.media_id, m.caption_id, m.media_phash, p.split
+  FROM mcp m
+  JOIN pipe p ON p.doc_id = m.caption_id AND p.keep = 1
+  LEFT JOIN drops dr ON dr.pair_id = m.pair_id
+  WHERE dr.pair_id IS NULL
+),
+rel AS (
+  SELECT s.pair_id, s.media_phash, s.split, t.n_toks, t.n_bytes, t.h
+  FROM surv s JOIN ctok t ON t.doc_id = s.caption_id
+),
+r AS (
+  SELECT pair_id, media_phash, split, n_toks, n_bytes, h,
+    row_number() OVER (PARTITION BY split ORDER BY pair_id) AS rk
+  FROM rel
+),
+sh AS (
+  SELECT pair_id, media_phash, split, n_toks, n_bytes, h,
+    cast({d.idiv('(rk - 1)', str(PAIRS_PER_SHARD))} as bigint) AS shard_id
+  FROM r
+)
+SELECT split, shard_id,
+  'release-pairs/' || split || '/shard-' || {lp} || '.tar' AS path,
+  cast(count(*) as bigint) AS n_pairs,
+  cast(sum(n_toks) as bigint) AS n_caption_tokens,
+  cast(sum(n_bytes) as bigint) AS n_caption_bytes,
+  cast(bit_xor(h) as bigint) AS caption_checksum_xor,
+  cast(bit_xor(media_phash) as bigint) AS media_checksum_xor,
+  cast(min(pair_id) as bigint) AS first_pair_id,
+  cast(max(pair_id) as bigint) AS last_pair_id
+FROM sh GROUP BY split, shard_id"""
+
+
+def _pairs_release_assignments_df(spark, key: object = None,
+                                  with_payload: bool = False):
+    """Pair-level release relation (pair_id, caption_id, media_phash,
+    split, shard_id, n_toks, n_bytes, h [, caption text + media
+    payload]) behind both the pair manifest and the pair shard writer
+    — :func:`pairs_release_manifest`'s composition with the per-split
+    window replaced by the two-phase range-partition cumsum over the
+    COUNT measure (rank = partition offset + in-partition
+    row_number), so no split is globally sorted on one machine (the
+    docs-release `_release_assignments_df` pattern)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        docs_curation_pipeline,
+    )
+
+    base = ensure_phash_view(spark, key=key)
+    pv = dedup.ensure_minhash_pairs_view(spark, key=key)
+    mcp = (spark.sql(media_caption_pairs(SPARK, base=base))
+           .select("pair_id", "media_id", "caption_id", "media_phash"))
+    drops = (spark.sql(pairs_near_dedup(SPARK, base=base, pairs_view=pv))
+             .select(F.col("pair_b").alias("pair_id")).distinct())
+    pipe = (spark.sql(docs_curation_pipeline(SPARK))
+            .filter("keep = 1").select("doc_id", "split"))
+    cols = ["doc_id",
+            f"cast({SPARK.arr_len(SPARK.tokens('text'))} as bigint)"
+            " AS n_toks",
+            "cast(octet_length(text) as bigint) AS n_bytes",
+            f"{SPARK.poly_hash('text')} AS h"]
+    if with_payload:
+        cols.append("text")
+    ctok = spark.table("documents").selectExpr(*cols)
+    rel = (mcp.join(pipe.withColumnRenamed("doc_id", "caption_id"),
+                    "caption_id")
+           .join(drops, "pair_id", "left_anti")
+           .join(ctok.withColumnRenamed("doc_id", "caption_id"),
+                 "caption_id"))
+    ranged = (rel.repartitionByRange(32, "split", "pair_id")
+              .withColumn("pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
+    totals = (ranged.groupBy("split", "pid")
+              .agg(F.count(F.lit(1)).alias("part_n")))
+    w_off = (Window.partitionBy("split").orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (totals.withColumn(
+        "offset", F.coalesce(F.sum("part_n").over(w_off), F.lit(0)))
+        .select("split", "pid", "offset"))
+    w_in = Window.partitionBy("split", "pid").orderBy("pair_id")
+    return (ranged.join(F.broadcast(offsets), ["split", "pid"])
+            .withColumn("rk", F.col("offset")
+                        + F.row_number().over(w_in))
+            .withColumn("shard_id",
+                        F.floor((F.col("rk") - 1) / PAIRS_PER_SHARD)
+                        .cast("bigint")))
+
+
+def pairs_release_manifest_df(spark, key: object = None):
+    """The pair-release manifest as a DataFrame (the registered Spark
+    form of :func:`pairs_release_manifest`): one map-side-combining
+    aggregate over the pair assignment relation."""
+    from pyspark.sql import functions as F
+
+    a = _pairs_release_assignments_df(spark, key=key)
+    return (a.groupBy("split", "shard_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.sum("n_toks").cast("bigint").alias("n_caption_tokens"),
+                 F.sum("n_bytes").cast("bigint").alias("n_caption_bytes"),
+                 F.expr("cast(bit_xor(h) as bigint)")
+                 .alias("caption_checksum_xor"),
+                 F.expr("cast(bit_xor(media_phash) as bigint)")
+                 .alias("media_checksum_xor"),
+                 F.min("pair_id").cast("bigint").alias("first_pair_id"),
+                 F.max("pair_id").cast("bigint").alias("last_pair_id"))
+            .select("split", "shard_id",
+                    F.format_string("release-pairs/%s/shard-%05d.tar",
+                                    F.col("split"), F.col("shard_id"))
+                    .alias("path"),
+                    "n_pairs", "n_caption_tokens", "n_caption_bytes",
+                    "caption_checksum_xor", "media_checksum_xor",
+                    "first_pair_id", "last_pair_id"))
+
+
+def pairs_release_write_shards(spark, out_dir: str, key: object = None):
+    """Materialize the pair release as WebDataset shards — one tar per
+    manifest row (``release-pairs/<split>/shard-<id>.tar``), two
+    members per pair in WebDataset convention (same basename, one
+    extension per modality): ``<pair_id>.txt`` (caption) and
+    ``<pair_id>.media`` (the media payload — the stored asset bytes;
+    for planted twins the length-preserving splice
+    :data:`PHASH_TWIN_SPLICE` reproduces the noisy payload exactly).
+    Members in pair-id order, mtime pinned to 0, attempt-unique temp
+    + atomic rename; no payload passes through the driver.
+
+    Posture note (the sink-family rule): ``out_dir`` must be
+    executor-reachable — local mode or a shared filesystem; on
+    node-local disks the production swap is a cloud-native upload
+    inside the group writer."""
+    import io
+    import os
+    import tarfile
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    out_schema = ("split string, shard_id long, path string, "
+                  "n_pairs long, n_caption_bytes long")
+
+    def write_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        split = pdf["split"].iloc[0]
+        sid = int(pdf["shard_id"].iloc[0])
+        rel_path = f"release-pairs/{split}/shard-{sid:05d}.tar"
+        full = os.path.join(out_dir, rel_path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pdf = pdf.sort_values("pair_id")
+        tmp = f"{full}.inprogress-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        n_cap_bytes = 0
+        with tarfile.open(tmp, "w") as tf:
+            for pid_, cap, med in zip(pdf["pair_id"], pdf["text"],
+                                      pdf["payload"]):
+                for ext, txt in ((".txt", cap), (".media", med)):
+                    data = ("" if txt is None else txt).encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{int(pid_):012d}{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(data))
+                    if ext == ".txt":
+                        n_cap_bytes += len(data)
+        os.replace(tmp, full)
+        return pd.DataFrame([{"split": split, "shard_id": sid,
+                              "path": rel_path, "n_pairs": len(pdf),
+                              "n_caption_bytes": n_cap_bytes}])
+
+    a = _pairs_release_assignments_df(spark, key=key, with_payload=True)
+    payload = F.expr(
+        f"CASE WHEN media_id >= {PHASH_VARIANT_OFFSET} "
+        f"THEN {PHASH_TWIN_SPLICE} ELSE text END")
+    return (a.withColumn("payload", payload)
+            .groupBy("split", "shard_id")
+            .applyInPandas(write_group, out_schema))
 
 
 def media_phash_dedup(d: Dialect, base: str | None = None) -> str:

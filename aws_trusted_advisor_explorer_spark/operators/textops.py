@@ -1391,17 +1391,21 @@ def ensure_bpe_dict_view(spark, key: object = None) -> str:
     corpus-scale pass of BPE training; every merge round reads this
     {BPE_WORD_CAP}-row plane."""
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
-    from aws_trusted_advisor_explorer_spark.session import ensure_session_plane
+    from aws_trusted_advisor_explorer_spark.session import (
+        ensure_session_plane, materialize_plane_df, plane_cache_key,
+        plane_key_ok,
+    )
 
     def build(spark):
-        df = spark.sql("WITH " + _bpe_dict_cte(SPARK, None) +
-                       "\nSELECT token, freq, syms FROM w0") \
-            .localCheckpoint(eager=True)
-        df.createOrReplaceTempView(BPE_DICT_VIEW)
+        df = materialize_plane_df(
+            spark, spark.sql("WITH " + _bpe_dict_cte(SPARK, None) +
+                             "\nSELECT token, freq, syms FROM w0"),
+            BPE_DICT_VIEW, key, ["token"])
         return [df]
 
     build.plane_label = "bpe_dict"
-    ensure_session_plane(_BPE_DICT_STATE, spark, key, build)
+    ensure_session_plane(_BPE_DICT_STATE, spark, plane_cache_key(key), build,
+                         key_ok=plane_key_ok(key))
     return BPE_DICT_VIEW
 
 
@@ -1510,14 +1514,17 @@ def ensure_bpe_merges(spark, key: object = None,
         st = None
     if st is not None and (key is None or st[1] == key):
         return st[2]
-    import time
+    from aws_trusted_advisor_explorer_spark.session import timed_plane_build
 
-    from aws_trusted_advisor_explorer_spark.session import record_plane
-
-    t0 = time.perf_counter()
-    merges = [[(left, right) for left, right, _ in rnd]
-              for rnd in _bpe_train_rounds(spark, base=base)]
-    record_plane("bpe_merges", time.perf_counter() - t0)
+    # timed_plane_build (not a bare perf_counter window): a cold train
+    # triggers the bpe_dict plane build inside this window, and the
+    # frame discipline nets that inner row out of this one so the two
+    # rows sum to the true total instead of double-counting (r11
+    # advice finding)
+    merges = timed_plane_build(
+        "bpe_merges",
+        lambda: [[(left, right) for left, right, _ in rnd]
+                 for rnd in _bpe_train_rounds(spark, base=base)])
     for sid in [sid for sid, s in _BPE_MERGE_STATE.items() if s[0]() is None]:
         del _BPE_MERGE_STATE[sid]
     _BPE_MERGE_STATE[id(spark)] = (weakref.ref(spark), key, merges)

@@ -140,10 +140,47 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 # cache site (the BPE merges trainer) records through record_plane().
 PLANE_TIMINGS: list[tuple[str, float]] = []
 
+# Per-active-build accumulators of NESTED plane-build seconds (plane
+# builds call each other: prefix -> shingle, minhash_pairs -> shingle,
+# bpe_merges -> bpe_dict). Without this, a cold inner build was priced
+# twice — once as its own row and once inside the outer build's
+# elapsed — so plane rows + query rows overstated the pass total, and
+# bench.py's per-query "elapsed - drained" subtraction clamped to 0
+# (r11 advice finding). Each frame collects the seconds of EVERY row
+# recorded while it is active — charged to all open frames, not just
+# the innermost, because an outer build's wall contains the grandchild
+# builds too and the child's own row is already net of them; each
+# build then subtracts its frame, so every row prices ONLY its own
+# work and the rows sum to the true total.
+_PLANE_BUILD_FRAMES: list[float] = []
+
 
 def record_plane(label: str, seconds: float) -> None:
-    """Record one session-plane build for bench attribution."""
+    """Record one session-plane build for bench attribution. Inside
+    enclosing timed builds (see :data:`_PLANE_BUILD_FRAMES`) the row's
+    seconds are also charged to every open frame so each encloser nets
+    them out of its own row."""
     PLANE_TIMINGS.append((label, seconds))
+    for i in range(len(_PLANE_BUILD_FRAMES)):
+        _PLANE_BUILD_FRAMES[i] += seconds
+
+
+def timed_plane_build(label: str, fn):
+    """Run ``fn()`` as a timed plane build and record a ``(label,
+    seconds)`` row NET of any nested plane builds recorded while it ran
+    (each nested row already priced itself). Returns ``fn()``'s
+    result. The shared timing discipline of ensure_session_plane and
+    the custom cache sites (the BPE merges trainer)."""
+    import time
+
+    t0 = time.perf_counter()
+    _PLANE_BUILD_FRAMES.append(0.0)
+    try:
+        out = fn()
+    finally:
+        inner = _PLANE_BUILD_FRAMES.pop()
+    record_plane(label, max(time.perf_counter() - t0 - inner, 0.0))
+    return out
 
 
 def drain_plane_timings() -> list[tuple[str, float]]:
@@ -183,19 +220,16 @@ def ensure_session_plane(state: dict, spark: SparkSession, key: object,
     """
     import weakref
 
-    import time
-
     st = state.get(id(spark))
     if st is not None and st[0]() is not spark:
         st = None  # dead session's id was recycled — never trust it
     if st is not None and (key_ok(st[1]) if key_ok is not None
                            else (key is None or st[1] == key)):
         return False
-    t0 = time.perf_counter()
-    dfs = build(spark)
-    record_plane(getattr(build, "plane_label", None)
-                 or getattr(build, "__qualname__", repr(build)),
-                 time.perf_counter() - t0)
+    dfs = timed_plane_build(
+        getattr(build, "plane_label", None)
+        or getattr(build, "__qualname__", repr(build)),
+        lambda: build(spark))
     for sid in [sid for sid, s in state.items() if s[0]() is None]:
         del state[sid]
     state[id(spark)] = (weakref.ref(spark), key, list(dfs))
@@ -228,73 +262,103 @@ def set_plane_mode(mode: str) -> None:
     _PLANE_MODE = mode
 
 
+def plane_cache_key(key: object) -> tuple:
+    """The ``(key, mode)`` cache key every mode-aware plane build
+    stores: the mode is part of the key, so ``set_plane_mode``'s
+    documented rebuild-on-switch contract holds — switching modes
+    rebuilds instead of silently reusing the other mode's
+    materialization."""
+    return (key, _PLANE_MODE)
+
+
+def plane_key_ok(key: object):
+    """The hit predicate to pass ``ensure_session_plane`` alongside
+    :func:`plane_cache_key`. ``key=None`` keeps its wildcard meaning
+    ("any registered plane for this session counts") WITHIN a mode: a
+    wildcard hit must still match the current plane mode, or the
+    rebuild-on-switch contract would be silently void for default-key
+    callers (r9 review finding). Explicit keys use plain ``(key,
+    mode)`` equality (predicate None)."""
+    if key is not None:
+        return None
+    mode = _PLANE_MODE
+    return (lambda sk: isinstance(sk, tuple) and len(sk) == 2
+            and sk[1] == mode)
+
+
+def materialize_plane_df(spark: SparkSession, df, view_name: str,
+                         key: object,
+                         bucket_cols: list[str] | None = None):
+    """Materialize ONE plane DataFrame per the current ``_PLANE_MODE``
+    and register it under ``view_name``; returns the materialized
+    DataFrame (callers pin it in their plane state). "local" =
+    ``localCheckpoint(eager=True)`` (single-JVM default); "table" =
+    bucketed external warehouse table read back — the production
+    fault-tolerance swap named in SCALE.md's policy table, and the
+    bucketed layout removes downstream exchanges on ``bucket_cols``
+    (the dominant downstream join/group key; first column when
+    omitted — bucketing never changes semantics, only which exchanges
+    disappear).
+
+    Table naming: the name carries a dataset discriminator (hash of
+    the plane key — driver keys are sf_dir strings, so repr is
+    stable): a fixed per-view name would let a rebuild for ANOTHER
+    dataset overwrite the table a still-pinned view resolves lazily —
+    local mode was immune because localCheckpoint pins blocks per
+    session. key=None has no dataset identity, so it discriminates by
+    SESSION id instead (per-session table; a concurrent sibling
+    session can't overwrite it). Two CONCURRENT sessions on the SAME
+    explicit key still share one table name; the production form
+    versions table names through the model-registry pattern (SCALE.md
+    streaming-dims row) — out of scope for the local-mode
+    demonstration."""
+    if _PLANE_MODE == "table":
+        import hashlib
+
+        from aws_trusted_advisor_explorer_spark.sinks.writers import (
+            write_bucketed_table,
+        )
+
+        ident = repr(key) if key is not None else f"nokey-{id(spark)}"
+        disc = hashlib.md5(ident.encode()).hexdigest()[:8]
+        tbl = f"plane_{view_name.strip('_')}_{disc}"
+        # external table at the warehouse location: a MANAGED
+        # saveAsTable refuses a leftover directory from a previous
+        # process (LOCATION_ALREADY_EXISTS — the local derby catalog
+        # is per-JVM but the warehouse dir persists), while an
+        # external overwrite replaces it
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = spark.conf.get(
+            "spark.sql.warehouse.dir").rstrip("/") + "/" + tbl
+        write_bucketed_table(df, tbl,
+                             list(bucket_cols or df.columns[:1]),
+                             path=loc)
+        df = spark.table(tbl)
+    else:
+        df = df.localCheckpoint(eager=True)
+    df.createOrReplaceTempView(view_name)
+    return df
+
+
 def register_session_plane(state: dict, spark: SparkSession, key: object,
                            view_name: str, df_factory,
                            bucket_cols: list[str] | None = None) -> str:
     """The common single-view plane shape: build a DataFrame once per
     (session, dataset, plane mode), materialize it per ``_PLANE_MODE``
-    (localCheckpoint | bucketed table), register it under
-    ``view_name``, pin it in ``state``. ``bucket_cols`` names the
-    dominant downstream join/group key for the "table" mode's bucketed
-    layout (first column when omitted — bucketing never changes
-    semantics, only which downstream exchanges disappear). The
-    multi-view planes (shingle + its ride-alongs) keep their custom
-    ``build``; everything else collapses to one call of this."""
+    (:func:`materialize_plane_df`), register it under ``view_name``,
+    pin it in ``state``. The multi-view planes (shingle + its
+    ride-alongs, the prefix/span/cluster index families) keep their
+    custom ``build`` functions but share the same materialization and
+    (key, mode) cache-key discipline through
+    :func:`materialize_plane_df` / :func:`plane_cache_key` /
+    :func:`plane_key_ok`; everything else collapses to one call of
+    this."""
 
     def build(spark):
-        df = df_factory(spark)
-        if _PLANE_MODE == "table":
-            import hashlib
+        return [materialize_plane_df(spark, df_factory(spark), view_name,
+                                     key, bucket_cols)]
 
-            from aws_trusted_advisor_explorer_spark.sinks.writers import (
-                write_bucketed_table,
-            )
-
-            # table name carries a dataset discriminator (hash of the
-            # plane key — driver keys are sf_dir strings, so repr is
-            # stable): a fixed per-view name would let a rebuild for
-            # ANOTHER dataset overwrite the table a still-pinned view
-            # resolves lazily — local mode was immune because
-            # localCheckpoint pins blocks per session. key=None has no
-            # dataset identity, so it discriminates by SESSION id
-            # instead (per-session table; a concurrent sibling session
-            # can't overwrite it). Two CONCURRENT sessions on the SAME
-            # explicit key still share one table name; the production
-            # form versions table names through the model-registry
-            # pattern (SCALE.md streaming-dims row) — out of scope for
-            # the local mode demonstration.
-            ident = repr(key) if key is not None else f"nokey-{id(spark)}"
-            disc = hashlib.md5(ident.encode()).hexdigest()[:8]
-            tbl = f"plane_{view_name.strip('_')}_{disc}"
-            # external table at the warehouse location: a MANAGED
-            # saveAsTable refuses a leftover directory from a previous
-            # process (LOCATION_ALREADY_EXISTS — the local derby
-            # catalog is per-JVM but the warehouse dir persists),
-            # while an external overwrite replaces it
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            loc = spark.conf.get(
-                "spark.sql.warehouse.dir").rstrip("/") + "/" + tbl
-            write_bucketed_table(df, tbl,
-                                 list(bucket_cols or df.columns[:1]),
-                                 path=loc)
-            df = spark.table(tbl)
-        else:
-            df = df.localCheckpoint(eager=True)
-        df.createOrReplaceTempView(view_name)
-        return [df]
-
-    # key=None keeps its wildcard meaning ("any registered plane for
-    # this session counts" — ensure_session_plane's contract) WITHIN a
-    # mode: a wildcard hit must still match the current plane mode, or
-    # set_plane_mode's documented rebuild-on-switch contract would be
-    # silently void for default-key callers (r9 review finding). The
-    # (key, mode) pair layout is owned HERE, so the wildcard predicate
-    # matching it is passed to ensure_session_plane rather than this
-    # function re-implementing its cache-hit/liveness logic.
-    mode = _PLANE_MODE
     build.plane_label = view_name.strip("_")
-    ensure_session_plane(
-        state, spark, (key, mode), build,
-        key_ok=(lambda sk: isinstance(sk, tuple) and len(sk) == 2
-                and sk[1] == mode) if key is None else None)
+    ensure_session_plane(state, spark, plane_cache_key(key), build,
+                         key_ok=plane_key_ok(key))
     return view_name

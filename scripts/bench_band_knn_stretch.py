@@ -1,6 +1,8 @@
 #!/usr/bin/env python
-"""2x / 4x stretch points for the two most expensive measured keys
-(r10 verdict task 6): dedup_band_tuning and knn_serving_report — their
+"""2x / 4x / 8x stretch points for the two most expensive measured keys
+(r10 verdict task 6; the 8x doubling is r11 stretch task 8 — it shows
+whether the BAND_CAP star-candidate recall floor is flat or sliding
+before anyone trusts it at 100 TB duplication rates): dedup_band_tuning and knn_serving_report — their
 growth story previously rested on the single sf0.1 point.
 
 dedup_band_tuning rides a "k x docs" axis (verbatim doc_id-offset
@@ -56,8 +58,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DOC_DST = {2: "/tmp/spark_graft_band_docs_2x", 4: "/tmp/spark_graft_band_docs_4x"}
-EMB_DST = {2: "/tmp/spark_graft_knn_emb_2x", 4: "/tmp/spark_graft_knn_emb_4x"}
+DOC_DST = {k: f"/tmp/spark_graft_band_docs_{k}x" for k in (2, 4, 8)}
+EMB_DST = {k: f"/tmp/spark_graft_knn_emb_{k}x" for k in (2, 4, 8)}
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
@@ -148,7 +150,8 @@ def main() -> None:
     bt = "dedup_band_tuning"
     bt_rows: dict[str, list] = {}
     for label, sf_dir in (("sf0.1", SRC), ("2x_docs", DOC_DST[2]),
-                          ("4x_docs", DOC_DST[4])):
+                          ("4x_docs", DOC_DST[4]),
+                          ("8x_docs", DOC_DST[8])):
         # variant-major: warm inside the variant so the shingle-plane
         # rebuild the dataset switch forces never lands in a timed rep
         qs[bt](spark, sf_dir).write.format("noop") \
@@ -175,18 +178,23 @@ def main() -> None:
     t1 = bt_rows["sf0.1"][0]["n_truth"]
     t2 = bt_rows["2x_docs"][0]["n_truth"]
     t4 = bt_rows["4x_docs"][0]["n_truth"]
+    t8 = bt_rows["8x_docs"][0]["n_truth"]
     e = t2 - 4 * t1  # self-pair-eligible docs, inferred at 2x
     assert e >= 0, (t1, t2)
     assert t4 == 16 * t1 + 6 * e, (t1, t2, t4, e)
+    # the r12 third doubling: the SAME inferred E must reconcile at
+    # 8x (C(8,2) = 28) — three scales pinned by one free parameter
+    assert t8 == 64 * t1 + 28 * e, (t1, t2, t4, t8, e)
     result["truth_combinatorics"] = {
-        "t1": int(t1), "t2": int(t2), "t4": int(t4), "eligible": int(e),
-        "law": "T_k = k^2*T_1 + C(k,2)*E"}
+        "t1": int(t1), "t2": int(t2), "t4": int(t4), "t8": int(t8),
+        "eligible": int(e), "law": "T_k = k^2*T_1 + C(k,2)*E"}
     for label, entry in result["variants"].items():
         if label != "sf0.1" and bt in entry:
             entry[bt]["growth"] = round(
                 entry[bt]["sec"] / result["variants"]["sf0.1"][bt]["sec"], 2)
     _flush(result)  # band section lands even if the knn half is cut off
-    for a, b in (("sf0.1", "2x_docs"), ("2x_docs", "4x_docs")):
+    for a, b in (("sf0.1", "2x_docs"), ("2x_docs", "4x_docs"),
+                 ("4x_docs", "8x_docs")):
         for i, (ra, rb) in enumerate(zip(bt_rows[a], bt_rows[b])):
             # ~quadratic candidate growth per doubling in the
             # uncapped regime (fewest-bands config); capped configs
@@ -200,7 +208,8 @@ def main() -> None:
     kr = "knn_serving_report"
     kr_rows: dict[str, dict] = {}
     for label, sf_dir in (("sf0.1", SRC), ("2x_corpus", EMB_DST[2]),
-                          ("4x_corpus", EMB_DST[4])):
+                          ("4x_corpus", EMB_DST[4]),
+                          ("8x_corpus", EMB_DST[8])):
         qs[kr](spark, sf_dir).write.format("noop") \
             .mode("overwrite").save()
         sec = timed(qs, kr, spark, sf_dir)
@@ -220,7 +229,8 @@ def main() -> None:
                       for name, r in rows.items()}}
     nq1 = kr_rows["sf0.1"]["exact"]["n_queries"]
     ex1 = kr_rows["sf0.1"]["exact"]["cand_rows"]
-    for label, k in (("2x_corpus", 2), ("4x_corpus", 4)):
+    for label, k in (("2x_corpus", 2), ("4x_corpus", 4),
+                     ("8x_corpus", 8)):
         exk = kr_rows[label]["exact"]
         assert exk["n_queries"] == nq1, (label, exk["n_queries"], nq1)
         assert exk["cand_rows"] == k * ex1, (label, exk["cand_rows"], ex1)

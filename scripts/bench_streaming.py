@@ -496,7 +496,12 @@ chronological drain; each series must plateau at the corpus's
 
 | batch | scd2 | transition | top_paths |
 |---|---|---|---|""")
-    for i in range(len(per_user[0][2])):
+    # zip to the SHORTEST series: a stream whose progress log yields
+    # fewer state samples (a batch missing stateOperators, or
+    # numInputRows==0 filtering differently per query) must degrade to
+    # a shorter table, not crash the report writer after the hour-long
+    # drain (r11 advice)
+    for i in range(min(len(series) for _, _, series in per_user)):
         out.append("| {} | {} | {} | {} |".format(
             i + 1, *(series[i] for _, _, series in per_user)))
     out.append(f"""

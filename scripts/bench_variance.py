@@ -108,8 +108,12 @@ def main() -> None:
             anchor = json.load(f)["queries"]
     except OSError:
         anchor = {}
+    # rank purely on THIS run's sweeps (min across sweeps) — mixing
+    # committed-anchor seconds with current seconds for anchor-missing
+    # keys let the tracked set shift for reasons unrelated to cost
+    # rank (r11 advice); anchor_sec still rides along per key
     top30 = sorted((k for k in sweeps[0] if not k.startswith("plane:")),
-                   key=lambda k: -anchor.get(k, sweeps[0][k]))[:30]
+                   key=lambda k: -min(s[k] for s in sweeps))[:30]
     result["top30"] = {}
     for key in top30:
         vals = [round(s[key], 3) for s in sweeps]

@@ -5,11 +5,21 @@ Also writes ``CORRECTNESS_FULL.json`` (driver row format) to the repo
 root covering ALL queries — the driver's own harness records only the
 first 50 entries of ``queries()`` (measured round 1), so this committed
 artifact is the full-coverage evidence for keys parked past that cap.
+An sf0.1 argument writes the ``CORRECTNESS_FULL_SF0.1.json`` twin.
+
+``SPARK_GRAFT_ANSI=1`` runs the identical comparator with
+``spark.sql.ansi.enabled=true`` and writes ``ANSI_PARITY.json``
+instead (r11 verdict task 7): SURVEY §7.4 risk 1 is the Presto-CAST /
+Spark-non-ANSI / DuckDB divergence triangle, handled today by
+construction (guarded casts, zero-guard quirks) — this artifact turns
+"by construction" into a measured per-key table under the strict
+dialect.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -22,11 +32,19 @@ from aws_trusted_advisor_explorer_spark.session import get_spark
 from tests.conftest import TABLE_NAMES, canonicalize
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = "/root/repo/CORRECTNESS_FULL.json"
+ANSI = os.environ.get("SPARK_GRAFT_ANSI") == "1"
+if ANSI:
+    OUT = "/root/repo/ANSI_PARITY.json"
+elif SF.rstrip("/").endswith("sf0.1"):
+    OUT = "/root/repo/CORRECTNESS_FULL_SF0.1.json"
+else:
+    OUT = "/root/repo/CORRECTNESS_FULL.json"
 
 
 def main() -> int:
     spark = get_spark("verify_entry")
+    if ANSI:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
 
     t0 = time.time()
     n = ent.entry(spark).count()
@@ -82,11 +100,19 @@ def main() -> int:
     head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                           capture_output=True, text=True,
                           cwd="/root/repo").stdout.strip() or "unknown"
+    # dirty flag (r11 verdict task 6): a stamp at commit X is only
+    # trustworthy if the working tree WAS X — uncommitted source at
+    # generation time must be visible in the artifact
+    dirty = bool(subprocess.run(
+        ["git", "status", "--porcelain", "--untracked-files=no"],
+        capture_output=True, text=True,
+        cwd="/root/repo").stdout.strip())
     with open(OUT, "w") as f:
         json.dump({"sf_dir": SF, "n_queries": len(qs), "n_ok": n_ok,
+                   "ansi_mode": ANSI,
                    "generated_at": _time.strftime(
                        "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
-                   "git_head": head,
+                   "git_head": head, "git_dirty": dirty,
                    "rows": report}, f, indent=2)
     print(f"wrote {OUT}")
     return rc

@@ -36,17 +36,23 @@ def test_priority_head_fits_driver_cap_and_holds_reference_views():
         assert view_key in head, f"{view_key} fell out of the priority head"
     for audited in ("knn_ivf", "knn_ivf_multiprobe", "dedup_clusters"):
         assert audited in head
-    # r10 rotation: the 12 operators ADDED during r9 (parked past the
-    # cap the round they were born; CORRECTNESS_r09 retired every other
-    # never-driver-green key) — they must stay in the head at least
-    # until CORRECTNESS_r10 lands
-    for rotated in ("events_pit_features", "events_training_labels",
-                    "knn_hamming_rerank", "knn_hamming_recall",
-                    "knn_filtered", "embeddings_covariance",
-                    "embeddings_drift_audit", "dedup_minhash_estimate",
-                    "docs_dsir_importance", "docs_epoch_shuffle_plan",
-                    "docs_ngram_novelty", "events_transition_matrix"):
-        assert rotated in head, f"{rotated} fell out of the r10 window"
+    # r12 rotation: the operators ADDED during r12 must sit in the
+    # head for their first driver rows (the verification loop closes
+    # the same round it opens)
+    for rotated in ("knn_pca_prefix", "pairs_release_manifest",
+                    "docs_release_refresh"):
+        assert rotated in head, f"{rotated} fell out of the r12 window"
+
+
+def test_parked_tail_matches_head_cap_exactly():
+    """r11 verdict task 5: the tail is GENERATED from the actual
+    window (scripts/gen_parked_tail.py), so it must equal
+    queries()[50:] exactly — every driver correctness slot is used
+    (head == 50, not <= 50) and the regenerated bookkeeping can never
+    drift from the observable contract again."""
+    q = list(ent.queries())
+    assert q[50:] == list(ent._PARKED_TAIL)
+    assert len(q) - len(ent._PARKED_TAIL) == 50
 
 
 def test_parked_tail_incap_citations_are_actually_incap():

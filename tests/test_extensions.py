@@ -2917,6 +2917,99 @@ def test_plane_mode_wildcard_key_rebuilds_on_switch(spark):
         sess.set_plane_mode("local")
 
 
+def test_plane_mode_table_heavy_planes_equality(spark):
+    """r11 verdict task 1: the four most expensive custom plane builds
+    (shingle, prefix, span, cluster_index — the planes SCALE.md's
+    fault-tolerance policy table prescribes bucketed-table
+    materialization for) must route through set_plane_mode("table"),
+    and each plane-consuming query must return the identical result in
+    both modes. Also pins that the table mode really wrote bucketed
+    warehouse tables for every view of every family (the multi-view
+    builds each materialize several relations)."""
+    from aws_trusted_advisor_explorer_spark import session as sess
+    from aws_trusted_advisor_explorer_spark.operators import (
+        clusterops as C, dedup,
+    )
+    from tests.conftest import canonicalize
+
+    KEY = "plane-mode-heavy-test"
+
+    def consumers():
+        base = dedup.ensure_shingle_view(spark, key=KEY)
+        dedup.ensure_prefix_views(spark, key=KEY)
+        span = dedup.ensure_span_views(spark, key=KEY)
+        C.ensure_cluster_views(spark, key=KEY)
+        return {
+            "shingle": spark.sql(dedup.dedup_minhash_lsh(SPARK, base)),
+            "prefix": spark.sql(dedup.dedup_prefix_join(SPARK, base=base)),
+            "span": spark.sql(dedup.dedup_span_exact(SPARK, base=span)),
+            "cluster": spark.sql(C.knn_ivfpq_adc(
+                SPARK, asg=C.ASG_VIEW, members=C.PQ_MEMBERS_VIEW,
+                cents=C.PQ_CENTS_VIEW)),
+        }
+
+    local = {k: canonicalize(df.toPandas())
+             for k, df in consumers().items()}
+    sess.set_plane_mode("table")
+    try:
+        tabled = {k: canonicalize(df.toPandas())
+                  for k, df in consumers().items()}
+        tables = [t.name for t in spark.catalog.listTables()]
+        for view in ("doc_shingle_hv", "doc_shingle_hv_distinct",
+                     "doc_shingle_hv_capped", "doc_shingle_prefix",
+                     "doc_shingle_sets", "doc_span_gram",
+                     "doc_token_pos", "emb_kmeans_asg",
+                     "emb_pq_members", "emb_pq_cents"):
+            assert any(t.startswith(f"plane_{view}_") for t in tables), \
+                f"no warehouse table for plane view {view}: {tables}"
+    finally:
+        sess.set_plane_mode("local")
+        # restore local-mode planes so later tests reuse the default
+        consumers()
+    for k in local:
+        assert local[k].equals(tabled[k]), f"{k} differs across modes"
+
+
+def test_plane_timing_nested_builds_not_double_counted():
+    """r11 advice (medium): plane builds nest (prefix→shingle,
+    minhash_pairs→shingle, bpe_merges→bpe_dict), and a cold inner
+    build used to be priced twice — once as its own row and once
+    inside the outer build's elapsed — so bench.py's plane rows +
+    query rows overstated the pass total. timed_plane_build must
+    record each row NET of nested rows so the rows telescope to the
+    true wall: outer_row ≈ outer_own_work, not outer_own_work +
+    inner. Three levels deep to pin that rows are charged to EVERY
+    open frame (the outer wall contains the grandchild's work too,
+    and the child's row is already net of it)."""
+    import time
+
+    from aws_trusted_advisor_explorer_spark import session as sess
+
+    sess.drain_plane_timings()
+
+    def grandchild():
+        time.sleep(0.30)
+        return "g"
+
+    def child():
+        out = sess.timed_plane_build("g", grandchild)
+        time.sleep(0.15)
+        return out + "c"
+
+    def outer():
+        out = sess.timed_plane_build("c", child)
+        time.sleep(0.05)
+        return out + "o"
+
+    assert sess.timed_plane_build("o", outer) == "gco"
+    rows = dict(sess.drain_plane_timings())
+    assert set(rows) == {"g", "c", "o"}
+    assert 0.28 <= rows["g"] <= 0.42, rows
+    # child's row excludes the grandchild's 0.30s; outer's excludes both
+    assert 0.13 <= rows["c"] <= 0.27, rows
+    assert 0.03 <= rows["o"] <= 0.17, rows
+
+
 def test_purchase_click_pairs_skew_mode_equality(spark):
     """r7 verdict stretch ask: salted_join wired into a real query
     behind a mode. The attribution pair join's DF twin must return the
@@ -5167,6 +5260,112 @@ def test_power_iteration_recovers_planted_direction(spark):
     # lambda_micro = max|G·v| / max|v| is already in G's micro units
     lam = rows[0].lambda_micro
     assert abs(lam - top) / top < 0.02, (lam, top)
+
+
+def test_pca_prefix_matches_oracle_and_beats_raw(spark, ddb):
+    """knn_pca_prefix (r11 verdict task 2): the Spark form (numpy
+    direction kernel + dual-dialect projection/ranking) equals the
+    DuckDB unrolled deflated-squaring oracle EXACTLY — bit-identical
+    doubles via the pinned fold-order discipline — and the PCA-rotated
+    16-dim prefix earns strictly more recall than the raw prefix on
+    the same query set (the whole point of the trained rotation)."""
+    from tests.conftest import canonicalize
+
+    view = similarity.ensure_pca_dirs(spark, key="pca-gate-test")
+    sdf0 = spark.sql(
+        similarity.knn_pca_prefix_recall(SPARK, dirs=view)).toPandas()
+    sdf = canonicalize(sdf0)
+    ddf = canonicalize(ddb.sql(similarity.knn_pca_prefix_recall(DUCK)).df())
+    assert sdf.equals(ddf)
+    assert sdf0["pca_recall"].mean() > sdf0["raw_recall"].mean()
+
+
+def test_pca_dirs_numpy_replay(spark):
+    """The direction plane's kernel equals an independent numpy replay
+    of the deflated-squaring scheme (exact integer Gram -> double,
+    column-ascending fold accumulation, max-rescales, Rayleigh
+    deflation in the pinned association order) — and the directions
+    are near-orthonormal up to the max-norm scaling (deflation did
+    real work; repeated directions would make the rotation rank-
+    deficient)."""
+    import numpy as np
+
+    vecs = [np.asarray(r.embedding, dtype=np.float64)
+            for r in spark.sql("SELECT embedding FROM embeddings")
+            .collect()
+            if r.embedding is not None
+            and len(r.embedding) == similarity.DIM]
+    m = np.stack(vecs)
+    G = np.floor(np.einsum("ni,nj->nij", m, m)
+                 * float(similarity.COV_SCALE)).sum(axis=0)
+    G = np.triu(G) + np.triu(G, 1).T  # the plane ships upper triangle
+
+    def gmax(M):
+        mx = np.abs(M).max()
+        return mx if mx != 0.0 else 1.0
+
+    want = []
+    for _ in range(similarity.PCA_DIRS):
+        S = G / gmax(G)
+        for _ in range(similarity.PCA_SQUARINGS):
+            C = np.zeros_like(S)
+            for k in range(similarity.DIM):
+                C = C + np.outer(S[:, k], S[:, k])
+            S = C / gmax(C)
+        v = np.zeros(similarity.DIM)
+        for j in range(similarity.DIM):
+            v = v + S[:, j]
+        v = v / gmax(v)
+        w = np.zeros(similarity.DIM)
+        for j in range(similarity.DIM):
+            w = w + G[:, j] * v[j]
+        num = 0.0
+        den = 0.0
+        for j in range(similarity.DIM):
+            num = num + v[j] * w[j]
+            den = den + v[j] * v[j]
+        want.append(v.copy())
+        G = G - np.outer((num / den) * v, v) / den
+    got = {r.r: np.asarray(r.varr)
+           for r in similarity.pca_dirs_df(spark).collect()}
+    assert len(got) == similarity.PCA_DIRS
+    for r, v in enumerate(want, start=1):
+        assert np.array_equal(got[r], v), f"direction {r} drifted"
+    # near-orthogonality: unit-normalized pairwise |cos| small
+    U = np.stack([v / np.linalg.norm(v) for v in want])
+    off = U @ U.T - np.eye(similarity.PCA_DIRS)
+    assert np.abs(off).max() < 0.05, np.abs(off).max()
+
+
+def test_pca_prefix_recovers_planted_subspace(spark):
+    """A corpus planted INSIDE a random (axis-misaligned) 16-dim
+    subspace plus small noise: the PCA-rotated prefix must rank like
+    the full vector (recall ~1) while the raw coordinate prefix —
+    seeing only the subspace's shadow on the first 16 axes — stays
+    well below. The operator does what its name claims, not just what
+    its replay repeats."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    q, _ = np.linalg.qr(rng.randn(similarity.DIM, similarity.DIM))
+    basis = q[:, :similarity.PCA_DIRS]
+    vecs = [(basis @ rng.randn(similarity.PCA_DIRS)
+             + 0.02 * rng.randn(similarity.DIM)).round(4)
+            for _ in range(400)]
+    ns = spark.newSession()
+    ns.createDataFrame(pd.DataFrame({
+        "vec_id": range(1, 401),
+        "embedding": [list(map(float, x)) for x in vecs],
+        "label": [0] * 400})).createOrReplaceTempView("embeddings")
+    view = similarity.ensure_pca_dirs(ns, key="pca-planted")
+    out = ns.sql(
+        similarity.knn_pca_prefix_recall(SPARK, dirs=view)).toPandas()
+    assert len(out) == 4  # vec_ids 100,200,300,400
+    # measured on this seed: pca 0.833 (one query loses a noise-edge
+    # neighbor), raw 0.333 — the rotation finds the planted subspace
+    assert out["pca_recall"].mean() >= 0.75, out
+    assert out["pca_recall"].mean() >= out["raw_recall"].mean() + 0.3, out
 
 
 def test_user_gini_matches_python_replay(spark, ddb):

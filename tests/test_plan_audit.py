@@ -53,6 +53,14 @@ BNLJ_ALLOWED = {
     # embeddings_matryoshka_recall — exact-truth gate, same broadcast
     #     query-probe cross join as knn_bruteforce/knn_recall_at_k
     "embeddings_matryoshka_recall",
+    # knn_pca_prefix — the same exact-truth gate shape (BROADCAST(q)
+    #     pinned in the SQL because the query side reaches the join
+    #     through the zv projection join), plus the 16-row broadcast
+    #     direction table onto the corpus scan
+    "knn_pca_prefix",
+    # docs_release_refresh — the one-row id-cut scalar broadcast onto
+    #     the released relation (the events_hist_quantiles shape)
+    "docs_release_refresh",
     "embeddings_sq_int8", "docs_bm25_topk", "docs_merge_cdc",
     "docs_language_balance_plan", "knn_index_upsert",
     # docs_span_coverage — two single-row aggregate relations cross-

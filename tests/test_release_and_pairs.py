@@ -174,6 +174,149 @@ def test_pairs_near_dedup_finds_planted_twin_pairs(spark):
     assert (rows["caption_jaccard"] == 1.0).all()
 
 
+def test_release_refresh_matches_oracle(spark, ddb):
+    """docs_release_refresh (r11 verdict task 4): the Spark
+    stored+delta composition == the self-contained DuckDB oracle."""
+    assert_matches_oracle(CO.docs_release_refresh_df(spark), ddb,
+                          CO.docs_release_refresh_oracle(DUCK))
+
+
+def test_release_refresh_equals_full_recompute(spark):
+    """The IVM contract: the refreshed manifest must equal
+    docs_release_manifest_df row-for-row on every shared column, the
+    in-row audit must agree (all matches_recompute true), and the
+    delta must be non-trivial (the synthetic nightly batch really
+    lands in the tail shards — append-only ids mean ONLY the last
+    stored shard per split can receive delta docs)."""
+    ref = CO.docs_release_refresh_df(spark).toPandas()
+    man = CO.docs_release_manifest_df(spark).toPandas()
+    assert ref["matches_recompute"].all()
+    assert int(ref["n_docs_delta"].sum()) > 0
+    shared = ["split", "shard_id", "path", "n_docs", "n_tokens",
+              "n_bytes", "checksum_xor", "first_doc_id", "last_doc_id"]
+    r = (ref[shared].sort_values(["split", "shard_id"])
+         .reset_index(drop=True))
+    mm = (man[shared].sort_values(["split", "shard_id"])
+          .reset_index(drop=True))
+    assert r.astype(str).equals(mm.astype(str))
+    # append-only: within each split, delta docs land only at/after
+    # the last stored shard
+    for split, g in ref.groupby("split"):
+        touched = g[g["n_docs_delta"] > 0]["shard_id"]
+        stored = g[g["n_docs_stored"] > 0]["shard_id"]
+        if len(touched) and len(stored):
+            assert touched.min() >= stored.max()
+
+
+def test_pairs_release_manifest_matches_oracle(spark, ddb):
+    """The paired-modality capstone (r11 verdict task 3): the Spark
+    two-phase-cumsum composition == the self-contained oracle with
+    its per-split rank window."""
+    assert_matches_oracle(M.pairs_release_manifest_df(spark), ddb,
+                          M.pairs_release_manifest(DUCK))
+
+
+def test_pairs_release_manifest_reconciles_with_rails(spark):
+    """Manifest totals must equal the independently-computed release
+    set (pair universe ∩ pair-near-dedup keepers ∩ caption keep=1);
+    shards are count-packed ({M.PAIRS_PER_SHARD} per shard, remainder
+    last) and tile the pair-id order per split; and the keep-lowest
+    rule holds: every dropped pair is the HIGHER endpoint of an edge,
+    every planted twin drops while its original ships."""
+    import aws_trusted_advisor_explorer_spark.operators.corpusops as CO2
+
+    man = M.pairs_release_manifest_df(spark).toPandas()
+    base = M.ensure_phash_view(spark)
+    pv = dedup.ensure_minhash_pairs_view(spark)
+    pairs = spark.sql(M.media_caption_pairs(SPARK, base=base)).toPandas()
+    edges = spark.sql(M.pairs_near_dedup(
+        SPARK, base=base, pairs_view=pv)).toPandas()
+    pipe = spark.sql(CO2.docs_curation_pipeline(SPARK)).toPandas()
+    keep_cap = set(pipe[pipe["keep"] == 1]["doc_id"])
+    dropped = set(edges["pair_b"])
+    released = {int(p) for p, c in zip(pairs["pair_id"],
+                                       pairs["caption_id"])
+                if int(c) in keep_cap and int(p) not in dropped}
+    assert int(man["n_pairs"].sum()) == len(released)
+    # planted twins whose caption survives curation: original ships,
+    # twin drops (keep-lowest — the twin is always the higher id)
+    twin_edges = edges[edges["caption_identical"] == 1]
+    assert len(twin_edges) > 0
+    assert (twin_edges["pair_b"] > twin_edges["pair_a"]).all()
+    for split, g in man.groupby("split"):
+        g = g.sort_values("shard_id")
+        assert list(g["shard_id"]) == list(range(len(g)))
+        assert (g["n_pairs"].iloc[:-1] == M.PAIRS_PER_SHARD).all()
+        assert 1 <= g["n_pairs"].iloc[-1] <= M.PAIRS_PER_SHARD
+        assert (g["first_pair_id"].iloc[1:].values
+                > g["last_pair_id"].iloc[:-1].values).all()
+
+
+def test_pairs_release_shards_roundtrip(spark, tmp_path):
+    """Write the pair shards, re-read every tar, and reconcile BOTH
+    modalities against the manifest: member pairing (one .txt + one
+    .media per pair id), caption byte totals, pair-id ranges, and
+    both order-independent checksums recomputed from the tar bytes
+    (caption poly-hash xor; media perceptual-hash xor via the dHash
+    replay over the payload actually written)."""
+    from tests.test_extensions import _py_poly_hash
+
+    out = str(tmp_path)
+    written = M.pairs_release_write_shards(spark, out).toPandas()
+    man = M.pairs_release_manifest_df(spark).toPandas()
+    w = written.set_index(["split", "shard_id"]).sort_index()
+    m = man.set_index(["split", "shard_id"]).sort_index()
+    assert list(w.index) == list(m.index)
+    assert (w["path"] == m["path"]).all()
+    assert (w["n_pairs"] == m["n_pairs"]).all()
+    assert (w["n_caption_bytes"] == m["n_caption_bytes"]).all()
+
+    def phash_replay(payload: str) -> int:
+        n = len(payload)
+        ph = 0
+        for k in range(M.PHASH_BITS):
+            a = payload[(k * (n - 1)) // M.PHASH_BITS]
+            b = payload[((k + 1) * (n - 1)) // M.PHASH_BITS]
+            if ord(a) < ord(b):
+                ph |= 1 << k
+        return ph
+
+    for (_, _), row in m.iterrows():
+        full = os.path.join(out, row["path"])
+        with tarfile.open(full) as tf:
+            members = {mm.name: tf.extractfile(mm).read().decode("utf-8")
+                       for mm in tf.getmembers()}
+        ids = sorted({int(name.split(".")[0]) for name in members})
+        assert len(ids) == row["n_pairs"]
+        assert min(ids) == row["first_pair_id"]
+        assert max(ids) == row["last_pair_id"]
+        cap_xor = 0
+        med_xor = 0
+        for pid_ in ids:
+            cap = members[f"{pid_:012d}.txt"]
+            med = members[f"{pid_:012d}.media"]
+            cap_xor ^= _py_poly_hash(cap)
+            med_xor ^= phash_replay(med)
+        assert cap_xor == row["caption_checksum_xor"]
+        assert med_xor == row["media_checksum_xor"]
+
+
+def test_phash_plane_guards_variant_offset(spark):
+    """r11 advice: a genuine doc_id at/above PHASH_VARIANT_OFFSET
+    would silently alias planted twins onto wrong captions — the
+    plane build must fail loudly instead."""
+    ns = spark.newSession()
+    long_text = "x" * (M.PHASH_BITS + 20)
+    ns.createDataFrame(pd.DataFrame({
+        "doc_id": [1, M.PHASH_VARIANT_OFFSET + 7],
+        "text": [long_text, long_text],
+        "lang": ["en", "en"], "source": ["a", "a"],
+    })).createOrReplaceTempView("documents")
+    with pytest.raises(Exception, match="PHASH_VARIANT_OFFSET"):
+        ns.sql(M._phash_sig_cte(SPARK) +
+               "\nSELECT doc_id, ph FROM s").collect()
+
+
 def test_pairs_near_dedup_requires_both_modalities(spark):
     """The AND contract: a media-side match whose captions neither
     coincide nor appear in the text pair graph is NOT a pair dup;
