@@ -102,11 +102,18 @@ def main() -> int:
                           cwd="/root/repo").stdout.strip() or "unknown"
     # dirty flag (r11 verdict task 6): a stamp at commit X is only
     # trustworthy if the working tree WAS X — uncommitted source at
-    # generation time must be visible in the artifact
-    dirty = bool(subprocess.run(
+    # generation time must be visible in the artifact. The verification
+    # artifacts THEMSELVES are excluded: the round-end protocol
+    # regenerates all three at the final code commit and then commits
+    # them together, so their own in-progress rewrites must not mark
+    # the run dirty.
+    _ARTIFACTS = {"CORRECTNESS_FULL.json", "CORRECTNESS_FULL_SF0.1.json",
+                  "ANSI_PARITY.json"}
+    status = subprocess.run(
         ["git", "status", "--porcelain", "--untracked-files=no"],
-        capture_output=True, text=True,
-        cwd="/root/repo").stdout.strip())
+        capture_output=True, text=True, cwd="/root/repo").stdout
+    dirty = any(ln[3:].strip() not in _ARTIFACTS
+                for ln in status.splitlines() if ln.strip())
     with open(OUT, "w") as f:
         json.dump({"sf_dir": SF, "n_queries": len(qs), "n_ok": n_ok,
                    "ansi_mode": ANSI,
