@@ -514,6 +514,50 @@ def test_r11_operator_plan_shapes(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_r12_operator_plan_shapes(spark):
+    """POSITIVE plan assertions for the r12 operators:
+
+    * knn_pca_prefix: the direction table rides ONE MapInPandas (the
+      dim²-sized numpy kernel — via the session plane's checkpointed
+      RDD scan) and reaches the corpus through broadcast joins; the
+      pinned BROADCAST(q) keeps both exact ranking arms on the
+      broadcast-nested-loop shape (never CartesianProduct — the
+      global gate) and every rank window is partitioned by query.
+    * pairs_release_manifest: the two-phase count cumsum keeps its
+      range-partitioned checkpoint plane (Scan ExistingRDD), offsets
+      return via broadcast, every window partitioned.
+    * docs_release_refresh: the id-cut is a scalar broadcast (one
+      BNLJ), the stored/delta/audit packings all ride partitioned
+      windows, and stored-side totals reach the delta packing via
+      broadcast — never a global single-partition sort.
+    """
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+
+    def shape(key):
+        df = q[key](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        assert "BatchEvalPython" not in plan, key
+        return df, plan
+
+    df, plan = shape("knn_pca_prefix")
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert not _unpartitioned_windows(df)
+
+    df, plan = shape("pairs_release_manifest")
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan
+    assert not _unpartitioned_windows(df)
+
+    df, plan = shape("docs_release_refresh")
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan
+    assert not _unpartitioned_windows(df)
+
+
 def test_training_examples_fused_plan_shape(spark):
     """POSITIVE plan assertion for events_training_examples (r10): the
     fused assembly's whole point is that ONE user_id exchange and ONE
