@@ -339,6 +339,17 @@ def _pairs_release_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.pairs_release_manifest_df(spark, key=sf_dir)
 
 
+def _pairs_release_refresh_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Incremental pair-release refresh: the stored+delta manifest
+    algebra at the pair level (count-rank base per split, xor-merged
+    per-modality checksums, in-row recompute audit)."""
+    from aws_trusted_advisor_explorer_spark.operators import multimodal
+
+    _prepare_ext(spark, sf_dir)
+    return multimodal.pairs_release_refresh_df(spark, key=sf_dir)
+
+
 def _prefix_backed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The prefix-filtered exact join reads its two multiply-referenced
     relations (rarest-first prefixes, doc-level shingle sets) from the
@@ -776,6 +787,7 @@ _PARKED_TAIL = (
     "tpch_q3",  # driver-green r6
     "tpch_q6",  # driver-green r6
     "tpch_q9",  # driver-green r5-r6
+    "docs_pack_bins",  # driver-green r1-r5
     "docs_split_assign",  # driver-green r1-r5
     "events_asof_join",  # driver-green r1-r5
     "events_funnel",  # driver-green r2-r5
@@ -828,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_caption_pairs"] = _caption_pairs_query
     q["pairs_near_dedup"] = _pairs_near_dedup_query
     q["pairs_release_manifest"] = _pairs_release_query
+    q["pairs_release_refresh"] = _pairs_release_refresh_query
     from aws_trusted_advisor_explorer_spark.operators import clusterops as _C
     for key in (*_C.ASG_BACKED, "pq_codes", "knn_ivfpq_adc",
                 "pq_recall_report"):
@@ -927,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
     # the pair-release capstone: the Spark form swaps the oracle's
     # per-split rank window for the two-phase range-partition cumsum
     o["pairs_release_manifest"] = multimodal.pairs_release_manifest(DUCK)
+    o["pairs_release_refresh"] = multimodal.pairs_release_refresh(DUCK)
     o["media_feature_extract"] = multimodal.media_feature_extract_oracle(DUCK)
     o["media_frame_sample"] = multimodal.media_frame_sample_oracle(DUCK)
     # the prefix-filtered exact join must equal the full shared-shingle

@@ -672,6 +672,33 @@ def pairs_release_manifest(d: Dialect, base: str | None = None,
     Ref parity note: no reference analog (extension plane) — the
     composition mirrors the LAION-5B release recipe (pair dedup +
     caption filtering + fixed-count shards + per-shard metadata)."""
+    lp = (f"lpad(cast(shard_id as {'string' if d.name == 'spark' else 'varchar'}), 5, '0')")
+    return f"""WITH {_pairs_release_core(d, base, pairs_view, shingle_base)},
+r AS (
+  SELECT pair_id, media_phash, split, n_toks, n_bytes, h,
+    row_number() OVER (PARTITION BY split ORDER BY pair_id) AS rk
+  FROM rel
+),
+sh AS (
+  SELECT pair_id, media_phash, split, n_toks, n_bytes, h,
+    cast({d.idiv('(rk - 1)', str(PAIRS_PER_SHARD))} as bigint) AS shard_id
+  FROM r
+)
+SELECT split, shard_id,
+  'release-pairs/' || split || '/shard-' || {lp} || '.tar' AS path,
+  {_pairs_manifest_agg_sql()}
+FROM sh GROUP BY split, shard_id"""
+
+
+def _pairs_release_core(d: Dialect, base: str | None,
+                        pairs_view: str | None,
+                        shingle_base: str | None) -> str:
+    """The shared CTE core of the pair-release family, ending at
+    ``rel(pair_id, media_phash, split, n_toks, n_bytes, h)`` — the
+    surviving pair relation (pair universe ∩ pair-near-dedup keepers
+    ∩ caption keep=1 with its split) joined to the caption's
+    token/byte counts and content hash. The manifest packs it whole;
+    the incremental refresh packs its stored/delta slices."""
     from aws_trusted_advisor_explorer_spark.operators.corpusops import (
         docs_curation_pipeline,
     )
@@ -682,8 +709,7 @@ def pairs_release_manifest(d: Dialect, base: str | None = None,
     n_toks = d.arr_len(d.tokens("text"))
     nbytes = ("octet_length(text)" if d.name == "spark"
               else "strlen(text)")
-    lp = (f"lpad(cast(shard_id as {'string' if d.name == 'spark' else 'varchar'}), 5, '0')")
-    return f"""WITH mcp AS (
+    return f"""mcp AS (
 {mcp}
 ),
 pnd AS (
@@ -708,41 +734,226 @@ surv AS (
 rel AS (
   SELECT s.pair_id, s.media_phash, s.split, t.n_toks, t.n_bytes, t.h
   FROM surv s JOIN ctok t ON t.doc_id = s.caption_id
-),
-r AS (
-  SELECT pair_id, media_phash, split, n_toks, n_bytes, h,
-    row_number() OVER (PARTITION BY split ORDER BY pair_id) AS rk
-  FROM rel
-),
-sh AS (
-  SELECT pair_id, media_phash, split, n_toks, n_bytes, h,
-    cast({d.idiv('(rk - 1)', str(PAIRS_PER_SHARD))} as bigint) AS shard_id
-  FROM r
-)
-SELECT split, shard_id,
-  'release-pairs/' || split || '/shard-' || {lp} || '.tar' AS path,
-  cast(count(*) as bigint) AS n_pairs,
+)"""
+
+
+def _pairs_manifest_agg_sql() -> str:
+    """The pair-manifest aggregate SELECT list (engine-invariant) —
+    one definition for the manifest, both refresh arms, and the
+    refresh's audit recompute."""
+    return """cast(count(*) as bigint) AS n_pairs,
   cast(sum(n_toks) as bigint) AS n_caption_tokens,
   cast(sum(n_bytes) as bigint) AS n_caption_bytes,
   cast(bit_xor(h) as bigint) AS caption_checksum_xor,
   cast(bit_xor(media_phash) as bigint) AS media_checksum_xor,
   cast(min(pair_id) as bigint) AS first_pair_id,
-  cast(max(pair_id) as bigint) AS last_pair_id
-FROM sh GROUP BY split, shard_id"""
+  cast(max(pair_id) as bigint) AS last_pair_id"""
 
 
-def _pairs_release_assignments_df(spark, key: object = None,
-                                  with_payload: bool = False):
-    """Pair-level release relation (pair_id, caption_id, media_phash,
-    split, shard_id, n_toks, n_bytes, h [, caption text + media
-    payload]) behind both the pair manifest and the pair shard writer
-    — :func:`pairs_release_manifest`'s composition with the per-split
-    window replaced by the two-phase range-partition cumsum over the
-    COUNT measure (rank = partition offset + in-partition
-    row_number), so no split is globally sorted on one machine (the
-    docs-release `_release_assignments_df` pattern)."""
+def pairs_release_refresh(d: Dialect, base: str | None = None,
+                          pairs_view: str | None = None,
+                          shingle_base: str | None = None) -> str:
+    """Incremental REFRESH of the pair-release manifest — the
+    `docs_release_refresh` stored+delta algebra at the PAIR level,
+    closing the IVM symmetry (both release capstones now have a
+    nightly maintenance form): the stored manifest (surviving pairs
+    at/below the id cut — the same append-only 90th-percentile batch
+    rule, and pair ids ARE media/doc ids for genuine assets) merges a
+    delta batch WITHOUT rescanning the snapshot. Count packing makes
+    the delta's rank base ONE number per split (the stored pair
+    count); counters merge additively; BOTH modality checksums merge
+    by xor (associative/self-inverse); id ranges by min/max. The
+    ``matches_recompute`` audit column proves the merged manifest
+    equals a full recompute in-row — append-only is the load-bearing
+    precondition and a violation is visible, not silent. (Planted
+    twins sit above the cut numerically but are near-dup-DROPPED on
+    both arms, so the surviving order stays a clean pair-id suffix.)
+
+    Oracle form (per-split windows); the registered Spark twin is
+    :func:`pairs_release_refresh_df` (two-phase count cumsum)."""
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        RELEASE_REFRESH_DEN, RELEASE_REFRESH_NUM,
+    )
+
+    vc = "string" if d.name == "spark" else "varchar"
+    cut = d.idiv(f"(max(doc_id) * {RELEASE_REFRESH_NUM})",
+                 str(RELEASE_REFRESH_DEN))
+    agg = _pairs_manifest_agg_sql()
+    nse = (lambda a, b: f"{a} <=> {b}") if d.name == "spark" else \
+        (lambda a, b: f"{a} IS NOT DISTINCT FROM {b}")
+    eq = " AND ".join(
+        nse(f"m.{c}", f"f.{c}")
+        for c in ("n_pairs", "n_caption_tokens", "n_caption_bytes",
+                  "caption_checksum_xor", "media_checksum_xor",
+                  "first_pair_id", "last_pair_id"))
+
+    def pack(src: str) -> str:
+        return f"""SELECT split, shard_id, {agg} FROM (
+  SELECT pair_id, media_phash, split, n_toks, n_bytes, h,
+    cast({d.idiv('(rk - 1)', str(PAIRS_PER_SHARD))} as bigint)
+      AS shard_id
+  FROM (SELECT pair_id, media_phash, split, n_toks, n_bytes, h,
+          row_number() OVER (PARTITION BY split ORDER BY pair_id)
+            AS rk
+        FROM {src}) r0
+) s0 GROUP BY split, shard_id"""
+
+    return f"""WITH {_pairs_release_core(d, base, pairs_view, shingle_base)},
+cutr AS (SELECT {cut} AS cut FROM documents),
+srel AS (SELECT rel.* FROM rel CROSS JOIN cutr WHERE pair_id <= cut),
+drel0 AS (SELECT rel.* FROM rel CROSS JOIN cutr WHERE pair_id > cut),
+sman AS (
+{pack('srel')}
+),
+sbase AS (SELECT split, cast(count(*) as bigint) AS base
+          FROM srel GROUP BY split),
+dsh AS (
+  SELECT pair_id, media_phash, split, n_toks, n_bytes, h,
+    cast({d.idiv('(base + drk - 1)', str(PAIRS_PER_SHARD))} as bigint)
+      AS shard_id
+  FROM (
+    SELECT d0.pair_id, d0.media_phash, d0.split, d0.n_toks,
+      d0.n_bytes, d0.h, coalesce(sb.base, 0) AS base,
+      row_number() OVER (PARTITION BY d0.split ORDER BY d0.pair_id)
+        AS drk
+    FROM drel0 d0 LEFT JOIN sbase sb ON sb.split = d0.split
+  ) dd
+),
+dman AS (SELECT split, shard_id, {agg} FROM dsh GROUP BY split, shard_id),
+merged AS (
+  SELECT coalesce(s.split, dl.split) AS split,
+    coalesce(s.shard_id, dl.shard_id) AS shard_id,
+    coalesce(s.n_pairs, 0) + coalesce(dl.n_pairs, 0) AS n_pairs,
+    coalesce(s.n_caption_tokens, 0) + coalesce(dl.n_caption_tokens, 0)
+      AS n_caption_tokens,
+    coalesce(s.n_caption_bytes, 0) + coalesce(dl.n_caption_bytes, 0)
+      AS n_caption_bytes,
+    {d.xor('coalesce(s.caption_checksum_xor, 0)',
+           'coalesce(dl.caption_checksum_xor, 0)')}
+      AS caption_checksum_xor,
+    {d.xor('coalesce(s.media_checksum_xor, 0)',
+           'coalesce(dl.media_checksum_xor, 0)')}
+      AS media_checksum_xor,
+    CASE WHEN s.first_pair_id IS NULL THEN dl.first_pair_id
+         WHEN dl.first_pair_id IS NULL THEN s.first_pair_id
+         ELSE least(s.first_pair_id, dl.first_pair_id) END
+      AS first_pair_id,
+    CASE WHEN s.last_pair_id IS NULL THEN dl.last_pair_id
+         WHEN dl.last_pair_id IS NULL THEN s.last_pair_id
+         ELSE greatest(s.last_pair_id, dl.last_pair_id) END
+      AS last_pair_id,
+    coalesce(s.n_pairs, 0) AS n_pairs_stored,
+    coalesce(dl.n_pairs, 0) AS n_pairs_delta
+  FROM sman s FULL OUTER JOIN dman dl
+    ON dl.split = s.split AND dl.shard_id = s.shard_id
+),
+full_rc AS (
+{pack('rel')}
+)
+SELECT coalesce(m.split, f.split) AS split,
+  coalesce(m.shard_id, f.shard_id) AS shard_id,
+  'release-pairs/' || coalesce(m.split, f.split) || '/shard-'
+    || lpad(cast(coalesce(m.shard_id, f.shard_id) as {vc}), 5, '0')
+    || '.tar' AS path,
+  m.n_pairs, m.n_caption_tokens, m.n_caption_bytes,
+  m.caption_checksum_xor, m.media_checksum_xor,
+  m.first_pair_id, m.last_pair_id,
+  m.n_pairs_stored, m.n_pairs_delta,
+  ({eq}) AS matches_recompute
+FROM merged m FULL OUTER JOIN full_rc f
+  ON f.split = m.split AND f.shard_id = m.shard_id"""
+
+
+def pairs_release_refresh_df(spark, key: object = None):
+    """The registered Spark form of :func:`pairs_release_refresh` —
+    stored and delta slices each rank with the two-phase count cumsum
+    (:func:`_pairs_count_rank_df`; the delta's rank starts at the
+    stored per-split pair count, so the snapshot rows are never
+    re-read for packing), counters merge additively, both modality
+    checksums by xor, and the audit recompute packs the full relation
+    once."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+
+    from aws_trusted_advisor_explorer_spark.operators.corpusops import (
+        RELEASE_REFRESH_DEN, RELEASE_REFRESH_NUM,
+    )
+
+    rel = _pairs_release_rel_df(spark, key=key).localCheckpoint(
+        eager=False)
+    cut = spark.table("documents").agg(F.expr(
+        f"cast((max(doc_id) * {RELEASE_REFRESH_NUM}) "
+        f"div {RELEASE_REFRESH_DEN} as bigint)").alias("cut"))
+    rel2 = rel.crossJoin(F.broadcast(cut))
+    srel = rel2.filter("pair_id <= cut").drop("cut")
+    drel = rel2.filter("pair_id > cut").drop("cut")
+    sman = _pairs_manifest_agg_df(_pairs_count_rank_df(srel),
+                                  with_path=False)
+    sbase = srel.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("base"))
+    dman = _pairs_manifest_agg_df(
+        _pairs_count_rank_df(drel, base_counts=sbase), with_path=False)
+    m = (sman.alias("s").join(
+        dman.alias("dl"),
+        (F.expr("dl.split = s.split")
+         & F.expr("dl.shard_id = s.shard_id")), "full_outer")
+        .selectExpr(
+            "coalesce(s.split, dl.split) AS split",
+            "coalesce(s.shard_id, dl.shard_id) AS shard_id",
+            "coalesce(s.n_pairs, 0) + coalesce(dl.n_pairs, 0)"
+            " AS n_pairs",
+            "coalesce(s.n_caption_tokens, 0) "
+            "+ coalesce(dl.n_caption_tokens, 0) AS n_caption_tokens",
+            "coalesce(s.n_caption_bytes, 0) "
+            "+ coalesce(dl.n_caption_bytes, 0) AS n_caption_bytes",
+            "coalesce(s.caption_checksum_xor, 0) "
+            "^ coalesce(dl.caption_checksum_xor, 0)"
+            " AS caption_checksum_xor",
+            "coalesce(s.media_checksum_xor, 0) "
+            "^ coalesce(dl.media_checksum_xor, 0)"
+            " AS media_checksum_xor",
+            "CASE WHEN s.first_pair_id IS NULL THEN dl.first_pair_id"
+            " WHEN dl.first_pair_id IS NULL THEN s.first_pair_id"
+            " ELSE least(s.first_pair_id, dl.first_pair_id) END"
+            " AS first_pair_id",
+            "CASE WHEN s.last_pair_id IS NULL THEN dl.last_pair_id"
+            " WHEN dl.last_pair_id IS NULL THEN s.last_pair_id"
+            " ELSE greatest(s.last_pair_id, dl.last_pair_id) END"
+            " AS last_pair_id",
+            "coalesce(s.n_pairs, 0) AS n_pairs_stored",
+            "coalesce(dl.n_pairs, 0) AS n_pairs_delta"))
+    full = _pairs_manifest_agg_df(_pairs_count_rank_df(rel),
+                                  with_path=False)
+    eq = " AND ".join(
+        f"m.{c} <=> f.{c}"
+        for c in ("n_pairs", "n_caption_tokens", "n_caption_bytes",
+                  "caption_checksum_xor", "media_checksum_xor",
+                  "first_pair_id", "last_pair_id"))
+    return (m.alias("m").join(
+        full.alias("f"),
+        (F.expr("f.split = m.split")
+         & F.expr("f.shard_id = m.shard_id")), "full_outer")
+        .selectExpr(
+            "coalesce(m.split, f.split) AS split",
+            "coalesce(m.shard_id, f.shard_id) AS shard_id",
+            "format_string('release-pairs/%s/shard-%05d.tar', "
+            "coalesce(m.split, f.split), "
+            "coalesce(m.shard_id, f.shard_id)) AS path",
+            "m.n_pairs", "m.n_caption_tokens", "m.n_caption_bytes",
+            "m.caption_checksum_xor", "m.media_checksum_xor",
+            "m.first_pair_id", "m.last_pair_id",
+            "m.n_pairs_stored", "m.n_pairs_delta",
+            f"({eq}) AS matches_recompute"))
+
+
+def _pairs_release_rel_df(spark, key: object = None,
+                          with_payload: bool = False):
+    """The UNRANKED surviving pair relation (pair_id, media_id,
+    caption_id, media_phash, split, n_toks, n_bytes, h [, caption
+    text]) — the DataFrame twin of :func:`_pairs_release_core`'s
+    ``rel``, off the session phash / MinHash-pair planes. The
+    manifest ranks it whole; the refresh ranks its stored/delta
+    slices separately."""
+    from pyspark.sql import functions as F
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
     from aws_trusted_advisor_explorer_spark.operators import dedup
@@ -766,11 +977,24 @@ def _pairs_release_assignments_df(spark, key: object = None,
     if with_payload:
         cols.append("text")
     ctok = spark.table("documents").selectExpr(*cols)
-    rel = (mcp.join(pipe.withColumnRenamed("doc_id", "caption_id"),
-                    "caption_id")
-           .join(drops, "pair_id", "left_anti")
-           .join(ctok.withColumnRenamed("doc_id", "caption_id"),
-                 "caption_id"))
+    return (mcp.join(pipe.withColumnRenamed("doc_id", "caption_id"),
+                     "caption_id")
+            .join(drops, "pair_id", "left_anti")
+            .join(ctok.withColumnRenamed("doc_id", "caption_id"),
+                  "caption_id"))
+
+
+def _pairs_count_rank_df(rel, base_counts=None):
+    """Per-split COUNT rank + shard assignment via the two-phase
+    range-partition cumsum (rank = partition offset + in-partition
+    row_number; no split is globally sorted on one machine — the
+    docs-release `_split_pack_df` pattern with a count measure).
+    ``base_counts`` (split, base) shifts every rank — the incremental-
+    refresh hook: a delta batch ranks AFTER the stored snapshot by
+    starting at the stored per-split pair count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     ranged = (rel.repartitionByRange(32, "split", "pair_id")
               .withColumn("pid", F.spark_partition_id())
               .localCheckpoint(eager=False))
@@ -781,6 +1005,12 @@ def _pairs_release_assignments_df(spark, key: object = None,
     offsets = (totals.withColumn(
         "offset", F.coalesce(F.sum("part_n").over(w_off), F.lit(0)))
         .select("split", "pid", "offset"))
+    if base_counts is not None:
+        offsets = (offsets.join(F.broadcast(base_counts), "split",
+                                "left")
+                   .withColumn("offset", F.col("offset")
+                               + F.coalesce(F.col("base"), F.lit(0)))
+                   .select("split", "pid", "offset"))
     w_in = Window.partitionBy("split", "pid").orderBy("pair_id")
     return (ranged.join(F.broadcast(offsets), ["split", "pid"])
             .withColumn("rk", F.col("offset")
@@ -790,30 +1020,48 @@ def _pairs_release_assignments_df(spark, key: object = None,
                         .cast("bigint")))
 
 
+def _pairs_manifest_agg_df(a, with_path: bool = True):
+    """The pair-manifest aggregate over a ranked pair relation — the
+    DataFrame twin of :func:`_pairs_manifest_agg_sql`."""
+    from pyspark.sql import functions as F
+
+    out = (a.groupBy("split", "shard_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum("n_toks").cast("bigint").alias("n_caption_tokens"),
+                F.sum("n_bytes").cast("bigint").alias("n_caption_bytes"),
+                F.expr("cast(bit_xor(h) as bigint)")
+                .alias("caption_checksum_xor"),
+                F.expr("cast(bit_xor(media_phash) as bigint)")
+                .alias("media_checksum_xor"),
+                F.min("pair_id").cast("bigint").alias("first_pair_id"),
+                F.max("pair_id").cast("bigint").alias("last_pair_id")))
+    if not with_path:
+        return out
+    return out.select("split", "shard_id",
+                      F.format_string("release-pairs/%s/shard-%05d.tar",
+                                      F.col("split"), F.col("shard_id"))
+                      .alias("path"),
+                      "n_pairs", "n_caption_tokens", "n_caption_bytes",
+                      "caption_checksum_xor", "media_checksum_xor",
+                      "first_pair_id", "last_pair_id")
+
+
+def _pairs_release_assignments_df(spark, key: object = None,
+                                  with_payload: bool = False):
+    """Pair-level release ASSIGNMENT relation behind the pair manifest
+    and the pair shard writer: the rail composition
+    (:func:`_pairs_release_rel_df`) count-ranked per split
+    (:func:`_pairs_count_rank_df`)."""
+    return _pairs_count_rank_df(_pairs_release_rel_df(
+        spark, key=key, with_payload=with_payload))
+
+
 def pairs_release_manifest_df(spark, key: object = None):
     """The pair-release manifest as a DataFrame (the registered Spark
     form of :func:`pairs_release_manifest`): one map-side-combining
     aggregate over the pair assignment relation."""
-    from pyspark.sql import functions as F
-
-    a = _pairs_release_assignments_df(spark, key=key)
-    return (a.groupBy("split", "shard_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-                 F.sum("n_toks").cast("bigint").alias("n_caption_tokens"),
-                 F.sum("n_bytes").cast("bigint").alias("n_caption_bytes"),
-                 F.expr("cast(bit_xor(h) as bigint)")
-                 .alias("caption_checksum_xor"),
-                 F.expr("cast(bit_xor(media_phash) as bigint)")
-                 .alias("media_checksum_xor"),
-                 F.min("pair_id").cast("bigint").alias("first_pair_id"),
-                 F.max("pair_id").cast("bigint").alias("last_pair_id"))
-            .select("split", "shard_id",
-                    F.format_string("release-pairs/%s/shard-%05d.tar",
-                                    F.col("split"), F.col("shard_id"))
-                    .alias("path"),
-                    "n_pairs", "n_caption_tokens", "n_caption_bytes",
-                    "caption_checksum_xor", "media_checksum_xor",
-                    "first_pair_id", "last_pair_id"))
+    return _pairs_manifest_agg_df(
+        _pairs_release_assignments_df(spark, key=key))
 
 
 def pairs_release_write_shards(spark, out_dir: str, key: object = None):

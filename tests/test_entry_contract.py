@@ -40,7 +40,7 @@ def test_priority_head_fits_driver_cap_and_holds_reference_views():
     # head for their first driver rows (the verification loop closes
     # the same round it opens)
     for rotated in ("knn_pca_prefix", "pairs_release_manifest",
-                    "docs_release_refresh"):
+                    "docs_release_refresh", "pairs_release_refresh"):
         assert rotated in head, f"{rotated} fell out of the r12 window"
 
 

@@ -58,9 +58,10 @@ BNLJ_ALLOWED = {
     #     through the zv projection join), plus the 16-row broadcast
     #     direction table onto the corpus scan
     "knn_pca_prefix",
-    # docs_release_refresh — the one-row id-cut scalar broadcast onto
-    #     the released relation (the events_hist_quantiles shape)
-    "docs_release_refresh",
+    # docs_release_refresh / pairs_release_refresh — the one-row
+    #     id-cut scalar broadcast onto the released relation (the
+    #     events_hist_quantiles shape)
+    "docs_release_refresh", "pairs_release_refresh",
     "embeddings_sq_int8", "docs_bm25_topk", "docs_merge_cdc",
     "docs_language_balance_plan", "knn_index_upsert",
     # docs_span_coverage — two single-row aggregate relations cross-

@@ -252,6 +252,39 @@ def test_pairs_release_manifest_reconciles_with_rails(spark):
                 > g["last_pair_id"].iloc[:-1].values).all()
 
 
+def test_pairs_release_refresh_matches_oracle(spark, ddb):
+    """pairs_release_refresh (r12): the Spark stored+delta composition
+    == the self-contained DuckDB oracle."""
+    assert_matches_oracle(M.pairs_release_refresh_df(spark), ddb,
+                          M.pairs_release_refresh(DUCK))
+
+
+def test_pairs_release_refresh_equals_full_recompute(spark):
+    """The pair-level IVM contract: the refreshed manifest equals
+    pairs_release_manifest_df row-for-row on every shared column, the
+    in-row audit agrees everywhere, the delta is non-trivial, and
+    append-only ids mean only each split's tail shards receive delta
+    pairs."""
+    ref = M.pairs_release_refresh_df(spark).toPandas()
+    man = M.pairs_release_manifest_df(spark).toPandas()
+    assert ref["matches_recompute"].all()
+    assert int(ref["n_pairs_delta"].sum()) > 0
+    shared = ["split", "shard_id", "path", "n_pairs",
+              "n_caption_tokens", "n_caption_bytes",
+              "caption_checksum_xor", "media_checksum_xor",
+              "first_pair_id", "last_pair_id"]
+    r = (ref[shared].sort_values(["split", "shard_id"])
+         .reset_index(drop=True))
+    mm = (man[shared].sort_values(["split", "shard_id"])
+          .reset_index(drop=True))
+    assert r.astype(str).equals(mm.astype(str))
+    for split, g in ref.groupby("split"):
+        touched = g[g["n_pairs_delta"] > 0]["shard_id"]
+        stored = g[g["n_pairs_stored"] > 0]["shard_id"]
+        if len(touched) and len(stored):
+            assert touched.min() >= stored.max()
+
+
 def test_pairs_release_shards_roundtrip(spark, tmp_path):
     """Write the pair shards, re-read every tar, and reconcile BOTH
     modalities against the manifest: member pairing (one .txt + one
