@@ -497,6 +497,103 @@ PQ_CENTS_VIEW = "__emb_pq_cents"
 _CLUSTER_STATE: dict[int, tuple[object, object, list]] = {}
 
 
+def _np_round_half_up(x):
+    """numpy twin of Spark's ``round(double)`` (BigDecimal HALF_UP):
+    nearest integer, ties away from zero, as int64. Exact for
+    |x| < 2^53: ``ax - floor(ax)`` is an exact IEEE subtraction, so the
+    tie comparison sees the true binary fraction (the safer form of the
+    replay test's ``floor(abs+0.5)``, whose addition can round)."""
+    import numpy as np
+
+    ax = np.abs(x)
+    fl = np.floor(ax)
+    r = fl + (ax - fl >= 0.5)
+    return np.where(x < 0, -r, r).astype(np.int64)
+
+
+def _np_assign(V, cids, C, sub: bool = False):
+    """Scaled-integer squared-L2 argmin — the numpy twin of the
+    :func:`_assign` CTE pair (same per-term arithmetic as the SQL:
+    ``round((v-c)^2 * _DSCALE)`` per element, exact int64 sum, argmin
+    with ties to the lowest cid). ``V``: (n, DIM) float64; ``C``:
+    (k, DIM) float64 rows in ASCENDING ``cids`` order (ties resolve by
+    first-minimum). With ``sub``, the argmin runs per (row, subspace)
+    over each PQ_SUBDIM-wide slice and returns (labels, dists) of
+    shape (n, PQ_SUB)."""
+    import numpy as np
+
+    n = len(V)
+    if not sub:
+        dist = np.zeros((n, len(cids)), dtype=np.int64)
+        for c in range(len(cids)):
+            d = V - C[c]
+            dist[:, c] = _np_round_half_up((d * d) * float(_DSCALE)).sum(
+                axis=1)
+        lab = dist.argmin(axis=1)
+        return cids[lab], dist[np.arange(n), lab]
+    labs = np.empty((n, PQ_SUB), dtype=np.int64)
+    dists = np.empty((n, PQ_SUB), dtype=np.int64)
+    for s in range(PQ_SUB):
+        sl = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
+        dist = np.zeros((n, len(cids)), dtype=np.int64)
+        for c in range(len(cids)):
+            d = V[:, sl] - C[c, sl]
+            dist[:, c] = _np_round_half_up((d * d) * float(_DSCALE)).sum(
+                axis=1)
+        lab = dist.argmin(axis=1)
+        labs[:, s] = cids[lab]
+        dists[:, s] = dist[np.arange(n), lab]
+    return labs, dists
+
+
+def _np_update(V, labels, cids, sub: bool = False):
+    """Exact-integer centroid update — the numpy twin of the
+    :func:`_update` CTE: per (cid[, subspace], pos) the int64 sum of
+    ``round(v * _ESCALE)`` and the member count; division back to
+    coordinate space happens at the single consumer so the partials
+    stay mergeable integers. Returns (sums, counts) keyed like the
+    codebook; empty cells keep count 0 (the SQL relation simply has no
+    row — callers drop them)."""
+    import numpy as np
+
+    iv = _np_round_half_up(V * float(_ESCALE))
+    k = len(cids)
+    if not sub:
+        sums = np.zeros((k, KMEANS_DIM), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for i, cid in enumerate(cids):
+            m = labels == cid
+            counts[i] = int(m.sum())
+            if counts[i]:
+                sums[i] = iv[m].sum(axis=0)
+        return sums, counts
+    sums = np.zeros((PQ_SUB, k, KMEANS_DIM), dtype=np.int64)
+    counts = np.zeros((PQ_SUB, k), dtype=np.int64)
+    for s in range(PQ_SUB):
+        sl = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
+        for i, cid in enumerate(cids):
+            m = labels[:, s] == cid
+            counts[s, i] = int(m.sum())
+            if counts[s, i]:
+                sums[s, i, sl] = iv[m][:, sl].sum(axis=0)
+    return sums, counts
+
+
+def _collect_seed_matrix(spark, k: int):
+    """The K lowest-vec_id seed vectors as (ids, V) float64 — a
+    BOUNDED collect (k <= PQ_K rows, the frozen-model-dimension tier:
+    codebooks are what production broadcasts to every assign task)."""
+    import numpy as np
+
+    rows = spark.sql(
+        f"SELECT vec_id, embedding FROM embeddings "
+        f"ORDER BY vec_id LIMIT {k}").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    return ids, V
+
+
 def ensure_cluster_views(spark, key: object = None) -> None:
     """Materialize the trained cluster/PQ index ONCE per (session,
     dataset) as localCheckpoint-backed temp views: the KMeans
@@ -515,30 +612,148 @@ def ensure_cluster_views(spark, key: object = None) -> None:
     )
 
     def build(spark):
+        # Kernel-twin index build (r12 optimization; guide §4.2 "let
+        # Spark do distribution, hand batches to numpy"): the unrolled
+        # SQL training chains re-derived the exploded element relation
+        # per CTE reference and paid two windowed argmins per chain —
+        # measured 5.2 s warm at sf0.1 for the three materializations.
+        # The kernel form is the production KMeans shape: codebooks are
+        # BOUNDED relations (<= PQ_K x DIM doubles — the frozen-model
+        # tier, like structured.py's MODEL_BROADCAST_MAX collects) that
+        # broadcast to every assign task; each corpus pass is one
+        # mapInPandas with exact scaled-integer arithmetic replaying
+        # the SQL ops bit-for-bit (_np_round_half_up / _np_assign /
+        # _np_update); the one-update partial aggregate ships
+        # K x DIM-row integer partials, combined by the builtin hash
+        # aggregate. Row/type equality with the SQL chains is pinned by
+        # test_cluster_kernel_views_match_sql_chains (plus the standing
+        # independent-numpy and oracle gates). Measured 5.2 s -> ~0.9 s.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        seed_ids, seedV = _collect_seed_matrix(spark, max(KMEANS_K, PQ_K))
+        bc = spark.sparkContext.broadcast(
+            (seed_ids[:KMEANS_K], seedV[:KMEANS_K],
+             seed_ids[:PQ_K], seedV[:PQ_K]))
+
+        km_pos = np.arange(1, KMEANS_DIM + 1, dtype=np.int64)
+        pq_s = np.repeat(np.arange(PQ_SUB, dtype=np.int64), PQ_SUBDIM)
+
+        def upd_partial(batches):
+            km_ids, kmC0, pq_ids, pqC0 = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64)
+                lab, _ = _np_assign(V, km_ids, kmC0)
+                s1, n1 = _np_update(V, lab, km_ids)
+                labs, _ = _np_assign(V, pq_ids, pqC0, sub=True)
+                s2, n2 = _np_update(V, labs, pq_ids, sub=True)
+                frames = [pd.DataFrame({
+                    "kind": np.int64(0),
+                    "s": np.int64(-1),
+                    "cid": np.repeat(km_ids, KMEANS_DIM),
+                    "pos": np.tile(km_pos, KMEANS_K),
+                    "sm": s1.ravel(),
+                    "n": np.repeat(n1, KMEANS_DIM)})]
+                for s in range(PQ_SUB):
+                    sl = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
+                    frames.append(pd.DataFrame({
+                        "kind": np.int64(1),
+                        "s": np.int64(s),
+                        "cid": np.repeat(pq_ids, PQ_SUBDIM),
+                        "pos": np.tile(km_pos[sl], PQ_K),
+                        "sm": s2[s][:, sl].ravel(),
+                        "n": np.repeat(n2[s], PQ_SUBDIM)}))
+                yield pd.concat(frames, ignore_index=True)
+
+        emb = spark.table("embeddings").select("vec_id", "embedding")
+        agg = (emb.select("embedding")
+               .mapInPandas(upd_partial,
+                            schema="kind long, s long, cid long, "
+                                   "pos long, sm long, n long")
+               .groupBy("kind", "s", "cid", "pos")
+               .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n"))
+               .collect())  # bounded: <= K*DIM + PQ_SUB*PQ_K*PQ_SUBDIM
+
+        def updated(rows):
+            # cells with members only (the SQL update emits no row for
+            # an empty cell); val = one IEEE division, the SQL's op
+            by_cid: dict = {}
+            for r in rows:
+                if r.n > 0:
+                    by_cid.setdefault(r.cid, {})[r.pos] = (
+                        float(r.sm) / (r.n * _ESCALE))
+            cids = np.array(sorted(by_cid), dtype=np.int64)
+            return cids, by_cid
+
+        km_cids, km_by = updated([r for r in agg if r.kind == 0])
+        kmC1 = np.zeros((len(km_cids), KMEANS_DIM))
+        for i, cid in enumerate(km_cids):
+            for pos, val in km_by[cid].items():
+                kmC1[i, pos - 1] = val
+        pq_books = []  # per subspace: (cids, C) with only its slice set
+        cent_rows = []
+        for s in range(PQ_SUB):
+            cids_s, by_s = updated(
+                [r for r in agg if r.kind == 1 and r.s == s])
+            C_s = np.zeros((len(cids_s), KMEANS_DIM))
+            for i, cid in enumerate(cids_s):
+                for pos, val in by_s[cid].items():
+                    C_s[i, pos - 1] = val
+                    cent_rows.append((s, int(cid), int(pos), val))
+            pq_books.append((cids_s, C_s))
+        bc2 = spark.sparkContext.broadcast((km_cids, kmC1, pq_books))
+
+        def final_assign(batches):
+            km_cids, kmC1, pq_books = bc2.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["vec_id"].to_numpy()
+                V = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64)
+                lab, dist = _np_assign(V, km_cids, kmC1)
+                out = [pd.DataFrame({
+                    "kind": np.int64(0), "vec_id": ids, "s": np.int64(-1),
+                    "cid": lab, "dist": dist})]
+                for s, (cids_s, C_s) in enumerate(pq_books):
+                    sl = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
+                    d = np.zeros((len(V), len(cids_s)), dtype=np.int64)
+                    for c in range(len(cids_s)):
+                        dd = V[:, sl] - C_s[c, sl]
+                        d[:, c] = _np_round_half_up(
+                            (dd * dd) * float(_DSCALE)).sum(axis=1)
+                    li = d.argmin(axis=1)
+                    out.append(pd.DataFrame({
+                        "kind": np.int64(1), "vec_id": ids,
+                        "s": np.int64(s), "cid": cids_s[li],
+                        "dist": d[np.arange(len(V)), li]}))
+                yield pd.concat(out, ignore_index=True)
+
+        both = emb.mapInPandas(
+            final_assign,
+            schema="kind long, vec_id long, s long, cid long, dist long"
+        ).localCheckpoint(eager=True)
+
         dfs = []
-        asg = materialize_plane_df(
-            spark, spark.sql(kmeans_assign(SPARK)), ASG_VIEW, key,
-            ["vec_id"])
-        dfs.append(asg)
-        ctes, _members, cents = _pq_train_ctes(SPARK)
-        # codebook FIRST: the training chain runs exactly once; the
-        # member table is then ONE assign stage against the
-        # materialized codebook — identical rows by construction (the
-        # chain's final members ARE the assign of elems to the final
-        # cents), but the chain no longer executes twice (review
-        # finding: ~2x one-time index-build cost per (session, dataset))
-        c = materialize_plane_df(
-            spark, spark.sql(
-                f"WITH {ctes}\nSELECT s, cid, pos, val FROM {cents}"),
-            PQ_CENTS_VIEW, key, ["s"])
-        dfs.append(c)
-        assign, argmin = _pq_assign("elems", PQ_CENTS_VIEW, "pf")
-        m = materialize_plane_df(
-            spark, spark.sql(
-                f"WITH {_pq_elems_ctes(SPARK)},\n{assign},\n{argmin}\n"
-                f"SELECT vec_id, s, cid, dist FROM pfm"),
-            PQ_MEMBERS_VIEW, key, ["vec_id"])
-        dfs.append(m)
+        dfs.append(materialize_plane_df(
+            spark, both.filter("kind = 0").selectExpr(
+                "vec_id", "cid AS cluster_id", "dist AS dist_scaled"),
+            ASG_VIEW, key, ["vec_id"]))
+        cents_df = spark.createDataFrame(
+            pd.DataFrame(cent_rows, columns=["s", "cid", "pos", "val"]),
+            schema="s long, cid long, pos int, val double")  # pos int:
+        # the SQL chain's explode(sequence(1, DIM)) yields int — keep
+        # the materialized schema byte-identical to the chain's
+        dfs.append(materialize_plane_df(
+            spark, cents_df, PQ_CENTS_VIEW, key, ["s"]))
+        dfs.append(materialize_plane_df(
+            spark, both.filter("kind = 1").select(
+                "vec_id", "s", "cid", "dist"),
+            PQ_MEMBERS_VIEW, key, ["vec_id"]))
         return dfs
 
     build.plane_label = "cluster_index"

