@@ -183,14 +183,41 @@ def ensure_contam_view(spark, key: object = None) -> str:
     is exactly how a production decontamination pass ships anyway:
     compute the contaminated-id list once, reuse it for the report,
     the shipping anti-join, and the audit)."""
-    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
     from aws_trusted_advisor_explorer_spark.session import (
         register_session_plane,
     )
 
+    def build_df(s):
+        # the 5-gram hv relation comes from the Arrow kernel twin
+        # (dedup.make_gram_hv_kernel — r12: the interpreted per-token
+        # char fold + window combine was the plane's dominant cost);
+        # the ev/tr split + probe join + aggregate stay the SQL shape
+        # of docs_contamination. The self-contained SQL remains the
+        # oracle and the equality reference
+        # (test_contam_plane_matches_sql).
+        from aws_trusted_advisor_explorer_spark.operators.dedup import (
+            make_gram_hv_kernel,
+        )
+
+        kdf = (s.table("documents").select("doc_id", "text")
+               .mapInPandas(make_gram_hv_kernel(CONTAM_NGRAM,
+                                                with_pos=False),
+                            schema="doc_id long, hv long"))
+        kdf.createOrReplaceTempView("__contam_gram_hv")
+        return s.sql(f"""WITH ev AS (
+  SELECT hv, min(doc_id) AS witness FROM __contam_gram_hv
+  WHERE doc_id % {BENCH_MOD} = 0 GROUP BY hv
+),
+tr AS (SELECT doc_id, hv FROM __contam_gram_hv
+       WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT tr.doc_id AS train_doc_id,
+  count(DISTINCT tr.hv) AS n_shared_shingles,
+  min(ev.witness) AS witness_eval_doc_id
+FROM tr JOIN ev ON ev.hv = tr.hv
+GROUP BY tr.doc_id""")
+
     return register_session_plane(
-        _CONTAM_STATE, spark, key, CONTAM_VIEW,
-        lambda s: s.sql(docs_contamination(SPARK)))
+        _CONTAM_STATE, spark, key, CONTAM_VIEW, build_df)
 
 
 def docs_contamination(d: Dialect, base: str | None = None) -> str:
@@ -1278,7 +1305,7 @@ def _release_assignments_df(spark, key: object = None,
                                           with_text=with_text))
 
 
-def _split_pack_df(rel, base_offsets=None):
+def _split_pack_df(rel, base_offsets=None, pre_ranged: bool = False):
     """Per-split token packing via the two-phase exclusive cumsum
     (docs_pack_bins_df pattern, PARTITIONed BY split): range-partition
     by (split, doc_id), per-(split, pid) totals become prefix offsets
@@ -1287,13 +1314,19 @@ def _split_pack_df(rel, base_offsets=None):
     ``base_offsets`` (split, base) shifts every prior — the
     incremental-refresh hook: a delta batch packs AFTER the stored
     snapshot by starting its cumsum at the snapshot's per-split token
-    total, never rescanning the snapshot rows."""
+    total, never rescanning the snapshot rows. ``pre_ranged=True``
+    skips the range exchange: ``rel`` already carries a ``pid`` column
+    from :func:`_ranged_rel_df` (r12 — the refresh's three pack arms
+    share ONE range partitioning; any layout where pid is monotone in
+    (split, doc_id) within each split yields identical priors, and a
+    filtered subset of such a layout still is one)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    ranged = (rel.repartitionByRange(32, "split", "doc_id")
-              .withColumn("pid", F.spark_partition_id())
-              .localCheckpoint(eager=False))
+    ranged = rel if pre_ranged else (
+        rel.repartitionByRange(32, "split", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False))
     totals = (ranged.groupBy("split", "pid")
               .agg(F.sum("n_toks").alias("part_sum")))
     # bounded window: one row per (split, range partition) — the
@@ -1514,19 +1547,28 @@ def docs_release_refresh_df(spark, key: object = None):
     audit recompute packs the full relation once."""
     from pyspark.sql import functions as F
 
-    rel = (_release_rel_df(spark, key=key)
-           .localCheckpoint(eager=False))
+    # ONE range partitioning (+ pid) serves all three pack arms (r12:
+    # each _split_pack_df call paid its own repartitionByRange — a
+    # bounds-sampling job plus a shuffle — on what is one relation
+    # filtered three ways; a filtered slice of a (split, doc_id) range
+    # layout is still pid-monotone per split, so priors are identical)
+    ranged = (_release_rel_df(spark, key=key)
+              .repartitionByRange(32, "split", "doc_id")
+              .withColumn("pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
     cut = spark.table("documents").agg(F.expr(
         f"cast((max(doc_id) * {RELEASE_REFRESH_NUM}) "
         f"div {RELEASE_REFRESH_DEN} as bigint)").alias("cut"))
-    rel2 = rel.crossJoin(F.broadcast(cut))
+    rel2 = ranged.crossJoin(F.broadcast(cut))
     srel = rel2.filter("doc_id <= cut").drop("cut")
     drel = rel2.filter("doc_id > cut").drop("cut")
-    sman = _manifest_agg_df(_split_pack_df(srel), with_path=False)
+    sman = _manifest_agg_df(_split_pack_df(srel, pre_ranged=True),
+                            with_path=False)
     sbase = srel.groupBy("split").agg(
         F.sum("n_toks").cast("bigint").alias("base"))
-    dman = _manifest_agg_df(_split_pack_df(drel, base_offsets=sbase),
-                            with_path=False)
+    dman = _manifest_agg_df(
+        _split_pack_df(drel, base_offsets=sbase, pre_ranged=True),
+        with_path=False)
     m = (sman.alias("s").join(
         dman.alias("dl"),
         (F.expr("dl.split = s.split")
@@ -1551,7 +1593,8 @@ def docs_release_refresh_df(spark, key: object = None):
             " AS last_doc_id",
             "coalesce(s.n_docs, 0) AS n_docs_stored",
             "coalesce(dl.n_docs, 0) AS n_docs_delta"))
-    full = _manifest_agg_df(_split_pack_df(rel), with_path=False)
+    full = _manifest_agg_df(_split_pack_df(ranged, pre_ranged=True),
+                            with_path=False)
     eq = " AND ".join(
         f"m.{c} <=> f.{c}"
         for c in ("n_docs", "n_tokens", "n_bytes", "checksum_xor",

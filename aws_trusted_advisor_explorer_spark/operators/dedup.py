@@ -78,6 +78,152 @@ SHINGLE_CAPPED_VIEW = "__doc_shingle_hv_capped"
 _SHINGLE_STATE: dict[int, tuple[object, object, list]] = {}
 
 
+def _tokenize_batch(texts):
+    """The SQL ``tokens()`` (lower + ``[a-z0-9]+``) replayed in Python
+    for the Arrow kernels; NULL/non-string → zero tokens (the SQL
+    NULL-propagation outcome: no rows)."""
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    return [tok_re.findall(t.lower()) if isinstance(t, str) else []
+            for t in texts]
+
+
+def _token_fold_AB(flat):
+    """Per-token char-fold state for the modular affine identity the
+    Arrow kernels use: for token t, ``A = 31^len(t) mod P`` and
+    ``B = fold0(t)`` (the char fold started at 0), so folding t onto
+    hash state h is ``(h*A + B) mod P`` and the full
+    ``poly_hash(t)`` is ``(HASH_INIT*A + B) mod P``. Vectorized over a
+    padded codepoint matrix; all intermediates < P² < 2^63 — exact."""
+    import numpy as np
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        HASH_MULT, P_MOD,
+    )
+
+    lens = np.array([len(t) for t in flat], dtype=np.int64)
+    mx = int(lens.max())
+    mat = np.zeros((len(flat), mx), dtype=np.int64)
+    for i, t in enumerate(flat):
+        # ord per char == the SQL ascii() codepoint (split('') is
+        # per-character, not per-byte)
+        mat[i, :len(t)] = [ord(c) for c in t]
+    B = np.zeros(len(flat), dtype=np.int64)
+    A = np.ones(len(flat), dtype=np.int64)
+    for j in range(mx):
+        live = j < lens
+        B[live] = (B[live] * HASH_MULT + mat[live, j]) % P_MOD
+        A[live] = (A[live] * HASH_MULT) % P_MOD
+    return A, B
+
+
+def make_gram_hv_kernel(k: int, with_pos: bool = True):
+    """Arrow-kernel twin factory for ``shingle_hvs(toks, k)`` +
+    posexplode (r12, the _shingle_hash_kernel discipline): emits the
+    same (doc_id[, pos], hv) rows — per-token poly hashes
+    (``(HASH_INIT*A + B) mod P``, char-folded once, vectorized)
+    combined over each k-token window with the SQL's exact rule
+    ``h -> (h*SHINGLE_MULT + ht) mod P`` from HASH_INIT. Docs with
+    fewer than k tokens emit nothing (the SQL's empty-array guard).
+    Instantiated for the span plane (k=SPAN_GRAM, with pos) and the
+    contamination plane (k=CONTAM_NGRAM, hv only); bit-equality pinned
+    by test_span_kernel_matches_sql / test_contam_plane_matches_sql."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from aws_trusted_advisor_explorer_spark.functions.dual import (
+            HASH_INIT, P_MOD, SHINGLE_MULT,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            toks_per_doc = _tokenize_batch(pdf["text"])
+            ntoks = np.array([len(t) for t in toks_per_doc],
+                             dtype=np.int64)
+            flat = [t for ts in toks_per_doc for t in ts]
+            if not flat:
+                continue
+            A, B = _token_fold_AB(flat)
+            ht = (HASH_INIT * A + B) % P_MOD
+            tok_doc = np.repeat(np.arange(len(ntoks)), ntoks)
+            if len(tok_doc) < k:
+                continue
+            starts = np.flatnonzero(
+                tok_doc[:-(k - 1)] == tok_doc[(k - 1):])
+            if not len(starts):
+                continue
+            h = np.full(len(starts), HASH_INIT, dtype=np.int64)
+            for j in range(k):
+                h = (h * SHINGLE_MULT + ht[starts + j]) % P_MOD
+            d_idx = tok_doc[starts]
+            out = {"doc_id": doc_ids[d_idx]}
+            if with_pos:
+                # pos = 1-based window index within the doc: token
+                # index of the window start minus the doc's first
+                # token index + 1
+                doc_first = np.zeros(len(ntoks), dtype=np.int64)
+                np.cumsum(ntoks[:-1], out=doc_first[1:])
+                out["pos"] = starts - doc_first[d_idx] + 1
+            out["hv"] = h
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def _shingle_hash_kernel(batches):
+    """Arrow-kernel twin of :func:`shingle_hash_sql`'s explode+fold
+    (r12 optimization, guide §4.2): same (doc_id, hv) rows, computed
+    as EXACT modular integer arithmetic in numpy instead of the
+    interpreted per-row char fold. The identity used: folding a string
+    s onto hash state h is the affine map ``h -> (h*31^len(s) +
+    fold0(s)) mod P`` (fold0 = the char fold started at 0), so the
+    3-token shingle hash ``poly_hash(t1 || ' ' || t2 || ' ' || t3)``
+    composes from per-token (A, B) = (31^len mod P, fold0) pairs and
+    the constant space step (A=31, B=32) — each token occurrence is
+    char-folded ONCE (vectorized over a padded byte matrix), each
+    shingle then costs ~10 int64 ops. All intermediates < P*31^1 or
+    h*A < P^2 ~ 1e18 < 2^63 — exact. Tokenization replays the SQL
+    (``lower`` + ``[a-z0-9]+``) in Python; bit-equality with the SQL
+    form is pinned by test_shingle_kernel_matches_sql (all SFs) and
+    every downstream pairs-plane oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        HASH_INIT, HASH_MULT, P_MOD,
+    )
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        doc_ids = pdf["doc_id"].to_numpy()
+        toks_per_doc = _tokenize_batch(pdf["text"])
+        ntoks = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        flat = [t for ts in toks_per_doc for t in ts]
+        if not flat:
+            continue
+        A, B = _token_fold_AB(flat)
+        # shingle windows: token positions p, p+1, p+2 within one doc
+        tok_doc = np.repeat(np.arange(len(ntoks)), ntoks)
+        starts = np.flatnonzero(
+            (tok_doc[:-2] == tok_doc[2:]) if len(tok_doc) > 2
+            else np.zeros(0, dtype=bool))
+        if not len(starts):
+            continue
+        h = (HASH_INIT * A[starts] + B[starts]) % P_MOD
+        h = (h * HASH_MULT + 32) % P_MOD                  # ' '
+        h = (h * A[starts + 1] + B[starts + 1]) % P_MOD
+        h = (h * HASH_MULT + 32) % P_MOD                  # ' '
+        h = (h * A[starts + 2] + B[starts + 2]) % P_MOD
+        yield pd.DataFrame({"doc_id": doc_ids[tok_doc[starts]],
+                            "hv": h})
+
+
 def ensure_shingle_view(spark, key: object = None) -> str:
     """Materialize the shingle-hash relation as a localCheckpoint-backed
     temp view, once per (session, dataset). ``key`` identifies the
@@ -100,9 +246,15 @@ def ensure_shingle_view(spark, key: object = None) -> str:
     )
 
     def build(spark):
+        # the kernel twin of shingle_hash_sql (r12): same rows, exact
+        # integer arithmetic, ~4x the interpreted char fold — see
+        # _shingle_hash_kernel; shingle_hash_sql stays the oracle/test
+        # reference form
+        kdf = (spark.table("documents").select("doc_id", "text")
+               .mapInPandas(_shingle_hash_kernel,
+                            schema="doc_id long, hv long"))
         df = materialize_plane_df(
-            spark, spark.sql(shingle_hash_sql(SPARK)), SHINGLE_VIEW,
-            key, ["doc_id"])
+            spark, kdf, SHINGLE_VIEW, key, ["doc_id"])
         # the deduplicated per-doc shingle set with its count rides along —
         # MinHash / exact-Jaccard would otherwise re-run the DISTINCT +
         # window once per CTE reference (2-3x per query)
@@ -631,6 +783,10 @@ FROM k GROUP BY norm_key HAVING count(*) > 1"""
 SPAN_GRAM = 8          # token width of the positional gram window
 SPAN_DF_CAP = 1000     # drop grams duplicated across more docs than this
 
+# the span plane's kernel instance (make_gram_hv_kernel is defined
+# above SPAN_GRAM's constant block, so the instance binds here)
+_span_gram_kernel = make_gram_hv_kernel(SPAN_GRAM)
+
 
 def _span_gram_cte(d: Dialect, base: str | None = None) -> str:
     """Positional {SPAN_GRAM}-gram hash relation ``g(doc_id, pos, hv)``.
@@ -782,13 +938,14 @@ def ensure_span_views(spark, key: object = None) -> str:
     ensure_token_view(spark, key)
 
     def build(spark):
-        # ONE template — the same _span_gram_cte the oracle and the
-        # standalone tests render (a restated copy here is the drift
-        # hazard the dual-dialect invariant exists to prevent)
-        g = materialize_plane_df(spark, spark.sql(
-            f"WITH {_span_gram_cte(SPARK, None)}\n"
-            f"SELECT doc_id, pos, hv FROM g"),
-            SPAN_GRAM_VIEW, key, ["hv"])
+        # kernel twin of _span_gram_cte (r12): same rows, exact
+        # modular arithmetic, no interpreted char fold — the SQL
+        # template stays the oracle/test reference, and the kernel is
+        # pinned row-equal to it by test_span_kernel_matches_sql
+        kdf = (spark.table("documents").select("doc_id", "text")
+               .mapInPandas(_span_gram_kernel,
+                            schema="doc_id long, pos int, hv long"))
+        g = materialize_plane_df(spark, kdf, SPAN_GRAM_VIEW, key, ["hv"])
         return [g]
 
     build.plane_label = "span"

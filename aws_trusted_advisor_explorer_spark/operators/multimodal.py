@@ -878,20 +878,25 @@ def pairs_release_refresh_df(spark, key: object = None):
         RELEASE_REFRESH_DEN, RELEASE_REFRESH_NUM,
     )
 
-    rel = _pairs_release_rel_df(spark, key=key).localCheckpoint(
-        eager=False)
+    # one shared (split, pair_id) range layout for all three rank arms
+    # (the corpusops docs_release_refresh_df r12 rule)
+    ranged = (_pairs_release_rel_df(spark, key=key)
+              .repartitionByRange(32, "split", "pair_id")
+              .withColumn("pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
     cut = spark.table("documents").agg(F.expr(
         f"cast((max(doc_id) * {RELEASE_REFRESH_NUM}) "
         f"div {RELEASE_REFRESH_DEN} as bigint)").alias("cut"))
-    rel2 = rel.crossJoin(F.broadcast(cut))
+    rel2 = ranged.crossJoin(F.broadcast(cut))
     srel = rel2.filter("pair_id <= cut").drop("cut")
     drel = rel2.filter("pair_id > cut").drop("cut")
-    sman = _pairs_manifest_agg_df(_pairs_count_rank_df(srel),
-                                  with_path=False)
+    sman = _pairs_manifest_agg_df(
+        _pairs_count_rank_df(srel, pre_ranged=True), with_path=False)
     sbase = srel.groupBy("split").agg(
         F.count(F.lit(1)).cast("bigint").alias("base"))
     dman = _pairs_manifest_agg_df(
-        _pairs_count_rank_df(drel, base_counts=sbase), with_path=False)
+        _pairs_count_rank_df(drel, base_counts=sbase, pre_ranged=True),
+        with_path=False)
     m = (sman.alias("s").join(
         dman.alias("dl"),
         (F.expr("dl.split = s.split")
@@ -921,8 +926,8 @@ def pairs_release_refresh_df(spark, key: object = None):
             " AS last_pair_id",
             "coalesce(s.n_pairs, 0) AS n_pairs_stored",
             "coalesce(dl.n_pairs, 0) AS n_pairs_delta"))
-    full = _pairs_manifest_agg_df(_pairs_count_rank_df(rel),
-                                  with_path=False)
+    full = _pairs_manifest_agg_df(
+        _pairs_count_rank_df(ranged, pre_ranged=True), with_path=False)
     eq = " AND ".join(
         f"m.{c} <=> f.{c}"
         for c in ("n_pairs", "n_caption_tokens", "n_caption_bytes",
@@ -972,32 +977,44 @@ def _pairs_release_rel_df(spark, key: object = None,
     cols = ["doc_id",
             f"cast({SPARK.arr_len(SPARK.tokens('text'))} as bigint)"
             " AS n_toks",
-            "cast(octet_length(text) as bigint) AS n_bytes",
-            f"{SPARK.poly_hash('text')} AS h"]
+            "cast(octet_length(text) as bigint) AS n_bytes"]
     if with_payload:
         cols.append("text")
     ctok = spark.table("documents").selectExpr(*cols)
+    # caption content hash from the session dochash plane (the
+    # _release_rel_df rule — r12: the inline poly_hash('text') re-ran
+    # the interpreted char fold over the corpus per pair-release query)
+    hv = (spark.table(dedup.ensure_dochash_view(spark, key=key))
+          .select(F.col("doc_id").alias("caption_id"),
+                  F.col("hv").alias("h")))
     return (mcp.join(pipe.withColumnRenamed("doc_id", "caption_id"),
                      "caption_id")
             .join(drops, "pair_id", "left_anti")
             .join(ctok.withColumnRenamed("doc_id", "caption_id"),
-                  "caption_id"))
+                  "caption_id")
+            .join(hv, "caption_id"))
 
 
-def _pairs_count_rank_df(rel, base_counts=None):
+def _pairs_count_rank_df(rel, base_counts=None,
+                         pre_ranged: bool = False):
     """Per-split COUNT rank + shard assignment via the two-phase
     range-partition cumsum (rank = partition offset + in-partition
     row_number; no split is globally sorted on one machine — the
     docs-release `_split_pack_df` pattern with a count measure).
     ``base_counts`` (split, base) shifts every rank — the incremental-
     refresh hook: a delta batch ranks AFTER the stored snapshot by
-    starting at the stored per-split pair count."""
+    starting at the stored per-split pair count. ``pre_ranged=True``
+    skips the range exchange — ``rel`` already carries ``pid`` from a
+    shared (split, pair_id) range layout (the corpusops
+    _split_pack_df rule: filtered slices of one pid-monotone layout
+    rank identically)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    ranged = (rel.repartitionByRange(32, "split", "pair_id")
-              .withColumn("pid", F.spark_partition_id())
-              .localCheckpoint(eager=False))
+    ranged = rel if pre_ranged else (
+        rel.repartitionByRange(32, "split", "pair_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False))
     totals = (ranged.groupBy("split", "pid")
               .agg(F.count(F.lit(1)).alias("part_n")))
     w_off = (Window.partitionBy("split").orderBy("pid")

@@ -910,6 +910,11 @@ def knn_serving_report_df(spark):
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
 
+    # note (r12 audit): swapping the exact/lsh rungs to the Arrow
+    # twins was measured SLOWER here (1.05 vs 0.75 s / 0.83 vs 0.70 s
+    # warm at sf0.1) — at the gate's query-probe scale the Python
+    # worker round-trip outweighs the interpreted fold, so the SQL
+    # forms stay; the standalone registered queries keep their twins
     bf = (spark.sql(knn_bruteforce(SPARK))
           .select("query_id", "neighbor_id")
           .localCheckpoint(eager=False))

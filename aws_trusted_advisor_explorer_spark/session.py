@@ -32,8 +32,15 @@ def get_spark(app_name: str = "ta_explorer_spark", cpus: int | None = None) -> S
         # wholestage/projection classes, so LRU eviction forces visible
         # (~1s) recompiles of early queries on every later pass. Static
         # conf -- must be set at JVM build time, hence here and not in
-        # tune_session.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # tune_session. r12: 2000 was sized for a ~160-key suite; at
+        # 202 keys the per-pass codegen working set exceeds it again,
+        # and the LRU victims are exactly the PASS-START queries (the
+        # least-recently-run when a pass restarts) — the long-attributed
+        # "pass-start stall" rows (view_low_util_ec2* 1.3-3.3 s vs
+        # 0.3 s steady-state). 8000 entries keeps the whole suite's
+        # classes resident (generated classes are KB-scale; heap cost
+        # is negligible against the 8g driver).
+        .config("spark.sql.codegen.cache.maxEntries", "8000")
         # see tune_session: dimension-broadcast headroom over the stock
         # 10MB (the sf0.1 tags dim is ~11MB -> broadcast, 2-5x)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

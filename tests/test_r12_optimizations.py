@@ -42,6 +42,109 @@ def test_cluster_kernel_views_match_sql_chains(spark):
         assert _rows(new) == _rows(old), view
 
 
+def test_shingle_kernel_matches_sql(spark):
+    """The r12 shingle-plane kernel (_shingle_hash_kernel: per-token
+    char fold + modular affine composition) must emit exactly the
+    rows of the interpreted SQL fold it replaced — same multiset of
+    (doc_id, hv), same schema."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    dedup._SHINGLE_STATE.clear()
+    dedup.ensure_shingle_view(spark, key=SF_DIR)
+    new = spark.table(dedup.SHINGLE_VIEW)
+    old = spark.sql(dedup.shingle_hash_sql(SPARK))
+    assert new.schema.simpleString() == old.schema.simpleString()
+    assert _rows(new) == _rows(old)
+
+
+def test_shingle_kernel_edge_docs(spark):
+    """Kernel vs SQL on the edge shapes the corpus may not cover:
+    NULL text, empty text, all-non-alnum text (zero tokens), fewer
+    than 3 tokens, unicode chars, repeated shingles (non-distinct
+    multiset), long tokens."""
+    from pyspark.sql import Row
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    docs = [
+        Row(doc_id=1, text=None),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text="!!! ... ###"),
+        Row(doc_id=4, text="one two"),
+        Row(doc_id=5, text="a b c d a b c d a b c"),
+        Row(doc_id=6, text="Ünïcode tOkEns ärE löwered tōo"),
+        Row(doc_id=7, text="x" * 300 + " yy zz ww"),
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    kern = df.mapInPandas(dedup._shingle_hash_kernel,
+                          schema="doc_id long, hv long")
+    df.createOrReplaceTempView("__edge_docs")
+    sql = dedup.shingle_hash_sql(SPARK).replace(
+        "FROM documents", "FROM __edge_docs")
+    old = spark.sql(sql)
+    assert _rows(kern) == _rows(old)
+
+
+def test_span_kernel_matches_sql(spark):
+    """The r12 span-gram kernel (_span_gram_kernel: per-token fold +
+    SHINGLE_MULT window combine) must emit exactly the rows of the
+    _span_gram_cte SQL chain — same multiset of (doc_id, pos, hv)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    dedup._SPAN_STATE.clear()
+    dedup.ensure_span_views(spark, key=SF_DIR)
+    new = spark.table(dedup.SPAN_GRAM_VIEW)
+    old = spark.sql(f"WITH {dedup._span_gram_cte(SPARK, None)}\n"
+                    f"SELECT doc_id, pos, hv FROM g")
+    assert new.schema.simpleString() == old.schema.simpleString()
+    assert _rows(new) == _rows(old)
+
+
+def test_span_kernel_edge_docs(spark):
+    """Kernel vs SQL chain on edge shapes: NULL/empty text, exactly
+    SPAN_GRAM tokens, SPAN_GRAM-1 tokens (no gram), repeats."""
+    from pyspark.sql import Row
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    k = dedup.SPAN_GRAM
+    docs = [
+        Row(doc_id=1, text=None),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text=" ".join(f"t{i}" for i in range(k))),
+        Row(doc_id=4, text=" ".join(f"t{i}" for i in range(k - 1))),
+        Row(doc_id=5, text=" ".join(["dup"] * (3 * k))),
+        Row(doc_id=6, text="Mixed CASE tokens " * k),
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    kern = df.mapInPandas(dedup._span_gram_kernel,
+                          schema="doc_id long, pos int, hv long")
+    df.createOrReplaceTempView("__edge_docs_span")
+    sql = (f"WITH {dedup._span_gram_cte(SPARK, None)}\n"
+           f"SELECT doc_id, pos, hv FROM g").replace(
+        "FROM documents", "FROM __edge_docs_span")
+    assert _rows(kern) == _rows(spark.sql(sql))
+
+
+def test_contam_plane_matches_sql(spark):
+    """The r12 contamination-plane build (gram-hv kernel + the SQL
+    ev/tr join) must materialize exactly the rows of the
+    self-contained docs_contamination SQL (which stays the oracle)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import corpusops
+
+    corpusops._CONTAM_STATE.clear()
+    corpusops.ensure_contam_view(spark, key=SF_DIR)
+    new = spark.table(corpusops.CONTAM_VIEW)
+    old = spark.sql(corpusops.docs_contamination(SPARK))
+    assert new.schema.simpleString() == old.schema.simpleString()
+    assert _rows(new) == _rows(old)
+
+
 def test_fixture_landing_v3_matches_lazy_derivation(spark):
     """The r12 fixture-landing layout (repartition the narrow base
     BEFORE the wide string derivation) must land tables content-equal
