@@ -269,6 +269,16 @@ def _cutoff_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.docs_quality_cutoff_calibration_df(spark)
 
 
+def _dsir_importance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance runs the kernel-twin (hashed features from the
+    exact Arrow char fold; counts/guard/weights/rollup stay SQL); the
+    self-contained SQL form is the oracle."""
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    _prepare_ext(spark, sf_dir)
+    return textops.docs_dsir_importance_df(spark)
+
+
 def _ccnet_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet tercile bucketing runs the distributed twin (compacted
     per-(lang, score) CDF + broadcast tercile map — no per-doc window
@@ -910,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_pack_efficiency"] = _pack_efficiency_query
     q["docs_quality_cutoff_calibration"] = _cutoff_calibration_query
     q["docs_ccnet_buckets"] = _ccnet_buckets_query
+    q["docs_dsir_importance"] = _dsir_importance_query
     q["text_bpe_merge_train"] = _bpe_train_query
     q["text_bpe_tokenize_count"] = _bpe_tokenize_query
     q["text_bpe_fertility_by_lang"] = _bpe_fertility_query

@@ -763,40 +763,62 @@ def ensure_cluster_views(spark, key: object = None) -> None:
 
 def semdedup_pairs_df(spark):
     """Arrow-vectorized twin of :func:`semdedup_pairs` over the
-    materialized assignment (ASG_VIEW): same within-cluster equi-join,
-    but the per-pair cosine runs in the pandas kernel
-    (functions/vectorized.pair_cosine) instead of the interpreted SQL
-    fold — the fold is the hot cost once candidate counts reach
-    Σ|c|² (measured 9.5s → ~2s at sf0.1's 250k pairs). The kernel
-    replays the fold's IEEE op order, so the doubles (and the oracle
-    hash) are bit-identical — pinned by
+    materialized assignment (ASG_VIEW). r12 shape (guide §2.3 "shuffle
+    keys and metadata instead of payloads" / §8): the previous twin
+    broadcast-joined mv to itself and shipped BOTH 64-dim arrays of
+    every candidate pair through the pandas cosine kernel — ~2·DIM
+    doubles × Σ|c|² pairs (~256 MB of Arrow traffic at sf0.1's 250 k
+    pairs, measured 2.1 s). The grouped kernel ships each vector ONCE
+    (one groupBy(cluster_id) exchange of the corpus vectors, ~1 MB)
+    and computes all within-cluster pair cosines in-kernel, emitting
+    only the above-threshold pairs (tens of rows). The per-dim
+    accumulation loops replay the SQL fold's IEEE op order exactly
+    (acc += a_i*b_i ascending dims — the pair_cosine discipline), so
+    the doubles are still bit-identical — pinned by
     tests/test_extensions.py::test_semdedup_df_twin_bit_matches_sql."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
-
-    from aws_trusted_advisor_explorer_spark.functions.vectorized import (
-        pair_cosine,
-    )
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
 
     asg = spark.table(ASG_VIEW).select("vec_id", "cluster_id")
     # zero-norm exclusion, same rule as the SQL twin's _member_cte
-    # (nrm > 0): without it the pandas kernel yields NaN cosines for
+    # (nrm > 0): without it the kernel yields NaN cosines for
     # zero-vector pairs, and Spark's NaN ordering makes
     # `NaN >= threshold` TRUE — rows the SQL/oracle form excludes
     emb = (spark.table("embeddings").select("vec_id", "embedding")
            .where(F.expr(f"{SPARK.dot('embedding', 'embedding')} > 0")))
     mv = asg.join(emb, "vec_id")
-    a, b = mv.alias("a"), mv.alias("b")
-    return (
-        a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.cluster_id").alias("cluster_id"),
-                F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                pair_cosine(F.col("a.embedding"),
-                            F.col("b.embedding")).alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_SEM_THRESHOLD))
+
+    def cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cid = pdf["cluster_id"].iloc[0]
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n = len(V)
+        if n < 2:
+            return pd.DataFrame({"cluster_id": np.zeros(0, np.int64),
+                                 "vec_a": np.zeros(0, np.int64),
+                                 "vec_b": np.zeros(0, np.int64),
+                                 "cosine": np.zeros(0, np.float64)})
+        ia, ib = np.triu_indices(n, k=1)
+        dot = np.zeros(len(ia))
+        na = np.zeros(n)
+        # the fold's op order per pair/vector: ascending-dim += loops
+        for i in range(V.shape[1]):
+            dot += V[ia, i] * V[ib, i]
+            na += V[:, i] * V[:, i]
+        cos = dot / (np.sqrt(na[ia]) * np.sqrt(na[ib]))
+        keep = cos >= COSINE_SEM_THRESHOLD
+        return pd.DataFrame({
+            "cluster_id": np.full(int(keep.sum()), cid, dtype=np.int64),
+            "vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+            "cosine": cos[keep]})
+
+    return (mv.groupBy("cluster_id").applyInPandas(
+        cluster_pairs,
+        schema="cluster_id long, vec_a long, vec_b long, cosine double"))
 
 
 SEM_PAIRS_VIEW = "__semdedup_pairs"

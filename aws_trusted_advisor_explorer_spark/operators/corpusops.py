@@ -103,7 +103,11 @@ def docs_pack_bins_df(spark):
     # totals and the final join, and without the checkpoint the
     # tokenize fold + range shuffle re-ran per consumer (no
     # ReusedExchange under AQE); 2 longs + pid per row
-    ranged = (t.repartitionByRange(32, "doc_id")
+    from aws_trusted_advisor_explorer_spark.session import (
+        range_partitions_for,
+    )
+
+    ranged = (t.repartitionByRange(range_partitions_for(t), "doc_id")
               .withColumn("pid", F.spark_partition_id())
               .localCheckpoint(eager=False))
     # phase 1: per-partition totals (rows = #partitions, driver-safe)
@@ -1323,8 +1327,13 @@ def _split_pack_df(rel, base_offsets=None, pre_ranged: bool = False):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from aws_trusted_advisor_explorer_spark.session import (
+        range_partitions_for,
+    )
+
     ranged = rel if pre_ranged else (
-        rel.repartitionByRange(32, "split", "doc_id")
+        rel.repartitionByRange(range_partitions_for(rel),
+                               "split", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False))
     totals = (ranged.groupBy("split", "pid")
@@ -1547,13 +1556,18 @@ def docs_release_refresh_df(spark, key: object = None):
     audit recompute packs the full relation once."""
     from pyspark.sql import functions as F
 
+    from aws_trusted_advisor_explorer_spark.session import (
+        range_partitions_for,
+    )
+
     # ONE range partitioning (+ pid) serves all three pack arms (r12:
     # each _split_pack_df call paid its own repartitionByRange — a
     # bounds-sampling job plus a shuffle — on what is one relation
     # filtered three ways; a filtered slice of a (split, doc_id) range
     # layout is still pid-monotone per split, so priors are identical)
     ranged = (_release_rel_df(spark, key=key)
-              .repartitionByRange(32, "split", "doc_id")
+              .repartitionByRange(range_partitions_for(spark),
+                                  "split", "doc_id")
               .withColumn("pid", F.spark_partition_id())
               .localCheckpoint(eager=False))
     cut = spark.table("documents").agg(F.expr(

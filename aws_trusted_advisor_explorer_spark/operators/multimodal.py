@@ -880,8 +880,13 @@ def pairs_release_refresh_df(spark, key: object = None):
 
     # one shared (split, pair_id) range layout for all three rank arms
     # (the corpusops docs_release_refresh_df r12 rule)
+    from aws_trusted_advisor_explorer_spark.session import (
+        range_partitions_for,
+    )
+
     ranged = (_pairs_release_rel_df(spark, key=key)
-              .repartitionByRange(32, "split", "pair_id")
+              .repartitionByRange(range_partitions_for(spark),
+                                  "split", "pair_id")
               .withColumn("pid", F.spark_partition_id())
               .localCheckpoint(eager=False))
     cut = spark.table("documents").agg(F.expr(
@@ -1011,8 +1016,13 @@ def _pairs_count_rank_df(rel, base_counts=None,
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from aws_trusted_advisor_explorer_spark.session import (
+        range_partitions_for,
+    )
+
     ranged = rel if pre_ranged else (
-        rel.repartitionByRange(32, "split", "pair_id")
+        rel.repartitionByRange(range_partitions_for(rel),
+                               "split", "pair_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False))
     totals = (ranged.groupBy("split", "pid")

@@ -611,6 +611,91 @@ SELECT docs.doc_id,
 FROM documents docs LEFT JOIN p ON p.doc_id = docs.doc_id"""
 
 
+def docs_dsir_importance_df(spark):
+    """Registered Spark twin of :func:`docs_dsir_importance` (r12):
+    the hashed-feature relation (doc_id, f) comes from the Arrow
+    kernel (dedup's exact per-token char fold, then ``% DSIR_BUCKETS``
+    — bit-identical integers to the SQL ``poly_hash(tok)``), and
+    everything downstream (per-feature counts, the bounded totals
+    window, the in-plan headroom guard, the weight join, the per-doc
+    mean, the row-preserving LEFT JOIN) is the same SQL. The
+    self-contained SQL form stays the DuckDB oracle; equality pinned
+    by test_dsir_twin_matches_sql."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        SPARK as d, id_hash_pct,
+    )
+    from aws_trusted_advisor_explorer_spark.operators.dedup import (
+        _token_fold_AB, _tokenize_batch,
+    )
+
+    def feat_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from aws_trusted_advisor_explorer_spark.functions.dual import (
+            HASH_INIT, P_MOD,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            toks_per_doc = _tokenize_batch(pdf["text"])
+            ntoks = np.array([len(t) for t in toks_per_doc],
+                             dtype=np.int64)
+            flat = [t for ts in toks_per_doc for t in ts]
+            if not flat:
+                continue
+            A, B = _token_fold_AB(flat)
+            f = ((HASH_INIT * A + B) % P_MOD) % DSIR_BUCKETS
+            yield pd.DataFrame({
+                "doc_id": np.repeat(doc_ids, ntoks), "f": f})
+
+    feats = (spark.table("documents").select("doc_id", "text")
+             .mapInPandas(feat_kernel, schema="doc_id long, f bigint"))
+    feats.createOrReplaceTempView("__dsir_feats")
+    pct = id_hash_pct(d, "doc_id", "lm")
+    w = d.idiv(f"((ct + 1) * (rr + {DSIR_BUCKETS}) * {DSIR_SCALE})",
+               f"((cr + 1) * (rt + {DSIR_BUCKETS}))")
+    return spark.sql(f"""WITH flag AS (
+  SELECT doc_id, ({pct} < {LM_REF_PCT}) AS is_target FROM documents
+),
+tok AS (
+  SELECT k.doc_id, fl.is_target, k.f
+  FROM __dsir_feats k JOIN flag fl ON fl.doc_id = k.doc_id
+),
+cf AS (
+  SELECT f,
+    cast(sum(CASE WHEN is_target THEN 1 ELSE 0 END) as bigint) AS ct,
+    cast(sum(CASE WHEN is_target THEN 0 ELSE 1 END) as bigint) AS cr
+  FROM tok GROUP BY f
+),
+ft AS (
+  SELECT f, ct, cr,
+    sum(ct) OVER () AS rt,
+    sum(cr) OVER () AS rr
+  FROM cf
+),
+w AS (
+  SELECT f, cast({w} as bigint) AS w_milli FROM ft
+  WHERE {_dsir_headroom_guard(d)} IS NULL
+),
+p AS (
+  SELECT tok.doc_id,
+    cast(count(*) as bigint) AS n_tokens,
+    cast(sum(w.w_milli) as bigint) AS total_w
+  FROM tok JOIN w ON w.f = tok.f
+  GROUP BY tok.doc_id
+)
+SELECT docs.doc_id,
+  coalesce(p.n_tokens, cast(0 as bigint)) AS n_tokens,
+  CASE WHEN p.n_tokens IS NULL THEN NULL
+       ELSE cast({d.idiv('p.total_w', 'p.n_tokens')} as bigint)
+  END AS dsir_milli,
+  ({id_hash_pct(d, 'docs.doc_id', 'lm')} < {LM_REF_PCT}) AS is_target
+FROM documents docs LEFT JOIN p ON p.doc_id = docs.doc_id""")
+
+
 def _lm_score_sql(d: Dialect) -> str:
     """Shared body of :func:`text_lm_score_ref` (also consumed by
     docs_ccnet_buckets and the _df twin)."""
@@ -908,8 +993,13 @@ def docs_quality_cutoff_calibration_df(spark):
     # scoring chain + range shuffle re-ran per consumer (measured 3
     # parquet scans, 0 ReusedExchange under AQE) — the checkpoint is
     # (doc_id, score, pid), 2 longs + a double per row
+    from aws_trusted_advisor_explorer_spark.session import (
+        range_partitions_for,
+    )
+
     ranged = (q.repartitionByRange(
-                  32, F.col("quality_score").desc(), F.col("doc_id").asc())
+                  range_partitions_for(q),
+                  F.col("quality_score").desc(), F.col("doc_id").asc())
               .withColumn("pid", F.spark_partition_id())
               .localCheckpoint(eager=False))
     totals = ranged.groupBy("pid").agg(

@@ -80,6 +80,25 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def range_partitions_for(df_or_spark) -> int:
+    """:func:`range_partitions` for call sites holding a DataFrame or
+    a SparkSession (the two-phase-cumsum helpers take relations)."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    return range_partitions(spark)
+
+
+def range_partitions(spark: SparkSession) -> int:
+    """Partition count for the two-phase-cumsum range layouts (r12:
+    was a hard-coded 32 tuned to local[32]). Scale-adaptive:
+    defaultParallelism = the session's core count locally, total
+    executor cores on a cluster — so the driver's lower-core scaling
+    runs and a real deployment both get proportionate layouts. The
+    two-phase cumsum's results are partition-count-INDEPENDENT by
+    construction (priors depend only on the global in-split order),
+    so this is a parallelism knob, never a semantics knob."""
+    return max(int(spark.sparkContext.defaultParallelism), 1)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict:
     """Register the driver's parquet tables as temp views; return {name: df}.
 

@@ -118,8 +118,17 @@ def main() -> None:
         # garbage, and whichever query allocates into it first absorbs
         # a multi-second major GC — measured r9: the 2nd timed query
         # read 3.1 s in every sweep vs 0.2 s after an explicit gc;
-        # the pause must happen here, not inside a recorded number
+        # the pause must happen here, not inside a recorded number.
+        # r12: the GC also triggers ContextCleaner to enqueue a full
+        # pass's worth of shuffle/broadcast cleanups, which drain on a
+        # background thread DURING the first timed queries (the
+        # residual pass-start inflation after the codegen-cache fix) —
+        # give the cleaner a moment plus one more settle execution so
+        # the drain never lands inside a recorded number
         spark._jvm.System.gc()
+        time.sleep(1.0)
+        first_fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()
         for name, fn in queries.items():
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)

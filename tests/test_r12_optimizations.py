@@ -145,6 +145,18 @@ def test_contam_plane_matches_sql(spark):
     assert _rows(new) == _rows(old)
 
 
+def test_dsir_twin_matches_sql(spark):
+    """The r12 DSIR kernel twin (hashed features from the Arrow char
+    fold) must equal the self-contained SQL form row-for-row."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    new = textops.docs_dsir_importance_df(spark)
+    old = spark.sql(textops.docs_dsir_importance(SPARK))
+    assert new.schema.simpleString() == old.schema.simpleString()
+    assert _rows(new) == _rows(old)
+
+
 def test_fixture_landing_v3_matches_lazy_derivation(spark):
     """The r12 fixture-landing layout (repartition the narrow base
     BEFORE the wide string derivation) must land tables content-equal
