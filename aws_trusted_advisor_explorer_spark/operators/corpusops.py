@@ -206,7 +206,14 @@ def ensure_contam_view(spark, key: object = None) -> str:
         kdf = (s.table("documents").select("doc_id", "text")
                .mapInPandas(make_gram_hv_kernel(CONTAM_NGRAM,
                                                 with_pos=False),
-                            schema="doc_id long, hv long"))
+                            schema="doc_id long, hv long")
+               # both the ev and tr arms read this relation; a Python
+               # eval node is opaque (no exchange to reuse, filters
+               # cannot push below it), so without the checkpoint the
+               # kernel ran once PER ARM (r12: measured 1.47 s ->
+               # 0.89 s plane build at sf0.1; the checkpoint is
+               # (doc_id, hv) skinny rows)
+               .localCheckpoint(eager=False))
         kdf.createOrReplaceTempView("__contam_gram_hv")
         return s.sql(f"""WITH ev AS (
   SELECT hv, min(doc_id) AS witness FROM __contam_gram_hv

@@ -342,6 +342,93 @@ fs AS (SELECT s.doc_id, s.hv FROM sh s JOIN keep k ON k.hv = s.hv),
 fs2 AS (SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n FROM fs)"""
 
 
+def _pair_array_verify_df(spark, pairs, base: str):
+    """Exact-Jaccard verification of a candidate pair relation via
+    per-doc shingle-hash ARRAYS + JVM ``array_intersect`` (r12, guide
+    §2.3/§3): the join-based verify expands pairs x shingles
+    (|pairs|*~s rows through two equi-joins and a per-pair hash
+    aggregate — the measured hot stage of band tuning and the pairs
+    plane); the array form aggregates the shingle plane once to one
+    row per doc (a map-side-combining collect over the materialized
+    view), attaches each endpoint's set with a skinny join, and
+    computes |A∩B| in one codegen'd array op per pair. The counts are
+    the same integers (per-doc hv sets are distinct by construction,
+    and ``array_intersect`` dedups), so ``jaccard`` — one division of
+    those integers — is bit-identical to the SQL join form; pairs
+    whose endpoints have no shingle rows drop out of the inner joins
+    exactly as they produce no ``common`` row in the SQL form, and
+    shared-nothing pairs yield jaccard 0, below every caller's
+    threshold (the SQL form never emits them).
+
+    Scale posture (100 TB): the arrays relation is corpus-sized rows
+    of bounded width (per-doc distinct shingle count); both joins key
+    on doc id — co-partitionable with the pair graph — and the
+    intersect is task-local, so nothing pairs-x-shingles-sized ever
+    enters an exchange.
+
+    Two measured gotchas shape the plan (guide §1.1's "the ideal plan
+    is slower at first"): (1) AQE coalesces a small distinct pair
+    relation to ONE partition (134 k pairs ≈ 2 MB), serializing the
+    intersect onto one core — the pairs are re-spread to
+    ``range_partitions`` first (a ~2 MB round-robin exchange buys
+    32-way task parallelism); (2) the arrays aggregate feeds both
+    join sides, so it is lazily checkpointed once (no ReusedExchange
+    across the two subtrees otherwise). The join strategy is left to
+    the planner: the checkpointed arrays relation has a REAL size
+    (auto-broadcast fires under the 64 MB threshold locally; a
+    corpus-sized arrays relation at 100 TB exceeds it and falls back
+    to a co-partitioned shuffle join — no forced hint to outgrow).
+
+    ``pairs``: DataFrame(ia, ib), assumed distinct. Returns
+    (ia, ib, jaccard) for every pair with both endpoints in the
+    shingle relation — callers apply their own threshold filter."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.session import (
+        range_partitions_for,
+    )
+
+    _require_shingle_base(base, "the distinct ride-along view holds "
+                                "the per-doc shingle sets")
+    arrs = (spark.table(SHINGLE_DISTINCT_VIEW)
+            .groupBy("doc_id")
+            .agg(F.collect_list("hv").alias("hvs"))
+            .localCheckpoint(eager=False))
+    a = arrs.select(F.col("doc_id").alias("ia"), F.col("hvs").alias("ha"))
+    b = arrs.select(F.col("doc_id").alias("ib"), F.col("hvs").alias("hb"))
+    return (pairs.repartition(range_partitions_for(pairs))
+            .join(a, "ia").join(b, "ib")
+            .withColumn("n_common",
+                        F.expr("size(array_intersect(ha, hb))"))
+            .withColumn("jaccard", F.expr(
+                "cast(n_common as double) / "
+                "(size(ha) + size(hb) - n_common)"))
+            .select("ia", "ib", "jaccard"))
+
+
+def dedup_minhash_lsh_df(spark, base: str):
+    """Array-verify form of :func:`dedup_minhash_lsh`: identical
+    candidate SQL (``cand_only=True``), exact-Jaccard verify via
+    :func:`_pair_array_verify_df`. Rows identical to the SQL form
+    (same integer counts, same single division) — pinned by
+    test_minhash_lsh_df_matches_sql. NOT wired as the default: at the
+    default banding the candidate set is small enough that the SQL
+    verify join adds only ~0.2 s (cand_only 0.58 s vs full 0.78 s at
+    sf0.1) while this form's arrays aggregate + joins cost about the
+    same — measured a wash (guide §1.3: stop when within a small
+    factor). The win case is a LARGE pair set (band tuning's 134 k
+    union: 1.6 s -> 0.3 s), which is where the helper is wired."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+
+    cands = spark.sql(dedup_minhash_lsh(SPARK, base, cand_only=True))
+    return (_pair_array_verify_df(spark, cands, base)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select(F.col("ia").alias("doc_a"),
+                    F.col("ib").alias("doc_b"), "jaccard"))
+
+
 def dedup_exact_groups(d: Dialect) -> str:
     """Exact duplicate groups, keyed on the 128-bit content hash so the
     exchange carries a 32-char key instead of full document text (at
@@ -1918,19 +2005,15 @@ SELECT DISTINCT cfg AS n_bands, ia, ib FROM (
     # fan-out); materialize once — both the distinct-pair verify input
     # and the per-config rollups read them
     cands = cands.localCheckpoint(eager=False)
-    pair_view = "__band_tuning_cand"
-    cands.select("ia", "ib").distinct().createOrReplaceTempView(pair_view)
-    verified = spark.sql(f"""{_shingle_cte(SPARK, base)},
-common AS (
-  SELECT c.ia, c.ib, count(*) AS n_common, max(a.n) AS na, max(b.n) AS nb
-  FROM {pair_view} c
-  JOIN sh2 a ON a.doc_id = c.ia
-  JOIN sh2 b ON b.doc_id = c.ib AND b.hv = a.hv
-  GROUP BY c.ia, c.ib
-)
-SELECT ia, ib FROM common
-WHERE cast(n_common as double) / (na + nb - n_common)
-      >= {JACCARD_THRESHOLD}""")
+    # verify via the per-doc array intersect (r12 second pass: the
+    # pairs x shingles join ran ~|pairs|*s rows through a hash
+    # aggregate — measured 1.6 s of the report's 4.3 s; the array form
+    # is two skinny joins + one codegen'd intersect per pair, same
+    # integers, same division — see _pair_array_verify_df)
+    verified = (_pair_array_verify_df(
+                    spark, cands.select("ia", "ib").distinct(), base)
+                .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+                .select("ia", "ib"))
     per_cand = cands.groupBy("n_bands").agg(
         F.count("*").alias("cand_total"))
     per_pair = (cands.join(verified, ["ia", "ib"])

@@ -652,7 +652,14 @@ def docs_dsir_importance_df(spark):
                 "doc_id": np.repeat(doc_ids, ntoks), "f": f})
 
     feats = (spark.table("documents").select("doc_id", "text")
-             .mapInPandas(feat_kernel, schema="doc_id long, f bigint"))
+             .mapInPandas(feat_kernel, schema="doc_id long, f bigint")
+             # the tok CTE (kernel join flag) is read by BOTH the cf
+             # count arm and the p per-doc rollup; a Python eval node
+             # is opaque (no reuse, no pushdown through it), so
+             # without the checkpoint the token fold ran once PER ARM
+             # (r12: measured 1.83 s -> 1.39 s at sf0.1; the
+             # checkpoint is (doc_id, f) skinny rows)
+             .localCheckpoint(eager=False))
     feats.createOrReplaceTempView("__dsir_feats")
     pct = id_hash_pct(d, "doc_id", "lm")
     w = d.idiv(f"((ct + 1) * (rr + {DSIR_BUCKETS}) * {DSIR_SCALE})",
@@ -1502,6 +1509,114 @@ def ensure_bpe_dict_view(spark, key: object = None) -> str:
 def _bpe_train_rounds(spark, base: str | None = None,
                       n_rounds: int | None = None,
                       ) -> list[list[tuple[str, str, int]]]:
+    """ONE-JOB kernel form of the batched BPE training loop (r12,
+    guide §5 "the driver should do almost no data work" / §4.5): the
+    job-loop form (:func:`_bpe_train_rounds_jobs`, kept as the pinned
+    reference) already funnels every round's pair aggregate through a
+    single task on the capped dictionary — but it still paid one job
+    launch + one driver collect + one lazy checkpoint PER ROUND
+    (~0.15-0.3 s/job locally, measured 1.4-1.7 s for 8 rounds of
+    ~150 ms compute). This form runs the ENTIRE selection loop inside
+    one single-partition ``mapInPandas`` over the same dictionary
+    plane: per-round pair counting (exact int64 sums of ``freq`` per
+    adjacent-pair occurrence), the (cnt DESC, pr ASC) top-pool
+    ranking (Python code-point string order == Spark's UTF8 byte
+    order — UTF-8 preserves code-point order), the greedy
+    disjoint-symbol selection, and the per-round simultaneous apply
+    (the leftmost-non-overlapping scan — equal to the kept/parity
+    expressions for disjoint sets, the documented equivalence
+    ``bpe_apply_python`` pins). The dictionary never leaves the
+    executor; the driver receives only the merge rows (≤
+    (BPE_ROUND_K+1)·BPE_ROUNDS rows — the frozen-model tier).
+    Identical output pinned by test_bpe_kernel_trainer_matches_jobs
+    and the standing oracle tests of every consumer."""
+    rounds_done: list[list[tuple[str, str, int]]] = []
+    base = base if base is not None else ensure_bpe_dict_view(spark)
+    total = n_rounds if n_rounds is not None else BPE_ROUNDS
+    pool, round_k = BPE_CAND_POOL, BPE_ROUND_K
+
+    def trainer(batches):
+        import pandas as pd
+
+        toks: list[list[str]] = []
+        freqs: list[int] = []
+        for pdf in batches:
+            for syms, fr in zip(pdf["syms"], pdf["freq"]):
+                toks.append(list(syms))
+                freqs.append(int(fr))
+        out_rnd, out_rank = [], []
+        out_left, out_right, out_cnt = [], [], []
+        for rnd in range(1, total + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for syms, fr in zip(toks, freqs):
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    counts[k] = counts.get(k, 0) + fr
+            top = sorted(counts.items(),
+                         key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+                         )[:pool]
+            sel: list[tuple[str, str, int]] = []
+            used: set[str] = set()
+            for (left, right), cnt in top:
+                if left in used or right in used:
+                    continue
+                sel.append((left, right, cnt))
+                used.update((left, right))
+                if len(sel) == round_k:
+                    break
+            # marker row (rank 0) so the driver reconstructs the round
+            # STRUCTURE exactly — including a trailing empty round
+            out_rnd.append(rnd); out_rank.append(0)
+            out_left.append(""); out_right.append(""); out_cnt.append(0)
+            for rank, (left, right, cnt) in enumerate(sel, start=1):
+                out_rnd.append(rnd); out_rank.append(rank)
+                out_left.append(left); out_right.append(right)
+                out_cnt.append(cnt)
+            if not sel:
+                break
+            pset = {(left, right) for left, right, _ in sel}
+            new_toks = []
+            for syms in toks:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms)
+                            and (syms[i], syms[i + 1]) in pset):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_toks.append(out)
+            toks = new_toks
+        yield pd.DataFrame({"rnd": pd.Series(out_rnd, dtype="int32"),
+                            "rank": pd.Series(out_rank, dtype="int32"),
+                            "left": out_left, "right": out_right,
+                            "cnt": pd.Series(out_cnt, dtype="int64")})
+
+    rows = (spark.table(base).select("freq", "syms")
+            .coalesce(BPE_DICT_PARTITIONS)
+            .mapInPandas(trainer, schema="rnd int, rank int, "
+                                         "left string, right string, "
+                                         "cnt long")
+            .collect())
+    by_rnd: dict[int, list] = {}
+    for r in rows:
+        by_rnd.setdefault(r.rnd, [])
+        if r.rank > 0:
+            by_rnd[r.rnd].append((r.rank, r.left, r.right, int(r.cnt)))
+    if not by_rnd:
+        # empty-partition edge: an empty dictionary trains one empty
+        # round, exactly like the jobs form
+        return [[]]
+    for rnd in sorted(by_rnd):
+        rounds_done.append([(left, right, cnt) for _, left, right, cnt
+                            in sorted(by_rnd[rnd])])
+    return rounds_done
+
+
+def _bpe_train_rounds_jobs(spark, base: str | None = None,
+                           n_rounds: int | None = None,
+                           ) -> list[list[tuple[str, str, int]]]:
     """Spark-native BATCHED BPE training loop: one dictionary-sized
     top-{BPE_CAND_POOL} pair job per ROUND (a single bounded collect —
     the batching that makes a 30k-merge vocab ~30k/{BPE_ROUND_K}
@@ -1688,7 +1803,13 @@ def text_bpe_tokenize_count_df(spark, base: str | None = None,
 
     docs = spark.sql(
         f"SELECT doc_id, {d.tokens('text')} AS toks FROM documents")
-    toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+    # the exploded token stream feeds BOTH the distinct-word dim and
+    # the per-doc rollup join; without the checkpoint the tokenize
+    # fold + explode ran twice (r12, guide §2.4 — measured 2 scans,
+    # ~0.25 s each at sf0.1; the checkpoint is (doc_id, tok) skinny
+    # rows)
+    toks = (docs.select("doc_id", F.explode("toks").alias("tok"))
+            .localCheckpoint(eager=False))
     dim = toks.select("tok").distinct()
     if sum(len(rnd) for rnd in merges) <= BPE_LITERAL_MAX:
         apply_ = _bpe_apply_expr(d, d.chars("tok"),

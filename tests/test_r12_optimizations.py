@@ -145,6 +145,53 @@ def test_contam_plane_matches_sql(spark):
     assert _rows(new) == _rows(old)
 
 
+def test_minhash_lsh_df_matches_sql(spark):
+    """The array-intersect verify (_pair_array_verify_df, wired into
+    the band-tuning report) must reproduce the SQL verify join's rows
+    exactly — same candidate SQL, same integer counts, same single
+    division, so the jaccard doubles are bit-identical."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    dedup._SHINGLE_STATE.clear()
+    base = dedup.ensure_shingle_view(spark, key=SF_DIR)
+    new = dedup.dedup_minhash_lsh_df(spark, base)
+    old = spark.sql(dedup.dedup_minhash_lsh(SPARK, base))
+    assert new.schema.simpleString() == old.schema.simpleString()
+    assert _rows(new) == _rows(old)
+
+
+def test_band_tuning_array_verify_matches_join_verify(spark):
+    """The band-tuning report's array-intersect verify must keep the
+    report row-identical to the self-contained SQL form (which still
+    runs the pairs x shingles verify join per config)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    dedup._SHINGLE_STATE.clear()
+    base = dedup.ensure_shingle_view(spark, key=SF_DIR)
+    new = dedup.dedup_band_tuning_df(spark, base)
+    old = spark.sql(dedup.dedup_band_tuning(SPARK, None))
+    assert new.schema.simpleString() == old.schema.simpleString()
+    assert _rows(new) == _rows(old)
+
+
+def test_bpe_kernel_trainer_matches_jobs(spark):
+    """The one-job kernel BPE trainer must return exactly the rounds
+    of the per-round job loop it replaced (same counts, same ranking,
+    same greedy selection, same per-round apply)."""
+    from aws_trusted_advisor_explorer_spark.operators import textops
+
+    base = textops.ensure_bpe_dict_view(spark, key=SF_DIR)
+    new = textops._bpe_train_rounds(spark, base=base)
+    old = textops._bpe_train_rounds_jobs(spark, base=base)
+    assert new == old
+    # truncated training must match too (the n_rounds parameter)
+    assert (textops._bpe_train_rounds(spark, base=base, n_rounds=3)
+            == textops._bpe_train_rounds_jobs(spark, base=base,
+                                              n_rounds=3))
+
+
 def test_dsir_twin_matches_sql(spark):
     """The r12 DSIR kernel twin (hashed features from the Arrow char
     fold) must equal the self-contained SQL form row-for-row."""
