@@ -154,6 +154,13 @@ FROM asg GROUP BY cluster_id"""
 
 
 COSINE_SEM_THRESHOLD = 0.4   # == dedup.COSINE_DUP_THRESHOLD (same corpus)
+# pair-budget of the semdedup grouped kernel's blocked enumeration
+# (r13): each block materializes at most ~this many candidate pairs
+# (~2M pairs -> ~80 MB of live int64/float64 arrays) regardless of
+# cluster size, instead of O(|c|^2) for the whole cluster in one
+# allocation — a hot-cluster OOM guard, not a semantics knob (the
+# blocked enumeration is bit- and order-identical; see cluster_pairs).
+SEM_PAIR_BLOCK_PAIRS = 1 << 21
 IVF_TOP_K = 3
 IVF_QUERY_MOD = 100          # == similarity.QUERY_MOD
 
@@ -791,34 +798,69 @@ def semdedup_pairs_df(spark):
            .where(F.expr(f"{SPARK.dot('embedding', 'embedding')} > 0")))
     mv = asg.join(emb, "vec_id")
 
-    def cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        cid = pdf["cluster_id"].iloc[0]
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        n = len(V)
-        if n < 2:
-            return pd.DataFrame({"cluster_id": np.zeros(0, np.int64),
-                                 "vec_a": np.zeros(0, np.int64),
-                                 "vec_b": np.zeros(0, np.int64),
-                                 "cosine": np.zeros(0, np.float64)})
-        ia, ib = np.triu_indices(n, k=1)
-        dot = np.zeros(len(ia))
-        na = np.zeros(n)
-        # the fold's op order per pair/vector: ascending-dim += loops
-        for i in range(V.shape[1]):
-            dot += V[ia, i] * V[ib, i]
-            na += V[:, i] * V[:, i]
-        cos = dot / (np.sqrt(na[ia]) * np.sqrt(na[ib]))
-        keep = cos >= COSINE_SEM_THRESHOLD
-        return pd.DataFrame({
-            "cluster_id": np.full(int(keep.sum()), cid, dtype=np.int64),
-            "vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
-            "cosine": cos[keep]})
-
     return (mv.groupBy("cluster_id").applyInPandas(
-        cluster_pairs,
+        _semdedup_cluster_pairs_pdf,
         schema="cluster_id long, vec_a long, vec_b long, cosine double"))
+
+
+def _semdedup_cluster_pairs_pdf(pdf):
+    """The semdedup grouped kernel's per-cluster body (module-level so
+    the hot-cluster memory-bound pin can exercise it directly — see
+    :func:`semdedup_pairs_df` for the plan shape)."""
+    import numpy as np
+    import pandas as pd
+
+    cid = pdf["cluster_id"].iloc[0]
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n = len(V)
+    if n < 2:
+        return pd.DataFrame({"cluster_id": np.zeros(0, np.int64),
+                             "vec_a": np.zeros(0, np.int64),
+                             "vec_b": np.zeros(0, np.int64),
+                             "cosine": np.zeros(0, np.float64)})
+    na = np.zeros(n)
+    for i in range(V.shape[1]):   # per-vector norm fold, asc dims
+        na += V[:, i] * V[:, i]
+    sq = np.sqrt(na)
+    # r13 (guide §2.5/§5, r12 verdict item 3): enumerate the
+    # upper-triangle pairs in bounded ROW BLOCKS instead of one
+    # O(|c|^2) triu_indices allocation — a skewed mega-cluster
+    # previously concentrated all its pair index/accumulator
+    # arrays in this one task's memory. Per block the live arrays
+    # hold <= ~SEM_PAIR_BLOCK_PAIRS pairs; the per-pair cosine
+    # fold (ascending-dim += loop) and the emitted row order
+    # (lexicographic (ia, ib) — triu order) are unchanged, so the
+    # doubles and the output are bit-identical to the unblocked
+    # form (pinned by test_semdedup_blocked_pairs_match_unblocked
+    # with a deliberately hot cluster).
+    step = max(1, SEM_PAIR_BLOCK_PAIRS // n)
+    outs = []
+    for r0 in range(0, n - 1, step):
+        r1 = min(r0 + step, n - 1)
+        rows = np.arange(r0, r1)
+        cnt = n - 1 - rows          # pairs per row: (i, i+1..n-1)
+        ia = np.repeat(rows, cnt)
+        ib = np.concatenate([np.arange(i + 1, n) for i in rows]) \
+            if len(rows) else np.zeros(0, dtype=np.int64)
+        dot = np.zeros(len(ia))
+        for i in range(V.shape[1]):  # asc-dim fold, same op order
+            dot += V[ia, i] * V[ib, i]
+        cos = dot / (sq[ia] * sq[ib])
+        keep = cos >= COSINE_SEM_THRESHOLD
+        if keep.any():
+            outs.append(pd.DataFrame({
+                "cluster_id": np.full(int(keep.sum()), cid,
+                                      dtype=np.int64),
+                "vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+                "cosine": cos[keep]}))
+    if not outs:
+        return pd.DataFrame({"cluster_id": np.zeros(0, np.int64),
+                             "vec_a": np.zeros(0, np.int64),
+                             "vec_b": np.zeros(0, np.int64),
+                             "cosine": np.zeros(0, np.float64)})
+    return pd.concat(outs, ignore_index=True)
 
 
 SEM_PAIRS_VIEW = "__semdedup_pairs"

@@ -170,6 +170,18 @@ FROM r"""
 CONTAM_NGRAM = 5  # contamination shingle width (tokens)
 BENCH_MOD = 50    # doc_id % 50 == 0 -> stand-in benchmark/eval set
 
+from aws_trusted_advisor_explorer_spark.operators.dedup import (
+    GRAM_FOLD_COMBI_KS as _GRAM_FOLD_KS,
+)
+
+if CONTAM_NGRAM not in _GRAM_FOLD_KS:
+    # the contamination plane reads its grams from the fused fold
+    # plane's stream-CONTAM_NGRAM slice (dedup.ensure_gram_fold_view);
+    # a width change must update both constants
+    raise ValueError(
+        f"CONTAM_NGRAM {CONTAM_NGRAM} missing from dedup."
+        f"GRAM_FOLD_COMBI_KS {_GRAM_FOLD_KS}")
+
 
 CONTAM_VIEW = "__contam_hits_plane"
 _CONTAM_STATE: dict = {}
@@ -192,28 +204,22 @@ def ensure_contam_view(spark, key: object = None) -> str:
     )
 
     def build_df(s):
-        # the 5-gram hv relation comes from the Arrow kernel twin
-        # (dedup.make_gram_hv_kernel — r12: the interpreted per-token
-        # char fold + window combine was the plane's dominant cost);
+        # the 5-gram hv relation comes from the fused fold plane's
+        # stream-CONTAM_NGRAM slice (r13 — one tokenize+char-fold pass
+        # shared with the shingle/span planes; r12 ran
+        # dedup.make_gram_hv_kernel(CONTAM_NGRAM) standalone here);
         # the ev/tr split + probe join + aggregate stay the SQL shape
         # of docs_contamination. The self-contained SQL remains the
         # oracle and the equality reference
-        # (test_contam_plane_matches_sql).
+        # (test_contam_plane_matches_sql). Both arms read a slice of
+        # the already-checkpointed fold plane, so the r12 per-build
+        # localCheckpoint (which guarded against the kernel running
+        # once PER ARM) is no longer needed.
         from aws_trusted_advisor_explorer_spark.operators.dedup import (
-            make_gram_hv_kernel,
+            gram_fold_stream_df,
         )
 
-        kdf = (s.table("documents").select("doc_id", "text")
-               .mapInPandas(make_gram_hv_kernel(CONTAM_NGRAM,
-                                                with_pos=False),
-                            schema="doc_id long, hv long")
-               # both the ev and tr arms read this relation; a Python
-               # eval node is opaque (no exchange to reuse, filters
-               # cannot push below it), so without the checkpoint the
-               # kernel ran once PER ARM (r12: measured 1.47 s ->
-               # 0.89 s plane build at sf0.1; the checkpoint is
-               # (doc_id, hv) skinny rows)
-               .localCheckpoint(eager=False))
+        kdf = gram_fold_stream_df(s, key, CONTAM_NGRAM, with_pos=False)
         kdf.createOrReplaceTempView("__contam_gram_hv")
         return s.sql(f"""WITH ev AS (
   SELECT hv, min(doc_id) AS witness FROM __contam_gram_hv

@@ -104,17 +104,25 @@ def _token_fold_AB(flat):
 
     lens = np.array([len(t) for t in flat], dtype=np.int64)
     mx = int(lens.max())
-    mat = np.zeros((len(flat), mx), dtype=np.int64)
-    for i, t in enumerate(flat):
-        # ord per char == the SQL ascii() codepoint (split('') is
-        # per-character, not per-byte)
-        mat[i, :len(t)] = [ord(c) for c in t]
+    # tokens come from the ``[a-z0-9]+`` tokenizer, so they are ASCII
+    # by construction and byte value == ord == the SQL ascii()
+    # codepoint; one frombuffer replaces the r12 per-token Python ord
+    # loop (the padded-matrix build was the fold's hot Python path —
+    # r13, guide §4.2). A non-ASCII token would mean tokenizer drift:
+    # encode("ascii") raises loudly instead of hashing wrong bytes.
+    codes = np.frombuffer("".join(flat).encode("ascii"),
+                          dtype=np.uint8).astype(np.int64)
+    offs = np.zeros(len(flat), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    # A = 31^len mod P via a power table (loop body halves)
+    pw = np.ones(mx + 1, dtype=np.int64)
+    for j in range(1, mx + 1):
+        pw[j] = (pw[j - 1] * HASH_MULT) % P_MOD
+    A = pw[lens]
     B = np.zeros(len(flat), dtype=np.int64)
-    A = np.ones(len(flat), dtype=np.int64)
     for j in range(mx):
-        live = j < lens
-        B[live] = (B[live] * HASH_MULT + mat[live, j]) % P_MOD
-        A[live] = (A[live] * HASH_MULT) % P_MOD
+        live = np.flatnonzero(j < lens)
+        B[live] = (B[live] * HASH_MULT + codes[offs[live] + j]) % P_MOD
     return A, B
 
 
@@ -129,6 +137,10 @@ def make_gram_hv_kernel(k: int, with_pos: bool = True):
     Instantiated for the span plane (k=SPAN_GRAM, with pos) and the
     contamination plane (k=CONTAM_NGRAM, hv only); bit-equality pinned
     by test_span_kernel_matches_sql / test_contam_plane_matches_sql."""
+    if k < 2:
+        # the window-start slice tok_doc[:-(k-1)] is the EMPTY slice at
+        # k == 1 (r12 advice) — every window would be silently dropped
+        raise ValueError(f"gram width k must be >= 2, got {k}")
 
     def kernel(batches):
         import numpy as np
@@ -224,6 +236,155 @@ def _shingle_hash_kernel(batches):
                             "hv": h})
 
 
+GRAM_FOLD_VIEW = "__gram_fold"
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
+_GRAM_FOLD_STATE: dict[int, tuple[object, object, list]] = {}
+# window widths of the token-hash-combinator streams riding the fused
+# fold pass: 5 == corpusops.CONTAM_NGRAM (cross-checked at corpusops
+# import), 8 == SPAN_GRAM (asserted below the constant's definition)
+GRAM_FOLD_COMBI_KS = (5, 8)
+
+
+def _gram_fold_kernel(batches):
+    """Fused Arrow kernel for the three gram-hash planes (r13, guide
+    §2.4/§4.2): ONE tokenize + per-token char fold over ``documents``
+    emits all three hv streams that previously each re-ran the fold —
+    the shingle plane (stream 3: the 3-gram STRING hash,
+    :func:`_shingle_hash_kernel`'s exact composition), the
+    contamination plane (stream 5) and the span plane (stream 8, with
+    positions), both via the token-hash window combinator
+    (:func:`make_gram_hv_kernel`'s exact composition). The tokenize +
+    char fold is ~60% of each plane's kernel cost and is identical
+    across the three, so fusing turns 3 corpus scans + 3 Python folds
+    into 1 of each. Per-stream rows are BIT-IDENTICAL to the
+    single-plane kernels (same numpy expressions, same guard
+    conditions) — pinned by test_gram_fold_kernel_matches_per_plane_kernels
+    and the standing plane-vs-SQL pins. ``pos`` is 0 for the
+    positionless streams (3, 5); consumers select it only on stream 8."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_trusted_advisor_explorer_spark.functions.dual import (
+        HASH_INIT, HASH_MULT, P_MOD, SHINGLE_MULT,
+    )
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        doc_ids = pdf["doc_id"].to_numpy()
+        toks_per_doc = _tokenize_batch(pdf["text"])
+        ntoks = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        flat = [t for ts in toks_per_doc for t in ts]
+        if not flat:
+            continue
+        A, B = _token_fold_AB(flat)
+        tok_doc = np.repeat(np.arange(len(ntoks)), ntoks)
+        # stream 3: the 3-gram string hash (space-separated fold) —
+        # _shingle_hash_kernel's composition verbatim
+        starts = np.flatnonzero(
+            (tok_doc[:-2] == tok_doc[2:]) if len(tok_doc) > 2
+            else np.zeros(0, dtype=bool))
+        if len(starts):
+            h = (HASH_INIT * A[starts] + B[starts]) % P_MOD
+            h = (h * HASH_MULT + 32) % P_MOD                  # ' '
+            h = (h * A[starts + 1] + B[starts + 1]) % P_MOD
+            h = (h * HASH_MULT + 32) % P_MOD                  # ' '
+            h = (h * A[starts + 2] + B[starts + 2]) % P_MOD
+            d3 = tok_doc[starts]
+            yield pd.DataFrame({
+                "stream": np.full(len(starts), 3, dtype=np.int32),
+                "doc_id": doc_ids[d3],
+                "pos": np.zeros(len(starts), dtype=np.int32),
+                "hv": h})
+            # stream 4: the per-doc DISTINCT 3-gram hvs with the
+            # per-doc distinct count riding in ``pos`` — computable
+            # in-kernel because each document is ONE input row, so its
+            # whole shingle set is local here. Replaces the
+            # SHINGLE_DISTINCT_VIEW build's corpus-wide
+            # ``SELECT DISTINCT`` exchange + count window (r13; the
+            # rows are identical by construction: distinct (doc_id,
+            # hv) with count(*) OVER (PARTITION BY doc_id)).
+            order = np.lexsort((h, d3))
+            hs, ds = h[order], d3[order]
+            first = np.ones(len(hs), dtype=bool)
+            first[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+            hu, du = hs[first], ds[first]
+            ndist = np.bincount(du, minlength=len(ntoks))
+            yield pd.DataFrame({
+                "stream": np.full(len(hu), 4, dtype=np.int32),
+                "doc_id": doc_ids[du],
+                "pos": ndist[du].astype(np.int32),
+                "hv": hu})
+        # combinator streams: per-token hash once, then the
+        # SHINGLE_MULT window fold per width — make_gram_hv_kernel's
+        # composition verbatim (including its guard conditions)
+        ht = (HASH_INIT * A + B) % P_MOD
+        doc_first = np.zeros(len(ntoks), dtype=np.int64)
+        np.cumsum(ntoks[:-1], out=doc_first[1:])
+        for k in GRAM_FOLD_COMBI_KS:
+            if len(tok_doc) < k:
+                continue
+            starts = np.flatnonzero(
+                tok_doc[:-(k - 1)] == tok_doc[(k - 1):])
+            if not len(starts):
+                continue
+            h = np.full(len(starts), HASH_INIT, dtype=np.int64)
+            for j in range(k):
+                h = (h * SHINGLE_MULT + ht[starts + j]) % P_MOD
+            d_idx = tok_doc[starts]
+            yield pd.DataFrame({
+                "stream": np.full(len(starts), k, dtype=np.int32),
+                "doc_id": doc_ids[d_idx],
+                "pos": (starts - doc_first[d_idx] + 1).astype(np.int32),
+                "hv": h})
+
+
+def ensure_gram_fold_view(spark, key: object = None) -> str:
+    """Materialize the FUSED gram-hash relation (stream, doc_id, pos,
+    hv) once per (session, dataset) — the shared tokenize+char-fold
+    pass under the shingle, span, and contamination planes (r13, guide
+    §2.4: the three planes each re-ran the identical fold over the
+    full corpus). Priced as its own ``plane:gram_fold`` row; the
+    per-plane ensure functions read their stream slice from it inside
+    their own builds, so their rows price only the per-plane
+    materialization/aggregation that remains.
+
+    ``key=None`` (single-fixture test sessions) drops this session's
+    cached fold before ensuring: a keyless consumer rebuild signals
+    "documents may have been re-pointed", and a stale fused fold would
+    silently serve the old corpus to all three planes."""
+    from aws_trusted_advisor_explorer_spark.session import (
+        ensure_session_plane, materialize_plane_df, plane_cache_key,
+        plane_key_ok,
+    )
+
+    if key is None:
+        _GRAM_FOLD_STATE.pop(id(spark), None)
+
+    def build(spark):
+        kdf = (spark.table("documents").select("doc_id", "text")
+               .mapInPandas(_gram_fold_kernel,
+                            schema="stream int, doc_id long, pos int, "
+                                   "hv long"))
+        df = materialize_plane_df(spark, kdf, GRAM_FOLD_VIEW, key,
+                                  ["doc_id"])
+        return [df]
+
+    build.plane_label = "gram_fold"
+    ensure_session_plane(_GRAM_FOLD_STATE, spark, plane_cache_key(key),
+                         build, key_ok=plane_key_ok(key))
+    return GRAM_FOLD_VIEW
+
+
+def gram_fold_stream_df(spark, key: object, k: int, with_pos: bool):
+    """The one accessor the per-plane builds use: ensure the fused
+    fold plane (same ``key`` discipline as the caller) and return its
+    width-``k`` stream slice — (doc_id, pos, hv) or (doc_id, hv)."""
+    ensure_gram_fold_view(spark, key)
+    cols = ["doc_id", "pos", "hv"] if with_pos else ["doc_id", "hv"]
+    return spark.table(GRAM_FOLD_VIEW).where(f"stream = {k}").select(*cols)
+
+
 def ensure_shingle_view(spark, key: object = None) -> str:
     """Materialize the shingle-hash relation as a localCheckpoint-backed
     temp view, once per (session, dataset). ``key`` identifies the
@@ -248,33 +409,47 @@ def ensure_shingle_view(spark, key: object = None) -> str:
     def build(spark):
         # the kernel twin of shingle_hash_sql (r12): same rows, exact
         # integer arithmetic, ~4x the interpreted char fold — see
-        # _shingle_hash_kernel; shingle_hash_sql stays the oracle/test
-        # reference form
-        kdf = (spark.table("documents").select("doc_id", "text")
-               .mapInPandas(_shingle_hash_kernel,
-                            schema="doc_id long, hv long"))
+        # _shingle_hash_kernel (the standalone reference form); since
+        # r13 the rows come from the FUSED fold plane's stream-3 slice
+        # (ensure_gram_fold_view — one tokenize+fold pass shared with
+        # the span/contamination planes instead of three)
+        kdf = gram_fold_stream_df(spark, key, 3, with_pos=False)
         df = materialize_plane_df(
             spark, kdf, SHINGLE_VIEW, key, ["doc_id"])
         # the deduplicated per-doc shingle set with its count rides along —
         # MinHash / exact-Jaccard would otherwise re-run the DISTINCT +
-        # window once per CTE reference (2-3x per query)
+        # window once per CTE reference (2-3x per query). Since r13 the
+        # distinct set and the per-doc count come straight from the
+        # fused kernel's stream-4 slice (per-doc distinct is local to
+        # the kernel because each doc is one input row) — the
+        # corpus-wide DISTINCT exchange + count window are gone.
         ddf = materialize_plane_df(
-            spark, spark.sql(
-                f"SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n "
-                f"FROM (SELECT DISTINCT doc_id, hv FROM {SHINGLE_VIEW})"),
+            spark, spark.table(GRAM_FOLD_VIEW).where("stream = 4")
+            .selectExpr("doc_id", "hv", "cast(pos as bigint) AS n"),
             SHINGLE_DISTINCT_VIEW, key, ["hv"])
         # the DF-capped relation (hot boilerplate shingles dropped, per-doc
         # counts over the SURVIVORS) rides along too: it feeds both sides
         # of the exact-Jaccard/containment self-join, which would otherwise
         # re-run the cap filter + count window once per join side under
-        # CTE inlining (measured 1.11s -> 0.75s per query at sf0.1)
+        # CTE inlining (measured 1.11s -> 0.75s per query at sf0.1).
+        # r13 shape (guide §2.4/§3): the keep-set join + corpus-wide
+        # count window became (a) an ANTI join against the OVER-cap hv
+        # set (boilerplate only — small and selective, AQE broadcasts
+        # it) and (b) the survivor count as ``n - removed`` via a
+        # per-doc correction aggregate over the over-cap rows only —
+        # identical rows (every distinct hv is kept xor removed, so
+        # count-over-survivors == n - |this doc's over-cap hvs|), no
+        # window exchange+sort over the full distinct relation.
+        from pyspark.sql import functions as F
+        over = (ddf.groupBy("hv").agg(F.count("*").alias("df_"))
+                .where(f"df_ > {NGRAM_DF_CAP}").select("hv"))
+        rem = (ddf.join(over, "hv").groupBy("doc_id")
+               .agg(F.count("*").alias("r_")))
         cdf = materialize_plane_df(
-            spark, spark.sql(
-                f"SELECT doc_id, hv, count(*) OVER (PARTITION BY doc_id) AS n "
-                f"FROM (SELECT s.doc_id, s.hv FROM {SHINGLE_DISTINCT_VIEW} s "
-                f"JOIN (SELECT hv FROM {SHINGLE_DISTINCT_VIEW} "
-                f"GROUP BY hv HAVING count(*) <= {NGRAM_DF_CAP}) k "
-                f"ON k.hv = s.hv)"),
+            spark, ddf.join(over, "hv", "left_anti")
+            .join(rem, "doc_id", "left")
+            .selectExpr("doc_id", "hv",
+                        "n - coalesce(r_, 0L) AS n"),
             SHINGLE_CAPPED_VIEW, key, ["hv"])
         return [df, ddf, cdf]
 
@@ -874,6 +1049,13 @@ SPAN_DF_CAP = 1000     # drop grams duplicated across more docs than this
 # above SPAN_GRAM's constant block, so the instance binds here)
 _span_gram_kernel = make_gram_hv_kernel(SPAN_GRAM)
 
+if SPAN_GRAM not in GRAM_FOLD_COMBI_KS:
+    # the span plane reads its grams from the fused fold plane's
+    # stream-SPAN_GRAM slice; a width change must update both constants
+    raise ValueError(
+        f"SPAN_GRAM {SPAN_GRAM} missing from GRAM_FOLD_COMBI_KS "
+        f"{GRAM_FOLD_COMBI_KS}")
+
 
 def _span_gram_cte(d: Dialect, base: str | None = None) -> str:
     """Positional {SPAN_GRAM}-gram hash relation ``g(doc_id, pos, hv)``.
@@ -1028,10 +1210,11 @@ def ensure_span_views(spark, key: object = None) -> str:
         # kernel twin of _span_gram_cte (r12): same rows, exact
         # modular arithmetic, no interpreted char fold — the SQL
         # template stays the oracle/test reference, and the kernel is
-        # pinned row-equal to it by test_span_kernel_matches_sql
-        kdf = (spark.table("documents").select("doc_id", "text")
-               .mapInPandas(_span_gram_kernel,
-                            schema="doc_id long, pos int, hv long"))
+        # pinned row-equal to it by test_span_kernel_matches_sql;
+        # since r13 the rows come from the fused fold plane's
+        # stream-{SPAN_GRAM} slice (one tokenize+fold pass shared with
+        # the shingle/contamination planes)
+        kdf = gram_fold_stream_df(spark, key, SPAN_GRAM, with_pos=True)
         g = materialize_plane_df(spark, kdf, SPAN_GRAM_VIEW, key, ["hv"])
         return [g]
 

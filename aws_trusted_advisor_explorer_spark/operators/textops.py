@@ -1593,14 +1593,27 @@ def _bpe_train_rounds(spark, base: str | None = None,
                             "left": out_left, "right": out_right,
                             "cnt": pd.Series(out_cnt, dtype="int64")})
 
+    # coalesce(1) is CORRECTNESS here, not tuning (r12 advice): the
+    # in-kernel selection loop needs the whole dictionary in one task —
+    # per-partition partial trainers would emit duplicate (rnd, rank)
+    # rows whose driver merge silently interleaves wrong counts. The
+    # BPE_DICT_PARTITIONS knob tunes the job-loop form only; the
+    # duplicate guard below makes a violated assumption fail loudly.
     rows = (spark.table(base).select("freq", "syms")
-            .coalesce(BPE_DICT_PARTITIONS)
+            .coalesce(1)
             .mapInPandas(trainer, schema="rnd int, rank int, "
                                          "left string, right string, "
                                          "cnt long")
             .collect())
     by_rnd: dict[int, list] = {}
+    seen: set[tuple[int, int]] = set()
     for r in rows:
+        if (r.rnd, r.rank) in seen:
+            raise ValueError(
+                f"duplicate BPE trainer row (rnd={r.rnd}, rank={r.rank})"
+                " — the dictionary was split across partitions and the"
+                " kernel trained partial models")
+        seen.add((r.rnd, r.rank))
         by_rnd.setdefault(r.rnd, [])
         if r.rank > 0:
             by_rnd[r.rnd].append((r.rank, r.left, r.right, int(r.cnt)))
