@@ -487,12 +487,78 @@ def _band_tuning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The band-tuning report materializes the exact truth pair set
     once and runs each band config's LSH pipeline exactly once off the
     session shingle plane (the self-contained SQL form re-references
-    truth per config under Spark CTE inlining — oracle-only)."""
+    truth per config under Spark CTE inlining — oracle-only); since
+    r13 the truth arm reads the session pair-aggregate plane
+    (dedup.ensure_ngram_common_view) shared with the jaccard /
+    containment / LSH-recall queries."""
     from aws_trusted_advisor_explorer_spark.operators import dedup
 
     _prepare_ext(spark, sf_dir)
     base = dedup.ensure_shingle_view(spark, key=sf_dir)
-    return dedup.dedup_band_tuning_df(spark, base)
+    cv = dedup.ensure_ngram_common_view(spark, key=sf_dir)
+    sv = dedup.ensure_minhash_sigs_view(spark, key=sf_dir)
+    return dedup.dedup_band_tuning_df(spark, base, common_view=cv,
+                                      mh_view=sv)
+
+
+def _ngram_common_backed_query(builder_name: str):
+    """The exact shared-shingle pair reports (jaccard, containment)
+    read the session pair-aggregate plane
+    (dedup.ensure_ngram_common_view) instead of each re-running the
+    DF-capped self-join + aggregate."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+        from aws_trusted_advisor_explorer_spark.operators import dedup
+
+        _prepare_ext(spark, sf_dir)
+        cv = dedup.ensure_ngram_common_view(spark, key=sf_dir)
+        return spark.sql(getattr(dedup, builder_name)(
+            SPARK, base=dedup.SHINGLE_VIEW, common_view=cv))
+
+    return run
+
+
+def _minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH query reads the session signature plane
+    (dedup.ensure_minhash_sigs_view — banding-independent, shared with
+    the pairs plane, the band-tuning ladder, and the estimator)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    _prepare_ext(spark, sf_dir)
+    base = dedup.ensure_shingle_view(spark, key=sf_dir)
+    sv = dedup.ensure_minhash_sigs_view(spark, key=sf_dir)
+    return spark.sql(dedup.dedup_minhash_lsh(SPARK, base=base, mh_view=sv))
+
+
+def _minhash_estimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimator audit reads both session planes: the verified
+    pair graph and the signature relation."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    _prepare_ext(spark, sf_dir)
+    base = dedup.ensure_shingle_view(spark, key=sf_dir)
+    pv = dedup.ensure_minhash_pairs_view(spark, key=sf_dir)
+    sv = dedup.ensure_minhash_sigs_view(spark, key=sf_dir)
+    return spark.sql(dedup.dedup_minhash_estimate(
+        SPARK, base=base, pairs_view=pv, mh_view=sv))
+
+
+def _lsh_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall audits the materialized pair graph against the
+    session pair-aggregate truth plane (both arms plane scans since
+    r13)."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    _prepare_ext(spark, sf_dir)
+    base = dedup.ensure_shingle_view(spark, key=sf_dir)
+    pv = dedup.ensure_minhash_pairs_view(spark, key=sf_dir)
+    cv = dedup.ensure_ngram_common_view(spark, key=sf_dir)
+    return spark.sql(dedup.dedup_lsh_recall(
+        SPARK, base=base, pairs_view=pv, common_view=cv))
 
 
 def _winnow_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,6 +667,22 @@ def _similarity_df_query(fn_name: str):
 
         _prepare_ext(spark, sf_dir)
         return getattr(similarity, fn_name)(spark)
+
+    return run
+
+
+def _emb_gram_backed_query(fn_name: str):
+    """Gram-consuming twins (covariance report, power iteration) read
+    the session-materialized aggregated Gram relation
+    (similarity.ensure_emb_gram_view) instead of each re-running the
+    corpus-scale partial kernel + aggregate."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_trusted_advisor_explorer_spark.operators import similarity
+
+        _prepare_ext(spark, sf_dir)
+        base = similarity.ensure_emb_gram_view(spark, key=sf_dir)
+        return getattr(similarity, fn_name)(spark, base=base)
 
     return run
 
@@ -829,15 +911,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_byte_stats"] = _media_udf_query("media_byte_stats_df")
     q["media_feature_extract"] = _media_udf_query("media_feature_extract_df")
     q["media_frame_sample"] = _media_udf_query("media_frame_sample_df")
-    for key in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
-                "dedup_containment", "dedup_simhash"):
-        q[key] = _shingle_backed_query(key)
+    q["dedup_minhash_lsh"] = _minhash_lsh_query
+    q["dedup_simhash"] = _shingle_backed_query("dedup_simhash")
+    for key in ("dedup_ngram_jaccard", "dedup_containment"):
+        q[key] = _ngram_common_backed_query(key)
     q["dedup_prefix_join"] = _prefix_backed_query
     q["dedup_band_tuning"] = _band_tuning_query
     for key in ("dedup_incremental", "docs_dedup_rate_by_source",
-                "dedup_lsh_recall", "docs_cross_split_contamination",
-                "docs_cross_lingual_pairs", "dedup_minhash_estimate"):
+                "docs_cross_split_contamination",
+                "docs_cross_lingual_pairs"):
         q[key] = _pairs_backed_query(key)
+    q["dedup_lsh_recall"] = _lsh_recall_query
+    q["dedup_minhash_estimate"] = _minhash_estimate_query
     for key in ("docs_block_dedup", "docs_boilerplate_topk"):
         q[key] = _block_backed_query(key)
     for key in ("docs_contamination", "docs_decontaminated"):
@@ -882,8 +967,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_bruteforce"] = _similarity_df_query("knn_bruteforce_df")
     q["knn_lsh"] = _similarity_df_query("knn_lsh_df")
     # the Gram matrix runs the Arrow/numpy partial-accumulation twin
-    # (same integers as the SQL explode form, which stays the oracle)
-    q["embeddings_covariance"] = _similarity_df_query(
+    # (same integers as the SQL explode form, which stays the oracle);
+    # since r13 the aggregated Gram is a session plane shared with the
+    # power-iteration twin and the PCA direction plane (one corpus
+    # aggregate per dataset instead of three)
+    q["embeddings_covariance"] = _emb_gram_backed_query(
         "embeddings_covariance_df")
     # the drift audit reuses the covariance twin's partial-Gram kernel
     # per parity side (same integers as the SQL fold, ~4.8x measured on
@@ -899,7 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unrolled MATERIALIZED-hinted chain is the DuckDB oracle (not in
     # BUILDERS — Spark CTE inlining would expand it exponentially, the
     # BPE-trainer rule)
-    q["embeddings_power_iteration"] = _similarity_df_query(
+    q["embeddings_power_iteration"] = _emb_gram_backed_query(
         "embeddings_power_iteration_df")
     # trained truncation: the PCA direction plane is the numpy kernel
     # twin (deflated squaring over the dim²-row Gram); the unrolled

@@ -640,6 +640,43 @@ def _minhash_mins_sql(n_perm: int) -> str:
         for j, (a, b) in enumerate(minhash_params(n_perm)))
 
 
+MINHASH_SIGS_VIEW = "__minhash_sigs"
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
+_MINHASH_SIGS_STATE: dict = {}
+
+
+def ensure_minhash_sigs_view(spark, key: object = None) -> str:
+    """Materialize the {N_PERM}-perm MinHash signature relation
+    (doc_id, m0..m{N_PERM - 1}) once per (session, dataset) — r13,
+    guide §2.4: the LSH query, the pairs-plane build, the band-tuning
+    ladder, and the estimator audit each re-ran the same signature
+    groupBy over the distinct shingle view (~0.5 s each at sf0.1; one
+    pass over the shingle plane at scale). Signatures are
+    banding-independent, so every consumer reads this one relation via
+    ``mh_view``. Ensures the shingle plane first; priced as its own
+    ``plane:minhash_sigs`` row."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import (
+        ensure_session_plane, materialize_plane_df, plane_cache_key,
+        plane_key_ok,
+    )
+
+    def build(spark):
+        base = ensure_shingle_view(spark, key)
+        df = materialize_plane_df(
+            spark, spark.sql(
+                f"{_shingle_cte(SPARK, base)}\n"
+                f"SELECT doc_id,\n    {_minhash_mins_sql(N_PERM)}\n"
+                f"FROM sh GROUP BY doc_id"),
+            MINHASH_SIGS_VIEW, key, ["doc_id"])
+        return [df]
+
+    build.plane_label = "minhash_sigs"
+    ensure_session_plane(_MINHASH_SIGS_STATE, spark, plane_cache_key(key),
+                         build, key_ok=plane_key_ok(key))
+    return MINHASH_SIGS_VIEW
+
+
 def dedup_minhash_lsh(d: Dialect, base: str | None = None,
                       n_perm: int = N_PERM,
                       n_bands: int = N_BANDS,
@@ -757,21 +794,73 @@ FROM common
 WHERE cast(n_common as double) / (na + nb - n_common) >= {JACCARD_THRESHOLD}"""
 
 
-def dedup_ngram_jaccard(d: Dialect, base: str | None = None) -> str:
-    """Exact n-gram Jaccard near-dup pairs via the shared-shingle join
-    (ground truth for the MinHash variant; shuffle-heavy at 100 TB —
-    see module doc). Guarded against hot-shingle candidate explosion:
-    shingles with document frequency > NGRAM_DF_CAP (corpus
-    boilerplate) are dropped before the self-join, bounding per-shingle
-    fan-out at CAP^2; set sizes and Jaccard are computed over the
-    surviving shingles in BOTH dialects."""
+NGRAM_COMMON_VIEW = "__ngram_common"
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
+_NGRAM_COMMON_STATE: dict = {}
+
+
+def _ngram_common_cte(d: Dialect, base: str | None,
+                      common_view: str | None = None) -> str:
+    """CTE chain ending in ``common(ia, ib, n_common, na, nb)`` — the
+    DF-capped shared-shingle self-join + per-pair aggregate that
+    :func:`dedup_ngram_jaccard` and :func:`dedup_containment` share
+    (identical text in both). With ``common_view`` (the session plane,
+    :func:`ensure_ngram_common_view`) it is a plane scan; otherwise
+    the self-contained chain (DuckDB oracle, standalone tests)."""
+    if common_view is not None:
+        return (f"WITH common AS (SELECT ia, ib, n_common, na, nb "
+                f"FROM {common_view})")
     return f"""{_capped_shingle_cte(d, base)},
 common AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_common,
     max(a.n) AS na, max(b.n) AS nb
   FROM fs2 a JOIN fs2 b ON a.hv = b.hv AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
+)"""
+
+
+def ensure_ngram_common_view(spark, key: object = None) -> str:
+    """Materialize the shared-shingle pair aggregate ``common(ia, ib,
+    n_common, na, nb)`` once per (session, dataset) — r13, guide §2.4:
+    the exact-Jaccard report, the containment report, and the truth
+    arms of the band-tuning and LSH-recall audits each re-ran the
+    DF-capped self-join + aggregate (~0.6 s each at sf0.1; the
+    heaviest join in the dedup family at scale). Near-dup-pair-sized
+    output (the DF cap bounds fan-out). Ensures the shingle plane
+    first; priced as its own ``plane:ngram_common`` row."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.session import (
+        ensure_session_plane, materialize_plane_df, plane_cache_key,
+        plane_key_ok,
+    )
+
+    def build(spark):
+        base = ensure_shingle_view(spark, key)
+        df = materialize_plane_df(
+            spark, spark.sql(
+                f"{_ngram_common_cte(SPARK, base)}\n"
+                f"SELECT ia, ib, n_common, na, nb FROM common"),
+            NGRAM_COMMON_VIEW, key, ["ia"])
+        return [df]
+
+    build.plane_label = "ngram_common"
+    ensure_session_plane(_NGRAM_COMMON_STATE, spark, plane_cache_key(key),
+                         build, key_ok=plane_key_ok(key))
+    return NGRAM_COMMON_VIEW
+
+
+def dedup_ngram_jaccard(d: Dialect, base: str | None = None,
+                        common_view: str | None = None) -> str:
+    """Exact n-gram Jaccard near-dup pairs via the shared-shingle join
+    (ground truth for the MinHash variant; shuffle-heavy at 100 TB —
+    see module doc). Guarded against hot-shingle candidate explosion:
+    shingles with document frequency > NGRAM_DF_CAP (corpus
+    boilerplate) are dropped before the self-join, bounding per-shingle
+    fan-out at CAP^2; set sizes and Jaccard are computed over the
+    surviving shingles in BOTH dialects. With ``common_view`` (the
+    session pair-aggregate plane) the report is a plane scan + the
+    same ratio filter."""
+    return f"""{_ngram_common_cte(d, base, common_view)}
 SELECT ia AS doc_a, ib AS doc_b,
   cast(n_common as double) / (na + nb - n_common) AS jaccard
 FROM common
@@ -781,7 +870,8 @@ WHERE cast(n_common as double) / (na + nb - n_common) >= {JACCARD_THRESHOLD}"""
 CONTAIN_THRESHOLD = 0.8  # min |A∩B| / min(|A|,|B|) to report a pair
 
 
-def dedup_containment(d: Dialect, base: str | None = None) -> str:
+def dedup_containment(d: Dialect, base: str | None = None,
+                      common_view: str | None = None) -> str:
     """Asymmetric shingle containment: pairs where the SMALLER document's
     shingle set is mostly inside the larger one's —
     ``containment = |S_A ∩ S_B| / min(|S_A|, |S_B|)``. Catches
@@ -793,14 +883,10 @@ def dedup_containment(d: Dialect, base: str | None = None) -> str:
     Same candidate machinery and hot-shingle guard as
     :func:`dedup_ngram_jaccard` (shared-shingle equi-join over
     DF-capped shingle hashes); only the verify arithmetic differs, so
-    the two queries share the materialized shingle view at scale."""
-    return f"""{_capped_shingle_cte(d, base)},
-common AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_common,
-    max(a.n) AS na, max(b.n) AS nb
-  FROM fs2 a JOIN fs2 b ON a.hv = b.hv AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
+    the two queries share the materialized shingle view at scale —
+    and, since r13, the materialized pair aggregate itself
+    (``common_view`` — :func:`ensure_ngram_common_view`)."""
+    return f"""{_ngram_common_cte(d, base, common_view)}
 SELECT ia AS doc_a, ib AS doc_b,
   cast(n_common as bigint) AS n_common,
   cast(n_common as double) / na AS contain_a_in_b,
@@ -1341,7 +1427,11 @@ def ensure_minhash_pairs_view(spark, key: object = None) -> str:
 
     def build_df(spark):
         base = ensure_shingle_view(spark, key=key)
-        return spark.sql(dedup_minhash_lsh(SPARK, base))
+        # r13: signatures come from the shared sigs plane (banding-
+        # independent; also read by the LSH query, the band-tuning
+        # ladder, and the estimator audit)
+        return spark.sql(dedup_minhash_lsh(
+            SPARK, base, mh_view=ensure_minhash_sigs_view(spark, key)))
 
     return register_session_plane(
         _PAIRS_STATE, spark, key, MINHASH_PAIRS_VIEW, build_df)
@@ -1981,7 +2071,8 @@ def dedup_graph_pagerank_df(spark, pairs_view: str | None = None):
 def dedup_lsh_recall(d: Dialect, base: str | None = None,
                      pairs_view: str | None = None,
                      n_perm: int = N_PERM,
-                     n_bands: int = N_BANDS) -> str:
+                     n_bands: int = N_BANDS,
+                     common_view: str | None = None) -> str:
     """MinHash-LSH acceptance gate: recall/precision of the banded LSH
     pair set vs the exact shared-shingle Jaccard join at the same
     threshold — the dedup counterpart of ``knn_recall_at_k`` (an
@@ -2015,7 +2106,7 @@ def dedup_lsh_recall(d: Dialect, base: str | None = None,
             f"default ({N_PERM} perms, {N_BANDS} bands) configuration; "
             "pass EITHER pairs_view OR non-default n_perm/n_bands, not "
             "both (the view cannot represent the requested banding)")
-    truth = dedup_ngram_jaccard(d, base)
+    truth = dedup_ngram_jaccard(d, base, common_view=common_view)
     lsh = (_pairs_cte(d, base, pairs_view)
            if (n_perm, n_bands) == (N_PERM, N_BANDS)
            else dedup_minhash_lsh(d, base, n_perm=n_perm,
@@ -2113,7 +2204,9 @@ SELECT s.n_bands, s.rows_per_band, s.n_candidates, s.n_pairs, s.n_hits,
 FROM s CROSS JOIN tn"""
 
 
-def dedup_band_tuning_df(spark, base: str):
+def dedup_band_tuning_df(spark, base: str,
+                         common_view: str | None = None,
+                         mh_view: str | None = None):
     """Registered Spark form of :func:`dedup_band_tuning`: the exact
     truth pair set materializes ONCE (lazy localCheckpoint — the
     oracle's per-config truth references re-evaluate under Spark CTE
@@ -2134,20 +2227,27 @@ def dedup_band_tuning_df(spark, base: str):
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
 
-    truth = (spark.sql(dedup_ngram_jaccard(SPARK, base))
-             .select("doc_a", "doc_b")
-             .localCheckpoint(eager=False))
+    # with common_view (the session pair-aggregate plane, r13) the
+    # truth arm is a plane scan + ratio filter — the per-run lazy
+    # checkpoint only guards the self-contained fallback
+    truth = spark.sql(dedup_ngram_jaccard(
+        SPARK, base, common_view=common_view)).select("doc_a", "doc_b")
+    if common_view is None:
+        truth = truth.localCheckpoint(eager=False)
     t_hit = truth.withColumn("hit", F.lit(1))
     # the signature relation is banding-independent: compute the
     # N_PERM minima ONCE and let every config read the materialized
     # view (4x the signature groupBy otherwise — measured 6.5 s -> ~3 s
-    # at sf0.1)
-    mh_view = "__band_tuning_mh"
-    mh = spark.sql(
-        f"{_shingle_cte(SPARK, base)}\n"
-        f"SELECT doc_id,\n    {_minhash_mins_sql(N_PERM)}\n"
-        f"FROM sh GROUP BY doc_id").localCheckpoint(eager=False)
-    mh.createOrReplaceTempView(mh_view)
+    # at sf0.1). With ``mh_view`` (the session sigs plane, r13) the
+    # ladder reads the already-materialized signatures instead of a
+    # per-run checkpoint.
+    if mh_view is None:
+        mh_view = "__band_tuning_mh"
+        mh = spark.sql(
+            f"{_shingle_cte(SPARK, base)}\n"
+            f"SELECT doc_id,\n    {_minhash_mins_sql(N_PERM)}\n"
+            f"FROM sh GROUP BY doc_id").localCheckpoint(eager=False)
+        mh.createOrReplaceTempView(mh_view)
     # ONE band explode / bucket-stats / candidate self-join for the
     # whole ladder: every config's band signatures carry a config
     # prefix (so buckets never merge across configs and BAND_CAP stays
@@ -2237,7 +2337,8 @@ MH_EST_SCALE = 1_000_000  # estimator audit reports integer ppm
 
 
 def dedup_minhash_estimate(d: Dialect, base: str | None = None,
-                           pairs_view: str | None = None) -> str:
+                           pairs_view: str | None = None,
+                           mh_view: str | None = None) -> str:
     """MinHash ESTIMATOR-error audit (the signature-level complement
     of :func:`dedup_lsh_recall`'s pair-level gate): for every verified
     near-dup pair, the signature-agreement Jaccard estimate
@@ -2265,14 +2366,18 @@ def dedup_minhash_estimate(d: Dialect, base: str | None = None,
         for j in range(N_PERM))
     pairs = _pairs_cte(d, base, pairs_view)
     est_ppm = d.idiv(f"({MH_EST_SCALE} * n_match)", str(N_PERM))
+    # with mh_view (the session sigs plane, r13) the signature arm is
+    # a plane scan instead of re-running the groupBy per query
+    mh_body = (f"SELECT * FROM {mh_view}" if mh_view is not None
+               else f"""{_shingle_cte(d, base)}
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id""")
     return f"""WITH pairs AS (
 {pairs}
 ),
 mh AS (
-  {_shingle_cte(d, base)}
-  SELECT doc_id,
-    {mins}
-  FROM sh GROUP BY doc_id
+  {mh_body}
 ),
 est AS (
   SELECT p.doc_a, p.doc_b, p.jaccard,

@@ -1088,7 +1088,30 @@ def _gram_acc(vs):
     return acc
 
 
-def embeddings_covariance_df(spark):
+EMB_GRAM_VIEW = "__emb_gram"
+# id(spark) -> (weakref, key, pinned DFs); see session.ensure_session_plane
+_EMB_GRAM_STATE: dict = {}
+
+
+def ensure_emb_gram_view(spark, key: object = None) -> str:
+    """Materialize the aggregated embedding Gram relation —
+    :func:`embeddings_covariance_df`'s output, ≤ dim(dim+1)/2 rows —
+    once per (session, dataset) (r13, guide §2.4): the covariance
+    report, the power-iteration twin, and the PCA direction plane each
+    re-ran the corpus-scale partial kernel + aggregate (~0.4 s each at
+    sf0.1; one corpus scan each at 100 TB). Train-once/serve-many like
+    the PCA plane itself; plane-mode aware via
+    register_session_plane."""
+    from aws_trusted_advisor_explorer_spark.session import (
+        register_session_plane,
+    )
+
+    return register_session_plane(
+        _EMB_GRAM_STATE, spark, key, EMB_GRAM_VIEW,
+        embeddings_covariance_df, bucket_cols=["dim_i"])
+
+
+def embeddings_covariance_df(spark, base: str | None = None):
     """Arrow/numpy twin of :func:`embeddings_covariance`: each input
     batch contributes one 2080-row partial frame of (dim_i, dim_j,
     n, s) computed with float64 outer products + per-term floor —
@@ -1096,10 +1119,14 @@ def embeddings_covariance_df(spark):
     aggregate merges partials. The mapInPandas stage emits
     O(batches x dim^2) rows, so the shuffle is constant-width like
     the SQL form's partial aggregate, with ~dim-fold less per-row
-    lambda interpretation."""
+    lambda interpretation. With ``base`` (the session Gram plane,
+    :func:`ensure_emb_gram_view`) the report is a plane scan."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
+
+    if base is not None:
+        return spark.table(base)
 
     iu = np.triu_indices(DIM)
     out_schema = ("dim_i long, dim_j long, n long, s long")
@@ -1303,7 +1330,7 @@ SELECT v{PI_ITERS}.dim AS dim_i, v{PI_ITERS}.v AS eig_scaled,
 FROM v{PI_ITERS} CROSS JOIN n{PI_ITERS}"""
 
 
-def embeddings_power_iteration_df(spark):
+def embeddings_power_iteration_df(spark, base: str | None = None):
     """Arrow-kernel twin of :func:`embeddings_power_iteration` (the
     registered Spark form): G comes from the covariance plane's Arrow
     partial twin (same integers as the SQL fold) symmetrized and
@@ -1322,13 +1349,19 @@ def embeddings_power_iteration_df(spark):
 
     from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
 
-    # materialize the Gram ONCE (lazy localCheckpoint): three
-    # references fan out below (upper triangle, mirror, guard max) and
-    # would otherwise re-run the corpus-scale covariance kernel per
-    # reference (measured: 4 MapInPandas subtrees in the executed plan)
-    cov = (embeddings_covariance_df(spark)
-           .select("dim_i", "dim_j", F.col("sum_micro").alias("s"))
-           .localCheckpoint(eager=False))
+    # materialize the Gram ONCE: three references fan out below (upper
+    # triangle, mirror, guard max) and would otherwise re-run the
+    # corpus-scale covariance kernel per reference (measured: 4
+    # MapInPandas subtrees in the executed plan). With ``base`` (the
+    # session Gram plane, r13) the references read the already-
+    # checkpointed plane — no per-run checkpoint needed.
+    if base is not None:
+        cov = (spark.table(base)
+               .select("dim_i", "dim_j", F.col("sum_micro").alias("s")))
+    else:
+        cov = (embeddings_covariance_df(spark)
+               .select("dim_i", "dim_j", F.col("sum_micro").alias("s"))
+               .localCheckpoint(eager=False))
     mirror = (cov.filter("dim_i <> dim_j")
               .select(F.col("dim_j").alias("dim_i"),
                       F.col("dim_i").alias("dim_j"), "s"))
@@ -1585,7 +1618,7 @@ WHERE rf.rank <= {TOP_K}
 GROUP BY rf.query_id"""
 
 
-def pca_dirs_df(spark):
+def pca_dirs_df(spark, base: str | None = None):
     """Numpy kernel twin of :func:`_pca_dirs_ctes` (the registered
     Spark form): the Gram comes from the covariance plane's Arrow
     partial twin (same integers as the SQL fold), then the deflated
@@ -1596,13 +1629,14 @@ def pca_dirs_df(spark):
     chain's left-fold order exactly (column-ascending accumulation;
     scalar folds as explicit loops), every rescale/deflation is the
     same pinned association order — bit-identical doubles, pinned by
-    the replay pytest."""
+    the replay pytest. With ``base`` (the session Gram plane, r13)
+    the Gram is a plane scan instead of a fresh corpus aggregate."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import functions as F
 
-    cov = (embeddings_covariance_df(spark)
+    cov = (embeddings_covariance_df(spark, base=base)
            .select("dim_i", "dim_j", F.col("sum_micro").alias("s")))
 
     def kernel(batches):
@@ -1674,7 +1708,8 @@ def ensure_pca_dirs(spark, key: object = None) -> str:
     )
 
     return register_session_plane(
-        _PCA_STATE, spark, key, PCA_DIRS_VIEW, pca_dirs_df,
+        _PCA_STATE, spark, key, PCA_DIRS_VIEW,
+        lambda s: pca_dirs_df(s, base=ensure_emb_gram_view(s, key)),
         bucket_cols=["r"])
 
 

@@ -1072,8 +1072,16 @@ BPE_MERGES = BPE_ROUNDS * BPE_ROUND_K   # total merge budget (64)
 # (the corpus-scale token count happens once, in ensure_bpe_dict_view)
 BPE_DICT_PARTITIONS = 1
 BPE_WORD_CAP = 256  # training dictionary = top words by corpus frequency
-BPE_LITERAL_MAX = 256  # merges inlined as plan literals up to this count;
-                       # larger models take the broadcast-variable path
+# merges inlined as plan literals up to this count; larger models take
+# the broadcast-variable Arrow-UDF path. r13: 0 — the literal path's
+# per-invocation expression ANALYSIS cost dominates even for the tiny
+# 62-merge model (measured 1.37 s vs 0.78 s per tokenize_count run at
+# sf0.1, rows identical; the UDF's worker round-trip is vocab-dim-sized
+# and the two paths are pinned bit-equal by
+# test_bpe_apply_broadcast_path_matches_literal). The literal
+# expression builder stays: it renders the DuckDB oracle and the
+# parity pins.
+BPE_LITERAL_MAX = 0
 
 
 def _bpe_sel_fold(d: Dialect, cands: str) -> str:

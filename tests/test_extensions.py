@@ -897,10 +897,12 @@ def test_bpe_train_planted_run_parity_and_tiebreak(spark, ddb):
 
 
 def test_bpe_apply_broadcast_path_matches_literal(spark, monkeypatch):
-    """Frozen-model mechanics: force the broadcast path (threshold 0)
-    and pin (a) the plan really runs the Arrow-batched UDF — the model
-    is NOT in the plan as literals — and (b) per-doc counts are
-    bit-identical to the literal-inlined expression path."""
+    """Frozen-model mechanics: the literal-inlined expression path
+    (forced via a high threshold — r13 made the broadcast UDF the
+    default) must be bit-identical to the broadcast path, whose plan
+    really runs the Arrow-batched UDF with the model NOT spliced in as
+    literals."""
+    monkeypatch.setattr(textops, "BPE_LITERAL_MAX", 10_000)
     lit = {r.doc_id: tuple(r)[1:] for r in
            textops.text_bpe_tokenize_count_df(spark).collect()}
     monkeypatch.setattr(textops, "BPE_LITERAL_MAX", -1)

@@ -164,6 +164,82 @@ def test_semdedup_blocked_pairs_match_unblocked():
     pt.assert_frame_equal(out2, ref, check_exact=True)
 
 
+def test_ngram_common_plane_backed_forms_match_standalone(spark):
+    """The r13 shared pair-aggregate plane (ensure_ngram_common_view):
+    the plane-backed jaccard / containment / LSH-recall / band-tuning
+    forms must equal their standalone forms row-for-row."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    dedup._NGRAM_COMMON_STATE.clear()
+    base = dedup.ensure_shingle_view(spark, key=SF_DIR)
+    cv = dedup.ensure_ngram_common_view(spark, key=SF_DIR)
+    pv = dedup.ensure_minhash_pairs_view(spark, key=SF_DIR)
+    for name, new, old in [
+        ("jaccard",
+         spark.sql(dedup.dedup_ngram_jaccard(SPARK, base, common_view=cv)),
+         spark.sql(dedup.dedup_ngram_jaccard(SPARK, base))),
+        ("containment",
+         spark.sql(dedup.dedup_containment(SPARK, base, common_view=cv)),
+         spark.sql(dedup.dedup_containment(SPARK, base))),
+        ("lsh_recall",
+         spark.sql(dedup.dedup_lsh_recall(SPARK, base, pairs_view=pv,
+                                          common_view=cv)),
+         spark.sql(dedup.dedup_lsh_recall(SPARK, base, pairs_view=pv))),
+        ("band_tuning",
+         dedup.dedup_band_tuning_df(spark, base, common_view=cv),
+         dedup.dedup_band_tuning_df(spark, base)),
+    ]:
+        assert new.schema.simpleString() == old.schema.simpleString(), name
+        assert _rows(new) == _rows(old), name
+
+
+def test_minhash_sigs_plane_backed_forms_match_standalone(spark):
+    """The r13 shared signature plane (ensure_minhash_sigs_view): the
+    sigs-backed LSH / estimator / band-tuning forms must equal their
+    standalone forms row-for-row."""
+    from aws_trusted_advisor_explorer_spark.functions.dual import SPARK
+    from aws_trusted_advisor_explorer_spark.operators import dedup
+
+    dedup._MINHASH_SIGS_STATE.clear()
+    base = dedup.ensure_shingle_view(spark, key=SF_DIR)
+    sv = dedup.ensure_minhash_sigs_view(spark, key=SF_DIR)
+    pv = dedup.ensure_minhash_pairs_view(spark, key=SF_DIR)
+    for name, new, old in [
+        ("lsh", spark.sql(dedup.dedup_minhash_lsh(SPARK, base, mh_view=sv)),
+         spark.sql(dedup.dedup_minhash_lsh(SPARK, base))),
+        ("estimate",
+         spark.sql(dedup.dedup_minhash_estimate(SPARK, base, pairs_view=pv,
+                                                mh_view=sv)),
+         spark.sql(dedup.dedup_minhash_estimate(SPARK, base,
+                                                pairs_view=pv))),
+        ("band_tuning",
+         dedup.dedup_band_tuning_df(spark, base, mh_view=sv),
+         dedup.dedup_band_tuning_df(spark, base)),
+    ]:
+        assert new.schema.simpleString() == old.schema.simpleString(), name
+        assert _rows(new) == _rows(old), name
+
+
+def test_emb_gram_plane_backed_forms_match_standalone(spark):
+    """The r13 shared Gram plane (ensure_emb_gram_view): the
+    plane-backed covariance / power-iteration / PCA-direction forms
+    must equal their standalone forms row-for-row."""
+    from aws_trusted_advisor_explorer_spark.operators import similarity as S
+
+    S._EMB_GRAM_STATE.clear()
+    base = S.ensure_emb_gram_view(spark, key=SF_DIR)
+    for name, new, old in [
+        ("cov", S.embeddings_covariance_df(spark, base=base),
+         S.embeddings_covariance_df(spark)),
+        ("power", S.embeddings_power_iteration_df(spark, base=base),
+         S.embeddings_power_iteration_df(spark)),
+        ("pca", S.pca_dirs_df(spark, base=base), S.pca_dirs_df(spark)),
+    ]:
+        assert new.schema.simpleString() == old.schema.simpleString(), name
+        assert _rows(new) == _rows(old), name
+
+
 def test_gram_hv_kernel_rejects_k1():
     """make_gram_hv_kernel(1) would silently emit zero rows (the
     [:-(k-1)] empty-slice hazard, r12 advice) — it must raise."""
