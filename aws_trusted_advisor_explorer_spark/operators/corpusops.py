@@ -1559,14 +1559,26 @@ FROM merged m FULL OUTER JOIN full_rc f
   ON f.split = m.split AND f.shard_id = m.shard_id"""
 
 
-def docs_release_refresh_df(spark, key: object = None):
+def docs_release_refresh_df(spark, key: object = None,
+                            full_recompute: bool = False):
     """The registered Spark form of :func:`docs_release_refresh_oracle`
     — same stored+delta algebra over the DataFrame rails: the stored
     and delta slices each pack with the two-phase range-partition
     cumsum (:func:`_split_pack_df`; the delta's cumsum starts at the
     stored split totals, so the snapshot rows are never re-read for
-    packing), counters merge additively, checksums by xor, and the
-    audit recompute packs the full relation once."""
+    packing), counters merge additively, checksums by xor.
+
+    The ``matches_recompute`` audit arm (r13, r12 verdict item 7):
+    count/sum/bit_xor/min/max are all mergeable, so the recompute
+    combines the ALREADY-COMPUTED stored and delta aggregates instead
+    of packing the full relation a third time — the full pack is
+    provably identical under the operator's append-only precondition
+    (the id cut splits each split's doc_id order into a prefix and a
+    suffix, so delta priors started at the stored split totals equal
+    the full pack's priors row-for-row; the DuckDB oracle keeps the
+    independent full pack, and ``full_recompute=True`` keeps the old
+    arm for the equality pin
+    test_release_refresh_merged_audit_matches_full_recompute)."""
     from pyspark.sql import functions as F
 
     from aws_trusted_advisor_explorer_spark.session import (
@@ -1589,13 +1601,16 @@ def docs_release_refresh_df(spark, key: object = None):
     rel2 = ranged.crossJoin(F.broadcast(cut))
     srel = rel2.filter("doc_id <= cut").drop("cut")
     drel = rel2.filter("doc_id > cut").drop("cut")
+    # lazy checkpoints: both the merged manifest and the audit arm
+    # read each aggregate, and the pack-window subtrees would
+    # otherwise re-run per reference (shard-count-sized relations)
     sman = _manifest_agg_df(_split_pack_df(srel, pre_ranged=True),
-                            with_path=False)
+                            with_path=False).localCheckpoint(eager=False)
     sbase = srel.groupBy("split").agg(
         F.sum("n_toks").cast("bigint").alias("base"))
     dman = _manifest_agg_df(
         _split_pack_df(drel, base_offsets=sbase, pre_ranged=True),
-        with_path=False)
+        with_path=False).localCheckpoint(eager=False)
     m = (sman.alias("s").join(
         dman.alias("dl"),
         (F.expr("dl.split = s.split")
@@ -1620,8 +1635,36 @@ def docs_release_refresh_df(spark, key: object = None):
             " AS last_doc_id",
             "coalesce(s.n_docs, 0) AS n_docs_stored",
             "coalesce(dl.n_docs, 0) AS n_docs_delta"))
-    full = _manifest_agg_df(_split_pack_df(ranged, pre_ranged=True),
-                            with_path=False)
+    if full_recompute:
+        full = _manifest_agg_df(_split_pack_df(ranged, pre_ranged=True),
+                                with_path=False)
+    else:
+        # the merged-aggregate recompute: the same six audit columns
+        # assembled from the stored+delta aggregates by the merge
+        # algebra (additive counters, xor checksums, min/max ranges)
+        full = (sman.alias("s").join(
+            dman.alias("dl"),
+            (F.expr("dl.split = s.split")
+             & F.expr("dl.shard_id = s.shard_id")), "full_outer")
+            .selectExpr(
+                "coalesce(s.split, dl.split) AS split",
+                "coalesce(s.shard_id, dl.shard_id) AS shard_id",
+                "coalesce(s.n_docs, 0) + coalesce(dl.n_docs, 0)"
+                " AS n_docs",
+                "coalesce(s.n_tokens, 0) + coalesce(dl.n_tokens, 0)"
+                " AS n_tokens",
+                "coalesce(s.n_bytes, 0) + coalesce(dl.n_bytes, 0)"
+                " AS n_bytes",
+                "coalesce(s.checksum_xor, 0)"
+                " ^ coalesce(dl.checksum_xor, 0) AS checksum_xor",
+                "CASE WHEN s.first_doc_id IS NULL THEN dl.first_doc_id"
+                " WHEN dl.first_doc_id IS NULL THEN s.first_doc_id"
+                " ELSE least(s.first_doc_id, dl.first_doc_id) END"
+                " AS first_doc_id",
+                "CASE WHEN s.last_doc_id IS NULL THEN dl.last_doc_id"
+                " WHEN dl.last_doc_id IS NULL THEN s.last_doc_id"
+                " ELSE greatest(s.last_doc_id, dl.last_doc_id) END"
+                " AS last_doc_id"))
     eq = " AND ".join(
         f"m.{c} <=> f.{c}"
         for c in ("n_docs", "n_tokens", "n_bytes", "checksum_xor",

@@ -864,14 +864,19 @@ FROM merged m FULL OUTER JOIN full_rc f
   ON f.split = m.split AND f.shard_id = m.shard_id"""
 
 
-def pairs_release_refresh_df(spark, key: object = None):
+def pairs_release_refresh_df(spark, key: object = None,
+                             full_recompute: bool = False):
     """The registered Spark form of :func:`pairs_release_refresh` —
     stored and delta slices each rank with the two-phase count cumsum
     (:func:`_pairs_count_rank_df`; the delta's rank starts at the
     stored per-split pair count, so the snapshot rows are never
     re-read for packing), counters merge additively, both modality
-    checksums by xor, and the audit recompute packs the full relation
-    once."""
+    checksums by xor. The ``matches_recompute`` audit arm merges the
+    already-computed stored+delta aggregates instead of ranking the
+    full relation a third time (r13, r12 verdict item 7 — same
+    append-only identity as corpusops.docs_release_refresh_df; the
+    DuckDB oracle keeps the independent full pack and
+    ``full_recompute=True`` keeps the old arm for the equality pin)."""
     from pyspark.sql import functions as F
 
     from aws_trusted_advisor_explorer_spark.operators.corpusops import (
@@ -895,13 +900,16 @@ def pairs_release_refresh_df(spark, key: object = None):
     rel2 = ranged.crossJoin(F.broadcast(cut))
     srel = rel2.filter("pair_id <= cut").drop("cut")
     drel = rel2.filter("pair_id > cut").drop("cut")
+    # lazy checkpoints: the merged manifest and the audit arm each
+    # read both aggregates (shard-count-sized relations)
     sman = _pairs_manifest_agg_df(
-        _pairs_count_rank_df(srel, pre_ranged=True), with_path=False)
+        _pairs_count_rank_df(srel, pre_ranged=True),
+        with_path=False).localCheckpoint(eager=False)
     sbase = srel.groupBy("split").agg(
         F.count(F.lit(1)).cast("bigint").alias("base"))
     dman = _pairs_manifest_agg_df(
         _pairs_count_rank_df(drel, base_counts=sbase, pre_ranged=True),
-        with_path=False)
+        with_path=False).localCheckpoint(eager=False)
     m = (sman.alias("s").join(
         dman.alias("dl"),
         (F.expr("dl.split = s.split")
@@ -931,8 +939,42 @@ def pairs_release_refresh_df(spark, key: object = None):
             " AS last_pair_id",
             "coalesce(s.n_pairs, 0) AS n_pairs_stored",
             "coalesce(dl.n_pairs, 0) AS n_pairs_delta"))
-    full = _pairs_manifest_agg_df(
-        _pairs_count_rank_df(ranged, pre_ranged=True), with_path=False)
+    if full_recompute:
+        full = _pairs_manifest_agg_df(
+            _pairs_count_rank_df(ranged, pre_ranged=True),
+            with_path=False)
+    else:
+        # merged-aggregate recompute: the seven audit columns from the
+        # stored+delta aggregates via the merge algebra
+        full = (sman.alias("s").join(
+            dman.alias("dl"),
+            (F.expr("dl.split = s.split")
+             & F.expr("dl.shard_id = s.shard_id")), "full_outer")
+            .selectExpr(
+                "coalesce(s.split, dl.split) AS split",
+                "coalesce(s.shard_id, dl.shard_id) AS shard_id",
+                "coalesce(s.n_pairs, 0) + coalesce(dl.n_pairs, 0)"
+                " AS n_pairs",
+                "coalesce(s.n_caption_tokens, 0) "
+                "+ coalesce(dl.n_caption_tokens, 0)"
+                " AS n_caption_tokens",
+                "coalesce(s.n_caption_bytes, 0) "
+                "+ coalesce(dl.n_caption_bytes, 0) AS n_caption_bytes",
+                "coalesce(s.caption_checksum_xor, 0) "
+                "^ coalesce(dl.caption_checksum_xor, 0)"
+                " AS caption_checksum_xor",
+                "coalesce(s.media_checksum_xor, 0) "
+                "^ coalesce(dl.media_checksum_xor, 0)"
+                " AS media_checksum_xor",
+                "CASE WHEN s.first_pair_id IS NULL"
+                " THEN dl.first_pair_id"
+                " WHEN dl.first_pair_id IS NULL THEN s.first_pair_id"
+                " ELSE least(s.first_pair_id, dl.first_pair_id) END"
+                " AS first_pair_id",
+                "CASE WHEN s.last_pair_id IS NULL THEN dl.last_pair_id"
+                " WHEN dl.last_pair_id IS NULL THEN s.last_pair_id"
+                " ELSE greatest(s.last_pair_id, dl.last_pair_id) END"
+                " AS last_pair_id"))
     eq = " AND ".join(
         f"m.{c} <=> f.{c}"
         for c in ("n_pairs", "n_caption_tokens", "n_caption_bytes",

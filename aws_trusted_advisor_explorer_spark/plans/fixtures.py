@@ -544,20 +544,25 @@ def register_raw_tables(spark: SparkSession, sf_dir: str,
     landed_bases: set[str] = set()
 
     def _landing_sql(sql: str) -> str:
-        """Rewrite FROM <base> to FROM __land_<base> (the repartitioned
-        twin view), registering the twin on first use."""
+        """Rewrite FROM/JOIN <base> to the repartitioned __land_<base>
+        twin view, registering the twin on first use. Matches JOINed
+        and comma-free references alike and lists every base table
+        (r12 advice: FROM-only + a short alternation left JOINed bases
+        on the single-file scan, silently capping the parallel
+        derivation to part of a multi-table fixture)."""
         import re
 
         def sub(m: "re.Match[str]") -> str:
-            b = m.group(1)
+            kw, b = m.group(1), m.group(2)
             if b not in landed_bases:
                 spark.table(b).repartition(n_files) \
                     .createOrReplaceTempView(f"__land_{b}")
                 landed_bases.add(b)
-            return f"FROM __land_{b}"
+            return f"{kw} __land_{b}"
 
         return re.sub(
-            r"FROM (lineitem|orders|customer|part|supplier|nation)\b",
+            r"(FROM|JOIN) (lineitem|orders|customer|part|supplier"
+            r"|nation|region)\b",
             sub, sql)
 
     for name, sql in sqls.items():

@@ -17,6 +17,10 @@ overwrite the committed regression anchors.
 Each query is forced end-to-end with a ``noop``-format write (full
 computation, zero sink cost) so the timing measures the plan, not
 driver-side collection.
+
+The payload also stamps ``"fixture_cache": "cold"|"warm"`` — cold runs
+pay the one-time fixture landing (priced as ``plane:fixture_land:*``
+rows), so cross-round comparisons should normalize on this field.
 """
 
 from __future__ import annotations
@@ -84,6 +88,12 @@ def main() -> None:
 
     fixtures.register_raw_tables(spark, SF_DIR)
     drain("register_raw_tables")
+    # fixture-cache state stamp (r12 verdict item 8): a COLD run pays
+    # the one-time ~20 s fixture landing (priced as plane:fixture_land:*
+    # rows); stamping cold/warm into the JSON lets cross-round PERF
+    # comparisons normalize for it instead of guessing
+    fixture_cache = ("cold" if any(k.startswith("fixture_land:")
+                                   for k in planes) else "warm")
 
     # TWO untimed warm passes before the timed ones: per-query first
     # executions are dominated by whole-stage-codegen compilation, and
@@ -171,6 +181,7 @@ def main() -> None:
         "query_sec": query_total,
         "plane_sec": plane_total,
         "plane_trigger": plane_trigger,
+        "fixture_cache": fixture_cache,
         "sf": _sf_from_dir(SF_DIR),
     }
     try:
