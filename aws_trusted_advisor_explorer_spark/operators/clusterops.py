@@ -676,7 +676,17 @@ def ensure_cluster_views(spark, key: object = None) -> None:
                         "n": np.repeat(n2[s], PQ_SUBDIM)}))
                 yield pd.concat(frames, ignore_index=True)
 
+        from aws_trusted_advisor_explorer_spark.session import (
+            kernel_partitions,
+        )
+
+        # repartition once before the two kernel passes: the
+        # single-file embeddings scan is one task, which serialized
+        # both corpus passes (r13 — see dedup.ensure_gram_fold_view);
+        # the update partials are exact int64 sums merged by the
+        # builtin aggregate, so partitioning never changes results
         emb = spark.table("embeddings").select("vec_id", "embedding")
+        emb = emb.repartition(kernel_partitions(emb))
         agg = (emb.select("embedding")
                .mapInPandas(upd_partial,
                             schema="kind long, s long, cid long, "

@@ -362,7 +362,20 @@ def ensure_gram_fold_view(spark, key: object = None) -> str:
         _GRAM_FOLD_STATE.pop(id(spark), None)
 
     def build(spark):
-        kdf = (spark.table("documents").select("doc_id", "text")
+        from aws_trusted_advisor_explorer_spark.session import (
+            kernel_partitions,
+        )
+
+        # repartition BEFORE the kernel (r13, guide §2.3/§6 inverted):
+        # the driver corpus ships as ONE parquet file with one row
+        # group, so the scan is a single task and the whole fused fold
+        # ran single-threaded at any core count (the flat 8-vs-32
+        # ratios in SCALING.md's core-scaling block). The exchange
+        # moves only the narrow (doc_id, text) rows once; the
+        # checkpointed plane then inherits the parallel layout for
+        # every consumer.
+        base_rel = spark.table("documents").select("doc_id", "text")
+        kdf = (base_rel.repartition(kernel_partitions(base_rel))
                .mapInPandas(_gram_fold_kernel,
                             schema="stream int, doc_id long, pos int, "
                                    "hv long"))

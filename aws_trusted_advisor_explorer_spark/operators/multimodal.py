@@ -457,17 +457,14 @@ PHASH_TWIN_SPLICE = ("substr(text, 1, 9) || '#' || substr(text, 11, 6) "
                      "|| '%' || substr(text, 18)")
 
 
-def _phash_sig_cte(d: Dialect) -> str:
-    """CTE chain ending at ``s(doc_id, ph)`` — the perceptual-hash
-    signature relation including the planted noisy twins. This is the
-    metadata an ingest pipeline computes once (mapInPandas decode
-    stage) and STORES per asset; :func:`ensure_phash_view`
-    materializes it per session so the band self-join does not
-    re-evaluate the whole gradient pipeline once per join side under
-    CTE inlining."""
+def _phash_m_cte(d: Dialect) -> str:
+    """CTE chain ending at ``m(doc_id, text)`` — the asset relation
+    (genuine docs + planted noisy twins + the id-headroom guard) the
+    gradient signature is computed over. Split out of
+    :func:`_phash_sig_cte` so the Spark plane build can run the
+    signature itself as an Arrow kernel over ``m`` (r13) while the
+    full SQL chain stays the oracle."""
     splice = PHASH_TWIN_SPLICE
-    pos_k = f"1 + {d.idiv('(k * (n - 1))', str(PHASH_BITS))}"
-    pos_k1 = f"1 + {d.idiv('((k + 1) * (n - 1))', str(PHASH_BITS))}"
     return f"""WITH base AS (
   SELECT doc_id, text FROM documents
   WHERE length(text) > {PHASH_BITS}
@@ -489,7 +486,20 @@ m AS (
   UNION ALL
   SELECT n.doc_id, n.text FROM noisy n CROSS JOIN chk
   WHERE mx < {PHASH_VARIANT_OFFSET}
-),
+)"""
+
+
+def _phash_sig_cte(d: Dialect) -> str:
+    """CTE chain ending at ``s(doc_id, ph)`` — the perceptual-hash
+    signature relation including the planted noisy twins. This is the
+    metadata an ingest pipeline computes once (mapInPandas decode
+    stage) and STORES per asset; :func:`ensure_phash_view`
+    materializes it per session so the band self-join does not
+    re-evaluate the whole gradient pipeline once per join side under
+    CTE inlining."""
+    pos_k = f"1 + {d.idiv('(k * (n - 1))', str(PHASH_BITS))}"
+    pos_k1 = f"1 + {d.idiv('((k + 1) * (n - 1))', str(PHASH_BITS))}"
+    return f"""{_phash_m_cte(d)},
 c AS (SELECT doc_id, text, length(text) AS n FROM m),
 g AS (SELECT doc_id, text, n, {d.explode(d.seq('0', str(PHASH_BITS - 1)))} AS k
       FROM c),
@@ -501,6 +511,16 @@ s AS (
   ) AS ph
   FROM g GROUP BY doc_id
 )"""
+
+
+# r13 negative result (guide §1.3, recorded in OPTIMIZATION_r13.md):
+# an Arrow-kernel twin of the g/s gradient tail (utf-32 codepoint
+# comparisons per doc) measured SLOWER than the codegen'd SQL explode
+# at steady state (warm min-of-4 checkpoint: SQL 0.10 s vs kernel
+# 0.27 s single-task / 0.35 s repartitioned at sf0.1) — the 64-row
+# explode + ascii/substr compiles into one WholeStageCodegen span and
+# the Python worker round-trip costs more than it saves. Reverted;
+# the SQL chain below stays the plane build.
 
 
 PHASH_VIEW = "__media_phash_sig"

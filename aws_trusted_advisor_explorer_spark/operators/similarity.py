@@ -1148,7 +1148,14 @@ def embeddings_covariance_df(spark, base: str | None = None):
                 "dim_i": iu[0] + 1, "dim_j": iu[1] + 1,
                 "n": np.int64(len(vs)), "s": acc[iu]})
 
+    from aws_trusted_advisor_explorer_spark.session import kernel_partitions
+
+    # repartition before the kernel: the single-file embeddings scan
+    # is one task, which serialized the partial-Gram kernel (r13 —
+    # see dedup.ensure_gram_fold_view). Per-row floor then int64 sums
+    # keep the merged Gram exact under any partitioning.
     v = spark.table("embeddings").select("embedding")
+    v = v.repartition(kernel_partitions(v))
     part = v.mapInPandas(partial, schema=out_schema)
     return (part.groupBy("dim_i", "dim_j")
             .agg(F.sum("n").alias("n_vectors"),
@@ -1215,7 +1222,11 @@ def embeddings_drift_audit_df(spark):
                 "n_b": np.int64(len(sides[1])),
                 "s_a": acc[0], "s_b": acc[1]})
 
+    from aws_trusted_advisor_explorer_spark.session import kernel_partitions
+
+    # same single-task-scan parallelization as the covariance twin
     v = spark.table("embeddings").select("vec_id", "embedding")
+    v = v.repartition(kernel_partitions(v))
     part = v.mapInPandas(partial, schema=out_schema)
     g = (part.groupBy("dim_i", "dim_j")
          .agg(F.sum("n_a").alias("n_a"), F.sum("n_b").alias("n_b"),

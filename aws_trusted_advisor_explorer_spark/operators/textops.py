@@ -651,7 +651,12 @@ def docs_dsir_importance_df(spark):
             yield pd.DataFrame({
                 "doc_id": np.repeat(doc_ids, ntoks), "f": f})
 
-    feats = (spark.table("documents").select("doc_id", "text")
+    from aws_trusted_advisor_explorer_spark.session import kernel_partitions
+
+    # repartition before the kernel: single-file corpus scan = one
+    # task otherwise (r13 — see dedup.ensure_gram_fold_view)
+    docs_rel = spark.table("documents").select("doc_id", "text")
+    feats = (docs_rel.repartition(kernel_partitions(docs_rel))
              .mapInPandas(feat_kernel, schema="doc_id long, f bigint")
              # the tok CTE (kernel join flag) is read by BOTH the cf
              # count arm and the p per-doc rollup; a Python eval node

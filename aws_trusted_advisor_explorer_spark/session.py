@@ -99,6 +99,38 @@ def range_partitions(spark: SparkSession) -> int:
     return max(int(spark.sparkContext.defaultParallelism), 1)
 
 
+# target ESTIMATED input bytes per corpus->Arrow-kernel task (the
+# optimizer's column-pruned compressed-size estimate, which undercounts
+# raw text ~2x): the Python kernels (tokenize+fold, Gram partials,
+# cluster assignment) cost ~1 s/MB of input, so tasks far smaller than
+# a shuffle-partition sweet spot are right — measured at sf0.1 (594 KB
+# documents, ~0.25 MB estimated): 1 task 0.47 s, 8 tasks 0.27 s, 32
+# tasks 0.39 s for the fused gram fold
+KERNEL_TASK_BYTES = 32 * 1024
+
+
+def kernel_partitions(df) -> int:
+    """Partition count for a corpus→Arrow-kernel pass, derived from
+    the input's optimizer size estimate and capped at the session
+    parallelism (guide §2: scale-adaptive, never a core-count
+    constant). The driver corpus ships as ONE parquet file with one
+    row group, so without an explicit repartition every kernel ran as
+    a single task at any core count (the flat 8-vs-32 ratios in
+    SCALING.md's r13 core-scaling block); at cluster scale the
+    estimate grows with the data and the cap keeps it at full
+    parallelism."""
+    spark = df.sparkSession
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        size = 0
+    cap = max(int(spark.sparkContext.defaultParallelism), 1)
+    if size <= 0:
+        return cap
+    return max(1, min(cap, size // KERNEL_TASK_BYTES))
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict:
     """Register the driver's parquet tables as temp views; return {name: df}.
 
@@ -125,9 +157,66 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         df = spark.read.parquet(path)
         for c in ns_cols:
             df = df.withColumn(c, F.expr(f"CAST(timestamp_micros({c} DIV 1000) AS TIMESTAMP_NTZ)"))
+        df = _land_multifile(spark, sf_dir, name, path, df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+# target bytes per landed input file (r13, guide §6 inverted for tiny
+# local inputs): each driver table ships as ONE parquet file with one
+# row group, so every scan — and everything narrow-chained above it —
+# ran as a single task at any core count (the flat 8-vs-32-core ratios
+# in SCALING.md). Landing a table once per dataset as
+# size/LAND_FILE_BYTES files (capped at the session parallelism)
+# restores scan parallelism without adding a per-query exchange; on a
+# real deployment inputs arrive multi-split and the landing is a
+# no-op (n_files <= 1 skips it). 128 KB keeps interpreted-lambda SQL
+# over `documents` parallel at sf0.1 while sf0.001 stays single-file.
+LAND_FILE_BYTES = 128 * 1024
+
+
+def _land_multifile(spark: SparkSession, sf_dir: str, name: str,
+                    path: str, df):
+    """Land ``df`` (the loaded driver table, post timestamp rebuild)
+    as a multi-file parquet copy under the fixture scratch dir, once
+    per (dataset, table, layout); returns the landed scan, or ``df``
+    unchanged when the table is too small to split. Content-identical
+    rows (repartition is a row-preserving round-robin); the one-time
+    landing is priced as a ``fixture_land:land_<name>`` plane row."""
+    import hashlib
+    import tempfile
+    import time
+
+    try:
+        raw_bytes = os.path.getsize(path)
+    except OSError:
+        return df
+    cap = max(int(spark.sparkContext.defaultParallelism), 1)
+    n_files = max(1, min(cap, raw_bytes // LAND_FILE_BYTES))
+    if n_files < 2:
+        return df
+    key = hashlib.md5(
+        f"{sf_dir}|{name}|corpus-land-v1|{n_files}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), "spark_fixture_cache",
+                        f"land-{key}")
+    dest = os.path.join(base, name)
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        os.makedirs(base, exist_ok=True)
+        t0 = time.perf_counter()
+        tmp = f"{dest}.tmp-{os.getpid()}"
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        record_plane(f"fixture_land:land_{name}",
+                     time.perf_counter() - t0)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+                raise
+    return spark.read.parquet(dest)
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:

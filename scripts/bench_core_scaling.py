@@ -84,15 +84,18 @@ def build_stretch_dir() -> None:
         src = f"'{SRC}/embeddings.parquet'"
         if r == 0:
             return f"SELECT * FROM {src}"
-        # deterministic sign flips: dim i flipped iff bit i of a
-        # replica-keyed pattern — norms unchanged, cross-replica
-        # cosines decorrelated
-        return (f"SELECT vec_id + {r} * (SELECT max(vec_id) + 1 FROM {src})"
-                f" AS vec_id, label,"
-                f" list_transform(embedding, (x, i) ->"
-                f" CASE WHEN (i * {2 * r + 1}) % 3 = 0 THEN -x ELSE x END)"
-                f" AS embedding"
-                f" FROM {src}")
+        # deterministic per-replica dim ROTATION: norms unchanged,
+        # cross-replica cosines decorrelated (a rotated generic vector
+        # is near-orthogonal to its original)
+        k = (7 * r) % 63 + 1
+        cols = con.sql(f"SELECT * FROM {src} LIMIT 0").columns
+        sel = ", ".join(
+            (f"vec_id + {r} * (SELECT max(vec_id) + 1 FROM {src})"
+             f" AS vec_id") if c == "vec_id" else
+            (f"list_concat(embedding[{k + 1}:], embedding[1:{k}])"
+             f" AS embedding") if c == "embedding" else c
+            for c in cols)
+        return f"SELECT {sel} FROM {src}"
 
     def offset_r(table: str, id_cols: list[str], r: int) -> str:
         src = f"'{SRC}/{table}.parquet'"

@@ -237,6 +237,50 @@ bound, so its wall growing far below the pair explosion is the DF cap
 bounding its pair mass; it remains the documented exact ORACLE form
 beside the scalable rungs (`dedup_minhash_lsh`, `dedup_prefix_join`),
 not the 100 TB path.""")
+    cs_path = os.path.join(root, "bench_results", "core_scaling.json")
+    if os.path.exists(cs_path):
+        with open(cs_path) as f:
+            cs = json.load(f)
+        out.append(f"""
+## Core-count scaling (r13)
+
+`scripts/bench_core_scaling.py`: 8-vs-32-core pair over a
+deterministic ~10x stretch corpus ({cs['replicas']} replicas of sf0.1
+with per-replica perturbations that preserve near-dup structure
+WITHIN each replica instead of multiplying it across replicas), one
+child process per core count (fresh JVM + fresh plane caches), warm
+pass + min of 2 timed passes per key. Context (r12 verdict item 6):
+at sf0.1 every 8-vs-32 ratio sat at ~1 because each key is
+fixed-overhead-bound; this corpus is big enough for ratios to mean
+something. The FIRST r13 run (pre-fix) found the serial bottleneck:
+every driver table is ONE parquet file with one row group, so scans —
+and all narrow work above them, including every corpus mapInPandas
+kernel — ran as a single task at any core count. After the fix
+(kernel-input repartition sized from the optimizer's input estimate
++ one-time multi-file landing of the row-scaled tables):
+
+| key | 32-core s | 8-core s | 8/32 ratio |
+|---|---|---|---|""")
+        for key, d in cs["keys"].items():
+            out.append(f"| `{key}` | {d['sec_32']:.2f} | {d['sec_8']:.2f} "
+                       f"| {d['ratio_8_over_32']} |")
+        out.append(f"""
+Totals: {cs['total_32']:.1f} s at 32 cores vs {cs['total_8']:.1f} s at
+8. Reading: the corpus-kernel keys now parallelize
+(`docs_span_scrub` 10.8 -> ~5.4 s vs the pre-fix single-task run,
+`docs_ccnet_buckets` 6.7 -> ~4.8, with 8-core ratios clearly below 1
+on the kernel-heavy keys), but several multi-second keys still show
+ratios ~0.8-1.4 — part environment noise (this sandbox shows
+±20-30% run-to-run drift on multi-second readings; `view_low_util_ec2`
+spans 8.8-13.5 s across same-code runs), part genuinely
+serial/measured-table shapes: `knn_pca_prefix` is the brute-force
+recall AUDIT (O(queries x corpus) interpreted-lambda scoring by
+design — the gate you run once per trained rotation, not the serving
+path), and `dedup_band_tuning` is the 4-config measured price list.
+The structural finding stands: input-split parallelism, not operator
+shape, was the local scaling ceiling, and the landing/repartition fix
+removes it in the same way real multi-split inputs would at cluster
+scale.""")
     lm_path = os.path.join(root, "bench_results", "lm_stretch.json")
     if os.path.exists(lm_path):
         with open(lm_path) as f:
