@@ -1311,13 +1311,50 @@ def _release_rel_df(spark, key: object = None,
     return rel
 
 
+RELEASE_REL_VIEW = "__release_rel_ranged"
+_RELEASE_REL_STATE: dict = {}
+
+
+def ensure_release_rel_view(spark, key: object = None) -> str:
+    """Materialize the RANGED released-doc relation (the
+    :func:`_release_rel_df` rail composition range-partitioned by
+    (split, doc_id) with its ``pid`` column frozen) once per (session,
+    dataset) — r13, guide §2.4: the release manifest and the
+    incremental refresh each re-composed the full rail (pipeline ∩
+    near-dedup ∩ decontamination ∩ token counts) and re-ranged it per
+    run. Both consumers pack filtered slices of this one pid-monotone
+    layout (`pre_ranged=True` — the r12 shared-layout rule: priors
+    depend only on pid monotonicity within each split, which the
+    frozen column preserves under any materialization). The
+    text-carrying writer path keeps its own composition (text never
+    enters the plane)."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.session import (
+        range_partitions_for, register_session_plane,
+    )
+
+    def build_df(s):
+        rel = _release_rel_df(s, key=key)
+        return (rel.repartitionByRange(range_partitions_for(rel),
+                                       "split", "doc_id")
+                .withColumn("pid", F.spark_partition_id()))
+
+    return register_session_plane(
+        _RELEASE_REL_STATE, spark, key, RELEASE_REL_VIEW, build_df)
+
+
 def _release_assignments_df(spark, key: object = None,
                             with_text: bool = False):
     """Doc-level release ASSIGNMENT relation (doc_id, split, shard_id,
     n_toks, n_bytes, h [, text]) behind both the manifest aggregate
     and the shard writer: the rail composition
     (:func:`_release_rel_df`) packed per split
-    (:func:`_split_pack_df`)."""
+    (:func:`_split_pack_df`). The text-free form reads the session
+    ranged-rail plane (r13)."""
+    if not with_text:
+        ranged = spark.table(ensure_release_rel_view(spark, key=key))
+        return _split_pack_df(ranged, pre_ranged=True)
     return _split_pack_df(_release_rel_df(spark, key=key,
                                           with_text=with_text))
 
@@ -1581,20 +1618,11 @@ def docs_release_refresh_df(spark, key: object = None,
     test_release_refresh_merged_audit_matches_full_recompute)."""
     from pyspark.sql import functions as F
 
-    from aws_trusted_advisor_explorer_spark.session import (
-        range_partitions_for,
-    )
-
-    # ONE range partitioning (+ pid) serves all three pack arms (r12:
-    # each _split_pack_df call paid its own repartitionByRange — a
-    # bounds-sampling job plus a shuffle — on what is one relation
-    # filtered three ways; a filtered slice of a (split, doc_id) range
-    # layout is still pid-monotone per split, so priors are identical)
-    ranged = (_release_rel_df(spark, key=key)
-              .repartitionByRange(range_partitions_for(spark),
-                                  "split", "doc_id")
-              .withColumn("pid", F.spark_partition_id())
-              .localCheckpoint(eager=False))
+    # ONE range partitioning (+ pid) serves all pack arms (r12), and
+    # since r13 it is the session ranged-rail plane shared with the
+    # manifest query (the rail composed + ranged once per dataset,
+    # not per run)
+    ranged = spark.table(ensure_release_rel_view(spark, key=key))
     cut = spark.table("documents").agg(F.expr(
         f"cast((max(doc_id) * {RELEASE_REFRESH_NUM}) "
         f"div {RELEASE_REFRESH_DEN} as bigint)").alias("cut"))

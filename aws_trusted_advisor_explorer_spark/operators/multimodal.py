@@ -903,17 +903,11 @@ def pairs_release_refresh_df(spark, key: object = None,
         RELEASE_REFRESH_DEN, RELEASE_REFRESH_NUM,
     )
 
-    # one shared (split, pair_id) range layout for all three rank arms
-    # (the corpusops docs_release_refresh_df r12 rule)
-    from aws_trusted_advisor_explorer_spark.session import (
-        range_partitions_for,
-    )
-
-    ranged = (_pairs_release_rel_df(spark, key=key)
-              .repartitionByRange(range_partitions_for(spark),
-                                  "split", "pair_id")
-              .withColumn("pid", F.spark_partition_id())
-              .localCheckpoint(eager=False))
+    # one shared (split, pair_id) range layout for all rank arms (the
+    # corpusops docs_release_refresh_df r12 rule); since r13 the
+    # ranged rail is the session plane shared with the pair manifest
+    # (composed + ranged once per dataset, not per run)
+    ranged = spark.table(ensure_pairs_release_rel_view(spark, key=key))
     cut = spark.table("documents").agg(F.expr(
         f"cast((max(doc_id) * {RELEASE_REFRESH_NUM}) "
         f"div {RELEASE_REFRESH_DEN} as bigint)").alias("cut"))
@@ -1135,12 +1129,46 @@ def _pairs_manifest_agg_df(a, with_path: bool = True):
                       "first_pair_id", "last_pair_id")
 
 
+PAIRS_RELEASE_REL_VIEW = "__pairs_release_rel_ranged"
+_PAIRS_RELEASE_REL_STATE: dict = {}
+
+
+def ensure_pairs_release_rel_view(spark, key: object = None) -> str:
+    """Materialize the RANGED pair-release rail (the
+    :func:`_pairs_release_rel_df` composition range-partitioned by
+    (split, pair_id) with ``pid`` frozen) once per (session, dataset)
+    — the corpusops.ensure_release_rel_view pattern at the pair level
+    (r13): the pair manifest and the pair refresh each re-composed
+    and re-ranged the full rail per run; both now rank filtered
+    slices of this one pid-monotone layout."""
+    from pyspark.sql import functions as F
+
+    from aws_trusted_advisor_explorer_spark.session import (
+        range_partitions_for, register_session_plane,
+    )
+
+    def build_df(s):
+        rel = _pairs_release_rel_df(s, key=key)
+        return (rel.repartitionByRange(range_partitions_for(rel),
+                                       "split", "pair_id")
+                .withColumn("pid", F.spark_partition_id()))
+
+    return register_session_plane(
+        _PAIRS_RELEASE_REL_STATE, spark, key, PAIRS_RELEASE_REL_VIEW,
+        build_df)
+
+
 def _pairs_release_assignments_df(spark, key: object = None,
                                   with_payload: bool = False):
     """Pair-level release ASSIGNMENT relation behind the pair manifest
     and the pair shard writer: the rail composition
     (:func:`_pairs_release_rel_df`) count-ranked per split
-    (:func:`_pairs_count_rank_df`)."""
+    (:func:`_pairs_count_rank_df`). The payload-free form reads the
+    session ranged-rail plane (r13)."""
+    if not with_payload:
+        ranged = spark.table(
+            ensure_pairs_release_rel_view(spark, key=key))
+        return _pairs_count_rank_df(ranged, pre_ranged=True)
     return _pairs_count_rank_df(_pairs_release_rel_df(
         spark, key=key, with_payload=with_payload))
 

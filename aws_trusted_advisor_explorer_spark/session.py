@@ -174,6 +174,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
 # no-op (n_files <= 1 skips it). 128 KB keeps interpreted-lambda SQL
 # over `documents` parallel at sf0.1 while sf0.001 stays single-file.
 LAND_FILE_BYTES = 128 * 1024
+# tables worth landing: the corpora whose consumers run expensive
+# per-row work (interpreted higher-order lambdas, Arrow kernels) or
+# feed the multi-table TPC-H joins. `events` is deliberately EXCLUDED:
+# its ~36 consumers are cheap codegen'd windowed aggregates over a
+# 2 MB table, and a 15-way scan added ~0.1 s of task scheduling per
+# query (measured r13: events family +3.7 s with landing, docs/text
+# -4.7 s) — per-table cost/benefit, not a blanket layout rule.
+LAND_TABLES = ("documents", "embeddings", "lineitem", "orders",
+               "customer", "part")
 
 
 def _land_multifile(spark: SparkSession, sf_dir: str, name: str,
@@ -188,6 +197,8 @@ def _land_multifile(spark: SparkSession, sf_dir: str, name: str,
     import tempfile
     import time
 
+    if name not in LAND_TABLES:
+        return df
     try:
         raw_bytes = os.path.getsize(path)
     except OSError:

@@ -257,6 +257,30 @@ def test_release_refresh_merged_audit_matches_full_recompute(spark):
         assert _rows(new) == _rows(old), name
 
 
+def test_release_rel_plane_backed_forms_match_fresh_rail(spark):
+    """The r13 ranged-rail planes (ensure_release_rel_view /
+    ensure_pairs_release_rel_view): the plane-backed manifest and
+    refresh reports must equal forms that compose + range the rail
+    fresh per run (the r12 shape)."""
+    from aws_trusted_advisor_explorer_spark.operators import (
+        corpusops, multimodal,
+    )
+
+    corpusops._RELEASE_REL_STATE.clear()
+    multimodal._PAIRS_RELEASE_REL_STATE.clear()
+    new_m = corpusops.docs_release_manifest_df(spark, key=SF_DIR)
+    old_m = corpusops._manifest_agg_df(corpusops._split_pack_df(
+        corpusops._release_rel_df(spark, key=SF_DIR)))
+    assert new_m.schema.simpleString() == old_m.schema.simpleString()
+    assert _rows(new_m) == _rows(old_m)
+    new_p = multimodal.pairs_release_manifest_df(spark, key=SF_DIR)
+    old_p = multimodal._pairs_manifest_agg_df(
+        multimodal._pairs_count_rank_df(
+            multimodal._pairs_release_rel_df(spark, key=SF_DIR)))
+    assert new_p.schema.simpleString() == old_p.schema.simpleString()
+    assert _rows(new_p) == _rows(old_p)
+
+
 def test_gram_hv_kernel_rejects_k1():
     """make_gram_hv_kernel(1) would silently emit zero rows (the
     [:-(k-1)] empty-slice hazard, r12 advice) — it must raise."""
