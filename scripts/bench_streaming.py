@@ -372,7 +372,7 @@ def main() -> None:
                  "events", rin, nb, wall))
     per_user.append(("top_paths_stream", "a 2-type tail", st))
 
-    out = ["""# STREAMING — measured micro-batch evidence (r8-r11)
+    out = ["""# STREAMING — measured micro-batch evidence (r8-r13)
 
 `scripts/bench_streaming.py`: nine representative twins — stateless,
 windowed-aggregate, custom-stateful, stream-stream join, the
