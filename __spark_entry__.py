@@ -738,6 +738,43 @@ def _view_query(name: str, with_tags: bool | None):
 # GENERATED from the CORRECTNESS_r*.json history — regenerate it
 # rather than hand-editing (scripts/gen_parked_tail.py).
 _PARKED_TAIL = (
+    "dedup_containment",  # driver-green r2-r4,r12
+    "dedup_embedding_cosine",  # driver-green r1-r5,r12
+    "dedup_exact_flags",  # driver-green r1-r5,r12
+    "dedup_exact_groups",  # driver-green r1,r12
+    "dedup_ngram_jaccard",  # driver-green r1-r4,r12
+    "dedup_simhash",  # driver-green r1-r4,r12
+    "docs_contamination",  # driver-green r1-r5,r12
+    "docs_decontaminated",  # driver-green r1,r12
+    "docs_importance_sample",  # driver-green r2-r4,r12
+    "docs_length_histogram",  # driver-green r1,r12
+    "docs_quality_gate",  # driver-green r1,r12
+    "docs_rejected",  # driver-green r1,r12
+    "docs_release_refresh",  # driver-green r12
+    "docs_source_mix",  # driver-green r1,r12
+    "docs_stratified_sample",  # driver-green r1,r12
+    "docs_top_quality",  # driver-green r1,r12
+    "events_hourly_anomaly",  # driver-green r2-r4,r12
+    "events_latest_state",  # driver-green r2-r4,r12
+    "events_rollup",  # driver-green r1,r12
+    "events_sessionize",  # driver-green r1-r4,r12
+    "events_user_topk",  # driver-green r1,r12
+    "knn_bruteforce",  # driver-green r1,r12
+    "knn_ivf_kmeans",  # driver-green r2-r4,r12
+    "knn_lsh",  # driver-green r1,r12
+    "knn_pca_prefix",  # driver-green r12
+    "media_inventory",  # driver-green r1,r12
+    "pairs_release_manifest",  # driver-green r12
+    "pairs_release_refresh",  # driver-green r12
+    "text_bigram_surprise",  # driver-green r2-r4,r12
+    "text_fingerprint",  # driver-green r1,r12
+    "text_vocab_topk",  # driver-green r1,r12
+    "view_idle_elb_no_tags",  # driver-green r1,r12
+    "view_low_util_ec2_no_tags",  # driver-green r1,r12
+    "view_rds_idle_no_tags",  # driver-green r1,r12
+    "view_route53_latency_no_tags",  # driver-green r1,r12
+    "view_underutil_ebs_no_tags",  # driver-green r1,r12
+    "view_underutil_redshift_no_tags",  # driver-green r1,r12
     "dedup_band_tuning",  # driver-green r10-r11
     "dedup_lsh_recall",  # driver-green r6-r8,r10-r11
     "dedup_minhash_estimate",  # driver-green r10-r11
@@ -836,11 +873,6 @@ _PARKED_TAIL = (
     "pq_recall_report",  # driver-green r8
     "semdedup_pairs",  # driver-green r2-r8
     "semdedup_prune_report",  # driver-green r8
-    "dedup_span_exact",  # driver-green r7
-    "docs_curation_drift",  # driver-green r7
-    "docs_hybrid_search_rrf",  # driver-green r7
-    "docs_temperature_mix",  # driver-green r7
-    "events_interval_join",  # driver-green r7
     "text_bpe_merge_train",  # driver-green r7
     "text_bpe_tokenize_count",  # driver-green r7
     "tpch_q11",  # driver-green r7
@@ -858,38 +890,6 @@ _PARKED_TAIL = (
     "tpch_q5",  # driver-green r7
     "tpch_q7",  # driver-green r7
     "tpch_q8",  # driver-green r7
-    "dedup_graph_pagerank",  # driver-green r2-r6
-    "dedup_incremental",  # driver-green r2-r6
-    "dedup_prefix_join",  # driver-green r5-r6
-    "docs_block_dedup",  # driver-green r2-r6
-    "events_hll_merge",  # driver-green r5-r6
-    "events_session_attribution",  # driver-green r2-r6
-    "kmeans_assign",  # driver-green r2-r6
-    "knn_ivfpq_adc",  # driver-green r2-r6
-    "knn_recall_at_k",  # driver-green r2-r6
-    "media_feature_extract",  # driver-green r2-r6
-    "pii_mask_accounts",  # driver-green r1-r6
-    "text_bpe_pair_counts",  # driver-green r2-r6
-    "text_lang_id",  # driver-green r1-r6
-    "text_tfidf_topk",  # driver-green r2-r6
-    "tpch_q1",  # driver-green r6
-    "tpch_q10",  # driver-green r6
-    "tpch_q2",  # driver-green r5-r6
-    "tpch_q21",  # driver-green r5-r6
-    "tpch_q3",  # driver-green r6
-    "tpch_q6",  # driver-green r6
-    "tpch_q9",  # driver-green r5-r6
-    "docs_pack_bins",  # driver-green r1-r5
-    "docs_split_assign",  # driver-green r1-r5
-    "events_asof_join",  # driver-green r1-r5
-    "events_funnel",  # driver-green r2-r5
-    "events_hourly_by_type",  # driver-green r1-r5
-    "events_props_json",  # driver-green r1-r5
-    "events_value_quantiles",  # driver-green r1-r5
-    "media_byte_stats",  # driver-green r1-r5
-    "text_quality",  # driver-green r1-r5
-    "text_repetition",  # driver-green r1-r5
-    "text_token_stats",  # driver-green r1-r5
 )
 
 

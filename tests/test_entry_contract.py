@@ -36,12 +36,30 @@ def test_priority_head_fits_driver_cap_and_holds_reference_views():
         assert view_key in head, f"{view_key} fell out of the priority head"
     for audited in ("knn_ivf", "knn_ivf_multiprobe", "dedup_clusters"):
         assert audited in head
-    # r12 rotation: the operators ADDED during r12 must sit in the
-    # head for their first driver rows (the verification loop closes
-    # the same round it opens)
-    for rotated in ("knn_pca_prefix", "pairs_release_manifest",
-                    "docs_release_refresh", "pairs_release_refresh"):
-        assert rotated in head, f"{rotated} fell out of the r12 window"
+    # rotation rule, generically: every key with NO driver-green
+    # history must sit in the head for its first driver rows (the
+    # verification loop closes the same round it opens). The r12-era
+    # form of this test pinned the four keys ADDED in r12 by name;
+    # they got their first driver-green rows in CORRECTNESS_r12.json,
+    # so the r13 regeneration legitimately rotates them out in favor
+    # of the stalest green keys.
+    import glob
+    import json
+    import os
+
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                    "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            rows = json.load(f)
+        rows = rows.get("rows", rows)
+        for k, v in rows.items():
+            if isinstance(v, dict) and v.get("rows_match") \
+                    and v.get("schema_match") and v.get("hash_match"):
+                seen.add(k)
+    never_checked = [k for k in q if k not in seen]
+    for k in never_checked:
+        assert k in head, f"never-driver-checked key {k} parked"
 
 
 def test_parked_tail_matches_head_cap_exactly():
